@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession configuration for the engine.
+  *
+  * Design notes (scale-first):
+  *  - `spark.sql.shuffle.partitions` defaults to the local core count here;
+  *    on a real cluster this is AQE-advised (`spark.sql.adaptive.enabled`)
+  *    so the post-shuffle partition count tracks data volume, not a constant.
+  *  - `nanosAsLong`: the driver test data stores `events.ts` as parquet
+  *    TIMESTAMP(NANOS) which Spark cannot represent natively; we read it as
+  *    a long (ns since epoch) and convert explicitly (see
+  *    [[graft.sources.Tables.eventsWithTs]]).
+  *  - session time zone is pinned to UTC: the reference operates on unix
+  *    seconds and UTC calendar days (reference `src/blockchain_queries.py:334`).
+  */
+object GraftSession {
+
+  def configure(b: SparkSession.Builder, cores: String): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests and benches. */
+  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val spark = configure(SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed deduplication operators (SURVEY.md §2.5).
+  *
+  * The reference has three dedup devices: newest-wins in-memory iteration
+  * (reference `src/blockchain_queries.py:265-288`), load-order +
+  * `onDuplicate='ignore'` (`:291-319` — racy across its parallel time
+  * chunks, SURVEY.md D4), and content-hash keys collapsing identical
+  * payloads (`:224,243`). All three are the same logical operator — argmax
+  * per key — which Spark expresses as one shuffle-by-key + per-partition
+  * sort. The window form is deterministic under any input order, fixing the
+  * reference's D4 race by construction.
+  *
+  * Scale note: `row_number` over (key) shuffles once on the key and sorts
+  * within partitions — the same cost class as the `groupBy` it replaces.
+  * For skewed keys AQE skew-join/partition splitting applies; there is no
+  * driver-side state.
+  */
+object Dedup {
+
+  /** Keep exactly one row per key: the first under `order` (e.g. newest
+    * timestamp first). Deterministic: supply a total order (include a
+    * unique tiebreaker column).
+    */
+  def keepFirst(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Newest-wins per key (D2/D3/D4): latest `time`, ties broken by
+    * `tiebreak` descending — the semantics the reference *intends* with its
+    * `ORDER BY time DESC, hash` + first-write-wins load.
+    */
+  def newestWins(df: DataFrame, keys: Seq[Column], time: Column, tiebreak: Column): DataFrame =
+    keepFirst(df, keys, Seq(time.desc, tiebreak.desc))
+
+  /** First-write-wins (the `onDuplicate='ignore'` sink semantic, reference
+    * `src/arango_queries.py:314`), made deterministic by ordering on the
+    * supplied columns ascending.
+    */
+  def firstWins(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame =
+    keepFirst(df, keys, order)
+
+  /** Exact duplicate collapse by content hash over `contentCols` — one
+    * representative row per distinct content (min of `representative`).
+    * Returns (key, representative, n_dups, contentCols...).
+    */
+  def exactByContent(df: DataFrame, contentCols: Seq[String], representative: String): DataFrame = {
+    val key = md5(to_json(struct(contentCols.map(col): _*))).as("_key")
+    df.groupBy(key +: contentCols.map(col): _*)
+      .agg(min(col(representative)).as("representative"),
+        count(lit(1)).as("n_dups"))
+  }
+}

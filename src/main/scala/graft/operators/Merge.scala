@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Keyed upsert — the engine's sink semantic (SURVEY.md §2.1 K1).
+  *
+  * The reference bulk-loads documents with
+  * `importBulk(batch, onDuplicate='update'|'ignore')` (reference
+  * `src/arango_queries.py:211-258`): `update` = incoming wins per `_key`,
+  * `ignore` = existing wins. Expressed relationally this is
+  * `MERGE INTO target USING incoming ON _key`; here it is a deterministic
+  * union + precedence-window, which also subsumes the reference's
+  * deprecated per-row AQL update path (`src/arango_queries.py:102-115` —
+  * its own comments say "Faster to just import with onDuplicate").
+  *
+  * Scale note: one shuffle on `_key`. On a cluster against table storage
+  * this maps 1:1 to Delta/Iceberg `MERGE` (which also shuffles on the merge
+  * key); for an external KV sink it becomes `foreachPartition` with
+  * per-partition connections (reference X3, `src/arango_queries.py:241-247`).
+  */
+object Merge {
+
+  sealed trait OnDuplicate
+  /** Incoming rows replace existing rows with the same key. */
+  case object Update extends OnDuplicate
+  /** Existing rows are kept; incoming rows only fill new keys. */
+  case object Ignore extends OnDuplicate
+
+  /** Merge `incoming` into `existing` on `key`. Both frames must share a
+    * schema. Within `incoming`, later duplicates of the same key are
+    * collapsed newest-wins by `tiebreak` before the merge (the reference
+    * relies on load order for this; we make it explicit).
+    */
+  def upsert(existing: DataFrame, incoming: DataFrame, key: String,
+             mode: OnDuplicate, tiebreak: String): DataFrame = {
+    val cols = existing.columns.toSeq
+    require(incoming.columns.toSeq == cols, s"schema mismatch: $cols vs ${incoming.columns.toSeq}")
+    val (pExisting, pIncoming) = mode match {
+      case Update => (1, 0) // incoming wins
+      case Ignore => (0, 1) // existing wins
+    }
+    val unioned = existing.withColumn("__pri", lit(pExisting))
+      .unionByName(incoming.withColumn("__pri", lit(pIncoming)))
+    Dedup.keepFirst(unioned, Seq(col(key)),
+        Seq(col("__pri").asc, col(tiebreak).desc))
+      .drop("__pri")
+  }
+
+  /** Filtered delete (K2) — the witness retention window (reference
+    * `src/arango_queries.py:90-99`): keep rows where `time >= cutoff`.
+    * On table storage this is `DELETE WHERE`; as a transform it is a
+    * filter-on-write.
+    */
+  def retain(df: DataFrame, time: String, cutoff: Long): DataFrame =
+    df.filter(col(time) >= cutoff)
+
+  /** Materialized upsert against a parquet path (test-scale stand-in for a
+    * Delta MERGE / connector sink). Reads current state if present, merges,
+    * writes back.
+    */
+  def upsertParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+                    incoming: DataFrame, key: String, mode: OnDuplicate,
+                    tiebreak: String): Unit = {
+    val merged =
+      if (new java.io.File(path).exists())
+        upsert(spark.read.parquet(path), incoming, key, mode, tiebreak)
+      else Dedup.keepFirst(incoming, Seq(col(key)), Seq(col(tiebreak).desc))
+    // Small-state test sink: localCheckpoint breaks the lineage onto the
+    // executors so the overwrite does not race the read of the same path.
+    merged.localCheckpoint(true).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+}
