@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   *  - `nanosAsLong`: the driver test data stores `events.ts` as parquet
   *    TIMESTAMP(NANOS) which Spark cannot represent natively; we read it as
   *    a long (ns since epoch) and convert explicitly (see
-  *    [[graft.sources.Tables.eventsWithTs]]).
+  *    [[graft.sources.Tables.eventsWithUs]]).
   *  - session time zone is pinned to UTC: the reference operates on unix
   *    seconds and UTC calendar days (reference `src/blockchain_queries.py:334`).
   */

@@ -27,10 +27,13 @@ object Dedup {
     * unique tiebreaker column).
     */
   def keepFirst(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    // Collision-free temp name: withColumn would silently replace an
+    // existing column of the same name and corrupt the dedup.
+    val rn = Iterator.from(0).map(i => s"__rn$i").find(!df.columns.contains(_)).get
     val w = Window.partitionBy(keys: _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 
   /** Newest-wins per key (D2/D3/D4): latest `time`, ties broken by

@@ -40,11 +40,13 @@ object Merge {
       case Update => (1, 0) // incoming wins
       case Ignore => (0, 1) // existing wins
     }
-    val unioned = existing.withColumn("__pri", lit(pExisting))
-      .unionByName(incoming.withColumn("__pri", lit(pIncoming)))
+    // Collision-free precedence column (same rationale as Dedup.keepFirst).
+    val pri = Iterator.from(0).map(i => s"__pri$i").find(!cols.contains(_)).get
+    val unioned = existing.withColumn(pri, lit(pExisting))
+      .unionByName(incoming.withColumn(pri, lit(pIncoming)))
     Dedup.keepFirst(unioned, Seq(col(key)),
-        Seq(col("__pri").asc, col(tiebreak).desc))
-      .drop("__pri")
+        Seq(col(pri).asc, col(tiebreak).desc))
+      .drop(pri)
   }
 
   /** Filtered delete (K2) — the witness retention window (reference

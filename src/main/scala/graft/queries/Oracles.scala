@@ -1,0 +1,168 @@
+package graft.queries
+
+/** DuckDB oracle twins for every registered query (the driver's correctness
+  * gate: it runs each SQL against the same parquet tables and hash-compares
+  * with the Spark result after sorting columns by name).
+  *
+  * Cross-engine determinism rules used throughout (see [[Relational]]):
+  *  - money/metrics as scaled integers (`round(x*100)::BIGINT`), never raw
+  *    doubles — FP noise can't survive a hash compare;
+  *  - `sum(BIGINT)` is HUGEINT in DuckDB → always re-cast to BIGINT;
+  *  - days as `strftime('%Y-%m-%d')` strings (Spark `date_format` twin);
+  *  - event time as µs since epoch: Spark reads parquet TIMESTAMP(NANOS)
+  *    as long ns and does `ts div 1000`; DuckDB `epoch_us(ts)` truncates
+  *    identically;
+  *  - aggregates/computed columns aliased to the same name on both sides.
+  */
+object Oracles {
+
+  private val CentsQty = "CAST(round(l_quantity*100) AS BIGINT)"
+  private val CentsPrice = "CAST(round(l_extendedprice*100) AS BIGINT)"
+  private val CentsValue = "CAST(round(value*100) AS BIGINT)"
+
+  val relational: Map[String, String] = Map(
+    "q01_agg_sum_groupby" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum($CentsQty) AS BIGINT) AS sum_qty_c,
+         |  CAST(sum($CentsPrice) AS BIGINT) AS sum_price_c,
+         |  count(*) AS cnt
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_time_range" ->
+      s"""SELECT event_type, count(*) AS cnt,
+         |  CAST(sum($CentsValue) AS BIGINT) AS sum_value_c
+         |FROM events
+         |WHERE epoch_us(ts) > ${Relational.Q02Lo} AND epoch_us(ts) < ${Relational.Q02Hi}
+         |GROUP BY event_type""".stripMargin,
+
+    "q03_filter_in_projection" ->
+      """SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT','2-HIGH') AND o_orderstatus = 'O'""".stripMargin,
+
+    "q04_join_left_enrich" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  coalesce(n_name, 'UNKNOWN') AS nation_name,
+        |  coalesce(r_name, 'UNKNOWN') AS region_name,
+        |  'accounts/' || c_name AS vertex_ref
+        |FROM customer
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+
+    "q05_join_inner_agg" ->
+      s"""SELECT l_suppkey, CAST(sum($CentsQty) AS BIGINT) AS sum_qty_c, count(*) AS cnt
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderstatus = 'F' GROUP BY l_suppkey""".stripMargin,
+
+    "q06_argmax_per_day" ->
+      """WITH t AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY strftime(o_orderdate, '%Y-%m-%d')
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |SELECT order_day, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+        |FROM t WHERE rn = 1""".stripMargin,
+
+    "q07_distinct_content_key" ->
+      """SELECT n_name, r_name, md5(n_name || '|' || r_name) AS city_key
+        |FROM (SELECT DISTINCT n_name, r_name
+        |      FROM nation JOIN region ON n_regionkey = r_regionkey)""".stripMargin,
+
+    "q08_agg_min_max" ->
+      """SELECT strftime(min(o_orderdate), '%Y-%m-%d') AS min_day,
+        |  strftime(max(o_orderdate), '%Y-%m-%d') AS max_day,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders""".stripMargin,
+
+    "q09_json_extract" ->
+      """SELECT k % 10 AS k_bucket, count(*) AS cnt, min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+        |GROUP BY k % 10""".stripMargin,
+
+    "q10_dedup_newest_wins" ->
+      s"""SELECT user_id, event_type, event_id, $CentsValue AS value_c, ts_us
+         |FROM (SELECT *, epoch_us(ts) AS ts_us,
+         |        row_number() OVER (PARTITION BY user_id, event_type
+         |                           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |      FROM events)
+         |WHERE rn = 1""".stripMargin,
+
+    "q11_dedup_content_hash" ->
+      """SELECT md5(to_json(struct_pack(custkey := o_custkey, priority := o_orderpriority))) AS "_key",
+        |  o_custkey, o_orderpriority,
+        |  min(o_orderkey) AS first_order, count(*) AS n_dups
+        |FROM orders GROUP BY o_custkey, o_orderpriority""".stripMargin,
+
+    "q12_geo_haversine" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    (c_custkey % 170) - 85 + 0.25 AS c_lat,
+        |    (c_custkey * 7 % 350) - 175 + 0.5 AS c_lng FROM customer),
+        |  s AS (SELECT s_suppkey, s_nationkey,
+        |    (s_suppkey * 13 % 170) - 85 + 0.5 AS s_lat,
+        |    (s_suppkey * 29 % 350) - 175 + 0.5 AS s_lng FROM supplier)
+        |SELECT c_custkey, s_suppkey,
+        |  CAST(round(2.0 * 6371000.0 * asin(least(1.0,
+        |    sqrt(pow(sin(radians(s_lat - c_lat) / 2.0), 2.0)
+        |       + cos(radians(c_lat)) * cos(radians(s_lat))
+        |         * pow(sin(radians(s_lng - c_lng) / 2.0), 2.0)))) / 1000.0) AS BIGINT) AS dist_km
+        |FROM c JOIN s ON c_nationkey = s_nationkey""".stripMargin,
+
+    "q13_vertex_ref_roundtrip" ->
+      """SELECT c_custkey, 'accounts/' || c_name AS vertex_ref,
+        |  string_split('accounts/' || c_name, '/')[-1] AS stripped
+        |FROM customer""".stripMargin,
+
+    "q14_collect_sorted_list" ->
+      """SELECT c_nationkey, count(*) AS cnt,
+        |  string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY CAST(c_custkey AS VARCHAR)) AS members
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+
+    "q15_json_fallback_coalesce" ->
+      """SELECT k % 5 AS bucket, count(*) AS cnt
+        |FROM (SELECT CAST(coalesce(json_extract_string(props, '$.missing'),
+        |                           json_extract_string(props, '$.k')) AS INTEGER) AS k
+        |      FROM events)
+        |GROUP BY k % 5""".stripMargin,
+
+    "q16_window_rewards_5d" ->
+      s"""WITH m AS (SELECT max(epoch_us(ts)) AS max_ts FROM events)
+         |SELECT user_id, CAST(sum($CentsValue) AS BIGINT) AS rewards_5d_c, count(*) AS cnt
+         |FROM events, m
+         |WHERE epoch_us(ts) > max_ts - ${Relational.FiveDaysUs} AND epoch_us(ts) < max_ts
+         |GROUP BY user_id""".stripMargin,
+
+    "q17_daily_balances" ->
+      s"""WITH d AS (
+         |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, $CentsValue AS value_c,
+         |    row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+         |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |  FROM events)
+         |SELECT user_id, count(*) AS n_days,
+         |  string_agg(day || ':' || CAST(value_c AS VARCHAR), ';'
+         |             ORDER BY day || ':' || CAST(value_c AS VARCHAR)) AS daily_balances
+         |FROM d WHERE rn = 1 GROUP BY user_id""".stripMargin,
+
+    "q18_upsert_update" -> upsertSql(update = true),
+    "q19_upsert_ignore" -> upsertSql(update = false),
+
+    "q20_retention_filter" ->
+      s"""SELECT event_type, count(*) AS cnt FROM events
+         |WHERE epoch_us(ts) >= ${Relational.Q20CutoffUs} GROUP BY event_type""".stripMargin,
+  )
+
+  /** Twin of [[Relational.upsertInputs]] + [[graft.operators.Merge.upsert]]:
+    * union with a precedence column, then keep-first per key. `update` →
+    * incoming priority 0 (wins), `ignore` → existing priority 0.
+    */
+  private def upsertSql(update: Boolean): String = {
+    val (pExisting, pIncoming) = if (update) (1, 0) else (0, 1)
+    s"""WITH base AS (SELECT o_orderkey AS k, CAST(round(o_totalprice*100) AS BIGINT) AS val, o_custkey FROM orders),
+       |  existing AS (SELECT k, val, 0 AS ver, $pExisting AS pri FROM base),
+       |  incoming AS (
+       |    SELECT k, val + 111 AS val, 1 AS ver, $pIncoming AS pri FROM base WHERE o_custkey % 3 = 0
+       |    UNION ALL
+       |    SELECT k + 10000000, val + 222, 1, $pIncoming FROM base WHERE o_custkey % 5 = 0),
+       |  u AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY pri ASC, ver DESC) AS rn
+       |        FROM (SELECT * FROM existing UNION ALL SELECT * FROM incoming))
+       |SELECT k AS "_key", val, ver FROM u WHERE rn = 1""".stripMargin
+  }
+}

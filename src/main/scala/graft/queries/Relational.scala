@@ -150,18 +150,22 @@ object Relational {
       .agg(min(col("o_orderkey")).as("first_order"), count(lit(1)).as("n_dups"))
 
   // F8: haversine distance as pure column arithmetic (reference GEO_DISTANCE,
-  // `src/arango_queries.py:152`). Coordinates derived deterministically from
-  // keys; supplier side broadcast (10 rows).
+  // `src/arango_queries.py:152`), computed per *equi-joined pair* — the
+  // reference computes distance per witness edge after a key join
+  // (`src/arango_queries.py:147-154`), never all-pairs. Supplier side is a
+  // broadcast dim; output granularity is whole km so cross-engine libm
+  // 1-ulp differences cannot flip the rounding.
   def q12GeoHaversine(spark: SparkSession, d: String): DataFrame = {
-    val c = Tables(spark, d, "customer").select(col("c_custkey"),
+    val c = Tables(spark, d, "customer").select(col("c_custkey"), col("c_nationkey"),
       ((col("c_custkey") % 170) - 85 + 0.25).as("c_lat"),
       ((col("c_custkey") * 7 % 350) - 175 + 0.5).as("c_lng"))
-    val s = Tables(spark, d, "supplier").select(col("s_suppkey"),
+    val s = Tables(spark, d, "supplier").select(col("s_suppkey"), col("s_nationkey"),
       ((col("s_suppkey") * 13 % 170) - 85 + 0.5).as("s_lat"),
       ((col("s_suppkey") * 29 % 350) - 175 + 0.5).as("s_lng"))
-    c.crossJoin(broadcast(s)).select(col("c_custkey"), col("s_suppkey"),
-      round(Geo.haversineMeters(col("c_lat"), col("c_lng"), col("s_lat"), col("s_lng")))
-        .cast("long").as("dist_m"))
+    c.join(broadcast(s), col("c_nationkey") === col("s_nationkey"))
+      .select(col("c_custkey"), col("s_suppkey"),
+        round(Geo.haversineMeters(col("c_lat"), col("c_lng"), col("s_lat"), col("s_lng")) / 1000.0)
+          .cast("long").as("dist_km"))
   }
 
   // F6+F7: vertex-ref build + strip round trip (reference
@@ -192,14 +196,16 @@ object Relational {
       .groupBy((col("k") % 5).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
-  // T5: the rewards_5d sliding window — sum over [max_t - 5d, max_t)
-  // (reference `src/etl.py:100-103`, window math `src/etl.py:94`).
+  // T5: the rewards_5d sliding window — sum over (max_t - 5d, max_t),
+  // strictly exclusive on BOTH ends, matching the reference's
+  // `time > min AND time < max` bounds (reference
+  // `src/blockchain_queries.py:197`, window math `src/etl.py:94`).
   val FiveDaysUs = 5L * 86400 * 1000000
   def q16WindowRewards5d(spark: SparkSession, d: String): DataFrame = {
     val ev = Tables(spark, d, "events").withColumn("ts_us", tsUs)
     val maxTs = ev.agg(max(col("ts_us")).as("max_ts"))
     ev.crossJoin(broadcast(maxTs))
-      .filter(col("ts_us") > col("max_ts") - FiveDaysUs)
+      .filter(col("ts_us") > col("max_ts") - FiveDaysUs && col("ts_us") < col("max_ts"))
       .groupBy(col("user_id"))
       .agg(sum(cents(col("value"))).as("rewards_5d_c"), count(lit(1)).as("cnt"))
   }

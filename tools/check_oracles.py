@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Dev-only harness mirroring the driver's correctness gate:
+reads Verify output parquet per query, runs the oracle SQL in DuckDB over
+the same sf tables, sorts columns by name + rows by value, and compares.
+
+Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir> [query...]
+"""
+import sys, json, glob, os
+import duckdb
+
+sf, out = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    p = f"{sf}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fail = 0
+for name in sorted(oracle):
+    if only and name not in only:
+        continue
+    files = glob.glob(f"{out}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output"); fail += 1; continue
+    try:
+        spark_df = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        duck_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fail += 1; continue
+    s = spark_df.reindex(sorted(spark_df.columns), axis=1)
+    d = duck_df.reindex(sorted(duck_df.columns), axis=1)
+    if list(s.columns) != list(d.columns):
+        print(f"FAIL {name}: columns {list(s.columns)} vs {list(d.columns)}"); fail += 1; continue
+    if len(s) != len(d):
+        print(f"FAIL {name}: rows {len(s)} vs {len(d)}"); fail += 1; continue
+    sv = sorted(map(tuple, s.astype(str).values.tolist()))
+    dv = sorted(map(tuple, d.astype(str).values.tolist()))
+    if sv != dv:
+        diffs = [(a, b) for a, b in zip(sv, dv) if a != b][:3]
+        print(f"FAIL {name}: value mismatch, e.g. {diffs}"); fail += 1; continue
+    # dtype check (loose): report but don't fail on int64 vs int32 etc.
+    dt = [(c, str(s[c].dtype), str(d[c].dtype)) for c in s.columns
+          if str(s[c].dtype) != str(d[c].dtype)]
+    note = f"  [dtype diff: {dt}]" if dt else ""
+    print(f"OK   {name} ({len(s)} rows){note}")
+print(f"{'ALL GREEN' if fail == 0 else str(fail) + ' FAILURES'}")
+sys.exit(1 if fail else 0)
