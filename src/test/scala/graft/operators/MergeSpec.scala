@@ -1,0 +1,56 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class MergeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def existing = Seq(("k1", 10L, 0), ("k2", 20L, 0)).toDF("_key", "val", "ver")
+  private def incoming = Seq(("k2", 99L, 1), ("k3", 30L, 1)).toDF("_key", "val", "ver")
+
+  test("upsert Update: incoming wins on matched keys, new keys insert") {
+    val out = Merge.upsert(existing, incoming, "_key", Merge.Update, "ver")
+      .select("_key", "val").as[(String, Long)].collect().toMap
+    assert(out == Map("k1" -> 10L, "k2" -> 99L, "k3" -> 30L))
+  }
+
+  test("upsert Ignore: existing wins on matched keys, new keys still insert") {
+    val out = Merge.upsert(existing, incoming, "_key", Merge.Ignore, "ver")
+      .select("_key", "val").as[(String, Long)].collect().toMap
+    assert(out == Map("k1" -> 10L, "k2" -> 20L, "k3" -> 30L))
+  }
+
+  test("upsert rejects mismatched schemas") {
+    intercept[IllegalArgumentException] {
+      Merge.upsert(existing, incoming.drop("ver"), "_key", Merge.Update, "ver")
+    }
+  }
+
+  test("retain drops rows strictly below the cutoff") {
+    val df = Seq(("a", 1L), ("b", 5L), ("c", 10L)).toDF("k", "t")
+    assert(Merge.retain(df, "t", 5L).select("k").as[String].collect().toSet == Set("b", "c"))
+  }
+
+  test("upsertParquet: second identical epoch is a no-op (idempotent sync)") {
+    val dir = Files.createTempDirectory("graft-upsert").toFile
+    val path = new java.io.File(dir, "state").getAbsolutePath
+    val epoch = Seq(("k1", 1L, 1L), ("k2", 2L, 1L)).toDF("_key", "val", "ver")
+    Merge.upsertParquet(spark, path, epoch, "_key", Merge.Update, "ver")
+    val after1 = spark.read.parquet(path).collect().toSet
+    Merge.upsertParquet(spark, path, epoch, "_key", Merge.Update, "ver")
+    val after2 = spark.read.parquet(path).collect().toSet
+    assert(after1 == after2 && after1.size == 2)
+    // and a real second epoch updates + inserts
+    val epoch2 = Seq(("k2", 99L, 2L), ("k3", 3L, 2L)).toDF("_key", "val", "ver")
+    Merge.upsertParquet(spark, path, epoch2, "_key", Merge.Update, "ver")
+    val state = spark.read.parquet(path)
+      .select("_key", "val").as[(String, Long)].collect().toMap
+    assert(state == Map("k1" -> 1L, "k2" -> 99L, "k3" -> 3L))
+  }
+}
