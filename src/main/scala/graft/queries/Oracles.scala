@@ -149,6 +149,69 @@ object Oracles {
          |WHERE epoch_us(ts) >= ${Relational.Q20CutoffUs} GROUP BY event_type""".stripMargin,
   )
 
+  /** Twins of [[JsonPipelines]]: the payload JSON is rebuilt byte-identically
+    * in DuckDB (its `to_json(struct_pack(...))` renders the same
+    * `{"k":v}` form as Spark's `to_json(struct(...))`), so even the
+    * md5-of-payload content keys hash-match; the extraction itself is
+    * recomputed relationally — a match proves the Spark-side parse/explode
+    * round-trip is lossless.
+    */
+  val json: Map[String, String] = Map(
+    "q21_payment_json_pipeline" ->
+      """WITH p AS (
+        |  SELECT o_orderkey, 'acct' || o_custkey AS payer,
+        |    'acct' || (o_custkey * 7 % 1500) AS payee,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS amount
+        |  FROM orders),
+        |j AS (
+        |  SELECT CASE WHEN o_orderkey % 2 = 0
+        |    THEN to_json(struct_pack(payer := payer, payee := payee, amount := amount))::VARCHAR
+        |    ELSE to_json(struct_pack(payer := payer,
+        |           payments := [struct_pack(payee := payee, amount := amount)]))::VARCHAR
+        |    END AS payload, payer, payee, amount
+        |  FROM p)
+        |SELECT DISTINCT md5(payload) AS "_key", 'accounts/' || payer AS "_from",
+        |  'accounts/' || payee AS "_to", amount AS amount_c
+        |FROM j""".stripMargin,
+
+    "q22_witness_explode_pipeline" ->
+      """WITH e AS (
+        |  SELECT 'ch' || l_orderkey AS challengee, 'gw' || l_suppkey AS gateway,
+        |    CAST(round(l_quantity*100) AS BIGINT) AS signal_c,
+        |    CAST(l_linenumber AS BIGINT) AS ts,
+        |    md5('ch' || l_orderkey || 'gw' || l_suppkey) AS k
+        |  FROM lineitem WHERE l_returnflag <> 'R'),
+        |d AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY ts DESC, signal_c DESC) AS rn
+        |      FROM e)
+        |SELECT k AS "_key", challengee, gateway, signal_c, ts FROM d WHERE rn = 1""".stripMargin,
+
+    "q23_payment_v2_explode_all" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, 'acct' || o_custkey AS payer,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS c
+        |  FROM orders),
+        |j AS (
+        |  SELECT payer,
+        |    CASE CAST(o_orderkey % 3 AS INTEGER)
+        |      WHEN 0 THEN [struct_pack(payee := 'acct' || (o_custkey*7 % 1500), amount := c)]
+        |      WHEN 1 THEN [struct_pack(payee := 'acct' || (o_custkey*7 % 1500), amount := c),
+        |                   struct_pack(payee := 'acct' || (o_custkey*8 % 1500), amount := c+1)]
+        |      ELSE [struct_pack(payee := 'acct' || (o_custkey*7 % 1500), amount := c),
+        |            struct_pack(payee := 'acct' || (o_custkey*8 % 1500), amount := c+1),
+        |            struct_pack(payee := 'acct' || (o_custkey*9 % 1500), amount := c+2)]
+        |    END AS payments
+        |  FROM base),
+        |p AS (
+        |  SELECT payer, len(payments) AS n, md5(to_json(struct_pack(payer := payer,
+        |           payments := payments))::VARCHAR) AS pk,
+        |    list_reduce(list_transform(payments, s -> s.amount), (a, b) -> a + b) AS tot
+        |  FROM j)
+        |-- min over '<pk>:<pos>' strings = (min pk) || ':0' since pks share length
+        |SELECT payer, CAST(sum(n) AS BIGINT) AS n_subpayments,
+        |  CAST(sum(tot) AS BIGINT) AS total_c, min(pk || ':0') AS min_key
+        |FROM p GROUP BY payer""".stripMargin,
+  )
+
   /** Twin of [[Relational.upsertInputs]] + [[graft.operators.Merge.upsert]]:
     * union with a precedence column, then keep-first per key. `update` →
     * incoming priority 0 (wins), `ignore` → existing priority 0.
