@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline operators:
+  * tokenization, shingling, portable 32-bit hashing, rolling-hash
+  * fingerprints, and quality/language signals.
+  *
+  * Everything here is built from codegen'd built-ins (no UDFs) and is
+  * engine-portable: the same formulas are expressible in ANSI-ish SQL, which
+  * is what the DuckDB oracles do. Determinism rule: any hash used for keys
+  * or signatures derives from md5 (stable across engines/JVMs), never from
+  * `hash()`/`xxhash64` whose seeds are engine-specific.
+  */
+object Text {
+
+  /** Whitespace tokenization; consecutive separators collapse. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct word k-grams ("shingles") joined by single spaces — the unit
+    * of near-dup comparison. Empty array when the doc has fewer than k
+    * tokens (never a descending `sequence`).
+    */
+  def shingles(toks: Column, k: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(o => element_at(toks, (i + o).cast("int"))): _*))
+    when(size(toks) >= k, array_distinct(grams)).otherwise(array().cast("array<string>"))
+  }
+
+  /** Portable 32-bit hash: first 8 hex chars of md5("<seed>:<value>") as a
+    * non-negative long in [0, 2^32). Stable across Spark and any SQL engine
+    * with md5 — the basis for minhash/simhash/LSH signatures.
+    */
+  def hash32(value: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), value)), 1, 8), 16, 10).cast("long")
+
+  /** Polynomial rolling hash over the token stream:
+    * fold(acc = (acc*31 + hash32(t)) mod (2^31-1)). Order-sensitive (unlike
+    * a bag-of-words hash) — two docs with the same tokens in different
+    * order fingerprint differently. Fits in long: acc < 2^31, *31 + 2^32 <
+    * 2^37.
+    */
+  def rollingHash(toks: Column): Column =
+    aggregate(transform(toks, t => hash32(t, 0)), lit(0L),
+      (acc, h) => (acc * 31 + h) % 2147483647L)
+
+  /** Whitespace-normalized lowercase form for exact-content fingerprints. */
+  def normalized(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Stopword list shared with the oracle SQL (subset of the synthetic
+    * corpus vocabulary on purpose, so counts are non-trivial).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "in", "is", "and")
+
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
+
+  /** Per-language marker words for the n-gram/stopword language-ID
+    * heuristic. Checked in declaration order (deterministic tie-break).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is"),
+    "de" -> Seq("der", "die", "das"),
+    "fr" -> Seq("le", "la", "les"),
+    "es" -> Seq("el", "los", "las"))
+
+  /** Language guess: the first language (in [[LangMarkers]] order) whose
+    * marker-word count is maximal and positive; "und" when no marker hits.
+    */
+  def langGuess(toks: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ws) =>
+      lang -> size(filter(toks, t => t.isin(ws: _*)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), otherwise) =>
+      when(s === best && s > 0, lit(lang)).otherwise(otherwise)
+    }
+  }
+}

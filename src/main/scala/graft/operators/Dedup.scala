@@ -36,6 +36,19 @@ object Dedup {
       .drop(rn)
   }
 
+  /** Top-k per key under `order`, with the 1-based rank exposed as a long
+    * column `rankCol` (long on purpose: SQL engines' `row_number` is
+    * 64-bit, so oracle schemas line up). Same single-shuffle cost class as
+    * [[keepFirst]].
+    */
+  def keepFirstK(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                 k: Int, rankCol: String): DataFrame = {
+    require(!df.columns.contains(rankCol), s"column $rankCol already exists")
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= k)
+  }
+
   /** Newest-wins per key (D2/D3/D4): latest `time`, ties broken by
     * `tiebreak` descending — the semantics the reference *intends* with its
     * `ORDER BY time DESC, hash` + first-write-wins load.

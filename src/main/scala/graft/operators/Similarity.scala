@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, mirroring the standard ANN architecture:
+  *  - [[bruteForceTopK]]: exact cosine top-k, O(|Q|·N). Correct baseline;
+  *    distributed shape is a broadcast of the (small) query set against a
+  *    single streamed pass over the corpus — no shuffle at all until the
+  *    final per-query top-k (a tiny aggregation keyed by query id).
+  *  - [[rpLshBucket]] + bucketed top-k: random-hyperplane LSH. Vectors
+  *    hash to a bucket by the sign pattern of `planes` fixed pseudo-random
+  *    hyperplanes; search touches only same-bucket candidates. The
+  *    equi-join on bucket id replaces the cross product — the scale path.
+  *
+  * All arithmetic is a deterministic left fold in index order over doubles,
+  * so results are bit-identical across engines (the DuckDB oracles run the
+  * same folds); ranking happens on the *scaled-integer* cosine with an id
+  * tie-break, never on raw doubles.
+  */
+object Similarity {
+
+  /** Cosine similarity scaled to parts-per-million as a long. */
+  def cosineScaledPm(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    def norm2(v: Column) = aggregate(
+      transform(v, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, p) => acc + p)
+    round(lit(1000000.0) * (dot / (sqrt(norm2(a)) * sqrt(norm2(b))))).cast("long")
+  }
+
+  /** Exact top-k neighbors for each query vector. `queries` must be small
+    * (it is broadcast); self-pairs are excluded by id inequality.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                     vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("qid"), col(vec).as("qv"))
+    val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
+    val scored = c.crossJoin(broadcast(q)) // deliberate: |Q| is a small constant
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        cosineScaledPm(col("qv"), col("cv")).as("cos_pm"))
+    Dedup.keepFirstK(scored, Seq(col("qid")),
+      Seq(col("cos_pm").desc, col("cid").asc), k, "rank")
+  }
+
+  /** Random-projection LSH bucket id: bit p = sign of ⟨w_p, v⟩ where
+    * hyperplane weights w_p[i] derive from md5(p:i) mapped into
+    * [-1, 1] — fixed, engine-portable pseudo-randomness (no RNG state to
+    * ship). `dims` must match the embedding length.
+    */
+  def rpLshBucket(v: Column, planes: Int, dims: Int): Column = {
+    def dotPlane(p: Int): Column = aggregate(
+      transform(sequence(lit(0), lit(dims - 1)), i => {
+        val w = (conv(substring(md5(concat(lit(s"$p:"), i.cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 2001 - 1000).cast("double") / 1000.0
+        w * element_at(v, (i + 1).cast("int")).cast("double")
+      }), lit(0.0), (acc, x) => acc + x)
+    (0 until planes).map(p => when(dotPlane(p) > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** ANN top-k restricted to same-LSH-bucket candidates: the sub-linear
+    * scale path (equi-join on bucket, never all-pairs). Recall is tunable
+    * via `planes` (fewer planes → bigger buckets → higher recall, more
+    * work); multi-probe or repeated tables are the standard extensions.
+    */
+  def annTopK(corpus: DataFrame, id: String, vec: String, queryPred: Column,
+              planes: Int, dims: Int, k: Int): DataFrame = {
+    val emb = corpus.select(col(id), col(vec),
+      rpLshBucket(col(vec), planes, dims).as("bucket"))
+    val q = emb.filter(queryPred)
+      .select(col(id).as("qid"), col(vec).as("qv"), col("bucket"))
+    val c = emb.select(col(id).as("cid"), col(vec).as("cv"), col("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), col("bucket"),
+        cosineScaledPm(col("qv"), col("cv")).as("cos_pm"))
+    Dedup.keepFirstK(scored, Seq(col("qid")),
+      Seq(col("cos_pm").desc, col("cid").asc), k, "rank")
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Near-duplicate detection over a document corpus: exact n-gram Jaccard
+  * via an inverted shingle index, MinHash+LSH banding, and SimHash.
+  *
+  * Scale design (the part that matters at 100 TB): **no stage is ever
+  * all-pairs.** Candidate generation goes through an equi-join key —
+  * a shared shingle (Jaccard), a shared band hash (MinHash-LSH) — so the
+  * shuffle is keyed and the pair space is Σ bucket² instead of N². Hot
+  * buckets (a shingle/band shared by a huge dup cluster) are the skew
+  * risk; AQE skew-join splitting handles moderate skew, and a df-cap
+  * filter (drop shingles with document frequency above a threshold, the
+  * standard trick) is exposed via `maxDf`.
+  */
+object TextDedup {
+
+  /** Exact Jaccard similarity over distinct word k-grams for every document
+    * pair sharing at least one shingle. Returns (doc_a, doc_b, inter, na,
+    * nb, jac_pm) with jac_pm = round(1e6 * |A∩B| / |A∪B|), filtered to
+    * `minJacPm`.
+    *
+    * @param maxDf drop shingles appearing in more than this many docs
+    *              (df-cap against hot-key blowup); 0 disables.
+    */
+  def ngramJaccardPairs(docs: DataFrame, id: String, text: String, k: Int,
+                        minJacPm: Long, maxDf: Long = 0L): DataFrame = {
+    val sh = docs.select(col(id).as("doc"),
+        explode(Text.shingles(Text.tokens(col(text)), k)).as("sh"))
+    val filtered =
+      if (maxDf > 0) {
+        val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("sh")
+        sh.join(df, "sh")
+      } else sh
+    val sizes = filtered.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val a = filtered.select(col("doc").as("doc_a"), col("sh"))
+    val b = filtered.select(col("doc").as("doc_b"), col("sh"))
+    a.join(b, a("sh") === b("sh") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jac_pm",
+        round(lit(1000000.0) * col("inter") / (col("na") + col("nb") - col("inter")))
+          .cast("long"))
+      .filter(col("jac_pm") >= minJacPm)
+  }
+
+  /** MinHash signature: numHashes independent permutations approximated by
+    * `min(hash32(shingle, seed))`. Returns the input plus a `sig`
+    * array&lt;long&gt; column; rows with no shingles are dropped (no
+    * signature is definable).
+    */
+  def minhashSignatures(docs: DataFrame, id: String, text: String, k: Int,
+                        numHashes: Int): DataFrame = {
+    val sh = Text.shingles(Text.tokens(col(text)), k)
+    docs.select(col(id).as("doc"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc"),
+        array((0 until numHashes).map(j =>
+          array_min(transform(col("sh"), s => Text.hash32(s, j)))): _*).as("sig"))
+  }
+
+  /** LSH banding over minhash signatures: `bands` bands of `sig.length /
+    * bands` rows; a candidate pair is any two docs agreeing on a full band.
+    * Returns distinct (doc_a, doc_b, n_sig_equal) where n_sig_equal is the
+    * number of agreeing signature components (jaccard estimate =
+    * n_sig_equal / numHashes). Banding shuffles on the band hash — the
+    * standard sub-quadratic candidate generation; the all-pairs comparison
+    * never happens.
+    */
+  def lshCandidatePairs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    val r = numHashes / bands
+    val banded = sigs.select(col("doc"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        md5(concat_ws(",", (0 until r).map(i =>
+          element_at(col("sig"), b * r + i + 1)): _*))): _*)).as(Seq("band", "bk")))
+    val x = banded.select(col("doc").as("doc_a"), col("sig").as("sa"),
+      col("band"), col("bk"))
+    val y = banded.select(col("doc").as("doc_b"), col("sig").as("sb"),
+      col("band"), col("bk"))
+    x.join(y, Seq("band", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("sa"), col("sb"),
+            (p, q) => when(p === q, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("long").as("n_sig_equal"))
+  }
+
+  /** 32-bit SimHash over the (multiplicity-weighted) token stream: bit j of
+    * the fingerprint is the sign of Σ_tokens (±1 by bit j of the token
+    * hash). Near-dups differ in few bits (compare by hamming distance
+    * downstream). One narrow shuffle per aggregation level.
+    */
+  def simhash(docs: DataFrame, id: String, text: String): DataFrame = {
+    val toks = docs.select(col(id).as("doc"),
+        explode(Text.tokens(col(text))).as("t"))
+      .select(col("doc"), Text.hash32(col("t"), 0).as("hv"))
+    toks.select(col("doc"), col("hv"),
+        explode(sequence(lit(0), lit(31))).as("j"))
+      .groupBy(col("doc"), col("j"))
+      .agg(sum(expr("(shiftright(hv, j) & 1) * 2 - 1")).as("vote"))
+      .groupBy(col("doc"))
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, j)")).otherwise(0L))
+        .as("simhash"))
+  }
+}

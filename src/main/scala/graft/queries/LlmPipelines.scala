@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.{Similarity, TextDedup}
+import graft.sources.Tables
+
+/** The large-scale training-data-pipeline operator suite over the
+  * `documents` / `embeddings` tables: text analysis, exact and near-dup
+  * deduplication (n-gram Jaccard, MinHash+LSH, SimHash), and similarity
+  * search (brute-force + LSH-bucketed ANN).
+  *
+  * Every query has a DuckDB oracle twin ([[Oracles.llm]]) built on the same
+  * md5-derived portable hashes and identical left-fold arithmetic, so even
+  * the signature/bucket values hash-match across engines.
+  *
+  * Scale notes per query live on the operators
+  * ([[graft.operators.TextDedup]], [[graft.operators.Similarity]]); the
+  * invariant: candidate generation is always an equi-join (shingle, band
+  * hash, LSH bucket), never an all-pairs product — except q30's deliberate
+  * broadcast of a constant-size query set, which is the textbook
+  * distributed brute-force baseline.
+  */
+object LlmPipelines {
+
+  val ShingleK = 3
+  val NumHashes = 16
+  val Bands = 4
+  val Planes = 8
+  val Dims = 64
+
+  /** q24: per-doc text-quality signals — token count, char counts, average
+    * token length, stopword ratio, composite quality score (all scaled
+    * integers for cross-engine hashing).
+    */
+  def q24TextStats(spark: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    Tables(spark, d, "documents")
+      .select(col("doc_id"), toks.as("toks"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("n_nonspace"))
+      .select(col("doc_id"), col("n_chars_raw"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        Text.stopwordCount(col("toks")).as("n_stop"),
+        round(lit(1000.0) * col("n_nonspace") / size(col("toks"))).cast("long")
+          .as("avg_token_len_milli"))
+      .withColumn("stop_pm",
+        round(lit(1000000.0) * col("n_stop") / col("n_tokens")).cast("long"))
+      .withColumn("quality_milli",
+        round(lit(1000.0) * (lit(0.5) * (col("n_stop") / col("n_tokens"))
+          + lit(0.5) * least(lit(1.0), col("n_tokens") / lit(100.0))))
+          .cast("long"))
+  }
+
+  /** q25: language-ID heuristic (marker-word scores, deterministic
+    * tie-break) cross-tabulated against the ground-truth `lang` label.
+    */
+  def q25LangId(spark: SparkSession, d: String): DataFrame =
+    Tables(spark, d, "documents")
+      .select(col("lang"), Text.langGuess(Text.tokens(col("text"))).as("lang_guess"))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** q26: document fingerprints — md5 of the whitespace-normalized text
+    * (exact-dup key) plus an order-sensitive polynomial rolling hash; the
+    * window count exposes exact-dup cluster sizes (sf0.1 contains planted
+    * exact dups).
+    */
+  def q26FingerprintDedup(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables(spark, d, "documents")
+      .select(col("doc_id"),
+        md5(Text.normalized(col("text"))).as("fp_md5"),
+        Text.rollingHash(Text.tokens(col("text"))).as("roll_hash"))
+    base.withColumn("n_dups",
+      count(lit(1)).over(Window.partitionBy(col("fp_md5"))))
+  }
+
+  /** q27: exact n-gram Jaccard near-dup pairs via the inverted shingle
+    * index (equi-join on shingle, never all-pairs); threshold 0.8.
+    */
+  def q27NgramJaccardPairs(spark: SparkSession, d: String): DataFrame =
+    TextDedup.ngramJaccardPairs(Tables(spark, d, "documents"),
+        "doc_id", "text", ShingleK, minJacPm = 800000L)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+        col("jac_pm"))
+
+  /** q28: MinHash+LSH candidate pairs — 16 hashes, 4 bands × 4 rows;
+    * output is the agreeing-component count (jaccard estimate ×16).
+    */
+  def q28MinhashLshPairs(spark: SparkSession, d: String): DataFrame = {
+    val sigs = TextDedup.minhashSignatures(Tables(spark, d, "documents"),
+      "doc_id", "text", ShingleK, NumHashes)
+    TextDedup.lshCandidatePairs(sigs, NumHashes, Bands)
+      .filter(col("n_sig_equal") >= 8)
+  }
+
+  /** q29: 32-bit SimHash fingerprint per document. */
+  def q29Simhash(spark: SparkSession, d: String): DataFrame =
+    TextDedup.simhash(Tables(spark, d, "documents"), "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("simhash"))
+
+  /** q30: brute-force cosine top-5 for a 20-vector query set (broadcast
+    * against one streamed corpus pass — the exact baseline).
+    */
+  def q30CosineTopK(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables(spark, d, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", k = 5)
+  }
+
+  /** q31: LSH-bucketed ANN top-3 — candidates restricted to the query's
+    * random-projection bucket (the sub-linear scale path).
+    */
+  def q31AnnLshTopK(spark: SparkSession, d: String): DataFrame =
+    Similarity.annTopK(Tables(spark, d, "embeddings"), "vec_id", "embedding",
+      col("vec_id") < 20, Planes, Dims, k = 3)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_text_stats" -> q24TextStats _,
+    "q25_lang_id" -> q25LangId _,
+    "q26_fingerprint_dedup" -> q26FingerprintDedup _,
+    "q27_ngram_jaccard_pairs" -> q27NgramJaccardPairs _,
+    "q28_minhash_lsh_pairs" -> q28MinhashLshPairs _,
+    "q29_simhash" -> q29Simhash _,
+    "q30_cosine_topk" -> q30CosineTopK _,
+    "q31_ann_lsh_topk" -> q31AnnLshTopK _,
+  )
+}

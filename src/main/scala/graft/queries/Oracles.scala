@@ -212,6 +212,137 @@ object Oracles {
         |FROM p GROUP BY payer""".stripMargin,
   )
 
+  /** Shared SQL fragments for the LLM-pipeline twins — identical md5-derived
+    * hashes and left-fold arithmetic as the Scala operators, so signatures,
+    * buckets, and cosines are bit-exact across engines.
+    */
+  private val Toks = """string_split_regex(trim(text), '\s+')"""
+  // word 3-grams, distinct (twin of Text.shingles k=3)
+  private def shingleList(toks: String) =
+    s"""list_distinct(list_transform(range(1, len($toks)-1),
+       |  i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))""".stripMargin
+  // twin of Text.hash32(x, seed column j)
+  private def hash32(seedExpr: String, v: String) =
+    s"('0x' || substr(md5($seedExpr || ':' || $v), 1, 8))::BIGINT"
+  // twin of Similarity.cosineScaledPm over 64-dim float vectors
+  private def cosPm(a: String, b: String) = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(1,65), i -> $x[i]::DOUBLE * $y[i]::DOUBLE), (p,q) -> p+q)"
+    s"""CAST(round(1000000.0 * (${dot(a, b)}
+       |  / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))) AS BIGINT)""".stripMargin
+  }
+  // twin of Similarity.rpLshBucket(v, planes=8, dims=64)
+  private def rpBucket(v: String) =
+    s"""list_reduce(list_transform(range(0,8), p ->
+       |  CASE WHEN list_reduce(list_transform(range(0,64), i ->
+       |      ((${hash32("p", "i")} % 2001 - 1000)::DOUBLE / 1000.0) * $v[i+1]::DOUBLE),
+       |    (x,y) -> x+y) > 0
+       |  THEN (1::BIGINT << p) ELSE 0::BIGINT END), (a,b) -> a+b)""".stripMargin
+
+  val llm: Map[String, String] = Map(
+    "q24_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks,
+         |    CAST(length(text) AS BIGINT) AS n_chars_raw,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_nonspace
+         |  FROM documents)
+         |SELECT doc_id, n_chars_raw,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','in','is','and'))) AS BIGINT) AS n_stop,
+         |  CAST(round(1000.0 * n_nonspace / len(toks)) AS BIGINT) AS avg_token_len_milli,
+         |  CAST(round(1000000.0 * n_stop / n_tokens) AS BIGINT) AS stop_pm,
+         |  CAST(round(1000.0 * (0.5 * (n_stop / n_tokens)
+         |    + 0.5 * least(1.0, n_tokens / 100.0))) AS BIGINT) AS quality_milli
+         |FROM t""".stripMargin,
+
+    "q25_lang_id" ->
+      s"""WITH s AS (SELECT lang,
+         |    len(list_filter($Toks, x -> x IN ('the','a','is'))) AS s_en,
+         |    len(list_filter($Toks, x -> x IN ('der','die','das'))) AS s_de,
+         |    len(list_filter($Toks, x -> x IN ('le','la','les'))) AS s_fr,
+         |    len(list_filter($Toks, x -> x IN ('el','los','las'))) AS s_es
+         |  FROM documents),
+         |g AS (SELECT lang, CASE
+         |    WHEN s_en = greatest(s_en,s_de,s_fr,s_es) AND s_en > 0 THEN 'en'
+         |    WHEN s_de = greatest(s_en,s_de,s_fr,s_es) AND s_de > 0 THEN 'de'
+         |    WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) AND s_fr > 0 THEN 'fr'
+         |    WHEN s_es = greatest(s_en,s_de,s_fr,s_es) AND s_es > 0 THEN 'es'
+         |    ELSE 'und' END AS lang_guess
+         |  FROM s)
+         |SELECT lang, lang_guess, count(*) AS cnt FROM g GROUP BY lang, lang_guess""".stripMargin,
+
+    "q26_fingerprint_dedup" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_md5,
+         |    list_reduce([0::BIGINT] || list_transform($Toks, x -> ${hash32("'0'", "x")}),
+         |      (a,b) -> (a*31 + b) % 2147483647) AS roll_hash
+         |  FROM documents)
+         |SELECT doc_id, fp_md5, roll_hash,
+         |  count(*) OVER (PARTITION BY fp_md5) AS n_dups
+         |FROM t""".stripMargin,
+
+    "q27_ngram_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |s AS (SELECT doc_id, unnest(${shingleList("toks")}) AS sh FROM t),
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |      GROUP BY a.doc_id, b.doc_id),
+         |j AS (SELECT doc_a, doc_b, inter, x.n AS na, y.n AS nb,
+         |    CAST(round(1000000.0 * inter / (x.n + y.n - inter)) AS BIGINT) AS jac_pm
+         |  FROM i JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+         |SELECT * FROM j WHERE jac_pm >= 800000""".stripMargin,
+
+    "q28_minhash_lsh_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |s AS (SELECT doc_id, ${shingleList("toks")} AS sh FROM t),
+         |g AS (SELECT doc_id, list_transform(range(0,16),
+         |        j -> list_min(list_transform(sh, x -> ${hash32("j", "x")}))) AS sig
+         |      FROM s WHERE len(sh) > 0),
+         |b AS (SELECT doc_id, sig, unnest(range(0,4)) AS band FROM g),
+         |k AS (SELECT doc_id, band,
+         |        md5(sig[4*band+1]::VARCHAR || ',' || sig[4*band+2]::VARCHAR || ','
+         |          || sig[4*band+3]::VARCHAR || ',' || sig[4*band+4]::VARCHAR) AS bk
+         |      FROM b),
+         |p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |      FROM k x JOIN k y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |e AS (SELECT doc_a, doc_b,
+         |    CAST(list_reduce(list_transform(range(1,17),
+         |      i -> CASE WHEN gx.sig[i] = gy.sig[i] THEN 1 ELSE 0 END), (a,b) -> a+b) AS BIGINT)
+         |      AS n_sig_equal
+         |  FROM p JOIN g gx ON doc_a = gx.doc_id JOIN g gy ON doc_b = gy.doc_id)
+         |SELECT * FROM e WHERE n_sig_equal >= 8""".stripMargin,
+
+    "q29_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($Toks) AS t FROM documents),
+         |h AS (SELECT doc_id, ${hash32("'0'", "t")} AS hv FROM tok),
+         |b AS (SELECT doc_id, j, sum(((hv >> j) & 1) * 2 - 1) AS vote
+         |      FROM h CROSS JOIN (SELECT unnest(range(0,32)) AS j) GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM b GROUP BY doc_id""".stripMargin,
+
+    "q30_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+         |s AS (SELECT qid, cid, ${cosPm("qv", "cv")} AS cos_pm
+         |      FROM c, q WHERE cid <> qid),
+         |r AS (SELECT qid, cid, cos_pm,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos_pm DESC, cid ASC) AS "rank"
+         |      FROM s)
+         |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
+
+    "q31_ann_lsh_topk" ->
+      s"""WITH emb AS (SELECT vec_id, embedding, ${rpBucket("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM emb WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS cid, embedding AS cv, bucket FROM emb),
+         |s AS (SELECT qid, cid, q.bucket AS bucket, ${cosPm("qv", "cv")} AS cos_pm
+         |      FROM q JOIN c USING (bucket) WHERE cid <> qid),
+         |r AS (SELECT qid, cid, bucket, cos_pm,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos_pm DESC, cid ASC) AS "rank"
+         |      FROM s)
+         |SELECT * FROM r WHERE "rank" <= 3""".stripMargin,
+  )
+
   /** Twin of [[Relational.upsertInputs]] + [[graft.operators.Merge.upsert]]:
     * union with a precedence column, then keep-first per key. `update` →
     * incoming priority 0 (wins), `ignore` → existing priority 0.
