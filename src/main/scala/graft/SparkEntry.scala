@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{JsonPipelines, LlmPipelines, Oracles, Relational}
+import graft.queries.{Graphs, JsonPipelines, LlmPipelines, Oracles, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -16,11 +16,11 @@ object SparkEntry {
 
   /** One entry per implemented operator family from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all ++ JsonPipelines.all ++ LlmPipelines.all
+    Relational.all ++ JsonPipelines.all ++ LlmPipelines.all ++ Graphs.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (the
     * driver records a weaker rows-only check for those). */
   def oracleSql: Map[String, String] =
-    Oracles.relational ++ Oracles.json ++ Oracles.llm
+    Oracles.relational ++ Oracles.json ++ Oracles.llm ++ Oracles.graphs
 }

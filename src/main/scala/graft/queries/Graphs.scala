@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Geo
+import graft.operators.GraphMetrics
+import graft.sources.Tables
+
+/** The city witness-graph pipeline (E3/G1-G3) over the driver test tables:
+  * nations stand in for cities, customers/suppliers for hotspots, and the
+  * haversine distance between key-derived coordinates for the witness-edge
+  * weight — the same join+distance shape as the reference's per-city
+  * 1-hop traversal (`src/arango_queries.py:145-163`).
+  *
+  * Scale: the edge build is an equi-join on the city key with the small
+  * side broadcast; the metrics stage shuffles ONCE by city and runs plain
+  * Scala per group (see [[graft.operators.GraphMetrics]]).
+  */
+object Graphs {
+
+  /** G1: per-city directed weighted edge list. Forward edges
+    * customer→supplier for every same-nation pair; reverse edges for a
+    * deterministic third of pairs (so the digraph has cycles and real
+    * betweenness). Weight = haversine km + 1 (integer, ≥1 so out-weight
+    * sums never vanish).
+    */
+  def edges(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables(spark, d, "customer").select(col("c_custkey"), col("c_nationkey"),
+      ((col("c_custkey") % 170) - 85 + 0.25).as("c_lat"),
+      ((col("c_custkey") * 7 % 350) - 175 + 0.5).as("c_lng"))
+    val s = Tables(spark, d, "supplier").select(col("s_suppkey"), col("s_nationkey"),
+      ((col("s_suppkey") * 13 % 170) - 85 + 0.5).as("s_lat"),
+      ((col("s_suppkey") * 29 % 350) - 175 + 0.5).as("s_lng"))
+    val pairs = c.join(broadcast(s), col("c_nationkey") === col("s_nationkey"))
+      .select(col("c_nationkey").as("city"),
+        concat(lit("c"), col("c_custkey")).as("cnode"),
+        concat(lit("s"), col("s_suppkey")).as("snode"),
+        (round(Geo.haversineMeters(col("c_lat"), col("c_lng"), col("s_lat"), col("s_lng")) / 1000.0)
+          .cast("long") + 1).as("w"),
+        ((col("c_custkey") + col("s_suppkey")) % 3).as("rev"))
+    pairs.select(col("city"), col("cnode").as("src"), col("snode").as("dst"), col("w"))
+      .unionByName(pairs.filter(col("rev") === 0)
+        .select(col("city"), col("snode").as("src"), col("cnode").as("dst"), col("w")))
+  }
+
+  /** q32: the edge-list build itself (fully oracle-checked — weights reuse
+    * the q12-verified haversine).
+    */
+  def q32GraphEdges(spark: SparkSession, d: String): DataFrame =
+    edges(spark, d)
+
+  /** q33: G2 per-city weighted PageRank (fixed 30 iterations; oracle is a
+    * generated 30-step chained-CTE power iteration in DuckDB).
+    */
+  def q33CityPagerank(spark: SparkSession, d: String): DataFrame =
+    GraphMetrics.perCityPagerank(edges(spark, d))
+
+  /** q34: G3 per-city betweenness (Brandes, unweighted — the reference's
+    * weighted-PR/unweighted-BC asymmetry). Not SQL-expressible: driver
+    * records a rows-only check; golden ScalaTests pin the numerics.
+    */
+  def q34CityBetweenness(spark: SparkSession, d: String): DataFrame =
+    GraphMetrics.perCityBetweenness(edges(spark, d))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_graph_edges" -> q32GraphEdges _,
+    "q33_city_pagerank" -> q33CityPagerank _,
+    "q34_city_betweenness" -> q34CityBetweenness _,
+  )
+}

