@@ -57,19 +57,30 @@ object Merge {
   def retain(df: DataFrame, time: String, cutoff: Long): DataFrame =
     df.filter(col(time) >= cutoff)
 
-  /** Materialized upsert against a parquet path (test-scale stand-in for a
-    * Delta MERGE / connector sink). Reads current state if present, merges,
-    * writes back.
+  /** Materialized upsert against a parquet path (stand-in for a Delta /
+    * Iceberg MERGE, which is the production answer on a real cluster —
+    * same shuffle-on-key cost class). Storage-agnostic: existence checks
+    * and the commit go through Hadoop `FileSystem`, so HDFS/S3A paths work,
+    * and the merged result is written to a temp path then swapped in — the
+    * previous state is never destroyed before the new state is fully
+    * written (rename is atomic on HDFS/posix; on S3A the window is the
+    * rename, still strictly safer than overwrite-in-place).
     */
   def upsertParquet(spark: org.apache.spark.sql.SparkSession, path: String,
                     incoming: DataFrame, key: String, mode: OnDuplicate,
                     tiebreak: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (new java.io.File(path).exists())
+      if (fs.exists(hPath))
         upsert(spark.read.parquet(path), incoming, key, mode, tiebreak)
       else Dedup.keepFirst(incoming, Seq(col(key)), Seq(col(tiebreak).desc))
-    // Small-state test sink: localCheckpoint breaks the lineage onto the
-    // executors so the overwrite does not race the read of the same path.
-    merged.localCheckpoint(true).write.mode(SaveMode.Overwrite).parquet(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp-" + java.util.UUID.randomUUID())
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + ".old-" + java.util.UUID.randomUUID())
+    if (fs.exists(hPath)) fs.rename(hPath, old)
+    if (!fs.rename(tmp, hPath))
+      throw new java.io.IOException(s"upsertParquet: commit rename failed for $path")
+    fs.delete(old, true)
   }
 }

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Merge
+
+/** The incremental-sync contract (SURVEY.md §2.10, T1-T3): chunked
+  * backfill, a polling follower gate, snapshot-vs-append collection
+  * routing, and a durable high-water-mark checkpoint.
+  *
+  * Deliberate divergences from the reference (both are bugs there):
+  *  - the current height is re-read EVERY epoch; the reference captures it
+  *    once at startup (`src/etl.py:53`) so every follower epoch re-syncs a
+  *    growing range;
+  *  - progress is checkpointed durably (atomic rename), so a restarted
+  *    driver resumes from the high-water mark instead of re-backfilling.
+  *
+  * Idempotence comes from the sinks, not the driver: dynamic collections
+  * append through keyed upsert with content-hash keys (re-processing a
+  * chunk is a no-op), snapshots are full-refresh merges (T3,
+  * `src/etl.py:77-109`). Late/duplicate data is therefore handled exactly
+  * like the reference (T6) but deterministically.
+  */
+object Incremental {
+
+  /** Durable scalar checkpoint via Hadoop FileSystem: write temp, atomic
+    * rename over the old mark. Storage-agnostic (posix/HDFS).
+    */
+  final class Checkpoint(spark: SparkSession, dir: String) {
+    private val fs: FileSystem =
+      new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private val file = new Path(dir, "high_water_mark")
+
+    def read(): Option[Long] =
+      if (!fs.exists(file)) None
+      else {
+        val in = fs.open(file)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+        finally in.close()
+      }
+
+    def write(mark: Long): Unit = {
+      fs.mkdirs(new Path(dir))
+      val tmp = new Path(dir, s"high_water_mark.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(mark.toString.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, file)) {
+        fs.delete(file, false)
+        if (!fs.rename(tmp, file))
+          throw new java.io.IOException(s"checkpoint rename failed: $file")
+      }
+    }
+  }
+
+  /** T1 chunk walk: inclusive-exclusive [lo, hi) ranges of at most `chunk`. */
+  def chunkRanges(lo: Long, hi: Long, chunk: Long): Seq[(Long, Long)] = {
+    require(chunk > 0, "chunk must be positive")
+    (lo until hi by chunk).map(s => (s, math.min(s + chunk, hi)))
+  }
+
+  /** One dynamic (append-by-range) collection: how to turn the source rows
+    * of one chunk into keyed documents. Keys must be content-derived so
+    * re-processing is a no-op (D1/T6).
+    */
+  case class DynamicCollection(name: String, extract: DataFrame => DataFrame,
+                               key: String, tiebreak: String)
+
+  /** One snapshot (full-refresh) collection (T3 "inventories"). */
+  case class SnapshotCollection(name: String, build: SparkSession => DataFrame,
+                                key: String, tiebreak: String)
+
+  case class EpochReport(ran: Boolean, from: Long, to: Long, chunks: Int)
+
+  /** The follower/backfill driver. `source` must yield rows with a
+    * monotonically increasing `heightCol`; `currentHeight` is re-read per
+    * epoch.
+    *
+    * Scale note: each chunk is one bounded filter over the source (at
+    * production scale a partition-pruned scan: height/time IS the partition
+    * key, X1) feeding keyed-upsert sinks — the driver holds no data, only
+    * the two longs of the range.
+    */
+  final class Driver(spark: SparkSession, source: () => DataFrame,
+                     heightCol: String, stateDir: String, sinkDir: String,
+                     chunkSize: Long, minDiff: Long,
+                     dynamics: Seq[DynamicCollection],
+                     snapshots: Seq[SnapshotCollection]) {
+
+    val checkpoint = new Checkpoint(spark, stateDir)
+
+    def currentHeight(): Long =
+      source().agg(max(col(heightCol))).head().getLong(0)
+
+    def sinkPath(name: String): String = s"$sinkDir/$name"
+
+    /** One epoch: gate on minDiff (T2), chunked dynamic sync (T1/E2),
+      * snapshot refresh (T3), then advance the mark.
+      */
+    def runEpoch(): EpochReport = {
+      val cur = currentHeight() + 1 // exclusive upper bound
+      val from = checkpoint.read().getOrElse(0L)
+      if (cur - from < minDiff) return EpochReport(ran = false, from, cur, 0)
+      val ranges = chunkRanges(from, cur, chunkSize)
+      ranges.foreach { case (lo, hi) =>
+        val chunk = source().filter(col(heightCol) >= lo && col(heightCol) < hi)
+        dynamics.foreach { d =>
+          Merge.upsertParquet(spark, sinkPath(d.name), d.extract(chunk),
+            d.key, Merge.Ignore, d.tiebreak) // first-write-wins: append-only
+        }
+      }
+      snapshots.foreach { s =>
+        Merge.upsertParquet(spark, sinkPath(s.name), s.build(spark),
+          s.key, Merge.Update, s.tiebreak) // full refresh: incoming wins
+      }
+      checkpoint.write(cur)
+      EpochReport(ran = true, from, cur, ranges.size)
+    }
+  }
+}
