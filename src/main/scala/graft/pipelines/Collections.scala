@@ -1,0 +1,133 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Geo, Keys}
+import graft.operators.Dedup
+import graft.schema.Payloads
+
+/** The six collection builders — the reference's full document pipeline
+  * surface (E1/E2), re-expressed as pure DataFrame transforms over sources
+  * conforming to [[graft.schema.Blockchain]]. A reference user's whole sync
+  * is: read sources → these six builders → keyed upsert sinks
+  * ([[graft.operators.Merge]]) under the incremental driver
+  * ([[graft.streaming.Incremental]]).
+  *
+  * Plan shapes (the 100 TB view): accounts/cities are single-pass
+  * projections; hotspots is two broadcast left joins (dims are small);
+  * payments/witnesses are row-local JSON parses + one keyed window;
+  * balances is one join + two keyed windows. Nothing here shuffles more
+  * than once per keyed stage and no stage holds driver-side state.
+  */
+object Collections {
+
+  /** `accounts` vertices from account_inventory (reference
+    * `src/blockchain_queries.py:72-87`): `_key` = address.
+    */
+  def accounts(accountInventory: DataFrame): DataFrame =
+    accountInventory.select(
+      col("address").as("_key"), col("address"), col("balance"),
+      col("dc_balance"), col("security_balance"), col("staked_balance"),
+      col("nonce"), col("first_block"), col("last_block"))
+
+  /** `cities` vertices (A5+D5, reference `src/blockchain_queries.py:90-112`):
+    * distinct city rows keyed by md5(city_id).
+    */
+  def cities(locations: DataFrame): DataFrame =
+    locations.filter(col("city_id").isNotNull)
+      .select(col("city_id"), col("long_city"), col("long_state"), col("long_country"))
+      .distinct()
+      .select(Keys.scalarKey(col("city_id")).as("_key"), col("city_id"),
+        col("long_city"), col("long_state"), col("long_country"))
+
+  /** `hotspots` vertices (J1+J2+F3+P8, reference
+    * `src/blockchain_queries.py:135-169`): inventory ⟕ status ⟕ locations,
+    * GeoJSON point from the h3 cell, nested location_details with the
+    * city_key, analytics columns null until the metrics stage (G5) fills
+    * them. Status and locations are broadcast dims → zero shuffles.
+    */
+  def hotspots(gatewayInventory: DataFrame, gatewayStatus: DataFrame,
+               locations: DataFrame): DataFrame = {
+    val inv = gatewayInventory.alias("inv")
+    val st = gatewayStatus.select(col("address"), col("online")).alias("st")
+    val loc = locations.select(col("location"), col("long_city"),
+      col("long_state"), col("long_country"), col("city_id")).alias("loc")
+    val (lat, lng) = Geo.h3ToLatLng(col("inv.location_hex"))
+    inv.join(broadcast(st), Seq("address"), "left_outer")
+      .join(broadcast(loc), col("inv.location") === col("loc.location"), "left_outer")
+      .select(
+        col("address").as("_key"), col("address"), col("inv.owner"),
+        col("inv.location"), col("inv.name"), col("inv.mode"),
+        col("inv.elevation"), col("inv.gain"), col("inv.reward_scale"),
+        col("st.online").as("status"),
+        when(col("inv.location_hex").isNotNull, Geo.geoJsonPoint(lat, lng))
+          .as("geo_location"),
+        struct(col("loc.city_id"), col("loc.long_city"), col("loc.long_state"),
+          col("loc.long_country"),
+          when(col("loc.city_id").isNotNull, Keys.scalarKey(col("loc.city_id")))
+            .as("city_key")).as("location_details"),
+        lit(null).cast("long").as("rewards_5d"),
+        lit(null).cast("double").as("betweenness_centrality"),
+        lit(null).cast("double").as("betweenness_centrality_n"),
+        lit(null).cast("double").as("pagerank"),
+        lit(null).cast("double").as("pagerank_n"),
+        lit(null).cast("double").as("hub_score"),
+        lit(null).cast("double").as("authority_score"))
+  }
+
+  /** `payments` edges (E2, reference `src/blockchain_queries.py:233-262`):
+    * type filter → v1/v2 payload fallback → content-hash key → vertex refs.
+    * Strictly exclusive time bounds (P1).
+    */
+  def payments(transactions: DataFrame, minTime: Long, maxTime: Long): DataFrame = {
+    val (payer, payee, amount) = Payloads.paymentFields(col("fields"))
+    transactions
+      .filter(col("type").isin("payment_v1", "payment_v2") &&
+        col("time") > minTime && col("time") < maxTime)
+      .select(
+        md5(col("fields")).as("_key"), // D1: md5 of the payload content
+        Keys.vertexRef("accounts", payer).as("_from"),
+        Keys.vertexRef("accounts", payee).as("_to"),
+        amount.as("amount"), col("time"))
+      .dropDuplicates("_key") // onDuplicate='ignore' within the batch
+  }
+
+  /** `witnesses` edges (reference `src/blockchain_queries.py:265-319`):
+    * poc_receipts_v1 → explode path[0].witnesses → pair key → P6 validity
+    * passthrough → D2/D4 newest-wins, deterministic (the reference's
+    * load-order race, fixed).
+    */
+  def witnesses(transactions: DataFrame, minTime: Long, maxTime: Long): DataFrame = {
+    val (challengee, ws) = Payloads.receiptFields(col("fields"))
+    val exploded = transactions
+      .filter(col("type") === "poc_receipts_v1" &&
+        col("time") > minTime && col("time") < maxTime)
+      .select(challengee.as("challengee"), col("time"), explode(ws).as("w"))
+      .select(
+        Keys.pairKey(col("challengee"), col("w.gateway")).as("_key"),
+        Keys.vertexRef("hotspots", col("challengee")).as("_from"),
+        Keys.vertexRef("hotspots", col("w.gateway")).as("_to"),
+        col("w.snr").as("snr"), col("w.signal").as("signal"),
+        col("time"), col("w.is_valid").as("is_valid"))
+    Dedup.newestWins(exploded, Seq(col("_key")), col("time"), col("_to"))
+  }
+
+  /** `balances` time-series docs (J4+A4/J5+A6, the intended semantics of
+    * the reference's raw-SQL CTE + O(n²) Python grouping,
+    * `src/blockchain_queries.py:322-361`): latest account row per UTC day
+    * via one window, then the day-ordered series per account.
+    */
+  def balances(accounts: DataFrame, blocks: DataFrame): DataFrame = {
+    val joined = accounts.join(blocks, col("block") === col("height"))
+      .withColumn("date", date_format(col("timestamp"), "yyyy-MM-dd"))
+    val latestPerDay = Dedup.newestWins(joined,
+      Seq(col("address"), col("date")), col("time"), col("height"))
+    latestPerDay
+      .groupBy(col("address"))
+      .agg(sort_array(collect_list(struct(
+        col("date"), col("balance"), col("staked_balance"), col("dc_balance"))))
+        .as("daily_balances"))
+      .select(col("address").as("_key"), col("address"), col("daily_balances"))
+  }
+}
