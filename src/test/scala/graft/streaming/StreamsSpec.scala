@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.Streams._
+
+class StreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("newestWinsState: late and duplicate receipts never regress the edge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[WitnessObs]
+    val query = newestWinsState(input.toDS())
+      .writeStream.format("memory").queryName("witness_state")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        WitnessObs("a|b", 10L, 1.0, isValid = true),
+        WitnessObs("a|c", 5L, 2.0, isValid = true))
+      query.processAllAvailable()
+      input.addData(
+        WitnessObs("a|b", 20L, 9.0, isValid = false), // newer → wins
+        WitnessObs("a|c", 3L, 7.0, isValid = false))  // older → ignored
+      query.processAllAvailable()
+      val state = spark.table("witness_state")
+        .groupBy("key").agg(max(struct(col("time"), col("snr"))).as("s"))
+        .select(col("key"), col("s.time"), col("s.snr"))
+        .as[(String, Long, Double)].collect()
+        .map { case (k, t, s) => k -> ((t, s)) }.toMap
+      assert(state("a|b") == ((20L, 9.0))) // updated across micro-batches
+      assert(state("a|c") == ((5L, 2.0)))  // late data ignored (T6)
+    } finally query.stop()
+  }
+
+  test("windowedRewards: event-time windows aggregate per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)] // (ts_us, user_id, value)
+    val day = 86400000000L
+    val stream = windowedRewards(
+      input.toDF().toDF("ts_us", "user_id", "value"), "1 day", "0 seconds")
+    val query = stream.writeStream.format("memory").queryName("rewards")
+      .outputMode("complete").start()
+    try {
+      input.addData((0L, 1L, 1.0), (day / 2, 1L, 2.0), (day + 1, 1L, 4.0),
+        (day / 2, 2L, 8.0))
+      query.processAllAvailable()
+      val rows = spark.table("rewards")
+        .select(col("user_id"), col("rewards_c"), col("cnt"))
+        .as[(Long, Long, Long)].collect().toSet
+      // user 1: day-0 window 100+200 cents over 2 events, day-1 window 400
+      assert(rows == Set((1L, 300L, 2L), (1L, 400L, 1L), (2L, 800L, 1L)))
+    } finally query.stop()
+  }
+
+  test("dedupByContentKey: duplicate keys within the watermark collapse") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)] // (ts_us, _key, value)
+    val stream = dedupByContentKey(
+      input.toDF().toDF("ts_us", "_key", "value"), "_key", "1 hour")
+    val query = stream.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((1000L, "k1", 1.0), (1000L, "k1", 1.0), (2000L, "k2", 2.0))
+      query.processAllAvailable()
+      input.addData((1000L, "k1", 1.0)) // replayed duplicate (same key+ts)
+      query.processAllAvailable()
+      val keys = spark.table("dedup").select("_key").as[String].collect().toSeq
+      assert(keys.sorted == Seq("k1", "k2"))
+    } finally query.stop()
+  }
+}
