@@ -118,7 +118,36 @@ object LlmPipelines {
     Similarity.annTopK(Tables(spark, d, "embeddings"), "vec_id", "embedding",
       col("vec_id") < 20, Planes, Dims, k = 3)
 
+  /** q35: the multimodal pipeline over an opaque binary column (documents
+    * text re-encoded as bytes stands in for media blobs): typed metadata
+    * (pure column ops) + partition-wise stub decode → per-item features.
+    * The bytes never shuffle; only features leave the scan stage.
+    */
+  def q35BinaryFeatures(spark: SparkSession, d: String): DataFrame = {
+    val bin = Tables(spark, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("bytes"))
+    graft.operators.Multimodal.decodeFeatures(spark, bin, "doc_id", "bytes",
+        graft.operators.Multimodal.DeterministicStubCodec)
+      .select(col("id").as("doc_id"), col("sizeBytes").as("size_bytes"),
+        col("sha"), col("width"), col("height"), col("byteSum").as("byte_sum"),
+        col("firstByte").as("first_byte"), col("lastByte").as("last_byte"))
+  }
+
+  /** q36: frame-sampling stub — each blob fans out into 4 per-frame rows
+    * (hash + length), the partition-local explode shape of real frame
+    * extraction.
+    */
+  def q36FrameSample(spark: SparkSession, d: String): DataFrame = {
+    val bin = Tables(spark, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("bytes"))
+    graft.operators.Multimodal.sampleFrames(spark, bin, "doc_id", "bytes", 4)
+      .select(col("id").as("doc_id"), col("frame"), col("frame_sha"),
+        col("frame_bytes"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_binary_features" -> q35BinaryFeatures _,
+    "q36_frame_sample" -> q36FrameSample _,
     "q24_text_stats" -> q24TextStats _,
     "q25_lang_id" -> q25LangId _,
     "q26_fingerprint_dedup" -> q26FingerprintDedup _,

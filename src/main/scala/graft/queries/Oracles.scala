@@ -321,6 +321,29 @@ object Oracles {
          |  CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
          |FROM b GROUP BY doc_id""".stripMargin,
 
+    // The corpus is ASCII, so DuckDB's char-wise ascii/substr reproduce the
+    // Scala byte-wise stub codec exactly.
+    "q35_binary_features" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS size_bytes, md5(text) AS sha,
+         |  CAST(1 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
+         |  CAST(1 + ascii(substr(text, length(text), 1)) % 64 AS INTEGER) AS height,
+         |  CAST(list_reduce([0::BIGINT] || list_transform(range(1, length(text)+1),
+         |    i -> ascii(substr(text, CAST(i AS INTEGER), 1))::BIGINT), (a,b) -> a+b) AS BIGINT)
+         |    AS byte_sum,
+         |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+         |  CAST(ascii(substr(text, length(text), 1)) AS INTEGER) AS last_byte
+         |FROM documents""".stripMargin,
+
+    "q36_frame_sample" ->
+      s"""WITH f AS (SELECT doc_id, text, length(text) AS len,
+         |    greatest(1, length(text) // 4) AS n, unnest(range(0, 4)) AS frame
+         |  FROM documents)
+         |SELECT doc_id, CAST(frame AS INTEGER) AS frame,
+         |  md5(substr(text, CAST(frame*n+1 AS INTEGER),
+         |    CAST(greatest(0, least((frame+1)*n, len) - frame*n) AS INTEGER))) AS frame_sha,
+         |  CAST(greatest(0, least((frame+1)*n, len) - frame*n) AS BIGINT) AS frame_bytes
+         |FROM f""".stripMargin,
+
     "q30_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
          |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
