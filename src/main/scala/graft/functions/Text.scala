@@ -36,6 +36,21 @@ object Text {
   def hash32(value: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(s"$seed:"), value)), 1, 8), 16, 10).cast("long")
 
+  /** Seedless portable 32-bit hash (one md5 per value; derive families of
+    * hashes from it with [[affine]] instead of re-hashing — 16× cheaper
+    * for minhash signatures).
+    */
+  def baseHash32(value: Column): Column =
+    conv(substring(md5(value), 1, 8), 16, 10).cast("long")
+
+  /** Universal-hash family member j over a base hash:
+    * ((2j+1)·(b mod p) + (40503j+1)) mod p with p = 2^31−1. Stays in
+    * long range (31·2^31 ≪ 2^63) and is portable SQL arithmetic.
+    */
+  val HashP = 2147483647L
+  def affine(base: Column, j: Int): Column =
+    (lit(2L * j + 1) * (base % HashP) + lit(40503L * j + 1)) % HashP
+
   /** Polynomial rolling hash over the token stream:
     * fold(acc = (acc*31 + hash32(t)) mod (2^31-1)). Order-sensitive (unlike
     * a bag-of-words hash) — two docs with the same tokens in different

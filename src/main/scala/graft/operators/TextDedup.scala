@@ -29,14 +29,20 @@ object TextDedup {
     */
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String, k: Int,
                         minJacPm: Long, maxDf: Long = 0L): DataFrame = {
-    val sh = docs.select(col(id).as("doc"),
-        explode(Text.shingles(Text.tokens(col(text)), k)).as("sh"))
-    val filtered =
+    // Tokens materialize as a column BEFORE shingling: a captured
+    // expression inside transform()'s lambda re-evaluates per element
+    // (split() would run O(tokens) times per doc).
+    val sh = docs.select(col(id).as("doc"), Text.tokens(col(text)).as("toks"))
+      .select(col("doc"), explode(Text.shingles(col("toks"), k)).as("sh"))
+    val filtered0 =
       if (maxDf > 0) {
         val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDf).select("sh")
         sh.join(df, "sh")
       } else sh
+    // Persist: the exploded shingle index feeds three consumers (sizes +
+    // both self-join sides) and would be recomputed for each.
+    val filtered = filtered0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = filtered.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val a = filtered.select(col("doc").as("doc_a"), col("sh"))
     val b = filtered.select(col("doc").as("doc_b"), col("sh"))
@@ -58,12 +64,17 @@ object TextDedup {
     */
   def minhashSignatures(docs: DataFrame, id: String, text: String, k: Int,
                         numHashes: Int): DataFrame = {
-    val sh = Text.shingles(Text.tokens(col(text)), k)
-    docs.select(col(id).as("doc"), sh.as("sh"))
+    // Tokens → column first (lambda-captured expressions re-evaluate per
+    // element), then one md5 per shingle + a cheap affine family per
+    // signature slot — not numHashes md5 passes (16× less hashing).
+    docs.select(col(id).as("doc"), Text.tokens(col(text)).as("toks"))
+      .select(col("doc"), Text.shingles(col("toks"), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc"),
+        transform(col("sh"), s => Text.baseHash32(s)).as("bases"))
+      .select(col("doc"),
         array((0 until numHashes).map(j =>
-          array_min(transform(col("sh"), s => Text.hash32(s, j)))): _*).as("sig"))
+          array_min(transform(col("bases"), b => Text.affine(b, j)))): _*).as("sig"))
   }
 
   /** LSH banding over minhash signatures: `bands` bands of `sig.length /
@@ -77,7 +88,10 @@ object TextDedup {
   def lshCandidatePairs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
     val r = numHashes / bands
-    val banded = sigs.select(col("doc"), col("sig"),
+    // Persist: both sides of the band self-join (and the distinct) would
+    // otherwise recompute the full signature scan.
+    val cached = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = cached.select(col("doc"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         md5(concat_ws(",", (0 until r).map(i =>
           element_at(col("sig"), b * r + i + 1)): _*))): _*)).as(Seq("band", "bk")))

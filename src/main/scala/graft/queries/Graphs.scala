@@ -26,7 +26,7 @@ object Graphs {
     * sums never vanish).
     */
   def edges(spark: SparkSession, d: String): DataFrame = {
-    val c = Tables(spark, d, "customer").select(col("c_custkey"), col("c_nationkey"),
+    val c = Tables.balanced(spark, d, "customer").select(col("c_custkey"), col("c_nationkey"),
       ((col("c_custkey") % 170) - 85 + 0.25).as("c_lat"),
       ((col("c_custkey") * 7 % 350) - 175 + 0.5).as("c_lng"))
     val s = Tables(spark, d, "supplier").select(col("s_suppkey"), col("s_nationkey"),

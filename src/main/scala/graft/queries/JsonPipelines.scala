@@ -42,7 +42,7 @@ object JsonPipelines {
         to_json(struct(payer.as("payer"),
           array(struct(payee.as("payee"), amount.as("amount"))).as("payments"))))
 
-    val raw = Tables(spark, d, "orders").select(payload.as("payload"))
+    val raw = Tables.balanced(spark, d, "orders").select(payload.as("payload"))
     val (pPayer, pPayee, pAmount) = Payloads.paymentFields(col("payload"))
     raw.select(
         md5(col("payload")).as("_key"), // D1: content-hash of the payload
@@ -61,7 +61,7 @@ object JsonPipelines {
     * window.
     */
   def q22WitnessExplodePipeline(spark: SparkSession, d: String): DataFrame = {
-    val receipts = Tables(spark, d, "lineitem")
+    val receipts = Tables.balanced(spark, d, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_list(struct(
         col("l_linenumber").cast("long").as("timestamp"),
@@ -103,7 +103,7 @@ object JsonPipelines {
         .when(col("o_orderkey") % 3 === 1, array(mkPayee(0), mkPayee(1)))
         .otherwise(array(mkPayee(0), mkPayee(1), mkPayee(2))).as("payments")))
 
-    Tables(spark, d, "orders").select(payload.as("payload"))
+    Tables.balanced(spark, d, "orders").select(payload.as("payload"))
       .select(md5(col("payload")).as("payload_key"),
         from_json(col("payload"), Payloads.paymentV2).getField("payer").as("payer"),
         posexplode(Payloads.explodePaymentsV2(col("payload"))))

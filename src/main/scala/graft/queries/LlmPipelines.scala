@@ -38,7 +38,7 @@ object LlmPipelines {
     */
   def q24TextStats(spark: SparkSession, d: String): DataFrame = {
     val toks = Text.tokens(col("text"))
-    Tables(spark, d, "documents")
+    Tables.balanced(spark, d, "documents")
       .select(col("doc_id"), toks.as("toks"),
         length(col("text")).cast("long").as("n_chars_raw"),
         length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("n_nonspace"))
@@ -59,8 +59,9 @@ object LlmPipelines {
     * tie-break) cross-tabulated against the ground-truth `lang` label.
     */
   def q25LangId(spark: SparkSession, d: String): DataFrame =
-    Tables(spark, d, "documents")
-      .select(col("lang"), Text.langGuess(Text.tokens(col("text"))).as("lang_guess"))
+    Tables.balanced(spark, d, "documents")
+      .select(col("lang"), Text.tokens(col("text")).as("toks"))
+      .select(col("lang"), Text.langGuess(col("toks")).as("lang_guess"))
       .groupBy(col("lang"), col("lang_guess"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -70,7 +71,7 @@ object LlmPipelines {
     * exact dups).
     */
   def q26FingerprintDedup(spark: SparkSession, d: String): DataFrame = {
-    val base = Tables(spark, d, "documents")
+    val base = Tables.balanced(spark, d, "documents")
       .select(col("doc_id"),
         md5(Text.normalized(col("text"))).as("fp_md5"),
         Text.rollingHash(Text.tokens(col("text"))).as("roll_hash"))
@@ -82,7 +83,7 @@ object LlmPipelines {
     * index (equi-join on shingle, never all-pairs); threshold 0.8.
     */
   def q27NgramJaccardPairs(spark: SparkSession, d: String): DataFrame =
-    TextDedup.ngramJaccardPairs(Tables(spark, d, "documents"),
+    TextDedup.ngramJaccardPairs(Tables.balanced(spark, d, "documents"),
         "doc_id", "text", ShingleK, minJacPm = 800000L)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
         col("jac_pm"))
@@ -91,7 +92,7 @@ object LlmPipelines {
     * output is the agreeing-component count (jaccard estimate ×16).
     */
   def q28MinhashLshPairs(spark: SparkSession, d: String): DataFrame = {
-    val sigs = TextDedup.minhashSignatures(Tables(spark, d, "documents"),
+    val sigs = TextDedup.minhashSignatures(Tables.balanced(spark, d, "documents"),
       "doc_id", "text", ShingleK, NumHashes)
     TextDedup.lshCandidatePairs(sigs, NumHashes, Bands)
       .filter(col("n_sig_equal") >= 8)
@@ -99,14 +100,14 @@ object LlmPipelines {
 
   /** q29: 32-bit SimHash fingerprint per document. */
   def q29Simhash(spark: SparkSession, d: String): DataFrame =
-    TextDedup.simhash(Tables(spark, d, "documents"), "doc_id", "text")
+    TextDedup.simhash(Tables.balanced(spark, d, "documents"), "doc_id", "text")
       .select(col("doc").as("doc_id"), col("simhash"))
 
   /** q30: brute-force cosine top-5 for a 20-vector query set (broadcast
     * against one streamed corpus pass — the exact baseline).
     */
   def q30CosineTopK(spark: SparkSession, d: String): DataFrame = {
-    val emb = Tables(spark, d, "embeddings")
+    val emb = Tables.balanced(spark, d, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
       "vec_id", "embedding", k = 5)
   }
@@ -115,7 +116,7 @@ object LlmPipelines {
     * random-projection bucket (the sub-linear scale path).
     */
   def q31AnnLshTopK(spark: SparkSession, d: String): DataFrame =
-    Similarity.annTopK(Tables(spark, d, "embeddings"), "vec_id", "embedding",
+    Similarity.annTopK(Tables.balanced(spark, d, "embeddings"), "vec_id", "embedding",
       col("vec_id") < 20, Planes, Dims, k = 3)
 
   /** q35: the multimodal pipeline over an opaque binary column (documents
@@ -124,7 +125,7 @@ object LlmPipelines {
     * The bytes never shuffle; only features leave the scan stage.
     */
   def q35BinaryFeatures(spark: SparkSession, d: String): DataFrame = {
-    val bin = Tables(spark, d, "documents")
+    val bin = Tables.balanced(spark, d, "documents")
       .select(col("doc_id"), encode(col("text"), "utf-8").as("bytes"))
     graft.operators.Multimodal.decodeFeatures(spark, bin, "doc_id", "bytes",
         graft.operators.Multimodal.DeterministicStubCodec)
@@ -138,7 +139,7 @@ object LlmPipelines {
     * extraction.
     */
   def q36FrameSample(spark: SparkSession, d: String): DataFrame = {
-    val bin = Tables(spark, d, "documents")
+    val bin = Tables.balanced(spark, d, "documents")
       .select(col("doc_id"), encode(col("text"), "utf-8").as("bytes"))
     graft.operators.Multimodal.sampleFrames(spark, bin, "doc_id", "bytes", 4)
       .select(col("id").as("doc_id"), col("frame"), col("frame_sha"),

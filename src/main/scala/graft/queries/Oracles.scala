@@ -295,9 +295,15 @@ object Oracles {
     "q28_minhash_lsh_pairs" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
          |s AS (SELECT doc_id, ${shingleList("toks")} AS sh FROM t),
-         |g AS (SELECT doc_id, list_transform(range(0,16),
-         |        j -> list_min(list_transform(sh, x -> ${hash32("j", "x")}))) AS sig
+         |-- one md5 per shingle, then the (2j+1, 40503j+1) affine family
+         |-- mod 2^31-1 — the twin of Text.baseHash32 + Text.affine
+         |bh AS (SELECT doc_id,
+         |        list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS bases
          |      FROM s WHERE len(sh) > 0),
+         |g AS (SELECT doc_id, list_transform(range(0,16),
+         |        j -> list_min(list_transform(bases,
+         |          b -> ((2*j+1)*(b % 2147483647) + (40503*j+1)) % 2147483647))) AS sig
+         |      FROM bh),
          |b AS (SELECT doc_id, sig, unnest(range(0,4)) AS band FROM g),
          |k AS (SELECT doc_id, band,
          |        md5(sig[4*band+1]::VARCHAR || ',' || sig[4*band+2]::VARCHAR || ','

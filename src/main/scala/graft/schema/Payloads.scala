@@ -49,17 +49,28 @@ object Payloads {
       StructField("challengee", StringType),
       StructField("witnesses", ArrayType(witness))))))))
 
-  /** v1/v2 fallback extraction: parse the raw payload under both schemas,
-    * coalesce — the declarative twin of the reference's try/except
-    * (`src/blockchain_queries.py:244-257`). Returns (payer, payee, amount)
-    * columns; v2 keeps only payments[0] (reference parity quirk).
+  /** Union of the v1/v2 shapes: ONE parse covers both (absent fields read
+    * null), halving Jackson work versus parsing under each schema.
+    */
+  private val paymentAny: StructType = StructType(Seq(
+    StructField("payer", StringType),
+    StructField("payee", StringType),
+    StructField("amount", LongType),
+    StructField("payments", ArrayType(StructType(Seq(
+      StructField("payee", StringType),
+      StructField("amount", LongType)))))))
+
+  /** v1/v2 fallback extraction — the declarative twin of the reference's
+    * try/except (`src/blockchain_queries.py:244-257`): a single parse
+    * under the union schema, coalescing the v1 scalars with payments[0].
+    * Returns (payer, payee, amount); v2 keeps only payments[0] (reference
+    * parity quirk).
     */
   def paymentFields(payload: Column): (Column, Column, Column) = {
-    val v1 = from_json(payload, paymentV1)
-    val v2 = from_json(payload, paymentV2)
-    (coalesce(v1.getField("payer"), v2.getField("payer")),
-     coalesce(v1.getField("payee"), v2.getField("payments").getItem(0).getField("payee")),
-     coalesce(v1.getField("amount"), v2.getField("payments").getItem(0).getField("amount")))
+    val f = from_json(payload, paymentAny)
+    (f.getField("payer"),
+     coalesce(f.getField("payee"), f.getField("payments").getItem(0).getField("payee")),
+     coalesce(f.getField("amount"), f.getField("payments").getItem(0).getField("amount")))
   }
 
   /** Explode-all extension for multi-payee payment_v2 (posexplode keeps the

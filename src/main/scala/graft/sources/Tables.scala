@@ -33,4 +33,16 @@ object Tables {
     */
   def eventsWithUs(spark: SparkSession, sfDir: String): DataFrame =
     apply(spark, sfDir, "events").withColumn("ts_us", expr("ts div 1000"))
+
+  /** Scan rebalanced to the session's parallelism. The driver test tables
+    * are single-row-group parquet files, which Spark cannot split — one
+    * task per scan, so every row-local derivation (JSON render/parse,
+    * hashing, shingling, vector folds) runs single-threaded without this.
+    * On a real cluster the source arrives in many splits and this
+    * round-robin exchange is cheap insurance against the same pathology
+    * (few huge files); use for CPU-bound pipelines, plain [[apply]] for
+    * cheap scans and broadcast dims.
+    */
+  def balanced(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    apply(spark, sfDir, name).repartition(spark.sparkContext.defaultParallelism)
 }
