@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   * `GEO_DISTANCE(a, b)` (reference `src/arango_queries.py:152`) and converts
   * h3 cells to GeoJSON points with `h3.h3_to_geo` (reference
   * `src/blockchain_queries.py:124-128,149-152`). Haversine is pure column
-  * arithmetic (stays inside whole-stage codegen — no UDF); h3 decoding has
-  * no Spark built-in and is isolated behind [[h3ToLatLng]].
+  * arithmetic (stays inside whole-stage codegen — no UDF); cell decoding has
+  * no Spark built-in and is isolated behind [[cellToPseudoLatLng]].
   */
 object Geo {
 
@@ -39,14 +39,17 @@ object Geo {
   def geoJsonPoint(lat: Column, lng: Column): Column =
     struct(array(lng, lat).as("coordinates"), lit("Point").as("type"))
 
-  /** h3 cell → (lat, lng). The real decode (icosahedral IJK math, as in the
-    * public h3 library the reference calls) is not available in this
-    * container; this deterministic placeholder preserves the *pipeline
-    * contract* — null-safe, fixed fan-in to [[geoJsonPoint]] — and is the
-    * single seam where `com.uber:h3`'s `cellToLatLng` drops in for
-    * production. Deterministic: derived from the md5 of the cell id.
+  /** Deterministic PSEUDO cell decode — explicitly NOT h3. Maps any cell id
+    * to stable in-range coordinates (lat ∈ [-85, 85), lng ∈ [-175, 175))
+    * via md5, null-safely (P8). It preserves the *pipeline contract* of the
+    * reference's `h3_to_geo` call — fixed fan-in to [[geoJsonPoint]],
+    * null cell → null coords — and is the single seam where a real
+    * icosahedral decode (`com.uber:h3`'s `cellToLatLng`) drops in for
+    * production; until that library is available, downstream geometry is
+    * deterministic but geographically meaningless, and the DuckDB oracle
+    * applies the identical formula.
     */
-  def h3ToLatLng(cell: Column): (Column, Column) = {
+  def cellToPseudoLatLng(cell: Column): (Column, Column) = {
     val h = md5(cell)
     val lat = (conv(substring(h, 1, 8), 16, 10).cast("double") % 170.0) - 85.0
     val lng = (conv(substring(h, 9, 8), 16, 10).cast("double") % 350.0) - 175.0

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.util.LongAccumulator
+
+/** X3/K1: the external-connector sink shape — per-PARTITION connections
+  * and batched bulk writes, the distributed form of the reference's
+  * "fresh connection inside each worker" + `importBulk(batch)` pattern
+  * (`src/arango_queries.py:137-143, 211-258`).
+  *
+  * The reference's own deprecation comments ("Faster to just import with
+  * onDuplicate" — per-row RPC loses to batching) are encoded here: rows
+  * stream through a bounded buffer and flush in `batchSize` chunks, so a
+  * connector sees O(rows/batchSize) round trips and the driver sees none.
+  * Executor-side accumulators report created counts without collecting.
+  */
+object BulkSink {
+
+  /** One connector connection, opened per partition on the executor. A
+    * real implementation wraps an HTTP/JDBC client; tests plug in a
+    * collector.
+    */
+  trait BulkWriter extends Serializable {
+    /** Called once per partition, executor-side. */
+    def open(partitionId: Int): Unit
+    /** One batched bulk write; returns rows accepted. */
+    def writeBatch(rows: Seq[Row]): Long
+    /** Called once per partition after the last batch (also on empty). */
+    def close(): Unit
+  }
+
+  /** Stream `df` into the writer with per-partition connections and
+    * `batchSize` bulk chunks; returns the total accepted count (via an
+    * accumulator — no driver-side collect).
+    */
+  def write(df: DataFrame, writer: BulkWriter, batchSize: Int): Long = {
+    require(batchSize > 0, "batchSize must be positive")
+    val accepted: LongAccumulator =
+      df.sparkSession.sparkContext.longAccumulator("bulkSinkAccepted")
+    df.foreachPartition { (it: Iterator[Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      writer.open(pid)
+      try {
+        it.grouped(batchSize).foreach { batch =>
+          accepted.add(writer.writeBatch(batch))
+        }
+      } finally writer.close()
+    }
+    accepted.value
+  }
+}

@@ -49,6 +49,31 @@ object Merge {
       .drop(pri)
   }
 
+  /** K3 incremental array append — the reference's
+    * `upsert … update {daily_balances: append(OLD.daily_balances, new)}`
+    * (`src/arango_queries.py:77-87`), done set-correctly: full-outer merge
+    * on the doc key, concatenate the old series with the new entries,
+    * newest-wins per element key (so replaying a window never duplicates a
+    * day), ordered by element key. One shuffle on the doc key.
+    *
+    * Frames carry (key, series: array&lt;struct&gt;); `elemKey` names the
+    * struct field that identifies an element (e.g. "date").
+    */
+  def appendSeries(existing: DataFrame, incoming: DataFrame, key: String,
+                   series: String, elemKey: String): DataFrame = {
+    val merged = existing.select(col(key), col(series).as("__old"))
+      .join(incoming.select(col(key), col(series).as("__new")), Seq(key), "full_outer")
+      .select(col(key), concat(
+        coalesce(col("__new"), array().cast(incoming.schema(series).dataType)),
+        coalesce(col("__old"), array().cast(existing.schema(series).dataType)))
+        .as("__all"))
+    // newest wins per element key: first occurrence in (new ++ old) order
+    merged.select(col(key), array_sort(expr(
+      s"""filter(__all, (x, i) ->
+         |  NOT exists(slice(__all, 1, i), y -> y.$elemKey = x.$elemKey))""".stripMargin))
+      .as(series))
+  }
+
   /** Filtered delete (K2) — the witness retention window (reference
     * `src/arango_queries.py:90-99`): keep rows where `time >= cutoff`.
     * On table storage this is `DELETE WHERE`; as a transform it is a

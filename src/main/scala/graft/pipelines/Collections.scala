@@ -53,7 +53,7 @@ object Collections {
     val st = gatewayStatus.select(col("address"), col("online")).alias("st")
     val loc = locations.select(col("location"), col("long_city"),
       col("long_state"), col("long_country"), col("city_id")).alias("loc")
-    val (lat, lng) = Geo.h3ToLatLng(col("inv.location_hex"))
+    val (lat, lng) = Geo.cellToPseudoLatLng(col("inv.location_hex"))
     inv.join(broadcast(st), Seq("address"), "left_outer")
       .join(broadcast(loc), col("inv.location") === col("loc.location"), "left_outer")
       .select(

@@ -63,9 +63,28 @@ object Graphs {
   def q34CityBetweenness(spark: SparkSession, d: String): DataFrame =
     GraphMetrics.perCityBetweenness(edges(spark, d))
 
+  /** q37: F3/P8 — the (pseudo) cell decode feeding GeoJSON points,
+    * null-tolerantly: cells are rendered from customer names, every 97th
+    * customer carries a null cell and must yield null coords and a null
+    * point, exactly like the reference's `except TypeError: None` path
+    * (`src/blockchain_queries.py:149-152`).
+    */
+  def q37CellDecode(spark: SparkSession, d: String): DataFrame = {
+    val withCell = Tables(spark, d, "customer")
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 97 =!= 0, substring(md5(col("c_name")), 1, 15))
+          .as("cell"))
+    val (lat, lng) = Geo.cellToPseudoLatLng(col("cell"))
+    withCell.select(col("c_custkey"),
+      round(lat * 1000000.0).cast("long").as("lat_micro"),
+      round(lng * 1000000.0).cast("long").as("lng_micro"),
+      when(col("cell").isNotNull, to_json(Geo.geoJsonPoint(lat, lng))).as("geo"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_graph_edges" -> q32GraphEdges _,
     "q33_city_pagerank" -> q33CityPagerank _,
     "q34_city_betweenness" -> q34CityBetweenness _,
+    "q37_cell_decode" -> q37CellDecode _,
   )
 }

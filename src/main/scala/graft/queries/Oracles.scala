@@ -460,6 +460,26 @@ object Oracles {
   val graphs: Map[String, String] = Map(
     "q32_graph_edges" -> EdgesSql,
     "q33_city_pagerank" -> pagerankSql(EdgesSql, graft.operators.GraphMetrics.Iterations),
+
+    // Twin of Geo.cellToPseudoLatLng + geoJsonPoint (integer-valued double
+    // coords, so the JSON rendering is byte-identical too).
+    "q37_cell_decode" ->
+      """WITH c AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 97 <> 0 THEN substr(md5(c_name), 1, 15) END AS cell
+        |  FROM customer),
+        |d AS (SELECT c_custkey, cell,
+        |    CASE WHEN cell IS NOT NULL
+        |      THEN ('0x' || substr(md5(cell), 1, 8))::BIGINT::DOUBLE % 170.0 - 85.0 END AS lat,
+        |    CASE WHEN cell IS NOT NULL
+        |      THEN ('0x' || substr(md5(cell), 9, 8))::BIGINT::DOUBLE % 350.0 - 175.0 END AS lng
+        |  FROM c)
+        |SELECT c_custkey,
+        |  CAST(round(lat * 1000000.0) AS BIGINT) AS lat_micro,
+        |  CAST(round(lng * 1000000.0) AS BIGINT) AS lng_micro,
+        |  CASE WHEN cell IS NOT NULL THEN
+        |    to_json(struct_pack(coordinates := [lng, lat], type := 'Point'))::VARCHAR
+        |  END AS geo
+        |FROM d""".stripMargin,
   )
 
   /** Twin of [[Relational.upsertInputs]] + [[graft.operators.Merge.upsert]]:

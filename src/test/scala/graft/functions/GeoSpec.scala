@@ -39,9 +39,9 @@ class GeoSpec extends AnyFunSuite {
     assert(json == """{"coordinates":[-0.1,51.5],"type":"Point"}""")
   }
 
-  test("h3ToLatLng placeholder is null-safe and in-range (P8)") {
+  test("cellToPseudoLatLng placeholder is null-safe and in-range (P8)") {
     val df = Seq(Some("8828308281fffff"), None).toDF("cell")
-    val (lat, lng) = Geo.h3ToLatLng(col("cell"))
+    val (lat, lng) = Geo.cellToPseudoLatLng(col("cell"))
     val rows = df.select(lat.as("lat"), lng.as("lng"))
       .as[(Option[Double], Option[Double])].collect()
     val (someLat, someLng) = (rows(0)._1.get, rows(0)._2.get)

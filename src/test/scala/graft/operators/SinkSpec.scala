@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("appendSeries merges per-element newest-wins, replay-safe (K3)") {
+    val existing = Seq(
+      ("a", Seq(("2024-01-01", 10L), ("2024-01-02", 20L)))
+    ).toDF("_key", "series")
+      .select(col("_key"), col("series").cast("array<struct<date:string,balance:bigint>>"))
+    val incoming = Seq(
+      ("a", Seq(("2024-01-02", 99L), ("2024-01-03", 30L))), // day-2 update + new day
+      ("b", Seq(("2024-01-01", 1L))) // brand-new doc
+    ).toDF("_key", "series")
+      .select(col("_key"), col("series").cast("array<struct<date:string,balance:bigint>>"))
+
+    val out = Merge.appendSeries(existing, incoming, "_key", "series", "date")
+      .as[(String, Seq[(String, Long)])].collect().toMap
+    assert(out("a") == Seq(("2024-01-01", 10L), ("2024-01-02", 99L), ("2024-01-03", 30L)))
+    assert(out("b") == Seq(("2024-01-01", 1L)))
+    // replaying the same incoming window changes nothing (idempotent)
+    val once = Merge.appendSeries(existing, incoming, "_key", "series", "date")
+    val twice = Merge.appendSeries(once, incoming, "_key", "series", "date")
+      .as[(String, Seq[(String, Long)])].collect().toMap
+    assert(twice == out)
+  }
+
+  test("BulkSink opens one connection per partition and batches writes (X3)") {
+    val df = spark.range(0, 100).toDF("id").repartition(4)
+    val accepted = BulkSink.write(df, CountingWriter, batchSize = 7)
+    assert(accepted == 100)
+    // 4 partitions × (open + close); batches of ≤7
+    assert(CountingWriter.opens.get() == 4)
+    assert(CountingWriter.closes.get() == 4)
+    assert(CountingWriter.maxBatch.get() <= 7)
+  }
+}
+
+/** Executor-side collector (object = one instance per JVM; local mode
+  * shares it, which is exactly what the assertions need).
+  */
+object CountingWriter extends BulkSink.BulkWriter {
+  val opens = new java.util.concurrent.atomic.AtomicInteger
+  val closes = new java.util.concurrent.atomic.AtomicInteger
+  val maxBatch = new java.util.concurrent.atomic.AtomicInteger
+  def open(partitionId: Int): Unit = opens.incrementAndGet()
+  def writeBatch(rows: Seq[Row]): Long = {
+    maxBatch.updateAndGet(m => math.max(m, rows.size))
+    rows.size.toLong
+  }
+  def close(): Unit = closes.incrementAndGet()
+}
