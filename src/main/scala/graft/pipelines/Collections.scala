@@ -113,6 +113,25 @@ object Collections {
     Dedup.newestWins(exploded, Seq(col("_key")), col("time"), col("_to"))
   }
 
+  /** G5: write the per-city graph metrics back onto the hotspot vertices
+    * (reference `src/arango_queries.py:169-178` upserts them with
+    * `onDuplicate='update'`). A broadcast-friendly left join on `_key`
+    * overwriting only the analytics columns — hotspots without metrics
+    * (city below the size gate, or not in any city graph) keep nulls.
+    * `pagerank`/`betweenness` frames carry (node, value_pm, norm_pm).
+    */
+  def mergeMetrics(hotspots: DataFrame, pagerank: DataFrame,
+                   betweenness: DataFrame): DataFrame = {
+    def metric(df: DataFrame, v: String, n: String) =
+      df.select(col("node").as("_key"),
+        (col("value_pm") / 1e6).as(v), (col("norm_pm") / 1e6).as(n))
+    hotspots
+      .drop("pagerank", "pagerank_n", "betweenness_centrality", "betweenness_centrality_n")
+      .join(broadcast(metric(pagerank, "pagerank", "pagerank_n")), Seq("_key"), "left_outer")
+      .join(broadcast(metric(betweenness, "betweenness_centrality",
+        "betweenness_centrality_n")), Seq("_key"), "left_outer")
+  }
+
   /** `balances` time-series docs (J4+A4/J5+A6, the intended semantics of
     * the reference's raw-SQL CTE + O(n²) Python grouping,
     * `src/blockchain_queries.py:322-361`): latest account row per UTC day

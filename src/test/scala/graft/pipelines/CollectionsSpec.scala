@@ -94,6 +94,24 @@ class CollectionsSpec extends AnyFunSuite {
     assert(!g1.getAs[Boolean]("is_valid")) // P6 value passed through
   }
 
+  test("mergeMetrics writes analytics back onto hotspots, null where absent (G5)") {
+    val inv = df(Blockchain.gatewayInventory,
+      Row("gw1", "o", null, null, null, 1L, 9L, 0L, "n1", null, 1.0, 1, 1, null, "full", null),
+      Row("gw2", "o", null, null, null, 1L, 9L, 0L, "n2", null, 1.0, 1, 1, null, "full", null))
+    val hs = Collections.hotspots(inv,
+      df(Blockchain.gatewayStatus), df(Blockchain.locations))
+    val pr = Seq(("gw1", 500000L, 1200000L)).toDF("node", "value_pm", "norm_pm")
+    val bc = Seq(("gw1", 250000L, 800000L)).toDF("node", "value_pm", "norm_pm")
+    val out = Collections.mergeMetrics(hs, pr, bc)
+    val g1 = out.filter($"_key" === "gw1").head()
+    assert(g1.getAs[Double]("pagerank") == 0.5)
+    assert(g1.getAs[Double]("pagerank_n") == 1.2)
+    assert(g1.getAs[Double]("betweenness_centrality") == 0.25)
+    val g2 = out.filter($"_key" === "gw2").head()
+    assert(g2.isNullAt(g2.fieldIndex("pagerank"))) // no metrics → stays null
+    assert(out.columns.count(_ == "pagerank") == 1) // no duplicate columns
+  }
+
   test("balances: latest row per day, day-ordered series per account") {
     val acc = (block: Long, addr: String, bal: Long) =>
       Row(block, addr, 0L, 0L, 0L, 0L, bal, 0L, 0L)
