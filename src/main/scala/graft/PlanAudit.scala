@@ -1,0 +1,26 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local("8")
+    val d = "/root/testdata/sf0.01"
+    val interesting = if (args.nonEmpty) args.toSeq else Seq(
+      "q03_filter_in_projection", "q04_join_left_enrich", "q05_join_inner_agg",
+      "q12_geo_haversine", "q16_window_rewards_5d", "q30_cosine_topk")
+    for (name <- interesting) {
+      val plan = SparkEntry.queries(name)(spark, d).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      println(s"===== $name =====")
+      // headline signals only
+      plan.linesIterator.foreach { l =>
+        if (l.contains("PushedFilters") || l.contains("ReadSchema") ||
+            l.contains("Scan parquet") || l.contains("BroadcastHashJoin") ||
+            l.contains("SortMergeJoin") || l.contains("WholeStageCodegen") ||
+            l.contains("Exchange") || l.contains("CartesianProduct") ||
+            l.contains("BroadcastNestedLoopJoin"))
+          println(l.trim.take(160))
+      }
+    }
+    spark.stop()
+  }
+}
