@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one[T](df: org.apache.spark.sql.DataFrame): T =
+    df.collect()(0).getAs[T](0)
+
+  test("tokens collapse runs of whitespace and trim edges") {
+    val toks = Seq("  a  b\tc ").toDF("t")
+      .select(Text.tokens(col("t"))).as[Seq[String]].head()
+    assert(toks == Seq("a", "b", "c"))
+  }
+
+  test("shingles: word 3-grams, distinct, empty below k tokens") {
+    val df = Seq("a b c d", "a b", "x y x y x y").toDF("t")
+      .select(Text.tokens(col("t")).as("toks"))
+      .select(Text.shingles(col("toks"), 3)).as[Seq[String]].collect()
+    assert(df(0) == Seq("a b c", "b c d"))
+    assert(df(1) == Seq())
+    assert(df(2) == Seq("x y x", "y x y")) // distinct collapses repeats
+  }
+
+  test("hash32/baseHash32/affine are deterministic and in range") {
+    val row = Seq("shingle").toDF("s").select(
+      Text.hash32(col("s"), 3).as("h"),
+      Text.baseHash32(col("s")).as("b"),
+      Text.affine(Text.baseHash32(col("s")), 7).as("a"))
+      .as[(Long, Long, Long)].head()
+    val again = Seq("shingle").toDF("s").select(
+      Text.hash32(col("s"), 3), Text.baseHash32(col("s")),
+      Text.affine(Text.baseHash32(col("s")), 7)).as[(Long, Long, Long)].head()
+    assert(row == again)
+    assert(row._1 >= 0 && row._1 < (1L << 32))
+    assert(row._3 >= 0 && row._3 < Text.HashP)
+  }
+
+  test("rollingHash is order-sensitive; normalized is not content-destroying") {
+    val hashes = Seq("a b c", "c b a", "a  b   c").toDF("t")
+      .select(Text.rollingHash(Text.tokens(col("t")))).as[Long].collect()
+    assert(hashes(0) != hashes(1)) // order matters
+    assert(hashes(0) == hashes(2)) // whitespace does not
+    val norm = Seq("  Foo   BAR ").toDF("t")
+      .select(Text.normalized(col("t"))).as[String].head()
+    assert(norm == "foo bar")
+  }
+
+  test("langGuess: marker max wins, declaration order breaks ties, und on none") {
+    val out = Seq("the der the cat", "der die das", "zzz qqq", "le the")
+      .toDF("t").select(Text.langGuess(Text.tokens(col("t"))))
+      .as[String].collect().toSeq
+    assert(out == Seq("en", "de", "und", "en")) // tie le/the → en first
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cos(a: Seq[Float], b: Seq[Float]): Long =
+    Seq((a, b)).toDF("a", "b")
+      .select(Similarity.cosineScaledPm(col("a"), col("b"))).as[Long].head()
+
+  test("cosineScaledPm: identical 1e6, orthogonal 0, opposite -1e6") {
+    assert(cos(Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)) == 1000000L)
+    assert(cos(Seq(1f, 0f), Seq(0f, 1f)) == 0L)
+    assert(cos(Seq(1f, 1f), Seq(-1f, -1f)) == -1000000L)
+  }
+
+  test("bruteForceTopK ranks by scaled cosine with id tie-break, excludes self") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.01f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0f, 1f)), (4L, Seq(1f, 0f)) // 4 ties 0 exactly (same direction)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 3)
+      .select("cid", "rank").as[(Long, Long)].collect().toMap
+    assert(out(4L) == 1L) // cos=1e6, beats 1 (also high) — exact match first
+    assert(out(1L) == 2L)
+    assert(out(2L) == 3L)
+    assert(!out.contains(0L)) // self excluded
+  }
+
+  test("rpLshBucket is deterministic and within 2^planes; ANN stays in-bucket") {
+    val emb = (0L until 40L).map { i =>
+      (i, (0 until 8).map(j => ((i * 31 + j * 7) % 13).toFloat - 6f))
+    }.toDF("vec_id", "embedding")
+    val buckets = emb.select(col("vec_id"),
+        Similarity.rpLshBucket(col("embedding"), planes = 4, dims = 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(buckets.values.forall(b => b >= 0 && b < 16))
+    val again = emb.select(col("vec_id"),
+        Similarity.rpLshBucket(col("embedding"), planes = 4, dims = 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(buckets == again)
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 5, planes = 4, dims = 8, k = 3)
+      .select("qid", "cid", "bucket").as[(Long, Long, Long)].collect()
+    ann.foreach { case (q, c, b) =>
+      assert(buckets(q) == b && buckets(c) == b) // candidates share the bucket
+    }
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("ngramJaccardPairs: exact dup scores 1.0, disjoint docs pair never appears") {
+    val pairs = TextDedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0L)
+      .select("doc_a", "doc_b", "jac_pm").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 4L)) == 1000000L)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((3L, 4L)))
+    assert(pairs((1L, 2L)) > 500000L && pairs((1L, 2L)) < 1000000L)
+  }
+
+  test("minhash: exact dups share full signatures; LSH surfaces them as candidates") {
+    val sigs = TextDedup.minhashSignatures(corpus, "doc_id", "text", 3, 16)
+    val byDoc = sigs.as[(Long, Seq[Long])].collect().toMap
+    assert(byDoc(1L) == byDoc(4L)) // identical content → identical signature
+    assert(byDoc.values.forall(_.length == 16))
+    val cands = TextDedup.lshCandidatePairs(sigs, 16, 4)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(cands((1L, 4L)) == 16L) // all components agree
+    assert(!cands.contains((1L, 3L))) // dissimilar docs never band-collide here
+  }
+
+  test("df-cap drops hot shingles from the inverted index") {
+    // every doc shares the hot shingle "x y z"; with maxDf=2 it is dropped
+    val docs = Seq((1L, "x y z a b c"), (2L, "x y z d e f"), (3L, "x y z g h i"))
+      .toDF("doc_id", "text")
+    val without = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0L)
+      .count()
+    val withCap = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0L, maxDf = 2L)
+      .count()
+    assert(without == 3L) // all pairs share "x y z"
+    assert(withCap == 0L) // hot shingle capped → no candidates
+  }
+
+  test("simhash: identical docs identical, fingerprints fit in 32 bits") {
+    val out = TextDedup.simhash(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(4L))
+    assert(out.values.forall(v => v >= 0 && v < (1L << 32)))
+    assert(out(1L) != out(3L)) // different content → different fingerprint
+  }
+}
