@@ -18,7 +18,8 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def configure(b: SparkSession.Builder, cores: String): SparkSession.Builder =
-    b.config("spark.sql.session.timeZone", "UTC")
+    b.withExtensions(new GraftExtensions)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

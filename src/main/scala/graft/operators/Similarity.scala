@@ -22,13 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity scaled to parts-per-million as a long. */
+  /** Cosine similarity scaled to parts-per-million as a long. The dot
+    * products run through the codegen'd [[graft.expressions.VecDot]]
+    * kernel (registered by [[graft.GraftExtensions]]) — identical
+    * ascending left-fold arithmetic to the interpreted HOF form, so
+    * results (and the DuckDB oracles) are bit-unchanged.
+    */
   def cosineScaledPm(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    def norm2(v: Column) = aggregate(
-      transform(v, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, p) => acc + p)
-    round(lit(1000000.0) * (dot / (sqrt(norm2(a)) * sqrt(norm2(b))))).cast("long")
+    def dot(x: Column, y: Column) = call_function("vec_dot", x, y)
+    round(lit(1000000.0) * (dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))))
+      .cast("long")
   }
 
   /** Exact top-k neighbors for each query vector. `queries` must be small
