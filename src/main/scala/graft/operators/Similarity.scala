@@ -65,6 +65,59 @@ object Similarity {
       .reduce(_ + _)
   }
 
+  /** IVF cell assignment: each vector goes to its nearest of the given
+    * centroid rows by scaled cosine (centroid-id tie-break — fully
+    * deterministic). Centroids must be few (broadcast); production IVF
+    * would k-means them, here any deterministic seed set works.
+    * Returns the corpus plus a `cell` column.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame, id: String,
+                vec: String): DataFrame = {
+    val c = centroids.select(col(id).as("__cent_id"), col(vec).as("__cent_v"))
+    val scored = corpus.crossJoin(broadcast(c)) // deliberate: |centroids| tiny
+      .withColumn("__cos", cosineScaledPm(col(vec), col("__cent_v")))
+    Dedup.keepFirst(scored, Seq(col(id)),
+        Seq(col("__cos").desc, col("__cent_id").asc))
+      .withColumnRenamed("__cent_id", "cell")
+      .drop("__cent_v", "__cos")
+  }
+
+  /** IVF ANN top-k: search only the query's cell (nprobe=1; probing the
+    * next-nearest cells is the standard recall extension). Equi-join on
+    * the cell id — the bucketed scale path with data-adaptive buckets.
+    */
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame, id: String,
+              vec: String, queryPred: Column, k: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, id, vec)
+    val q = assigned.filter(queryPred)
+      .select(col(id).as("qid"), col(vec).as("qv"), col("cell"))
+    val c = assigned.select(col(id).as("cid"), col(vec).as("cv"), col("cell"))
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), col("cell"),
+        cosineScaledPm(col("qv"), col("cv")).as("cos_pm"))
+    Dedup.keepFirstK(scored, Seq(col("qid")),
+      Seq(col("cos_pm").desc, col("cid").asc), k, "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: candidates from a WIDE LSH
+    * bucketing (few planes → big buckets → high recall at a bounded
+    * candidate count, Σ bucket² ≪ N²), then the exact scaled cosine with
+    * a threshold. The dedup-by-embedding member of the near-dup family.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, id: String, vec: String,
+                         planes: Int, dims: Int, minCosPm: Long): DataFrame = {
+    val emb = corpus.select(col(id), col(vec),
+      rpLshBucket(col(vec), planes, dims).as("bucket"))
+    val a = emb.select(col(id).as("id_a"), col(vec).as("va"), col("bucket"))
+    val b = emb.select(col(id).as("id_b"), col(vec).as("vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("bucket"),
+        cosineScaledPm(col("va"), col("vb")).as("cos_pm"))
+      .filter(col("cos_pm") >= minCosPm)
+  }
+
   /** ANN top-k restricted to same-LSH-bucket candidates: the sub-linear
     * scale path (equi-join on bucket, never all-pairs). Recall is tunable
     * via `planes` (fewer planes → bigger buckets → higher recall, more

@@ -119,6 +119,26 @@ object LlmPipelines {
     Similarity.annTopK(Tables.balanced(spark, d, "embeddings"), "vec_id", "embedding",
       col("vec_id") < 20, Planes, Dims, k = 3)
 
+  /** q38: IVF ANN — vectors assigned to the nearest of 8 seed centroids
+    * (vec_id < 8), queries (vec_id in [20,30)) search their own cell only
+    * (nprobe=1). The data-adaptive bucketed scale path next to q31's
+    * hash-bucketed one.
+    */
+  def q38AnnIvfTopK(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.balanced(spark, d, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id",
+        "embedding", col("vec_id") >= 20 && col("vec_id") < 30, k = 3)
+      .select(col("qid"), col("cid"), col("cell"), col("cos_pm"), col("rank"))
+  }
+
+  /** q39: embedding-cosine near-dup pairs — wide 2-plane LSH buckets for
+    * recall, exact cosine ≥ 0.45 (the corpus has no planted embedding
+    * dups; the threshold selects the genuine extreme tail).
+    */
+  def q39EmbeddingNearDup(spark: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables.balanced(spark, d, "embeddings"),
+      "vec_id", "embedding", planes = 2, dims = Dims, minCosPm = 450000L)
+
   /** q35: the multimodal pipeline over an opaque binary column (documents
     * text re-encoded as bytes stands in for media blobs): typed metadata
     * (pure column ops) + partition-wise stub decode → per-item features.
@@ -149,6 +169,8 @@ object LlmPipelines {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_binary_features" -> q35BinaryFeatures _,
     "q36_frame_sample" -> q36FrameSample _,
+    "q38_ann_ivf_topk" -> q38AnnIvfTopK _,
+    "q39_embedding_neardup" -> q39EmbeddingNearDup _,
     "q24_text_stats" -> q24TextStats _,
     "q25_lang_id" -> q25LangId _,
     "q26_fingerprint_dedup" -> q26FingerprintDedup _,

@@ -231,9 +231,9 @@ object Oracles {
     s"""CAST(round(1000000.0 * (${dot(a, b)}
        |  / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))) AS BIGINT)""".stripMargin
   }
-  // twin of Similarity.rpLshBucket(v, planes=8, dims=64)
-  private def rpBucket(v: String) =
-    s"""list_reduce(list_transform(range(0,8), p ->
+  // twin of Similarity.rpLshBucket(v, planes, dims=64)
+  private def rpBucket(v: String, planes: Int = 8) =
+    s"""list_reduce(list_transform(range(0,$planes), p ->
        |  CASE WHEN list_reduce(list_transform(range(0,64), i ->
        |      ((${hash32("p", "i")} % 2001 - 1000)::DOUBLE / 1000.0) * $v[i+1]::DOUBLE),
        |    (x,y) -> x+y) > 0
@@ -349,6 +349,33 @@ object Oracles {
          |    CAST(greatest(0, least((frame+1)*n, len) - frame*n) AS INTEGER))) AS frame_sha,
          |  CAST(greatest(0, least((frame+1)*n, len) - frame*n) AS BIGINT) AS frame_bytes
          |FROM f""".stripMargin,
+
+    "q38_ann_ivf_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS centv
+         |  FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosPm("e.embedding", "c.centv")} DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, cell FROM asg
+         |      WHERE vec_id >= 20 AND vec_id < 30),
+         |c AS (SELECT vec_id AS cid, embedding AS cv, cell FROM asg),
+         |s AS (SELECT qid, cid, cell, ${cosPm("qv", "cv")} AS cos_pm
+         |      FROM q JOIN c USING (cell) WHERE cid <> qid),
+         |r AS (SELECT qid, cid, cell, cos_pm,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos_pm DESC, cid ASC) AS "rank"
+         |      FROM s)
+         |SELECT * FROM r WHERE "rank" <= 3""".stripMargin,
+
+    "q39_embedding_neardup" ->
+      s"""WITH emb AS (SELECT vec_id, embedding, ${rpBucket("embedding", 2)} AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+         |  ${cosPm("a.embedding", "b.embedding")} AS cos_pm
+         |FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${cosPm("a.embedding", "b.embedding")} >= 450000""".stripMargin,
 
     "q30_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
