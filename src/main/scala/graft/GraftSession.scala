@@ -24,6 +24,13 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // The generated-class cache defaults to 100 entries; a resident
+      // engine serving this registry's ~40 query shapes (several with
+      // large codegen'd expression trees — minhash signatures, banding)
+      // evicts and re-Janino-compiles hot plans on every execution.
+      // 1000 entries keeps every shape resident; memory cost is a few
+      // hundred KB of bytecode.
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests and benches. */

@@ -64,17 +64,26 @@ object TextDedup {
     */
   def minhashSignatures(docs: DataFrame, id: String, text: String, k: Int,
                         numHashes: Int): DataFrame = {
-    // Tokens → column first (lambda-captured expressions re-evaluate per
-    // element), then one md5 per shingle + a cheap affine family per
-    // signature slot — not numHashes md5 passes (16× less hashing).
-    docs.select(col(id).as("doc"), Text.tokens(col(text)).as("toks"))
-      .select(col("doc"), Text.shingles(col("toks"), k).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // Shape note (measured, sf0.1): higher-order functions (transform/
+    // aggregate/zip_with) are CodegenFallback — interpreted row-by-row with
+    // boxed intermediate arrays — so computing the signature as
+    // `array_min(transform(bases, affine_j))` per slot ran ~10s for 5k
+    // docs. Exploding the shingle array instead keeps everything inside
+    // whole-stage codegen: one md5 per (doc, shingle) row, numHashes `min`
+    // aggregates with map-side partial aggregation, a single shuffle keyed
+    // on doc. Same values, ~20× faster — and the keyed-aggregate shape is
+    // also the right one at scale (no wide rows, partial agg collapses
+    // before the exchange).
+    val perShingle = docs
+      .select(col(id).as("doc"), Text.tokens(col(text)).as("toks"))
+      .select(col("doc"), explode(Text.shingles(col("toks"), k)).as("s"))
+      .select(col("doc"), Text.baseHash32(col("s")).as("b"))
+    perShingle
+      .groupBy(col("doc"))
+      .agg(min(Text.affine(col("b"), 0)).as("m0"),
+        (1 until numHashes).map(j => min(Text.affine(col("b"), j)).as(s"m$j")): _*)
       .select(col("doc"),
-        transform(col("sh"), s => Text.baseHash32(s)).as("bases"))
-      .select(col("doc"),
-        array((0 until numHashes).map(j =>
-          array_min(transform(col("bases"), b => Text.affine(b, j)))): _*).as("sig"))
+        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
   }
 
   /** LSH banding over minhash signatures: `bands` bands of `sig.length /
