@@ -61,6 +61,22 @@ object Text {
     aggregate(transform(toks, t => hash32(t, 0)), lit(0L),
       (acc, h) => (acc * 31 + h) % 2147483647L)
 
+  /** BPE-ish word-piece pattern: contraction suffixes, letter runs capped
+    * at 4 chars (long words split into multiple pieces, like a subword
+    * vocabulary would), digit runs capped at 3 (GPT-style number chunking),
+    * single non-space symbols. RE2-safe (no lookaround) so the DuckDB
+    * oracle evaluates the identical pattern; alternation is leftmost-first
+    * in both engines.
+    */
+  val BpePattern = """'(?:s|t|re|ve|m|ll|d)|\p{L}{1,4}|\p{N}{1,3}|[^\s\p{L}\p{N}]"""
+
+  /** All BPE-ish pieces of the text, in order — `size` of this is the
+    * token-count estimate a tokenizer-budget pipeline needs; pieces per
+    * whitespace word is the fertility signal.
+    */
+  def bpePieces(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
   /** Whitespace-normalized lowercase form for exact-content fingerprints. */
   def normalized(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))

@@ -139,6 +139,22 @@ object LlmPipelines {
     Similarity.cosineNearDupPairs(Tables.balanced(spark, d, "embeddings"),
       "vec_id", "embedding", planes = 2, dims = Dims, minCosPm = 450000L)
 
+  /** q40: BPE-ish token counting — subword-piece count from
+    * [[Text.BpePattern]] (letter runs capped at 4, digit runs at 3,
+    * contraction suffixes) plus fertility (pieces per whitespace word,
+    * milli) — the tokenizer-budget estimate a training pipeline runs
+    * before paying for real BPE.
+    */
+  def q40BpeTokenCount(spark: SparkSession, d: String): DataFrame =
+    Tables.balanced(spark, d, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"),
+        Text.bpePieces(col("text")).as("pieces"))
+      .select(col("doc_id"),
+        size(col("pieces")).cast("long").as("n_bpe"),
+        size(col("toks")).cast("long").as("n_ws"),
+        round(lit(1000.0) * size(col("pieces")) / size(col("toks")))
+          .cast("long").as("fertility_milli"))
+
   /** q35: the multimodal pipeline over an opaque binary column (documents
     * text re-encoded as bytes stands in for media blobs): typed metadata
     * (pure column ops) + partition-wise stub decode → per-item features.
@@ -172,6 +188,7 @@ object LlmPipelines {
     "q38_ann_ivf_topk" -> q38AnnIvfTopK _,
     "q39_embedding_neardup" -> q39EmbeddingNearDup _,
     "q24_text_stats" -> q24TextStats _,
+    "q40_bpe_token_count" -> q40BpeTokenCount _,
     "q25_lang_id" -> q25LangId _,
     "q26_fingerprint_dedup" -> q26FingerprintDedup _,
     "q27_ngram_jaccard_pairs" -> q27NgramJaccardPairs _,

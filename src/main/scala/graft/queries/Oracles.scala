@@ -254,6 +254,16 @@ object Oracles {
          |    + 0.5 * least(1.0, n_tokens / 100.0))) AS BIGINT) AS quality_milli
          |FROM t""".stripMargin,
 
+    "q40_bpe_token_count" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks,
+         |    regexp_extract_all(text,
+         |      '''(?:s|t|re|ve|m|ll|d)|\\p{L}{1,4}|\\p{N}{1,3}|[^\\s\\p{L}\\p{N}]') AS pieces
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_bpe,
+         |  CAST(len(toks) AS BIGINT) AS n_ws,
+         |  CAST(round(1000.0 * len(pieces) / len(toks)) AS BIGINT) AS fertility_milli
+         |FROM t""".stripMargin,
+
     "q25_lang_id" ->
       s"""WITH s AS (SELECT lang,
          |    len(list_filter($Toks, x -> x IN ('the','a','is'))) AS s_en,

@@ -12,6 +12,14 @@ class TextSpec extends AnyFunSuite {
   private def one[T](df: org.apache.spark.sql.DataFrame): T =
     df.collect()(0).getAs[T](0)
 
+  test("bpePieces: caps letter runs at 4, digits at 3, splits contractions") {
+    val pieces = Seq("it's extraordinary 12345!")
+      .toDF("t").select(Text.bpePieces(col("t"))).as[Seq[String]].head()
+    // extraordinary (13 letters) → 4+4+4+1 pieces; 12345 → 123, 45
+    assert(pieces === Seq("it", "'s", "extr", "aord", "inar", "y",
+      "123", "45", "!"))
+  }
+
   test("tokens collapse runs of whitespace and trim edges") {
     val toks = Seq("  a  b\tc ").toDF("t")
       .select(Text.tokens(col("t"))).as[Seq[String]].head()
