@@ -1,7 +1,5 @@
 package graft.operators
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
@@ -69,28 +67,66 @@ object GraphMetrics {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted.toArray
     val idx = nodes.zipWithIndex.toMap
     val n = nodes.length
-    val adj = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
-    edges.distinct.foreach { case (s, d) => adj(idx(s)) += idx(d) }
+    val es = edges.distinct.map { case (s, d) => (idx(s), idx(d)) }
+    val m = es.length
+    // Forward and reverse adjacency in CSR form (flat int arrays): the
+    // n-source loop below visits every edge O(n) times, so per-visit
+    // allocation (the ArrayBuffer-per-node form of this) dominates runtime
+    // long before the arithmetic does. With CSR + reused buffers the whole
+    // per-source pass allocates nothing.
+    def csr(endpoints: Seq[(Int, Int)]): (Array[Int], Array[Int]) = {
+      val start = new Array[Int](n + 1)
+      endpoints.foreach { case (s, _) => start(s + 1) += 1 }
+      var i = 0
+      while (i < n) { start(i + 1) += start(i); i += 1 }
+      val out = new Array[Int](m)
+      val fill = java.util.Arrays.copyOf(start, n)
+      endpoints.foreach { case (s, d) => out(fill(s)) = d; fill(s) += 1 }
+      (start, out)
+    }
+    val (adjStart, adj) = csr(es)
+    val (inStart, inAdj) = csr(es.map(_.swap))
     val bc = new Array[Double](n)
-    for (s <- 0 until n) {
-      val stack = mutable.Stack.empty[Int]
-      val preds = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
-      val sigma = new Array[Double](n); sigma(s) = 1.0
-      val dist = Array.fill(n)(-1); dist(s) = 0
-      val queue = mutable.Queue(s)
-      while (queue.nonEmpty) {
-        val v = queue.dequeue(); stack.push(v)
-        adj(v).foreach { w =>
-          if (dist(w) < 0) { dist(w) = dist(v) + 1; queue.enqueue(w) }
-          if (dist(w) == dist(v) + 1) { sigma(w) += sigma(v); preds(w) += v }
+    val stack = new Array[Int](n)
+    val queue = new Array[Int](n)
+    val dist = new Array[Int](n)
+    val sigma = new Array[Double](n)
+    val delta = new Array[Double](n)
+    var s = 0
+    while (s < n) {
+      java.util.Arrays.fill(dist, -1)
+      java.util.Arrays.fill(sigma, 0.0)
+      java.util.Arrays.fill(delta, 0.0)
+      sigma(s) = 1.0; dist(s) = 0
+      queue(0) = s
+      var qHead = 0; var qTail = 1; var top = 0
+      while (qHead < qTail) {
+        val v = queue(qHead); qHead += 1
+        stack(top) = v; top += 1
+        var e = adjStart(v)
+        while (e < adjStart(v + 1)) {
+          val w = adj(e)
+          if (dist(w) < 0) { dist(w) = dist(v) + 1; queue(qTail) = w; qTail += 1 }
+          if (dist(w) == dist(v) + 1) sigma(w) += sigma(v)
+          e += 1
         }
       }
-      val delta = new Array[Double](n)
-      while (stack.nonEmpty) {
-        val w = stack.pop()
-        preds(w).foreach { v => delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w)) }
+      // Dependency accumulation: a predecessor of w on a shortest path is
+      // any in-neighbor v with dist(v) = dist(w) − 1 — recovered from the
+      // reverse CSR instead of materializing per-source pred lists.
+      while (top > 0) {
+        top -= 1
+        val w = stack(top)
+        val coef = (1.0 + delta(w)) / sigma(w)
+        var e = inStart(w)
+        while (e < inStart(w + 1)) {
+          val v = inAdj(e)
+          if (dist(v) == dist(w) - 1) delta(v) += sigma(v) * coef
+          e += 1
+        }
         if (w != s) bc(w) += delta(w)
       }
+      s += 1
     }
     val scale = if (n > 2) 1.0 / ((n - 1.0) * (n - 2.0)) else 0.0
     nodes.zipWithIndex.map { case (name, i) => name -> bc(i) * scale }.toMap
