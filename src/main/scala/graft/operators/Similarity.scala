@@ -53,14 +53,24 @@ object Similarity {
     * hyperplane weights w_p[i] derive from md5(p:i) mapped into
     * [-1, 1] — fixed, engine-portable pseudo-randomness (no RNG state to
     * ship). `dims` must match the embedding length.
+    *
+    * The weights are data-independent constants, so they are computed ONCE
+    * here (same md5 → 32-bit → [-1,1] formula the DuckDB oracle evaluates
+    * in SQL — values bit-match) and shipped as array literals into the
+    * codegen'd [[graft.expressions.VecDot]] kernel. The previous form
+    * re-derived every weight per row per element through interpreted
+    * higher-order functions — md5 × dims × planes per vector.
     */
   def rpLshBucket(v: Column, planes: Int, dims: Int): Column = {
-    def dotPlane(p: Int): Column = aggregate(
-      transform(sequence(lit(0), lit(dims - 1)), i => {
-        val w = (conv(substring(md5(concat(lit(s"$p:"), i.cast("string"))), 1, 8), 16, 10)
-          .cast("long") % 2001 - 1000).cast("double") / 1000.0
-        w * element_at(v, (i + 1).cast("int")).cast("double")
-      }), lit(0.0), (acc, x) => acc + x)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(p: Int, i: Int): Double = {
+      val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16) % 2001 - 1000).toDouble / 1000.0
+    }
+    def dotPlane(p: Int): Column =
+      call_function("vec_dot",
+        typedlit((0 until dims).map(weight(p, _))), v)
     (0 until planes).map(p => when(dotPlane(p) > 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
   }
