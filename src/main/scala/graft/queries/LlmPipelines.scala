@@ -155,6 +155,16 @@ object LlmPipelines {
         round(lit(1000.0) * size(col("pieces")) / size(col("toks")))
           .cast("long").as("fertility_milli"))
 
+  /** q41: occupancy-capped adaptive ANN — 2 coarse planes (so the small
+    * test corpora actually produce oversized buckets), buckets above 64
+    * vectors split by 4 extra planes. The skew-mitigation member of the
+    * ANN family: bounded per-bucket work on clustered corpora.
+    */
+  def q41AnnAdaptiveTopK(spark: SparkSession, d: String): DataFrame =
+    Similarity.annTopKAdaptive(Tables.balanced(spark, d, "embeddings"),
+      "vec_id", "embedding", col("vec_id") < 20,
+      planes = 2, extraPlanes = 4, dims = Dims, k = 3, cap = 64L)
+
   /** q35: the multimodal pipeline over an opaque binary column (documents
     * text re-encoded as bytes stands in for media blobs): typed metadata
     * (pure column ops) + partition-wise stub decode → per-item features.
@@ -196,5 +206,6 @@ object LlmPipelines {
     "q29_simhash" -> q29Simhash _,
     "q30_cosine_topk" -> q30CosineTopK _,
     "q31_ann_lsh_topk" -> q31AnnLshTopK _,
+    "q41_ann_adaptive_topk" -> q41AnnAdaptiveTopK _,
   )
 }

@@ -231,13 +231,16 @@ object Oracles {
     s"""CAST(round(1000000.0 * (${dot(a, b)}
        |  / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))) AS BIGINT)""".stripMargin
   }
-  // twin of Similarity.rpLshBucket(v, planes, dims=64)
-  private def rpBucket(v: String, planes: Int = 8) =
-    s"""list_reduce(list_transform(range(0,$planes), p ->
+  // twin of Similarity.rpLshBucketRange(v, from, planes, dims=64)
+  private def rpBucketRange(v: String, from: Int, planes: Int) =
+    s"""list_reduce(list_transform(range($from,${from + planes}), p ->
        |  CASE WHEN list_reduce(list_transform(range(0,64), i ->
        |      ((${hash32("p", "i")} % 2001 - 1000)::DOUBLE / 1000.0) * $v[i+1]::DOUBLE),
        |    (x,y) -> x+y) > 0
-       |  THEN (1::BIGINT << p) ELSE 0::BIGINT END), (a,b) -> a+b)""".stripMargin
+       |  THEN (1::BIGINT << (p - $from)) ELSE 0::BIGINT END), (a,b) -> a+b)""".stripMargin
+
+  // twin of Similarity.rpLshBucket(v, planes, dims=64)
+  private def rpBucket(v: String, planes: Int = 8) = rpBucketRange(v, 0, planes)
 
   val llm: Map[String, String] = Map(
     "q24_text_stats" ->
@@ -401,6 +404,27 @@ object Oracles {
       s"""WITH emb AS (SELECT vec_id, embedding, ${rpBucket("embedding")} AS bucket FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM emb WHERE vec_id < 20),
          |c AS (SELECT vec_id AS cid, embedding AS cv, bucket FROM emb),
+         |s AS (SELECT qid, cid, q.bucket AS bucket, ${cosPm("qv", "cv")} AS cos_pm
+         |      FROM q JOIN c USING (bucket) WHERE cid <> qid),
+         |r AS (SELECT qid, cid, bucket, cos_pm,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos_pm DESC, cid ASC) AS "rank"
+         |      FROM s)
+         |SELECT * FROM r WHERE "rank" <= 3""".stripMargin,
+
+    // adaptive twin: 2 coarse planes, cap 64, 4 extra planes →
+    // shift 2^(4+1)=32, split flag 2^4=16 (disjoint id spaces)
+    "q41_ann_adaptive_topk" ->
+      s"""WITH emb AS (SELECT vec_id, embedding,
+         |    ${rpBucketRange("embedding", 0, 2)} AS bucket,
+         |    ${rpBucketRange("embedding", 2, 4)} AS fine
+         |  FROM embeddings),
+         |cnt AS (SELECT bucket, count(*) AS bn FROM emb GROUP BY bucket),
+         |e2 AS (SELECT vec_id, embedding,
+         |    CASE WHEN bn > 64 THEN emb.bucket * 32 + 16 + fine
+         |         ELSE emb.bucket * 32 END AS bucket
+         |  FROM emb JOIN cnt USING (bucket)),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM e2 WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS cid, embedding AS cv, bucket FROM e2),
          |s AS (SELECT qid, cid, q.bucket AS bucket, ${cosPm("qv", "cv")} AS cos_pm
          |      FROM q JOIN c USING (bucket) WHERE cid <> qid),
          |r AS (SELECT qid, cid, bucket, cos_pm,

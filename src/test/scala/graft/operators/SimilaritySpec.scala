@@ -52,4 +52,31 @@ class SimilaritySpec extends AnyFunSuite {
       assert(buckets(q) == b && buckets(c) == b) // candidates share the bucket
     }
   }
+
+  test("annTopKAdaptive: huge cap degenerates to plain LSH; tight cap refines within base bucket") {
+    val emb = (0L until 40L).map { i =>
+      (i, (0 until 8).map(j => ((i * 31 + j * 7) % 13).toFloat - 6f))
+    }.toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "cos_pm", "rank")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    // cap above corpus size → no bucket splits → identical neighbor sets
+    val plain = rows(Similarity.annTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 5, planes = 4, dims = 8, k = 3))
+    val lazyCap = rows(Similarity.annTopKAdaptive(emb, "vec_id", "embedding",
+      col("vec_id") < 5, planes = 4, extraPlanes = 3, dims = 8, k = 3,
+      cap = 1000L))
+    assert(lazyCap == plain)
+    // cap=1 splits every bucket; every candidate pair must still share the
+    // BASE bucket (refinement only subdivides, never merges)
+    val buckets = emb.select(col("vec_id"),
+        Similarity.rpLshBucket(col("embedding"), planes = 4, dims = 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val tight = Similarity.annTopKAdaptive(emb, "vec_id", "embedding",
+      col("vec_id") < 5, planes = 4, extraPlanes = 3, dims = 8, k = 3,
+      cap = 1L)
+      .select("qid", "cid").as[(Long, Long)].collect()
+    assert(tight.nonEmpty)
+    tight.foreach { case (q, c) => assert(buckets(q) == buckets(c)) }
+  }
 }
