@@ -23,15 +23,15 @@ import org.apache.spark.sql.functions._
 object GraphMetrics {
 
   /** Directed weighted edge within a city subgraph. */
-  case class Edge(city: Int, src: String, dst: String, w: Long)
-  case class Metric(city: Int, node: String, value_pm: Long, norm_pm: Long)
+  case class Edge(city: String, src: String, dst: String, w: Long)
+  case class Metric(city: String, node: String, value_pm: Long, norm_pm: Long)
 
   val Alpha = 0.85
   val Iterations = 30
 
   private implicit val edgeEnc: Encoder[Edge] = Encoders.product[Edge]
   private implicit val metricEnc: Encoder[Metric] = Encoders.product[Metric]
-  private implicit val intEnc: Encoder[Int] = Encoders.scalaInt
+  private implicit val strEnc: Encoder[String] = Encoders.STRING
 
   /** Weighted PageRank on one small graph, networkx-compatible semantics
     * (uniform start/personalization, dangling mass redistributed
@@ -132,7 +132,7 @@ object GraphMetrics {
     nodes.zipWithIndex.map { case (name, i) => name -> bc(i) * scale }.toMap
   }
 
-  private def toMetrics(city: Int, scores: Map[String, Double]): Iterator[Metric] = {
+  private def toMetrics(city: String, scores: Map[String, Double]): Iterator[Metric] = {
     val mean = if (scores.isEmpty) 0.0 else scores.values.sum / scores.size
     scores.iterator.map { case (node, v) =>
       // P9 NaN-scrub: zero mean (all-zero metric) normalizes to 0, not NaN
@@ -142,24 +142,35 @@ object GraphMetrics {
   }
 
   /** G2 per-city weighted PageRank over an edge DataFrame with columns
-    * (city:int, src:string, dst:string, w:long). One shuffle by city.
+    * (city, src:string, dst:string, w:long). One shuffle by city.
+    *
+    * `minEdges` is the reference's `MIN_CITY_SIZE` gate — cities whose
+    * subgraph has fewer than that many EDGES are skipped entirely. (The
+    * reference compares edge count despite the env var's name suggesting
+    * hotspot count, `src/arango_queries.py:159` — quirk preserved.)
     */
-  def perCityPagerank(edges: DataFrame): DataFrame =
-    edges.select(col("city").cast("int"), col("src"), col("dst"), col("w"))
+  def perCityPagerank(edges: DataFrame, minEdges: Int = 0): DataFrame =
+    edges.select(col("city").cast("string"), col("src"), col("dst"), col("w"))
       .as[Edge]
       .groupByKey(_.city)
       .flatMapGroups { (city, it) =>
-        toMetrics(city, pagerank(it.map(e => (e.src, e.dst, e.w)).toSeq))
+        val es = it.map(e => (e.src, e.dst, e.w)).toSeq
+        if (es.size < minEdges) Iterator.empty
+        else toMetrics(city, pagerank(es))
       }
       .toDF("city", "node", "pr_pm", "pr_norm_pm")
 
-  /** G3 per-city betweenness (unweighted, normalized + mean-normalized). */
-  def perCityBetweenness(edges: DataFrame): DataFrame =
-    edges.select(col("city").cast("int"), col("src"), col("dst"), col("w"))
+  /** G3 per-city betweenness (unweighted, normalized + mean-normalized);
+    * same `minEdges` gate as [[perCityPagerank]].
+    */
+  def perCityBetweenness(edges: DataFrame, minEdges: Int = 0): DataFrame =
+    edges.select(col("city").cast("string"), col("src"), col("dst"), col("w"))
       .as[Edge]
       .groupByKey(_.city)
       .flatMapGroups { (city, it) =>
-        toMetrics(city, betweenness(it.map(e => (e.src, e.dst)).toSeq))
+        val es = it.map(e => (e.src, e.dst)).toSeq
+        if (es.size < minEdges) Iterator.empty
+        else toMetrics(city, betweenness(es))
       }
       .toDF("city", "node", "bc_pm", "bc_norm_pm")
 }

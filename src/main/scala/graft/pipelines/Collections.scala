@@ -113,6 +113,40 @@ object Collections {
     Dedup.newestWins(exploded, Seq(col("_key")), col("time"), col("_to"))
   }
 
+  /** G1/J6: the per-city 1-hop "traversal" as two relational joins — the
+    * reference iterates cities and, per city, walks
+    * `FOR v,e,p IN 1..1 OUTBOUND hotspot witnesses` computing
+    * GEO_DISTANCE between endpoint hotspots (`src/arango_queries.py:
+    * 145-163`). Here ALL cities build in one pass: valid witness edges ⨝
+    * hotspots on `_from` ⨝ hotspots on `_to`, keeping pairs whose
+    * challengee hotspot carries a city (the reference's per-city filter on
+    * the nested `location_details.city_key`, P2), weighted by the
+    * haversine meters between the two GeoJSON points (F8). Vertex refs are
+    * stripped back to addresses (F7). Output (city, src, dst, w) feeds
+    * [[graft.operators.GraphMetrics]] directly.
+    *
+    * Plan: hotspot endpoints join by key — broadcast when hotspots are a
+    * dim, shuffle hash join at scale; no per-city driver loop (the
+    * reference's chunking bug, `src/arango_queries.py:196-199`, cannot
+    * exist in this shape).
+    */
+  def cityGraphEdges(hotspots: DataFrame, witnesses: DataFrame): DataFrame = {
+    def endpoint(side: String) = hotspots.select(
+      Keys.vertexRef("hotspots", col("address")).as(s"__ref_$side"),
+      col("address").as(s"__addr_$side"),
+      col("location_details.city_key").as(s"__city_$side"),
+      col("geo_location.coordinates").getItem(1).as(s"__lat_$side"),
+      col("geo_location.coordinates").getItem(0).as(s"__lng_$side"))
+    witnesses.filter(col("is_valid"))
+      .join(endpoint("a"), col("_from") === col("__ref_a"))
+      .join(endpoint("b"), col("_to") === col("__ref_b"))
+      .filter(col("__city_a").isNotNull)
+      .select(col("__city_a").as("city"),
+        col("__addr_a").as("src"), col("__addr_b").as("dst"),
+        round(Geo.haversineMeters(col("__lat_a"), col("__lng_a"),
+          col("__lat_b"), col("__lng_b"))).cast("long").as("w"))
+  }
+
   /** G5: write the per-city graph metrics back onto the hotspot vertices
     * (reference `src/arango_queries.py:169-178` upserts them with
     * `onDuplicate='update'`). A broadcast-friendly left join on `_key`

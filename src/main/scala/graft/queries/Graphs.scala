@@ -55,6 +55,7 @@ object Graphs {
     */
   def q33CityPagerank(spark: SparkSession, d: String): DataFrame =
     GraphMetrics.perCityPagerank(edges(spark, d))
+      .withColumn("city", col("city").cast("int"))
 
   /** q34: G3 per-city betweenness (Brandes, unweighted — the reference's
     * weighted-PR/unweighted-BC asymmetry). Not SQL-expressible: driver
@@ -62,6 +63,7 @@ object Graphs {
     */
   def q34CityBetweenness(spark: SparkSession, d: String): DataFrame =
     GraphMetrics.perCityBetweenness(edges(spark, d))
+      .withColumn("city", col("city").cast("int"))
 
   /** q37: F3/P8 — the (pseudo) cell decode feeding GeoJSON points,
     * null-tolerantly: cells are rendered from customer names, every 97th

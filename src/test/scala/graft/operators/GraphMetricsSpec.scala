@@ -59,15 +59,15 @@ class GraphMetricsSpec extends AnyFunSuite {
       (2, "x", "y", 1L) // 2-node path
     ).toDF("city", "src", "dst", "w")
     val out = GraphMetrics.perCityPagerank(edges)
-      .as[(Int, String, Long, Long)].collect()
+      .as[(String, String, Long, Long)].collect()
       .groupBy(_._1)
     // city 1 uniform: pm ≈ 333333, norm ≈ 1e6
-    out(1).foreach { case (_, _, pm, norm) =>
+    out("1").foreach { case (_, _, pm, norm) =>
       assert(math.abs(pm - 333333L) <= 1)
       assert(math.abs(norm - 1000000L) <= 1)
     }
     // city 2: y > x, two rows only
-    val c2 = out(2).map(r => r._2 -> r._3).toMap
+    val c2 = out("2").map(r => r._2 -> r._3).toMap
     assert(c2.size == 2 && c2("y") > c2("x"))
   }
 }

@@ -112,6 +112,43 @@ class CollectionsSpec extends AnyFunSuite {
     assert(out.columns.count(_ == "pagerank") == 1) // no duplicate columns
   }
 
+  test("cityGraphEdges: J6 traversal as joins — valid edges, city filter, haversine weight") {
+    val hs = (addr: String, cityKey: String, lat: Double, lng: Double) =>
+      (s"hotspots/$addr", addr, cityKey, Seq(lng, lat))
+    val hotspots = Seq(
+      hs("gw1", "sf", 37.0, -122.0),
+      hs("gw2", "sf", 38.0, -122.0),
+      hs("gw3", null, 0.0, 0.0)) // no city → its outbound edges drop
+      .toDF("__ref", "address", "ck", "coords")
+      .select(col("address"),
+        struct(col("ck").as("city_key")).as("location_details"),
+        struct(col("coords").as("coordinates"), lit("Point").as("type"))
+          .as("geo_location"))
+    val wit = Seq(
+      ("hotspots/gw1", "hotspots/gw2", true),
+      ("hotspots/gw2", "hotspots/gw1", false), // invalid → dropped (P6)
+      ("hotspots/gw3", "hotspots/gw1", true))  // challengee has no city
+      .toDF("_from", "_to", "is_valid")
+    val out = Collections.cityGraphEdges(hotspots, wit).collect()
+    assert(out.length == 1)
+    val e = out.head
+    assert(e.getAs[String]("city") == "sf" && e.getAs[String]("src") == "gw1"
+      && e.getAs[String]("dst") == "gw2")
+    // 1 degree of latitude ≈ 111.2 km on the spherical model
+    assert(math.abs(e.getAs[Long]("w") - 111195L) < 200)
+  }
+
+  test("perCity metrics honor the min_city_size EDGE-count gate") {
+    val edges = Seq(
+      ("big", "a", "b", 1L), ("big", "b", "c", 1L), ("big", "c", "a", 1L),
+      ("small", "x", "y", 1L))
+      .toDF("city", "src", "dst", "w")
+    val pr = graft.operators.GraphMetrics.perCityPagerank(edges, minEdges = 2)
+    assert(pr.select("city").distinct().as[String].collect().toSet == Set("big"))
+    val bc = graft.operators.GraphMetrics.perCityBetweenness(edges, minEdges = 2)
+    assert(bc.select("city").distinct().as[String].collect().toSet == Set("big"))
+  }
+
   test("balances: latest row per day, day-ordered series per account") {
     val acc = (block: Long, addr: String, bal: Long) =>
       Row(block, addr, 0L, 0L, 0L, 0L, bal, 0L, 0L)
