@@ -39,12 +39,26 @@ object SparkEntry {
     // T4 sliding retention: keep the last 15 days of edges.
     val cutoff = 1705276800000000L // 2024-01-15T00:00:00Z µs
     val kept = Merge.retain(edges.filter(col("is_valid")), "time", cutoff)
-    // E3: per-city metrics over the retained witness graph.
-    val graph = kept.select(
-      (crc32(col("_from")) % 5).cast("int").as("city"),
-      col("_from").as("src"), col("_to").as("dst"),
-      (abs(col("signal")) + 1).as("w"))
-    GraphMetrics.perCityPagerank(graph)
+    // Hotspot docs for every edge endpoint: pseudo-cell geo + a 5-city
+    // partition, same document shape Collections.hotspots emits.
+    val addrs = kept
+      .select(element_at(split(col("_from"), "/"), -1).as("address"))
+      .unionByName(kept.select(element_at(split(col("_to"), "/"), -1).as("address")))
+      .distinct()
+    val (lat, lng) = graft.functions.Geo.cellToPseudoLatLng(md5(col("address")))
+    val hotspots = addrs.select(col("address"),
+      struct((crc32(col("address")) % 5).cast("string").as("city_key"))
+        .as("location_details"),
+      graft.functions.Geo.geoJsonPoint(lat, lng).as("geo_location"))
+    // E3: J6 traversal over the docs → gated per-city metrics → G5 merge.
+    val graph = Collections.cityGraphEdges(hotspots, kept)
+      .withColumn("w", col("w") + 1) // pseudo-coords may coincide; keep w ≥ 1
+    val pr = GraphMetrics.perCityPagerank(graph, minEdges = 2)
+      .select(col("node"), col("pr_pm").as("value_pm"), col("pr_norm_pm").as("norm_pm"))
+    val bc = GraphMetrics.perCityBetweenness(graph, minEdges = 2)
+      .select(col("node"), col("bc_pm").as("value_pm"), col("bc_norm_pm").as("norm_pm"))
+    Collections.mergeMetrics(
+      hotspots.withColumn("_key", col("address")), pr, bc)
   }
 
   /** One entry per implemented operator family from SURVEY.md §2. */
