@@ -80,6 +80,31 @@ object Multimodal {
       .toDF()
   }
 
+  /** Resize stub: stride-resample the byte stream (every `stride`-th
+    * byte), the partition-local shape of a pixel-domain resize — bytes in,
+    * smaller bytes out, metadata updated, nothing shuffles. A production
+    * implementation swaps the slice loop for the codec's scaler; the
+    * output contract (id, original size, resized size, resized content
+    * hash) is what downstream dedup/quality stages consume.
+    */
+  def resample(spark: SparkSession, df: DataFrame, idCol: String,
+               binCol: String, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    implicit val enc: Encoder[(Long, Long, Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.STRING)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val kept = bytes.indices.by(stride).map(bytes(_)).toArray
+          (id, bytes.length.toLong, kept.length.toLong,
+            org.apache.commons.codec.digest.DigestUtils.md5Hex(kept))
+        }
+      }
+      .toDF("id", "orig_bytes", "resized_bytes", "resized_sha")
+  }
+
   /** Frame sampling stub for "video" bytes: split into `frames` equal
     * byte-ranges and hash each — the partition-local fan-out shape of real
     * frame extraction (explode of per-frame rows, bytes stay local).

@@ -192,9 +192,22 @@ object LlmPipelines {
         col("frame_bytes"))
   }
 
+  /** q42: the resize member of the multimodal family — stride-4 byte
+    * resample of each blob, emitting updated size metadata + content hash
+    * of the resized payload.
+    */
+  def q42ResizeStub(spark: SparkSession, d: String): DataFrame = {
+    val bin = Tables.balanced(spark, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("bytes"))
+    graft.operators.Multimodal.resample(spark, bin, "doc_id", "bytes", 4)
+      .select(col("id").as("doc_id"), col("orig_bytes"),
+        col("resized_bytes"), col("resized_sha"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_binary_features" -> q35BinaryFeatures _,
     "q36_frame_sample" -> q36FrameSample _,
+    "q42_resize_stub" -> q42ResizeStub _,
     "q38_ann_ivf_topk" -> q38AnnIvfTopK _,
     "q39_embedding_neardup" -> q39EmbeddingNearDup _,
     "q24_text_stats" -> q24TextStats _,

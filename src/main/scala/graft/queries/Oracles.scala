@@ -353,6 +353,15 @@ object Oracles {
          |  CAST(ascii(substr(text, length(text), 1)) AS INTEGER) AS last_byte
          |FROM documents""".stripMargin,
 
+    // ASCII corpus: md5 over the stride-kept characters equals md5 over
+    // the stride-kept utf-8 bytes (same convention as q35/q36)
+    "q42_resize_stub" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_bytes,
+         |  CAST(len(range(1, length(text)+1, 4)) AS BIGINT) AS resized_bytes,
+         |  md5(array_to_string(list_transform(range(1, length(text)+1, 4),
+         |    i -> substr(text, CAST(i AS INTEGER), 1)), '')) AS resized_sha
+         |FROM documents""".stripMargin,
+
     "q36_frame_sample" ->
       s"""WITH f AS (SELECT doc_id, text, length(text) AS len,
          |    greatest(1, length(text) // 4) AS n, unnest(range(0, 4)) AS frame

@@ -41,4 +41,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(0)._3 ==
       org.apache.commons.codec.digest.DigestUtils.md5Hex("012".getBytes))
   }
+
+  test("resample keeps every stride-th byte and hashes the result") {
+    val df = Seq((1L, "0123456789".getBytes)).toDF("id", "bytes")
+    val out = Multimodal.resample(spark, df, "id", "bytes", 4)
+      .as[(Long, Long, Long, String)].head()
+    assert(out._2 == 10L && out._3 == 3L) // positions 0, 4, 8
+    assert(out._4 ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("048".getBytes))
+  }
 }
