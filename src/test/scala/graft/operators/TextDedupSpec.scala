@@ -48,6 +48,28 @@ class TextDedupSpec extends AnyFunSuite {
     assert(withCap == 0L) // hot shingle capped → no candidates
   }
 
+  test("property: planted exact dups always surface as full-agreement LSH candidates") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docGen = Gen.listOfN(8, word).map(_.mkString(" "))
+    val prop = Prop.forAll(Gen.listOfN(6, docGen)) { texts =>
+      // plant an exact dup of every doc: ids i and i+100
+      val rows = texts.zipWithIndex.flatMap { case (t, i) =>
+        Seq((i.toLong, t), (i + 100L, t))
+      }
+      val sigs = TextDedup.minhashSignatures(rows.toDF("doc_id", "text"),
+        "doc_id", "text", 3, 16)
+      val cands = TextDedup.lshCandidatePairs(sigs, 16, 4)
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      texts.indices.forall { i =>
+        cands.get((i.toLong, i + 100L)).contains(16L)
+      }
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(10))
+    assert(res.passed, res.status.toString)
+  }
+
   test("simhash: identical docs identical, fingerprints fit in 32 bits") {
     val out = TextDedup.simhash(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
