@@ -63,6 +63,25 @@ object Dedup {
   def firstWins(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame =
     keepFirst(df, keys, order)
 
+  /** [[newestWins]] as a grouped aggregation: `max_by(struct(row),
+    * struct(time, tiebreak))`. Same winner per key as the window form
+    * (struct comparison is lexicographic; supply a unique tiebreak, same
+    * contract), different physical plan: a hash aggregate with MAP-SIDE
+    * PARTIAL AGGREGATION, so duplicate-heavy keys collapse before the
+    * exchange instead of shuffling every version. Prefer this form when
+    * the dup ratio is high (the witness case: days of receipts per hotspot
+    * pair); the window form when rows are mostly unique (partial agg then
+    * only adds per-row struct packing) or when `time`/`tiebreak` can be
+    * null (window sorting places nulls deterministically; max_by skips
+    * null ordering keys).
+    */
+  def newestWinsAgg(df: DataFrame, keys: Seq[Column], time: Column, tiebreak: Column): DataFrame = {
+    val best = Iterator.from(0).map(i => s"__best$i").find(!df.columns.contains(_)).get
+    df.groupBy(keys: _*)
+      .agg(max_by(struct(df.columns.map(col): _*), struct(time, tiebreak)).as(best))
+      .select(col(s"$best.*"))
+  }
+
   /** Exact duplicate collapse by content hash over `contentCols` — one
     * representative row per distinct content (min of `representative`).
     * Returns (key, representative, n_dups, contentCols...).

@@ -110,7 +110,9 @@ object Collections {
         Keys.vertexRef("hotspots", col("w.gateway")).as("_to"),
         col("w.snr").as("snr"), col("w.signal").as("signal"),
         col("time"), col("w.is_valid").as("is_valid"))
-    Dedup.newestWins(exploded, Seq(col("_key")), col("time"), col("_to"))
+    // Partial-agg form: receipts for a hotspot pair arrive many times per
+    // window at scale; map-side combine collapses them pre-shuffle.
+    Dedup.newestWinsAgg(exploded, Seq(col("_key")), col("time"), col("_to"))
   }
 
   /** G1/J6: the per-city 1-hop "traversal" as two relational joins — the

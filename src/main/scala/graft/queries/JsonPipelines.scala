@@ -81,7 +81,11 @@ object JsonPipelines {
         col("w.gateway").as("gateway"), col("w.signal").as("signal_c"),
         col("w.timestamp").as("ts"), col("w.is_valid").as("is_valid"),
         Keys.pairKey(col("challengee"), col("w.gateway")).as("_key"))
-    // P6 boolean edge filter + D2 newest-wins per ordered pair
+    // P6 boolean edge filter + D2 newest-wins per ordered pair. Window
+    // form: this rendering yields ~1 version per pair, where the window's
+    // lean shuffle beats max_by struct packing (measured); the high-dup
+    // production witness stream uses [[Dedup.newestWinsAgg]] — see
+    // Collections.witnesses.
     Dedup.newestWins(exploded.filter(col("is_valid")),
         Seq(col("_key")), col("ts"), col("signal_c"))
       .select(col("_key"), col("challengee"), col("gateway"),

@@ -62,8 +62,10 @@ class DedupSpec extends AnyFunSuite {
       val shuffled = Dedup.newestWins(
         scala.util.Random.shuffle(distinct).toDF("k", "t", "id"),
         Seq(col("k")), col("t"), col("id"))
+      val agg = Dedup.newestWinsAgg(df, Seq(col("k")), col("t"), col("id"))
       val a = once.collect().toSet
-      a == twice.collect().toSet && a == shuffled.collect().toSet
+      a == twice.collect().toSet && a == shuffled.collect().toSet &&
+        a == agg.collect().toSet // window and partial-agg forms agree
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
