@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table layout for co-located joins (the brief's
+  * "pre-partitioning / bucketing" scale tool).
+  *
+  * A join between two tables bucketed by the same key into the same
+  * bucket count needs NO exchange on either side — the shuffle is paid
+  * once at write time and amortized over every subsequent join/aggregate
+  * on that key. This is the right layout for the engine's repeated
+  * fact-fact joins (rewards⨝transactions on hash, accounts⨝blocks on
+  * height) in a standing deployment; [[graft.operators.Skew.saltedJoin]]
+  * and broadcast remain the tools for skew and dims.
+  *
+  * Spark bucketing requires the table catalog (`saveAsTable`) — plain
+  * `.parquet(path)` writes ignore `bucketBy`.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, bucket-sorted catalog table. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    key: String, moreKeys: String*): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key, moreKeys: _*)
+      .sortBy(key, moreKeys: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** True when the executed plan of `df` contains no shuffle exchange —
+    * the assertion that a bucketed join was in fact co-located.
+    */
+  def isExchangeFree(df: DataFrame): Boolean = {
+    df.collect() // force execution so AQE finalizes the physical plan
+    !df.queryExecution.executedPlan.toString.contains("Exchange")
+  }
+}
