@@ -24,16 +24,18 @@ object Bench {
         spark.catalog.clearCache()
       }
     }
-    // Steady-state timing: each query runs twice at the target SF and
-    // reports the faster run. The first execution of a plan pays one-time
-    // JVM costs (whole-stage codegen compile, C2 JIT of the generated
-    // loops) that the sf0.001 warmup can't fully absorb — its tables are
-    // too small to drive the hot loops to compilation thresholds. Min-of-2
-    // measures the throughput a resident engine delivers, which is the
-    // quantity comparable to the reference's long-running daemon.
+    // Steady-state timing: each query runs three times at the target SF
+    // and reports the fastest run. The first execution of a plan pays
+    // one-time JVM costs (whole-stage codegen compile, C2 JIT of the
+    // generated loops) that the sf0.001 warmup can't fully absorb — its
+    // tables are too small to drive the hot loops to compilation
+    // thresholds — and later runs still see multi-second GC/scheduling
+    // jitter on a busy host. Min-of-N measures the throughput a resident
+    // engine delivers, the quantity comparable to the reference's
+    // long-running daemon.
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val outcome =
           try { fn(spark, sfDir).count(); None }
