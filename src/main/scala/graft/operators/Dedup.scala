@@ -78,7 +78,7 @@ object Dedup {
   def newestWinsAgg(df: DataFrame, keys: Seq[Column], time: Column, tiebreak: Column): DataFrame = {
     val best = Iterator.from(0).map(i => s"__best$i").find(!df.columns.contains(_)).get
     df.groupBy(keys: _*)
-      .agg(max_by(struct(df.columns.map(col): _*), struct(time, tiebreak)).as(best))
+      .agg(max_by(struct(df.columns.toIndexedSeq.map(col): _*), struct(time, tiebreak)).as(best))
       .select(col(s"$best.*"))
   }
 

@@ -28,7 +28,7 @@ object Skew {
     val saltCol = Iterator.from(0).map(i => s"__salt$i")
       .find(n => !big.columns.contains(n) && !small.columns.contains(n)).get
     val b = big.withColumn(saltCol,
-      pmod(xxhash64(big.columns.map(col): _*), lit(salt.toLong)).cast("int"))
+      pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(salt.toLong)).cast("int"))
     val s = small.withColumn(saltCol,
       explode(array((0 until salt).map(lit): _*)))
     b.join(s, keys :+ saltCol, joinType).drop(saltCol)
