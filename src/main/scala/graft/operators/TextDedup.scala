@@ -118,6 +118,53 @@ object TextDedup {
           lit(0), (acc, v) => acc + v).cast("long").as("n_sig_equal"))
   }
 
+  /** Near-dup cluster formation: connected components over a candidate-pair
+    * list, labeling every involved doc with the minimum doc id reachable
+    * in its component — the canonical-representative selection step after
+    * candidate generation. Returns (node, cluster, cluster_size).
+    *
+    * Algorithm: iterative min-label propagation (label := min(label,
+    * neighbors' labels)) to fixpoint — the standard large-graph CC without
+    * a graph library; each iteration is one equi-join + partial-aggregated
+    * min, and `localCheckpoint` truncates the growing lineage. Iterations
+    * needed = component diameter; dup clusters are near-cliques, so 2-3
+    * passes in practice (`maxIter` is the runaway bound — if hit before
+    * convergence an IllegalStateException is thrown rather than returning
+    * wrong labels).
+    */
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
+                  maxIter: Int = 20): DataFrame = {
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels, col("b") === col("node"))
+        .groupBy(col("a")).agg(min(col("label")).as("nbr"))
+      val updated = labels.join(nbrMin, col("node") === col("a"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = updated.alias("u")
+        .join(labels.alias("l"), col("u.node") === col("l.node"))
+        .filter(col("u.label") =!= col("l.label")).count()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIter iterations")
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("node"), col("label").as("cluster"), col("cluster_size"))
+  }
+
   /** 32-bit SimHash over the (multiplicity-weighted) token stream: bit j of
     * the fingerprint is the sign of Σ_tokens (±1 by bit j of the token
     * hash). Near-dups differ in few bits (compare by hamming distance

@@ -98,6 +98,15 @@ object LlmPipelines {
       .filter(col("n_sig_equal") >= 8)
   }
 
+  /** q43: near-dup clusters — connected components over the q28 candidate
+    * pairs, each doc labeled with its component's minimum doc id (the
+    * canonical representative) plus the cluster size. The
+    * keep-one-per-cluster step every dedup pipeline ends with.
+    */
+  def q43DupClusters(spark: SparkSession, d: String): DataFrame =
+    TextDedup.dupClusters(q28MinhashLshPairs(spark, d), "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("cluster"), col("cluster_size"))
+
   /** q29: 32-bit SimHash fingerprint per document. */
   def q29Simhash(spark: SparkSession, d: String): DataFrame =
     TextDedup.simhash(Tables.balanced(spark, d, "documents"), "doc_id", "text")
@@ -216,6 +225,7 @@ object LlmPipelines {
     "q26_fingerprint_dedup" -> q26FingerprintDedup _,
     "q27_ngram_jaccard_pairs" -> q27NgramJaccardPairs _,
     "q28_minhash_lsh_pairs" -> q28MinhashLshPairs _,
+    "q43_dup_clusters" -> q43DupClusters _,
     "q29_simhash" -> q29Simhash _,
     "q30_cosine_topk" -> q30CosineTopK _,
     "q31_ann_lsh_topk" -> q31AnnLshTopK _,

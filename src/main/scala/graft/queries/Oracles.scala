@@ -231,6 +231,36 @@ object Oracles {
     s"""CAST(round(1000000.0 * (${dot(a, b)}
        |  / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))) AS BIGINT)""".stripMargin
   }
+  // The q28 candidate-pair CTE chain (shared by q28 and q43): shingles →
+  // one md5 per shingle → the (2j+1, 40503j+1) affine family mod 2^31-1
+  // (twin of Text.baseHash32 + Text.affine) → 4-band LSH keys → distinct
+  // same-band pairs scored by agreeing signature components.
+  // NOTE: deliberately NOT pre-stripMargin'd — this block is interpolated
+  // into margin strings and stripped exactly once there (double-stripping
+  // would eat the first '|' of every '||' concat).
+  private val MinhashPairsCtes =
+    s"""t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |s AS (SELECT doc_id, ${shingleList("toks")} AS sh FROM t),
+       |bh AS (SELECT doc_id,
+       |        list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS bases
+       |      FROM s WHERE len(sh) > 0),
+       |g AS (SELECT doc_id, list_transform(range(0,16),
+       |        j -> list_min(list_transform(bases,
+       |          b -> ((2*j+1)*(b % 2147483647) + (40503*j+1)) % 2147483647))) AS sig
+       |      FROM bh),
+       |b AS (SELECT doc_id, sig, unnest(range(0,4)) AS band FROM g),
+       |k AS (SELECT doc_id, band,
+       |        md5(sig[4*band+1]::VARCHAR || ',' || sig[4*band+2]::VARCHAR || ','
+       |          || sig[4*band+3]::VARCHAR || ',' || sig[4*band+4]::VARCHAR) AS bk
+       |      FROM b),
+       |p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |      FROM k x JOIN k y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |e AS (SELECT doc_a, doc_b,
+       |    CAST(list_reduce(list_transform(range(1,17),
+       |      i -> CASE WHEN gx.sig[i] = gy.sig[i] THEN 1 ELSE 0 END), (a,b) -> a+b) AS BIGINT)
+       |      AS n_sig_equal
+       |  FROM p JOIN g gx ON doc_a = gx.doc_id JOIN g gy ON doc_b = gy.doc_id)"""
+
   // twin of Similarity.rpLshBucketRange(v, from, planes, dims=64)
   private def rpBucketRange(v: String, from: Int, planes: Int) =
     s"""list_reduce(list_transform(range($from,${from + planes}), p ->
@@ -306,30 +336,26 @@ object Oracles {
          |SELECT * FROM j WHERE jac_pm >= 800000""".stripMargin,
 
     "q28_minhash_lsh_pairs" ->
-      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
-         |s AS (SELECT doc_id, ${shingleList("toks")} AS sh FROM t),
-         |-- one md5 per shingle, then the (2j+1, 40503j+1) affine family
-         |-- mod 2^31-1 — the twin of Text.baseHash32 + Text.affine
-         |bh AS (SELECT doc_id,
-         |        list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS bases
-         |      FROM s WHERE len(sh) > 0),
-         |g AS (SELECT doc_id, list_transform(range(0,16),
-         |        j -> list_min(list_transform(bases,
-         |          b -> ((2*j+1)*(b % 2147483647) + (40503*j+1)) % 2147483647))) AS sig
-         |      FROM bh),
-         |b AS (SELECT doc_id, sig, unnest(range(0,4)) AS band FROM g),
-         |k AS (SELECT doc_id, band,
-         |        md5(sig[4*band+1]::VARCHAR || ',' || sig[4*band+2]::VARCHAR || ','
-         |          || sig[4*band+3]::VARCHAR || ',' || sig[4*band+4]::VARCHAR) AS bk
-         |      FROM b),
-         |p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |      FROM k x JOIN k y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
-         |e AS (SELECT doc_a, doc_b,
-         |    CAST(list_reduce(list_transform(range(1,17),
-         |      i -> CASE WHEN gx.sig[i] = gy.sig[i] THEN 1 ELSE 0 END), (a,b) -> a+b) AS BIGINT)
-         |      AS n_sig_equal
-         |  FROM p JOIN g gx ON doc_a = gx.doc_id JOIN g gy ON doc_b = gy.doc_id)
+      s"""WITH $MinhashPairsCtes
          |SELECT * FROM e WHERE n_sig_equal >= 8""".stripMargin,
+
+    // CC over the q28 near-dup pairs: exact min-reachable-id labels via a
+    // recursive reachability CTE (the Spark side converges its min-label
+    // propagation to the same fixpoint)
+    "q43_dup_clusters" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |f AS (SELECT doc_a, doc_b FROM e WHERE n_sig_equal >= 8),
+         |u AS (SELECT doc_a AS a, doc_b AS b FROM f
+         |      UNION SELECT doc_b, doc_a FROM f),
+         |n AS (SELECT DISTINCT a AS node FROM u),
+         |reach(s2, r) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT reach.s2, u.b FROM reach JOIN u ON reach.r = u.a),
+         |lab AS (SELECT s2 AS doc_id, min(r) AS cluster FROM reach GROUP BY s2)
+         |SELECT lab.doc_id, lab.cluster, cnt.cluster_size
+         |FROM lab JOIN (SELECT cluster, count(*) AS cluster_size
+         |               FROM lab GROUP BY cluster) cnt USING (cluster)""".stripMargin,
 
     "q29_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest($Toks) AS t FROM documents),

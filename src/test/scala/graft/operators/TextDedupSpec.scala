@@ -70,6 +70,15 @@ class TextDedupSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("dupClusters: multi-hop components get the min-id label and right sizes") {
+    // path 1-2-3 (needs 2 propagation hops) + isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = TextDedup.dupClusters(pairs, "doc_a", "doc_b")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+
   test("simhash: identical docs identical, fingerprints fit in 32 bits") {
     val out = TextDedup.simhash(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
