@@ -74,8 +74,14 @@ object Dedup {
     * only adds per-row struct packing) or when `time`/`tiebreak` can be
     * null (window sorting places nulls deterministically; max_by skips
     * null ordering keys).
+    *
+    * Precondition: column names must be unique (`struct(df.columns.map(col))`
+    * is ambiguous on frames with duplicate names, e.g. fresh join output).
+    * Use [[keepFirst]] there, or re-alias first.
     */
   def newestWinsAgg(df: DataFrame, keys: Seq[Column], time: Column, tiebreak: Column): DataFrame = {
+    require(df.columns.distinct.length == df.columns.length,
+      s"newestWinsAgg requires unique column names, got: ${df.columns.mkString(", ")}")
     val best = Iterator.from(0).map(i => s"__best$i").find(!df.columns.contains(_)).get
     df.groupBy(keys: _*)
       .agg(max_by(struct(df.columns.toIndexedSeq.map(col): _*), struct(time, tiebreak)).as(best))

@@ -21,10 +21,20 @@ object Skew {
     * price is `salt`× replication of the small side, so this is for
     * big⨝medium shapes where the small side is too large to broadcast but
     * cheap to replicate a few times. Results are exactly the plain join's.
+    *
+    * Join types that preserve unmatched SMALL-side rows (right/full outer,
+    * and semi/anti against the small side) are rejected: the small side is
+    * replicated `salt`× before the join, so an unmatched small row would be
+    * emitted `salt` times — there is no way to salt those shapes exactly.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
+    val allowed = Set("inner", "cross", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "semi", "leftanti", "left_anti", "anti")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left join types only (got '$joinType'): " +
+        "right/full outer would duplicate unmatched small-side rows salt times")
     val saltCol = Iterator.from(0).map(i => s"__salt$i")
       .find(n => !big.columns.contains(n) && !small.columns.contains(n)).get
     val b = big.withColumn(saltCol,

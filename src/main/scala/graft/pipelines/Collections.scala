@@ -111,8 +111,12 @@ object Collections {
         col("w.snr").as("snr"), col("w.signal").as("signal"),
         col("time"), col("w.is_valid").as("is_valid"))
     // Partial-agg form: receipts for a hotspot pair arrive many times per
-    // window at scale; map-side combine collapses them pre-shuffle.
-    Dedup.newestWinsAgg(exploded, Seq(col("_key")), col("time"), col("_to"))
+    // window at scale; map-side combine collapses them pre-shuffle. The
+    // tiebreak must be unique WITHIN the pair key on time ties — _from/_to
+    // are constant there, so break on the receipt payload itself (rows
+    // tying on time + snr + signal + is_valid are identical rows).
+    Dedup.newestWinsAgg(exploded, Seq(col("_key")), col("time"),
+      struct(col("snr"), col("signal"), col("is_valid")))
   }
 
   /** G1/J6: the per-city 1-hop "traversal" as two relational joins — the

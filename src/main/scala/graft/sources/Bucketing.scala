@@ -28,11 +28,25 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
-  /** True when the executed plan of `df` contains no shuffle exchange —
-    * the assertion that a bucketed join was in fact co-located.
+  /** True when the executed plan of `df` contains no SHUFFLE exchange —
+    * the assertion that a bucketed join was in fact co-located. Broadcast
+    * and reused exchanges don't count: a broadcast dim join is co-located
+    * by construction. Execution is forced with a no-op `foreach` (AQE
+    * finalizes the plan at first action) — nothing is pulled to the driver.
     */
   def isExchangeFree(df: DataFrame): Boolean = {
-    df.collect() // force execution so AQE finalizes the physical plan
-    !df.queryExecution.executedPlan.toString.contains("Exchange")
+    df.foreach(_ => ()) // force execution so AQE finalizes the physical plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // Descend through AQE wrappers and materialized query stages (leaves to
+    // TreeNode.collect) so shuffles hidden inside them are still counted.
+    def hasShuffle(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => hasShuffle(a.executedPlan)
+      case _: ShuffleExchangeLike => true
+      case q: QueryStageExec => hasShuffle(q.plan)
+      case other => other.children.exists(hasShuffle)
+    }
+    !hasShuffle(df.queryExecution.executedPlan)
   }
 }

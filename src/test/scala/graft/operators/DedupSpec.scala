@@ -70,4 +70,10 @@ class DedupSpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("newestWinsAgg rejects frames with duplicate column names (struct(*) would be ambiguous)") {
+    val dup = Seq((1L, 10L)).toDF("k", "t").select(col("k"), col("k"), col("t"))
+    assertThrows[IllegalArgumentException](
+      Dedup.newestWinsAgg(dup, Seq(col("t")), col("t"), lit(0)))
+  }
 }

@@ -34,4 +34,13 @@ class SkewSpec extends AnyFunSuite {
     assert(outer.count() == plain.size + 1)
     assert(outer.filter($"k" === "orphan").count() == 1)
   }
+
+  test("saltedJoin rejects join types that would duplicate unmatched small-side rows") {
+    val big = Seq(("a", 1L)).toDF("k", "v")
+    val small = Seq(("a", "d")).toDF("k", "d")
+    for (jt <- Seq("right_outer", "full_outer", "full", "outer"))
+      assertThrows[IllegalArgumentException](Skew.saltedJoin(big, small, Seq("k"), 4, jt))
+    // semi/anti against the replicated small side are exact — allowed
+    assert(Skew.saltedJoin(big, small, Seq("k"), 4, "left_semi").count() == 1)
+  }
 }
