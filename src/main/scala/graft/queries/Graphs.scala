@@ -58,8 +58,9 @@ object Graphs {
       .withColumn("city", col("city").cast("int"))
 
   /** q34: G3 per-city betweenness (Brandes, unweighted — the reference's
-    * weighted-PR/unweighted-BC asymmetry). Not SQL-expressible: driver
-    * records a rows-only check; golden ScalaTests pin the numerics.
+    * weighted-PR/unweighted-BC asymmetry). Oracle: generated BFS-level +
+    * pair-dependency SQL ([[Oracles.graphs]]); golden ScalaTests pin the
+    * numerics independently.
     */
   def q34CityBetweenness(spark: SparkSession, d: String): DataFrame =
     GraphMetrics.perCityBetweenness(edges(spark, d))

@@ -549,13 +549,72 @@ object Oracles {
     sb.toString
   }
 
-  /** Graph twins. q34 (betweenness) is deliberately absent: Brandes is not
-    * SQL-expressible, the driver records a rows-only check and the
-    * numerics are pinned by golden ScalaTests.
+  /** Generated chained-CTE BFS + pair-dependency betweenness: the SQL twin
+    * of [[graft.operators.GraphMetrics.betweenness]]. Level k is the
+    * per-city all-pairs frontier — (s,t) first reached at distance k, with
+    * the shortest-path count sigma as an exact BIGINT (σ(s,t)@k = Σ over
+    * in-neighbors v of t at distance k−1 of σ(s,v); the anti-join against
+    * the cumulative reach table keeps BFS levels disjoint). Brandes'
+    * recursive dependency accumulation then collapses to its algebraic
+    * closed form over the pair table:
+    * bc(v) = Σ_{s,t} σ_sv·σ_vt/σ_st where d(s,v)+d(v,t)=d(s,t)
+    * (s≠v, v≠t, s≠t are automatic: d>0 pairs never revisit their source).
+    * `levels` must be ≥ the graphs' max finite distance — measured 3 at
+    * every test scale factor, generated with 6 for headroom; levels past
+    * the diameter are empty and cost nothing. All-pairs SQL is oracle-only
+    * (the driver gates at sf0.01, ≤ ~70 nodes/city); the engine side stays
+    * linear-memory Brandes.
+    */
+  private def betweennessSql(edgesSql: String, levels: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e0 AS MATERIALIZED (\n$edgesSql\n),\n"
+    sb ++= """e AS MATERIALIZED (SELECT DISTINCT city, src, dst FROM e0),
+             |nodes AS MATERIALIZED (SELECT DISTINCT city, node FROM
+             |  (SELECT city, src AS node FROM e UNION ALL SELECT city, dst FROM e)),
+             |cnt AS MATERIALIZED (SELECT city, CAST(count(*) AS DOUBLE) AS n FROM nodes GROUP BY city),
+             |r0 AS MATERIALIZED (SELECT city, node AS s, node AS t, 0 AS d,
+             |  CAST(1 AS BIGINT) AS sig FROM nodes),
+             |l0 AS MATERIALIZED (SELECT * FROM r0),
+             |""".stripMargin
+    for (k <- 1 to levels) {
+      sb ++= s"""l$k AS MATERIALIZED (
+                |  SELECT p.city, p.s, e.dst AS t, $k AS d, sum(p.sig) AS sig
+                |  FROM l${k - 1} p JOIN e ON p.city = e.city AND p.t = e.src
+                |  WHERE NOT EXISTS (SELECT 1 FROM r${k - 1} r
+                |                    WHERE r.city = p.city AND r.s = p.s AND r.t = e.dst)
+                |  GROUP BY p.city, p.s, e.dst),
+                |r$k AS MATERIALIZED (SELECT * FROM r${k - 1} UNION ALL SELECT * FROM l$k),
+                |""".stripMargin
+    }
+    sb ++= s"""p AS MATERIALIZED (SELECT * FROM r$levels WHERE d > 0),
+              |dep AS (SELECT sv.city, sv.t AS node,
+              |    sum(CAST(sv.sig AS DOUBLE) * vt.sig / st.sig) AS bc
+              |  FROM p sv
+              |  JOIN p vt ON sv.city = vt.city AND vt.s = sv.t
+              |  JOIN p st ON sv.city = st.city AND st.s = sv.s AND st.t = vt.t
+              |    AND st.d = sv.d + vt.d
+              |  GROUP BY sv.city, sv.t),
+              |scored AS (SELECT n.city, n.node,
+              |    coalesce(d.bc, 0.0)
+              |      * CASE WHEN c.n > 2 THEN 1.0/((c.n-1.0)*(c.n-2.0)) ELSE 0.0 END AS v
+              |  FROM nodes n JOIN cnt c USING (city)
+              |  LEFT JOIN dep d ON d.city = n.city AND d.node = n.node)
+              |SELECT city, node, CAST(round(1000000.0 * v) AS BIGINT) AS bc_pm,
+              |  CAST(round(1000000.0 * CASE WHEN avg(v) OVER (PARTITION BY city) = 0.0
+              |    THEN 0.0 ELSE v / avg(v) OVER (PARTITION BY city) END) AS BIGINT)
+              |    AS bc_norm_pm
+              |FROM scored""".stripMargin
+    sb.toString
+  }
+
+  /** Graph twins. q34's betweenness oracle is the generated BFS +
+    * pair-dependency SQL above; the numerics are additionally pinned by
+    * golden ScalaTests.
     */
   val graphs: Map[String, String] = Map(
     "q32_graph_edges" -> EdgesSql,
     "q33_city_pagerank" -> pagerankSql(EdgesSql, graft.operators.GraphMetrics.Iterations),
+    "q34_city_betweenness" -> betweennessSql(EdgesSql, levels = 6),
 
     // Twin of Geo.cellToPseudoLatLng + geoJsonPoint (integer-valued double
     // coords, so the JSON rendering is byte-identical too).
