@@ -77,11 +77,14 @@ object Dedup {
     *
     * Precondition: column names must be unique (`struct(df.columns.map(col))`
     * is ambiguous on frames with duplicate names, e.g. fresh join output).
-    * Use [[keepFirst]] there, or re-alias first.
+    * Spark resolves names case-insensitively unless `spark.sql.caseSensitive`
+    * is set, so `K` vs `k` counts as a duplicate here too — the check
+    * lowercases before comparing. Use [[keepFirst]] there, or re-alias first.
     */
   def newestWinsAgg(df: DataFrame, keys: Seq[Column], time: Column, tiebreak: Column): DataFrame = {
-    require(df.columns.distinct.length == df.columns.length,
-      s"newestWinsAgg requires unique column names, got: ${df.columns.mkString(", ")}")
+    val lowered = df.columns.map(_.toLowerCase)
+    require(lowered.distinct.length == lowered.length,
+      s"newestWinsAgg requires unique column names (case-insensitive, matching Spark's default resolution), got: ${df.columns.mkString(", ")}")
     val best = Iterator.from(0).map(i => s"__best$i").find(!df.columns.contains(_)).get
     df.groupBy(keys: _*)
       .agg(max_by(struct(df.columns.toIndexedSeq.map(col): _*), struct(time, tiebreak)).as(best))

@@ -559,9 +559,14 @@ object Oracles {
     * closed form over the pair table:
     * bc(v) = Σ_{s,t} σ_sv·σ_vt/σ_st where d(s,v)+d(v,t)=d(s,t)
     * (s≠v, v≠t, s≠t are automatic: d>0 pairs never revisit their source).
-    * `levels` must be ≥ the graphs' max finite distance — measured 3 at
+    * `levels` must be > the graphs' max finite distance — measured 3 at
     * every test scale factor, generated with 6 for headroom; levels past
-    * the diameter are empty and cost nothing. All-pairs SQL is oracle-only
+    * the diameter are empty and cost nothing. If the LAST level is
+    * non-empty the BFS may be truncated (paths longer than `levels` can't
+    * be ruled out), so the query emits a poison row
+    * (`__ORACLE_BFS_DEPTH_EXCEEDED__`) — a mismatch then reports itself
+    * as an oracle-depth problem, never as a silent engine-correctness
+    * failure. All-pairs SQL is oracle-only
     * (the driver gates at sf0.01, ≤ ~70 nodes/city); the engine side stays
     * linear-memory Brandes.
     */
@@ -603,7 +608,11 @@ object Oracles {
               |  CAST(round(1000000.0 * CASE WHEN avg(v) OVER (PARTITION BY city) = 0.0
               |    THEN 0.0 ELSE v / avg(v) OVER (PARTITION BY city) END) AS BIGINT)
               |    AS bc_norm_pm
-              |FROM scored""".stripMargin
+              |FROM scored
+              |UNION ALL
+              |SELECT city, '__ORACLE_BFS_DEPTH_EXCEEDED__ raise betweennessSql levels' AS node,
+              |  CAST(NULL AS BIGINT) AS bc_pm, CAST(NULL AS BIGINT) AS bc_norm_pm
+              |FROM (SELECT city FROM l$levels LIMIT 1)""".stripMargin
     sb.toString
   }
 

@@ -49,4 +49,23 @@ object Bucketing {
     }
     !hasShuffle(df.queryExecution.executedPlan)
   }
+
+  /** True when the executed plan actually read through a bucketed file
+    * scan. [[isExchangeFree]] alone is also satisfied by a broadcast
+    * fallback (co-located, but not via bucketing); call sites that want to
+    * assert the bucketed layout specifically should check BOTH — shuffle
+    * freedom AND that a scan reported selected bucket output.
+    */
+  def usedBucketedScan(df: DataFrame): Boolean = {
+    df.foreach(_ => ())
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def hasBucketedScan(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => hasBucketedScan(a.executedPlan)
+      case s: FileSourceScanExec => s.bucketedScan
+      case q: QueryStageExec => hasBucketedScan(q.plan)
+      case other => other.children.exists(hasBucketedScan)
+    }
+    hasBucketedScan(df.queryExecution.executedPlan)
+  }
 }

@@ -76,4 +76,10 @@ class DedupSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Dedup.newestWinsAgg(dup, Seq(col("t")), col("t"), lit(0)))
   }
+
+  test("newestWinsAgg rejects case-colliding column names (Spark resolves case-insensitively)") {
+    val dup = Seq((1L, 2L, 10L)).toDF("K", "k", "t")
+    assertThrows[IllegalArgumentException](
+      Dedup.newestWinsAgg(dup, Seq(col("t")), col("t"), lit(0)))
+  }
 }

@@ -20,6 +20,10 @@ class BucketingSpec extends AnyFunSuite {
       val joined = spark.table("bkt_facts")
         .join(spark.table("bkt_dims"), Seq("k"))
       assert(Bucketing.isExchangeFree(joined))
+      // and specifically via the bucketed layout, not a broadcast fallback
+      assert(Bucketing.usedBucketedScan(joined))
+      // a plain (non-catalog) frame never reports a bucketed scan
+      assert(!Bucketing.usedBucketedScan(facts))
       val expected = facts.join(dims, Seq("k")).as[(Long, Long, String)]
         .collect().toSet
       assert(joined.as[(Long, Long, String)].collect().toSet == expected)
