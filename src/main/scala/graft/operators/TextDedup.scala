@@ -146,14 +146,16 @@ object TextDedup {
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels, col("b") === col("node"))
         .groupBy(col("a")).agg(min(col("label")).as("nbr"))
+      // Carry the pre-update label through the checkpoint so convergence
+      // detection is a filter-count over the checkpointed frame — not the
+      // extra labels⨝updated shuffle join it used to be (one fewer
+      // shuffle stage per iteration).
       val updated = labels.join(nbrMin, col("node") === col("a"), "left_outer")
-        .select(col("node"),
+        .select(col("node"), col("label").as("__prev"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         .localCheckpoint(true)
-      changed = updated.alias("u")
-        .join(labels.alias("l"), col("u.node") === col("l.node"))
-        .filter(col("u.label") =!= col("l.label")).count()
-      labels = updated
+      changed = updated.filter(col("label") =!= col("__prev")).count()
+      labels = updated.select(col("node"), col("label"))
       iter += 1
     }
     edges.unpersist()

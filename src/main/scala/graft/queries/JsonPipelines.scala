@@ -69,25 +69,30 @@ object JsonPipelines {
         cents(col("l_quantity")).as("signal"),
         col("l_discount").as("snr"),
         (col("l_returnflag") =!= lit("R")).as("is_valid")))).as("ws"))
-      .select(to_json(struct(array(struct(
-        concat(lit("ch"), col("l_orderkey")).as("challengee"),
-        col("ws").as("witnesses"))).as("path"))).as("payload"))
+      .select(col("l_orderkey"),
+        to_json(struct(array(struct(
+          concat(lit("ch"), col("l_orderkey")).as("challengee"),
+          col("ws").as("witnesses"))).as("path"))).as("payload"))
 
     val (challengee, witnesses) = Payloads.receiptFields(col("payload"))
     val exploded = receipts
-      .select(challengee.as("challengee"), explode(witnesses).as("w"))
-      .select(col("challengee"),
+      .select(col("l_orderkey"), challengee.as("challengee"), explode(witnesses).as("w"))
+      .select(col("l_orderkey"), col("challengee"),
         // F10 dict-merge: edge fields + all witness payload fields flat
         col("w.gateway").as("gateway"), col("w.signal").as("signal_c"),
         col("w.timestamp").as("ts"), col("w.is_valid").as("is_valid"),
         Keys.pairKey(col("challengee"), col("w.gateway")).as("_key"))
-    // P6 boolean edge filter + D2 newest-wins per ordered pair. Window
-    // form: this rendering yields ~1 version per pair, where the window's
-    // lean shuffle beats max_by struct packing (measured); the high-dup
+    // P6 boolean edge filter + D2 newest-wins per ordered pair. The dedup
+    // partitions on (l_orderkey, gateway) — the same equivalence classes as
+    // `_key` = md5(challengee‖gateway), since challengee is 1:1 with
+    // l_orderkey — so the window's ClusteredDistribution is already
+    // satisfied by the render aggregation's HashPartitioning(l_orderkey):
+    // zero extra shuffle, just a partition-local sort (keying the window by
+    // `_key` itself re-shuffled every exploded row). The high-dup
     // production witness stream uses [[Dedup.newestWinsAgg]] — see
     // Collections.witnesses.
     Dedup.newestWins(exploded.filter(col("is_valid")),
-        Seq(col("_key")), col("ts"), col("signal_c"))
+        Seq(col("l_orderkey"), col("gateway")), col("ts"), col("signal_c"))
       .select(col("_key"), col("challengee"), col("gateway"),
         col("signal_c"), col("ts"))
   }

@@ -188,11 +188,13 @@ object Relational {
 
   // payment_v1/payment_v2 shape fallback via coalesce (reference
   // `src/blockchain_queries.py:244-257` try/except → SURVEY.md §2.6).
+  // json_tuple extracts both candidate fields in ONE parse of the payload —
+  // two get_json_object calls would each re-parse the JSON per row (measured
+  // ~2× the extraction cost at sf0.1).
   def q15JsonFallbackCoalesce(spark: SparkSession, d: String): DataFrame =
     Tables(spark, d, "events")
-      .select(coalesce(
-        get_json_object(col("props"), "$.missing"),
-        get_json_object(col("props"), "$.k")).cast("int").as("k"))
+      .select(json_tuple(col("props"), "missing", "k").as(Seq("v1", "v2")))
+      .select(coalesce(col("v1"), col("v2")).cast("int").as("k"))
       .groupBy((col("k") % 5).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
