@@ -148,12 +148,13 @@ object TextDedup {
         .groupBy(col("a")).agg(min(col("label")).as("nbr"))
       // Carry the pre-update label through the checkpoint so convergence
       // detection is a filter-count over the checkpointed frame — not the
-      // extra labels⨝updated shuffle join it used to be (one fewer
-      // shuffle stage per iteration).
+      // extra labels⨝updated shuffle join it used to be. The checkpoint is
+      // LAZY: the convergence count is the job that materializes it, so
+      // each iteration runs exactly one job (eager + count ran two).
       val updated = labels.join(nbrMin, col("node") === col("a"), "left_outer")
         .select(col("node"), col("label").as("__prev"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = updated.filter(col("label") =!= col("__prev")).count()
       labels = updated.select(col("node"), col("label"))
       iter += 1
