@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Deterministic content-hash sampling and dataset splitting — the
+  * train/val/test assignment device a training-data pipeline needs.
+  * `rand()`-based sampling is not reproducible across runs, engines, or
+  * partitionings; hashing a stable id is, and is also STICKY: a document
+  * keeps its split across pipeline re-runs and incremental refreshes, so
+  * eval sets never silently leak into training data when the corpus grows.
+  * Pure column arithmetic (md5 → 32-bit int → mod), fully pushdown/codegen
+  * friendly, zero shuffle — the assignment is row-local.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the salted md5 of `id`. The salt
+    * isolates experiments: different salts give independent assignments
+    * over the same corpus.
+    */
+  def hashBucket(id: Column, salt: String, buckets: Int): Column = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    Text.baseHash32(concat(lit(s"$salt:"), id)) % buckets
+  }
+
+  /** Keep a deterministic `pct`-percent sample (hash-gated filter; the
+    * sample is a stable subset — re-running or scaling the corpus never
+    * reshuffles membership).
+    */
+  def sampleByHash(df: DataFrame, id: String, salt: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    df.filter(hashBucket(col(id), salt, 100) < pct)
+  }
+
+  /** Assign every row a named split by consecutive hash-bucket ranges, e.g.
+    * `Seq("train" -> 90, "val" -> 5, "test" -> 5)`. Percents must sum to
+    * 100 so the assignment is total (every row gets exactly one split).
+    */
+  def hashSplit(df: DataFrame, id: String, salt: String,
+                splits: Seq[(String, Int)], splitCol: String = "split"): DataFrame = {
+    require(splits.map(_._2).sum == 100,
+      s"split percents must sum to 100, got ${splits.map(_._2).sum}")
+    require(splits.forall(_._2 > 0), "every split needs a positive percent")
+    val b = hashBucket(col(id), salt, 100)
+    val cumulative = splits.scanLeft(0)(_ + _._2).tail
+    val expr = splits.zip(cumulative).foldRight(lit(null).cast("string")) {
+      case (((name, _), upper), otherwise) =>
+        when(b < upper, lit(name)).otherwise(otherwise)
+    }
+    df.withColumn(splitCol, expr)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOf, RangeJoin, Sampling}
+import graft.sources.Tables
+
+/** Beyond-reference temporal/sampling operators (the build brief's as-of
+  * join, range join, and deterministic dataset-split family), registered as
+  * oracle-checked queries over the driver tables. The reference itself has
+  * only equi-joins (SURVEY.md §2.3) and no sampling; these are the
+  * operators its users would need next at training-pipeline scale.
+  */
+object Extensions {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  val SixHoursUs = 6L * 3600 * 1000000
+
+  /** q44: backward as-of join — for every click, the user's most recent
+    * prior-or-simultaneous purchase ([[AsOf.backward]]: one shuffle on
+    * user_id, running-state window, no candidate blowup). Duplicate
+    * purchase timestamps resolve to the greatest event_id on both engines.
+    */
+  def q44AsofJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.eventsWithUs(spark, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("p_id"),
+        cents(col("value")).as("p_value_c"))
+    AsOf.backward(clicks, purchases, Seq("user_id"), "ts_us",
+        tiebreak = "p_id", carry = Seq("p_id", "p_value_c"), prefix = "m_")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("m_p_id"), col("m_p_value_c"), col("m_age"))
+  }
+
+  /** q45: point-in-interval range join — every event falling in one of the
+    * sampled 6-hour anchor windows, aggregated per anchor
+    * ([[RangeJoin.pointInInterval]]: equi-join on a time bin, never a
+    * nested-loop product; each match produced exactly once).
+    */
+  def q45RangeJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.eventsWithUs(spark, d)
+    val anchors = ev.filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("anchor_id"), col("ts_us").as("lo"),
+        (col("ts_us") + SixHoursUs).as("hi"))
+    val points = ev.select(col("event_id"), col("ts_us"),
+      cents(col("value")).as("value_c"))
+    RangeJoin.pointInInterval(points, "ts_us", anchors, "lo", "hi",
+        binWidth = SixHoursUs)
+      .groupBy(col("anchor_id"))
+      .agg(count(lit(1)).as("n_hits"), sum(col("value_c")).as("sum_value_c"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+  }
+
+  /** q46: deterministic 90/5/5 hash split of the document corpus with
+    * per-split corpus stats ([[Sampling.hashSplit]]: row-local md5
+    * assignment — reproducible, sticky under corpus growth, no shuffle).
+    */
+  def q46HashSplit(spark: SparkSession, d: String): DataFrame =
+    Sampling.hashSplit(Tables(spark, d, "documents"), "doc_id", "exp1",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_asof_join" -> q44AsofJoin _,
+    "q45_range_join" -> q45RangeJoin _,
+    "q46_hash_split" -> q46HashSplit _,
+  )
+}

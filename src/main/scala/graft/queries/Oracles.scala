@@ -662,4 +662,58 @@ object Oracles {
        |        FROM (SELECT * FROM existing UNION ALL SELECT * FROM incoming))
        |SELECT k AS "_key", val, ver FROM u WHERE rn = 1""".stripMargin
   }
+
+  /** Twins for the beyond-reference temporal/sampling family
+    * ([[Extensions]]). q44 deliberately avoids DuckDB's native ASOF JOIN:
+    * at duplicate right timestamps ASOF's pick is unspecified, so the twin
+    * is the same deterministic union-window form the engine runs (equal-ts
+    * ordering: right before left, ties to the greatest purchase id). Null
+    * ordering differs across engines (Spark NULLS FIRST vs DuckDB NULLS
+    * LAST on ASC) but only reorders left rows among themselves, which
+    * cannot change the carried last-non-null right value.
+    */
+  val extensions: Map[String, String] = Map(
+    "q44_asof_join" ->
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t, event_type,
+         |    $CentsValue AS value_c FROM events),
+         |u AS (
+         |  SELECT user_id, t, 0 AS side, CAST(NULL AS BIGINT) AS event_id,
+         |    event_id AS p_id, value_c AS p_value_c
+         |  FROM ev WHERE event_type = 'purchase'
+         |  UNION ALL
+         |  SELECT user_id, t, 1 AS side, event_id,
+         |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         |  FROM ev WHERE event_type = 'click'),
+         |w AS (SELECT *,
+         |    last_value(CASE WHEN side = 0 THEN p_id END IGNORE NULLS) OVER win AS m_p_id,
+         |    last_value(CASE WHEN side = 0 THEN p_value_c END IGNORE NULLS) OVER win AS m_p_value_c,
+         |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER win AS m_t
+         |  FROM u
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY t, side, p_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT event_id, user_id, t AS ts_us, m_p_id, m_p_value_c,
+         |  t - m_t AS m_age
+         |FROM w WHERE side = 1""".stripMargin,
+
+    "q45_range_join" ->
+      s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS t,
+         |    $CentsValue AS value_c FROM events),
+         |a AS (SELECT event_id AS anchor_id, t AS lo,
+         |    t + ${Extensions.SixHoursUs} AS hi FROM ev WHERE event_id % 97 = 0)
+         |SELECT anchor_id, count(*) AS n_hits,
+         |  CAST(sum(p.value_c) AS BIGINT) AS sum_value_c,
+         |  min(p.event_id) AS min_id, max(p.event_id) AS max_id
+         |FROM a JOIN ev p ON p.t >= a.lo AND p.t < a.hi
+         |GROUP BY anchor_id""".stripMargin,
+
+    "q46_hash_split" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5('exp1:' || doc_id), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 90 THEN 'train'
+        |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM b GROUP BY 1""".stripMargin,
+  )
 }

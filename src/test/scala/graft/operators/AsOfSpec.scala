@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AsOfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // left: (id, key, t); right: (key, t, rid, rv)
+  private def run(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long, Long)],
+                  maxAge: Option[Long] = None) = {
+    val l = left.toDF("id", "k", "ts")
+    val r = right.toDF("k", "ts", "rid", "rv")
+    AsOf.backward(l, r, Seq("k"), "ts", "rid", Seq("rid", "rv"), maxAge = maxAge)
+      .select("id", "asof_rid", "asof_rv", "asof_age")
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSet
+  }
+
+  test("picks the latest right row at or before the left time, per key") {
+    val got = run(
+      left = Seq((1L, 7L, 100L), (2L, 7L, 250L), (3L, 8L, 100L)),
+      right = Seq((7L, 50L, 11L, 500L), (7L, 200L, 12L, 600L), (8L, 300L, 13L, 700L)))
+    assert(got == Set(
+      (1L, Some(11L), Some(500L), Some(50L)),   // only t=50 precedes 100
+      (2L, Some(12L), Some(600L), Some(50L)),   // t=200 supersedes t=50
+      (3L, None, None, None)))                  // key 8's row is in the future
+  }
+
+  test("equal timestamps match (inclusive bound) and resolve ties to the greatest tiebreak") {
+    val got = run(
+      left = Seq((1L, 7L, 100L)),
+      right = Seq((7L, 100L, 11L, 500L), (7L, 100L, 12L, 600L)))
+    assert(got == Set((1L, Some(12L), Some(600L), Some(0L))))
+  }
+
+  test("maxAge tolerance nulls out stale matches") {
+    val got = run(
+      left = Seq((1L, 7L, 100L), (2L, 7L, 500L)),
+      right = Seq((7L, 90L, 11L, 500L)),
+      maxAge = Some(50L))
+    assert(got == Set(
+      (1L, Some(11L), Some(500L), Some(10L)),
+      (2L, None, None, None))) // age 410 > 50
+  }
+
+  test("result is order-insensitive (deterministic under shuffled input)") {
+    val left = (1L to 40L).map(i => (i, i % 3, i * 7 % 101))
+    val right = (1L to 60L).map(i => (i % 3, i * 13 % 101, i, i * 2))
+    val a = run(left, right)
+    val b = run(scala.util.Random.shuffle(left), scala.util.Random.shuffle(right))
+    assert(a == b)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val ids = (1L to 2000L).toDF("id")
+
+  test("hashSplit is total, disjoint, and roughly proportional") {
+    val counts = Sampling.hashSplit(ids, "id", "s1",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 2000L)
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 1600 && counts("val") > 30 && counts("test") > 30)
+  }
+
+  test("assignment is sticky: a grown corpus never reassigns existing rows") {
+    def splitsOf(df: org.apache.spark.sql.DataFrame) =
+      Sampling.hashSplit(df, "id", "s1", Seq("a" -> 50, "b" -> 50))
+        .as[(Long, String)].collect().toMap
+    val small = splitsOf(ids.filter(col("id") <= 500))
+    val grown = splitsOf(ids)
+    assert(small.forall { case (id, s) => grown(id) == s })
+  }
+
+  test("sampleByHash is monotonic in pct and matches its own bucket rule") {
+    val s30 = Sampling.sampleByHash(ids, "id", "s2", 30).as[Long].collect().toSet
+    val s60 = Sampling.sampleByHash(ids, "id", "s2", 60).as[Long].collect().toSet
+    assert(s30.subsetOf(s60))
+    assert(Sampling.sampleByHash(ids, "id", "s2", 0).count() == 0L)
+    assert(Sampling.sampleByHash(ids, "id", "s2", 100).count() == 2000L)
+  }
+
+  test("different salts give independent assignments") {
+    val a = Sampling.sampleByHash(ids, "id", "saltA", 50).as[Long].collect().toSet
+    val b = Sampling.sampleByHash(ids, "id", "saltB", 50).as[Long].collect().toSet
+    assert(a != b) // astronomically unlikely to coincide if independent
+  }
+
+  test("percents must sum to 100") {
+    assertThrows[IllegalArgumentException](
+      Sampling.hashSplit(ids, "id", "s", Seq("a" -> 60, "b" -> 30)))
+  }
+}
