@@ -25,12 +25,14 @@ object GraphMetrics {
   /** Directed weighted edge within a city subgraph. */
   case class Edge(city: String, src: String, dst: String, w: Long)
   case class Metric(city: String, node: String, value_pm: Long, norm_pm: Long)
+  case class HitsRow(city: String, node: String, hub_pm: Long, auth_pm: Long)
 
   val Alpha = 0.85
   val Iterations = 30
 
   private implicit val edgeEnc: Encoder[Edge] = Encoders.product[Edge]
   private implicit val metricEnc: Encoder[Metric] = Encoders.product[Metric]
+  private implicit val hitsEnc: Encoder[HitsRow] = Encoders.product[HitsRow]
   private implicit val strEnc: Encoder[String] = Encoders.STRING
 
   /** Weighted PageRank on one small graph, networkx-compatible semantics
@@ -132,6 +134,44 @@ object GraphMetrics {
     nodes.zipWithIndex.map { case (name, i) => name -> bc(i) * scale }.toMap
   }
 
+  /** Weighted HITS hubs/authorities — the reference's G4, which it left as
+    * null columns with the `nx.hits` call commented out (reference
+    * `src/arango_queries.py:168`, null init `src/blockchain_queries.py:
+    * 161-163`); implemented here with the same power-iteration contract as
+    * networkx (weighted adjacency, uniform start, final sum-normalization)
+    * but a FIXED iteration count so engine and oracle run the identical
+    * arithmetic trajectory. Per iteration: a = Aᵀh (raw), h = A·a
+    * max-normalized per graph — the only scaling that affects anything
+    * numerically (power iteration is scale-invariant and the final
+    * sum-normalization cancels every scalar, but without the max step the
+    * weighted products overflow double range within ~15 iterations).
+    * Returns (hub, authority), each summing to 1.
+    */
+  def hits(edges: Seq[(String, String, Long)],
+           iterations: Int = Iterations): (Map[String, Double], Map[String, Double]) = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted.toArray
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    // source-major sorted edge order: deterministic FP summation in-engine
+    val es = edges.map { case (s, d, w) => (idx(s), idx(d), w) }
+      .sortBy(e => (e._1, e._2)).toArray
+    var h = Array.fill(n)(1.0 / n)
+    var a = new Array[Double](n)
+    for (_ <- 0 until iterations) {
+      a = new Array[Double](n)
+      es.foreach { case (s, d, w) => a(d) += h(s) * w }
+      val hn = new Array[Double](n)
+      es.foreach { case (s, d, w) => hn(s) += a(d) * w }
+      val hmax = hn.max // > 0 whenever the subgraph has an edge
+      var i = 0
+      while (i < n) { hn(i) /= hmax; i += 1 }
+      h = hn
+    }
+    val hs = h.sum
+    val as = a.sum
+    (nodes.zip(h.map(_ / hs)).toMap, nodes.zip(a.map(_ / as)).toMap)
+  }
+
   private def toMetrics(city: String, scores: Map[String, Double]): Iterator[Metric] = {
     val mean = if (scores.isEmpty) 0.0 else scores.values.sum / scores.size
     scores.iterator.map { case (node, v) =>
@@ -173,4 +213,23 @@ object GraphMetrics {
         else toMetrics(city, betweenness(es))
       }
       .toDF("city", "node", "bc_pm", "bc_norm_pm")
+
+  /** G4 per-city weighted HITS (hub_pm, auth_pm as parts-per-million);
+    * same shuffle-once-by-city execution and `minEdges` gate as
+    * [[perCityPagerank]].
+    */
+  def perCityHits(edges: DataFrame, minEdges: Int = 0): DataFrame =
+    edges.select(col("city").cast("string"), col("src"), col("dst"), col("w"))
+      .as[Edge]
+      .groupByKey(_.city)
+      .flatMapGroups { (city, it) =>
+        val es = it.map(e => (e.src, e.dst, e.w)).toSeq
+        if (es.size < minEdges) Iterator.empty
+        else {
+          val (hub, auth) = hits(es)
+          hub.keysIterator.map(node => HitsRow(city, node,
+            math.round(hub(node) * 1e6), math.round(auth(node) * 1e6)))
+        }
+      }
+      .toDF("city", "node", "hub_pm", "auth_pm")
 }

@@ -84,10 +84,21 @@ object Graphs {
       when(col("cell").isNotNull, to_json(Geo.geoJsonPoint(lat, lng))).as("geo"))
   }
 
+  /** q47: G4 per-city weighted HITS — the metric the reference declared
+    * (null hub/authority columns) but never computed (`nx.hits` commented
+    * out, reference `src/arango_queries.py:168`). Fixed 30 iterations;
+    * oracle is a generated chained-CTE power iteration mirroring the
+    * engine's arithmetic step for step.
+    */
+  def q47CityHits(spark: SparkSession, d: String): DataFrame =
+    GraphMetrics.perCityHits(edges(spark, d))
+      .withColumn("city", col("city").cast("int"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_graph_edges" -> q32GraphEdges _,
     "q33_city_pagerank" -> q33CityPagerank _,
     "q34_city_betweenness" -> q34CityBetweenness _,
     "q37_cell_decode" -> q37CellDecode _,
+    "q47_city_hits" -> q47CityHits _,
   )
 }

@@ -616,6 +616,48 @@ object Oracles {
     sb.toString
   }
 
+  /** Generated chained-CTE HITS power iteration: the SQL twin of
+    * [[graft.operators.GraphMetrics.hits]], step for step — per iteration
+    * a_k = Aᵀh_{k-1} (raw weighted sums), h_k = A·a_k max-normalized per
+    * city; final hub/auth sum-normalized per city, pm-scaled. The in-loop
+    * max division is the only scaling that matters numerically (overflow
+    * guard); the final sum-normalization cancels every other scalar, so
+    * engine and oracle agree to well under the pm rounding granularity.
+    */
+  private def hitsSql(edgesSql: String, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS MATERIALIZED (\n$edgesSql\n),\n"
+    sb ++= """nodes AS MATERIALIZED (SELECT DISTINCT city, node FROM
+             |  (SELECT city, src AS node FROM e UNION ALL SELECT city, dst FROM e)),
+             |cnt AS MATERIALIZED (SELECT city, CAST(count(*) AS DOUBLE) AS n FROM nodes GROUP BY city),
+             |h0 AS MATERIALIZED (SELECT nodes.city, node, 1.0/cnt.n AS x FROM nodes JOIN cnt USING (city)),
+             |""".stripMargin
+    for (k <- 1 to iters) {
+      sb ++= s"""a$k AS (SELECT e.city, e.dst AS node, sum(h.x * e.w) AS x
+                |  FROM e JOIN h${k - 1} h ON e.city = h.city AND e.src = h.node
+                |  GROUP BY e.city, e.dst),
+                |hr$k AS (SELECT e.city, e.src AS node, sum(a.x * e.w) AS x
+                |  FROM e JOIN a$k a ON e.city = a.city AND e.dst = a.node
+                |  GROUP BY e.city, e.src),
+                |h$k AS MATERIALIZED (SELECT n.city, n.node,
+                |  coalesce(hr.x, 0.0) / max(coalesce(hr.x, 0.0)) OVER (PARTITION BY n.city) AS x
+                |  FROM nodes n LEFT JOIN hr$k hr ON n.city = hr.city AND n.node = hr.node),
+                |""".stripMargin
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= "\n"
+    sb ++= s"""SELECT n.city, n.node,
+              |  CAST(round(1000000.0 * h.x / sum(h.x) OVER (PARTITION BY n.city)) AS BIGINT)
+              |    AS hub_pm,
+              |  CAST(round(1000000.0 * coalesce(a.x, 0.0)
+              |    / sum(coalesce(a.x, 0.0)) OVER (PARTITION BY n.city)) AS BIGINT)
+              |    AS auth_pm
+              |FROM nodes n
+              |JOIN h$iters h ON n.city = h.city AND n.node = h.node
+              |LEFT JOIN a$iters a ON n.city = a.city AND n.node = a.node""".stripMargin
+    sb.toString
+  }
+
   /** Graph twins. q34's betweenness oracle is the generated BFS +
     * pair-dependency SQL above; the numerics are additionally pinned by
     * golden ScalaTests.
@@ -624,6 +666,7 @@ object Oracles {
     "q32_graph_edges" -> EdgesSql,
     "q33_city_pagerank" -> pagerankSql(EdgesSql, graft.operators.GraphMetrics.Iterations),
     "q34_city_betweenness" -> betweennessSql(EdgesSql, levels = 6),
+    "q47_city_hits" -> hitsSql(EdgesSql, graft.operators.GraphMetrics.Iterations),
 
     // Twin of Geo.cellToPseudoLatLng + geoJsonPoint (integer-valued double
     // coords, so the JSON rendering is byte-identical too).

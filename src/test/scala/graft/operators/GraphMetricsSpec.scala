@@ -51,6 +51,43 @@ class GraphMetricsSpec extends AnyFunSuite {
     bc.values.foreach(v => assert(math.abs(v - 0.5) < Eps))
   }
 
+  test("hits: single edge — source is the hub, target the authority") {
+    val (hub, auth) = GraphMetrics.hits(Seq(("a", "b", 1L)))
+    assert(hub("a") == 1.0 && hub("b") == 0.0)
+    assert(auth("b") == 1.0 && auth("a") == 0.0)
+  }
+
+  test("hits: star center→leaves — authority splits by edge weight") {
+    val (hub, auth) = GraphMetrics.hits(
+      Seq(("c", "x", 3L), ("c", "y", 1L)))
+    assert(hub("c") == 1.0)
+    assert(math.abs(auth("x") - 0.75) < Eps)
+    assert(math.abs(auth("y") - 0.25) < Eps)
+  }
+
+  test("hits: 2-cycle is fully symmetric") {
+    val (hub, auth) = GraphMetrics.hits(Seq(("a", "b", 1L), ("b", "a", 1L)))
+    assert(math.abs(hub("a") - 0.5) < Eps && math.abs(hub("b") - 0.5) < Eps)
+    assert(math.abs(auth("a") - 0.5) < Eps && math.abs(auth("b") - 0.5) < Eps)
+  }
+
+  test("perCityHits groups independently per city, pm-scaled, sums to 1e6") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val edges = Seq(
+      (1, "a", "b", 1L), (1, "b", "c", 1L), (1, "c", "a", 1L), // cycle
+      (2, "x", "y", 2L)
+    ).toDF("city", "src", "dst", "w")
+    val out = GraphMetrics.perCityHits(edges)
+      .as[(String, String, Long, Long)].collect().groupBy(_._1)
+    // 3-cycle: symmetric — every node hub=auth=1/3
+    out("1").foreach { case (_, _, hubPm, authPm) =>
+      assert(math.abs(hubPm - 333333L) <= 1 && math.abs(authPm - 333333L) <= 1)
+    }
+    val c2 = out("2").map(r => r._2 -> (r._3, r._4)).toMap
+    assert(c2("x") == ((1000000L, 0L)) && c2("y") == ((0L, 1000000L)))
+  }
+
   test("perCityPagerank groups independently per city and scales to pm") {
     val spark = TestSpark.spark
     import spark.implicits._
