@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Sequence packing — the concat-and-chunk step an LLM pretraining pipeline
+  * runs after dedup/filtering: documents are laid out in a deterministic
+  * stream and cut into fixed-budget sequences, each document landing at a
+  * byte/token offset inside its pack (documents MAY straddle pack
+  * boundaries — the standard causal-LM packing contract, which wastes zero
+  * budget; `n_chunks` reports the straddle count).
+  *
+  * Scale design: a single global running sum would serialize on one
+  * partition, so the stream is SHARDED by a salted hash first — each shard
+  * packs independently (embarrassingly parallel, one window per shard) and
+  * a pack is identified by (shard, pack). Order within a shard is by a
+  * second salted hash (deterministic shuffle: reproducible, and
+  * decorrelates document order from corpus insertion order, which matters
+  * for training). Everything is window arithmetic over longs — one shuffle
+  * by shard, no driver state, no floating point.
+  */
+object Packing {
+
+  /** Assign each row its (shard, pack, offset_in_pack, n_chunks) under
+    * `budget` cost units per pack.
+    *
+    * @param id     stable row id column (drives both hashes)
+    * @param cost   long column: the row's size in budget units (tokens,
+    *               chars, bytes — caller's choice)
+    * @param budget pack capacity in the same units; must be positive
+    * @param shards number of independent packing streams
+    * @param salt   experiment isolation, as in [[Sampling]]
+    */
+  def packByBudget(df: DataFrame, id: String, cost: String, budget: Long,
+                   shards: Int, salt: String): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val shard: Column = Sampling.hashBucket(col(id), salt, shards)
+    val ord: Column = Text.baseHash32(concat(lit(s"$salt-ord:"), col(id)))
+    val w = Window.partitionBy(shard).orderBy(ord, col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shard)
+      .withColumn("__cum_after", sum(col(cost)).over(w))
+      .withColumn("__cum_before", col("__cum_after") - col(cost))
+      .withColumn("pack", expr(s"__cum_before div ${budget}L"))
+      .withColumn("offset_in_pack", col("__cum_before") % budget)
+      .withColumn("n_chunks",
+        expr(s"(__cum_after - 1) div ${budget}L") - col("pack") + 1)
+      .drop("__cum_after", "__cum_before")
+  }
+}

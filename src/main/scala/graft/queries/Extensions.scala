@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, RangeJoin, Sampling}
+import graft.operators.{AsOf, Packing, RangeJoin, Sampling}
 import graft.sources.Tables
 
 /** Beyond-reference temporal/sampling operators (the build brief's as-of
@@ -66,9 +66,22 @@ object Extensions {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
 
+  /** q48: sequence packing — the document corpus laid out into 8
+    * deterministic shard streams and cut into 4096-char packs
+    * ([[Packing.packByBudget]]: one shuffle by shard, window arithmetic
+    * over longs, documents may straddle pack boundaries).
+    */
+  def q48SequencePacking(spark: SparkSession, d: String): DataFrame =
+    Packing.packByBudget(
+        Tables(spark, d, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", budget = 4096L, shards = 8, salt = "pack")
+      .select(col("doc_id"), col("shard"), col("pack"),
+        col("offset_in_pack"), col("n_chunks"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_asof_join" -> q44AsofJoin _,
     "q45_range_join" -> q45RangeJoin _,
     "q46_hash_split" -> q46HashSplit _,
+    "q48_sequence_packing" -> q48SequencePacking _,
   )
 }

@@ -758,5 +758,19 @@ object Oracles {
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM b GROUP BY 1""".stripMargin,
+
+    "q48_sequence_packing" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5('pack:' || doc_id), 1, 8))::BIGINT % 8 AS shard,
+        |    ('0x' || substr(md5('pack-ord:' || doc_id), 1, 8))::BIGINT AS ord
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY shard ORDER BY ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_after
+        |  FROM b)
+        |SELECT doc_id, shard, (cum_after - n_chars) // 4096 AS pack,
+        |  (cum_after - n_chars) % 4096 AS offset_in_pack,
+        |  ((cum_after - 1) // 4096) - ((cum_after - n_chars) // 4096) + 1 AS n_chunks
+        |FROM c""".stripMargin,
   )
 }
