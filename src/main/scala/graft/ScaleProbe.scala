@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Similarity, TextDedup}
+import graft.operators.{AsOf, Packing, RangeJoin, Similarity, TextDedup}
 import graft.sources.Tables
 
 /** Scale-up probe for the LLM-pipeline operators: replicates the sf0.1
@@ -45,6 +45,25 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
   }
 
+  /** Scaled event stream: replica i shifts user ids (disjoint keys) AND
+    * time by i×90 days (disjoint anchor windows/bins), so the scaled
+    * corpus is `factor` independent workloads — the shape a bigger
+    * deployment actually sees.
+    */
+  def eventsAt(spark: SparkSession, d: String, factor: Int): DataFrame = {
+    val base = Tables.balanced(spark, d, "events")
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+    val ninetyDaysUs = 90L * 86400 * 1000000
+    (0 until factor).map { i =>
+      base.select(
+        (col("event_id") + lit(i * 100000000L)).as("event_id"),
+        (col("ts_us") + lit(i * ninetyDaysUs)).as("ts_us"),
+        (col("user_id") + lit(i * 1000000L)).as("user_id"),
+        col("event_type"), col("value"))
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
@@ -77,6 +96,45 @@ object ScaleProbe {
         time(s"ann-lsh ${factor}x (${2000 * factor} vecs, $planes planes)") {
           Similarity.annTopK(emb, "vec_id", "embedding",
             col("vec_id") % 1000000L < 20, planes, 64, k = 3).count()
+        }
+        spark.catalog.clearCache()
+      }
+    }
+    // Temporal/packing family: disjoint-replica events. As-of and the
+    // bin range join are keyed shuffles, so wall time should track rows,
+    // not rows².
+    val sixHoursUs = 6L * 3600 * 1000000
+    for (factor <- Seq(1, 4, 16)) {
+      val ev = materialize(eventsAt(spark, d, factor), s"/tmp/scale/ev$factor")
+      time(s"asof ${factor}x (${100000 * factor} events)") {
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"), col("event_id").as("p_id"))
+        AsOf.backward(clicks, purchases, Seq("user_id"), "ts_us",
+          "p_id", Seq("p_id")).count()
+      }
+      time(s"range-join ${factor}x") {
+        val anchors = ev.filter(col("event_id") % 97 === 0)
+          .select(col("event_id").as("anchor_id"), col("ts_us").as("lo"),
+            (col("ts_us") + sixHoursUs).as("hi"))
+        val points = ev.select(col("event_id"), col("ts_us"))
+        RangeJoin.pointInInterval(points, "ts_us", anchors, "lo", "hi",
+          sixHoursUs).groupBy("anchor_id").count().count()
+      }
+      spark.catalog.clearCache()
+    }
+    // Packing: fixed shard count serializes per-shard streams as the
+    // corpus grows; scaling shards with the corpus (constant docs/shard)
+    // is the production rule, mirroring the ANN plane-count rule.
+    for (factor <- Seq(1, 4, 16)) {
+      val docs = materialize(
+        docsAt(spark, d, factor).withColumn("n_chars", length(col("text"))),
+        s"/tmp/scale/packdocs$factor")
+      for (shards <- Seq(8, 8 * factor).distinct) {
+        time(s"packing ${factor}x ($shards shards)") {
+          Packing.packByBudget(docs, "doc_id", "n_chars", 4096L,
+            shards, "probe").count()
         }
         spark.catalog.clearCache()
       }
