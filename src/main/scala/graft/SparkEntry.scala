@@ -53,12 +53,22 @@ object SparkEntry {
     // E3: J6 traversal over the docs → gated per-city metrics → G5 merge.
     val graph = Collections.cityGraphEdges(hotspots, kept)
       .withColumn("w", col("w") + 1) // pseudo-coords may coincide; keep w ≥ 1
-    val pr = GraphMetrics.perCityPagerank(graph, minEdges = 2)
+    // A node can appear in SEVERAL city subgraphs (it is pulled into a
+    // neighbor's graph as a witness target); its hotspot document takes the
+    // scores from its OWN city only — the reference's per-city upsert loop
+    // instead let whichever city processed last win, nondeterministically
+    // (`src/arango_queries.py:169-178`), a race this join closes.
+    val ownCity = hotspots.select(col("address").as("node"),
+      col("location_details.city_key").cast("string").as("city"))
+    def own(m: org.apache.spark.sql.DataFrame) = m.join(ownCity, Seq("city", "node"))
+    val pr = own(GraphMetrics.perCityPagerank(graph, minEdges = 2))
       .select(col("node"), col("pr_pm").as("value_pm"), col("pr_norm_pm").as("norm_pm"))
-    val bc = GraphMetrics.perCityBetweenness(graph, minEdges = 2)
+    val bc = own(GraphMetrics.perCityBetweenness(graph, minEdges = 2))
       .select(col("node"), col("bc_pm").as("value_pm"), col("bc_norm_pm").as("norm_pm"))
+    val ha = own(GraphMetrics.perCityHits(graph, minEdges = 2))
+      .select(col("node"), col("hub_pm"), col("auth_pm"))
     Collections.mergeMetrics(
-      hotspots.withColumn("_key", col("address")), pr, bc)
+      hotspots.withColumn("_key", col("address")), pr, bc, Some(ha))
   }
 
   /** One entry per implemented operator family from SURVEY.md §2. */

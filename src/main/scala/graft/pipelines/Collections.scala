@@ -158,18 +158,34 @@ object Collections {
     * `onDuplicate='update'`). A broadcast-friendly left join on `_key`
     * overwriting only the analytics columns — hotspots without metrics
     * (city below the size gate, or not in any city graph) keep nulls.
-    * `pagerank`/`betweenness` frames carry (node, value_pm, norm_pm).
+    * `pagerank`/`betweenness` frames carry (node, value_pm, norm_pm);
+    * the optional `hits` frame carries (node, hub_pm, auth_pm) and fills
+    * the hub/authority columns the reference only ever initialized to
+    * null (G4 — `nx.hits` commented out, `src/arango_queries.py:168`).
+    *
+    * PRECONDITION: metric frames must be unique per node. Per-city metrics
+    * can score one node in several cities (a node is pulled into a
+    * neighbor city's subgraph as an edge target); restrict each frame to
+    * the node's own city first — see the flagship entry — or the left
+    * joins fan out.
     */
   def mergeMetrics(hotspots: DataFrame, pagerank: DataFrame,
-                   betweenness: DataFrame): DataFrame = {
+                   betweenness: DataFrame,
+                   hits: Option[DataFrame] = None): DataFrame = {
     def metric(df: DataFrame, v: String, n: String) =
       df.select(col("node").as("_key"),
         (col("value_pm") / 1e6).as(v), (col("norm_pm") / 1e6).as(n))
-    hotspots
+    val withPrBc = hotspots
       .drop("pagerank", "pagerank_n", "betweenness_centrality", "betweenness_centrality_n")
       .join(broadcast(metric(pagerank, "pagerank", "pagerank_n")), Seq("_key"), "left_outer")
       .join(broadcast(metric(betweenness, "betweenness_centrality",
         "betweenness_centrality_n")), Seq("_key"), "left_outer")
+    hits.fold(withPrBc) { h =>
+      withPrBc.drop("hub_score", "authority_score")
+        .join(broadcast(h.select(col("node").as("_key"),
+          (col("hub_pm") / 1e6).as("hub_score"),
+          (col("auth_pm") / 1e6).as("authority_score"))), Seq("_key"), "left_outer")
+    }
   }
 
   /** `balances` time-series docs (J4+A4/J5+A6, the intended semantics of

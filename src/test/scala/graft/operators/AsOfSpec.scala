@@ -47,6 +47,21 @@ class AsOfSpec extends AnyFunSuite {
       (2L, None, None, None))) // age 410 > 50
   }
 
+  test("agrees with the naive per-row maximum on random data") {
+    val rnd = new scala.util.Random(11)
+    val left = (1L to 150L).map(i => (i, rnd.nextLong(5), rnd.nextLong(200)))
+    val right = (1L to 200L).map(i => (rnd.nextLong(5), rnd.nextLong(200), i, i * 3))
+    val expected = left.map { case (id, k, t) =>
+      val cand = right.filter(r => r._1 == k && r._2 <= t)
+      if (cand.isEmpty) (id, None, None, None)
+      else {
+        val best = cand.maxBy(r => (r._2, r._3)) // latest ts, ties to max rid
+        (id, Some(best._3), Some(best._4), Some(t - best._2))
+      }
+    }.toSet
+    assert(run(left, right) == expected)
+  }
+
   test("result is order-insensitive (deterministic under shuffled input)") {
     val left = (1L to 40L).map(i => (i, i % 3, i * 7 % 101))
     val right = (1L to 60L).map(i => (i % 3, i * 13 % 101, i, i * 2))

@@ -110,6 +110,16 @@ class CollectionsSpec extends AnyFunSuite {
     val g2 = out.filter($"_key" === "gw2").head()
     assert(g2.isNullAt(g2.fieldIndex("pagerank"))) // no metrics → stays null
     assert(out.columns.count(_ == "pagerank") == 1) // no duplicate columns
+    // hub/authority stay null unless a HITS frame is supplied (G4)
+    assert(g1.isNullAt(g1.fieldIndex("hub_score")))
+    val hits = Seq(("gw1", 1000000L, 0L)).toDF("node", "hub_pm", "auth_pm")
+    val withHits = Collections.mergeMetrics(hs, pr, bc, Some(hits))
+    val h1 = withHits.filter($"_key" === "gw1").head()
+    assert(h1.getAs[Double]("hub_score") == 1.0)
+    assert(h1.getAs[Double]("authority_score") == 0.0)
+    val h2 = withHits.filter($"_key" === "gw2").head()
+    assert(h2.isNullAt(h2.fieldIndex("hub_score")))
+    assert(withHits.columns.count(_ == "hub_score") == 1)
   }
 
   test("cityGraphEdges: J6 traversal as joins — valid edges, city filter, haversine weight") {
