@@ -34,6 +34,27 @@ object Sampling {
     df.filter(hashBucket(col(id), salt, 100) < pct)
   }
 
+  /** Keep the top `frac` fraction of each group by `score` (descending,
+    * ties broken by `tiebreak` ascending — supply a unique id for full
+    * determinism): the per-group quality gate a curation pipeline runs
+    * ("top 50% quality per language"). Exact rank-count arithmetic
+    * (`rank <= ceil(frac · n)`), NOT interpolated percentiles — engines
+    * disagree on interpolation, never on integer ranks. Two windows over
+    * one partitioning = a single shuffle by the group key.
+    */
+  def topFractionByGroup(df: DataFrame, groups: Seq[Column], score: Column,
+                         tiebreak: Column, frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1], got $frac")
+    import org.apache.spark.sql.expressions.Window
+    val rn = Iterator.from(0).map(i => s"__rn$i").find(!df.columns.contains(_)).get
+    val n = Iterator.from(0).map(i => s"__n$i").find(!df.columns.contains(_)).get
+    val byGroup = Window.partitionBy(groups: _*)
+    df.withColumn(rn, row_number().over(byGroup.orderBy(score.desc, tiebreak.asc)))
+      .withColumn(n, count(lit(1)).over(byGroup))
+      .filter(col(rn) <= ceil(lit(frac) * col(n)))
+      .drop(rn, n)
+  }
+
   /** Assign every row a named split by consecutive hash-bucket ranges, e.g.
     * `Seq("train" -> 90, "val" -> 5, "test" -> 5)`. Percents must sum to
     * 100 so the assignment is total (every row gets exactly one split).

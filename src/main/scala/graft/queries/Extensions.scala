@@ -78,10 +78,22 @@ object Extensions {
       .select(col("doc_id"), col("shard"), col("pack"),
         col("offset_in_pack"), col("n_chunks"))
 
+  /** q49: per-language quality gate — keep the top half of each language
+    * by length ([[Sampling.topFractionByGroup]]: exact rank arithmetic,
+    * one shuffle), reporting the surviving population per language.
+    */
+  def q49QualityGate(spark: SparkSession, d: String): DataFrame =
+    Sampling.topFractionByGroup(Tables(spark, d, "documents"),
+        Seq(col("lang")), col("n_chars"), col("doc_id"), frac = 0.5)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), min(col("n_chars")).as("cutoff_chars"),
+        sum(col("n_chars")).as("sum_chars"), min(col("doc_id")).as("min_doc"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_asof_join" -> q44AsofJoin _,
     "q45_range_join" -> q45RangeJoin _,
     "q46_hash_split" -> q46HashSplit _,
     "q48_sequence_packing" -> q48SequencePacking _,
+    "q49_quality_gate" -> q49QualityGate _,
   )
 }

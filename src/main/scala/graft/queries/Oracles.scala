@@ -772,5 +772,15 @@ object Oracles {
         |  (cum_after - n_chars) % 4096 AS offset_in_pack,
         |  ((cum_after - 1) // 4096) - ((cum_after - n_chars) // 4096) + 1 AS n_chunks
         |FROM c""".stripMargin,
+
+    "q49_quality_gate" ->
+      """WITH r AS (SELECT lang, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_kept, min(n_chars) AS cutoff_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(doc_id) AS min_doc
+        |FROM r WHERE rn <= ceil(0.5 * n)
+        |GROUP BY lang""".stripMargin,
   )
 }

@@ -43,6 +43,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(a != b) // astronomically unlikely to coincide if independent
   }
 
+  test("topFractionByGroup keeps exactly ceil(frac*n) rows per group, highest scores first") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 20L), ("a", 4L, 40L), ("a", 5L, 50L),
+      ("b", 6L, 7L), ("b", 7L, 7L), ("b", 8L, 9L)
+    ).toDF("g", "id", "score")
+    val kept = Sampling.topFractionByGroup(df, Seq(col("g")), col("score"),
+        col("id"), 0.5)
+      .as[(String, Long, Long)].collect().toSet
+    // a: n=5 → ceil(2.5)=3 → scores 50,40,30; b: n=3 → 2 → score 9 + the
+    // tied 7s resolve to the smaller id
+    assert(kept == Set(("a", 5L, 50L), ("a", 4L, 40L), ("a", 2L, 30L),
+      ("b", 8L, 9L), ("b", 6L, 7L)))
+  }
+
   test("percents must sum to 100") {
     assertThrows[IllegalArgumentException](
       Sampling.hashSplit(ids, "id", "s", Seq("a" -> 60, "b" -> 30)))
