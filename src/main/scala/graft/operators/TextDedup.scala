@@ -123,18 +123,78 @@ object TextDedup {
     * in its component — the canonical-representative selection step after
     * candidate generation. Returns (node, cluster, cluster_size).
     *
-    * Algorithm: iterative min-label propagation (label := min(label,
+    * Adaptive execution, two physical paths for one logical result (the
+    * broadcast-join-threshold pattern): the pair list is orders of
+    * magnitude smaller than the corpus (it already survived LSH banding),
+    * so when it fits one partition (`≤ localThreshold` pairs) CC runs as a
+    * single `mapPartitions` union-find — exact, one job, no iteration.
+    * Past the threshold (or for key types without a defined ordering) it
+    * falls back to iterative min-label propagation (label := min(label,
     * neighbors' labels)) to fixpoint — the standard large-graph CC without
     * a graph library; each iteration is one equi-join + partial-aggregated
     * min, and `localCheckpoint` truncates the growing lineage. Iterations
     * needed = component diameter; dup clusters are near-cliques, so 2-3
     * passes in practice (`maxIter` is the runaway bound — if hit before
     * convergence an IllegalStateException is thrown rather than returning
-    * wrong labels).
+    * wrong labels). Both paths are property-tested to agree.
     */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
-                  maxIter: Int = 20): DataFrame = {
-    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+                  maxIter: Int = 20, localThreshold: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val p0 = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val keyOrd: Option[Ordering[Any]] = p0.schema("a").dataType match {
+      case LongType | IntegerType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[Number].longValue))
+      case StringType => Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      case _ => None
+    }
+    if (keyOrd.isDefined && localThreshold > 0) {
+      val p = p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (p.count() <= localThreshold) localCC(p, keyOrd.get)
+        else iterativeCC(p0, maxIter)
+      } finally p.unpersist()
+    } else iterativeCC(p0, maxIter)
+  }
+
+  /** Single-partition exact CC: union-find with path compression over the
+    * whole pair list in one `mapPartitions` pass on one executor core.
+    * The output is built eagerly (the input is persisted and bounded by
+    * `localThreshold`), so the returned frame is a small local result.
+    */
+  private def localCC(p: DataFrame, ord: Ordering[Any]): DataFrame = {
+    val spark = p.sparkSession
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", p.schema("a").dataType),
+      org.apache.spark.sql.types.StructField("cluster", p.schema("a").dataType),
+      org.apache.spark.sql.types.StructField("cluster_size",
+        org.apache.spark.sql.types.LongType)))
+    val out = p.rdd.coalesce(1).mapPartitions { rows =>
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      rows.foreach { row =>
+        val a = row.get(0); val b = row.get(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      val byRoot = parent.keys.toSeq.groupBy(find)
+      byRoot.valuesIterator.flatMap { members =>
+        val label = members.min(ord)
+        val size = members.size.toLong
+        members.iterator.map(m => org.apache.spark.sql.Row(m, label, size))
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
+  private def iterativeCC(p: DataFrame, maxIter: Int): DataFrame = {
     val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -73,10 +73,36 @@ class TextDedupSpec extends AnyFunSuite {
   test("dupClusters: multi-hop components get the min-id label and right sizes") {
     // path 1-2-3 (needs 2 propagation hops) + isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
-    val out = TextDedup.dupClusters(pairs, "doc_a", "doc_b")
+    val expected = Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L))
+    val fast = TextDedup.dupClusters(pairs, "doc_a", "doc_b")
       .as[(Long, Long, Long)].collect().toSet
-    assert(out == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
-      (10L, 10L, 2L), (11L, 10L, 2L)))
+    assert(fast == expected)
+    // force the distributed iterative path; must agree exactly
+    val iterative = TextDedup.dupClusters(pairs, "doc_a", "doc_b",
+        localThreshold = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(iterative == expected)
+  }
+
+  test("property: union-find fast path and iterative propagation agree on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val prop = Prop.forAll(Gen.listOfN(60,
+        Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)))) { rawPairs =>
+      val pairs = rawPairs.filter { case (a, b) => a != b }
+      pairs.nonEmpty ==> {
+        val df = pairs.toDF("doc_a", "doc_b")
+        val fast = TextDedup.dupClusters(df, "doc_a", "doc_b")
+          .as[(Long, Long, Long)].collect().toSet
+        val iterative = TextDedup.dupClusters(df, "doc_a", "doc_b",
+            localThreshold = 0L)
+          .as[(Long, Long, Long)].collect().toSet
+        fast == iterative
+      }
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(10))
+    assert(res.passed, res.status.toString)
   }
 
   test("simhash: identical docs identical, fingerprints fit in 32 bits") {
