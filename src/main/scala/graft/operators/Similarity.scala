@@ -101,6 +101,59 @@ object Similarity {
       .drop("__cent_v", "__cos")
   }
 
+  /** Lloyd refinement of IVF centroids — the training step that turns a
+    * deterministic seed set into data-adaptive cells. Each iteration:
+    * assign every vector to its nearest centroid ([[ivfAssign]] — scaled
+    * cosine, deterministic tie-break), then recompute each cell's centroid
+    * as the component-wise mean FOLDED IN ASCENDING ID ORDER. The ordered
+    * fold is the point: a plain `avg()` sums in partition order, which is
+    * run-dependent FP noise that compounds across iterations and can flip
+    * a borderline assignment; the ordered fold is bit-reproducible across
+    * runs, partitionings, and engines (the DuckDB oracle runs the same
+    * folds and matches exactly). Cells that lose every member keep their
+    * previous centroid (k never shrinks).
+    *
+    * Cost per iteration: one broadcast of k centroids against a corpus
+    * pass + two keyed aggregations of the exploded components — all
+    * partial-agg shapes. `collect_list` per (cell, component) holds one
+    * entry per member; at a corpus scale where that list outgrows memory,
+    * switch the mean to plain `sum/count` and accept run-to-run FP noise
+    * below the quantization floor (documented seam, not needed at any
+    * tested scale).
+    *
+    * Returns (id, vec, n_members): the refined centroids and each cell's
+    * population in the final assignment (0 for emptied cells).
+    */
+  def kmeansRefine(corpus: DataFrame, seeds: DataFrame, id: String,
+                   vec: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var cents = seeds.select(col(id),
+      col(vec).cast("array<double>").as(vec))
+    var merged: DataFrame = null
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(corpus, cents, id, vec)
+      val comp = assigned.select(col("cell"), col(id).as("__vid"),
+        posexplode(col(vec)).as(Seq("i", "x")))
+      val sums = comp.groupBy(col("cell"), col("i"))
+        .agg(sort_array(collect_list(struct(col("__vid"), col("x")))).as("lst"))
+        .select(col("cell"), col("i"),
+          (aggregate(col("lst"), lit(0.0),
+            (acc, s) => acc + s.getField("x")) / size(col("lst"))).as("m"),
+          size(col("lst")).cast("long").as("__cnt"))
+      val packed = sums.groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("cm"),
+          max(col("__cnt")).as("n_members"))
+        .select(col("cell").as(id),
+          transform(col("cm"), s => s.getField("m")).as("__nv"),
+          col("n_members"))
+      merged = cents.join(packed, Seq(id), "left_outer")
+        .select(col(id), coalesce(col("__nv"), col(vec)).as(vec),
+          coalesce(col("n_members"), lit(0L)).as("n_members"))
+      cents = merged.select(col(id), col(vec))
+    }
+    merged
+  }
+
   /** IVF ANN top-k: search only the query's cell (nprobe=1; probing the
     * next-nearest cells is the standard recall extension). Equi-join on
     * the cell id — the bucketed scale path with data-adaptive buckets.

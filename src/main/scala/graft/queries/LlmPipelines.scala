@@ -164,6 +164,21 @@ object LlmPipelines {
         round(lit(1000.0) * size(col("pieces")) / size(col("toks")))
           .cast("long").as("fertility_milli"))
 
+  /** q50: k-means training of the IVF index — 3 Lloyd refinements of the
+    * 8 seed centroids ([[Similarity.kmeansRefine]]: ordered-fold means,
+    * bit-reproducible), emitted as per-component scaled integers plus the
+    * final cell populations.
+    */
+  def q50KmeansRefine(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.balanced(spark, d, "embeddings")
+    Similarity.kmeansRefine(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", iters = 3)
+      .select(col("vec_id").as("cell"), col("n_members"),
+        posexplode(col("embedding")).as(Seq("i", "m")))
+      .select(col("cell"), col("i").cast("long").as("i"),
+        round(col("m") * 1000000.0).cast("long").as("m_pm"), col("n_members"))
+  }
+
   /** q41: occupancy-capped adaptive ANN — 2 coarse planes (so the small
     * test corpora actually produce oversized buckets), buckets above 64
     * vectors split by 4 extra planes. The skew-mitigation member of the
@@ -230,5 +245,6 @@ object LlmPipelines {
     "q30_cosine_topk" -> q30CosineTopK _,
     "q31_ann_lsh_topk" -> q31AnnLshTopK _,
     "q41_ann_adaptive_topk" -> q41AnnAdaptiveTopK _,
+    "q50_kmeans_refine" -> q50KmeansRefine _,
   )
 }

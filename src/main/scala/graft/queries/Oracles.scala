@@ -466,7 +466,51 @@ object Oracles {
          |        row_number() OVER (PARTITION BY qid ORDER BY cos_pm DESC, cid ASC) AS "rank"
          |      FROM s)
          |SELECT * FROM r WHERE "rank" <= 3""".stripMargin,
+
+    "q50_kmeans_refine" -> kmeansSql(iters = 3, k = 8, dims = 64),
   )
+
+  /** Generated chained-CTE Lloyd iteration: the SQL twin of
+    * [[graft.operators.Similarity.kmeansRefine]] — per iteration, nearest
+    * centroid by the same scaled-cosine/tie-break window, then
+    * component-wise means as `list_reduce` over `list(x ORDER BY vec_id)`,
+    * the identical ascending fold the engine runs, so centroid values are
+    * BIT-equal across engines and assignments can never diverge on a
+    * borderline vector. Emptied cells keep the previous centroid.
+    */
+  private def kmeansSql(iters: Int, k: Int, dims: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+              |cent0 AS MATERIALIZED (SELECT vec_id AS cell,
+              |  list_transform(embedding, x -> x::DOUBLE) AS cv,
+              |  CAST(0 AS BIGINT) AS n_members
+              |  FROM e WHERE vec_id < $k),
+              |""".stripMargin
+    for (it <- 1 to iters) {
+      sb ++= s"""sc$it AS (SELECT e.vec_id, e.embedding, c.cell,
+                |    row_number() OVER (PARTITION BY e.vec_id
+                |      ORDER BY ${cosPm("e.embedding", "c.cv")} DESC, c.cell ASC) AS rn
+                |  FROM e CROSS JOIN cent${it - 1} c),
+                |asg$it AS (SELECT vec_id, embedding, cell FROM sc$it WHERE rn = 1),
+                |cm$it AS (SELECT cell, i,
+                |    list_reduce(list(embedding[i]::DOUBLE ORDER BY vec_id),
+                |      (p, q) -> p + q) / count(*) AS m,
+                |    count(*) AS n
+                |  FROM asg$it, range(1, ${dims + 1}) t(i) GROUP BY cell, i),
+                |nc$it AS (SELECT cell, list(m ORDER BY i) AS cv, max(n) AS n_members
+                |  FROM cm$it GROUP BY cell),
+                |cent$it AS MATERIALIZED (SELECT p.cell, coalesce(n.cv, p.cv) AS cv,
+                |  coalesce(n.n_members, CAST(0 AS BIGINT)) AS n_members
+                |  FROM cent${it - 1} p LEFT JOIN nc$it n USING (cell)),
+                |""".stripMargin
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= "\n"
+    sb ++= s"""SELECT cell, CAST(t.i - 1 AS BIGINT) AS i,
+              |  CAST(round(1000000.0 * cv[t.i]) AS BIGINT) AS m_pm, n_members
+              |FROM cent$iters, range(1, ${dims + 1}) t(i)""".stripMargin
+    sb.toString
+  }
 
   /** Twin of [[Graphs.edges]]: same-nation customer⨝supplier pairs with
     * haversine-km+1 weights, plus reverse edges for pairs with

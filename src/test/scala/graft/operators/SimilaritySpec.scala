@@ -19,6 +19,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cos(Seq(1f, 1f), Seq(-1f, -1f)) == -1000000L)
   }
 
+  test("kmeansRefine: separated clusters converge to exact member means, emptied cells survive") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), // seeds
+      (10L, Seq(0.9f, 0.1f)),               // → cell 0
+      (11L, Seq(0.1f, 0.9f)),               // → cell 1
+      (12L, Seq(0.6f, 0.8f))                // cos favors (0,1) → cell 1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansRefine(emb, emb.filter($"vec_id" < 2),
+        "vec_id", "embedding", iters = 2)
+      .as[(Long, Seq[Double], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // exact double arithmetic, same fold order as the operator
+    def mean(xs: Seq[Float]) = xs.foldLeft(0.0)(_ + _) / xs.size
+    assert(out(0L)._2 == 2L && out(1L)._2 == 3L)
+    assert(out(0L)._1 == Seq(mean(Seq(1f, 0.9f)), mean(Seq(0f, 0.1f))))
+    assert(out(1L)._1 == Seq(mean(Seq(0f, 0.1f, 0.6f)), mean(Seq(1f, 0.9f, 0.8f))))
+    // a centroid no corpus vector prefers keeps its seed value, 0 members
+    // (seeds need not be corpus members)
+    val far = Seq((0L, Seq(1f, 0f)), (1L, Seq(-1f, 0f)), (10L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.kmeansRefine(far.filter($"vec_id" =!= 1L),
+        far.filter($"vec_id" < 2), "vec_id", "embedding", iters = 1)
+      .as[(Long, Seq[Double], Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(kept(1L) == 0L) // emptied cell survives with its seed centroid
+  }
+
   test("bruteForceTopK ranks by scaled cosine with id tie-break, excludes self") {
     val emb = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.01f)), (2L, Seq(0.9f, 0.1f)),
