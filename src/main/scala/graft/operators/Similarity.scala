@@ -146,9 +146,15 @@ object Similarity {
         .select(col("cell").as(id),
           transform(col("cm"), s => s.getField("m")).as("__nv"),
           col("n_members"))
+      // Materialize the k-row centroid frame each iteration: without this
+      // every reference to `cents` replays the full lineage of all prior
+      // iterations (the assignment join reads it twice per step —
+      // recompute grows geometrically with iters). k rows: the checkpoint
+      // job is trivial.
       merged = cents.join(packed, Seq(id), "left_outer")
         .select(col(id), coalesce(col("__nv"), col(vec)).as(vec),
           coalesce(col("n_members"), lit(0L)).as("n_members"))
+        .localCheckpoint(true)
       cents = merged.select(col(id), col(vec))
     }
     merged
