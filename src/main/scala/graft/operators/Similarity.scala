@@ -28,23 +28,36 @@ object Similarity {
     * ascending left-fold arithmetic to the interpreted HOF form, so
     * results (and the DuckDB oracles) are bit-unchanged.
     */
-  def cosineScaledPm(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = call_function("vec_dot", x, y)
-    round(lit(1000000.0) * (dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))))
+  def cosineScaledPm(a: Column, b: Column): Column =
+    cosFromNorms(a, b, norm(a), norm(b))
+
+  /** √⟨v,v⟩ — compute ONCE per row per side before a join; recomputing it
+    * per candidate pair (what a naive `cosineScaledPm` in the join select
+    * does) multiplies the dot-product work by ~3× at k candidates.
+    */
+  def norm(v: Column): Column = sqrt(call_function("vec_dot", v, v))
+
+  /** Scaled cosine from precomputed norms. Arithmetic is identical to
+    * [[cosineScaledPm]] — `dot/(√da·√db)` with the same fold and the same
+    * double ops — so values (and the DuckDB oracles) are bit-unchanged.
+    */
+  def cosFromNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    round(lit(1000000.0) * (call_function("vec_dot", a, b) / (na * nb)))
       .cast("long")
-  }
 
   /** Exact top-k neighbors for each query vector. `queries` must be small
     * (it is broadcast); self-pairs are excluded by id inequality.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
                      vec: String, k: Int): DataFrame = {
-    val q = queries.select(col(id).as("qid"), col(vec).as("qv"))
-    val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
+    val q = queries.select(col(id).as("qid"), col(vec).as("qv"),
+      norm(col(vec)).as("qn"))
+    val c = corpus.select(col(id).as("cid"), col(vec).as("cv"),
+      norm(col(vec)).as("cn"))
     val scored = c.crossJoin(broadcast(q)) // deliberate: |Q| is a small constant
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
-        cosineScaledPm(col("qv"), col("cv")).as("cos_pm"))
+        cosFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cos_pm"))
     Dedup.keepFirstK(scored, Seq(col("qid")),
       Seq(col("cos_pm").desc, col("cid").asc), k, "rank")
   }
@@ -92,13 +105,16 @@ object Similarity {
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, id: String,
                 vec: String): DataFrame = {
-    val c = centroids.select(col(id).as("__cent_id"), col(vec).as("__cent_v"))
-    val scored = corpus.crossJoin(broadcast(c)) // deliberate: |centroids| tiny
-      .withColumn("__cos", cosineScaledPm(col(vec), col("__cent_v")))
+    val c = centroids.select(col(id).as("__cent_id"), col(vec).as("__cent_v"),
+      norm(col(vec)).as("__cent_n"))
+    val scored = corpus.withColumn("__vn", norm(col(vec)))
+      .crossJoin(broadcast(c)) // deliberate: |centroids| tiny
+      .withColumn("__cos", cosFromNorms(col(vec), col("__cent_v"),
+        col("__vn"), col("__cent_n")))
     Dedup.keepFirst(scored, Seq(col(id)),
         Seq(col("__cos").desc, col("__cent_id").asc))
       .withColumnRenamed("__cent_id", "cell")
-      .drop("__cent_v", "__cos")
+      .drop("__cent_v", "__cent_n", "__vn", "__cos")
   }
 
   /** Lloyd refinement of IVF centroids — the training step that turns a
@@ -168,12 +184,14 @@ object Similarity {
               vec: String, queryPred: Column, k: Int): DataFrame = {
     val assigned = ivfAssign(corpus, centroids, id, vec)
     val q = assigned.filter(queryPred)
-      .select(col(id).as("qid"), col(vec).as("qv"), col("cell"))
-    val c = assigned.select(col(id).as("cid"), col(vec).as("cv"), col("cell"))
+      .select(col(id).as("qid"), col(vec).as("qv"), col("cell"),
+        norm(col(vec)).as("qn"))
+    val c = assigned.select(col(id).as("cid"), col(vec).as("cv"), col("cell"),
+      norm(col(vec)).as("cn"))
     val scored = q.join(c, Seq("cell"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"), col("cell"),
-        cosineScaledPm(col("qv"), col("cv")).as("cos_pm"))
+        cosFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cos_pm"))
     Dedup.keepFirstK(scored, Seq(col("qid")),
       Seq(col("cos_pm").desc, col("cid").asc), k, "rank")
   }
@@ -186,13 +204,16 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, id: String, vec: String,
                          planes: Int, dims: Int, minCosPm: Long): DataFrame = {
     val emb = corpus.select(col(id), col(vec),
-      rpLshBucket(col(vec), planes, dims).as("bucket"))
-    val a = emb.select(col(id).as("id_a"), col(vec).as("va"), col("bucket"))
-    val b = emb.select(col(id).as("id_b"), col(vec).as("vb"), col("bucket"))
+      rpLshBucket(col(vec), planes, dims).as("bucket"),
+      norm(col(vec)).as("__n"))
+    val a = emb.select(col(id).as("id_a"), col(vec).as("va"), col("bucket"),
+      col("__n").as("na"))
+    val b = emb.select(col(id).as("id_b"), col(vec).as("vb"), col("bucket"),
+      col("__n").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("bucket"),
-        cosineScaledPm(col("va"), col("vb")).as("cos_pm"))
+        cosFromNorms(col("va"), col("vb"), col("na"), col("nb")).as("cos_pm"))
       .filter(col("cos_pm") >= minCosPm)
   }
 
@@ -220,14 +241,17 @@ object Similarity {
     val refined = emb.join(broadcast(counts), Seq("bucket"))
       .select(col(id), col(vec),
         when(col("__bn") > cap, col("bucket") * shift + flag + col("fine"))
-          .otherwise(col("bucket") * shift).as("bucket"))
+          .otherwise(col("bucket") * shift).as("bucket"),
+        norm(col(vec)).as("__n"))
     val q = refined.filter(queryPred)
-      .select(col(id).as("qid"), col(vec).as("qv"), col("bucket"))
-    val c = refined.select(col(id).as("cid"), col(vec).as("cv"), col("bucket"))
+      .select(col(id).as("qid"), col(vec).as("qv"), col("bucket"),
+        col("__n").as("qn"))
+    val c = refined.select(col(id).as("cid"), col(vec).as("cv"), col("bucket"),
+      col("__n").as("cn"))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"), col("bucket"),
-        cosineScaledPm(col("qv"), col("cv")).as("cos_pm"))
+        cosFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cos_pm"))
     Dedup.keepFirstK(scored, Seq(col("qid")),
       Seq(col("cos_pm").desc, col("cid").asc), k, "rank")
   }
@@ -240,14 +264,17 @@ object Similarity {
   def annTopK(corpus: DataFrame, id: String, vec: String, queryPred: Column,
               planes: Int, dims: Int, k: Int): DataFrame = {
     val emb = corpus.select(col(id), col(vec),
-      rpLshBucket(col(vec), planes, dims).as("bucket"))
+      rpLshBucket(col(vec), planes, dims).as("bucket"),
+      norm(col(vec)).as("__n"))
     val q = emb.filter(queryPred)
-      .select(col(id).as("qid"), col(vec).as("qv"), col("bucket"))
-    val c = emb.select(col(id).as("cid"), col(vec).as("cv"), col("bucket"))
+      .select(col(id).as("qid"), col(vec).as("qv"), col("bucket"),
+        col("__n").as("qn"))
+    val c = emb.select(col(id).as("cid"), col(vec).as("cv"), col("bucket"),
+      col("__n").as("cn"))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"), col("bucket"),
-        cosineScaledPm(col("qv"), col("cv")).as("cos_pm"))
+        cosFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cos_pm"))
     Dedup.keepFirstK(scored, Seq(col("qid")),
       Seq(col("cos_pm").desc, col("cid").asc), k, "rank")
   }
