@@ -79,4 +79,25 @@ object AsOf {
       when(inTol, col("__t") - col("__mt")).as(s"${prefix}age")
     matched.select(out: _*)
   }
+
+  /** Forward as-of join: the EARLIEST right row with `right.time >=
+    * left.time` per key (the pandas `merge_asof(direction='forward')`
+    * contract). Implemented by running [[backward]] over negated times —
+    * same single-shuffle plan, and the carried age already comes out as
+    * `right.time − left.time ≥ 0` (the negation cancels in the
+    * difference). Duplicate right (key, time) rows still resolve to the
+    * greatest `tiebreak`; `maxAge` bounds how far in the FUTURE a match
+    * may be. `carry` columns pass through unmodified (only the shared
+    * `time` column participates in the negation).
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              time: String, tiebreak: String, carry: Seq[String],
+              prefix: String = "asof_", maxAge: Option[Long] = None): DataFrame = {
+    require(!carry.contains(time),
+      s"carry must not include the shared time column '$time' (it is negated internally); alias it first")
+    val ln = left.withColumn(time, -col(time).cast("long"))
+    val rn = right.withColumn(time, -col(time).cast("long"))
+    backward(ln, rn, keys, time, tiebreak, carry, prefix, maxAge)
+      .withColumn(time, -col(time))
+  }
 }

@@ -62,6 +62,17 @@ class AsOfSpec extends AnyFunSuite {
     assert(run(left, right) == expected)
   }
 
+  test("forward picks the earliest right row at or after the left time") {
+    val l = Seq((1L, 7L, 100L), (2L, 7L, 250L)).toDF("id", "k", "ts")
+    val r = Seq((7L, 150L, 11L, 500L), (7L, 200L, 12L, 600L)).toDF("k", "ts", "rid", "rv")
+    val got = AsOf.forward(l, r, Seq("k"), "ts", "rid", Seq("rid", "rv"))
+      .select("id", "ts", "asof_rid", "asof_age")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, 100L, Some(11L), Some(50L)), // earliest future row, age = rt - lt
+      (2L, 250L, None, None)))          // nothing at or after 250
+  }
+
   test("result is order-insensitive (deterministic under shuffled input)") {
     val left = (1L to 40L).map(i => (i, i % 3, i * 7 % 101))
     val right = (1L to 60L).map(i => (i % 3, i * 13 % 101, i, i * 2))
