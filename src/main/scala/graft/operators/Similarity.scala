@@ -196,6 +196,38 @@ object Similarity {
       Seq(col("cos_pm").desc, col("cid").asc), k, "rank")
   }
 
+  /** Multi-probe IVF ANN top-k: each query searches its `nprobe` nearest
+    * cells instead of one — the standard recall knob (nprobe = k-cells ⇒
+    * exact brute force, test-pinned). The corpus stays single-assigned;
+    * only the probe list fans out (nprobe rows per query into the cell
+    * equi-join), so candidate work scales linearly in nprobe and the plan
+    * is unchanged: broadcast centroid scoring + one equi-join on cell.
+    */
+  def ivfTopKProbe(corpus: DataFrame, centroids: DataFrame, id: String,
+                   vec: String, queryPred: Column, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val assigned = ivfAssign(corpus, centroids, id, vec)
+    val cent = centroids.select(col(id).as("__cent_id"), col(vec).as("__cent_v"),
+      norm(col(vec)).as("__cent_n"))
+    val probes = Dedup.keepFirstK(
+      assigned.filter(queryPred)
+        .select(col(id).as("qid"), col(vec).as("qv"), norm(col(vec)).as("qn"))
+        .crossJoin(broadcast(cent))
+        .select(col("qid"), col("qv"), col("qn"), col("__cent_id").as("cell"),
+          cosFromNorms(col("qv"), col("__cent_v"), col("qn"), col("__cent_n"))
+            .as("__pcos")),
+      Seq(col("qid")), Seq(col("__pcos").desc, col("cell").asc), nprobe, "__probe")
+      .select(col("qid"), col("qv"), col("qn"), col("cell"))
+    val c = assigned.select(col(id).as("cid"), col(vec).as("cv"), col("cell"),
+      norm(col(vec)).as("cn"))
+    val scored = probes.join(c, Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), col("cell"),
+        cosFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cos_pm"))
+    Dedup.keepFirstK(scored, Seq(col("qid")),
+      Seq(col("cos_pm").desc, col("cid").asc), k, "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates from a WIDE LSH
     * bucketing (few planes → big buckets → high recall at a bounded
     * candidate count, Σ bucket² ≪ N²), then the exact scaled cosine with

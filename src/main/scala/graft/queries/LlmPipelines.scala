@@ -164,6 +164,17 @@ object LlmPipelines {
         round(lit(1000.0) * size(col("pieces")) / size(col("toks")))
           .cast("long").as("fertility_milli"))
 
+  /** q51: multi-probe IVF ANN — queries search their 2 nearest cells
+    * ([[Similarity.ivfTopKProbe]]), the recall knob between q38's
+    * nprobe=1 and exact brute force.
+    */
+  def q51AnnMultiprobe(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.balanced(spark, d, "embeddings")
+    Similarity.ivfTopKProbe(emb, emb.filter(col("vec_id") < 8), "vec_id",
+        "embedding", col("vec_id") >= 20 && col("vec_id") < 30, k = 3, nprobe = 2)
+      .select(col("qid"), col("cid"), col("cell"), col("cos_pm"), col("rank"))
+  }
+
   /** q50: k-means training of the IVF index — 3 Lloyd refinements of the
     * 8 seed centroids ([[Similarity.kmeansRefine]]: ordered-fold means,
     * bit-reproducible), emitted as per-component scaled integers plus the
@@ -246,5 +257,6 @@ object LlmPipelines {
     "q31_ann_lsh_topk" -> q31AnnLshTopK _,
     "q41_ann_adaptive_topk" -> q41AnnAdaptiveTopK _,
     "q50_kmeans_refine" -> q50KmeansRefine _,
+    "q51_ann_multiprobe" -> q51AnnMultiprobe _,
   )
 }

@@ -468,6 +468,26 @@ object Oracles {
          |SELECT * FROM r WHERE "rank" <= 3""".stripMargin,
 
     "q50_kmeans_refine" -> kmeansSql(iters = 3, k = 8, dims = 64),
+
+    // Twin of Similarity.ivfTopKProbe: the probe list is the same ranking
+    // that assigns the corpus (top-nprobe centroid rows per query).
+    "q51_ann_multiprobe" ->
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS centv
+         |  FROM embeddings WHERE vec_id < 8),
+         |sc AS (SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosPm("e.embedding", "c.centv")} DESC, c.cent_id ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, embedding, cell FROM sc WHERE rn = 1),
+         |qp AS (SELECT vec_id AS qid, embedding AS qv, cell FROM sc
+         |       WHERE vec_id >= 20 AND vec_id < 30 AND rn <= 2),
+         |c AS (SELECT vec_id AS cid, embedding AS cv, cell FROM asg),
+         |s AS (SELECT qid, cid, cell, ${cosPm("qv", "cv")} AS cos_pm
+         |      FROM qp JOIN c USING (cell) WHERE cid <> qid),
+         |r AS (SELECT qid, cid, cell, cos_pm,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos_pm DESC, cid ASC) AS "rank"
+         |      FROM s)
+         |SELECT * FROM r WHERE "rank" <= 3""".stripMargin,
   )
 
   /** Generated chained-CTE Lloyd iteration: the SQL twin of

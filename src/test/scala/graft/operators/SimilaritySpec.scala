@@ -45,6 +45,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(kept(1L) == 0L) // emptied cell survives with its seed centroid
   }
 
+  test("ivfTopKProbe: probing every cell reproduces brute force exactly") {
+    val rnd = new scala.util.Random(5)
+    val emb = (0L until 24L).map(i =>
+        (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val seeds = emb.filter($"vec_id" < 3)
+    val queries = $"vec_id" >= 20L
+    val probed = Similarity.ivfTopKProbe(emb, seeds, "vec_id", "embedding",
+        queries, k = 4, nprobe = 3)
+      .select("qid", "cid", "cos_pm", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(queries),
+        "vec_id", "embedding", k = 4)
+      .select("qid", "cid", "cos_pm", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(probed == brute)
+    // nprobe=1 candidates are a subset of the nprobe=3 result's quality:
+    // every nprobe=1 hit is ranked no better in the wider search
+    val single = Similarity.ivfTopKProbe(emb, seeds, "vec_id", "embedding",
+        queries, k = 4, nprobe = 1)
+      .select("qid", "cos_pm").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val wide = probed.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    single.foreach { case (q, best) => assert(wide(q) >= best) }
+  }
+
   test("bruteForceTopK ranks by scaled cosine with id tie-break, excludes self") {
     val emb = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.01f)), (2L, Seq(0.9f, 0.1f)),
