@@ -6,7 +6,9 @@ object PlanAudit {
     val d = "/root/testdata/sf0.01"
     val interesting = if (args.nonEmpty) args.toSeq else Seq(
       "q03_filter_in_projection", "q04_join_left_enrich", "q05_join_inner_agg",
-      "q12_geo_haversine", "q16_window_rewards_5d", "q30_cosine_topk")
+      "q12_geo_haversine", "q16_window_rewards_5d", "q30_cosine_topk",
+      "q22_witness_explode_pipeline", "q44_asof_join", "q45_range_join",
+      "q48_sequence_packing", "q51_ann_multiprobe")
     for (name <- interesting) {
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
