@@ -80,6 +80,68 @@ object AsOf {
     matched.select(out: _*)
   }
 
+  /** Nearest as-of join: the right row minimizing |right.time − left.time|
+    * per key, ties to the BACKWARD match (the pandas
+    * `merge_asof(direction='nearest')` contract). One shuffle on the key
+    * with two partition-local sorts: the backward window carries the last
+    * preceding-or-equal right payload, a second window over the same
+    * partitioning (ordered so the equal-time right row lands on the
+    * following side) carries the first at-or-after payload, and a row-local
+    * comparison picks the closer. `maxAge` bounds the distance in BOTH
+    * directions.
+    */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+              time: String, tiebreak: String, carry: Seq[String],
+              prefix: String = "asof_", maxAge: Option[Long] = None): DataFrame = {
+    require(carry.nonEmpty, "carry must name at least one right-side column")
+    val keyCols = keys.map(col)
+    val carryType = right.select(struct(carry.map(col): _*).as("p")).schema("p").dataType
+    val lrowType = left.select(struct(left.columns.toIndexedSeq.map(col): _*).as("r"))
+      .schema("r").dataType
+    val l = left.select(
+      keyCols :+ col(time).cast("long").as("__t") :+ lit(1).as("__side") :+
+        lit(null).cast("long").as("__tb") :+
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__lrow") :+
+        lit(null).cast(carryType).as("__carry"): _*)
+    val r = right.select(
+      keyCols :+ col(time).cast("long").as("__t") :+ lit(0).as("__side") :+
+        col(tiebreak).cast("long").as("__tb") :+
+        lit(null).cast(lrowType).as("__lrow") :+
+        struct(carry.map(col): _*).as("__carry"): _*)
+    val wb = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Equal-time right rows must fall on the FOLLOWING side of a left row
+    // here (inclusive forward bound), so sides order left-before-right at
+    // ties; tiebreak descends so `first` picks the greatest.
+    val wf = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").asc, col("__side").desc, col("__tb").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rc = when(col("__side") === 0, col("__carry"))
+    val rt = when(col("__side") === 0, col("__t"))
+    val matched = l.unionByName(r)
+      .withColumn("__mb", last(rc, ignoreNulls = true).over(wb))
+      .withColumn("__mbt", last(rt, ignoreNulls = true).over(wb))
+      .withColumn("__mf", first(rc, ignoreNulls = true).over(wf))
+      .withColumn("__mft", first(rt, ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+    val ab = col("__t") - col("__mbt")
+    val af = col("__mft") - col("__t")
+    def within(age: Column, mt: Column): Column = maxAge match {
+      case Some(a) => mt.isNotNull && age <= a
+      case None    => mt.isNotNull
+    }
+    val okB = within(ab, col("__mbt"))
+    val okF = within(af, col("__mft"))
+    val useB = okB && (!okF || ab <= af)
+    val useF = !useB && okF
+    val out = left.columns.toIndexedSeq.map(c => col(s"__lrow.$c").as(c)) ++
+      carry.map(c => when(useB, col(s"__mb.$c")).when(useF, col(s"__mf.$c"))
+        .as(s"$prefix$c")) :+
+      when(useB, ab).when(useF, af).as(s"${prefix}age")
+    matched.select(out: _*)
+  }
+
   /** Forward as-of join: the EARLIEST right row with `right.time >=
     * left.time` per key (the pandas `merge_asof(direction='forward')`
     * contract). Implemented by running [[backward]] over negated times —

@@ -36,6 +36,23 @@ object Extensions {
         col("m_p_id"), col("m_p_value_c"), col("m_age"))
   }
 
+  /** q52: nearest as-of join — each click matched to its closest purchase
+    * in either time direction, ties to the backward match
+    * ([[AsOf.nearest]]: one shuffle, two partition-local window sorts).
+    */
+  def q52AsofNearest(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.eventsWithUs(spark, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("p_id"),
+        cents(col("value")).as("p_value_c"))
+    AsOf.nearest(clicks, purchases, Seq("user_id"), "ts_us",
+        tiebreak = "p_id", carry = Seq("p_id", "p_value_c"), prefix = "m_")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("m_p_id"), col("m_p_value_c"), col("m_age"))
+  }
+
   /** q45: point-in-interval range join — every event falling in one of the
     * sampled 6-hour anchor windows, aggregated per anchor
     * ([[RangeJoin.pointInInterval]]: equi-join on a time bin, never a
@@ -95,5 +112,6 @@ object Extensions {
     "q46_hash_split" -> q46HashSplit _,
     "q48_sequence_packing" -> q48SequencePacking _,
     "q49_quality_gate" -> q49QualityGate _,
+    "q52_asof_nearest" -> q52AsofNearest _,
   )
 }

@@ -802,6 +802,39 @@ object Oracles {
          |  t - m_t AS m_age
          |FROM w WHERE side = 1""".stripMargin,
 
+    "q52_asof_nearest" ->
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t, event_type,
+         |    $CentsValue AS value_c FROM events),
+         |u AS (
+         |  SELECT user_id, t, 0 AS side, CAST(NULL AS BIGINT) AS event_id,
+         |    event_id AS p_id, value_c AS p_value_c
+         |  FROM ev WHERE event_type = 'purchase'
+         |  UNION ALL
+         |  SELECT user_id, t, 1 AS side, event_id,
+         |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         |  FROM ev WHERE event_type = 'click'),
+         |w AS (SELECT *,
+         |    last_value(CASE WHEN side = 0 THEN p_id END IGNORE NULLS) OVER wb AS b_id,
+         |    last_value(CASE WHEN side = 0 THEN p_value_c END IGNORE NULLS) OVER wb AS b_v,
+         |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER wb AS b_t,
+         |    first_value(CASE WHEN side = 0 THEN p_id END IGNORE NULLS) OVER wf AS f_id,
+         |    first_value(CASE WHEN side = 0 THEN p_value_c END IGNORE NULLS) OVER wf AS f_v,
+         |    first_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER wf AS f_t
+         |  FROM u
+         |  WINDOW wb AS (PARTITION BY user_id ORDER BY t, side, p_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wf AS (PARTITION BY user_id ORDER BY t, side DESC, p_id DESC
+         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         |n AS (SELECT event_id, user_id, t,
+         |    b_id, b_v, b_t, f_id, f_v, f_t,
+         |    (b_t IS NOT NULL AND (f_t IS NULL OR t - b_t <= f_t - t)) AS use_b
+         |  FROM w WHERE side = 1)
+         |SELECT event_id, user_id, t AS ts_us,
+         |  CASE WHEN use_b THEN b_id WHEN f_t IS NOT NULL THEN f_id END AS m_p_id,
+         |  CASE WHEN use_b THEN b_v WHEN f_t IS NOT NULL THEN f_v END AS m_p_value_c,
+         |  CASE WHEN use_b THEN t - b_t WHEN f_t IS NOT NULL THEN f_t - t END AS m_age
+         |FROM n""".stripMargin,
+
     "q45_range_join" ->
       s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS t,
          |    $CentsValue AS value_c FROM events),

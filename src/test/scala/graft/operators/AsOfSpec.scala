@@ -62,6 +62,49 @@ class AsOfSpec extends AnyFunSuite {
     assert(run(left, right) == expected)
   }
 
+  test("nearest picks the closer side, ties to backward, maxAge bounds both directions") {
+    val l = Seq((1L, 7L, 100L), (2L, 7L, 190L), (3L, 7L, 150L), (4L, 7L, 500L))
+      .toDF("id", "k", "ts")
+    val r = Seq((7L, 90L, 11L, 1L), (7L, 210L, 12L, 2L)).toDF("k", "ts", "rid", "rv")
+    val got = AsOf.nearest(l, r, Seq("k"), "ts", "rid", Seq("rid"))
+      .select("id", "asof_rid", "asof_age")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, Some(11L), Some(10L)),   // 90 at distance 10 beats 210 at 110
+      (2L, Some(12L), Some(20L)),   // 210 at 20 beats 90 at 100
+      (3L, Some(11L), Some(60L)),   // equidistant (60/60) → backward wins
+      (4L, Some(12L), Some(290L)))) // only past rows → backward fallback
+    val capped = AsOf.nearest(l, r, Seq("k"), "ts", "rid", Seq("rid"),
+        maxAge = Some(30L))
+      .select("id", "asof_rid").as[(Long, Option[Long])].collect().toSet
+    assert(capped == Set((1L, Some(11L)), (2L, Some(12L)), (3L, None), (4L, None)))
+  }
+
+  test("nearest agrees with the naive closest-row scan on random data") {
+    val rnd = new scala.util.Random(13)
+    val left = (1L to 120L).map(i => (i, rnd.nextLong(4), rnd.nextLong(300)))
+    val right = (1L to 150L).map(i => (rnd.nextLong(4), rnd.nextLong(300), i, i * 2))
+    val expected = left.map { case (id, k, t) =>
+      val cand = right.filter(_._1 == k)
+      // backward: max t then max rid; forward: min t then max rid
+      val back = cand.filter(_._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption.map(r => (r._3, t - r._2))
+      val fwd = cand.filter(_._2 >= t)
+        .sortBy(r => (r._2, -r._3)).headOption.map(r => (r._3, r._2 - t))
+      (back, fwd) match {
+        case (Some((bi, ba)), Some((_, fa))) if ba <= fa => (id, Some(bi), Some(ba))
+        case (_, Some((fi, fa))) => (id, Some(fi), Some(fa))
+        case (Some((bi, ba)), None) => (id, Some(bi), Some(ba))
+        case _ => (id, None, None)
+      }
+    }.toSet
+    val got = AsOf.nearest(left.toDF("id", "k", "ts"),
+        right.toDF("k", "ts", "rid", "rv"), Seq("k"), "ts", "rid", Seq("rid"))
+      .select("id", "asof_rid", "asof_age")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(got == expected)
+  }
+
   test("forward picks the earliest right row at or after the left time") {
     val l = Seq((1L, 7L, 100L), (2L, 7L, 250L)).toDF("id", "k", "ts")
     val r = Seq((7L, 150L, 11L, 500L), (7L, 200L, 12L, 600L)).toDF("k", "ts", "rid", "rv")
