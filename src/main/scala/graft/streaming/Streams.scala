@@ -73,4 +73,47 @@ object Streams {
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicates(keyCol, "ts")
+
+  /** One event on the tagged temporal stream: right-side rows (`isRight`)
+    * update per-key state, left-side rows get enriched.
+    */
+  case class TemporalEvent(key: String, time: Long, isRight: Boolean, value: Double)
+  case class Enriched(key: String, time: Long, value: Double,
+                      asofTime: Option[Long], asofValue: Option[Double])
+
+  /** Streaming as-of enrichment — the live twin of
+    * [[graft.operators.AsOf.backward]]: per key, right-side events fold
+    * into newest-wins running state; each left-side event emits enriched
+    * with the latest right state whose time is ≤ its own (inclusive, the
+    * batch operator's bound). Within a micro-batch events process in
+    * event-time order with rights-before-lefts at ties, so a batch whose
+    * rights arrive in order reproduces the batch join exactly; a left
+    * arriving AFTER a newer right has already landed (late data) gets no
+    * match rather than a future one — the deterministic degradation,
+    * since unbounded buffering is what the batch operator is for. State
+    * is one (time, value) pair per key.
+    */
+  def asofEnrichState(events: Dataset[TemporalEvent]): Dataset[Enriched] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Double), Enriched](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key, batch, state: GroupState[(Long, Double)]) =>
+          val ordered = batch.toSeq.sortBy(e => (e.time, if (e.isRight) 0 else 1))
+          val out = Seq.newBuilder[Enriched]
+          var cur = state.getOption
+          ordered.foreach { e =>
+            if (e.isRight) {
+              if (cur.forall(_._1 <= e.time)) cur = Some((e.time, e.value))
+            } else {
+              val visible = cur.filter(_._1 <= e.time)
+              out += Enriched(key, e.time, e.value,
+                visible.map(_._1), visible.map(_._2))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

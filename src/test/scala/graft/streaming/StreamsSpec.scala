@@ -57,6 +57,37 @@ class StreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("asofEnrichState: lefts enrich from newest at-or-before right state; late lefts degrade to no match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TemporalEvent]
+    val query = asofEnrichState(input.toDS())
+      .writeStream.format("memory").queryName("asof_state")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        TemporalEvent("k", 10L, isRight = true, 1.0),
+        TemporalEvent("k", 10L, isRight = false, 100.0), // tie: right visible
+        TemporalEvent("k", 5L, isRight = false, 50.0))   // before any right
+      query.processAllAvailable()
+      input.addData(
+        TemporalEvent("k", 30L, isRight = true, 3.0),
+        TemporalEvent("k", 40L, isRight = false, 400.0), // matches t=30 state
+        TemporalEvent("k", 20L, isRight = false, 200.0)) // in-batch: sorted before the t=30 right → t=10 state
+      query.processAllAvailable()
+      input.addData(
+        TemporalEvent("k", 25L, isRight = false, 250.0)) // late: state is t=30 (future) → no match
+      query.processAllAvailable()
+      val rows = spark.table("asof_state")
+        .as[Enriched].collect().map(e => e.time -> ((e.asofTime, e.asofValue))).toMap
+      assert(rows(5L) == ((None, None)))
+      assert(rows(10L) == ((Some(10L), Some(1.0))))
+      assert(rows(20L) == ((Some(10L), Some(1.0))))
+      assert(rows(40L) == ((Some(30L), Some(3.0))))
+      assert(rows(25L) == ((None, None)))
+    } finally query.stop()
+  }
+
   test("dedupByContentKey: duplicate keys within the watermark collapse") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
