@@ -164,6 +164,29 @@ object LlmPipelines {
         round(lit(1000.0) * size(col("pieces")) / size(col("toks")))
           .cast("long").as("fertility_milli"))
 
+  /** q53: the q30 brute-force ranking through [[graft.operators.TopK]]'s
+    * partial-aggregation top-k instead of the window — only ≤ k rows per
+    * group per map task cross the exchange (the shuffle-minimal form for
+    * small k over huge candidate fan-in); results identical by contract.
+    */
+  def q53TopKAgg(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.balanced(spark, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        Similarity.norm(col("embedding")).as("qn"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      Similarity.norm(col("embedding")).as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        Similarity.cosFromNorms(col("qv"), col("cv"), col("qn"), col("cn"))
+          .as("cos_pm"))
+    graft.operators.TopK.topKByScore(scored, col("qid"), col("cid"),
+        col("cos_pm"), k = 5)
+      .select(col("group").as("qid"), col("id").as("cid"),
+        col("score").as("cos_pm"), col("rank"))
+  }
+
   /** q51: multi-probe IVF ANN — queries search their 2 nearest cells
     * ([[Similarity.ivfTopKProbe]]), the recall knob between q38's
     * nprobe=1 and exact brute force.
@@ -258,5 +281,6 @@ object LlmPipelines {
     "q41_ann_adaptive_topk" -> q41AnnAdaptiveTopK _,
     "q50_kmeans_refine" -> q50KmeansRefine _,
     "q51_ann_multiprobe" -> q51AnnMultiprobe _,
+    "q53_topk_agg" -> q53TopKAgg _,
   )
 }

@@ -272,6 +272,16 @@ object Oracles {
   // twin of Similarity.rpLshBucket(v, planes, dims=64)
   private def rpBucket(v: String, planes: Int = 8) = rpBucketRange(v, 0, planes)
 
+  private lazy val BruteForceTop5Sql =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+       |s AS (SELECT qid, cid, ${cosPm("qv", "cv")} AS cos_pm
+       |      FROM c, q WHERE cid <> qid),
+       |r AS (SELECT qid, cid, cos_pm,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cos_pm DESC, cid ASC) AS "rank"
+       |      FROM s)
+       |SELECT * FROM r WHERE "rank" <= 5""".stripMargin
+
   val llm: Map[String, String] = Map(
     "q24_text_stats" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS toks,
@@ -425,15 +435,12 @@ object Oracles {
          |FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosPm("a.embedding", "b.embedding")} >= 450000""".stripMargin,
 
-    "q30_cosine_topk" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
-         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
-         |s AS (SELECT qid, cid, ${cosPm("qv", "cv")} AS cos_pm
-         |      FROM c, q WHERE cid <> qid),
-         |r AS (SELECT qid, cid, cos_pm,
-         |        row_number() OVER (PARTITION BY qid ORDER BY cos_pm DESC, cid ASC) AS "rank"
-         |      FROM s)
-         |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
+    "q30_cosine_topk" -> BruteForceTop5Sql,
+
+    // q53 runs the same logical query through the partial-agg TopK
+    // aggregator instead of the window — identical results by contract,
+    // so the oracle is the same SQL, hash-compared independently.
+    "q53_topk_agg" -> BruteForceTop5Sql,
 
     "q31_ann_lsh_topk" ->
       s"""WITH emb AS (SELECT vec_id, embedding, ${rpBucket("embedding")} AS bucket FROM embeddings),
