@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Packing, RangeJoin, Similarity, TextDedup}
+import graft.operators.{AsOf, Dedup, Packing, RangeJoin, Similarity, TextDedup, TopK}
 import graft.sources.Tables
 
 /** Scale-up probe for the LLM-pipeline operators: replicates the sf0.1
@@ -138,6 +138,30 @@ object ScaleProbe {
         }
         spark.catalog.clearCache()
       }
+    }
+    // Top-k physical forms at large candidate fan-in: the window form
+    // shuffles every scored row; the partial-agg form crosses the
+    // exchange with ≤ k rows per (group, map task).
+    for (factor <- Seq(16, 64)) {
+      val emb = spark.read.parquet(s"/tmp/scale/emb$factor")
+      val q = emb.filter(col("vec_id") % 1000000L < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          Similarity.norm(col("embedding")).as("qn"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        Similarity.norm(col("embedding")).as("cn"))
+      def scored = c.crossJoin(broadcast(q)).filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          Similarity.cosFromNorms(col("qv"), col("cv"), col("qn"), col("cn"))
+            .as("cos_pm"))
+      val fanIn = 2000L * factor
+      time(s"topk-window ${factor}x (${fanIn} candidates/query)") {
+        Dedup.keepFirstK(scored, Seq(col("qid")),
+          Seq(col("cos_pm").desc, col("cid").asc), 5, "rank").count()
+      }
+      time(s"topk-agg ${factor}x (${fanIn} candidates/query)") {
+        TopK.topKByScore(scored, col("qid"), col("cid"), col("cos_pm"), 5).count()
+      }
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
