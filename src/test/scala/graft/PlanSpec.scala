@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the shuffle counts and join choices the
+  * perf work established, pinned so a refactor can't silently reintroduce
+  * an exchange (counted on the AQE-finalized executed plan at sf0.001).
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame) = {
+    df.foreach(_ => ()) // force execution so AQE finalizes the plan
+    df.queryExecution.executedPlan
+  }
+
+  private def countShuffles(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: ShuffleExchangeLike => 1 + s.children.map(walk).sum
+      case q: QueryStageExec => walk(q.plan)
+      case other => other.children.map(walk).sum
+    }
+    walk(executed(df))
+  }
+
+  private def planString(df: DataFrame): String = executed(df).toString
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, d)
+
+  test("q04 dim enrichment: broadcast-only, zero shuffles") {
+    assert(countShuffles(run("q04_join_left_enrich")) == 0)
+  }
+
+  test("q22 witness pipeline: exactly 2 shuffles (rebalance + render agg); the dedup window adds none") {
+    assert(countShuffles(run("q22_witness_explode_pipeline")) == 2)
+  }
+
+  test("q44 as-of join: exactly 1 shuffle (the union-window)") {
+    assert(countShuffles(run("q44_asof_join")) == 1)
+  }
+
+  test("q48 sequence packing: exactly 1 shuffle (the shard window)") {
+    assert(countShuffles(run("q48_sequence_packing")) == 1)
+  }
+
+  test("q45 range join: bin equi-join, never a nested-loop or cartesian product") {
+    val plan = planString(run("q45_range_join"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q03 pushdown: both predicates reach the parquet scan") {
+    val plan = planString(run("q03_filter_in_projection"))
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderpriority"))
+  }
+}
