@@ -4,13 +4,15 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (backward) join: attach to each left row the latest right row with
-  * `right.time <= left.time` per key — the temporal-enrichment operator a
-  * training-data pipeline needs for "state as of event time" features
-  * (latest account snapshot per event, last price before trade, most recent
-  * purchase before click). The reference has no as-of joins (SURVEY.md §2.3
-  * — all its joins are equi-joins); this is part of the beyond-reference
-  * scale-operator family the build brief asks for.
+/** The as-of join family — `backward` (latest right row with
+  * `right.time <= left.time` per key), `forward` (earliest at-or-after),
+  * and `nearest` (closer of the two, ties backward) — the
+  * temporal-enrichment operators a training-data pipeline needs for
+  * "state as of event time" features (latest account snapshot per event,
+  * last price before trade, closest purchase to click). The reference has
+  * no as-of joins (SURVEY.md §2.3 — all its joins are equi-joins); this is
+  * part of the beyond-reference scale-operator family the build brief asks
+  * for. Streaming twin: [[graft.streaming.Streams.asofEnrichState]].
   *
   * Implementation is the single-shuffle union-window form, NOT a range join:
   * both sides union into one frame tagged by side, one window partitioned by
