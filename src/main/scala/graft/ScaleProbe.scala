@@ -139,6 +139,29 @@ object ScaleProbe {
         spark.catalog.clearCache()
       }
     }
+    // Relational core at 4x/16x: replicate the fact tables with disjoint
+    // key spaces into test-data-shaped directories and run the REGISTERED
+    // queries unchanged. Dimension-side cardinality stays fixed (suppliers/
+    // days grow slower than facts in reality), so group depth rises with
+    // the factor — the honest stress for the agg/join/window families.
+    for (factor <- Seq(1, 4, 16)) {
+      val dir = s"/tmp/scale/rel$factor"
+      val shift = 10000000L
+      def rep(name: String, fix: (DataFrame, Int) => DataFrame): Unit = {
+        val base = Tables(spark, d, name)
+        val all = (0 until factor).map(i => fix(base, i)).reduce(_ unionByName _)
+        all.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      }
+      rep("lineitem", (t, i) => t.withColumn("l_orderkey", col("l_orderkey") + i * shift))
+      rep("orders", (t, i) => t.withColumn("o_orderkey", col("o_orderkey") + i * shift))
+      for (name <- Seq("q01_agg_sum_groupby", "q05_join_inner_agg",
+          "q06_argmax_per_day", "q22_witness_explode_pipeline")) {
+        time(s"$name ${factor}x") {
+          SparkEntry.queries(name)(spark, dir).count()
+        }
+        spark.catalog.clearCache()
+      }
+    }
     // Top-k physical forms at large candidate fan-in: the window form
     // shuffles every scored row; the partial-agg form crosses the
     // exchange with ≤ k rows per (group, map task).
