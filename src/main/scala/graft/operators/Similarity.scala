@@ -111,6 +111,14 @@ object Similarity {
       .crossJoin(broadcast(c)) // deliberate: |centroids| tiny
       .withColumn("__cos", cosFromNorms(col(vec), col("__cent_v"),
         col("__vn"), col("__cent_n")))
+    // Physical-form note (measured, sf0.1, k=8): a max_by partial-agg
+    // argmax — which collapses the k scored rows per vector map-side —
+    // ran ~20% SLOWER than this window, because the winner struct must
+    // drag the embedding array through ObjectHashAggregate buffers
+    // (copy per update) while the window sorts narrow rows in place.
+    // Partial-agg argmax wins when the carried row is narrow
+    // (see Dedup.newestWinsAgg, TopK); with a wide payload column the
+    // window form is the right physical choice.
     Dedup.keepFirst(scored, Seq(col(id)),
         Seq(col("__cos").desc, col("__cent_id").asc))
       .withColumnRenamed("__cent_id", "cell")
