@@ -16,6 +16,18 @@ class ContractSpec extends AnyFunSuite {
     assert(q.size >= 52)
   }
 
+  test("every registered query runs at sf0.001 (the driver's smoke scale)") {
+    // The bench warmup swallows per-query errors at this scale; a query
+    // that only works above some row count would otherwise surface as a
+    // confusing driver-side failure.
+    val spark = TestSpark.spark
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, "/root/testdata/sf0.001").count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("query names are unique across the contributing registries") {
     import graft.queries._
     val maps = Seq(Relational.all, JsonPipelines.all, LlmPipelines.all,
