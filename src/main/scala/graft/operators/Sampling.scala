@@ -34,6 +34,25 @@ object Sampling {
     df.filter(hashBucket(col(id), salt, 100) < pct)
   }
 
+  /** Cap each group at `n` rows, selected by salted-hash rank — the
+    * language/domain-balancing step of a training-data mixing pipeline
+    * ("at most N docs per language"). Hash order makes the selection a
+    * deterministic uniform subsample that is STICKY per experiment salt:
+    * growing a group past the cap replaces nothing already selected
+    * unless new rows hash earlier. One shuffle on the group key.
+    */
+  def capPerGroup(df: DataFrame, groups: Seq[Column], id: String, salt: String,
+                  n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val rn = Iterator.from(0).map(i => s"__rn$i").find(!df.columns.contains(_)).get
+    val w = Window.partitionBy(groups: _*)
+      .orderBy(Text.baseHash32(concat(lit(s"$salt:"), col(id))).asc, col(id).asc)
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= n)
+      .drop(rn)
+  }
+
   /** Keep the top `frac` fraction of each group by `score` (descending,
     * ties broken by `tiebreak` ascending — supply a unique id for full
     * determinism): the per-group quality gate a curation pipeline runs

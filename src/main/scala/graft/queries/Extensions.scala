@@ -106,6 +106,18 @@ object Extensions {
       .agg(count(lit(1)).as("n_kept"), min(col("n_chars")).as("cutoff_chars"),
         sum(col("n_chars")).as("sum_chars"), min(col("doc_id")).as("min_doc"))
 
+  /** q54: balanced data mixing — each (lang, source) stratum capped at 40
+    * documents by salted-hash rank ([[Sampling.capPerGroup]]), reporting
+    * the per-stratum survivors. The domain-balancing step of a corpus
+    * mixing pipeline.
+    */
+  def q54BalancedMix(spark: SparkSession, d: String): DataFrame =
+    Sampling.capPerGroup(Tables(spark, d, "documents"),
+        Seq(col("lang"), col("source")), "doc_id", "mix1", n = 40)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_asof_join" -> q44AsofJoin _,
     "q45_range_join" -> q45RangeJoin _,
@@ -113,5 +125,6 @@ object Extensions {
     "q48_sequence_packing" -> q48SequencePacking _,
     "q49_quality_gate" -> q49QualityGate _,
     "q52_asof_nearest" -> q52AsofNearest _,
+    "q54_balanced_mix" -> q54BalancedMix _,
   )
 }

@@ -877,6 +877,18 @@ object Oracles {
         |  ((cum_after - 1) // 4096) - ((cum_after - n_chars) // 4096) + 1 AS n_chunks
         |FROM c""".stripMargin,
 
+    "q54_balanced_mix" ->
+      """WITH r AS (SELECT lang, source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY ('0x' || substr(md5('mix1:' || doc_id), 1, 8))::BIGINT ASC,
+        |               doc_id ASC) AS rn
+        |  FROM documents)
+        |SELECT lang, source, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM r WHERE rn <= 40
+        |GROUP BY lang, source""".stripMargin,
+
     "q49_quality_gate" ->
       """WITH r AS (SELECT lang, n_chars, doc_id,
         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn,
