@@ -47,4 +47,27 @@ object RangeJoin {
       .filter(col(t) >= col(lo) && col(t) < col(hi))
       .drop(bin)
   }
+
+  /** Interval×interval overlap join under the half-open contract:
+    * `[aLo, aHi)` overlaps `[bLo, bHi)` iff `aLo < bHi && bLo < aHi`.
+    * Both sides explode to their covered bins and equi-join on the bin;
+    * an overlapping pair meets in EVERY shared bin, so the match is
+    * emitted only in the overlap's first bin (`floor(max(lo) / w)`) —
+    * exactly-once without a distinct. Column names must not collide.
+    */
+  def intervalOverlap(a: DataFrame, aLo: String, aHi: String,
+                      b: DataFrame, bLo: String, bHi: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val overlap = a.columns.toSet.intersect(b.columns.toSet)
+    require(overlap.isEmpty, s"column collision across sides: ${overlap.mkString(", ")}")
+    val bin = "__bin"
+    def binned(df: DataFrame, lo: String, hi: String) =
+      df.filter(col(hi) > col(lo)).withColumn(bin,
+        explode(sequence(floor(col(lo) / binWidth), floor((col(hi) - 1) / binWidth))))
+    binned(a, aLo, aHi).join(binned(b, bLo, bHi), bin)
+      .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi) &&
+        col(bin) === floor(greatest(col(aLo), col(bLo)) / binWidth))
+      .drop(bin)
+  }
 }

@@ -296,10 +296,42 @@ object Similarity {
       Seq(col("cos_pm").desc, col("cid").asc), k, "rank")
   }
 
+  /** Repeated-table LSH ANN (OR-amplification): `tables` independent
+    * plane sets hash every vector into one bucket per table; a candidate
+    * is any pair agreeing in AT LEAST one table. Recall rises as
+    * 1−(1−p)^T for per-table collision probability p, at T× candidate
+    * cost — the OTHER standard recall knob next to [[ivfTopKProbe]]'s
+    * multi-probe. Still an equi-join (on (table, bucket)); duplicate
+    * cross-table hits collapse with a distinct on the scored pair before
+    * ranking.
+    */
+  def annTopKMultiTable(corpus: DataFrame, id: String, vec: String,
+                        queryPred: Column, planes: Int, tables: Int,
+                        dims: Int, k: Int): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    val emb = corpus.select(col(id), col(vec), norm(col(vec)).as("__n"),
+      posexplode(array((0 until tables).map(t =>
+        rpLshBucketRange(col(vec), t * planes, planes, dims)): _*))
+        .as(Seq("table", "bucket")))
+    val q = emb.filter(queryPred)
+      .select(col(id).as("qid"), col(vec).as("qv"), col("__n").as("qn"),
+        col("table"), col("bucket"))
+    val c = emb.select(col(id).as("cid"), col(vec).as("cv"), col("__n").as("cn"),
+      col("table"), col("bucket"))
+    val scored = q.join(c, Seq("table", "bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        cosFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cos_pm"))
+      .distinct() // a pair may collide in several tables — count it once
+    Dedup.keepFirstK(scored, Seq(col("qid")),
+      Seq(col("cos_pm").desc, col("cid").asc), k, "rank")
+  }
+
   /** ANN top-k restricted to same-LSH-bucket candidates: the sub-linear
     * scale path (equi-join on bucket, never all-pairs). Recall is tunable
     * via `planes` (fewer planes → bigger buckets → higher recall, more
-    * work); multi-probe or repeated tables are the standard extensions.
+    * work); [[ivfTopKProbe]] (multi-probe) and [[annTopKMultiTable]]
+    * (repeated tables) are the standard recall extensions.
     */
   def annTopK(corpus: DataFrame, id: String, vec: String, queryPred: Column,
               planes: Int, dims: Int, k: Int): DataFrame = {

@@ -106,6 +106,29 @@ object Extensions {
       .agg(count(lit(1)).as("n_kept"), min(col("n_chars")).as("cutoff_chars"),
         sum(col("n_chars")).as("sum_chars"), min(col("doc_id")).as("min_doc"))
 
+  val FourHoursUs = 4L * 3600 * 1000000
+
+  /** q56: interval-overlap join — every 6-hour anchor window (event_id %
+    * 97) overlapped against the 4-hour windows (event_id % 89), counted
+    * per anchor ([[RangeJoin.intervalOverlap]]: bin equi-join with
+    * first-overlap-bin emission — exactly once, no distinct, never a
+    * nested loop).
+    */
+  def q56IntervalOverlap(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.eventsWithUs(spark, d)
+    val a = ev.filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("a_id"), col("ts_us").as("a_lo"),
+        (col("ts_us") + SixHoursUs).as("a_hi"))
+    val b = ev.filter(col("event_id") % 89 === 0)
+      .select(col("event_id").as("b_id"), col("ts_us").as("b_lo"),
+        (col("ts_us") + FourHoursUs).as("b_hi"))
+    RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+        binWidth = SixHoursUs)
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        min(col("b_id")).as("min_b"), max(col("b_id")).as("max_b"))
+  }
+
   /** q54: balanced data mixing — each (lang, source) stratum capped at 40
     * documents by salted-hash rank ([[Sampling.capPerGroup]]), reporting
     * the per-stratum survivors. The domain-balancing step of a corpus
@@ -126,5 +149,6 @@ object Extensions {
     "q49_quality_gate" -> q49QualityGate _,
     "q52_asof_nearest" -> q52AsofNearest _,
     "q54_balanced_mix" -> q54BalancedMix _,
+    "q56_interval_overlap" -> q56IntervalOverlap _,
   )
 }

@@ -198,6 +198,15 @@ object LlmPipelines {
       .select(col("qid"), col("cid"), col("cell"), col("cos_pm"), col("rank"))
   }
 
+  /** q55: repeated-table LSH ANN — two independent 6-plane tables,
+    * candidates = agreement in at least one ([[Similarity.annTopKMultiTable]]:
+    * OR-amplification, the recall knob orthogonal to q51's multi-probe).
+    */
+  def q55AnnMultiTable(spark: SparkSession, d: String): DataFrame =
+    Similarity.annTopKMultiTable(Tables.balanced(spark, d, "embeddings"),
+      "vec_id", "embedding", col("vec_id") < 20, planes = 6, tables = 2,
+      dims = Dims, k = 3)
+
   /** q50: k-means training of the IVF index — 3 Lloyd refinements of the
     * 8 seed centroids ([[Similarity.kmeansRefine]]: ordered-fold means,
     * bit-reproducible), emitted as per-component scaled integers plus the
@@ -282,5 +291,6 @@ object LlmPipelines {
     "q50_kmeans_refine" -> q50KmeansRefine _,
     "q51_ann_multiprobe" -> q51AnnMultiprobe _,
     "q53_topk_agg" -> q53TopKAgg _,
+    "q55_ann_multitable" -> q55AnnMultiTable _,
   )
 }

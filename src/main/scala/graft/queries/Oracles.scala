@@ -476,6 +476,24 @@ object Oracles {
 
     "q50_kmeans_refine" -> kmeansSql(iters = 3, k = 8, dims = 64),
 
+    // Twin of Similarity.annTopKMultiTable: two independent 6-plane
+    // tables unioned, distinct scored pairs, then rank.
+    "q55_ann_multitable" ->
+      s"""WITH t AS (
+         |  SELECT vec_id, embedding, 0 AS tbl, ${rpBucketRange("embedding", 0, 6)} AS bucket
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id, embedding, 1, ${rpBucketRange("embedding", 6, 6)}
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, tbl, bucket FROM t WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS cid, embedding AS cv, tbl, bucket FROM t),
+         |s AS (SELECT DISTINCT qid, cid, ${cosPm("qv", "cv")} AS cos_pm
+         |      FROM q JOIN c USING (tbl, bucket) WHERE cid <> qid),
+         |r AS (SELECT qid, cid, cos_pm,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos_pm DESC, cid ASC) AS "rank"
+         |      FROM s)
+         |SELECT * FROM r WHERE "rank" <= 3""".stripMargin,
+
     // Twin of Similarity.ivfTopKProbe: the probe list is the same ranking
     // that assigns the corpus (top-nprobe centroid rows per query).
     "q51_ann_multiprobe" ->
@@ -876,6 +894,17 @@ object Oracles {
         |  (cum_after - n_chars) % 4096 AS offset_in_pack,
         |  ((cum_after - 1) // 4096) - ((cum_after - n_chars) // 4096) + 1 AS n_chunks
         |FROM c""".stripMargin,
+
+    "q56_interval_overlap" ->
+      s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS t FROM events),
+         |a AS (SELECT event_id AS a_id, t AS a_lo,
+         |    t + ${Extensions.SixHoursUs} AS a_hi FROM ev WHERE event_id % 97 = 0),
+         |b AS (SELECT event_id AS b_id, t AS b_lo,
+         |    t + ${Extensions.FourHoursUs} AS b_hi FROM ev WHERE event_id % 89 = 0)
+         |SELECT a_id, count(*) AS n_overlaps,
+         |  min(b_id) AS min_b, max(b_id) AS max_b
+         |FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
+         |GROUP BY a_id""".stripMargin,
 
     "q54_balanced_mix" ->
       """WITH r AS (SELECT lang, source, doc_id, n_chars,

@@ -49,6 +49,33 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(join(points, intervals, binWidth = 64L).toSet == expected)
   }
 
+  test("intervalOverlap agrees with the naive predicate and emits each pair once") {
+    val rnd = new scala.util.Random(17)
+    def intervals(n: Int, tag: String) = (1L to n.toLong).map { i =>
+      val lo = rnd.nextLong(500); (i, lo, lo + 1 + rnd.nextLong(120))
+    }
+    val as = intervals(60, "a")
+    val bs = intervals(60, "b")
+    val expected = (for {
+      (ai, alo, ahi) <- as; (bi, blo, bhi) <- bs
+      if alo < bhi && blo < ahi
+    } yield (ai, bi)).toList.sorted
+    val got = RangeJoin.intervalOverlap(
+        as.toDF("ai", "alo", "ahi"), "alo", "ahi",
+        bs.toDF("bi", "blo", "bhi"), "blo", "bhi", binWidth = 64L)
+      .select("ai", "bi").as[(Long, Long)].collect().toList.sorted
+    assert(got == expected) // sorted lists: equality also proves exactly-once
+  }
+
+  test("intervalOverlap half-open bounds: touching intervals do not overlap") {
+    val got = RangeJoin.intervalOverlap(
+        Seq((1L, 0L, 10L)).toDF("ai", "alo", "ahi"), "alo", "ahi",
+        Seq((2L, 10L, 20L), (3L, 9L, 10L), (4L, 0L, 1L)).toDF("bi", "blo", "bhi"),
+        "blo", "bhi", binWidth = 8L)
+      .select("bi").as[Long].collect().toSet
+    assert(got == Set(3L, 4L)) // [10,20) touches at 10 → no overlap
+  }
+
   test("column collisions across sides are rejected") {
     assertThrows[IllegalArgumentException](
       RangeJoin.pointInInterval(Seq((1L, 2L)).toDF("x", "t"), "t",

@@ -45,6 +45,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(kept(1L) == 0L) // emptied cell survives with its seed centroid
   }
 
+  test("annTopKMultiTable: one table equals plain LSH; more tables never lose a best hit") {
+    val rnd = new scala.util.Random(9)
+    val emb = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = $"vec_id" < 5L
+    val single = Similarity.annTopK(emb, "vec_id", "embedding", queries,
+        planes = 3, dims = 8, k = 3)
+      .select("qid", "cid", "cos_pm", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val oneTable = Similarity.annTopKMultiTable(emb, "vec_id", "embedding",
+        queries, planes = 3, tables = 1, dims = 8, k = 3)
+      .select("qid", "cid", "cos_pm", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(oneTable == single)
+    // OR-amplification: per query, the best cosine found can only improve
+    val two = Similarity.annTopKMultiTable(emb, "vec_id", "embedding",
+        queries, planes = 3, tables = 2, dims = 8, k = 3)
+      .select("qid", "cos_pm").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val one = single.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    one.foreach { case (q, best) => assert(two.getOrElse(q, Long.MinValue) >= best) }
+  }
+
   test("ivfTopKProbe: probing every cell reproduces brute force exactly") {
     val rnd = new scala.util.Random(5)
     val emb = (0L until 24L).map(i =>
