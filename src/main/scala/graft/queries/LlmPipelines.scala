@@ -107,6 +107,23 @@ object LlmPipelines {
     TextDedup.dupClusters(q28MinhashLshPairs(spark, d), "doc_a", "doc_b")
       .select(col("node").as("doc_id"), col("cluster"), col("cluster_size"))
 
+  /** q57: the deduplicated corpus — the end product of the near-dup
+    * pipeline a user actually keeps: drop every cluster member except the
+    * canonical representative (minimum doc id, from q43), keep everything
+    * that was never a candidate. The drop list is orders smaller than the
+    * corpus, so the anti-join broadcasts.
+    */
+  def q57DedupCorpus(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    val losers = q43DupClusters(spark, d)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+  }
+
   /** q29: 32-bit SimHash fingerprint per document. */
   def q29Simhash(spark: SparkSession, d: String): DataFrame =
     TextDedup.simhash(Tables.balanced(spark, d, "documents"), "doc_id", "text")
@@ -292,5 +309,6 @@ object LlmPipelines {
     "q51_ann_multiprobe" -> q51AnnMultiprobe _,
     "q53_topk_agg" -> q53TopKAgg _,
     "q55_ann_multitable" -> q55AnnMultiTable _,
+    "q57_dedup_corpus" -> q57DedupCorpus _,
   )
 }

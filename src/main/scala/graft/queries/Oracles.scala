@@ -367,6 +367,26 @@ object Oracles {
          |FROM lab JOIN (SELECT cluster, count(*) AS cluster_size
          |               FROM lab GROUP BY cluster) cnt USING (cluster)""".stripMargin,
 
+    // The cleaned corpus: q43's cluster labels decide who survives
+    // (representatives + never-candidates).
+    "q57_dedup_corpus" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |f AS (SELECT doc_a, doc_b FROM e WHERE n_sig_equal >= 8),
+         |u AS (SELECT doc_a AS a, doc_b AS b FROM f
+         |      UNION SELECT doc_b, doc_a FROM f),
+         |n AS (SELECT DISTINCT a AS node FROM u),
+         |reach(s2, r) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT reach.s2, u.b FROM reach JOIN u ON reach.r = u.a),
+         |lab AS (SELECT s2 AS doc_id, min(r) AS cluster FROM reach GROUP BY s2),
+         |rm AS (SELECT doc_id FROM lab WHERE doc_id <> cluster)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM rm)
+         |GROUP BY lang""".stripMargin,
+
     "q29_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest($Toks) AS t FROM documents),
          |h AS (SELECT doc_id, ${hash32("'0'", "t")} AS hv FROM tok),
