@@ -118,6 +118,35 @@ object TextDedup {
           lit(0), (acc, v) => acc + v).cast("long").as("n_sig_equal"))
   }
 
+  /** Cross-corpus LSH candidates: pairs between an INCOMING batch and an
+    * EXISTING corpus only — the incremental-dedup shape. A growing corpus
+    * must not re-pair itself with itself on every refresh; banding both
+    * sides and joining incoming×existing bounds the work to the new
+    * batch's bucket neighborhoods (existing×existing pairs never form).
+    * Returns (doc_a, doc_b, n_sig_equal) with doc_a = min id, doc_b = max
+    * id (the same orientation as [[lshCandidatePairs]]).
+    */
+  def lshCandidatePairsAgainst(incoming: DataFrame, existing: DataFrame,
+                               numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    val r = numHashes / bands
+    def banded(sigs: DataFrame, side: String) = sigs.select(
+      col("doc").as(s"doc_$side"), col("sig").as(s"sig_$side"),
+      posexplode(array((0 until bands).map(b =>
+        md5(concat_ws(",", (0 until r).map(i =>
+          element_at(col("sig"), b * r + i + 1)): _*))): _*)).as(Seq("band", "bk")))
+    banded(incoming, "i").join(banded(existing, "e"), Seq("band", "bk"))
+      .filter(col("doc_i") =!= col("doc_e"))
+      .select(least(col("doc_i"), col("doc_e")).as("doc_a"),
+        greatest(col("doc_i"), col("doc_e")).as("doc_b"),
+        col("sig_i").as("sa"), col("sig_e").as("sb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("sa"), col("sb"),
+            (p, q) => when(p === q, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("long").as("n_sig_equal"))
+  }
+
   /** Near-dup cluster formation: connected components over a candidate-pair
     * list, labeling every involved doc with the minimum doc id reachable
     * in its component — the canonical-representative selection step after

@@ -124,6 +124,23 @@ object LlmPipelines {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
   }
 
+  /** q58: incremental near-dup — the odd-id half of the corpus (the
+    * "incoming batch") LSH-checked against the even-id half (the
+    * "existing corpus") only
+    * ([[TextDedup.lshCandidatePairsAgainst]]: existing×existing pairs
+    * never form, the property that makes corpus growth affordable).
+    */
+  def q58IncrementalNeardup(spark: SparkSession, d: String): DataFrame = {
+    val sigs = TextDedup.minhashSignatures(
+        Tables.balanced(spark, d, "documents"), "doc_id", "text",
+        ShingleK, NumHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TextDedup.lshCandidatePairsAgainst(
+        sigs.filter(col("doc") % 2 === 1), sigs.filter(col("doc") % 2 === 0),
+        NumHashes, Bands)
+      .filter(col("n_sig_equal") >= 8)
+  }
+
   /** q29: 32-bit SimHash fingerprint per document. */
   def q29Simhash(spark: SparkSession, d: String): DataFrame =
     TextDedup.simhash(Tables.balanced(spark, d, "documents"), "doc_id", "text")
@@ -310,5 +327,6 @@ object LlmPipelines {
     "q53_topk_agg" -> q53TopKAgg _,
     "q55_ann_multitable" -> q55AnnMultiTable _,
     "q57_dedup_corpus" -> q57DedupCorpus _,
+    "q58_incremental_neardup" -> q58IncrementalNeardup _,
   )
 }

@@ -349,6 +349,13 @@ object Oracles {
       s"""WITH $MinhashPairsCtes
          |SELECT * FROM e WHERE n_sig_equal >= 8""".stripMargin,
 
+    // Cross-corpus candidates only: the same pair table restricted to
+    // mixed parity (odd incoming × even existing).
+    "q58_incremental_neardup" ->
+      s"""WITH $MinhashPairsCtes
+         |SELECT * FROM e
+         |WHERE n_sig_equal >= 8 AND (doc_a % 2) <> (doc_b % 2)""".stripMargin,
+
     // CC over the q28 near-dup pairs: exact min-reachable-id labels via a
     // recursive reachability CTE (the Spark side converges its min-label
     // propagation to the same fixpoint)

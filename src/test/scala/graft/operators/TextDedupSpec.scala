@@ -105,6 +105,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("lshCandidatePairsAgainst: cross-corpus pairs only, equal to the filtered self-join") {
+    val docs = corpus.union(Seq(
+      (5L, "the quick brown fox jumps over the lazy dog"), // dup of 1 and 4
+      (6L, "completely different words entirely here now") // dup of 3
+    ).toDF("doc_id", "text"))
+    val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
+    // incoming = odd ids, existing = even ids
+    val cross = TextDedup.lshCandidatePairsAgainst(
+        sigs.filter($"doc" % 2 === 1), sigs.filter($"doc" % 2 === 0), 16, 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val self = TextDedup.lshCandidatePairs(sigs, 16, 4)
+      .as[(Long, Long, Long)].collect()
+      .filter { case (a, b, _) => a % 2 != b % 2 }.toSet
+    assert(cross == self)
+    assert(cross.exists { case (a, b, n) => Set(a, b) == Set(4L, 5L) && n == 16L })
+    // never an existing×existing pair
+    assert(cross.forall { case (a, b, _) => a % 2 != b % 2 })
+  }
+
   test("simhash: identical docs identical, fingerprints fit in 32 bits") {
     val out = TextDedup.simhash(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
