@@ -158,10 +158,17 @@ object AsOf {
               time: String, tiebreak: String, carry: Seq[String],
               prefix: String = "asof_", maxAge: Option[Long] = None): DataFrame = {
     require(!carry.contains(time),
-      s"carry must not include the shared time column '$time' (it is negated internally); alias it first")
-    val ln = left.withColumn(time, -col(time).cast("long"))
-    val rn = right.withColumn(time, -col(time).cast("long"))
-    backward(ln, rn, keys, time, tiebreak, carry, prefix, maxAge)
-      .withColumn(time, -col(time))
+      s"carry must not include the shared time column '$time' (the negated twin is what the join runs on); alias it first")
+    // Negate into a TEMP column so the caller's time column passes through
+    // with its original type and values (negating in place would return a
+    // long-typed column — and epoch seconds for a timestamp input — where
+    // backward() returns the original, breaking callers that union the
+    // two directions).
+    val taken = left.columns.toSet ++ right.columns
+    val negT = Iterator.from(0).map(i => s"__negt$i").find(!taken.contains(_)).get
+    val ln = left.withColumn(negT, -col(time).cast("long"))
+    val rn = right.withColumn(negT, -col(time).cast("long"))
+    backward(ln, rn, keys, negT, tiebreak, carry, prefix, maxAge)
+      .drop(negT)
   }
 }

@@ -29,7 +29,7 @@ object Dedup {
   def keepFirst(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
     // Collision-free temp name: withColumn would silently replace an
     // existing column of the same name and corrupt the dedup.
-    val rn = Iterator.from(0).map(i => s"__rn$i").find(!df.columns.contains(_)).get
+    val rn = graft.functions.Cols.freeName(df, "__rn")
     val w = Window.partitionBy(keys: _*).orderBy(order: _*)
     df.withColumn(rn, row_number().over(w))
       .filter(col(rn) === 1)
@@ -82,10 +82,13 @@ object Dedup {
     * lowercases before comparing. Use [[keepFirst]] there, or re-alias first.
     */
   def newestWinsAgg(df: DataFrame, keys: Seq[Column], time: Column, tiebreak: Column): DataFrame = {
-    val lowered = df.columns.map(_.toLowerCase)
+    // Locale.ROOT: default-locale toLowerCase is locale-sensitive (tr_TR
+    // lowercases "ID" to "ıd"), which would let exactly the duplicate this
+    // check exists to catch slip through.
+    val lowered = df.columns.map(_.toLowerCase(java.util.Locale.ROOT))
     require(lowered.distinct.length == lowered.length,
       s"newestWinsAgg requires unique column names (case-insensitive, matching Spark's default resolution), got: ${df.columns.mkString(", ")}")
-    val best = Iterator.from(0).map(i => s"__best$i").find(!df.columns.contains(_)).get
+    val best = graft.functions.Cols.freeName(df, "__best")
     df.groupBy(keys: _*)
       .agg(max_by(struct(df.columns.toIndexedSeq.map(col): _*), struct(time, tiebreak)).as(best))
       .select(col(s"$best.*"))

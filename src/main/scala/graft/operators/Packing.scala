@@ -38,6 +38,11 @@ object Packing {
                    shards: Int, salt: String): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(shards > 0, s"shards must be positive, got $shards")
+    val reserved = Seq("shard", "pack", "offset_in_pack", "n_chunks",
+      "__cum_after", "__cum_before")
+    val clash = reserved.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.mkString(", ")} — withColumn would silently overwrite them; alias first")
     val shard: Column = Sampling.hashBucket(col(id), salt, shards)
     val ord: Column = Text.baseHash32(concat(lit(s"$salt-ord:"), col(id)))
     val w = Window.partitionBy(shard).orderBy(ord, col(id))

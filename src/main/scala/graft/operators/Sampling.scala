@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Text
+import graft.functions.{Cols, Text}
 
 /** Deterministic content-hash sampling and dataset splitting — the
   * train/val/test assignment device a training-data pipeline needs.
@@ -45,7 +45,7 @@ object Sampling {
                   n: Int): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     import org.apache.spark.sql.expressions.Window
-    val rn = Iterator.from(0).map(i => s"__rn$i").find(!df.columns.contains(_)).get
+    val rn = Cols.freeName(df, "__rn")
     val w = Window.partitionBy(groups: _*)
       .orderBy(Text.baseHash32(concat(lit(s"$salt:"), col(id))).asc, col(id).asc)
     df.withColumn(rn, row_number().over(w))
@@ -65,8 +65,8 @@ object Sampling {
                          tiebreak: Column, frac: Double): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1], got $frac")
     import org.apache.spark.sql.expressions.Window
-    val rn = Iterator.from(0).map(i => s"__rn$i").find(!df.columns.contains(_)).get
-    val n = Iterator.from(0).map(i => s"__n$i").find(!df.columns.contains(_)).get
+    val rn = Cols.freeName(df, "__rn")
+    val n = Cols.freeName(df, "__n")
     val byGroup = Window.partitionBy(groups: _*)
     df.withColumn(rn, row_number().over(byGroup.orderBy(score.desc, tiebreak.asc)))
       .withColumn(n, count(lit(1)).over(byGroup))

@@ -188,8 +188,10 @@ object TextDedup {
 
   /** Single-partition exact CC: union-find with path compression over the
     * whole pair list in one `mapPartitions` pass on one executor core.
-    * The output is built eagerly (the input is persisted and bounded by
-    * `localThreshold`), so the returned frame is a small local result.
+    * The result is eagerly materialized (`localCheckpoint`) BEFORE the
+    * caller unpersists the pair input — otherwise every downstream action
+    * would replay the whole candidate-generation pipeline through the
+    * single coalesced task.
     */
   private def localCC(p: DataFrame, ord: Ordering[Any]): DataFrame = {
     val spark = p.sparkSession
@@ -220,7 +222,7 @@ object TextDedup {
         members.iterator.map(m => org.apache.spark.sql.Row(m, label, size))
       }
     }
-    spark.createDataFrame(out, outSchema)
+    spark.createDataFrame(out, outSchema).localCheckpoint(true)
   }
 
   private def iterativeCC(p: DataFrame, maxIter: Int): DataFrame = {

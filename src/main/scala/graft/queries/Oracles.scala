@@ -749,10 +749,17 @@ object Oracles {
              |h0 AS MATERIALIZED (SELECT nodes.city, node, 1.0/cnt.n AS x FROM nodes JOIN cnt USING (city)),
              |""".stripMargin
     for (k <- 1 to iters) {
-      sb ++= s"""a$k AS (SELECT e.city, e.dst AS node, sum(h.x * e.w) AS x
+      // Ordered folds, not bare SUM: the engine accumulates each cell in
+      // sorted (src, dst) edge order, so a$k sums source-ascending and
+      // hr$k destination-ascending — the same FP trajectory bit for bit
+      // (compounded over `iters` matmuls, unordered SUM drift could cross
+      // a pm rounding boundary).
+      sb ++= s"""a$k AS (SELECT e.city, e.dst AS node,
+                |  list_reduce(list(h.x * e.w ORDER BY e.src), (p, q) -> p + q) AS x
                 |  FROM e JOIN h${k - 1} h ON e.city = h.city AND e.src = h.node
                 |  GROUP BY e.city, e.dst),
-                |hr$k AS (SELECT e.city, e.src AS node, sum(a.x * e.w) AS x
+                |hr$k AS (SELECT e.city, e.src AS node,
+                |  list_reduce(list(a.x * e.w ORDER BY e.dst), (p, q) -> p + q) AS x
                 |  FROM e JOIN a$k a ON e.city = a.city AND e.dst = a.node
                 |  GROUP BY e.city, e.src),
                 |h$k AS MATERIALIZED (SELECT n.city, n.node,

@@ -91,7 +91,10 @@ object Streams {
     * arriving AFTER a newer right has already landed (late data) gets no
     * match rather than a future one — the deterministic degradation,
     * since unbounded buffering is what the batch operator is for. State
-    * is one (time, value) pair per key.
+    * is one (time, value) pair per key. Equal-time right events resolve
+    * deterministically to the GREATEST value (the tiebreak contract the
+    * batch operator requires explicitly) — without it the surviving state
+    * would depend on shuffle iteration order.
     */
   def asofEnrichState(events: Dataset[TemporalEvent]): Dataset[Enriched] = {
     import events.sparkSession.implicits._
@@ -100,12 +103,17 @@ object Streams {
         org.apache.spark.sql.streaming.OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
         (key, batch, state: GroupState[(Long, Double)]) =>
-          val ordered = batch.toSeq.sortBy(e => (e.time, if (e.isRight) 0 else 1))
+          // rights before lefts at equal time (inclusive bound); equal-time
+          // rights ascend by value so the last applied = greatest value
+          val ordered = batch.toSeq
+            .sortBy(e => (e.time, if (e.isRight) 0 else 1, e.value))
           val out = Seq.newBuilder[Enriched]
           var cur = state.getOption
           ordered.foreach { e =>
             if (e.isRight) {
-              if (cur.forall(_._1 <= e.time)) cur = Some((e.time, e.value))
+              if (cur.forall(c => c._1 < e.time ||
+                  (c._1 == e.time && c._2 <= e.value)))
+                cur = Some((e.time, e.value))
             } else {
               val visible = cur.filter(_._1 <= e.time)
               out += Enriched(key, e.time, e.value,
