@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{GraphMetrics, Merge}
 import graft.pipelines.Collections
-import graft.queries.{Extensions, Graphs, JsonPipelines, LlmPipelines, Oracles, Relational}
+import graft.queries.{Curation, Extensions, Graphs, JsonPipelines, LlmPipelines, Oracles, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -74,12 +74,12 @@ object SparkEntry {
   /** One entry per implemented operator family from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ JsonPipelines.all ++ LlmPipelines.all ++ Graphs.all ++
-      Extensions.all
+      Extensions.all ++ Curation.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (the
     * driver records a weaker rows-only check for those). */
   def oracleSql: Map[String, String] =
     Oracles.relational ++ Oracles.json ++ Oracles.llm ++ Oracles.graphs ++
-      Oracles.extensions
+      Oracles.extensions ++ Oracles.curation
 }

@@ -74,6 +74,31 @@ object Sampling {
       .drop(rn, n)
   }
 
+  /** Temperature-based mixing weights per group (α = 0.5): the multilingual
+    * corpus-balancing rule (mBERT/XLM-R exponentiated-share sampling) —
+    * upsample rare languages, damp dominant ones, `weight ∝ n_group^α`.
+    * Returns (groups…, n_rows, weight_pm) with
+    * `weight_pm = round(1e6 · √n_g / Σ_h √n_h)`; Σ weight_pm ≈ 1e6.
+    *
+    * α is FIXED at 0.5 because `sqrt` is IEEE-correctly-rounded in every
+    * engine while `pow(x, α)` is not — an arbitrary-α weight would differ
+    * in the last ulp across engines and fail a hash compare. The cross-group
+    * normalizer is a sorted-array fold (identical add order everywhere),
+    * broadcast back as a 1-row frame: the group-count table is tiny by
+    * construction (one row per language/domain), so this is two keyed
+    * aggregations and a broadcast — no extra shuffle.
+    */
+  def mixingWeights(df: DataFrame, groups: Seq[Column]): DataFrame = {
+    val counts = df.groupBy(groups: _*).agg(count(lit(1)).as("n_rows"))
+    val total = broadcast(counts.select(
+      aggregate(array_sort(collect_list(sqrt(col("n_rows")))), lit(0.0),
+        (acc, x) => acc + x).as("__tot")))
+    counts.crossJoin(total)
+      .withColumn("weight_pm",
+        round(lit(1000000.0) * sqrt(col("n_rows")) / col("__tot")).cast("long"))
+      .drop("__tot")
+  }
+
   /** Assign every row a named split by consecutive hash-bucket ranges, e.g.
     * `Seq("train" -> 90, "val" -> 5, "test" -> 5)`. Percents must sum to
     * 100 so the assignment is total (every row gets exactly one split).

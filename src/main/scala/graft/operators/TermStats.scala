@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Corpus term statistics for curation pipelines: TF-IDF term weighting,
+  * Gopher-style repetition signals, and C4-style boilerplate detection.
+  * All outputs are scaled integers (portable across engines; FP noise
+  * can't survive the oracle's hash compare).
+  *
+  * Scale shape: every operator here is explode → keyed aggregate —
+  * map-side partial aggregation collapses each document's token/shingle
+  * multiset before the exchange, so shuffle volume is bounded by
+  * (docs × distinct-terms-per-doc), never by raw token count. Corpus-level
+  * statistics (document frequency) are a second aggregate on the term key;
+  * the df table is |vocabulary| rows — joined back by term key (partial-agg
+  * shuffle join; a natural-language vocabulary is Zipf-bounded but NOT
+  * broadcastable at web scale, so no broadcast hint is forced here).
+  */
+object TermStats {
+
+  /** Per-(doc, term) counts with corpus document frequency and an
+    * integer-portable idf weight:
+    * `idf_micro = (1e6 · n_docs) div df` (integer division — deterministic
+    * in every engine, unlike `ln`, which engines round differently in the
+    * last ulp), `score = tf · idf_micro`. Returns
+    * (doc, term, tf, df, score).
+    *
+    * @param minTermLen drop terms shorter than this (cheap stopword-ish
+    *                   noise gate applied BEFORE any aggregation).
+    */
+  def tfidf(docs: DataFrame, id: String, text: String,
+            minTermLen: Int = 1): DataFrame = {
+    val toks = docs.select(col(id).as("doc"),
+        explode(Text.tokens(col(text))).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+    // Corpus size as a broadcast 1-row aggregate (the q16 scalar-subquery
+    // pattern) — no driver-side action, the plan stays lazy end-to-end.
+    val nDocs = broadcast(docs.select(countDistinct(col(id)).as("n_docs")))
+    val tf = toks.groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .crossJoin(nDocs)
+      // `div` = exact BIGINT division on both engines (a double `/`+floor
+      // loses exactness past 2^53 — real at a web-corpus n_docs·1e6).
+      .withColumn("idf_micro", expr("(1000000 * n_docs) div df"))
+      .select(col("doc"), col("term"), col("tf"), col("df"),
+        (col("tf") * col("idf_micro")).as("score"))
+  }
+
+  /** The single highest-TF-IDF term per document (score desc, term asc on
+    * ties — deterministic). One extra shuffle on doc over [[tfidf]].
+    */
+  def topTermPerDoc(docs: DataFrame, id: String, text: String,
+                    minTermLen: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("score").desc, col("term").asc)
+    tfidf(docs, id, text, minTermLen)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Gopher-style repetition signals per document (Rae et al. 2021, §A1.1
+    * "repetition removal"): the fraction of tokens taken by the most
+    * frequent token, the distinct-token ratio, and the fraction of 2-grams
+    * taken by the most frequent 2-gram — high values mark degenerate,
+    * boilerplate, or machine-looped text. Returns (doc, n_tokens,
+    * distinct_ratio_pm, top_token_pm, top_bigram_pm); documents with fewer
+    * than 2 tokens report top_bigram_pm = 0.
+    *
+    * Two explode→aggregate passes (tokens, bigrams), each with map-side
+    * partial aggregation keyed on (doc, gram); the per-doc rollup reuses
+    * the doc key. No windows, no all-pairs.
+    */
+  def repetitionSignals(docs: DataFrame, id: String, text: String): DataFrame = {
+    val base = docs.select(col(id).as("doc"), Text.tokens(col(text)).as("toks"))
+    def gramStats(grams: DataFrame, prefix: String) =
+      grams.groupBy(col("doc"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc"))
+        .agg(sum(col("c")).as(s"${prefix}_total"),
+          max(col("c")).as(s"${prefix}_top"),
+          count(lit(1)).as(s"${prefix}_distinct"))
+    val tok = gramStats(base.select(col("doc"), explode(col("toks")).as("g")), "t")
+    // Non-distinct 2-grams: Text.shingles dedups (its near-dup contract);
+    // repetition counting needs multiplicity, so build grams directly. The
+    // size guard matters: Spark's sequence(1, 0) is DESCENDING [1, 0], not
+    // empty — same trap Text.shingles documents.
+    val grams = transform(sequence(lit(1), size(col("toks")) - 1),
+      i => concat_ws(" ", element_at(col("toks"), i.cast("int")),
+        element_at(col("toks"), (i + 1).cast("int"))))
+    val bigrams = base.select(col("doc"),
+      explode(when(size(col("toks")) >= 2, grams)
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val big = gramStats(bigrams, "b")
+    tok.join(big, Seq("doc"), "left_outer")
+      .select(col("doc"), col("t_total").as("n_tokens"),
+        round(lit(1000000.0) * col("t_distinct") / col("t_total")).cast("long")
+          .as("distinct_ratio_pm"),
+        round(lit(1000000.0) * col("t_top") / col("t_total")).cast("long")
+          .as("top_token_pm"),
+        coalesce(round(lit(1000000.0) * col("b_top") / col("b_total")).cast("long"),
+          lit(0L)).as("top_bigram_pm"))
+  }
+
+  /** C4-style boilerplate fraction: a k-shingle is boilerplate when it
+    * appears in more than `maxDf` documents (navigation chrome, license
+    * headers, templated text); each document reports how much of it is
+    * made of such shingles. Returns (doc, n_shingles, n_boiler, boiler_pm)
+    * for documents with at least one shingle.
+    *
+    * The df table (shingle → doc count) is the same inverted index the
+    * near-dup path builds ([[TextDedup.ngramJaccardPairs]]); the flag join
+    * is keyed on the shingle hash. Raffel et al. 2020 §2.2 deduplicates
+    * three-sentence spans corpus-wide with exactly this shape.
+    */
+  def boilerplateFraction(docs: DataFrame, id: String, text: String, k: Int,
+                          maxDf: Long): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val sh = docs.select(col(id).as("doc"), Text.tokens(col(text)).as("toks"))
+      .select(col("doc"), explode(Text.shingles(col("toks"), k)).as("sh"))
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("sh"), lit(1L).as("is_boiler"))
+    sh.join(hot, Seq("sh"), "left_outer")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+      .withColumn("boiler_pm",
+        round(lit(1000000.0) * col("n_boiler") / col("n_shingles")).cast("long"))
+  }
+}

@@ -259,11 +259,85 @@ object TextDedup {
       .select(col("node"), col("label").as("cluster"), col("cluster_size"))
   }
 
+  /** Train/eval contamination check (decontamination): for every PROBE
+    * document (the eval/benchmark side), count its k-shingles that also
+    * appear anywhere in the CORPUS side (the training set) and how many
+    * distinct corpus documents share at least one. Returns one row per
+    * CONTAMINATED probe doc: (doc, n_shingles, n_contaminated,
+    * n_corpus_docs); clean probe docs don't appear (anti-join [[dropIds]]
+    * style downstream gives the clean set).
+    *
+    * The standard eval-leakage gate (GPT-3 appendix C / PaLM §7 run n-gram
+    * overlap exactly like this). Scale shape: both sides explode to
+    * (doc, shingle) rows and meet in ONE equi-join on the shingle — never
+    * doc×doc. `maxDf` drops corpus shingles above a document-frequency cap
+    * before the join (hot boilerplate shingles would otherwise fan out);
+    * a capped shingle can no longer testify to contamination, the standard
+    * recall/robustness trade, 0 disables.
+    */
+  def contaminationAgainst(probe: DataFrame, corpus: DataFrame, id: String,
+                           text: String, k: Int, maxDf: Long = 0L): DataFrame = {
+    def shingled(df: DataFrame, as: String) =
+      df.select(col(id).as(as), Text.tokens(col(text)).as("toks"))
+        .select(col(as), explode(Text.shingles(col("toks"), k)).as("sh"))
+    val p = shingled(probe, "doc")
+    val c0 = shingled(corpus, "doc_c")
+    val c =
+      if (maxDf > 0) {
+        val keep = c0.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("sh")
+        c0.join(keep, "sh")
+      } else c0
+    val sizes = p.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
+    p.join(c, "sh")
+      .groupBy(col("doc"))
+      .agg(countDistinct(col("sh")).as("n_contaminated"),
+        countDistinct(col("doc_c")).as("n_corpus_docs"))
+      .join(sizes, "doc")
+      .select(col("doc"), col("n_shingles"), col("n_contaminated"),
+        col("n_corpus_docs"))
+  }
+
   /** 32-bit SimHash over the (multiplicity-weighted) token stream: bit j of
     * the fingerprint is the sign of Σ_tokens (±1 by bit j of the token
     * hash). Near-dups differ in few bits (compare by hamming distance
     * downstream). One narrow shuffle per aggregation level.
     */
+  /** Near-dup pairs over 32-bit [[simhash]] fingerprints: all (doc_a <
+    * doc_b) with hamming distance ≤ `maxHamming`. Candidate generation is
+    * pigeonhole banding (Manku et al. 2007, WWW — the Google simhash-dedup
+    * paper): the fingerprint splits into `bands` equal bit-blocks, and two
+    * fingerprints within hamming d < bands must agree on ≥ 1 whole block —
+    * so an equi-join on (band, block value) finds every true pair
+    * (EXACT recall for maxHamming ≤ bands−1, which is `require`d), and the
+    * cheap `bit_count(xor)` confirm runs only inside band buckets. Never
+    * all-pairs; same shuffle shape as [[lshCandidatePairs]].
+    * Input: output of [[simhash]] (doc, simhash).
+    */
+  def simhashNearDupPairs(sigs: DataFrame, maxHamming: Int,
+                          bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 32 % bands == 0, s"bands must divide 32, got $bands")
+    require(maxHamming < bands,
+      s"pigeonhole recall needs maxHamming < bands, got $maxHamming/$bands")
+    val width = 32 / bands
+    val mask = (1L << width) - 1
+    val banded = sigs.select(col("doc"), col("simhash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("simhash"), b * width).bitwiseAND(mask)): _*))
+        .as(Seq("band", "blk")))
+    val x = banded.select(col("doc").as("doc_a"), col("simhash").as("ha"),
+      col("band"), col("blk"))
+    val y = banded.select(col("doc").as("doc_b"), col("simhash").as("hb"),
+      col("band"), col("blk"))
+    x.join(y, Seq("band", "blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def simhash(docs: DataFrame, id: String, text: String): DataFrame = {
     val toks = docs.select(col(id).as("doc"),
         explode(Text.tokens(col(text))).as("t"))

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Quantiles, Sampling, TermStats, TextDedup}
+import graft.sources.Tables
+
+/** Corpus-curation operators over the `documents` table — the statistics,
+  * decontamination, and weighting stages a training-data pipeline runs
+  * between raw ingestion and the dedup/mixing stages ([[LlmPipelines]],
+  * [[Extensions]]): TF-IDF term weighting, eval-set decontamination,
+  * Gopher-style repetition signals, exact length quantiles, temperature
+  * mixing weights, C4-style boilerplate detection, and SimHash
+  * hamming-banded near-dup pairs.
+  *
+  * Same invariants as the rest of the suite: scaled-integer outputs, every
+  * candidate-generation step an equi-join (shingle / band block), oracle
+  * twins in [[Oracles.curation]] built on identical md5 hashes and fold
+  * order.
+  */
+object Curation {
+
+  /** q60: the highest-TF-IDF term per document
+    * ([[TermStats.topTermPerDoc]]: two keyed aggregates + a term-keyed
+    * join; integer-portable idf — `(1e6·N) div df` — because `ln` rounds
+    * differently across engines).
+    */
+  def q60TfidfTopTerm(spark: SparkSession, d: String): DataFrame =
+    TermStats.topTermPerDoc(Tables.balanced(spark, d, "documents"),
+        "doc_id", "text")
+      .withColumnRenamed("doc", "doc_id")
+
+  /** q61: train/test contamination — test-split documents (the q46 hash
+    * split) sharing 3-shingles with the train split
+    * ([[TextDedup.contaminationAgainst]]: one shingle-keyed equi-join,
+    * never doc×doc).
+    */
+  def q61Contamination(spark: SparkSession, d: String): DataFrame = {
+    val split = Sampling.hashSplit(Tables.balanced(spark, d, "documents"),
+      "doc_id", "exp1", Seq("train" -> 90, "val" -> 5, "test" -> 5))
+    TextDedup.contaminationAgainst(
+        split.filter(col("split") === "test"),
+        split.filter(col("split") === "train"),
+        "doc_id", "text", k = LlmPipelines.ShingleK)
+      .withColumnRenamed("doc", "doc_id")
+  }
+
+  /** q62: Gopher-style repetition signals per document
+    * ([[TermStats.repetitionSignals]]: two explode→partial-agg passes).
+    */
+  def q62RepetitionSignals(spark: SparkSession, d: String): DataFrame =
+    TermStats.repetitionSignals(Tables.balanced(spark, d, "documents"),
+        "doc_id", "text")
+      .withColumnRenamed("doc", "doc_id")
+
+  /** q63: exact per-language length quantiles (p50/p90/p99) by integer
+    * rank arithmetic ([[Quantiles.byRank]]: one shuffle, rank = ceil(p·n)
+    * — `quantile_disc` semantics, portable where interpolation is not).
+    */
+  def q63LengthQuantiles(spark: SparkSession, d: String): DataFrame =
+    Quantiles.byRank(Tables.balanced(spark, d, "documents"),
+      Seq(col("lang")), col("n_chars"), col("doc_id"),
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+
+  /** q64: temperature mixing weights (α=0.5) per language
+    * ([[Sampling.mixingWeights]]: weight ∝ √n, sorted-fold normalizer —
+    * `sqrt` is the one power IEEE rounds identically everywhere).
+    */
+  def q64MixWeights(spark: SparkSession, d: String): DataFrame =
+    Sampling.mixingWeights(Tables.balanced(spark, d, "documents"),
+      Seq(col("lang")))
+
+  /** q65: C4-style boilerplate fraction — shingles appearing in more than
+    * 10 documents are chrome/template text
+    * ([[TermStats.boilerplateFraction]]: the near-dup inverted index
+    * reused as a df filter).
+    */
+  def q65Boilerplate(spark: SparkSession, d: String): DataFrame =
+    TermStats.boilerplateFraction(Tables.balanced(spark, d, "documents"),
+        "doc_id", "text", k = LlmPipelines.ShingleK, maxDf = 10L)
+      .withColumnRenamed("doc", "doc_id")
+
+  /** q67: SimHash near-dup pairs at hamming ≤ 3 via pigeonhole banding
+    * ([[TextDedup.simhashNearDupPairs]]: 4 byte-blocks, equi-join on the
+    * block — exact recall, never all-pairs), completing the q29
+    * fingerprint into a usable dedup path.
+    */
+  def q67SimhashPairs(spark: SparkSession, d: String): DataFrame =
+    TextDedup.simhashNearDupPairs(
+      TextDedup.simhash(Tables.balanced(spark, d, "documents"),
+        "doc_id", "text"),
+      maxHamming = 3)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_tfidf_top_term" -> q60TfidfTopTerm _,
+    "q61_contamination" -> q61Contamination _,
+    "q62_repetition_signals" -> q62RepetitionSignals _,
+    "q63_length_quantiles" -> q63LengthQuantiles _,
+    "q64_mix_weights" -> q64MixWeights _,
+    "q65_boilerplate" -> q65Boilerplate _,
+    "q67_simhash_pairs" -> q67SimhashPairs _,
+  )
+}

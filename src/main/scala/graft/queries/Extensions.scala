@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Packing, RangeJoin, Sampling}
+import graft.operators.{AsOf, Packing, RangeJoin, Sampling, Sessionize, Skew}
 import graft.sources.Tables
 
 /** Beyond-reference temporal/sampling operators (the build brief's as-of
@@ -141,6 +141,38 @@ object Extensions {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
 
+  val ThirtyMinUs = 30L * 60 * 1000000
+
+  /** q59: gap-based sessionization — each user's event stream cut into
+    * sessions at 30-minute silences, rolled up to a session table
+    * ([[Sessionize.rollup]]: one shuffle on user_id, two windows + the
+    * rollup all reusing that partitioning).
+    */
+  def q59Sessionize(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.eventsWithUs(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        cents(col("value")).as("value_c"))
+    Sessionize.rollup(ev, Seq(col("user_id")), col("ts_us"), col("event_id"),
+        maxGap = ThirtyMinUs, metric = col("value_c"))
+      .withColumnRenamed("sum_metric", "sum_value_c")
+  }
+
+  /** q66: salted skew join — events against a per-user dim via
+    * [[Skew.saltedJoin]] (salt=8: every hot user key splits across 8
+    * sub-partitions, the dim replicates 8×), aggregated back per user.
+    * The oracle is the PLAIN join — salting must be output-invisible.
+    */
+  def q66SaltedJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.eventsWithUs(spark, d)
+      .select(col("user_id"), col("event_id"), cents(col("value")).as("value_c"))
+    val dim = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_user_events"))
+    Skew.saltedJoin(ev, dim, Seq("user_id"), salt = 8)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_value_c"),
+        max(col("n_user_events")).as("n_user_events"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_asof_join" -> q44AsofJoin _,
     "q45_range_join" -> q45RangeJoin _,
@@ -150,5 +182,7 @@ object Extensions {
     "q52_asof_nearest" -> q52AsofNearest _,
     "q54_balanced_mix" -> q54BalancedMix _,
     "q56_interval_overlap" -> q56IntervalOverlap _,
+    "q59_sessionize" -> q59Sessionize _,
+    "q66_salted_join" -> q66SaltedJoin _,
   )
 }

@@ -961,5 +961,134 @@ object Oracles {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(doc_id) AS min_doc
         |FROM r WHERE rn <= ceil(0.5 * n)
         |GROUP BY lang""".stripMargin,
+
+    "q59_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |    $CentsValue AS value_c FROM events),
+         |s AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER
+         |      (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |      > ${Extensions.ThirtyMinUs} THEN 1 ELSE 0 END AS brk
+         |  FROM e),
+         |g AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT)
+         |    AS session_seq
+         |  FROM s)
+         |SELECT user_id, session_seq, count(*) AS n_events,
+         |  min(ts_us) AS session_start, max(ts_us) AS session_end,
+         |  CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration,
+         |  CAST(sum(value_c) AS BIGINT) AS sum_value_c
+         |FROM g GROUP BY user_id, session_seq""".stripMargin,
+
+    // The PLAIN join — q66 salts the Spark side; salting must be invisible
+    // in the output.
+    "q66_salted_join" ->
+      s"""WITH e AS (SELECT user_id, event_id, $CentsValue AS value_c FROM events),
+         |d AS (SELECT user_id, count(*) AS n_user_events FROM e GROUP BY user_id)
+         |SELECT e.user_id, count(*) AS n, CAST(sum(value_c) AS BIGINT) AS sum_value_c,
+         |  max(n_user_events) AS n_user_events
+         |FROM e JOIN d USING (user_id) GROUP BY e.user_id""".stripMargin,
+  )
+
+  /** Corpus-curation twins ([[Curation]]). */
+  val curation: Map[String, String] = Map(
+    "q60_tfidf_top_term" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, term, tf, df,
+         |    CAST(tf * ((1000000 * n_docs) // df) AS BIGINT) AS score
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term ASC) AS rn FROM sc)
+         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         |  score
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    "q61_contamination" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |    ('0x' || substr(md5('exp1:' || doc_id), 1, 8))::BIGINT % 100 AS bucket
+         |  FROM documents),
+         |t AS (SELECT doc_id, bucket, $Toks AS toks FROM b),
+         |s AS (SELECT doc_id, bucket, unnest(${shingleList("toks")}) AS sh FROM t),
+         |p AS (SELECT doc_id, sh FROM s WHERE bucket >= 95),
+         |c AS (SELECT doc_id AS doc_c, sh FROM s WHERE bucket < 90),
+         |sz AS (SELECT doc_id, count(*) AS n_shingles FROM p GROUP BY doc_id),
+         |j AS (SELECT doc_id, count(DISTINCT sh) AS n_contaminated,
+         |    count(DISTINCT doc_c) AS n_corpus_docs
+         |  FROM (SELECT p.doc_id, p.sh, c.doc_c FROM p JOIN c USING (sh))
+         |  GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(n_contaminated AS BIGINT) AS n_contaminated,
+         |  CAST(n_corpus_docs AS BIGINT) AS n_corpus_docs
+         |FROM j JOIN sz USING (doc_id)""".stripMargin,
+
+    "q62_repetition_signals" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS g FROM t),
+         |tc AS (SELECT doc_id, g, count(*) AS c FROM tok GROUP BY doc_id, g),
+         |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t_total,
+         |    CAST(max(c) AS BIGINT) AS t_top, count(*) AS t_distinct
+         |  FROM tc GROUP BY doc_id),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS g FROM t),
+         |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+         |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS b_total,
+         |    CAST(max(c) AS BIGINT) AS b_top
+         |  FROM bc GROUP BY doc_id)
+         |SELECT ts.doc_id, t_total AS n_tokens,
+         |  CAST(round(1000000.0 * t_distinct / t_total) AS BIGINT) AS distinct_ratio_pm,
+         |  CAST(round(1000000.0 * t_top / t_total) AS BIGINT) AS top_token_pm,
+         |  coalesce(CAST(round(1000000.0 * b_top / b_total) AS BIGINT), 0)
+         |    AS top_bigram_pm
+         |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id""".stripMargin,
+
+    "q63_length_quantiles" ->
+      """WITH r AS (SELECT lang, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, max(n) AS n,
+        |  max(CASE WHEN rn = ceil(0.5 * n) THEN n_chars END) AS q_p50,
+        |  max(CASE WHEN rn = ceil(0.9 * n) THEN n_chars END) AS q_p90,
+        |  max(CASE WHEN rn = ceil(0.99 * n) THEN n_chars END) AS q_p99
+        |FROM r GROUP BY lang""".stripMargin,
+
+    "q64_mix_weights" ->
+      """WITH c AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang),
+        |t AS (SELECT list_reduce([0.0] || list_sort(list(sqrt(n_rows))),
+        |    (a, b) -> a + b) AS tot FROM c)
+        |SELECT lang, n_rows,
+        |  CAST(round(1000000.0 * sqrt(n_rows) / tot) AS BIGINT) AS weight_pm
+        |FROM c CROSS JOIN t""".stripMargin,
+
+    "q65_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |s AS (SELECT doc_id, unnest(${shingleList("toks")}) AS sh FROM t),
+         |hot AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM s GROUP BY sh)
+         |  WHERE df > 10),
+         |j AS (SELECT s.doc_id, CASE WHEN h.sh IS NOT NULL THEN 1 ELSE 0 END AS ib
+         |  FROM s LEFT JOIN hot h ON s.sh = h.sh)
+         |SELECT doc_id, count(*) AS n_shingles, CAST(sum(ib) AS BIGINT) AS n_boiler,
+         |  CAST(round(1000000.0 * sum(ib) / count(*)) AS BIGINT) AS boiler_pm
+         |FROM j GROUP BY doc_id""".stripMargin,
+
+    // The all-pairs form IS the oracle here — the engine's banded join must
+    // find exactly the pairs the exhaustive scan finds (500-doc oracle
+    // scale only; the engine never runs all-pairs).
+    "q67_simhash_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($Toks) AS t FROM documents),
+         |h AS (SELECT doc_id, ${hash32("'0'", "t")} AS hv FROM tok),
+         |b AS (SELECT doc_id, j, sum(((hv >> j) & 1) * 2 - 1) AS vote
+         |      FROM h CROSS JOIN (SELECT unnest(range(0,32)) AS j) GROUP BY doc_id, j),
+         |f AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+         |      AS simhash
+         |  FROM b GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+         |FROM f a JOIN f b2 ON a.doc_id < b2.doc_id
+         |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3""".stripMargin,
   )
 }

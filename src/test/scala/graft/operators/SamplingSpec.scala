@@ -77,4 +77,17 @@ class SamplingSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Sampling.hashSplit(ids, "id", "s", Seq("a" -> 60, "b" -> 30)))
   }
+
+  test("mixingWeights: weight ∝ sqrt(n), normalized to ~1e6, rare groups upsampled") {
+    val df = (1L to 400L).map(i => (if (i <= 4) "rare" else "big", i))
+      .toDF("g", "id")
+    val w = Sampling.mixingWeights(df, Seq(col("g")))
+      .select("g", "n_rows", "weight_pm").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // sqrt(4)=2, sqrt(396)≈19.9: weights 2/21.9 and 19.9/21.9
+    assert(w("rare")._2 == 4L && w("big")._2 == 396L)
+    assert(math.abs(w("rare")._3 + w("big")._3 - 1000000L) <= 1)
+    // raw share of rare = 1%, weighted share ≈ 9% → upsampled
+    assert(w("rare")._3 > 80000L)
+  }
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TermStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b a rare"),   // "rare" appears only here
+    (2L, "a b b b"),
+    (3L, "a c c")
+  ).toDF("doc_id", "text")
+
+  test("tfidf: tf counts, corpus df, and integer idf") {
+    val rows = TermStats.tfidf(docs, "doc_id", "text")
+      .select("doc", "term", "tf", "df", "score")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // "a" in every doc: idf_micro = 3e6 div 3 = 1e6
+    assert(rows((1L, "a")) == (1L, "a", 2L, 3L, 2000000L))
+    // "rare" df=1: idf_micro = 3e6
+    assert(rows((1L, "rare")) == (1L, "rare", 1L, 1L, 3000000L))
+    // "b" df=2: idf_micro = 1500000
+    assert(rows((2L, "b")) == (2L, "b", 3L, 2L, 4500000L))
+  }
+
+  test("topTermPerDoc picks max score with term-asc tiebreak") {
+    val top = TermStats.topTermPerDoc(docs, "doc_id", "text")
+      .select("doc", "term").as[(Long, String)].collect().toMap
+    assert(top(1L) == "rare") // 3e6 beats a's 2e6
+    assert(top(2L) == "b")    // 4.5e6
+    assert(top(3L) == "c")    // tf 2 · idf 3e6 = 6e6 beats a's 1e6
+  }
+
+  test("repetitionSignals: token and bigram concentration") {
+    val r = TermStats.repetitionSignals(
+        Seq((1L, "x x x y")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // 4 tokens, 2 distinct → 500000; top token x: 3/4 → 750000;
+    // bigrams: [x x, x x, x y] → top 2/3 → 666667
+    assert(r == (1L, 4L, 500000L, 750000L, 666667L))
+  }
+
+  test("repetitionSignals: single-token doc reports 0 bigram share") {
+    val r = TermStats.repetitionSignals(
+        Seq((1L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(r == (1L, 1L, 1000000L, 1000000L, 0L))
+  }
+
+  test("boilerplateFraction flags shingles above the df cap") {
+    // "x y z" in all 3 docs (df=3 > maxDf=2); the others are unique.
+    val d = Seq(
+      (1L, "x y z a b c"), (2L, "x y z d e f"), (3L, "x y z g h i")
+    ).toDF("doc_id", "text")
+    val r = TermStats.boilerplateFraction(d, "doc_id", "text", k = 3, maxDf = 2)
+      .select("doc", "n_shingles", "n_boiler", "boiler_pm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // each doc: 4 distinct shingles, 1 boilerplate → 250000
+    assert(r == Set((1L, 4L, 1L, 250000L), (2L, 4L, 1L, 250000L),
+      (3L, 4L, 1L, 250000L)))
+  }
+
+  test("boilerplateFraction drops docs with no shingles") {
+    val d = Seq((1L, "too short"), (2L, "one two three")).toDF("doc_id", "text")
+    val got = TermStats.boilerplateFraction(d, "doc_id", "text", 3, 10)
+      .select("doc").as[Long].collect().toSet
+    assert(got == Set(2L))
+  }
+}

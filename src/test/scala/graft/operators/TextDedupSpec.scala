@@ -131,4 +131,56 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.values.forall(v => v >= 0 && v < (1L << 32)))
     assert(out(1L) != out(3L)) // different content → different fingerprint
   }
+
+  test("simhashNearDupPairs: banded join equals the all-pairs scan (exact recall)") {
+    val docs = corpus.union(Seq(
+      (5L, "the quick brown fox jumps over the lazy cat") // 1 word off doc 1
+    ).toDF("doc_id", "text"))
+    val sigs = TextDedup.simhash(docs, "doc_id", "text")
+    val banded = TextDedup.simhashNearDupPairs(sigs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // naive all-pairs over the collected fingerprints
+    val fp = sigs.as[(Long, Long)].collect().toMap
+    val naive = (for {
+      a <- fp.keys; b <- fp.keys if a < b
+      h = java.lang.Long.bitCount(fp(a) ^ fp(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(banded == naive)
+    assert(banded.contains((1L, 4L, 0L))) // identical docs: hamming 0
+  }
+
+  test("simhashNearDupPairs rejects a maxHamming the banding can't guarantee") {
+    val sigs = TextDedup.simhash(corpus, "doc_id", "text")
+    assertThrows[IllegalArgumentException](
+      TextDedup.simhashNearDupPairs(sigs, maxHamming = 4, bands = 4))
+  }
+
+  test("contaminationAgainst: shingle-level overlap counts, clean probes absent") {
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "alpha beta gamma zeta eta")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "alpha beta gamma delta unrelated"), // shares shingles with both
+      (2L, "totally clean text here now")       // clean
+    ).toDF("doc_id", "text")
+    val got = TextDedup.contaminationAgainst(probe, train, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // probe 1 shingles: {a b g, b g d, g d u}; "a b g" hits both train docs,
+    // "b g d" hits train 10 → 2 contaminated of 3, 2 corpus docs
+    assert(got == Set((1L, 3L, 2L, 2L)))
+  }
+
+  test("contaminationAgainst maxDf drops hot shingles before the join") {
+    val train = Seq(
+      (10L, "x y z one"), (11L, "x y z two"), (12L, "x y z three")
+    ).toDF("doc_id", "text")
+    val probe = Seq((1L, "x y z probe")).toDF("doc_id", "text")
+    // "x y z" has train df=3; cap at 2 → it can't testify → probe is clean
+    val capped = TextDedup.contaminationAgainst(probe, train, "doc_id", "text",
+      k = 3, maxDf = 2)
+    assert(capped.count() == 0)
+    val uncapped = TextDedup.contaminationAgainst(probe, train, "doc_id", "text", 3)
+    assert(uncapped.count() == 1)
+  }
 }
