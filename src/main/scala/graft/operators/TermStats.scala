@@ -39,8 +39,12 @@ object TermStats {
     // Corpus size as a broadcast 1-row aggregate (the q16 scalar-subquery
     // pattern) — no driver-side action, the plan stays lazy end-to-end.
     val nDocs = broadcast(docs.select(countDistinct(col(id)).as("n_docs")))
+    // Persist: the (doc, term) aggregate feeds both the df rollup and the
+    // join's left side; Catalyst doesn't reuse the exchange across the
+    // self-referential branches, so without this the explode+agg runs twice.
     val tf = toks.groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     tf.join(dfreq, "term")

@@ -280,7 +280,10 @@ object TextDedup {
     def shingled(df: DataFrame, as: String) =
       df.select(col(id).as(as), Text.tokens(col(text)).as("toks"))
         .select(col(as), explode(Text.shingles(col("toks"), k)).as("sh"))
+    // Persist: the probe's shingle index feeds both the size rollup and the
+    // overlap join.
     val p = shingled(probe, "doc")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c0 = shingled(corpus, "doc_c")
     val c =
       if (maxDf > 0) {
@@ -321,7 +324,11 @@ object TextDedup {
       s"pigeonhole recall needs maxHamming < bands, got $maxHamming/$bands")
     val width = 32 / bands
     val mask = (1L << width) - 1
-    val banded = sigs.select(col("doc"), col("simhash"),
+    // Persist: both sides of the band self-join would otherwise recompute
+    // the fingerprint aggregation (two keyed shuffles over 32× the token
+    // count) — same reuse rule as [[lshCandidatePairs]].
+    val cached = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = cached.select(col("doc"), col("simhash"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("simhash"), b * width).bitwiseAND(mask)): _*))
         .as(Seq("band", "blk")))

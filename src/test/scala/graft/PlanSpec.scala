@@ -59,4 +59,25 @@ class PlanSpec extends AnyFunSuite {
     val plan = planString(run("q03_filter_in_projection"))
     assert(plan.contains("PushedFilters") && plan.contains("o_orderpriority"))
   }
+
+  test("q59 sessionize: exactly 1 shuffle (windows + rollup share the user key)") {
+    assert(countShuffles(run("q59_sessionize")) == 1)
+  }
+
+  test("q63 quantiles: one data shuffle (rank/count windows share the group key)") {
+    // the second exchange is the 5-row post-window rollup — constant-size
+    assert(countShuffles(run("q63_length_quantiles")) <= 2)
+  }
+
+  test("q67 simhash pairs: banded equi-join, never all-pairs") {
+    val plan = planString(run("q67_simhash_pairs"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q61 contamination: shingle-keyed equi-join, never doc×doc") {
+    val plan = planString(run("q61_contamination"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
