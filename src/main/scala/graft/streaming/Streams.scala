@@ -74,6 +74,32 @@ object Streams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicates(keyCol, "ts")
 
+  /** Streaming sessionization — the live twin of
+    * [[graft.operators.Sessionize.rollup]], via Spark's NATIVE
+    * `session_window` (the declarative form: the state store merges
+    * overlapping/adjacent per-event windows and the watermark closes and
+    * evicts sessions — exactly the custom state `flatMapGroupsWithState`
+    * would hand-roll, minus the hand-rolling). Emits one row per closed
+    * (user, session) with the same count/bounds/sum shape as the batch
+    * rollup. Gap semantics note: `session_window` treats an event at
+    * exactly `start + gap` as a NEW session (half-open window), while the
+    * batch operator keeps an exact-gap event in-session (its `>` test) —
+    * callers needing bit-equal batch/stream session cuts should pass the
+    * batch operator `maxGap = gap − 1`.
+    */
+  def sessionized(events: DataFrame, gap: String, watermarkDelay: String): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start"),
+        max(col("ts_us")).as("session_end"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
+      .select(col("user_id"), col("n_events"), col("session_start"),
+        col("session_end"), col("duration"), col("sum_value_c"))
+
   /** One event on the tagged temporal stream: right-side rows (`isRight`)
     * update per-key state, left-side rows get enriched.
     */
