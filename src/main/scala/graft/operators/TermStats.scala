@@ -113,6 +113,31 @@ object TermStats {
           lit(0L)).as("top_bigram_pm"))
   }
 
+  /** Novelty fraction per document in corpus id order: the share of a
+    * document's distinct k-shingles whose FIRST occurrence (minimum doc id
+    * corpus-wide) is this document — near 0 for a near-dup of earlier
+    * material, near 1 for genuinely new text. The "contribution" signal an
+    * incremental curation pipeline ranks candidate documents by. Returns
+    * (doc, n_shingles, n_novel, novelty_pm); docs with no shingles drop.
+    *
+    * Scale shape: one aggregate on the shingle key (min doc id — map-side
+    * partial agg), one join back on the shingle, one rollup on doc. The
+    * shingle index feeds two consumers → persisted, the
+    * [[TextDedup.ngramJaccardPairs]] rule.
+    */
+  def noveltyFraction(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
+    val sh = docs.select(col(id).as("doc"), Text.tokens(col(text)).as("toks"))
+      .select(col("doc"), explode(Text.shingles(col("toks"), k)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = sh.groupBy(col("sh")).agg(min(col("doc")).as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_pm",
+        round(lit(1000000.0) * col("n_novel") / col("n_shingles")).cast("long"))
+  }
+
   /** C4-style boilerplate fraction: a k-shingle is boilerplate when it
     * appears in more than `maxDf` documents (navigation chrome, license
     * headers, templated text); each document reports how much of it is

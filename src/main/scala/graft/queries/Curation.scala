@@ -92,6 +92,15 @@ object Curation {
         "doc_id", "text"),
       maxHamming = 3)
 
+  /** q70: per-document novelty — the fraction of a doc's shingles first
+    * seen (min doc id) in that doc ([[TermStats.noveltyFraction]]: shingle
+    * min-agg + join-back, the incremental-curation contribution signal).
+    */
+  def q70Novelty(spark: SparkSession, d: String): DataFrame =
+    TermStats.noveltyFraction(Tables.balanced(spark, d, "documents"),
+        "doc_id", "text", k = LlmPipelines.ShingleK)
+      .withColumnRenamed("doc", "doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_tfidf_top_term" -> q60TfidfTopTerm _,
     "q61_contamination" -> q61Contamination _,
@@ -100,5 +109,6 @@ object Curation {
     "q64_mix_weights" -> q64MixWeights _,
     "q65_boilerplate" -> q65Boilerplate _,
     "q67_simhash_pairs" -> q67SimhashPairs _,
+    "q70_novelty" -> q70Novelty _,
   )
 }

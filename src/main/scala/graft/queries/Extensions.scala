@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Packing, RangeJoin, Sampling, Sessionize, Skew}
+import graft.operators.{AsOf, Packing, RangeJoin, Rolling, Sampling, Sessionize, Skew}
 import graft.sources.Tables
 
 /** Beyond-reference temporal/sampling operators (the build brief's as-of
@@ -173,6 +173,45 @@ object Extensions {
         max(col("n_user_events")).as("n_user_events"))
   }
 
+  val OneHourUs = 3600L * 1000000
+  val OneDayUs = 24L * 3600 * 1000000
+
+  /** q68: conversion funnel — each purchase attributed to the user's most
+    * recent click within the preceding hour ([[AsOf.backward]] with
+    * `maxAge`: the attribution-window variant of the as-of join), rolled
+    * up to per-user conversion rates. Funnel = as-of + rollup; no new
+    * shuffle shape.
+    */
+  def q68Funnel(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.eventsWithUs(spark, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("c_id"))
+    AsOf.backward(purchases, clicks, Seq("user_id"), "ts_us",
+        tiebreak = "c_id", carry = Seq("c_id"), prefix = "m_",
+        maxAge = Some(OneHourUs))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("m_c_id")).as("n_converted"),
+        round(lit(1000000.0) * count(col("m_c_id")) / count(lit(1)))
+          .cast("long").as("conv_pm"))
+  }
+
+  /** q69: trailing-24h rolling spend per event ([[Rolling.overRange]]:
+    * RANGE frame — duplicate timestamps see identical frames, so the
+    * result is deterministic without a tiebreak; one shuffle on user_id).
+    */
+  def q69RollingWindow(spark: SparkSession, d: String): DataFrame =
+    Rolling.overRange(
+        Tables.eventsWithUs(spark, d)
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            cents(col("value")).as("value_c")),
+        Seq(col("user_id")), col("ts_us"), col("value_c"),
+        lookback = OneDayUs)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("roll_sum").as("roll_sum_c"), col("roll_cnt"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_asof_join" -> q44AsofJoin _,
     "q45_range_join" -> q45RangeJoin _,
@@ -184,5 +223,7 @@ object Extensions {
     "q56_interval_overlap" -> q56IntervalOverlap _,
     "q59_sessionize" -> q59Sessionize _,
     "q66_salted_join" -> q66SaltedJoin _,
+    "q68_funnel" -> q68Funnel _,
+    "q69_rolling_window" -> q69RollingWindow _,
   )
 }

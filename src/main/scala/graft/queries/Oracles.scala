@@ -980,6 +980,39 @@ object Oracles {
          |  CAST(sum(value_c) AS BIGINT) AS sum_value_c
          |FROM g GROUP BY user_id, session_seq""".stripMargin,
 
+    // The q44 union-window as-of twin with the 1h attribution window
+    // (m_t older than t − maxAge ⇒ no conversion), rolled up per user.
+    "q68_funnel" ->
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t, event_type
+         |  FROM events),
+         |u AS (
+         |  SELECT user_id, t, 0 AS side, CAST(NULL AS BIGINT) AS event_id,
+         |    event_id AS c_id
+         |  FROM ev WHERE event_type = 'click'
+         |  UNION ALL
+         |  SELECT user_id, t, 1 AS side, event_id, CAST(NULL AS BIGINT)
+         |  FROM ev WHERE event_type = 'purchase'),
+         |w AS (SELECT *,
+         |    last_value(CASE WHEN side = 0 THEN c_id END IGNORE NULLS) OVER win AS m_c_id,
+         |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER win AS m_t
+         |  FROM u
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY t, side, c_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |p AS (SELECT user_id,
+         |    CASE WHEN m_t >= t - ${Extensions.OneHourUs} THEN m_c_id END AS hit
+         |  FROM w WHERE side = 1)
+         |SELECT user_id, count(*) AS n_purchases, count(hit) AS n_converted,
+         |  CAST(round(1000000.0 * count(hit) / count(*)) AS BIGINT) AS conv_pm
+         |FROM p GROUP BY user_id""".stripMargin,
+
+    "q69_rolling_window" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         |  CAST(sum($CentsValue) OVER w AS BIGINT) AS roll_sum_c,
+         |  count(*) OVER w AS roll_cnt
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN ${Extensions.OneDayUs} PRECEDING AND CURRENT ROW)""".stripMargin,
+
     // The PLAIN join — q66 salts the Spark side; salting must be invisible
     // in the output.
     "q66_salted_join" ->
@@ -1073,6 +1106,17 @@ object Oracles {
          |SELECT doc_id, count(*) AS n_shingles, CAST(sum(ib) AS BIGINT) AS n_boiler,
          |  CAST(round(1000000.0 * sum(ib) / count(*)) AS BIGINT) AS boiler_pm
          |FROM j GROUP BY doc_id""".stripMargin,
+
+    "q70_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |s AS (SELECT doc_id, unnest(${shingleList("toks")}) AS sh FROM t),
+         |f AS (SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY sh)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST(round(1000000.0 * sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+         |    / count(*)) AS BIGINT) AS novelty_pm
+         |FROM s JOIN f USING (sh) GROUP BY doc_id""".stripMargin,
 
     // The all-pairs form IS the oracle here — the engine's banded join must
     // find exactly the pairs the exhaustive scan finds (500-doc oracle

@@ -65,6 +65,19 @@ class TermStatsSpec extends AnyFunSuite {
       (3L, 4L, 1L, 250000L)))
   }
 
+  test("noveltyFraction: first occurrence wins, later copies score low") {
+    val d = Seq(
+      (1L, "a b c d"),       // shingles {a b c, b c d} — both first here
+      (2L, "a b c d"),       // exact copy → novelty 0
+      (3L, "a b c x y z")    // {a b c, b c x, c x y, x y z}: 3 of 4 novel
+    ).toDF("doc_id", "text")
+    val got = TermStats.noveltyFraction(d, "doc_id", "text", k = 3)
+      .select("doc", "n_shingles", "n_novel", "novelty_pm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 2L, 1000000L), (2L, 2L, 0L, 0L),
+      (3L, 4L, 3L, 750000L)))
+  }
+
   test("boilerplateFraction drops docs with no shingles") {
     val d = Seq((1L, "too short"), (2L, "one two three")).toDF("doc_id", "text")
     val got = TermStats.boilerplateFraction(d, "doc_id", "text", 3, 10)
