@@ -68,6 +68,10 @@ object ScaleProbe {
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
+    // Optional section filter: `runMain graft.ScaleProbe session termstats`
+    // runs only those blocks (default: all).
+    val want: String => Boolean =
+      if (args.isEmpty) _ => true else args.toSet.contains _
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
@@ -77,7 +81,38 @@ object ScaleProbe {
       df.write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     }
-    for (factor <- Seq(1, 4, 16)) {
+    if (want("session")) for (factor <- Seq(1, 4, 16)) {
+      val ev = materialize(eventsAt(spark, d, factor), s"/tmp/scale/sev$factor")
+      time(s"sessionize ${factor}x (${100000 * factor} events)") {
+        graft.operators.Sessionize.rollup(ev, Seq(col("user_id")),
+          col("ts_us"), col("event_id"), 30L * 60 * 1000000,
+          round(col("value") * 100).cast("long")).count()
+      }
+      time(s"rolling-24h ${factor}x") {
+        graft.operators.Rolling.overRange(ev, Seq(col("user_id")),
+          col("ts_us"), round(col("value") * 100).cast("long"),
+          24L * 3600 * 1000000).count()
+      }
+      spark.catalog.clearCache()
+    }
+    // Term statistics: disjoint-replica docs mean the vocabulary (and the
+    // df/first-occurrence tables) grow with the corpus — the honest
+    // stress: shuffle volume must track docs × distinct-terms-per-doc.
+    if (want("termstats")) for (factor <- Seq(1, 4, 16)) {
+      val docs = materialize(docsAt(spark, d, factor), s"/tmp/scale/docs$factor")
+      time(s"tfidf-top-term ${factor}x (${5000 * factor} docs)") {
+        graft.operators.TermStats.topTermPerDoc(docs, "doc_id", "text").count()
+      }
+      time(s"novelty ${factor}x") {
+        graft.operators.TermStats.noveltyFraction(docs, "doc_id", "text", 3).count()
+      }
+      time(s"simhash-pairs ${factor}x") {
+        TextDedup.simhashNearDupPairs(
+          TextDedup.simhash(docs, "doc_id", "text"), 3).count()
+      }
+      spark.catalog.clearCache()
+    }
+    if (want("minhash")) for (factor <- Seq(1, 4, 16)) {
       val docs = materialize(docsAt(spark, d, factor), s"/tmp/scale/docs$factor")
       time(s"minhash+lsh ${factor}x (${5000 * factor} docs)") {
         val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
@@ -89,7 +124,7 @@ object ScaleProbe {
     // grows linearly with the corpus while queries also grow — quadratic
     // candidate work. Scaling planes with log2(N) keeps occupancy
     // constant, which is the production tuning rule this run demonstrates.
-    for (factor <- Seq(1, 4, 16, 64)) {
+    if (want("ann")) for (factor <- Seq(1, 4, 16, 64)) {
       val emb = materialize(embAt(spark, d, factor), s"/tmp/scale/emb$factor")
       val logPlanes = 8 + (math.log(factor) / math.log(2)).round.toInt / 2 * 2
       for (planes <- Seq(8, logPlanes).distinct) {
@@ -104,7 +139,7 @@ object ScaleProbe {
     // bin range join are keyed shuffles, so wall time should track rows,
     // not rows².
     val sixHoursUs = 6L * 3600 * 1000000
-    for (factor <- Seq(1, 4, 16)) {
+    if (want("temporal")) for (factor <- Seq(1, 4, 16)) {
       val ev = materialize(eventsAt(spark, d, factor), s"/tmp/scale/ev$factor")
       time(s"asof ${factor}x (${100000 * factor} events)") {
         val clicks = ev.filter(col("event_type") === "click")
@@ -127,7 +162,7 @@ object ScaleProbe {
     // Packing: fixed shard count serializes per-shard streams as the
     // corpus grows; scaling shards with the corpus (constant docs/shard)
     // is the production rule, mirroring the ANN plane-count rule.
-    for (factor <- Seq(1, 4, 16)) {
+    if (want("packing")) for (factor <- Seq(1, 4, 16)) {
       val docs = materialize(
         docsAt(spark, d, factor).withColumn("n_chars", length(col("text"))),
         s"/tmp/scale/packdocs$factor")
@@ -144,7 +179,7 @@ object ScaleProbe {
     // queries unchanged. Dimension-side cardinality stays fixed (suppliers/
     // days grow slower than facts in reality), so group depth rises with
     // the factor — the honest stress for the agg/join/window families.
-    for (factor <- Seq(1, 4, 16)) {
+    if (want("relational")) for (factor <- Seq(1, 4, 16)) {
       val dir = s"/tmp/scale/rel$factor"
       val shift = 10000000L
       def rep(name: String, fix: (DataFrame, Int) => DataFrame): Unit = {
@@ -165,7 +200,7 @@ object ScaleProbe {
     // Top-k physical forms at large candidate fan-in: the window form
     // shuffles every scored row; the partial-agg form crosses the
     // exchange with ≤ k rows per (group, map task).
-    for (factor <- Seq(16, 64)) {
+    if (want("topk")) for (factor <- Seq(16, 64)) {
       val emb = spark.read.parquet(s"/tmp/scale/emb$factor")
       val q = emb.filter(col("vec_id") % 1000000L < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
