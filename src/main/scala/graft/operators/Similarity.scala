@@ -350,4 +350,32 @@ object Similarity {
     Dedup.keepFirstK(scored, Seq(col("qid")),
       Seq(col("cos_pm").desc, col("cid").asc), k, "rank")
   }
+
+  /** Hard-negative mining for contrastive training: for each anchor
+    * (query) vector, the top-k most similar corpus vectors with a
+    * DIFFERENT label — near the anchor in embedding space but semantically
+    * wrong, exactly the negatives a contrastive loss learns most from
+    * (the in-batch-negatives upgrade every retrieval pipeline ships).
+    * Same sub-linear shape as [[annTopK]] — LSH-bucket equi-join, label
+    * inequality filtered INSIDE the bucket before ranking — plus the
+    * label carried on both sides. Returns (qid, q_label, cid, c_label,
+    * cos_pm, rank).
+    */
+  def hardNegatives(corpus: DataFrame, id: String, vec: String, label: String,
+                    queryPred: Column, planes: Int, dims: Int, k: Int): DataFrame = {
+    val emb = corpus.select(col(id), col(vec), col(label),
+      rpLshBucket(col(vec), planes, dims).as("bucket"),
+      norm(col(vec)).as("__n"))
+    val q = emb.filter(queryPred)
+      .select(col(id).as("qid"), col(vec).as("qv"), col(label).as("q_label"),
+        col("bucket"), col("__n").as("qn"))
+    val c = emb.select(col(id).as("cid"), col(vec).as("cv"),
+      col(label).as("c_label"), col("bucket"), col("__n").as("cn"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("cid") =!= col("qid") && col("c_label") =!= col("q_label"))
+      .select(col("qid"), col("q_label"), col("cid"), col("c_label"),
+        cosFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cos_pm"))
+    Dedup.keepFirstK(scored, Seq(col("qid")),
+      Seq(col("cos_pm").desc, col("cid").asc), k, "rank")
+  }
 }

@@ -138,6 +138,64 @@ object TermStats {
         round(lit(1000000.0) * col("n_novel") / col("n_shingles")).cast("long"))
   }
 
+  /** Incremental novelty: for each INCOMING document, the share of its
+    * distinct k-shingles absent from the EXISTING corpus — the
+    * cross-corpus twin of [[noveltyFraction]], pairing with
+    * [[TextDedup.lshCandidatePairsAgainst]] as the corpus-growth gate
+    * ("does this batch add anything?"). Returns (doc, n_shingles,
+    * n_unseen, unseen_pm) for every incoming doc with shingles.
+    *
+    * The existing side collapses to its DISTINCT shingle set before the
+    * join (one aggregate, then a shingle-keyed left join carrying one
+    * flag) — existing-corpus size enters only through its vocabulary.
+    */
+  def noveltyAgainst(incoming: DataFrame, existing: DataFrame, id: String,
+                     text: String, k: Int): DataFrame = {
+    def shingled(df: DataFrame) =
+      df.select(col(id).as("doc"), Text.tokens(col(text)).as("toks"))
+        .select(col("doc"), explode(Text.shingles(col("toks"), k)).as("sh"))
+    val seen = shingled(existing).select(col("sh")).distinct()
+      .withColumn("seen", lit(1L))
+    shingled(incoming).join(seen, Seq("sh"), "left_outer")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .withColumn("unseen_pm",
+        round(lit(1000000.0) * col("n_unseen") / col("n_shingles")).cast("long"))
+  }
+
+  /** Vocabulary coverage / OOV rate: build the top-`vocabSize` corpus
+    * vocabulary by total term frequency (term-asc tiebreak), then report
+    * each document's token share outside it — the tokenizer-budget signal
+    * ("how much of this corpus does an N-entry vocab cover?").
+    * Returns (doc, n_tokens, n_oov, oov_pm).
+    *
+    * The vocabulary ranking is a global top-N — inherently a single
+    * reduce; the ranked table is `vocabSize` rows, broadcast back onto
+    * the (doc, term) aggregate. Everything before it is map-side partial
+    * aggregation on (doc, term) / term.
+    */
+  def oovRate(docs: DataFrame, id: String, text: String, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(id).as("doc"),
+        explode(Text.tokens(col(text))).as("term"))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+      .withColumn("__rk",
+        row_number().over(Window.orderBy(col("ctf").desc, col("term").asc)))
+      .filter(col("__rk") <= vocabSize)
+      .select(col("term"), lit(1L).as("in_vocab"))
+    tf.join(broadcast(vocab), Seq("term"), "left_outer")
+      .groupBy(col("doc"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_pm",
+        round(lit(1000000.0) * col("n_oov") / col("n_tokens")).cast("long"))
+  }
+
   /** C4-style boilerplate fraction: a k-shingle is boilerplate when it
     * appears in more than `maxDf` documents (navigation chrome, license
     * headers, templated text); each document reports how much of it is

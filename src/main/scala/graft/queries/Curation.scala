@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Quantiles, Sampling, TermStats, TextDedup}
+import graft.operators.{Quantiles, Sampling, Similarity, TermStats, TextDedup}
 import graft.sources.Tables
 
 /** Corpus-curation operators over the `documents` table — the statistics,
@@ -101,6 +101,38 @@ object Curation {
         "doc_id", "text", k = LlmPipelines.ShingleK)
       .withColumnRenamed("doc", "doc_id")
 
+  /** q71: hard-negative mining — for each anchor vector, the top-3 most
+    * similar DIFFERENT-label vectors ([[Similarity.hardNegatives]]:
+    * LSH-bucket equi-join with the label filter inside the bucket — the
+    * contrastive-training negative sampler on the ANN scale path).
+    */
+  def q71HardNegatives(spark: SparkSession, d: String): DataFrame =
+    Similarity.hardNegatives(Tables.balanced(spark, d, "embeddings"),
+      "vec_id", "embedding", "label", col("vec_id") < 20,
+      LlmPipelines.Planes, LlmPipelines.Dims, k = 3)
+
+  /** q72: incremental novelty — odd-id batch scored against the even-id
+    * existing corpus ([[TermStats.noveltyAgainst]]: distinct-shingle set +
+    * one keyed left join; the corpus-growth gate, pairing with q58).
+    */
+  def q72NoveltyAgainst(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    TermStats.noveltyAgainst(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", k = LlmPipelines.ShingleK)
+      .withColumnRenamed("doc", "doc_id")
+  }
+
+  /** q73: OOV rate against the top-20 corpus vocabulary
+    * ([[TermStats.oovRate]]: global top-N vocab broadcast back onto the
+    * (doc, term) aggregate — the tokenizer-budget signal).
+    */
+  def q73OovRate(spark: SparkSession, d: String): DataFrame =
+    TermStats.oovRate(Tables.balanced(spark, d, "documents"),
+        "doc_id", "text", vocabSize = 20)
+      .withColumnRenamed("doc", "doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_tfidf_top_term" -> q60TfidfTopTerm _,
     "q61_contamination" -> q61Contamination _,
@@ -110,5 +142,8 @@ object Curation {
     "q65_boilerplate" -> q65Boilerplate _,
     "q67_simhash_pairs" -> q67SimhashPairs _,
     "q70_novelty" -> q70Novelty _,
+    "q71_hard_negatives" -> q71HardNegatives _,
+    "q72_novelty_against" -> q72NoveltyAgainst _,
+    "q73_oov_rate" -> q73OovRate _,
   )
 }

@@ -1107,6 +1107,44 @@ object Oracles {
          |  CAST(round(1000000.0 * sum(ib) / count(*)) AS BIGINT) AS boiler_pm
          |FROM j GROUP BY doc_id""".stripMargin,
 
+    "q71_hard_negatives" ->
+      s"""WITH emb AS (SELECT vec_id, embedding, label,
+         |    ${rpBucket("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, label AS q_label, bucket
+         |      FROM emb WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS cid, embedding AS cv, label AS c_label, bucket
+         |      FROM emb),
+         |s AS (SELECT qid, q_label, cid, c_label, ${cosPm("qv", "cv")} AS cos_pm
+         |      FROM q JOIN c USING (bucket)
+         |      WHERE cid <> qid AND c_label <> q_label),
+         |r AS (SELECT qid, q_label, cid, c_label, cos_pm,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos_pm DESC, cid ASC) AS "rank"
+         |      FROM s)
+         |SELECT * FROM r WHERE "rank" <= 3""".stripMargin,
+
+    "q72_novelty_against" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |s AS (SELECT doc_id, unnest(${shingleList("toks")}) AS sh FROM t),
+         |seen AS (SELECT DISTINCT sh FROM s WHERE doc_id % 2 = 0),
+         |j AS (SELECT s.doc_id, CASE WHEN seen.sh IS NULL THEN 1 ELSE 0 END AS u
+         |  FROM s LEFT JOIN seen ON s.sh = seen.sh
+         |  WHERE s.doc_id % 2 = 1)
+         |SELECT doc_id, count(*) AS n_shingles, CAST(sum(u) AS BIGINT) AS n_unseen,
+         |  CAST(round(1000000.0 * sum(u) / count(*)) AS BIGINT) AS unseen_pm
+         |FROM j GROUP BY doc_id""".stripMargin,
+
+    "q73_oov_rate" ->
+      s"""WITH tf AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
+         |dt AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term),
+         |v AS (SELECT term FROM (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf,
+         |    row_number() OVER (ORDER BY CAST(sum(tf) AS BIGINT) DESC, term ASC) AS rk
+         |  FROM dt GROUP BY term) WHERE rk <= 20)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.term IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
+         |  CAST(round(1000000.0 * sum(CASE WHEN v.term IS NULL THEN tf ELSE 0 END)
+         |    / sum(tf)) AS BIGINT) AS oov_pm
+         |FROM dt LEFT JOIN v ON dt.term = v.term GROUP BY doc_id""".stripMargin,
+
     "q70_novelty" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
          |s AS (SELECT doc_id, unnest(${shingleList("toks")}) AS sh FROM t),

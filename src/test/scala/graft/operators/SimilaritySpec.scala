@@ -154,4 +154,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(tight.nonEmpty)
     tight.foreach { case (q, c) => assert(buckets(q) == buckets(c)) }
   }
+
+  test("hardNegatives: same-bucket different-label candidates only, ranked like annTopK") {
+    val emb = (0L until 40L).map { i =>
+      (i, (0 until 8).map(j => ((i * 31 + j * 7) % 13).toFloat - 6f), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val neg = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        col("vec_id") < 5, planes = 2, dims = 8, k = 3)
+      .select("qid", "q_label", "cid", "c_label")
+      .as[(Long, Int, Long, Int)].collect()
+    assert(neg.nonEmpty)
+    neg.foreach { case (q, ql, c, cl) =>
+      assert(q != c)
+      assert(ql != cl, s"negative $c shares label $cl with anchor $q")
+      assert(ql == (q % 3) && cl == (c % 3))
+    }
+    // must be exactly the label-filtered annTopK candidate ranking:
+    // re-rank annTopK's full per-bucket pairs by hand with the label filter
+    val all = Similarity.annTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 5, planes = 2, dims = 8, k = 1000)
+      .select("qid", "cid", "cos_pm").as[(Long, Long, Long)].collect()
+    val expected = all.filter { case (q, c, _) => q % 3 != c % 3 }
+      .groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        g.sortBy { case (_, c, s) => (-s, c) }.take(3).toSeq
+      }.map { case (q, c, _) => (q, c) }.toSet
+    assert(neg.map { case (q, _, c, _) => (q, c) }.toSet == expected)
+  }
 }

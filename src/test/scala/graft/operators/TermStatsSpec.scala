@@ -78,6 +78,28 @@ class TermStatsSpec extends AnyFunSuite {
       (3L, 4L, 3L, 750000L)))
   }
 
+  test("noveltyAgainst: only incoming docs score, against the existing shingle set") {
+    val existing = Seq((10L, "a b c d")).toDF("doc_id", "text") // {a b c, b c d}
+    val incoming = Seq(
+      (1L, "a b c d"),      // both shingles seen → 0
+      (2L, "a b c x y z")   // {a b c seen, b c x, c x y, x y z unseen} → 3/4
+    ).toDF("doc_id", "text")
+    val got = TermStats.noveltyAgainst(incoming, existing, "doc_id", "text", 3)
+      .select("doc", "n_shingles", "n_unseen", "unseen_pm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 0L, 0L), (2L, 4L, 3L, 750000L)))
+  }
+
+  test("oovRate: tokens outside the top-N vocabulary, tf-weighted") {
+    // corpus tf: a=4, b=3, c=2, z=1 → vocab(2) = {a, b}
+    val d = Seq((1L, "a a b z"), (2L, "a a b b c c")).toDF("doc_id", "text")
+    val got = TermStats.oovRate(d, "doc_id", "text", vocabSize = 2)
+      .select("doc", "n_tokens", "n_oov", "oov_pm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1: 4 tokens, z oov → 250000; doc 2: 6 tokens, c c oov → 333333
+    assert(got == Set((1L, 4L, 1L, 250000L), (2L, 6L, 2L, 333333L)))
+  }
+
   test("boilerplateFraction drops docs with no shingles") {
     val d = Seq((1L, "too short"), (2L, "one two three")).toDF("doc_id", "text")
     val got = TermStats.boilerplateFraction(d, "doc_id", "text", 3, 10)
