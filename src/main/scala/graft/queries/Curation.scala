@@ -72,13 +72,14 @@ object Curation {
       Seq(col("lang")))
 
   /** q65: C4-style boilerplate fraction — shingles appearing in more than
-    * 10 documents are chrome/template text
+    * 3 documents are chrome/template text
     * ([[TermStats.boilerplateFraction]]: the near-dup inverted index
-    * reused as a df filter).
+    * reused as a df filter; cap 3 ≈ the synthetic corpus's 99th df
+    * percentile, so the signal is non-degenerate at every test SF).
     */
   def q65Boilerplate(spark: SparkSession, d: String): DataFrame =
     TermStats.boilerplateFraction(Tables.balanced(spark, d, "documents"),
-        "doc_id", "text", k = LlmPipelines.ShingleK, maxDf = 10L)
+        "doc_id", "text", k = LlmPipelines.ShingleK, maxDf = 3L)
       .withColumnRenamed("doc", "doc_id")
 
   /** q67: SimHash near-dup pairs at hamming ≤ 3 via pigeonhole banding
@@ -133,6 +134,42 @@ object Curation {
         "doc_id", "text", vocabSize = 20)
       .withColumnRenamed("doc", "doc_id")
 
+  /** q74: the END-TO-END curation pipeline — the stages a corpus actually
+    * flows through, composed in order:
+    *   1. per-language quality gate (keep the top half by length,
+    *      [[Sampling.topFractionByGroup]]);
+    *   2. exact dedup on the whitespace-normalized fingerprint (min
+    *      doc_id survives, [[graft.functions.Text.normalized]]);
+    *   3. boilerplate gate over the SURVIVORS ([[TermStats
+    *      .boilerplateFraction]] maxDf=3): drop docs that are more than
+    *      half boilerplate shingles (no-shingle docs pass — nothing to
+    *      flag);
+    *   4. per-language rollup of the surviving corpus.
+    * Each stage is one keyed shuffle; the whole pipeline is a linear
+    * chain with no collect, no iteration, no all-pairs anywhere.
+    */
+  def q74CurationPipeline(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.Text
+    val docs = Tables.balanced(spark, d, "documents")
+    val gated = Sampling.topFractionByGroup(docs, Seq(col("lang")),
+      col("n_chars"), col("doc_id"), frac = 0.5)
+    val deduped = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(md5(Text.normalized(col("text"))))
+      gated.withColumn("__min_doc", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("__min_doc"))
+        .drop("__min_doc")
+    }
+    val boiler = TermStats.boilerplateFraction(deduped, "doc_id", "text",
+        k = LlmPipelines.ShingleK, maxDf = 3L)
+      .select(col("doc").as("doc_id"), col("boiler_pm"))
+    deduped.join(boiler, Seq("doc_id"), "left_outer")
+      .filter(coalesce(col("boiler_pm"), lit(0L)) <= 500000L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_tfidf_top_term" -> q60TfidfTopTerm _,
     "q61_contamination" -> q61Contamination _,
@@ -145,5 +182,6 @@ object Curation {
     "q71_hard_negatives" -> q71HardNegatives _,
     "q72_novelty_against" -> q72NoveltyAgainst _,
     "q73_oov_rate" -> q73OovRate _,
+    "q74_curation_pipeline" -> q74CurationPipeline _,
   )
 }

@@ -1100,12 +1100,38 @@ object Oracles {
       s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
          |s AS (SELECT doc_id, unnest(${shingleList("toks")}) AS sh FROM t),
          |hot AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM s GROUP BY sh)
-         |  WHERE df > 10),
+         |  WHERE df > 3),
          |j AS (SELECT s.doc_id, CASE WHEN h.sh IS NOT NULL THEN 1 ELSE 0 END AS ib
          |  FROM s LEFT JOIN hot h ON s.sh = h.sh)
          |SELECT doc_id, count(*) AS n_shingles, CAST(sum(ib) AS BIGINT) AS n_boiler,
          |  CAST(round(1000000.0 * sum(ib) / count(*)) AS BIGINT) AS boiler_pm
          |FROM j GROUP BY doc_id""".stripMargin,
+
+    // The end-to-end pipeline twin: quality gate → normalized-fingerprint
+    // dedup → boilerplate gate over the survivors → per-language rollup.
+    "q74_curation_pipeline" ->
+      s"""WITH g AS (SELECT * FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM documents) WHERE rn <= ceil(0.5 * n)),
+         |dd AS (SELECT * FROM (SELECT *,
+         |    min(doc_id) OVER (PARTITION BY
+         |      md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS min_doc
+         |  FROM g) WHERE doc_id = min_doc),
+         |t AS (SELECT doc_id, $Toks AS toks FROM dd),
+         |s AS (SELECT doc_id, unnest(${shingleList("toks")}) AS sh FROM t),
+         |hot AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM s GROUP BY sh)
+         |  WHERE df > 3),
+         |bp AS (SELECT s.doc_id,
+         |    CAST(round(1000000.0 * sum(CASE WHEN h.sh IS NOT NULL THEN 1 ELSE 0 END)
+         |      / count(*)) AS BIGINT) AS boiler_pm
+         |  FROM s LEFT JOIN hot h ON s.sh = h.sh GROUP BY s.doc_id),
+         |kept AS (SELECT dd.lang, dd.n_chars, dd.doc_id
+         |  FROM dd LEFT JOIN bp ON dd.doc_id = bp.doc_id
+         |  WHERE coalesce(bp.boiler_pm, 0) <= 500000)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM kept GROUP BY lang""".stripMargin,
 
     "q71_hard_negatives" ->
       s"""WITH emb AS (SELECT vec_id, embedding, label,
