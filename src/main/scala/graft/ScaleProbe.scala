@@ -69,7 +69,14 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
     // Optional section filter: `runMain graft.ScaleProbe session termstats`
-    // runs only those blocks (default: all).
+    // runs only those blocks (default: all). Unknown names fail loudly — a
+    // typo must not silently measure nothing.
+    val sections = Set("session", "termstats", "minhash", "ann", "temporal",
+      "packing", "relational", "topk")
+    val unknown = args.toSet -- sections
+    require(unknown.isEmpty,
+      s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
+        s"valid: ${sections.toSeq.sorted.mkString(", ")}")
     val want: String => Boolean =
       if (args.isEmpty) _ => true else args.toSet.contains _
     def time(name: String)(f: => Long): Unit = {
@@ -201,7 +208,8 @@ object ScaleProbe {
     // shuffles every scored row; the partial-agg form crosses the
     // exchange with ≤ k rows per (group, map task).
     if (want("topk")) for (factor <- Seq(16, 64)) {
-      val emb = spark.read.parquet(s"/tmp/scale/emb$factor")
+      // self-contained: don't depend on the "ann" section having run first
+      val emb = materialize(embAt(spark, d, factor), s"/tmp/scale/emb$factor")
       val q = emb.filter(col("vec_id") % 1000000L < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           Similarity.norm(col("embedding")).as("qn"))

@@ -23,8 +23,16 @@ import graft.functions.Cols
 object Quantiles {
 
   /** One row per group: `q_<label>` = exact quantile of `value` for each
-    * requested (label, p), plus `n` group size. `p` in (0, 1]; `tiebreak`
-    * makes equal values rank deterministically (any unique column).
+    * requested (label, p), plus `n` group size. `p` in (0, 1] with at most
+    * 6 decimal digits; `tiebreak` makes equal values rank deterministically
+    * (any unique column).
+    *
+    * The target rank ceil(p·n) is evaluated in INTEGER arithmetic —
+    * `(rn−1)·1e6 < p_micro·n ≤ rn·1e6` — never as `ceil` of a double
+    * product: 0.07·100 is 7.000000000000001 in doubles, so the FP form
+    * silently returns rank 8 where the semantics promise rank 7 (and an
+    * oracle computing the same double agrees with the same wrong answer).
+    * Longs are exact up to group sizes of 2^63/1e6 ≈ 9.2e12 rows.
     */
   def byRank(df: DataFrame, groups: Seq[Column], value: Column, tiebreak: Column,
              ps: Seq[(String, Double)]): DataFrame = {
@@ -41,9 +49,12 @@ object Quantiles {
     ranked.groupBy(groups: _*)
       .agg(max(col(n)).as("n"),
         ps.map { case (label, p) =>
-          // max(value | rank = ceil(p·n)): exactly one row matches, max is
-          // just the portable way to lift it out of the aggregation.
-          max(when(col(rn) === ceil(lit(p) * col(n)), value)).as(s"q_$label")
+          val pMicro = math.round(p * 1e6)
+          // rank = ceil(p_micro·n / 1e6): exactly one rn satisfies the
+          // two-sided integer bound; max() lifts it out of the aggregation.
+          val target = (col(rn) - 1) * 1000000L < lit(pMicro) * col(n) &&
+            lit(pMicro) * col(n) <= col(rn) * 1000000L
+          max(when(target, value)).as(s"q_$label")
         }: _*)
   }
 }

@@ -27,6 +27,9 @@ object Rolling {
   def overRange(df: DataFrame, keys: Seq[Column], time: Column, metric: Column,
                 lookback: Long): DataFrame = {
     require(lookback >= 0, s"lookback must be >= 0, got $lookback")
+    require(!df.columns.contains("roll_sum") && !df.columns.contains("roll_cnt"),
+      "input already has a roll_sum/roll_cnt column — alias it away first " +
+        "(chaining two lookbacks would silently clobber the first)")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keys: _*).orderBy(time.asc)
       .rangeBetween(-lookback, 0)

@@ -57,9 +57,13 @@ object Sampling {
     * ties broken by `tiebreak` ascending — supply a unique id for full
     * determinism): the per-group quality gate a curation pipeline runs
     * ("top 50% quality per language"). Exact rank-count arithmetic
-    * (`rank <= ceil(frac · n)`), NOT interpolated percentiles — engines
-    * disagree on interpolation, never on integer ranks. Two windows over
-    * one partitioning = a single shuffle by the group key.
+    * (`rank ≤ ceil(frac · n)`), NOT interpolated percentiles — engines
+    * disagree on interpolation, never on integer ranks. The ceil is
+    * evaluated in INTEGER arithmetic (`(rn−1)·1e6 < frac_micro·n`, frac
+    * to 6 decimal digits) — `ceil` of a double product is off by one
+    * whenever frac·n lands just above an exact integer (0.07·100 =
+    * 7.000000000000001). Two windows over one partitioning = a single
+    * shuffle by the group key.
     */
   def topFractionByGroup(df: DataFrame, groups: Seq[Column], score: Column,
                          tiebreak: Column, frac: Double): DataFrame = {
@@ -68,9 +72,10 @@ object Sampling {
     val rn = Cols.freeName(df, "__rn")
     val n = Cols.freeName(df, "__n")
     val byGroup = Window.partitionBy(groups: _*)
+    val fracMicro = math.round(frac * 1e6)
     df.withColumn(rn, row_number().over(byGroup.orderBy(score.desc, tiebreak.asc)))
       .withColumn(n, count(lit(1)).over(byGroup))
-      .filter(col(rn) <= ceil(lit(frac) * col(n)))
+      .filter((col(rn) - 1) * 1000000L < lit(fracMicro) * col(n))
       .drop(rn, n)
   }
 
@@ -89,7 +94,10 @@ object Sampling {
     * aggregations and a broadcast — no extra shuffle.
     */
   def mixingWeights(df: DataFrame, groups: Seq[Column]): DataFrame = {
+    // Persist: the count table feeds both the normalizer fold and the
+    // crossJoin left side — without it the full-corpus aggregate runs twice.
     val counts = df.groupBy(groups: _*).agg(count(lit(1)).as("n_rows"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = broadcast(counts.select(
       aggregate(array_sort(collect_list(sqrt(col("n_rows")))), lit(0.0),
         (acc, x) => acc + x).as("__tot")))

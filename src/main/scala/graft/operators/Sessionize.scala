@@ -30,6 +30,8 @@ object Sessionize {
   def assign(df: DataFrame, keys: Seq[Column], time: Column, tiebreak: Column,
              maxGap: Long): DataFrame = {
     require(maxGap >= 0, s"maxGap must be >= 0, got $maxGap")
+    require(!df.columns.contains("session_seq"),
+      "input already has a session_seq column — alias it away first")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keys: _*).orderBy(time.asc, tiebreak.asc)
     val gap = Cols.freeName(df, "__gap")

@@ -327,6 +327,35 @@ object Similarity {
       Seq(col("cos_pm").desc, col("cid").asc), k, "rank")
   }
 
+  /** Shared body of the bucketed-ANN family: bucket every vector, equi-join
+    * queries against candidates on the bucket, score with precomputed
+    * norms. Returns (qid, [q_label,] cid, [c_label,] bucket, cos_pm) —
+    * label columns present iff `label` is set. One implementation so a fix
+    * to the join/scoring path can't drift between [[annTopK]] and
+    * [[hardNegatives]].
+    */
+  private def bucketScoredPairs(corpus: DataFrame, id: String, vec: String,
+                                label: Option[String], queryPred: Column,
+                                planes: Int, dims: Int): DataFrame = {
+    val lab = label.toSeq
+    val emb = corpus.select(Seq(col(id), col(vec)) ++ lab.map(col) ++ Seq(
+      rpLshBucket(col(vec), planes, dims).as("bucket"),
+      norm(col(vec)).as("__n")): _*)
+    val q = emb.filter(queryPred)
+      .select(Seq(col(id).as("qid"), col(vec).as("qv")) ++
+        lab.map(l => col(l).as("q_label")) ++
+        Seq(col("bucket"), col("__n").as("qn")): _*)
+    val c = emb.select(Seq(col(id).as("cid"), col(vec).as("cv")) ++
+      lab.map(l => col(l).as("c_label")) ++
+      Seq(col("bucket"), col("__n").as("cn")): _*)
+    q.join(c, Seq("bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .select(Seq(col("qid")) ++ lab.map(_ => col("q_label")) ++
+        Seq(col("cid")) ++ lab.map(_ => col("c_label")) ++
+        Seq(col("bucket"),
+          cosFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cos_pm")): _*)
+  }
+
   /** ANN top-k restricted to same-LSH-bucket candidates: the sub-linear
     * scale path (equi-join on bucket, never all-pairs). Recall is tunable
     * via `planes` (fewer planes → bigger buckets → higher recall, more
@@ -335,18 +364,7 @@ object Similarity {
     */
   def annTopK(corpus: DataFrame, id: String, vec: String, queryPred: Column,
               planes: Int, dims: Int, k: Int): DataFrame = {
-    val emb = corpus.select(col(id), col(vec),
-      rpLshBucket(col(vec), planes, dims).as("bucket"),
-      norm(col(vec)).as("__n"))
-    val q = emb.filter(queryPred)
-      .select(col(id).as("qid"), col(vec).as("qv"), col("bucket"),
-        col("__n").as("qn"))
-    val c = emb.select(col(id).as("cid"), col(vec).as("cv"), col("bucket"),
-      col("__n").as("cn"))
-    val scored = q.join(c, Seq("bucket"))
-      .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"), col("bucket"),
-        cosFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cos_pm"))
+    val scored = bucketScoredPairs(corpus, id, vec, None, queryPred, planes, dims)
     Dedup.keepFirstK(scored, Seq(col("qid")),
       Seq(col("cos_pm").desc, col("cid").asc), k, "rank")
   }
@@ -363,18 +381,10 @@ object Similarity {
     */
   def hardNegatives(corpus: DataFrame, id: String, vec: String, label: String,
                     queryPred: Column, planes: Int, dims: Int, k: Int): DataFrame = {
-    val emb = corpus.select(col(id), col(vec), col(label),
-      rpLshBucket(col(vec), planes, dims).as("bucket"),
-      norm(col(vec)).as("__n"))
-    val q = emb.filter(queryPred)
-      .select(col(id).as("qid"), col(vec).as("qv"), col(label).as("q_label"),
-        col("bucket"), col("__n").as("qn"))
-    val c = emb.select(col(id).as("cid"), col(vec).as("cv"),
-      col(label).as("c_label"), col("bucket"), col("__n").as("cn"))
-    val scored = q.join(c, Seq("bucket"))
-      .filter(col("cid") =!= col("qid") && col("c_label") =!= col("q_label"))
-      .select(col("qid"), col("q_label"), col("cid"), col("c_label"),
-        cosFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cos_pm"))
+    val scored = bucketScoredPairs(corpus, id, vec, Some(label), queryPred,
+        planes, dims)
+      .filter(col("c_label") =!= col("q_label"))
+      .drop("bucket")
     Dedup.keepFirstK(scored, Seq(col("qid")),
       Seq(col("cos_pm").desc, col("cid").asc), k, "rank")
   }

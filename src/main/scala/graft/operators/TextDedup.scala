@@ -281,16 +281,20 @@ object TextDedup {
       df.select(col(id).as(as), Text.tokens(col(text)).as("toks"))
         .select(col(as), explode(Text.shingles(col("toks"), k)).as("sh"))
     // Persist: the probe's shingle index feeds both the size rollup and the
-    // overlap join.
+    // overlap join; with a df-cap the CORPUS index also feeds two consumers
+    // (the df aggregate and the filter join) — and the corpus is the
+    // expensive side, so recomputing its explode+shuffle twice is the worse
+    // miss.
     val p = shingled(probe, "doc")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val c0 = shingled(corpus, "doc_c")
     val c =
       if (maxDf > 0) {
+        val c0 = shingled(corpus, "doc_c")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val keep = c0.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDf).select("sh")
         c0.join(keep, "sh")
-      } else c0
+      } else shingled(corpus, "doc_c")
     val sizes = p.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
     p.join(c, "sh")
       .groupBy(col("doc"))

@@ -153,12 +153,16 @@ object Curation {
     val docs = Tables.balanced(spark, d, "documents")
     val gated = Sampling.topFractionByGroup(docs, Seq(col("lang")),
       col("n_chars"), col("doc_id"), frac = 0.5)
+    // Persist: the dedup survivors feed both the boilerplate aggregate and
+    // the final join's left side — without this the gate + dedup windows
+    // run twice (the self-referential-reuse rule, see TermStats.tfidf).
     val deduped = {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(md5(Text.normalized(col("text"))))
       gated.withColumn("__min_doc", min(col("doc_id")).over(w))
         .filter(col("doc_id") === col("__min_doc"))
         .drop("__min_doc")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val boiler = TermStats.boilerplateFraction(deduped, "doc_id", "text",
         k = LlmPipelines.ShingleK, maxDf = 3L)

@@ -959,7 +959,7 @@ object Oracles {
         |  FROM documents)
         |SELECT lang, count(*) AS n_kept, min(n_chars) AS cutoff_chars,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(doc_id) AS min_doc
-        |FROM r WHERE rn <= ceil(0.5 * n)
+        |FROM r WHERE (rn-1)*1000000 < 500000*n
         |GROUP BY lang""".stripMargin,
 
     "q59_sessionize" ->
@@ -1077,15 +1077,21 @@ object Oracles {
          |    AS top_bigram_pm
          |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id""".stripMargin,
 
+    // rank = ceil(p·n) in INTEGER arithmetic ((rn−1)·1e6 < p_micro·n ≤
+    // rn·1e6), mirroring Quantiles.byRank — double-ceil is off by one at
+    // p·n values like 0.07·100.
     "q63_length_quantiles" ->
       """WITH r AS (SELECT lang, n_chars, doc_id,
         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS rn,
         |    count(*) OVER (PARTITION BY lang) AS n
         |  FROM documents)
         |SELECT lang, max(n) AS n,
-        |  max(CASE WHEN rn = ceil(0.5 * n) THEN n_chars END) AS q_p50,
-        |  max(CASE WHEN rn = ceil(0.9 * n) THEN n_chars END) AS q_p90,
-        |  max(CASE WHEN rn = ceil(0.99 * n) THEN n_chars END) AS q_p99
+        |  max(CASE WHEN (rn-1)*1000000 < 500000*n AND 500000*n <= rn*1000000
+        |      THEN n_chars END) AS q_p50,
+        |  max(CASE WHEN (rn-1)*1000000 < 900000*n AND 900000*n <= rn*1000000
+        |      THEN n_chars END) AS q_p90,
+        |  max(CASE WHEN (rn-1)*1000000 < 990000*n AND 990000*n <= rn*1000000
+        |      THEN n_chars END) AS q_p99
         |FROM r GROUP BY lang""".stripMargin,
 
     "q64_mix_weights" ->
@@ -1113,7 +1119,7 @@ object Oracles {
       s"""WITH g AS (SELECT * FROM (SELECT *,
          |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn,
          |    count(*) OVER (PARTITION BY lang) AS n
-         |  FROM documents) WHERE rn <= ceil(0.5 * n)),
+         |  FROM documents) WHERE (rn-1)*1000000 < 500000*n),
          |dd AS (SELECT * FROM (SELECT *,
          |    min(doc_id) OVER (PARTITION BY
          |      md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS min_doc

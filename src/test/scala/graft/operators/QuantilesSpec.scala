@@ -29,6 +29,16 @@ class QuantilesSpec extends AnyFunSuite {
     assert(r == Set(("a", 1L, 7L), ("b", 3L, 3L)))
   }
 
+  test("rank arithmetic is integer-exact where double ceil is off by one") {
+    // 0.07 * 100 = 7.000000000000001 in doubles → ceil gives 8; the
+    // semantics promise rank 7 (value 70).
+    val df = (1L to 100L).map(i => ("g", i, i * 10L)).toDF("g", "id", "v")
+    val r = Quantiles.byRank(df, Seq(col("g")), col("v"), col("id"),
+        Seq("p07" -> 0.07, "p14" -> 0.14, "p55" -> 0.55))
+      .select("q_p07", "q_p14", "q_p55").as[(Long, Long, Long)].collect().head
+    assert(r == ((70L, 140L, 550L)))
+  }
+
   test("equal values rank deterministically by tiebreak") {
     val df = Seq(("g", 1L, 5L), ("g", 2L, 5L), ("g", 3L, 5L), ("g", 4L, 9L))
       .toDF("g", "id", "v")

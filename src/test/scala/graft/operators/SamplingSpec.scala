@@ -73,6 +73,13 @@ class SamplingSpec extends AnyFunSuite {
     assert(capped.toSet == again.toSet)
   }
 
+  test("topFractionByGroup rank cutoff is integer-exact (0.07 of 100 keeps 7, not 8)") {
+    val df = (1L to 100L).map(i => ("g", i, i)).toDF("g", "id", "score")
+    val n = Sampling.topFractionByGroup(df, Seq(col("g")), col("score"),
+      col("id"), 0.07).count()
+    assert(n == 7L) // double-ceil of 7.000000000000001 would keep 8
+  }
+
   test("percents must sum to 100") {
     assertThrows[IllegalArgumentException](
       Sampling.hashSplit(ids, "id", "s", Seq("a" -> 60, "b" -> 30)))
