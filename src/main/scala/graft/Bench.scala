@@ -51,11 +51,25 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e.take(200))}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
+    // Full-precision, full-name detail line first (for humans and the git
+    // log), COMPACT canonical line LAST: the driver records only the final
+    // ~2000 chars of stdout, and 74+ full query names with nanosecond
+    // precision overflow that window — the round-5 bench tail started
+    // mid-JSON. Short keys ("q01", the unique prefix before the first '_')
+    // and millisecond rounding keep the whole line inside the tail.
+    val fullQs = ok.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$fullQs,"errors":$errs,"sf":${jstr(sfDir)}}""")
+    def short(name: String) = name.takeWhile(_ != '_')
+    val shorts = ok.map(r => short(r._1))
+    val keyOf: String => String = // fall back to full names on prefix clash
+      if (shorts.distinct.size == shorts.size) short else identity
+    def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val qs = ok.map { case (k, v, _) => s"${jstr(keyOf(k))}:${r3(v)}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

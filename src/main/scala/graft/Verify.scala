@@ -17,6 +17,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Operators that persist() shared subtrees hand cache lifecycle to the
+      // caller (see e.g. TermStats/Sampling scaladoc); drop their entries so
+      // 74+ queries don't accumulate cached plans in one session.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

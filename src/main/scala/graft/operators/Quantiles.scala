@@ -39,6 +39,15 @@ object Quantiles {
     require(ps.nonEmpty, "need at least one quantile")
     require(ps.forall { case (_, p) => p > 0.0 && p <= 1.0 },
       s"quantiles must be in (0,1], got ${ps.map(_._2).mkString(",")}")
+    // Enforce the 6-decimal-digit contract loudly: p below 5e-7 would round
+    // to pMicro = 0 (a permanently-null quantile column), and p with more
+    // decimal digits would silently compute a DIFFERENT quantile than the
+    // caller asked for.
+    ps.foreach { case (label, p) =>
+      val pMicro = math.round(p * 1e6)
+      require(pMicro >= 1, s"quantile '$label': p=$p rounds to 0 at the 6-digit precision this operator supports")
+      require(pMicro / 1e6 == p, s"quantile '$label': p=$p has more than 6 decimal digits; use a p exactly representable in micro-units")
+    }
     import org.apache.spark.sql.expressions.Window
     val byGroup = Window.partitionBy(groups: _*)
     val rn = Cols.freeName(df, "__rn")

@@ -92,6 +92,10 @@ object Sampling {
     * broadcast back as a 1-row frame: the group-count table is tiny by
     * construction (one row per language/domain), so this is two keyed
     * aggregations and a broadcast — no extra shuffle.
+    *
+    * Cache lifecycle: the count table is persisted and CALLER-owned — clear
+    * with `spark.catalog.clearCache()` after the terminal action (the
+    * repo-wide convention, see [[TermStats]]).
     */
   def mixingWeights(df: DataFrame, groups: Seq[Column]): DataFrame = {
     // Persist: the count table feeds both the normalizer fold and the

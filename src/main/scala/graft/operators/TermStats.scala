@@ -18,6 +18,13 @@ import graft.functions.Text
   * the df table is |vocabulary| rows — joined back by term key (partial-agg
   * shuffle join; a natural-language vocabulary is Zipf-bounded but NOT
   * broadcastable at web scale, so no broadcast hint is forced here).
+  *
+  * Cache lifecycle (repo-wide convention): operators returning a LAZY plan
+  * may `persist()` shared subtrees; the CALLER owns the cache and clears it
+  * after its terminal action (`spark.catalog.clearCache()` — Bench, Verify,
+  * and ScaleProbe all do, per query). Only operators that materialize
+  * internally (e.g. [[TextDedup.dupClusters]]'s iterative path) unpersist
+  * their own intermediates, because only they see the terminal action.
   */
 object TermStats {
 

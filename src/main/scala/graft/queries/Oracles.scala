@@ -1026,8 +1026,14 @@ object Oracles {
   /** Corpus-curation twins ([[Curation]]). */
   val curation: Map[String, String] = Map(
     "q60_tfidf_top_term" ->
+      // length(term) >= 1 mirrors TermStats.tfidf's minTermLen gate: the
+      // Spark side drops the '' token that tokenizing an empty/whitespace
+      // document produces, so the oracle must too (a data-dependent
+      // divergence the synthetic corpus happens not to exercise — guard it
+      // anyway).
       s"""WITH toks AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE length(term) >= 1 GROUP BY doc_id, term),
          |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
          |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
          |sc AS (SELECT doc_id, term, tf, df,

@@ -81,17 +81,20 @@ object Streams {
     * evicts sessions — exactly the custom state `flatMapGroupsWithState`
     * would hand-roll, minus the hand-rolling). Emits one row per closed
     * (user, session) with the same count/bounds/sum shape as the batch
-    * rollup. Gap semantics note: `session_window` treats an event at
-    * exactly `start + gap` as a NEW session (half-open window), while the
-    * batch operator keeps an exact-gap event in-session (its `>` test) —
-    * callers needing bit-equal batch/stream session cuts should pass the
-    * batch operator `maxGap = gap − 1`.
+    * rollup. Gap semantics: the gap is taken in MICROSECONDS and widened by
+    * 1µs internally — `session_window` treats an event at exactly
+    * `start + gap` as a NEW session (half-open window) while the batch
+    * operator's strict `>` keeps it in-session, so passing `gap + 1µs` to
+    * the native window makes the stream cut sessions exactly where
+    * [[graft.operators.Sessionize.rollup]] does for the same gap constant
+    * (no caller-side adjustment, no off-by-one on exact-gap events).
     */
-  def sessionized(events: DataFrame, gap: String, watermarkDelay: String): DataFrame =
+  def sessionized(events: DataFrame, gapUs: Long, watermarkDelay: String): DataFrame =
     events
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", watermarkDelay)
-      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${gapUs + 1} microseconds").as("w"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts_us")).as("session_start"),
         max(col("ts_us")).as("session_end"),

@@ -106,29 +106,33 @@ class StreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
-  test("sessionized: native session windows close at the gap and emit the rollup") {
+  test("sessionized: native session windows close at the gap; an exact-gap event stays in-session (batch parity)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Double)] // (ts_us, user_id, value)
     val sec = 1000000L
     val stream = sessionized(
-      input.toDF().toDF("ts_us", "user_id", "value"), "30 seconds", "0 seconds")
+      input.toDF().toDF("ts_us", "user_id", "value"), 30 * sec, "0 seconds")
     val query = stream.writeStream.format("memory").queryName("sessions")
       .outputMode("append").start()
     try {
-      // session 1 for user 1: events at 0s and 5s (same 30s-gap session);
-      // user 2: a single event
+      // user 1: events at 0s and 5s (same 30s-gap session); user 2: single
       input.addData((0L, 1L, 1.0), (5 * sec, 1L, 2.0), (10 * sec, 2L, 8.0))
       query.processAllAvailable()
+      // 35s is EXACTLY gap after 5s — the batch operator's strict `>` keeps
+      // it in-session, and so must the stream (the +1µs widening; without
+      // it session_window would cut a new session here)
+      input.addData((35 * sec, 1L, 4.0))
+      query.processAllAvailable()
       // much-later events advance the watermark → earlier sessions close
-      input.addData((1000 * sec, 1L, 4.0), (1000 * sec, 2L, 1.0))
+      input.addData((2000 * sec, 1L, 0.5), (2000 * sec, 2L, 1.0))
       query.processAllAvailable()
       val rows = spark.table("sessions")
         .select("user_id", "n_events", "session_start", "session_end",
           "duration", "sum_value_c")
         .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
       assert(rows == Set(
-        (1L, 2L, 0L, 5 * sec, 5 * sec, 300L),
+        (1L, 3L, 0L, 35 * sec, 35 * sec, 700L),
         (2L, 1L, 10 * sec, 10 * sec, 0L, 800L)))
     } finally query.stop()
   }
