@@ -51,27 +51,45 @@ object Merge {
 
   /** K3 incremental array append — the reference's
     * `upsert … update {daily_balances: append(OLD.daily_balances, new)}`
-    * (`src/arango_queries.py:77-87`), done set-correctly: full-outer merge
-    * on the doc key, concatenate the old series with the new entries,
-    * newest-wins per element key (so replaying a window never duplicates a
-    * day), ordered by element key. One shuffle on the doc key.
+    * (`src/arango_queries.py:77-87`), done set-correctly: union both sides,
+    * newest-wins per (doc, element key) with incoming taking precedence (so
+    * replaying a window never duplicates a day), series rebuilt ordered by
+    * element key.
+    *
+    * Plan shape: explode each side with a (precedence, position) tag, ONE
+    * explicit shuffle on the doc key; the per-(doc, elemKey) dedup window is
+    * satisfied by that partitioning (clustering by a superset of the hash
+    * key) and the re-collect groupBy reuses it too — exactly one exchange,
+    * all row-local work linear and codegen'd. The previous form filtered
+    * the concatenated array with an interpreted `filter(…, exists(slice))`
+    * lambda pair — O(n²) per document, quadratic in years of daily history.
     *
     * Frames carry (key, series: array&lt;struct&gt;); `elemKey` names the
-    * struct field that identifies an element (e.g. "date").
+    * struct field that identifies an element (e.g. "date"). Null elements
+    * inside a series are dropped (collect_list skips them).
     */
   def appendSeries(existing: DataFrame, incoming: DataFrame, key: String,
                    series: String, elemKey: String): DataFrame = {
-    val merged = existing.select(col(key), col(series).as("__old"))
-      .join(incoming.select(col(key), col(series).as("__new")), Seq(key), "full_outer")
-      .select(col(key), concat(
-        coalesce(col("__new"), array().cast(incoming.schema(series).dataType)),
-        coalesce(col("__old"), array().cast(existing.schema(series).dataType)))
-        .as("__all"))
-    // newest wins per element key: first occurrence in (new ++ old) order
-    merged.select(col(key), array_sort(expr(
-      s"""filter(__all, (x, i) ->
-         |  NOT exists(slice(__all, 1, i), y -> y.$elemKey = x.$elemKey))""".stripMargin))
-      .as(series))
+    // catalogString ignores nullability flags — replaying this operator's
+    // own output (containsNull=false) against fresh input must not trip it
+    require(incoming.schema(series).dataType.catalogString ==
+        existing.schema(series).dataType.catalogString,
+      s"series type mismatch: ${existing.schema(series).dataType} vs ${incoming.schema(series).dataType}")
+    // pri 0 = incoming (wins), 1 = existing; pos = position within the
+    // array, so duplicates WITHIN a side resolve to the earliest entry —
+    // the same winner the old (new ++ old) first-occurrence scan picked.
+    def side(df: DataFrame, pri: Int) = df.select(col(key), lit(pri).as("__pri"),
+      posexplode_outer(col(series)).as(Seq("__pos", "__elem")))
+    val exploded = side(incoming, 0).unionByName(side(existing, 1))
+      .repartition(col(key))
+    // Window clustering (key, elemKey) is satisfied by the hash partitioning
+    // on key alone — no second exchange. The explode_outer null-element row
+    // (empty side) forms its own (key, null) group and is skipped by
+    // collect_list, so empty-series docs still surface with [].
+    Dedup.keepFirst(exploded, Seq(col(key), col("__elem").getField(elemKey)),
+        Seq(col("__pri").asc, col("__pos").asc))
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(col("__elem"))).as(series))
   }
 
   /** Filtered delete (K2) — the witness retention window (reference

@@ -139,31 +139,47 @@ object Similarity {
     *
     * Cost per iteration: one broadcast of k centroids against a corpus
     * pass + two keyed aggregations of the exploded components — all
-    * partial-agg shapes. `collect_list` per (cell, component) holds one
-    * entry per member; at a corpus scale where that list outgrows memory,
-    * switch the mean to plain `sum/count` and accept run-to-run FP noise
-    * below the quantization floor (documented seam, not needed at any
-    * tested scale).
+    * partial-agg shapes. The ordered fold buffers one `collect_list` entry
+    * per member per (cell, component); a cell whose population exceeds
+    * `maxFoldMembers` would outgrow the aggregation buffer, so those cells
+    * take a plain partial-agg `sum/count` mean instead — run-order FP noise
+    * below the ppm quantization floor, bounded buffers. The split decision
+    * derives from the per-cell population (a ≤k-row broadcast), mirroring
+    * [[TextDedup.dupClusters]]' adaptive two-path pattern; on exactly
+    * integer-valued components the two paths are bit-identical (double
+    * integer addition is associative), which is how the spec pins their
+    * agreement.
     *
     * Returns (id, vec, n_members): the refined centroids and each cell's
     * population in the final assignment (0 for emptied cells).
     */
   def kmeansRefine(corpus: DataFrame, seeds: DataFrame, id: String,
-                   vec: String, iters: Int): DataFrame = {
+                   vec: String, iters: Int,
+                   maxFoldMembers: Long = 1000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(maxFoldMembers >= 0, s"maxFoldMembers must be >= 0, got $maxFoldMembers")
     var cents = seeds.select(col(id),
       col(vec).cast("array<double>").as(vec))
     var merged: DataFrame = null
     for (_ <- 1 to iters) {
       val assigned = ivfAssign(corpus, cents, id, vec)
-      val comp = assigned.select(col("cell"), col(id).as("__vid"),
-        posexplode(col(vec)).as(Seq("i", "x")))
-      val sums = comp.groupBy(col("cell"), col("i"))
+      val members = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("__members"))
+      val comp = assigned.join(broadcast(members), Seq("cell"))
+        .select(col("cell"), col(id).as("__vid"), col("__members"),
+          posexplode(col(vec)).as(Seq("i", "x")))
+      val foldMeans = comp.filter(col("__members") <= maxFoldMembers)
+        .groupBy(col("cell"), col("i"))
         .agg(sort_array(collect_list(struct(col("__vid"), col("x")))).as("lst"))
         .select(col("cell"), col("i"),
           (aggregate(col("lst"), lit(0.0),
             (acc, s) => acc + s.getField("x")) / size(col("lst"))).as("m"),
           size(col("lst")).cast("long").as("__cnt"))
+      val sumMeans = comp.filter(col("__members") > maxFoldMembers)
+        .groupBy(col("cell"), col("i"))
+        .agg((sum(col("x")) / count(lit(1))).as("m"),
+          count(lit(1)).as("__cnt"))
+      val sums = foldMeans.unionByName(sumMeans)
       val packed = sums.groupBy(col("cell"))
         .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("cm"),
           max(col("__cnt")).as("n_members"))

@@ -172,19 +172,25 @@ object Collections {
   def mergeMetrics(hotspots: DataFrame, pagerank: DataFrame,
                    betweenness: DataFrame,
                    hits: Option[DataFrame] = None): DataFrame = {
+    // No broadcast() hints on the metric sides: they span every hotspot in
+    // every sized city, so forcing a broadcast is driver-memory-bound at
+    // scale. AQE picks broadcast when a frame measures small at runtime
+    // (the small-input choice is pinned in CollectionsSpec) and falls back
+    // to a shuffle hash join when it doesn't — the size gate lives in the
+    // planner, not the query.
     def metric(df: DataFrame, v: String, n: String) =
       df.select(col("node").as("_key"),
         (col("value_pm") / 1e6).as(v), (col("norm_pm") / 1e6).as(n))
-    val withPrBc = hotspots
+    val withPr = hotspots
       .drop("pagerank", "pagerank_n", "betweenness_centrality", "betweenness_centrality_n")
-      .join(broadcast(metric(pagerank, "pagerank", "pagerank_n")), Seq("_key"), "left_outer")
-      .join(broadcast(metric(betweenness, "betweenness_centrality",
-        "betweenness_centrality_n")), Seq("_key"), "left_outer")
-    hits.fold(withPrBc) { h =>
-      withPrBc.drop("hub_score", "authority_score")
-        .join(broadcast(h.select(col("node").as("_key"),
+      .join(metric(pagerank, "pagerank", "pagerank_n"), Seq("_key"), "left_outer")
+      .join(metric(betweenness, "betweenness_centrality",
+        "betweenness_centrality_n"), Seq("_key"), "left_outer")
+    hits.fold(withPr) { h =>
+      withPr.drop("hub_score", "authority_score")
+        .join(h.select(col("node").as("_key"),
           (col("hub_pm") / 1e6).as("hub_score"),
-          (col("auth_pm") / 1e6).as("authority_score"))), Seq("_key"), "left_outer")
+          (col("auth_pm") / 1e6).as("authority_score")), Seq("_key"), "left_outer")
     }
   }
 

@@ -45,6 +45,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(kept(1L) == 0L) // emptied cell survives with its seed centroid
   }
 
+  test("kmeansRefine: big-cell sum/count path agrees with the ordered fold") {
+    // Integer-valued components: double addition of integers is exact in
+    // any order, so the partial-agg sum path must be BIT-identical to the
+    // ordered fold — pinning path agreement without FP tolerance.
+    val rnd = new scala.util.Random(17)
+    val emb = (0L until 60L).map(i =>
+        (i, Seq.fill(6)(rnd.nextInt(2001).toFloat - 1000f)))
+      .toDF("vec_id", "embedding")
+    val seeds = emb.filter($"vec_id" < 4)
+    def run(maxFold: Long) =
+      Similarity.kmeansRefine(emb, seeds, "vec_id", "embedding", iters = 3,
+          maxFoldMembers = maxFold)
+        .as[(Long, Seq[Double], Long)].collect().sortBy(_._1).toSeq
+    val fold = run(Long.MaxValue) // every cell on the collect_list fold
+    val sums = run(0L)            // every cell on the sum/count path
+    assert(fold == sums)
+    assert(fold.map(_._3).sum == 60L) // all members assigned in both paths
+  }
+
   test("annTopKMultiTable: one table equals plain LSH; more tables never lose a best hit") {
     val rnd = new scala.util.Random(9)
     val emb = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))

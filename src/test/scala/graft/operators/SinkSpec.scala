@@ -32,6 +32,28 @@ class SinkSpec extends AnyFunSuite {
     assert(twice == out)
   }
 
+  test("appendSeries plan: one exchange, no interpreted array-HOF filter") {
+    val existing = Seq(("a", Seq(("2024-01-01", 10L)))).toDF("_key", "series")
+      .select(col("_key"), col("series").cast("array<struct<date:string,balance:bigint>>"))
+    val incoming = Seq(("a", Seq(("2024-01-02", 20L)))).toDF("_key", "series")
+      .select(col("_key"), col("series").cast("array<struct<date:string,balance:bigint>>"))
+    val out = Merge.appendSeries(existing, incoming, "_key", "series", "date")
+    out.foreach(_ => ()) // finalize AQE
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case s: ShuffleExchangeLike => 1 + s.children.map(shuffles).sum
+      case q: QueryStageExec => shuffles(q.plan)
+      case other => other.children.map(shuffles).sum
+    }
+    assert(shuffles(out.queryExecution.executedPlan) == 1)
+    // the quadratic filter/exists lambda pair must stay gone
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ArrayFilter") && !plan.contains("ArrayExists"))
+  }
+
   test("BulkSink opens one connection per partition and batches writes (X3)") {
     val df = spark.range(0, 100).toDF("id").repartition(4)
     val accepted = BulkSink.write(df, CountingWriter, batchSize = 7)

@@ -120,6 +120,14 @@ class CollectionsSpec extends AnyFunSuite {
     val h2 = withHits.filter($"_key" === "gw2").head()
     assert(h2.isNullAt(h2.fieldIndex("hub_score")))
     assert(withHits.columns.count(_ == "hub_score") == 1)
+    // The broadcast choice for small metric frames belongs to the PLANNER
+    // (no broadcast() hint in the query — a forced broadcast is driver-bound
+    // when metrics span every hotspot at scale). Pin that the planner still
+    // picks it when the inputs measure small.
+    withHits.foreach(_ => ()) // finalize AQE
+    val plan = withHits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
   }
 
   test("cityGraphEdges: J6 traversal as joins — valid edges, city filter, haversine weight") {
