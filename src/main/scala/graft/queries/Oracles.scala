@@ -1211,4 +1211,61 @@ object Oracles {
          |FROM f a JOIN f b2 ON a.doc_id < b2.doc_id
          |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3""".stripMargin,
   )
+
+  /** Twins of [[Sinks]] — the materialize-then-read sink/driver family.
+    * Each oracle recomputes the intended END STATE directly from the source
+    * tables; a hash match proves the Spark-side machinery (array-append
+    * merge, metric write-back joins, two-epoch chunked driver with
+    * checkpoint resume) left exactly the state one declarative query
+    * defines — the T6 idempotence contract.
+    */
+  val sinks: Map[String, String] = Map(
+    // Per-(user, day) newest value from each side; incoming (id%3, +1e6)
+    // wins on shared days — the append(OLD.daily_balances, new) semantics.
+    "q76_append_series" ->
+      s"""WITH ex AS (
+         |  SELECT user_id, day, value_c FROM (
+         |    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, $CentsValue AS value_c,
+         |      row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+         |                         ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |    FROM events WHERE event_id % 2 = 0)
+         |  WHERE rn = 1),
+         |inc AS (
+         |  SELECT user_id, day, value_c + 1000000 AS value_c FROM (
+         |    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, $CentsValue AS value_c,
+         |      row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+         |                         ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |    FROM events WHERE event_id % 3 = 0)
+         |  WHERE rn = 1)
+         |SELECT coalesce(inc.user_id, ex.user_id) AS user_id,
+         |  coalesce(inc.day, ex.day) AS day,
+         |  coalesce(inc.value_c, ex.value_c) AS value_c
+         |FROM inc FULL OUTER JOIN ex
+         |  ON inc.user_id = ex.user_id AND inc.day = ex.day""".stripMargin,
+
+    // The write-back left joins collapse to CASE on the metric frames'
+    // membership predicates; unmatched keys stay NULL.
+    "q77_merge_metrics" ->
+      """SELECT c_name AS "_key", CAST(c_custkey AS BIGINT) AS custkey,
+        |  CASE WHEN c_custkey % 3 = 0 THEN CAST(c_custkey * 7 AS BIGINT) END AS pagerank_pm,
+        |  CASE WHEN c_custkey % 3 = 0 THEN CAST(c_custkey * 11 AS BIGINT) END AS pagerank_n_pm,
+        |  CASE WHEN c_custkey % 5 = 0 THEN CAST(c_custkey * 13 AS BIGINT) END AS bc_pm,
+        |  CASE WHEN c_custkey % 5 = 0 THEN CAST(c_custkey * 17 AS BIGINT) END AS bc_n_pm,
+        |  CASE WHEN c_custkey % 7 = 0 THEN CAST(c_custkey * 19 AS BIGINT) END AS hub_pm,
+        |  CASE WHEN c_custkey % 7 = 0 THEN CAST(c_custkey * 23 AS BIGINT) END AS auth_pm
+        |FROM customer""".stripMargin,
+
+    // Two chunked epochs + a gated third must leave exactly the state of
+    // one direct scan: every event once in the dynamic sink, the snapshot
+    // agreeing with the same aggregate.
+    "q78_incremental_driver" ->
+      s"""WITH docs AS (
+         |  SELECT user_id, $CentsValue AS value_c FROM events)
+         |SELECT user_id, count(*) AS n_docs,
+         |  CAST(sum(value_c) AS BIGINT) AS sum_value_c,
+         |  count(*) AS n_events,
+         |  CAST(sum(value_c) AS BIGINT) AS snap_sum_c,
+         |  true AS gated
+         |FROM docs GROUP BY user_id""".stripMargin,
+  )
 }
