@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.VecDot
+import graft.expressions.{IcosaEncode, IcosaLat, IcosaLng, VecDot}
 
 /** The engine's SparkSessionExtensions: registers the custom codegen'd
   * expressions so they resolve by name (`call_function("vec_dot", …)` /
@@ -18,5 +18,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("icosa_encode"),
+      new ExpressionInfo(classOf[IcosaEncode].getName, "icosa_encode"),
+      (children: Seq[Expression]) =>
+        IcosaEncode(children.head, children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("icosa_lat"),
+      new ExpressionInfo(classOf[IcosaLat].getName, "icosa_lat"),
+      (children: Seq[Expression]) => IcosaLat(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("icosa_lng"),
+      new ExpressionInfo(classOf[IcosaLng].getName, "icosa_lng"),
+      (children: Seq[Expression]) => IcosaLng(children.head)))
   }
 }

@@ -1,0 +1,150 @@
+package graft.functions
+
+/** A real icosahedral discrete global grid: `encode` maps (lat, lng) to a
+  * cell id by gnomonic projection onto the nearest face of a regular
+  * icosahedron; `decode` returns the cell center as genuine spherical
+  * coordinates. This is the engine's geometric answer to the reference's
+  * `h3.h3_to_geo` (reference `src/blockchain_queries.py:124-128,149-152`)
+  * — F3 in SURVEY.md §2 — replacing the earlier md5 pseudo-decode with
+  * real geometry: decoded points are actual cell centers on the sphere, so
+  * downstream haversine weights and city graphs are geographically
+  * meaningful.
+  *
+  * Honest compatibility note: this is the same construction family as
+  * Uber's H3 (icosahedron + gnomonic projection + hierarchical cells) but
+  * NOT bit-compatible with H3's index space — H3's published base-cell
+  * orientation tables cannot be re-derived offline, so foreign H3 indexes
+  * still need the drop-in decoder seam documented at
+  * [[Geo.cellToPseudoLatLng]]. Everything here derives from first
+  * principles: the 12 vertices are the cyclic permutations of (0, ±1, ±φ)
+  * normalized, the 20 faces are discovered as the vertex triples with all
+  * pairwise distances equal to the edge length, and the per-face tangent
+  * bases follow deterministically — no memorized tables anywhere.
+  *
+  * Cell scheme: at resolution r each face's gnomonic plane carries a
+  * 2^(r+1) × 2^(r+1) square grid spanning [-Span, Span) in both axes
+  * (Span = 0.8 > tan 37.38°, the face circumradius, so the grid covers the
+  * whole face region). A cell id packs (res, face, i, j) in fixed-width
+  * fields: `(res·32 + face)·2^32 + (i+2^r)·2^16 + (j+2^r)` — pure integer
+  * arithmetic, so the DuckDB oracle reproduces encode AND decode exactly
+  * (same double op order; see [[graft.queries.Oracles.icosa]]).
+  */
+object IcosaGrid {
+
+  /** Gnomonic half-extent of the per-face grid. The farthest point of a
+    * face's spherical Voronoi region is an icosahedron vertex at angular
+    * distance atan(φ²)−…≈37.38° from the face center, i.e. gnomonic radius
+    * tan(37.38°) ≈ 0.764 < 0.8.
+    */
+  val Span = 0.8
+
+  /** i/j fields are 16 bits: i+2^r ∈ [0, 2^(r+1)) needs r ≤ 15. */
+  val MaxRes = 15
+
+  final case class Face(c: Array[Double], e1: Array[Double], e2: Array[Double])
+
+  /** The 20 faces, deterministically ordered (vertices sorted by raw
+    * coordinates; faces by sorted vertex-index triples).
+    */
+  val faces: IndexedSeq[Face] = {
+    val phi = (1.0 + math.sqrt(5.0)) / 2.0
+    val pm = Seq(1.0, -1.0)
+    val raw: IndexedSeq[(Double, Double, Double)] =
+      (for (a <- pm; b <- pm) yield Seq(
+        (0.0, a, b * phi), (a, b * phi, 0.0), (b * phi, 0.0, a)))
+        .flatten.sorted.toIndexedSeq
+    def d2(u: (Double, Double, Double), v: (Double, Double, Double)): Double = {
+      val (dx, dy, dz) = (u._1 - v._1, u._2 - v._2, u._3 - v._3)
+      dx * dx + dy * dy + dz * dz
+    }
+    // Icosahedron edges have raw length 2 exactly (|(0,1,φ)−(0,−1,φ)| and
+    // |(0,1,φ)−(1,φ,0)|² = 2(φ²−φ)+2 = 4 via φ²=φ+1); a face is any vertex
+    // triple that is pairwise adjacent.
+    def adj(i: Int, j: Int) = math.abs(d2(raw(i), raw(j)) - 4.0) < 1e-9
+    val triples = for {
+      i <- 0 until 12; j <- (i + 1) until 12 if adj(i, j)
+      k <- (j + 1) until 12 if adj(i, k) && adj(j, k)
+    } yield (i, j, k)
+    require(triples.size == 20, s"icosahedron construction broke: ${triples.size} faces")
+    def norm(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v(0) * v(0) + v(1) * v(1) + v(2) * v(2))
+      Array(v(0) / n, v(1) / n, v(2) / n)
+    }
+    triples.map { case (i, j, k) =>
+      val Seq(a, b, cc) = Seq(raw(i), raw(j), raw(k))
+        .map(t => norm(Array(t._1, t._2, t._3)))
+      val c = norm(Array(a(0) + b(0) + cc(0), a(1) + b(1) + cc(1), a(2) + b(2) + cc(2)))
+      // e1: the face's first vertex projected off the center; e2 = c × e1.
+      val dot = a(0) * c(0) + a(1) * c(1) + a(2) * c(2)
+      val e1 = norm(Array(a(0) - dot * c(0), a(1) - dot * c(1), a(2) - dot * c(2)))
+      val e2 = Array(c(1) * e1(2) - c(2) * e1(1), c(2) * e1(0) - c(0) * e1(2),
+        c(0) * e1(1) - c(1) * e1(0))
+      Face(c, e1, e2)
+    }.toIndexedSeq
+  }
+
+  /** (lat°, lng°, res) → cell id. Nearest face by max dot product (ties to
+    * the lowest face id — the same first-match rule the SQL oracle's CASE
+    * uses), gnomonic projection into the face plane, floor to the grid.
+    */
+  def encode(latDeg: Double, lngDeg: Double, res: Int): Long = {
+    require(res >= 0 && res <= MaxRes, s"res must be in [0, $MaxRes], got $res")
+    val latR = latDeg * math.Pi / 180.0
+    val lngR = lngDeg * math.Pi / 180.0
+    val px = math.cos(latR) * math.cos(lngR)
+    val py = math.cos(latR) * math.sin(lngR)
+    val pz = math.sin(latR)
+    var best = 0
+    var bestDot = -2.0
+    var f = 0
+    while (f < 20) {
+      val c = faces(f).c
+      val d = px * c(0) + py * c(1) + pz * c(2)
+      if (d > bestDot) { bestDot = d; best = f }
+      f += 1
+    }
+    val fc = faces(best)
+    val qx = px / bestDot - fc.c(0)
+    val qy = py / bestDot - fc.c(1)
+    val qz = pz / bestDot - fc.c(2)
+    val x = qx * fc.e1(0) + qy * fc.e1(1) + qz * fc.e1(2)
+    val y = qx * fc.e2(0) + qy * fc.e2(1) + qz * fc.e2(2)
+    val m = 1L << res
+    val s = Span / m
+    def clamp(v: Long) = math.max(-m, math.min(m - 1, v))
+    val i = clamp(math.floor(x / s).toLong)
+    val j = clamp(math.floor(y / s).toLong)
+    (res.toLong * 32L + best) * 4294967296L + (i + m) * 65536L + (j + m)
+  }
+
+  /** cell id → (lat°, lng°) of the CELL CENTER — real spherical geometry
+    * (unproject the grid square's center, normalize, asin/atan2). Invalid
+    * ids fail loudly rather than decode to garbage coordinates.
+    */
+  def decode(cell: Long): (Double, Double) = {
+    val top = cell / 4294967296L
+    val res = (top / 32L).toInt
+    val face = (top % 32L).toInt
+    require(cell >= 0 && res <= MaxRes && face < 20, s"invalid icosa cell: $cell")
+    val m = 1L << res
+    val rest = cell % 4294967296L
+    val iRaw = rest / 65536L
+    val jRaw = rest % 65536L
+    require(iRaw < 2 * m && jRaw < 2 * m, s"invalid icosa cell: $cell")
+    val s = Span / m
+    val x = (iRaw - m + 0.5) * s
+    val y = (jRaw - m + 0.5) * s
+    val fc = faces(face)
+    val qx = fc.c(0) + x * fc.e1(0) + y * fc.e2(0)
+    val qy = fc.c(1) + x * fc.e1(1) + y * fc.e2(1)
+    val qz = fc.c(2) + x * fc.e1(2) + y * fc.e2(2)
+    val n = math.sqrt(qx * qx + qy * qy + qz * qz)
+    val ux = qx / n
+    val uy = qy / n
+    val uz = qz / n
+    (math.asin(uz) * 180.0 / math.Pi, math.atan2(uy, ux) * 180.0 / math.Pi)
+  }
+
+  def decodeLat(cell: Long): Double = decode(cell)._1
+  def decodeLng(cell: Long): Double = decode(cell)._2
+}

@@ -94,11 +94,37 @@ object Graphs {
     GraphMetrics.perCityHits(edges(spark, d))
       .withColumn("city", col("city").cast("int"))
 
+  /** q75: F3 for real — the geometric icosahedral cell codec
+    * ([[graft.functions.IcosaGrid]], exposed as the codegen'd
+    * `icosa_encode`/`icosa_lat`/`icosa_lng` expressions): customer-derived
+    * coordinates → res-6 cell id → decoded CELL CENTER coordinates, with
+    * every 97th customer null (P8). The DuckDB oracle re-implements the
+    * whole codec — argmax face selection, gnomonic projection, grid
+    * arithmetic, and the inverse — from the same printed face constants,
+    * so a hash match proves the geometry end to end, not just the
+    * plumbing.
+    */
+  def q75IcosaDecode(spark: SparkSession, d: String): DataFrame = {
+    val pts = Tables(spark, d, "customer").select(col("c_custkey"),
+      ((col("c_custkey") % 170) - 85 + 0.25).as("lat"),
+      ((col("c_custkey") * 7 % 350) - 175 + 0.5).as("lng"))
+    pts.select(col("c_custkey"),
+        when(col("c_custkey") % 97 =!= 0,
+          call_function("icosa_encode", col("lat"), col("lng"), lit(6)))
+          .as("cell"))
+      .select(col("c_custkey"), col("cell"),
+        round(call_function("icosa_lat", col("cell")) * 1000000.0)
+          .cast("long").as("lat_micro"),
+        round(call_function("icosa_lng", col("cell")) * 1000000.0)
+          .cast("long").as("lng_micro"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_graph_edges" -> q32GraphEdges _,
     "q33_city_pagerank" -> q33CityPagerank _,
     "q34_city_betweenness" -> q34CityBetweenness _,
     "q37_cell_decode" -> q37CellDecode _,
     "q47_city_hits" -> q47CityHits _,
+    "q75_icosa_decode" -> q75IcosaDecode _,
   )
 }
