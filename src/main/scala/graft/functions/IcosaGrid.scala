@@ -26,8 +26,19 @@ package graft.functions
   * (Span = 0.8 > tan 37.38°, the face circumradius, so the grid covers the
   * whole face region). A cell id packs (res, face, i, j) in fixed-width
   * fields: `(res·32 + face)·2^32 + (i+2^r)·2^16 + (j+2^r)` — pure integer
-  * arithmetic, so the DuckDB oracle reproduces encode AND decode exactly
-  * (same double op order; see [[graft.queries.Oracles.icosa]]).
+  * arithmetic, so the generated DuckDB q75 oracle (`Oracles.icosaSql`,
+  * registered in [[graft.queries.Oracles.graphs]]) reproduces encode AND
+  * decode exactly: it prints these very face constants and mirrors the
+  * double op order step for step.
+  *
+  * Face-seam contract (pinned in IcosaGridSpec): because Span (0.8)
+  * exceeds the face Voronoi radius (~0.764), cells straddling a face
+  * boundary can have centers owned by the NEIGHBOR face — for a small
+  * seam population (~0.5% of res-6 cells) `encode(decode(id)) != id`.
+  * Decoded centers are always genuine on-sphere points within one cell
+  * radius of everything the cell covers; ids are not canonicalized across
+  * the overlap, so treat ids from `encode` as the canonical keying and
+  * decode only for geometry, not re-keying.
   */
 object IcosaGrid {
 

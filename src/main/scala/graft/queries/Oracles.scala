@@ -781,6 +781,99 @@ object Oracles {
     sb.toString
   }
 
+  /** Generated twin of [[graft.functions.IcosaGrid]] (q75): the whole codec
+    * — argmax face selection over the 20 face constants, gnomonic
+    * projection into the face tangent plane, integer grid packing, and the
+    * inverse (unproject, normalize, asin/atan2) — re-implemented in DuckDB
+    * SQL with the same double operation order as the engine. The face
+    * constants are printed from the engine's own [[graft.functions.IcosaGrid.faces]]
+    * via `Double.toString` (shortest round-trip decimal; DuckDB's strtod is
+    * correctly rounded, so the oracle computes on bit-identical doubles).
+    * A hash match therefore proves the geometry end to end — face
+    * ordering, projection arithmetic, bit packing, and inverse — not just
+    * the null plumbing.
+    */
+  private def icosaSql(res: Int): String = {
+    import graft.functions.IcosaGrid
+    val m = 1L << res
+    val step = IcosaGrid.Span / m
+    def dl(x: Double): String = { val t = x.toString; if (x < 0) s"($t)" else t }
+    val pi = math.Pi.toString
+    val faces = IcosaGrid.faces
+    val dots = faces.zipWithIndex.map { case (f, i) =>
+      s"px*${dl(f.c(0))} + py*${dl(f.c(1))} + pz*${dl(f.c(2))} AS d$i"
+    }.mkString(",\n    ")
+    val greatest = (0 until 20).map("d" + _).mkString(", ")
+    val faceCase =
+      (0 until 20).map(i => s"WHEN d$i = bd THEN $i").mkString("CASE ", " ", " END")
+    def sel(on: String, name: String, get: IcosaGrid.Face => Double): String =
+      faces.zipWithIndex
+        .map { case (f, i) => s"WHEN $i THEN ${dl(get(f))}" }
+        .mkString(s"CASE $on ", " ", s" END AS $name")
+    def basis(on: String): String = Seq[(String, IcosaGrid.Face => Double)](
+      ("cx", _.c(0)), ("cy", _.c(1)), ("cz", _.c(2)),
+      ("e1x", _.e1(0)), ("e1y", _.e1(1)), ("e1z", _.e1(2)),
+      ("e2x", _.e2(0)), ("e2y", _.e2(1)), ("e2z", _.e2(2)),
+    ).map { case (n, g) => sel(on, n, g) }.mkString(",\n    ")
+    s"""WITH pts AS (
+       |  SELECT c_custkey,
+       |    CAST((c_custkey % 170) - 85 + 0.25 AS DOUBLE) AS lat,
+       |    CAST((c_custkey * 7 % 350) - 175 + 0.5 AS DOUBLE) AS lng
+       |  FROM customer),
+       |p AS (
+       |  SELECT c_custkey,
+       |    cos(lat * $pi / 180.0) * cos(lng * $pi / 180.0) AS px,
+       |    cos(lat * $pi / 180.0) * sin(lng * $pi / 180.0) AS py,
+       |    sin(lat * $pi / 180.0) AS pz
+       |  FROM pts),
+       |dd AS (
+       |  SELECT *,
+       |    $dots
+       |  FROM p),
+       |gg AS (SELECT *, GREATEST($greatest) AS bd FROM dd),
+       |ff AS (SELECT *, $faceCase AS face FROM gg),
+       |esel AS (
+       |  SELECT *,
+       |    ${basis("face")}
+       |  FROM ff),
+       |eq AS (SELECT *, px/bd - cx AS qx, py/bd - cy AS qy, pz/bd - cz AS qz FROM esel),
+       |exy AS (SELECT *, qx*e1x + qy*e1y + qz*e1z AS gx, qx*e2x + qy*e2y + qz*e2z AS gy FROM eq),
+       |eij AS (SELECT *,
+       |    GREATEST(-$m, LEAST(${m - 1}, CAST(floor(gx / ${dl(step)}) AS BIGINT))) AS gi,
+       |    GREATEST(-$m, LEAST(${m - 1}, CAST(floor(gy / ${dl(step)}) AS BIGINT))) AS gj
+       |  FROM exy),
+       |enc AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN c_custkey % 97 <> 0
+       |      THEN CAST(${res * 32} + face AS BIGINT) * 4294967296 + (gi + $m) * 65536 + (gj + $m)
+       |    END AS cell
+       |  FROM eij),
+       |dparts AS (
+       |  SELECT c_custkey, cell,
+       |    CAST((cell // 4294967296) % 32 AS INTEGER) AS dface,
+       |    (cell % 4294967296) // 65536 AS iraw,
+       |    cell % 65536 AS jraw
+       |  FROM enc),
+       |dsel AS (
+       |  SELECT *,
+       |    ${basis("dface")}
+       |  FROM dparts),
+       |dxy AS (SELECT *,
+       |    (CAST(iraw AS DOUBLE) - $m + 0.5) * ${dl(step)} AS gx,
+       |    (CAST(jraw AS DOUBLE) - $m + 0.5) * ${dl(step)} AS gy
+       |  FROM dsel),
+       |dw AS (SELECT *,
+       |    cx + gx*e1x + gy*e2x AS wx,
+       |    cy + gx*e1y + gy*e2y AS wy,
+       |    cz + gx*e1z + gy*e2z AS wz
+       |  FROM dxy),
+       |dn AS (SELECT *, sqrt(wx*wx + wy*wy + wz*wz) AS nn FROM dw)
+       |SELECT c_custkey, cell,
+       |  CAST(round(asin(wz / nn) * 180.0 / $pi * 1000000.0) AS BIGINT) AS lat_micro,
+       |  CAST(round(atan2(wy / nn, wx / nn) * 180.0 / $pi * 1000000.0) AS BIGINT) AS lng_micro
+       |FROM dn""".stripMargin
+  }
+
   /** Graph twins. q34's betweenness oracle is the generated BFS +
     * pair-dependency SQL above; the numerics are additionally pinned by
     * golden ScalaTests.
@@ -790,6 +883,7 @@ object Oracles {
     "q33_city_pagerank" -> pagerankSql(EdgesSql, graft.operators.GraphMetrics.Iterations),
     "q34_city_betweenness" -> betweennessSql(EdgesSql, levels = 6),
     "q47_city_hits" -> hitsSql(EdgesSql, graft.operators.GraphMetrics.Iterations),
+    "q75_icosa_decode" -> icosaSql(res = 6),
 
     // Twin of Geo.cellToPseudoLatLng + geoJsonPoint (integer-valued double
     // coords, so the JSON rendering is byte-identical too).
