@@ -72,7 +72,7 @@ object ScaleProbe {
     // runs only those blocks (default: all). Unknown names fail loudly — a
     // typo must not silently measure nothing.
     val sections = Set("session", "termstats", "minhash", "ann", "temporal",
-      "packing", "relational", "topk")
+      "packing", "relational", "topk", "kmeans")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -203,6 +203,25 @@ object ScaleProbe {
         }
         spark.catalog.clearCache()
       }
+    }
+    // IVF training (Lloyd): one assignment pass per iteration regardless
+    // of which mean path the census picks. The tight-bound run forces the
+    // big-cell sum/count path (census on iteration 1, previous-iteration
+    // populations after) — its wall should stay within ~10-20% of the
+    // fold-path run, NOT ~2x, proving the census no longer re-executes
+    // the corpus assignment.
+    if (want("kmeans")) for (factor <- Seq(1, 4, 16)) {
+      val emb = materialize(embAt(spark, d, factor), s"/tmp/scale/emb$factor")
+      val seeds = emb.filter(col("vec_id") % 1000000L < 8)
+      time(s"kmeans fold path ${factor}x (${2000 * factor} vecs, 5 iters)") {
+        Similarity.kmeansRefine(emb, seeds, "vec_id", "embedding",
+          iters = 5).count()
+      }
+      time(s"kmeans big-cell path ${factor}x (bound 64, stale census)") {
+        Similarity.kmeansRefine(emb, seeds, "vec_id", "embedding",
+          iters = 5, maxFoldMembers = 64L).count()
+      }
+      spark.catalog.clearCache()
     }
     // Top-k physical forms at large candidate fan-in: the window form
     // shuffles every scored row; the partial-agg form crosses the

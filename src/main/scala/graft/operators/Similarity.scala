@@ -137,18 +137,30 @@ object Similarity {
     * folds and matches exactly). Cells that lose every member keep their
     * previous centroid (k never shrinks).
     *
-    * Cost per iteration: one broadcast of k centroids against a corpus
+    * Cost per iteration: ONE broadcast of k centroids against a corpus
     * pass + two keyed aggregations of the exploded components — all
     * partial-agg shapes. The ordered fold buffers one `collect_list` entry
     * per member per (cell, component); a cell whose population exceeds
     * `maxFoldMembers` would outgrow the aggregation buffer, so those cells
     * take a plain partial-agg `sum/count` mean instead — run-order FP noise
     * below the ppm quantization floor, bounded buffers. The split decision
-    * derives from the per-cell population (a ≤k-row broadcast), mirroring
-    * [[TextDedup.dupClusters]]' adaptive two-path pattern; on exactly
-    * integer-valued components the two paths are bit-identical (double
-    * integer addition is associative), which is how the spec pins their
-    * agreement.
+    * (a ≤k-row broadcast) mirrors [[TextDedup.dupClusters]]' adaptive
+    * two-path pattern; on exactly integer-valued components the two paths
+    * are bit-identical (double integer addition is associative), which is
+    * how the spec pins their agreement.
+    *
+    * The population census feeding that split never re-runs the corpus
+    * assignment (the dominant stage) a second time within an iteration:
+    * if the WHOLE corpus fits the fold bound no cell can exceed it, so the
+    * census and per-row members join are skipped outright; otherwise the
+    * gate reuses the PREVIOUS iteration's per-cell population, already on
+    * `merged`. A buffer guard needs the population's order of magnitude,
+    * not an exact same-iteration census — Lloyd populations move by
+    * fractions per step, and a cell absent last iteration starts from its
+    * Voronoi region, not the whole corpus — so one-iteration staleness is
+    * an accepted, documented slack on the bound. Only iteration 1 of a
+    * corpus larger than `maxFoldMembers` pays an exact census (there is no
+    * previous assignment to reuse).
     *
     * Returns (id, vec, n_members): the refined centroids and each cell's
     * population in the final assignment (0 for emptied cells).
@@ -160,12 +172,24 @@ object Similarity {
     require(maxFoldMembers >= 0, s"maxFoldMembers must be >= 0, got $maxFoldMembers")
     var cents = seeds.select(col(id),
       col(vec).cast("array<double>").as(vec))
+    // See the census note in the scaladoc: corpus ≤ bound ⇒ no census at
+    // all; otherwise previous-iteration populations, exact census only on
+    // the first iteration.
+    val foldAll = maxFoldMembers == Long.MaxValue || corpus.count() <= maxFoldMembers
+    var prevCounts: DataFrame = null
     var merged: DataFrame = null
     for (_ <- 1 to iters) {
       val assigned = ivfAssign(corpus, cents, id, vec)
-      val members = assigned.groupBy(col("cell"))
-        .agg(count(lit(1)).as("__members"))
-      val comp = assigned.join(broadcast(members), Seq("cell"))
+      val withMembers =
+        if (foldAll) assigned.withColumn("__members", lit(0L))
+        else {
+          val counts =
+            if (prevCounts != null) prevCounts
+            else assigned.groupBy(col("cell")).agg(count(lit(1)).as("__members"))
+          assigned.join(broadcast(counts), Seq("cell"), "left_outer")
+            .withColumn("__members", coalesce(col("__members"), lit(0L)))
+        }
+      val comp = withMembers
         .select(col("cell"), col(id).as("__vid"), col("__members"),
           posexplode(col(vec)).as(Seq("i", "x")))
       val foldMeans = comp.filter(col("__members") <= maxFoldMembers)
@@ -196,6 +220,8 @@ object Similarity {
           coalesce(col("n_members"), lit(0L)).as("n_members"))
         .localCheckpoint(true)
       cents = merged.select(col(id), col(vec))
+      if (!foldAll)
+        prevCounts = merged.select(col(id).as("cell"), col("n_members").as("__members"))
     }
     merged
   }
