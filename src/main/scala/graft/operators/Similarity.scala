@@ -151,15 +151,20 @@ object Similarity {
     *
     * The population census feeding that split never re-runs the corpus
     * assignment (the dominant stage) a second time within an iteration:
-    * if the WHOLE corpus fits the fold bound no cell can exceed it, so the
-    * census and per-row members join are skipped outright; otherwise the
-    * gate reuses the PREVIOUS iteration's per-cell population, already on
-    * `merged`. A buffer guard needs the population's order of magnitude,
-    * not an exact same-iteration census — Lloyd populations move by
-    * fractions per step, and a cell absent last iteration starts from its
-    * Voronoi region, not the whole corpus — so one-iteration staleness is
-    * an accepted, documented slack on the bound. Only iteration 1 of a
-    * corpus larger than `maxFoldMembers` pays an exact census (there is no
+    * if the WHOLE corpus fits the fold bound no cell can exceed it (probed
+    * with a `limit(bound+1)` scan, never a full count), so the census and
+    * per-row members join are skipped outright; otherwise the gate reuses
+    * the PREVIOUS iteration's per-cell population, already on `merged`.
+    * A buffer guard needs the population's order of magnitude, not an
+    * exact same-iteration census — Lloyd populations of POPULATED cells
+    * move by fractions per step — so one-iteration staleness is an
+    * accepted, documented slack on the bound for those cells. A cell whose
+    * prior population is zero or unknown carries no such guarantee (an
+    * emptied cell keeps its stale seed and can capture an arbitrarily
+    * large region next step), so those route to the sum/count path
+    * unconditionally: the fold path is only ever entered with a known
+    * nonzero prior population ≤ the bound. Only iteration 1 of a corpus
+    * larger than `maxFoldMembers` pays an exact census (there is no
     * previous assignment to reuse).
     *
     * Returns (id, vec, n_members): the refined centroids and each cell's
@@ -174,8 +179,14 @@ object Similarity {
       col(vec).cast("array<double>").as(vec))
     // See the census note in the scaladoc: corpus ≤ bound ⇒ no census at
     // all; otherwise previous-iteration populations, exact census only on
-    // the first iteration.
-    val foldAll = maxFoldMembers == Long.MaxValue || corpus.count() <= maxFoldMembers
+    // the first iteration. The whole-corpus probe is a bounded limit scan
+    // (LocalLimit stops each task at bound+1 rows), not a full count; a
+    // bound ≥ Int.MaxValue can't probe via limit, so it conservatively
+    // takes the census path (still correct — collect_list at 2^31 entries
+    // is unbuildable anyway, so such bounds are effectively "census").
+    val foldAll = maxFoldMembers == Long.MaxValue ||
+      (maxFoldMembers < Int.MaxValue &&
+        corpus.limit(maxFoldMembers.toInt + 1).count() <= maxFoldMembers)
     var prevCounts: DataFrame = null
     var merged: DataFrame = null
     for (_ <- 1 to iters) {
@@ -186,8 +197,13 @@ object Similarity {
           val counts =
             if (prevCounts != null) prevCounts
             else assigned.groupBy(col("cell")).agg(count(lit(1)).as("__members"))
+          // Zero/unknown prior population ⇒ the Voronoi-stability argument
+          // doesn't hold (the cell may capture anything this iteration) ⇒
+          // force the bounded sum/count path by mapping to bound+1.
           assigned.join(broadcast(counts), Seq("cell"), "left_outer")
-            .withColumn("__members", coalesce(col("__members"), lit(0L)))
+            .withColumn("__members",
+              when(col("__members").isNull || col("__members") === 0L,
+                lit(maxFoldMembers + 1L)).otherwise(col("__members")))
         }
       val comp = withMembers
         .select(col("cell"), col(id).as("__vid"), col("__members"),

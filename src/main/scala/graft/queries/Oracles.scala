@@ -788,10 +788,18 @@ object Oracles {
     * SQL with the same double operation order as the engine. The face
     * constants are printed from the engine's own [[graft.functions.IcosaGrid.faces]]
     * via `Double.toString` (shortest round-trip decimal; DuckDB's strtod is
-    * correctly rounded, so the oracle computes on bit-identical doubles).
-    * A hash match therefore proves the geometry end to end — face
-    * ordering, projection arithmetic, bit packing, and inverse — not just
-    * the null plumbing.
+    * correctly rounded, so the PRINTED CONSTANTS are bit-identical doubles
+    * on both engines). The trig outputs are not covered by that guarantee:
+    * `cos/sin/asin/atan2` come from JVM `Math` on one side and the host
+    * libm on the other, and both specs permit ~1 ulp slack — a synthetic
+    * point within a few ulps of a face-dot tie or a `floor(gx/step)` grid
+    * boundary could flip its cell id on a different platform/libm. The
+    * synthetic lat/lng grid (offsets 0.25/0.5 on an integer-degree lattice)
+    * keeps points away from face seams and cell edges by construction:
+    * IcosaGridSpec ("q75 oracle lattice…") asserts every lattice point
+    * keeps >1e-9 (≫ ulp) margin from any face-dot tie or grid line, so a
+    * hash match proves the geometry end to end, with the cross-libm
+    * caveat documented rather than claimed away.
     */
   private def icosaSql(res: Int): String = {
     import graft.functions.IcosaGrid

@@ -92,6 +92,43 @@ class IcosaGridSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](IcosaGrid.decode(5L * 65536L))
   }
 
+  test("q75 oracle lattice sits far from face-dot ties and grid lines") {
+    // The q75 oracle (Oracles.icosaSql) matches hashes only if JVM Math and
+    // DuckDB's libm round every trig call the same way for these inputs —
+    // both specs allow ~1 ulp slack, so a point within a few ulps of a
+    // face-dot tie or a floor(g/step) grid line could flip its cell id on
+    // another platform. This pins the docstring's margin claim: every
+    // synthetic point (the same lattice the oracle's `pts` CTE generates)
+    // keeps a margin ≫ ulp from both decision boundaries.
+    val res = 6
+    val m = 1L << res
+    val step = IcosaGrid.Span / m
+    for (k <- 1 to 1500 if k % 97 != 0) {
+      val lat = (k % 170) - 85 + 0.25
+      val lng = (k * 7 % 350) - 175 + 0.5
+      val latR = lat * math.Pi / 180.0
+      val lngR = lng * math.Pi / 180.0
+      val p = Array(math.cos(latR) * math.cos(lngR),
+        math.cos(latR) * math.sin(lngR), math.sin(latR))
+      val dots = IcosaGrid.faces
+        .map(f => p(0) * f.c(0) + p(1) * f.c(1) + p(2) * f.c(2))
+        .sorted.reverse
+      assert(dots(0) - dots(1) > 1e-9,
+        s"point $k ($lat, $lng) is ${dots(0) - dots(1)} from a face tie")
+      val f = IcosaGrid.faces(IcosaGrid.faces.indices.maxBy(i =>
+        p(0) * IcosaGrid.faces(i).c(0) + p(1) * IcosaGrid.faces(i).c(1) +
+          p(2) * IcosaGrid.faces(i).c(2)))
+      val bd = p(0) * f.c(0) + p(1) * f.c(1) + p(2) * f.c(2)
+      val q = Array(p(0) / bd - f.c(0), p(1) / bd - f.c(1), p(2) / bd - f.c(2))
+      for (g <- Seq(q(0) * f.e1(0) + q(1) * f.e1(1) + q(2) * f.e1(2),
+          q(0) * f.e2(0) + q(1) * f.e2(1) + q(2) * f.e2(2))) {
+        val u = g / step
+        val d = math.abs(u - math.rint(u))
+        assert(d > 1e-9, s"point $k ($lat, $lng) is $d grid-units from a grid line")
+      }
+    }
+  }
+
   test("face-seam contract: few centers re-encode to a neighbor, never far") {
     // The per-face grid spans [-0.8, 0.8) but the face's spherical Voronoi
     // radius is tan(37.38°) ≈ 0.764, so cells straddling a face boundary

@@ -64,6 +64,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fold.map(_._3).sum == 60L) // all members assigned in both paths
   }
 
+  test("kmeansRefine: a cell emptied in one iteration recaptures members safely") {
+    // B's seed attracts nothing in iteration 1 (tie goes to A); after A
+    // recenters on its members, p13 flips to B in iteration 2. B's prior
+    // population is 0, so its new rows must route through the bounded
+    // sum/count path (the when-clause maps zero/unknown prior counts to
+    // bound+1) — the fold path is never entered without a known nonzero
+    // prior population. All coordinates are exact binary fractions, so
+    // both paths are bit-identical and the bounded run must equal the
+    // unbounded one exactly.
+    val seeds = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, -1f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(1f, 0f)), (11L, Seq(1f, 0.5f)), (12L, Seq(0.5f, 1f)),
+      (13L, Seq(0.5f, -0.5f)) // ties A/B at seed time → A; flips to B later
+    ).toDF("vec_id", "embedding")
+    def run(maxFold: Long) =
+      Similarity.kmeansRefine(corpus, seeds, "vec_id", "embedding",
+          iters = 2, maxFoldMembers = maxFold)
+        .as[(Long, Seq[Double], Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val bounded = run(2L) // A's 4 members exceed the bound in iteration 1
+    assert(bounded(0L) == ((Seq((1.0 + 1.0 + 0.5) / 3, (0.0 + 0.5 + 1.0) / 3), 3L)))
+    assert(bounded(1L) == ((Seq(0.5, -0.5), 1L))) // recaptured from empty
+    assert(bounded == run(Long.MaxValue))
+  }
+
   test("annTopKMultiTable: one table equals plain LSH; more tables never lose a best hit") {
     val rnd = new scala.util.Random(9)
     val emb = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
