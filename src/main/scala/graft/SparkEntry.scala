@@ -39,20 +39,21 @@ object SparkEntry {
     // T4 sliding retention: keep the last 15 days of edges.
     val cutoff = 1705276800000000L // 2024-01-15T00:00:00Z µs
     val kept = Merge.retain(edges.filter(col("is_valid")), "time", cutoff)
-    // Hotspot docs for every edge endpoint: pseudo-cell geo + a 5-city
+    // Hotspot docs for every edge endpoint: real icosa-cell geo (the
+    // address stands in for the foreign location hex) + a 5-city
     // partition, same document shape Collections.hotspots emits.
     val addrs = kept
       .select(element_at(split(col("_from"), "/"), -1).as("address"))
       .unionByName(kept.select(element_at(split(col("_to"), "/"), -1).as("address")))
       .distinct()
-    val (lat, lng) = graft.functions.Geo.cellToPseudoLatLng(md5(col("address")))
+    val (lat, lng) = graft.functions.Geo.cellToLatLng(md5(col("address")))
     val hotspots = addrs.select(col("address"),
       struct((crc32(col("address")) % 5).cast("string").as("city_key"))
         .as("location_details"),
       graft.functions.Geo.geoJsonPoint(lat, lng).as("geo_location"))
     // E3: J6 traversal over the docs → gated per-city metrics → G5 merge.
     val graph = Collections.cityGraphEdges(hotspots, kept)
-      .withColumn("w", col("w") + 1) // pseudo-coords may coincide; keep w ≥ 1
+      .withColumn("w", col("w") + 1) // same-cell endpoints share a center; keep w ≥ 1
     // A node can appear in SEVERAL city subgraphs (it is pulled into a
     // neighbor's graph as a witness target); its hotspot document takes the
     // scores from its OWN city only — the reference's per-city upsert loop

@@ -39,20 +39,55 @@ object Geo {
   def geoJsonPoint(lat: Column, lng: Column): Column =
     struct(array(lng, lat).as("coordinates"), lit("Point").as("type"))
 
-  /** Deterministic PSEUDO cell decode — explicitly NOT h3. Maps any cell id
-    * to stable in-range coordinates (lat ∈ [-85, 85), lng ∈ [-175, 175))
-    * via md5, null-safely (P8). It preserves the *pipeline contract* of the
-    * reference's `h3_to_geo` call — fixed fan-in to [[geoJsonPoint]],
-    * null cell → null coords — and is the single seam where a real
-    * icosahedral decode (`com.uber:h3`'s `cellToLatLng`) drops in for
-    * production; until that library is available, downstream geometry is
-    * deterministic but geographically meaningless, and the DuckDB oracle
-    * applies the identical formula.
+  /** The FOREIGN-cell seam — explicitly NOT an h3 decode. Maps any opaque
+    * cell id to stable in-range coordinates (lat ∈ [-85, 85), lng ∈
+    * [-175, 175)) via md5, null-safely (P8). H3's base-cell orientation
+    * tables cannot be re-derived offline (see [[IcosaGrid]]'s
+    * compatibility note), so foreign H3 indexes are anchored to
+    * deterministic pseudo-coordinates here and then snapped onto the real
+    * icosahedral grid by [[cellToLatLng]]; a production build with
+    * `com.uber:h3` on the classpath would replace THIS function only —
+    * every downstream consumer already goes through [[cellToLatLng]].
+    *
+    * The fractional offsets (+0.25°, +0.5°) keep every anchor off the
+    * icosahedron's symmetry planes: integer-degree points (e.g. lng = −90)
+    * can tie two mirror faces EXACTLY in the [[IcosaGrid]] encode argmax,
+    * and an exact tie is where a 1-ulp cross-libm trig difference could
+    * flip the face choice between the engine and the DuckDB oracle.
+    * IcosaGridSpec sweeps this whole lattice and pins a ≫ulp margin from
+    * every face tie and grid line.
     */
   def cellToPseudoLatLng(cell: Column): (Column, Column) = {
     val h = md5(cell)
-    val lat = (conv(substring(h, 1, 8), 16, 10).cast("double") % 170.0) - 85.0
-    val lng = (conv(substring(h, 9, 8), 16, 10).cast("double") % 350.0) - 175.0
+    val lat = (conv(substring(h, 1, 8), 16, 10).cast("double") % 170.0) - 85.0 + 0.25
+    val lng = (conv(substring(h, 9, 8), 16, 10).cast("double") % 350.0) - 175.0 + 0.5
     (when(cell.isNotNull, lat), when(cell.isNotNull, lng))
+  }
+
+  /** Foreign cell id → native [[IcosaGrid]] cell id: anchor the opaque id
+    * through the [[cellToPseudoLatLng]] seam, then encode onto the real
+    * res-`res` icosahedral grid (codegen'd `icosa_encode`; null in → null
+    * out). The default res 6 gives ~50 km cells — the same scale the
+    * reference's res-8-truncated h3 cells cover per city.
+    */
+  def cellToIcosa(cell: Column, res: Int = 6): Column = {
+    val (lat, lng) = cellToPseudoLatLng(cell)
+    call_function("icosa_encode", lat, lng, lit(res))
+  }
+
+  /** F3, the product decode: foreign cell id → REAL spherical coordinates
+    * of its [[IcosaGrid]] cell center ([[cellToIcosa]] then the codegen'd
+    * `icosa_lat`/`icosa_lng`). Downstream geometry — haversine witness
+    * weights, city graphs, GeoJSON points — is genuine on-sphere cell
+    * geometry; only the anchor from a foreign id to a point inside the
+    * grid remains the documented pseudo seam. The two columns share one
+    * encode subtree; projection-level subexpression elimination typically
+    * evaluates it once per row (it can decline under conditional branches
+    * — at worst the row pays two 20-dot argmax encodes, still trivially
+    * codegen'd scalar work).
+    */
+  def cellToLatLng(cell: Column, res: Int = 6): (Column, Column) = {
+    val ic = cellToIcosa(cell, res)
+    (call_function("icosa_lat", ic), call_function("icosa_lng", ic))
   }
 }

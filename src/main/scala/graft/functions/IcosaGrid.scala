@@ -14,8 +14,11 @@ package graft.functions
   * Uber's H3 (icosahedron + gnomonic projection + hierarchical cells) but
   * NOT bit-compatible with H3's index space — H3's published base-cell
   * orientation tables cannot be re-derived offline, so foreign H3 indexes
-  * still need the drop-in decoder seam documented at
-  * [[Geo.cellToPseudoLatLng]]. Everything here derives from first
+  * are anchored through the drop-in seam documented at
+  * [[Geo.cellToPseudoLatLng]] and then snapped onto THIS grid by
+  * [[Geo.cellToLatLng]] (the product decode path — q37, the hotspot
+  * builder, and the flagship all route through it). Everything here
+  * derives from first
   * principles: the 12 vertices are the cyclic permutations of (0, ±1, ±φ)
   * normalized, the 20 faces are discovered as the vertex triples with all
   * pairwise distances equal to the edge length, and the per-face tangent

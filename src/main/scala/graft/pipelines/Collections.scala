@@ -43,9 +43,12 @@ object Collections {
 
   /** `hotspots` vertices (J1+J2+F3+P8, reference
     * `src/blockchain_queries.py:135-169`): inventory ⟕ status ⟕ locations,
-    * GeoJSON point from the h3 cell, nested location_details with the
-    * city_key, analytics columns null until the metrics stage (G5) fills
-    * them. Status and locations are broadcast dims → zero shuffles.
+    * GeoJSON point from the cell via the REAL icosahedral decode
+    * ([[Geo.cellToLatLng]] — genuine on-sphere cell centers; only the
+    * foreign-hex anchor is the documented pseudo seam), nested
+    * location_details with the city_key, analytics columns null until the
+    * metrics stage (G5) fills them. Status and locations are broadcast
+    * dims → zero shuffles.
     */
   def hotspots(gatewayInventory: DataFrame, gatewayStatus: DataFrame,
                locations: DataFrame): DataFrame = {
@@ -53,7 +56,7 @@ object Collections {
     val st = gatewayStatus.select(col("address"), col("online")).alias("st")
     val loc = locations.select(col("location"), col("long_city"),
       col("long_state"), col("long_country"), col("city_id")).alias("loc")
-    val (lat, lng) = Geo.cellToPseudoLatLng(col("inv.location_hex"))
+    val (lat, lng) = Geo.cellToLatLng(col("inv.location_hex"))
     inv.join(broadcast(st), Seq("address"), "left_outer")
       .join(broadcast(loc), col("inv.location") === col("loc.location"), "left_outer")
       .select(

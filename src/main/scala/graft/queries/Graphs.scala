@@ -66,22 +66,34 @@ object Graphs {
     GraphMetrics.perCityBetweenness(edges(spark, d))
       .withColumn("city", col("city").cast("int"))
 
-  /** q37: F3/P8 — the (pseudo) cell decode feeding GeoJSON points,
-    * null-tolerantly: cells are rendered from customer names, every 97th
-    * customer carries a null cell and must yield null coords and a null
-    * point, exactly like the reference's `except TypeError: None` path
-    * (`src/blockchain_queries.py:149-152`).
+  /** q37: F3/P8 — the PRODUCT cell decode feeding GeoJSON points,
+    * null-tolerantly: foreign hex cells are rendered from customer names
+    * and decoded through the full [[Geo.cellToLatLng]] path (pseudo seam →
+    * `icosa_encode` → real cell-center decode), so the oracle verifies the
+    * anchor arithmetic AND the icosahedral geometry on the product route.
+    * Every 97th customer carries a null cell and must yield a null icosa
+    * id, null coords, and a null point, exactly like the reference's
+    * `except TypeError: None` path (`src/blockchain_queries.py:149-152`).
+    * The GeoJSON coordinates are micro-degree integers: cross-engine
+    * double→string rendering (JVM `Double.toString` vs DuckDB's Ryu) is
+    * not contract-stable, so the JSON carries exact longs and the degree
+    * doubles stay in the (product) [[Geo.geoJsonPoint]] struct form.
     */
   def q37CellDecode(spark: SparkSession, d: String): DataFrame = {
     val withCell = Tables(spark, d, "customer")
       .select(col("c_custkey"),
         when(col("c_custkey") % 97 =!= 0, substring(md5(col("c_name")), 1, 15))
           .as("cell"))
-    val (lat, lng) = Geo.cellToPseudoLatLng(col("cell"))
-    withCell.select(col("c_custkey"),
-      round(lat * 1000000.0).cast("long").as("lat_micro"),
-      round(lng * 1000000.0).cast("long").as("lng_micro"),
-      when(col("cell").isNotNull, to_json(Geo.geoJsonPoint(lat, lng))).as("geo"))
+    val (lat, lng) = Geo.cellToLatLng(col("cell"))
+    withCell
+      .select(col("c_custkey"), col("cell"),
+        Geo.cellToIcosa(col("cell")).as("icell"),
+        round(lat * 1000000.0).cast("long").as("lat_micro"),
+        round(lng * 1000000.0).cast("long").as("lng_micro"))
+      .select(col("c_custkey"), col("icell"), col("lat_micro"), col("lng_micro"),
+        when(col("cell").isNotNull, to_json(struct(
+          array(col("lng_micro"), col("lat_micro")).as("coordinates"),
+          lit("Point").as("type")))).as("geo"))
   }
 
   /** q47: G4 per-city weighted HITS — the metric the reference declared

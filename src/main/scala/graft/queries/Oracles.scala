@@ -781,7 +781,8 @@ object Oracles {
     sb.toString
   }
 
-  /** Generated twin of [[graft.functions.IcosaGrid]] (q75): the whole codec
+  /** Generated twin of [[graft.functions.IcosaGrid]] (q75 and, through the
+    * foreign-cell seam, q37): the whole codec
     * — argmax face selection over the 20 face constants, gnomonic
     * projection into the face tangent plane, integer grid packing, and the
     * inverse (unproject, normalize, asin/atan2) — re-implemented in DuckDB
@@ -801,7 +802,8 @@ object Oracles {
     * hash match proves the geometry end to end, with the cross-libm
     * caveat documented rather than claimed away.
     */
-  private def icosaSql(res: Int): String = {
+  private def icosaCodecSql(res: Int, pts: String, cellCond: String,
+                            finalSelect: String): String = {
     import graft.functions.IcosaGrid
     val m = 1L << res
     val step = IcosaGrid.Span / m
@@ -824,12 +826,9 @@ object Oracles {
       ("e2x", _.e2(0)), ("e2y", _.e2(1)), ("e2z", _.e2(2)),
     ).map { case (n, g) => sel(on, n, g) }.mkString(",\n    ")
     s"""WITH pts AS (
-       |  SELECT c_custkey,
-       |    CAST((c_custkey % 170) - 85 + 0.25 AS DOUBLE) AS lat,
-       |    CAST((c_custkey * 7 % 350) - 175 + 0.5 AS DOUBLE) AS lng
-       |  FROM customer),
+       |$pts),
        |p AS (
-       |  SELECT c_custkey,
+       |  SELECT *,
        |    cos(lat * $pi / 180.0) * cos(lng * $pi / 180.0) AS px,
        |    cos(lat * $pi / 180.0) * sin(lng * $pi / 180.0) AS py,
        |    sin(lat * $pi / 180.0) AS pz
@@ -852,7 +851,7 @@ object Oracles {
        |  FROM exy),
        |enc AS (
        |  SELECT c_custkey,
-       |    CASE WHEN c_custkey % 97 <> 0
+       |    CASE WHEN $cellCond
        |      THEN CAST(${res * 32} + face AS BIGINT) * 4294967296 + (gi + $m) * 65536 + (gj + $m)
        |    END AS cell
        |  FROM eij),
@@ -875,12 +874,42 @@ object Oracles {
        |    cy + gx*e1y + gy*e2y AS wy,
        |    cz + gx*e1z + gy*e2z AS wz
        |  FROM dxy),
-       |dn AS (SELECT *, sqrt(wx*wx + wy*wy + wz*wz) AS nn FROM dw)
-       |SELECT c_custkey, cell,
-       |  CAST(round(asin(wz / nn) * 180.0 / $pi * 1000000.0) AS BIGINT) AS lat_micro,
-       |  CAST(round(atan2(wy / nn, wx / nn) * 180.0 / $pi * 1000000.0) AS BIGINT) AS lng_micro
-       |FROM dn""".stripMargin
+       |dn AS (SELECT *, sqrt(wx*wx + wy*wy + wz*wz) AS nn FROM dw),
+       |dm AS (SELECT *,
+       |    CAST(round(asin(wz / nn) * 180.0 / $pi * 1000000.0) AS BIGINT) AS lat_micro,
+       |    CAST(round(atan2(wy / nn, wx / nn) * 180.0 / $pi * 1000000.0) AS BIGINT) AS lng_micro
+       |  FROM dn)
+       |$finalSelect""".stripMargin
   }
+
+  private def icosaSql(res: Int): String = icosaCodecSql(res,
+    pts = """  SELECT c_custkey,
+             |    CAST((c_custkey % 170) - 85 + 0.25 AS DOUBLE) AS lat,
+             |    CAST((c_custkey * 7 % 350) - 175 + 0.5 AS DOUBLE) AS lng
+             |  FROM customer""".stripMargin,
+    cellCond = "c_custkey % 97 <> 0",
+    finalSelect = "SELECT c_custkey, cell, lat_micro, lng_micro FROM dm")
+
+  /** q37's twin: the same generated codec body, fed by the foreign-cell
+    * seam (md5 anchor — the exact `Geo.cellToPseudoLatLng` formula) and
+    * null-gated on the seam coordinates rather than the key. The GeoJSON
+    * carries micro-degree BIGINTs because cross-engine double→string
+    * rendering is not contract-stable (see `Graphs.q37CellDecode`).
+    */
+  private def icosa37Sql(res: Int): String = icosaCodecSql(res,
+    pts = """  SELECT c_custkey,
+             |    ('0x' || substr(md5(fcell), 1, 8))::BIGINT::DOUBLE % 170.0 - 85.0 + 0.25 AS lat,
+             |    ('0x' || substr(md5(fcell), 9, 8))::BIGINT::DOUBLE % 350.0 - 175.0 + 0.5 AS lng
+             |  FROM (SELECT c_custkey,
+             |      CASE WHEN c_custkey % 97 <> 0 THEN substr(md5(c_name), 1, 15) END AS fcell
+             |    FROM customer)""".stripMargin,
+    cellCond = "lat IS NOT NULL",
+    finalSelect =
+      """SELECT c_custkey, cell AS icell, lat_micro, lng_micro,
+        |  CASE WHEN cell IS NOT NULL THEN
+        |    to_json(struct_pack(coordinates := [lng_micro, lat_micro], type := 'Point'))::VARCHAR
+        |  END AS geo
+        |FROM dm""".stripMargin)
 
   /** Graph twins. q34's betweenness oracle is the generated BFS +
     * pair-dependency SQL above; the numerics are additionally pinned by
@@ -892,26 +921,7 @@ object Oracles {
     "q34_city_betweenness" -> betweennessSql(EdgesSql, levels = 6),
     "q47_city_hits" -> hitsSql(EdgesSql, graft.operators.GraphMetrics.Iterations),
     "q75_icosa_decode" -> icosaSql(res = 6),
-
-    // Twin of Geo.cellToPseudoLatLng + geoJsonPoint (integer-valued double
-    // coords, so the JSON rendering is byte-identical too).
-    "q37_cell_decode" ->
-      """WITH c AS (SELECT c_custkey,
-        |    CASE WHEN c_custkey % 97 <> 0 THEN substr(md5(c_name), 1, 15) END AS cell
-        |  FROM customer),
-        |d AS (SELECT c_custkey, cell,
-        |    CASE WHEN cell IS NOT NULL
-        |      THEN ('0x' || substr(md5(cell), 1, 8))::BIGINT::DOUBLE % 170.0 - 85.0 END AS lat,
-        |    CASE WHEN cell IS NOT NULL
-        |      THEN ('0x' || substr(md5(cell), 9, 8))::BIGINT::DOUBLE % 350.0 - 175.0 END AS lng
-        |  FROM c)
-        |SELECT c_custkey,
-        |  CAST(round(lat * 1000000.0) AS BIGINT) AS lat_micro,
-        |  CAST(round(lng * 1000000.0) AS BIGINT) AS lng_micro,
-        |  CASE WHEN cell IS NOT NULL THEN
-        |    to_json(struct_pack(coordinates := [lng, lat], type := 'Point'))::VARCHAR
-        |  END AS geo
-        |FROM d""".stripMargin,
+    "q37_cell_decode" -> icosa37Sql(res = 6),
   )
 
   /** Twin of [[Relational.upsertInputs]] + [[graft.operators.Merge.upsert]]:

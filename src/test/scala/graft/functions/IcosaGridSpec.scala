@@ -103,9 +103,16 @@ class IcosaGridSpec extends AnyFunSuite {
     val res = 6
     val m = 1L << res
     val step = IcosaGrid.Span / m
-    for (k <- 1 to 1500 if k % 97 != 0) {
-      val lat = (k % 170) - 85 + 0.25
-      val lng = (k * 7 % 350) - 175 + 0.5
+    // q75's offset lattice, plus the full foreign-cell seam lattice (every
+    // coordinate Geo.cellToPseudoLatLng can produce: md5-derived lat ∈
+    // {-85..84}+0.25, lng ∈ {-175..174}+0.5 — the offsets exist precisely
+    // to keep anchors off the icosahedron's symmetry planes, where
+    // integer-degree points tie mirror faces exactly).
+    val q75 = for (k <- 1 to 1500 if k % 97 != 0)
+      yield ((k % 170) - 85 + 0.25, (k * 7 % 350) - 175 + 0.5)
+    val q37 = for (la <- -85 to 84; ln <- -175 to 174)
+      yield (la + 0.25, ln + 0.5)
+    for ((lat, lng) <- q75 ++ q37) {
       val latR = lat * math.Pi / 180.0
       val lngR = lng * math.Pi / 180.0
       val p = Array(math.cos(latR) * math.cos(lngR),
@@ -114,7 +121,7 @@ class IcosaGridSpec extends AnyFunSuite {
         .map(f => p(0) * f.c(0) + p(1) * f.c(1) + p(2) * f.c(2))
         .sorted.reverse
       assert(dots(0) - dots(1) > 1e-9,
-        s"point $k ($lat, $lng) is ${dots(0) - dots(1)} from a face tie")
+        s"point ($lat, $lng) is ${dots(0) - dots(1)} from a face tie")
       val f = IcosaGrid.faces(IcosaGrid.faces.indices.maxBy(i =>
         p(0) * IcosaGrid.faces(i).c(0) + p(1) * IcosaGrid.faces(i).c(1) +
           p(2) * IcosaGrid.faces(i).c(2)))
@@ -124,7 +131,7 @@ class IcosaGridSpec extends AnyFunSuite {
           q(0) * f.e2(0) + q(1) * f.e2(1) + q(2) * f.e2(2))) {
         val u = g / step
         val d = math.abs(u - math.rint(u))
-        assert(d > 1e-9, s"point $k ($lat, $lng) is $d grid-units from a grid line")
+        assert(d > 1e-9, s"point ($lat, $lng) is $d grid-units from a grid line")
       }
     }
   }
