@@ -12,8 +12,9 @@ object SparkEntry {
     * compressed): events rendered as poc_receipts_v1 transactions →
     * [[Collections.witnesses]] (declared-schema from_json → explode →
     * pair-key newest-wins dedup) → T4 retention window →
-    * per-city weighted PageRank over the surviving witness graph.
-    * Driver smoke-checks rows > 0.
+    * per-city weighted PageRank over the surviving witness graph →
+    * G5 metric write-back → X3 bulk sink (per-partition batched JSON,
+    * re-read as the returned frame). Driver smoke-checks rows > 0.
     */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
@@ -68,8 +69,19 @@ object SparkEntry {
       .select(col("node"), col("bc_pm").as("value_pm"), col("bc_norm_pm").as("norm_pm"))
     val ha = own(GraphMetrics.perCityHits(graph, minEdges = 2))
       .select(col("node"), col("hub_pm"), col("auth_pm"))
-    Collections.mergeMetrics(
+    val docs = Collections.mergeMetrics(
       hotspots.withColumn("_key", col("address")), pr, bc, Some(ha))
+    // X3/K1: ship the finished docs through the per-partition bulk sink —
+    // the reference's importBulk loop (fresh connection per worker,
+    // batched JSON payloads, src/arango_queries.py:137-143,231-258) — and
+    // return them re-read from the sink, so the smoke row count witnesses
+    // the full write path, not just the transform lineage.
+    val sinkDir = java.nio.file.Files
+      .createTempDirectory("graft_flagship_sink").toString
+    graft.operators.BulkSink.write(
+      docs.select(to_json(struct(docs.columns.map(col): _*)).as("doc")),
+      new graft.operators.BulkSink.JsonLinesWriter(sinkDir), batchSize = 1000)
+    spark.read.json(sinkDir)
   }
 
   /** One entry per implemented operator family from SURVEY.md §2. */

@@ -29,6 +29,29 @@ object BulkSink {
     def close(): Unit
   }
 
+  /** A file-backed [[BulkWriter]]: partition `p` appends its batches as
+    * JSON lines to `dir/part-p.jsonl`. Expects a single string column —
+    * the serialized document — which is exactly the payload shape the
+    * reference bulk-imports (it POSTs JSON document arrays,
+    * `src/arango_queries.py:231-258`); the directory stands in for the
+    * external endpoint with the same per-partition connection lifecycle.
+    * Executor-local writes: in cluster mode `dir` must be a shared
+    * filesystem; the flagship runs local mode.
+    */
+  final class JsonLinesWriter(dir: String) extends BulkWriter {
+    @transient private var out: java.io.BufferedWriter = _
+    def open(partitionId: Int): Unit = {
+      val p = java.nio.file.Paths.get(dir, f"part-$partitionId%05d.jsonl")
+      java.nio.file.Files.createDirectories(p.getParent)
+      out = java.nio.file.Files.newBufferedWriter(p)
+    }
+    def writeBatch(rows: Seq[Row]): Long = {
+      rows.foreach { r => out.write(r.getString(0)); out.newLine() }
+      rows.size.toLong
+    }
+    def close(): Unit = if (out != null) out.close()
+  }
+
   /** Stream `df` into the writer with per-partition connections and
     * `batchSize` bulk chunks; returns the total accepted count (via an
     * accumulator — no driver-side collect).

@@ -54,6 +54,18 @@ class SinkSpec extends AnyFunSuite {
     assert(!plan.contains("ArrayFilter") && !plan.contains("ArrayExists"))
   }
 
+  test("JsonLinesWriter round-trips documents through the file-backed sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_spec").toString
+    val docs = spark.range(0, 50).toDF("id")
+      .select(to_json(struct(col("id"), (col("id") * 2).as("v"))).as("doc"))
+      .repartition(4)
+    val accepted = BulkSink.write(docs, new BulkSink.JsonLinesWriter(dir), batchSize = 8)
+    assert(accepted == 50)
+    val back = spark.read.json(dir).select("id", "v")
+      .as[(Long, Long)].collect().toSet
+    assert(back == (0L until 50L).map(i => (i, i * 2)).toSet)
+  }
+
   test("BulkSink opens one connection per partition and batches writes (X3)") {
     val df = spark.range(0, 100).toDF("id").repartition(4)
     val accepted = BulkSink.write(df, CountingWriter, batchSize = 7)
