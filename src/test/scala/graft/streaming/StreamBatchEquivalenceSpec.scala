@@ -1,0 +1,166 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+import graft.TestSpark
+import graft.operators.{AsOf, Dedup, Sessionize}
+import graft.streaming.Streams._
+
+/** Stream↔batch equivalence: each streaming twin in [[Streams]] must
+  * produce EXACTLY the batch operator's result on the same fixture, fed as
+  * multiple micro-batches (so cross-batch state merging is exercised, not
+  * just a single-batch pass). Feeding respects each twin's documented
+  * arrival contract — event-time-ordered chunks for the as-of state (late
+  * lefts degrade by design) and a watermark delay covering the fixture
+  * span for sessions (so no session is dropped half-built at a chunk
+  * boundary); within those contracts the equality is exact, not
+  * approximate.
+  */
+class StreamBatchEquivalenceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("windowedRewards stream ≡ the same aggregation executed in batch (q16 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new Random(3)
+    val day = 86400000000L
+    val rows = Seq.fill(300)((rnd.nextLong(3 * day), 1L + rnd.nextInt(10),
+      rnd.nextInt(10000) / 100.0))
+    val input = MemoryStream[(Long, Long, Double)]
+    val stream = windowedRewards(
+      input.toDF().toDF("ts_us", "user_id", "value"), "1 day", "0 seconds")
+    val query = stream.writeStream.format("memory").queryName("eq_rewards")
+      .outputMode("complete").start()
+    try {
+      rows.sortBy(_._1).grouped(100).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+      val streamed = spark.table("eq_rewards")
+        .select(col("user_id"), col("window_start").cast("long"),
+          col("rewards_c"), col("cnt"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // the same operator over the static frame (withWatermark is a no-op
+      // in batch; window() aggregates identically)
+      val batch = windowedRewards(
+        rows.toDF("ts_us", "user_id", "value"), "1 day", "0 seconds")
+        .select(col("user_id"), col("window_start").cast("long"),
+          col("rewards_c"), col("cnt"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("newestWinsState stream ≡ Dedup.newestWins (q10 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new Random(7)
+    // snr = index keeps every (time, snr) pair unique → both sides' argmax
+    // is total, so equality is exact with no tolerated ties
+    val obs = (0 until 240).map { i =>
+      WitnessObs(s"k${rnd.nextInt(8)}|g${rnd.nextInt(3)}",
+        rnd.nextInt(1000).toLong, i.toDouble, rnd.nextBoolean())
+    }
+    val input = MemoryStream[WitnessObs]
+    val query = newestWinsState(input.toDS())
+      .writeStream.format("memory").queryName("eq_newest")
+      .outputMode("update").start()
+    try {
+      obs.grouped(80).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+      val streamed = spark.table("eq_newest")
+        .groupBy("key").agg(max(struct(col("time"), col("snr"), col("isValid"))).as("s"))
+        .select(col("key"), col("s.time"), col("s.snr"), col("s.isValid"))
+        .as[(String, Long, Double, Boolean)].collect().toSet
+      val batch = Dedup.newestWins(obs.toDF(), Seq(col("key")), col("time"), col("snr"))
+        .select("key", "time", "snr", "isValid")
+        .as[(String, Long, Double, Boolean)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.size == obs.map(_.key).distinct.size)
+    } finally query.stop()
+  }
+
+  test("asofEnrichState stream ≡ AsOf.backward under in-order arrival (q44 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new Random(11)
+    val rights = for (k <- 0 until 8; _ <- 1 to 5)
+      yield TemporalEvent(s"k$k", rnd.nextInt(500) * 10L, isRight = true,
+        rnd.nextInt(100).toDouble) // integer-valued: the long tiebreak is exact
+    val lefts = for (k <- 0 until 8; j <- 1 to 8)
+      yield TemporalEvent(s"k$k", rnd.nextInt(5200).toLong, isRight = false,
+        1000.0 + k * 100 + j) // unique values → rows compare as a set
+    // the documented arrival contract: event-time order, rights before
+    // lefts at ties (chunk boundaries can then never hide a right from a
+    // same-or-later left)
+    val ordered = (rights ++ lefts)
+      .sortBy(e => (e.time, if (e.isRight) 0 else 1, e.value))
+    val input = MemoryStream[TemporalEvent]
+    val query = asofEnrichState(input.toDS())
+      .writeStream.format("memory").queryName("eq_asof")
+      .outputMode("append").start()
+    try {
+      ordered.grouped(40).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+      val streamed = spark.table("eq_asof")
+        .as[Enriched].collect()
+        .map(e => (e.key, e.time, e.value, e.asofTime, e.asofValue)).toSet
+      val batch = AsOf.backward(
+        lefts.map(e => (e.key, e.time, e.value)).toDF("key", "time", "value"),
+        rights.map(e => (e.key, e.time, e.time, e.value)).toDF("key", "time", "rt", "value"),
+        keys = Seq("key"), time = "time", tiebreak = "value",
+        carry = Seq("rt", "value"))
+        .select(col("key"), col("time"), col("value"), col("asof_rt"), col("asof_value"))
+        .as[(String, Long, Double, Option[Long], Option[Double])].collect().toSet
+      assert(streamed == batch)
+      assert(batch.exists(_._4.isEmpty) && batch.exists(_._4.nonEmpty))
+    } finally query.stop()
+  }
+
+  test("sessionized stream ≡ Sessionize.rollup (q59 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new Random(19)
+    val sec = 1000000L
+    val gap = 30 * sec
+    val rows = (for (u <- 1L to 8L; _ <- 1 to 12)
+      yield (rnd.nextInt(600) * sec, u, rnd.nextInt(10000) / 100.0)) ++
+      // an exact-gap pair: the stream's +1µs widening must keep it
+      // in-session, matching the batch operator's strict `>`
+      Seq((700 * sec, 9L, 1.0), (730 * sec, 9L, 2.0))
+    // watermark delay covers the fixture span, so chunked feeding can
+    // never drop a session's later events; the far-future sentinel then
+    // closes everything
+    val input = MemoryStream[(Long, Long, Double)]
+    val stream = sessionized(
+      input.toDF().toDF("ts_us", "user_id", "value"), gap, "1200 seconds")
+    val query = stream.writeStream.format("memory").queryName("eq_sessions")
+      .outputMode("append").start()
+    try {
+      rows.sortBy(_._1).grouped(35).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+      input.addData((1000000 * sec, 9999L, 0.0)) // flush sentinel
+      query.processAllAvailable()
+      val streamed = spark.table("eq_sessions")
+        .filter(col("user_id") =!= 9999L)
+        .select("user_id", "n_events", "session_start", "session_end",
+          "duration", "sum_value_c")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      val batch = Sessionize.rollup(rows.toDF("ts_us", "user_id", "value"),
+        Seq(col("user_id")), col("ts_us"), col("value"), gap,
+        round(col("value") * 100).cast("long"))
+        .select(col("user_id"), col("n_events"), col("session_start"),
+          col("session_end"), col("duration"), col("sum_metric"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      // the exact-gap pair really is one session on both sides
+      assert(batch.contains((9L, 2L, 700 * sec, 730 * sec, gap, 300L)))
+    } finally query.stop()
+  }
+}
