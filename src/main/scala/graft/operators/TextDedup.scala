@@ -16,6 +16,11 @@ import graft.functions.Text
   * risk; AQE skew-join splitting handles moderate skew, and a df-cap
   * filter (drop shingles with document frequency above a threshold, the
   * standard trick) is exposed via `maxDf`.
+  *
+  * Cache lifecycle: persists on RETURNED lineage are caller-owned (the
+  * repo-wide convention, see [[TermStats]]); only [[dupClusters]]'
+  * iterative path — which materializes internally and therefore sees its
+  * own terminal actions — unpersists in `finally` itself.
   */
 object TextDedup {
 
@@ -41,7 +46,8 @@ object TextDedup {
         sh.join(df, "sh")
       } else sh
     // Persist: the exploded shingle index feeds three consumers (sizes +
-    // both self-join sides) and would be recomputed for each.
+    // both self-join sides) and would be recomputed for each. Caller-owned
+    // (returned lineage — the [[TermStats]] convention).
     val filtered = filtered0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = filtered.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val a = filtered.select(col("doc").as("doc_a"), col("sh"))
@@ -98,7 +104,8 @@ object TextDedup {
     require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
     val r = numHashes / bands
     // Persist: both sides of the band self-join (and the distinct) would
-    // otherwise recompute the full signature scan.
+    // otherwise recompute the full signature scan. Caller-owned (returned
+    // lineage — the [[TermStats]] convention).
     val cached = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = cached.select(col("doc"), col("sig"),
       posexplode(array((0 until bands).map(b =>
@@ -284,7 +291,8 @@ object TextDedup {
     // overlap join; with a df-cap the CORPUS index also feeds two consumers
     // (the df aggregate and the filter join) — and the corpus is the
     // expensive side, so recomputing its explode+shuffle twice is the worse
-    // miss.
+    // miss. Both caller-owned (returned lineage — the [[TermStats]]
+    // convention).
     val p = shingled(probe, "doc")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c =
@@ -330,7 +338,8 @@ object TextDedup {
     val mask = (1L << width) - 1
     // Persist: both sides of the band self-join would otherwise recompute
     // the fingerprint aggregation (two keyed shuffles over 32× the token
-    // count) — same reuse rule as [[lshCandidatePairs]].
+    // count) — same reuse rule as [[lshCandidatePairs]]. Caller-owned
+    // (returned lineage — the [[TermStats]] convention).
     val cached = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = cached.select(col("doc"), col("simhash"),
       posexplode(array((0 until bands).map(b =>

@@ -156,6 +156,7 @@ object Curation {
     // Persist: the dedup survivors feed both the boilerplate aggregate and
     // the final join's left side — without this the gate + dedup windows
     // run twice (the self-referential-reuse rule, see TermStats.tfidf).
+    // Caller-owned (returned lineage — the TermStats convention).
     val deduped = {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(md5(Text.normalized(col("text"))))

@@ -131,6 +131,9 @@ object LlmPipelines {
     * never form, the property that makes corpus growth affordable).
     */
   def q58IncrementalNeardup(spark: SparkSession, d: String): DataFrame = {
+    // Persist: both halves of the incoming/existing split read the same
+    // signature scan. Caller-owned (returned lineage — the TermStats
+    // convention; Bench/Verify clearCache() per query).
     val sigs = TextDedup.minhashSignatures(
         Tables.balanced(spark, d, "documents"), "doc_id", "text",
         ShingleK, NumHashes)
