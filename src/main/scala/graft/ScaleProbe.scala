@@ -72,7 +72,7 @@ object ScaleProbe {
     // runs only those blocks (default: all). Unknown names fail loudly — a
     // typo must not silently measure nothing.
     val sections = Set("session", "termstats", "minhash", "ann", "temporal",
-      "packing", "relational", "topk", "kmeans")
+      "packing", "relational", "topk", "kmeans", "sinks")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -222,6 +222,31 @@ object ScaleProbe {
           iters = 5, maxFoldMembers = 64L).count()
       }
       spark.catalog.clearCache()
+    }
+    // Sink/driver family (q76/q78) on replica-scaled RAW event tables, run
+    // through the registered queries unchanged. appendSeries is one
+    // explicit repartition on the doc key → wall ∝ rows. The chunked
+    // parquet driver rewrites the WHOLE sink per chunk (read + union +
+    // dedup + full rewrite — the documented parquet stand-in for
+    // table-format MERGE), so its wall is O(chunks × final sink size);
+    // this curve is what locates the crossover where Delta/Iceberg MERGE
+    // becomes mandatory (see SCALE.md's sink section for the rule).
+    if (want("sinks")) for (factor <- Seq(1, 4, 16)) {
+      val dir = s"/tmp/scale/sink$factor"
+      val base = Tables(spark, d, "events")
+      val ninetyDaysNs = 90L * 86400 * 1000000000L
+      (0 until factor).map(i => base
+          .withColumn("event_id", col("event_id") + i * 100000000L)
+          .withColumn("user_id", col("user_id") + i * 1000000L)
+          .withColumn("ts", col("ts") + i * ninetyDaysNs))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      for (name <- Seq("q76_append_series", "q78_incremental_driver")) {
+        time(s"$name ${factor}x (${100000 * factor} events)") {
+          SparkEntry.queries(name)(spark, dir).count()
+        }
+        spark.catalog.clearCache()
+      }
     }
     // Top-k physical forms at large candidate fan-in: the window form
     // shuffles every scored row; the partial-agg form crosses the
