@@ -83,18 +83,116 @@ object Similarity {
     * oversized buckets).
     */
   def rpLshBucketRange(v: Column, from: Int, planes: Int, dims: Int): Column = {
+    def dotPlane(p: Int): Column =
+      call_function("vec_dot", typedlit(mdWeights(p, dims)), v)
+    (0 until planes).map(b =>
+        when(dotPlane(from + b) > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** The engine's fixed pseudo-random weight row: md5("p:i") → 32 bits →
+    * [-1, 1] in steps of 1e-3 — engine-portable (the DuckDB twins evaluate
+    * the same formula in SQL, or receive the values as printed constants).
+    * Namespace `p` is shared by the LSH planes (small p) and the PQ
+    * codebooks ([[PqNamespace]]+) — keep ranges disjoint.
+    */
+  private[graft] def mdWeights(p: Int, dims: Int): IndexedSeq[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    def weight(p: Int, i: Int): Double = {
+    (0 until dims).map { i =>
       val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.substring(0, 8)
       (java.lang.Long.parseLong(hex, 16) % 2001 - 1000).toDouble / 1000.0
     }
-    def dotPlane(p: Int): Column =
+  }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ) — the standard big-ANN compression (the
+  // IVF-PQ architecture): each vector is split into PqSub subspaces and
+  // each subspace is replaced by the 4-bit id of its nearest codebook
+  // entry. A 64-dim float vector (256 bytes) becomes PqSub·4 bits
+  // (2 bytes) — the 128× footprint cut that lets the code table of a
+  // 100 TB embedding corpus ADC-scan from cluster memory. Composes with
+  // [[ivfAssign]] (cells prune, codes score) for full IVF-PQ.
+  // ---------------------------------------------------------------------
+
+  val PqDims = 64
+  val PqSub = 4
+  val PqSubDim: Int = PqDims / PqSub
+  val PqK = 16
+  /** Weight-namespace offset for codebook rows — disjoint from the LSH
+    * plane ids by construction. */
+  val PqNamespace = 1000
+
+  /** `pqCodebook(s)(c)` = codebook entry c of subspace s. Data-independent
+    * md5-derived constants: production PQ k-means-trains these per
+    * subspace ([[kmeansRefine]] IS that trainer — run it on
+    * `slice(vec, s·PqSubDim+1, PqSubDim)` and feed the refined centroids
+    * here); the operator contract — encode, pack, ADC — is what the
+    * engine owns, and fixed codebooks keep the DuckDB oracle exact.
+    */
+  lazy val pqCodebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    (0 until PqSub).map(s => (0 until PqK).map(c =>
+      mdWeights(PqNamespace + s * PqK + c, PqSubDim)))
+
+  /** ‖cb[s][c]‖², folded in ascending index order (printed into the SQL
+    * twin, so the fold order is part of the contract). */
+  lazy val pqCbNorm2: IndexedSeq[IndexedSeq[Double]] =
+    pqCodebook.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
+
+  /** PQ encode: per subspace the L2-nearest codebook entry via the
+    * `‖cb‖² − 2⟨x_s, cb⟩` reduction — ‖x_s‖² is constant within a
+    * subspace, so the argmin drops it and every distance is ONE codegen'd
+    * [[graft.expressions.VecDot]] against a constant array (no
+    * interpreted subtraction HOF). Ties take the lowest code id
+    * (first-match — the SQL twin's `ORDER BY dist, c` row_number).
+    * Output: (id, code0..code{PqSub-1}, pq_code) with `pq_code` the
+    * packed little-endian 4-bit word — the 2-byte column a production
+    * table would store.
+    */
+  def pqEncode(corpus: DataFrame, id: String, vec: String): DataFrame = {
+    val codeCols = (0 until PqSub).map { s =>
+      val sub = slice(col(vec), s * PqSubDim + 1, PqSubDim)
+      val ds = (0 until PqK).map { c =>
+        lit(pqCbNorm2(s)(c)) - lit(2.0) *
+          call_function("vec_dot", typedlit(pqCodebook(s)(c)), sub)
+      }
+      val best = least(ds: _*)
+      (1 until PqK).foldLeft(when(ds(0) === best, lit(0))) {
+        (acc, c) => acc.when(ds(c) === best, lit(c))
+      }.cast("int").as(s"code$s")
+    }
+    corpus.select(col(id) +: codeCols: _*)
+      .withColumn("pq_code",
+        (0 until PqSub).map(s => col(s"code$s").cast("long") * (1L << (4 * s)))
+          .reduce(_ + _))
+  }
+
+  /** ADC (asymmetric distance computation) top-k: the exact query vector
+    * scores every corpus CODE by per-subspace codebook lookup —
+    * `adc_pm = round(1e6 · Σ_s ⟨q_s, cb[s][code_s]⟩)` approximates the
+    * inner product while the corpus side reads 2 bytes per vector instead
+    * of 256. Plan shape = [[bruteForceTopK]] (broadcast query side, one
+    * corpus-code pass, per-query top-k), but the streamed side is the
+    * packed code table — at 100 TB that table is ~0.8 TB and the scan is
+    * memory-speed; IVF cells ([[ivfAssign]]) prune it further.
+    */
+  def pqAdcTopK(corpus: DataFrame, id: String, vec: String,
+                queryPred: Column, k: Int): DataFrame = {
+    val coded = pqEncode(corpus, id, vec)
+      .select(col(id).as("cid") +: (0 until PqSub).map(s => col(s"code$s")): _*)
+    val q = corpus.filter(queryPred)
+      .select(col(id).as("qid"), col(vec).as("qv"))
+    val adc = (0 until PqSub).map { s =>
       call_function("vec_dot",
-        typedlit((0 until dims).map(weight(p, _))), v)
-    (0 until planes).map(b =>
-        when(dotPlane(from + b) > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
+        slice(col("qv"), s * PqSubDim + 1, PqSubDim),
+        element_at(typedlit(pqCodebook(s).map(_.toSeq).toSeq), col(s"code$s") + 1))
+    }.reduce(_ + _)
+    val scored = coded.crossJoin(broadcast(q)) // deliberate: |Q| small
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(lit(1000000.0) * adc).cast("long").as("adc_pm"))
+    Dedup.keepFirstK(scored, Seq(col("qid")),
+      Seq(col("adc_pm").desc, col("cid").asc), k, "rank")
   }
 
   /** IVF cell assignment: each vector goes to its nearest of the given

@@ -308,7 +308,25 @@ object LlmPipelines {
         col("resized_bytes"), col("resized_sha"))
   }
 
+  /** q79: PQ encode ([[Similarity.pqEncode]]) — every embedding compressed
+    * to four 4-bit codes + the packed 2-byte word. The oracle recomputes
+    * the per-subspace L2 argmin from the printed codebook constants, so
+    * the codes (and the tie rule) are verified end to end.
+    */
+  def q79PqEncode(spark: SparkSession, d: String): DataFrame =
+    Similarity.pqEncode(Tables.balanced(spark, d, "embeddings"),
+      "vec_id", "embedding")
+
+  /** q80: ADC top-k over PQ codes ([[Similarity.pqAdcTopK]]) — the
+    * compressed-corpus scan: exact query vectors, 2-byte corpus rows.
+    */
+  def q80PqAdcTopk(spark: SparkSession, d: String): DataFrame =
+    Similarity.pqAdcTopK(Tables.balanced(spark, d, "embeddings"),
+      "vec_id", "embedding", col("vec_id") < 20, k = 3)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_pq_encode" -> q79PqEncode _,
+    "q80_pq_adc_topk" -> q80PqAdcTopk _,
     "q35_binary_features" -> q35BinaryFeatures _,
     "q36_frame_sample" -> q36FrameSample _,
     "q42_resize_stub" -> q42ResizeStub _,

@@ -272,6 +272,42 @@ object Oracles {
   // twin of Similarity.rpLshBucket(v, planes, dims=64)
   private def rpBucket(v: String, planes: Int = 8) = rpBucketRange(v, 0, planes)
 
+  // Generated twin of Similarity.pqEncode (q79; q80 extends it): the
+  // codebooks and their ascending-fold norms are printed from the
+  // engine's own constants via Double.toString — bit-identical doubles on
+  // both engines (correctly-rounded strtod) — and everything below is
+  // +/−/* on those doubles (no trig), so the twin is exact. The argmin's
+  // ORDER BY dist, c mirrors the engine's first-match-at-least tie rule.
+  private lazy val pqCbValues: String = {
+    import graft.operators.Similarity.{PqK, PqSub, pqCbNorm2, pqCodebook}
+    (for (s <- 0 until PqSub; c <- 0 until PqK) yield {
+      val vec = pqCodebook(s)(c).mkString("[", ", ", "]")
+      s"($s, $c, $vec::DOUBLE[], ${pqCbNorm2(s)(c)})"
+    }).mkString(",\n    ")
+  }
+
+  /** CTE chain ending at `codes(vec_id, c0..c3)` — shared by q79/q80. */
+  private lazy val pqCodesSql: String = {
+    import graft.operators.Similarity.{PqSub, PqSubDim}
+    require(PqSub == 4, "the generated CASE pivot below is written for 4 subspaces")
+    s"""WITH cb(s, c, vec, n2) AS (VALUES
+       |    $pqCbValues),
+       |d AS (SELECT vec_id, s, c,
+       |    n2 - 2.0 * list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+       |      i -> embedding[s * $PqSubDim + i]::DOUBLE * vec[i]), (a, b) -> a + b) AS dist
+       |  FROM embeddings CROSS JOIN cb),
+       |r AS (SELECT vec_id, s, c,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
+       |  FROM d),
+       |codes AS (SELECT vec_id,
+       |    MAX(CASE WHEN s = 0 THEN c END) AS c0, MAX(CASE WHEN s = 1 THEN c END) AS c1,
+       |    MAX(CASE WHEN s = 2 THEN c END) AS c2, MAX(CASE WHEN s = 3 THEN c END) AS c3
+       |  FROM r WHERE rn = 1 GROUP BY vec_id)""".stripMargin
+  }
+
+  private def pqAdcTerm(s: Int, cbAlias: String): String =
+    s"list_reduce(list_transform(range(1, 17), i -> qv[$s * 16 + i]::DOUBLE * $cbAlias.vec[i]), (a, b) -> a + b)"
+
   private lazy val BruteForceTop5Sql =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
        |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
@@ -468,6 +504,33 @@ object Oracles {
     // aggregator instead of the window — identical results by contract,
     // so the oracle is the same SQL, hash-compared independently.
     "q53_topk_agg" -> BruteForceTop5Sql,
+
+    "q79_pq_encode" ->
+      s"""$pqCodesSql
+         |SELECT vec_id,
+         |  CAST(c0 AS INTEGER) AS code0, CAST(c1 AS INTEGER) AS code1,
+         |  CAST(c2 AS INTEGER) AS code2, CAST(c3 AS INTEGER) AS code3,
+         |  CAST(c0 + c1 * 16 + c2 * 256 + c3 * 4096 AS BIGINT) AS pq_code
+         |FROM codes""".stripMargin,
+
+    "q80_pq_adc_topk" ->
+      s"""$pqCodesSql,
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         |p AS (SELECT qid, qv, codes.vec_id AS cid, c0, c1, c2, c3
+         |      FROM codes CROSS JOIN q WHERE codes.vec_id <> qid),
+         |sc AS (SELECT qid, cid,
+         |    CAST(round(1000000.0 * (${pqAdcTerm(0, "cb0")}
+         |      + ${pqAdcTerm(1, "cb1")}
+         |      + ${pqAdcTerm(2, "cb2")}
+         |      + ${pqAdcTerm(3, "cb3")})) AS BIGINT) AS adc_pm
+         |  FROM p JOIN cb cb0 ON cb0.s = 0 AND cb0.c = p.c0
+         |         JOIN cb cb1 ON cb1.s = 1 AND cb1.c = p.c1
+         |         JOIN cb cb2 ON cb2.s = 2 AND cb2.c = p.c2
+         |         JOIN cb cb3 ON cb3.s = 3 AND cb3.c = p.c3),
+         |r2 AS (SELECT qid, cid, adc_pm,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc_pm DESC, cid ASC) AS "rank"
+         |  FROM sc)
+         |SELECT qid, cid, adc_pm, "rank" FROM r2 WHERE "rank" <= 3""".stripMargin,
 
     "q31_ann_lsh_topk" ->
       s"""WITH emb AS (SELECT vec_id, embedding, ${rpBucket("embedding")} AS bucket FROM embeddings),

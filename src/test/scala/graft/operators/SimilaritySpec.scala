@@ -200,6 +200,69 @@ class SimilaritySpec extends AnyFunSuite {
     tight.foreach { case (q, c) => assert(buckets(q) == buckets(c)) }
   }
 
+  test("pqEncode: codes are the per-subspace L2 argmin, lowest id on ties, packed word consistent") {
+    val rnd = new scala.util.Random(23)
+    val emb = (0L until 50L).map(i => (i, Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val out = Similarity.pqEncode(emb.toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .select("vec_id", "code0", "code1", "code2", "code3", "pq_code")
+      .as[(Long, Int, Int, Int, Int, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // independent re-derivation with the operator's exact arithmetic:
+    // dist = ‖cb‖² − 2·Σᵢ cb[i]·(double)x[i], ascending fold, argmin with
+    // lowest code id on ties
+    def expectedCode(v: Seq[Float], s: Int): Int = {
+      val ds = (0 until Similarity.PqK).map { c =>
+        val cb = Similarity.pqCodebook(s)(c)
+        val dot = (0 until Similarity.PqSubDim).foldLeft(0.0)((a, i) =>
+          a + cb(i) * v(s * Similarity.PqSubDim + i).toDouble)
+        Similarity.pqCbNorm2(s)(c) - 2.0 * dot
+      }
+      ds.indexOf(ds.min)
+    }
+    emb.foreach { case (id, v) =>
+      val (_, c0, c1, c2, c3, packed) = out(id)
+      assert(Seq(c0, c1, c2, c3) == (0 until 4).map(expectedCode(v, _)))
+      assert(Seq(c0, c1, c2, c3).forall(c => c >= 0 && c < Similarity.PqK))
+      assert(packed == c0 + c1 * 16L + c2 * 256L + c3 * 4096L)
+    }
+  }
+
+  test("pqAdcTopK ranks by the codebook-lookup inner product with id tie-break") {
+    val rnd = new scala.util.Random(29)
+    val emb = (0L until 40L).map(i => (i, Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val got = Similarity.pqAdcTopK(emb.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", col("vec_id") < 4, k = 3)
+      .select("qid", "cid", "adc_pm", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // expected: exact same fold arithmetic, ranked (-adc, cid)
+    def code(v: Seq[Float], s: Int): Int = {
+      val ds = (0 until Similarity.PqK).map { c =>
+        val cb = Similarity.pqCodebook(s)(c)
+        Similarity.pqCbNorm2(s)(c) - 2.0 * (0 until Similarity.PqSubDim)
+          .foldLeft(0.0)((a, i) => a + cb(i) * v(s * Similarity.PqSubDim + i).toDouble)
+      }
+      ds.indexOf(ds.min)
+    }
+    def adcPm(q: Seq[Float], c: Seq[Float]): Long = {
+      val adc = (0 until Similarity.PqSub).foldLeft(0.0) { (acc, s) =>
+        val cb = Similarity.pqCodebook(s)(code(c, s))
+        acc + (0 until Similarity.PqSubDim).foldLeft(0.0)((a, i) =>
+          a + q(s * Similarity.PqSubDim + i).toDouble * cb(i))
+      }
+      math.round(1000000.0 * adc)
+    }
+    val expected = (for {
+      (qid, qv) <- emb.filter(_._1 < 4)
+      (cid, cv) <- emb if cid != qid
+    } yield (qid, cid, adcPm(qv, cv)))
+      .groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        g.sortBy { case (_, c, s) => (-s, c) }.take(3).zipWithIndex
+          .map { case ((q, c, s), r) => (q, c, s, r + 1L) }
+      }.toSet
+    assert(got == expected)
+  }
+
   test("hardNegatives: same-bucket different-label candidates only, ranked like annTopK") {
     val emb = (0L until 40L).map { i =>
       (i, (0 until 8).map(j => ((i * 31 + j * 7) % 13).toFloat - 6f), (i % 3).toInt)
