@@ -149,7 +149,8 @@ object Similarity {
     * packed little-endian 4-bit word — the 2-byte column a production
     * table would store.
     */
-  def pqEncode(corpus: DataFrame, id: String, vec: String): DataFrame = {
+  def pqEncode(corpus: DataFrame, id: String, vec: String,
+               carry: Seq[String] = Nil): DataFrame = {
     val codeCols = (0 until PqSub).map { s =>
       val sub = slice(col(vec), s * PqSubDim + 1, PqSubDim)
       val ds = (0 until PqK).map { c =>
@@ -161,11 +162,22 @@ object Similarity {
         (acc, c) => acc.when(ds(c) === best, lit(c))
       }.cast("int").as(s"code$s")
     }
-    corpus.select(col(id) +: codeCols: _*)
+    corpus.select((col(id) +: carry.map(col)) ++ codeCols: _*)
       .withColumn("pq_code",
         (0 until PqSub).map(s => col(s"code$s").cast("long") * (1L << (4 * s)))
           .reduce(_ + _))
   }
+
+  /** The ADC score column: Σ_s ⟨qv_s, cb[s][code_s]⟩ as a ppm long —
+    * shared by [[pqAdcTopK]] and [[ivfPqTopK]] so the arithmetic (and the
+    * SQL twins built on it) cannot drift apart.
+    */
+  private def adcPm(qv: Column, code: Int => Column): Column =
+    round(lit(1000000.0) * (0 until PqSub).map { s =>
+      call_function("vec_dot",
+        slice(qv, s * PqSubDim + 1, PqSubDim),
+        element_at(typedlit(pqCodebook(s).map(_.toSeq).toSeq), code(s) + 1))
+    }.reduce(_ + _)).cast("long")
 
   /** ADC (asymmetric distance computation) top-k: the exact query vector
     * scores every corpus CODE by per-subspace codebook lookup —
@@ -182,15 +194,34 @@ object Similarity {
       .select(col(id).as("cid") +: (0 until PqSub).map(s => col(s"code$s")): _*)
     val q = corpus.filter(queryPred)
       .select(col(id).as("qid"), col(vec).as("qv"))
-    val adc = (0 until PqSub).map { s =>
-      call_function("vec_dot",
-        slice(col("qv"), s * PqSubDim + 1, PqSubDim),
-        element_at(typedlit(pqCodebook(s).map(_.toSeq).toSeq), col(s"code$s") + 1))
-    }.reduce(_ + _)
     val scored = coded.crossJoin(broadcast(q)) // deliberate: |Q| small
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
-        round(lit(1000000.0) * adc).cast("long").as("adc_pm"))
+        adcPm(col("qv"), s => col(s"code$s")).as("adc_pm"))
+    Dedup.keepFirstK(scored, Seq(col("qid")),
+      Seq(col("adc_pm").desc, col("cid").asc), k, "rank")
+  }
+
+  /** IVF-PQ top-k — the FAISS composition, both halves already verified
+    * separately: [[ivfAssign]] cells PRUNE the candidate space (cell
+    * equi-join, the q38 shape — bucketed, never all-pairs) and PQ codes
+    * SCORE the survivors ([[pqAdcTopK]]'s ADC arithmetic). The streamed
+    * side carries (cell, four 4-bit codes) per vector; exact vectors
+    * appear only on the query side of the cell join — at 100 TB the scan
+    * side is the ~0.8 TB cell+code table, with per-cell pruning on top.
+    */
+  def ivfPqTopK(corpus: DataFrame, centroids: DataFrame, id: String,
+                vec: String, queryPred: Column, k: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, id, vec)
+    val coded = pqEncode(assigned, id, vec, carry = Seq("cell"))
+      .select(col(id).as("cid") +: col("cell") +:
+        (0 until PqSub).map(s => col(s"code$s")): _*)
+    val q = assigned.filter(queryPred)
+      .select(col(id).as("qid"), col(vec).as("qv"), col("cell"))
+    val scored = q.join(coded, Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), col("cell"),
+        adcPm(col("qv"), s => col(s"code$s")).as("adc_pm"))
     Dedup.keepFirstK(scored, Seq(col("qid")),
       Seq(col("adc_pm").desc, col("cid").asc), k, "rank")
   }

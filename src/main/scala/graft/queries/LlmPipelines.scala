@@ -324,9 +324,20 @@ object LlmPipelines {
     Similarity.pqAdcTopK(Tables.balanced(spark, d, "embeddings"),
       "vec_id", "embedding", col("vec_id") < 20, k = 3)
 
+  /** q81: IVF-PQ ([[Similarity.ivfPqTopK]]) — q38's cells prune, q80's
+    * codes score; same seed/query split as q38 so the two are directly
+    * comparable.
+    */
+  def q81IvfPqTopk(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.balanced(spark, d, "embeddings")
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", col("vec_id") >= 20 && col("vec_id") < 30, k = 3)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_pq_encode" -> q79PqEncode _,
     "q80_pq_adc_topk" -> q80PqAdcTopk _,
+    "q81_ivf_pq_topk" -> q81IvfPqTopk _,
     "q35_binary_features" -> q35BinaryFeatures _,
     "q36_frame_sample" -> q36FrameSample _,
     "q42_resize_stub" -> q42ResizeStub _,

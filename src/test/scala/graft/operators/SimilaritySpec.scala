@@ -263,6 +263,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("ivfPqTopK: one cell degenerates to pqAdcTopK; candidates share the query's cell") {
+    val rnd = new scala.util.Random(31)
+    val emb = (0L until 40L).map(i => (i, Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = $"vec_id" < 4
+    // a single centroid puts everything in one cell → pruning is a no-op
+    // and the ranking must be exactly the plain ADC scan's
+    val one = Similarity.ivfPqTopK(emb, emb.filter($"vec_id" === 0),
+        "vec_id", "embedding", queries, k = 3)
+      .select("qid", "cid", "adc_pm", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val plain = Similarity.pqAdcTopK(emb, "vec_id", "embedding", queries, k = 3)
+      .select("qid", "cid", "adc_pm", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(one == plain)
+    // with real cells, every candidate pair must share the query's cell
+    val seeds = emb.filter($"vec_id" < 3)
+    val cells = Similarity.ivfAssign(emb, seeds, "vec_id", "embedding")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val multi = Similarity.ivfPqTopK(emb, seeds, "vec_id", "embedding",
+        queries, k = 3)
+      .select("qid", "cid", "cell").as[(Long, Long, Long)].collect()
+    assert(multi.nonEmpty)
+    multi.foreach { case (q, c, cell) =>
+      assert(cells(q) == cell && cells(c) == cell)
+    }
+  }
+
   test("hardNegatives: same-bucket different-label candidates only, ranked like annTopK") {
     val emb = (0L until 40L).map { i =>
       (i, (0 until 8).map(j => ((i * 31 + j * 7) % 13).toFloat - 6f), (i % 3).toInt)
