@@ -73,6 +73,36 @@ object Incremental {
 
   case class EpochReport(ran: Boolean, from: Long, to: Long, chunks: Int)
 
+  /** The STREAMING follower: a Structured Streaming source drives the
+    * same keyed first-write-wins sink the batch [[Driver]] walks in
+    * height chunks — `foreachBatch` IS the chunk loop, with the trigger
+    * deciding chunk boundaries instead of height ranges, and the stream's
+    * own checkpoint (offset log) replacing the [[Checkpoint]] high-water
+    * mark. Idempotence is unchanged and comes from the sink (T6):
+    * content-derived keys + `Merge.Ignore` make a replayed micro-batch a
+    * no-op, so the at-least-once delivery foreachBatch guarantees becomes
+    * exactly-once SINK STATE — the equivalence
+    * StreamBatchEquivalence/IncrementalSpec pin for the batch driver
+    * holds for the stream too (asserted in IncrementalSpec).
+    *
+    * Scale note: per micro-batch this pays the same O(sink) parquet
+    * rewrite as the batch driver — the documented stand-in; production
+    * swaps `Merge.upsertParquet` for a table-format MERGE inside the same
+    * foreachBatch (see SCALE.md's sink section), the driver shape is
+    * unchanged.
+    */
+  def streamingUpsert(stream: DataFrame, checkpointDir: String, sinkPath: String,
+                      key: String, tiebreak: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Merge.upsertParquet(batch.sparkSession, sinkPath, batch,
+          key, Merge.Ignore, tiebreak)
+        ()
+      }
+      .start()
+
   /** The follower/backfill driver. `source` must yield rows with a
     * monotonically increasing `heightCol`; `currentHeight` is re-read per
     * epoch.

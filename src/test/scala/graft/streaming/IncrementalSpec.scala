@@ -89,6 +89,37 @@ class IncrementalSpec extends AnyFunSuite {
     assert(!driver2.runEpoch().ran)
   }
 
+  test("streaming follower: foreachBatch upserts reach the batch end state, replays are no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-follower").toFile.getAbsolutePath
+    val rows = (0L until 300L).map(i => (i, i % 17, (i % 23).toDouble))
+    val input = MemoryStream[(Long, Long, Double)]
+    val docs = input.toDF().toDF("event_id", "user_id", "value")
+      .select(md5(to_json(struct(col("event_id"), col("user_id"), col("value")))).as("_key"),
+        col("user_id"), round(col("value") * 100).cast("long").as("value_c"),
+        col("event_id"))
+    val query = Incremental.streamingUpsert(docs, s"$dir/ckpt", s"$dir/sink",
+      key = "_key", tiebreak = "event_id")
+    try {
+      // three micro-batches, the middle one re-delivering batch 1's rows
+      // (at-least-once delivery) — the content keys must absorb it
+      input.addData(rows.take(150): _*); query.processAllAvailable()
+      input.addData(rows.slice(100, 200): _*); query.processAllAvailable()
+      input.addData(rows.drop(200): _*); query.processAllAvailable()
+      val sink = spark.read.parquet(s"$dir/sink")
+      assert(sink.count() == 300)
+      assert(sink.select("_key").distinct().count() == 300)
+      // end state equals the direct batch computation over the same rows
+      val expected = rows.toDF("event_id", "user_id", "value")
+        .select(md5(to_json(struct(col("event_id"), col("user_id"), col("value")))).as("_key"),
+          col("user_id"), round(col("value") * 100).cast("long").as("value_c"),
+          col("event_id"))
+      assert(sink.collect().toSet == expected.collect().toSet)
+    } finally query.stop()
+  }
+
   test("re-processing a chunk is a no-op (content-keyed append, T6)") {
     val dir = Files.createTempDirectory("graft-incr2").toFile.getAbsolutePath
     val driver = mkDriver(() => 300L, s"$dir/state", s"$dir/sink")
