@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{IcosaEncode, IcosaLat, IcosaLng, VecDot}
+import graft.expressions.{IcosaEncode, IcosaLat, IcosaLng, PqQuantize, VecDot}
 
 /** The engine's SparkSessionExtensions: registers the custom codegen'd
   * expressions so they resolve by name (`call_function("vec_dot", …)` /
@@ -18,6 +18,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_quantize"),
+      new ExpressionInfo(classOf[PqQuantize].getName, "pq_quantize"),
+      (children: Seq[Expression]) =>
+        PqQuantize(children.head, children(1), children(2), children(3))))
     ext.injectFunction((
       FunctionIdentifier("icosa_encode"),
       new ExpressionInfo(classOf[IcosaEncode].getName, "icosa_encode"),

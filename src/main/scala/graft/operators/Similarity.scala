@@ -151,32 +151,56 @@ object Similarity {
     */
   def pqEncode(corpus: DataFrame, id: String, vec: String,
                carry: Seq[String] = Nil): DataFrame = {
-    val codeCols = (0 until PqSub).map { s =>
-      val sub = slice(col(vec), s * PqSubDim + 1, PqSubDim)
-      val ds = (0 until PqK).map { c =>
-        lit(pqCbNorm2(s)(c)) - lit(2.0) *
-          call_function("vec_dot", typedlit(pqCodebook(s)(c)), sub)
-      }
-      val best = least(ds: _*)
-      (1 until PqK).foldLeft(when(ds(0) === best, lit(0))) {
-        (acc, c) => acc.when(ds(c) === best, lit(c))
-      }.cast("int").as(s"code$s")
-    }
-    corpus.select((col(id) +: carry.map(col)) ++ codeCols: _*)
-      .withColumn("pq_code",
-        (0 until PqSub).map(s => col(s"code$s").cast("long") * (1L << (4 * s)))
-          .reduce(_ + _))
+    // The whole 4-subspace encode is ONE codegen'd expression
+    // ([[graft.expressions.PqQuantize]] — a single static call per row)
+    // emitting the packed word; the 4-bit code columns are nibble
+    // extractions from it. Two deliberate projections: the second
+    // references `pq_code` five times, so CollapseProject never inlines
+    // the quantization (it would otherwise run 5× per row). Earlier
+    // column-expression forms of the argmin (chained CASE over `least`,
+    // then `array_min`+`array_position` over a distance array) generated
+    // ~10 KB of fused whole-stage code — past HotSpot's 8000-byte JIT
+    // limit, leaving the encode stage interpreted and ~10× slower.
+    val keep = col(id) +: carry.map(col)
+    val packed = call_function("pq_quantize", col(vec),
+      typedlit(pqCodebook.flatten.map(_.toSeq).toSeq),
+      typedlit(pqCbNorm2.flatten.toSeq), lit(PqSub))
+    corpus.select(keep :+ packed.as("pq_code"): _*)
+      .select(keep ++ (0 until PqSub).map { s =>
+        shiftright(col("pq_code"), 4 * s).bitwiseAND(lit(15L))
+          .cast("int").as(s"code$s")
+      } :+ col("pq_code"): _*)
   }
 
-  /** The ADC score column: Σ_s ⟨qv_s, cb[s][code_s]⟩ as a ppm long —
-    * shared by [[pqAdcTopK]] and [[ivfPqTopK]] so the arithmetic (and the
-    * SQL twins built on it) cannot drift apart.
+  /** Per-query ADC lookup tables: `__lut{s}[c+1] = ⟨qv_s, cb[s][c]⟩` —
+    * the FAISS ADC preparation step. Computed ONCE PER QUERY ROW (16
+    * subspace dots against codebook constants), so the per-candidate work
+    * in [[adcPm]] collapses to PqSub array lookups + adds. The naive form
+    * — scoring each candidate with `vec_dot(slice(qv,…), element_at(
+    * <16×16 literal>, code))` — re-did the subspace dots per CANDIDATE and
+    * measured 35× slower than the exact 64-dim scan at sf0.1×4 replicas;
+    * with the LUT the streamed side touches only the 2-byte codes, which
+    * is the entire point of ADC.
     */
-  private def adcPm(qv: Column, code: Int => Column): Column =
+  private def adcLuts(q: DataFrame, qv: String): DataFrame =
+    (0 until PqSub).foldLeft(q) { (df, s) =>
+      df.withColumn(s"__lut$s", array((0 until PqK).map { c =>
+        call_function("vec_dot", typedlit(pqCodebook(s)(c)),
+          slice(col(qv), s * PqSubDim + 1, PqSubDim))
+      }: _*))
+    }
+
+  /** The ADC score column: Σ_s ⟨qv_s, cb[s][code_s]⟩ as a ppm long, read
+    * from [[adcLuts]]'s per-query tables — shared by [[pqAdcTopK]] and
+    * [[ivfPqTopK]] so the arithmetic (and the SQL twins built on it)
+    * cannot drift apart. Each `__lut{s}` element is the same
+    * `vec_dot(cb[s][c], q_s)` double the pre-LUT form computed inline
+    * (same operands, same fold order s=0..PqSub−1), so scores are
+    * bit-identical and the oracles are unchanged.
+    */
+  private def adcPm(code: Int => Column): Column =
     round(lit(1000000.0) * (0 until PqSub).map { s =>
-      call_function("vec_dot",
-        slice(qv, s * PqSubDim + 1, PqSubDim),
-        element_at(typedlit(pqCodebook(s).map(_.toSeq).toSeq), code(s) + 1))
+      element_at(col(s"__lut$s"), code(s) + 1)
     }.reduce(_ + _)).cast("long")
 
   /** ADC (asymmetric distance computation) top-k: the exact query vector
@@ -192,12 +216,12 @@ object Similarity {
                 queryPred: Column, k: Int): DataFrame = {
     val coded = pqEncode(corpus, id, vec)
       .select(col(id).as("cid") +: (0 until PqSub).map(s => col(s"code$s")): _*)
-    val q = corpus.filter(queryPred)
-      .select(col(id).as("qid"), col(vec).as("qv"))
+    val q = adcLuts(corpus.filter(queryPred)
+      .select(col(id).as("qid"), col(vec).as("qv")), "qv").drop("qv")
     val scored = coded.crossJoin(broadcast(q)) // deliberate: |Q| small
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
-        adcPm(col("qv"), s => col(s"code$s")).as("adc_pm"))
+        adcPm(s => col(s"code$s")).as("adc_pm"))
     Dedup.keepFirstK(scored, Seq(col("qid")),
       Seq(col("adc_pm").desc, col("cid").asc), k, "rank")
   }
@@ -216,12 +240,13 @@ object Similarity {
     val coded = pqEncode(assigned, id, vec, carry = Seq("cell"))
       .select(col(id).as("cid") +: col("cell") +:
         (0 until PqSub).map(s => col(s"code$s")): _*)
-    val q = assigned.filter(queryPred)
-      .select(col(id).as("qid"), col(vec).as("qv"), col("cell"))
+    val q = adcLuts(assigned.filter(queryPred)
+      .select(col(id).as("qid"), col(vec).as("qv"), col("cell")), "qv")
+      .drop("qv")
     val scored = q.join(coded, Seq("cell"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"), col("cell"),
-        adcPm(col("qv"), s => col(s"code$s")).as("adc_pm"))
+        adcPm(s => col(s"code$s")).as("adc_pm"))
     Dedup.keepFirstK(scored, Seq(col("qid")),
       Seq(col("adc_pm").desc, col("cid").asc), k, "rank")
   }
