@@ -72,7 +72,7 @@ object ScaleProbe {
     // runs only those blocks (default: all). Unknown names fail loudly — a
     // typo must not silently measure nothing.
     val sections = Set("session", "termstats", "minhash", "ann", "temporal",
-      "packing", "relational", "topk", "kmeans", "sinks")
+      "packing", "relational", "topk", "kmeans", "sinks", "pq")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -220,6 +220,31 @@ object ScaleProbe {
       time(s"kmeans big-cell path ${factor}x (bound 64, stale census)") {
         Similarity.kmeansRefine(emb, seeds, "vec_id", "embedding",
           iters = 5, maxFoldMembers = 64L).count()
+      }
+      spark.catalog.clearCache()
+    }
+    // PQ (q79-q81): encode is a pure projection (wall ∝ rows); the ADC
+    // scan pays 4 codebook lookups per candidate vs 64 widened multiplies
+    // for the exact scan — both are broadcast-query passes over the same
+    // candidate count, so their wall ratio is the per-candidate
+    // arithmetic ratio once candidates dominate. IVF-PQ adds cell pruning
+    // on top: candidates shrink to the query cells' population.
+    if (want("pq")) for (factor <- Seq(1, 4, 16, 64)) {
+      val emb = materialize(embAt(spark, d, factor), s"/tmp/scale/emb$factor")
+      val queries = col("vec_id") % 1000000L < 20
+      time(s"pq-encode ${factor}x (${2000 * factor} vecs)") {
+        Similarity.pqEncode(emb, "vec_id", "embedding").count()
+      }
+      time(s"pq-adc-topk ${factor}x (${20 * factor} queries)") {
+        Similarity.pqAdcTopK(emb, "vec_id", "embedding", queries, k = 3).count()
+      }
+      time(s"exact-topk ${factor}x") {
+        Similarity.bruteForceTopK(emb, emb.filter(queries),
+          "vec_id", "embedding", k = 3).count()
+      }
+      time(s"ivf-pq-topk ${factor}x (8 cells/replica-region)") {
+        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") % 1000000L < 8),
+          "vec_id", "embedding", queries, k = 3).count()
       }
       spark.catalog.clearCache()
     }
