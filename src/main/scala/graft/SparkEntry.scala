@@ -87,12 +87,14 @@ object SparkEntry {
   /** One entry per implemented operator family from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ JsonPipelines.all ++ LlmPipelines.all ++ Graphs.all ++
-      Extensions.all ++ Curation.all ++ graft.queries.Sinks.all
+      Extensions.all ++ Curation.all ++ graft.queries.Sinks.all ++
+      graft.queries.Summaries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (the
     * driver records a weaker rows-only check for those). */
   def oracleSql: Map[String, String] =
     Oracles.relational ++ Oracles.json ++ Oracles.llm ++ Oracles.graphs ++
-      Oracles.extensions ++ Oracles.curation ++ Oracles.sinks
+      Oracles.extensions ++ Oracles.curation ++ Oracles.sinks ++
+      Oracles.summaries
 }

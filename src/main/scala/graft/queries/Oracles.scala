@@ -1474,4 +1474,77 @@ object Oracles {
          |  true AS gated
          |FROM docs GROUP BY user_id""".stripMargin,
   )
+
+  /** Twins of the mergeable-sketch queries (q82–q84,
+    * [[graft.operators.Sketches]]). Each twin recomputes the sketch
+    * DIRECTLY from the raw table with the same md5-derived hashes — for
+    * q82 that is deliberately the un-merged global build, so the hash
+    * match also proves merge(per-day sketches) ≡ sketch(union). The KMV
+    * scale constant is printed from the engine
+    * ([[graft.operators.Sketches.kmvScale]], `Double.toString`
+    * round-trips), and the one double division + micro-rounding follow
+    * the adc_pm convention: identical op order on both sides.
+    */
+  val summaries: Map[String, String] = Map(
+    // CMS cells: j ∈ [0,4) affine rows over the 32-bit base hash, width
+    // 256; estimate = min over the probe key's 4 cells (0 if any is
+    // absent — never happens for seen keys).
+    "q82_cms_heavy_hitters" ->
+      """WITH b AS (SELECT user_id,
+        |    ('0x' || substr(md5('cms:' || user_id), 1, 8))::BIGINT AS h
+        |  FROM events),
+        |js AS (SELECT unnest(range(4)) AS j),
+        |cells AS (SELECT j,
+        |    ((2*j+1)*(h % 2147483647) + (40503*j+1)) % 2147483647 % 256 AS bucket,
+        |    count(*) AS c
+        |  FROM b CROSS JOIN js GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT user_id, h FROM b WHERE user_id % 5 = 0),
+        |pe AS (SELECT user_id, j,
+        |    ((2*j+1)*(h % 2147483647) + (40503*j+1)) % 2147483647 % 256 AS bucket
+        |  FROM probes CROSS JOIN js)
+        |SELECT pe.user_id, CAST(min(coalesce(cells.c, 0)) AS BIGINT) AS est
+        |FROM pe LEFT JOIN cells ON pe.j = cells.j AND pe.bucket = cells.bucket
+        |GROUP BY 1""".stripMargin,
+
+    // KMV per day: the 32nd smallest distinct 60-bit hash v32; exact
+    // count below k, else round((k−1)·2⁶⁰ / v32 · 1e6).
+    "q83_kmv_distinct" ->
+      s"""WITH b AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+         |    ('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT AS h
+         |  FROM events),
+         |r AS (SELECT day, h,
+         |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY day) AS cnt
+         |  FROM b),
+         |g AS (SELECT day, max(CASE WHEN rn = ${Summaries.KmvK} THEN h END) AS vk,
+         |    max(cnt) AS cnt
+         |  FROM r GROUP BY day)
+         |SELECT day, CAST(least(cnt, ${Summaries.KmvK}) AS BIGINT) AS n_mins,
+         |  CASE WHEN cnt < ${Summaries.KmvK} THEN CAST(cnt * 1000000 AS BIGINT)
+         |       ELSE CAST(round((${graft.operators.Sketches.kmvScale(Summaries.KmvK)}
+         |                        / CAST(vk AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |  END AS est_micro
+         |FROM g""".stripMargin,
+
+    // 64 equi-width bins over [0, 4096); quantile = lower edge of the
+    // first bin whose cumulative count reaches rank ⌈p·n⌉ (micro-unit
+    // integer rank arithmetic, the q63 rule).
+    "q84_hist_quantiles" ->
+      """WITH h AS (SELECT lang,
+        |    least(63, greatest(0, (n_chars * 64) // 4096)) AS bin,
+        |    count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT lang, bin, c,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM h)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum * 1000000 >= 500000 * n
+        |                THEN (bin * 4096) // 64 END) AS BIGINT) AS q_p50,
+        |  CAST(min(CASE WHEN cum * 1000000 >= 900000 * n
+        |                THEN (bin * 4096) // 64 END) AS BIGINT) AS q_p90,
+        |  CAST(min(CASE WHEN cum * 1000000 >= 990000 * n
+        |                THEN (bin * 4096) // 64 END) AS BIGINT) AS q_p99
+        |FROM cum GROUP BY lang""".stripMargin,
+  )
 }

@@ -31,7 +31,7 @@ class ContractSpec extends AnyFunSuite {
   test("query names are unique across the contributing registries") {
     import graft.queries._
     val maps = Seq(Relational.all, JsonPipelines.all, LlmPipelines.all,
-      Graphs.all, Extensions.all, Curation.all, Sinks.all)
+      Graphs.all, Extensions.all, Curation.all, Sinks.all, Summaries.all)
     val total = maps.map(_.size).sum
     assert(total == SparkEntry.queries.size,
       "a query name collides across registries (map ++ silently dropped one)")
