@@ -72,7 +72,7 @@ object ScaleProbe {
     // runs only those blocks (default: all). Unknown names fail loudly — a
     // typo must not silently measure nothing.
     val sections = Set("session", "termstats", "minhash", "ann", "temporal",
-      "packing", "relational", "topk", "kmeans", "sinks", "pq")
+      "packing", "relational", "topk", "kmeans", "sinks", "pq", "sketch")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -245,6 +245,35 @@ object ScaleProbe {
       time(s"ivf-pq-topk ${factor}x (8 cells/replica-region)") {
         Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") % 1000000L < 8),
           "vec_id", "embedding", queries, k = 3).count()
+      }
+      spark.catalog.clearCache()
+    }
+    // Sketch family (q82/q83) vs the exact forms they stand in for. The
+    // exact heavy-hitter count shuffles every distinct key; the CMS path
+    // shuffles ≤ depth·width cells per map task — its exchange traffic is
+    // CONSTANT in replicas, so the wall gap vs exact widens with scale
+    // (locally both are scan-bound; on a cluster the exact form's shuffle
+    // grows with the key space while the sketch's does not). Same for
+    // per-day distinct: count(distinct) vs the k-bounded KMV buffer.
+    if (want("sketch")) for (factor <- Seq(1, 4, 16)) {
+      val ev = materialize(eventsAt(spark, d, factor), s"/tmp/scale/sev$factor")
+        .withColumn("day", expr("ts_us div 86400000000"))
+      time(s"cms-build+estimate ${factor}x (${100000 * factor} events)") {
+        val sk = graft.operators.Sketches.cmsSketch(ev, col("user_id"),
+          lit(1L), 4, 256, groups = Seq("day"))
+        graft.operators.Sketches.cmsEstimate(
+          graft.operators.Sketches.cmsMerge(sk),
+          ev.filter(col("user_id") % 5 === 0), col("user_id"), 4, 256).count()
+      }
+      time(s"exact-hh-groupby ${factor}x") {
+        ev.filter(col("user_id") % 5 === 0).groupBy("user_id").count().count()
+      }
+      time(s"kmv-distinct-perday ${factor}x") {
+        graft.operators.Sketches.kmvDistinct(ev, Seq("day"),
+          col("user_id"), 32).count()
+      }
+      time(s"exact-distinct-perday ${factor}x") {
+        ev.groupBy("day").agg(countDistinct(col("user_id"))).count()
       }
       spark.catalog.clearCache()
     }

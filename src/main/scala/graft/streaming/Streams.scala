@@ -103,6 +103,30 @@ object Streams {
       .select(col("user_id"), col("n_events"), col("session_start"),
         col("session_end"), col("duration"), col("sum_value_c"))
 
+  /** Live Count-Min sketch per event-time window — the streaming twin of
+    * [[graft.operators.Sketches.cmsSketch]] grouped by day. Because the
+    * sketch is a plain keyed SUM over (window, row, bucket) cells, it
+    * needs no custom state: Spark's watermarked aggregation IS the sketch
+    * maintainer, late rows within the watermark land in the right cells,
+    * and the ≤ depth·width cells per window are exactly what
+    * [[graft.operators.Sketches.cmsMerge]] folds into coarser rollups
+    * downstream — the property that makes the sketch family streaming-
+    * native for free. Input needs `ts_us` + the key column; emits
+    * (window_start, row, bucket, c).
+    */
+  def cmsSketched(events: DataFrame, key: String, windowLength: String,
+                  watermarkDelay: String, depth: Int, width: Int,
+                  salt: String = "cms"): DataFrame = {
+    val windowed = events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("w", window(col("ts"), windowLength))
+    graft.operators.Sketches.cmsSketch(windowed, col(key), lit(1L), depth,
+        width, groups = Seq("w"), salt = salt)
+      .select(col("w.start").as("window_start"), col("row"), col("bucket"),
+        col("c"))
+  }
+
   /** One event on the tagged temporal stream: right-side rows (`isRight`)
     * update per-key state, left-side rows get enriched.
     */

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import scala.util.Random
 
 import graft.TestSpark
-import graft.operators.{AsOf, Dedup, Sessionize}
+import graft.operators.{AsOf, Dedup, Sessionize, Sketches}
 import graft.streaming.Streams._
 
 /** Stream↔batch equivalence: each streaming twin in [[Streams]] must
@@ -161,6 +161,43 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       assert(streamed == batch)
       // the exact-gap pair really is one session on both sides
       assert(batch.contains((9L, 2L, 700 * sec, 730 * sec, gap, 300L)))
+    } finally query.stop()
+  }
+
+  test("cmsSketched stream ≡ per-day batch cmsSketch (q82 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new Random(11)
+    val day = 86400000000L
+    val rows = Seq.fill(400)((rnd.nextLong(3 * day), s"u${rnd.nextInt(40)}"))
+    val input = MemoryStream[(Long, String)]
+    val stream = Streams.cmsSketched(
+      input.toDF().toDF("ts_us", "k"), "k", "1 day", "0 seconds",
+      depth = 4, width = 32)
+    val query = stream.writeStream.format("memory").queryName("eq_cms")
+      .outputMode("complete").start()
+    try {
+      rows.sortBy(_._1).grouped(80).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+      val streamed = spark.table("eq_cms")
+        .select(col("window_start").cast("long"), col("row"), col("bucket"),
+          col("c"))
+        .as[(Long, Int, Long, Long)].collect().toSet
+      // batch: same sketch per UTC day over the static frame
+      val batch = Sketches.cmsSketch(
+          rows.toDF("ts_us", "k")
+            .withColumn("day", (col("ts_us") - pmod(col("ts_us"), lit(day)))
+              .cast("long")),
+          col("k"), lit(1L), 4, 32, groups = Seq("day"))
+        .select(col("day"), col("row"), col("bucket"), col("c"))
+        .as[(Long, Int, Long, Long)].collect().toSet
+      // window_start cast to long is SECONDS; the batch day key is µs
+      assert(streamed.map { case (w, r, b, c) => (w * 1000000L, r, b, c) } == batch)
+      assert(batch.nonEmpty)
+      // cross-batch cell accumulation really happened (more rows than one
+      // micro-batch contributed to at least one cell)
+      assert(spark.table("eq_cms").agg(max("c")).as[Long].collect().head > 1L)
     } finally query.stop()
   }
 }
