@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 import graft.expressions.{IcosaEncode, IcosaLat, IcosaLng, PqQuantize, VecDot}
 
@@ -18,6 +19,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))))
+    // Spark's own Bloom pair (the expressions behind AQE's injected
+    // runtime filters) exposed by name for [[graft.operators.Prune]] —
+    // catalyst ships them but does not register them publicly.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_filter_agg"),
+      (children: Seq[Expression]) =>
+        new BloomFilterAggregate(children.head, children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "might_contain"),
+      (children: Seq[Expression]) =>
+        BloomFilterMightContain(children.head, children(1))))
     ext.injectFunction((
       FunctionIdentifier("pq_quantize"),
       new ExpressionInfo(classOf[PqQuantize].getName, "pq_quantize"),

@@ -281,9 +281,22 @@ object TextDedup {
     * before the join (hot boilerplate shingles would otherwise fan out);
     * a capped shingle can no longer testify to contamination, the standard
     * recall/robustness trade, 0 disables.
+    *
+    * `bloomPrune = Some((expectedItems, numBits))` inserts a
+    * [[Prune.bloomSemi]] gate on the corpus shingle stream keyed by the
+    * probe's shingles, BELOW the overlap join: at production scale the
+    * corpus side is the 100 TB training set while the probe is a few
+    * thousand eval documents, so virtually no corpus shingle survives the
+    * gate and the join's shuffle shrinks to ~the contaminated fraction.
+    * False positives pass the gate and are then dropped by the exact
+    * join, so the RESULT IS BIT-IDENTICAL with or without pruning
+    * (test-pinned; q85 runs the pruned form against q61's oracle). The
+    * df-cap aggregate (when `maxDf` > 0) deliberately stays on the
+    * UN-pruned stream — df is a whole-corpus statistic.
     */
   def contaminationAgainst(probe: DataFrame, corpus: DataFrame, id: String,
-                           text: String, k: Int, maxDf: Long = 0L): DataFrame = {
+                           text: String, k: Int, maxDf: Long = 0L,
+                           bloomPrune: Option[(Long, Long)] = None): DataFrame = {
     def shingled(df: DataFrame, as: String) =
       df.select(col(id).as(as), Text.tokens(col(text)).as("toks"))
         .select(col(as), explode(Text.shingles(col("toks"), k)).as("sh"))
@@ -304,7 +317,12 @@ object TextDedup {
         c0.join(keep, "sh")
       } else shingled(corpus, "doc_c")
     val sizes = p.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
-    p.join(c, "sh")
+    val cJoinSide = bloomPrune match {
+      case Some((items, bits)) =>
+        Prune.bloomSemi(c, col("sh"), p, col("sh"), items, bits)
+      case None => c
+    }
+    p.join(cJoinSide, "sh")
       .groupBy(col("doc"))
       .agg(countDistinct(col("sh")).as("n_contaminated"),
         countDistinct(col("doc_c")).as("n_corpus_docs"))

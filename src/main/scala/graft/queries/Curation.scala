@@ -46,6 +46,25 @@ object Curation {
       .withColumnRenamed("doc", "doc_id")
   }
 
+  /** q85: q61's decontamination with the [[graft.operators.Prune]] Bloom
+    * semi-join gate on the corpus shingle stream — the 100 TB shuffle
+    * reducer. The oracle is the SAME exact-twin SQL as q61: false
+    * positives pass the gate and die in the exact join, so the pruned
+    * pipeline must hash-match the unpruned semantics — that equality IS
+    * what this query verifies. Sizing: 1M bits over ≤100k probe shingles
+    * (≈10 bits/key) holds the FP rate near 1% at every test SF.
+    */
+  def q85BloomContamination(spark: SparkSession, d: String): DataFrame = {
+    val split = Sampling.hashSplit(Tables.balanced(spark, d, "documents"),
+      "doc_id", "exp1", Seq("train" -> 90, "val" -> 5, "test" -> 5))
+    TextDedup.contaminationAgainst(
+        split.filter(col("split") === "test"),
+        split.filter(col("split") === "train"),
+        "doc_id", "text", k = LlmPipelines.ShingleK,
+        bloomPrune = Some((100000L, 1L << 20)))
+      .withColumnRenamed("doc", "doc_id")
+  }
+
   /** q62: Gopher-style repetition signals per document
     * ([[TermStats.repetitionSignals]]: two explode→partial-agg passes).
     */
@@ -188,5 +207,6 @@ object Curation {
     "q72_novelty_against" -> q72NoveltyAgainst _,
     "q73_oov_rate" -> q73OovRate _,
     "q74_curation_pipeline" -> q74CurationPipeline _,
+    "q85_bloom_contamination" -> q85BloomContamination _,
   )
 }

@@ -1230,6 +1230,24 @@ object Oracles {
   )
 
   /** Corpus-curation twins ([[Curation]]). */
+  private lazy val ContaminationTwin: String =
+    s"""WITH b AS (SELECT doc_id, text,
+       |    ('0x' || substr(md5('exp1:' || doc_id), 1, 8))::BIGINT % 100 AS bucket
+       |  FROM documents),
+       |t AS (SELECT doc_id, bucket, $Toks AS toks FROM b),
+       |s AS (SELECT doc_id, bucket, unnest(${shingleList("toks")}) AS sh FROM t),
+       |p AS (SELECT doc_id, sh FROM s WHERE bucket >= 95),
+       |c AS (SELECT doc_id AS doc_c, sh FROM s WHERE bucket < 90),
+       |sz AS (SELECT doc_id, count(*) AS n_shingles FROM p GROUP BY doc_id),
+       |j AS (SELECT doc_id, count(DISTINCT sh) AS n_contaminated,
+       |    count(DISTINCT doc_c) AS n_corpus_docs
+       |  FROM (SELECT p.doc_id, p.sh, c.doc_c FROM p JOIN c USING (sh))
+       |  GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       |  CAST(n_contaminated AS BIGINT) AS n_contaminated,
+       |  CAST(n_corpus_docs AS BIGINT) AS n_corpus_docs
+       |FROM j JOIN sz USING (doc_id)""".stripMargin
+
   val curation: Map[String, String] = Map(
     "q60_tfidf_top_term" ->
       // length(term) >= 1 mirrors TermStats.tfidf's minTermLen gate: the
@@ -1251,23 +1269,12 @@ object Oracles {
          |  score
          |FROM r WHERE rn = 1""".stripMargin,
 
-    "q61_contamination" ->
-      s"""WITH b AS (SELECT doc_id, text,
-         |    ('0x' || substr(md5('exp1:' || doc_id), 1, 8))::BIGINT % 100 AS bucket
-         |  FROM documents),
-         |t AS (SELECT doc_id, bucket, $Toks AS toks FROM b),
-         |s AS (SELECT doc_id, bucket, unnest(${shingleList("toks")}) AS sh FROM t),
-         |p AS (SELECT doc_id, sh FROM s WHERE bucket >= 95),
-         |c AS (SELECT doc_id AS doc_c, sh FROM s WHERE bucket < 90),
-         |sz AS (SELECT doc_id, count(*) AS n_shingles FROM p GROUP BY doc_id),
-         |j AS (SELECT doc_id, count(DISTINCT sh) AS n_contaminated,
-         |    count(DISTINCT doc_c) AS n_corpus_docs
-         |  FROM (SELECT p.doc_id, p.sh, c.doc_c FROM p JOIN c USING (sh))
-         |  GROUP BY doc_id)
-         |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
-         |  CAST(n_contaminated AS BIGINT) AS n_contaminated,
-         |  CAST(n_corpus_docs AS BIGINT) AS n_corpus_docs
-         |FROM j JOIN sz USING (doc_id)""".stripMargin,
+    // Shared by q61 and q85: the Bloom-pruned form (q85) is contractually
+    // bit-identical to the exact pipeline — false positives pass the gate
+    // and die in the exact shingle join — so BOTH queries face the same
+    // exact twin. The shared string is the contract, not a convenience.
+    "q61_contamination" -> ContaminationTwin,
+    "q85_bloom_contamination" -> ContaminationTwin,
 
     "q62_repetition_signals" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
