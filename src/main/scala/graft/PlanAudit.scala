@@ -8,7 +8,8 @@ object PlanAudit {
       "q03_filter_in_projection", "q04_join_left_enrich", "q05_join_inner_agg",
       "q12_geo_haversine", "q16_window_rewards_5d", "q30_cosine_topk",
       "q22_witness_explode_pipeline", "q44_asof_join", "q45_range_join",
-      "q48_sequence_packing", "q51_ann_multiprobe")
+      "q48_sequence_packing", "q51_ann_multiprobe", "q80_pq_adc_topk",
+      "q82_cms_heavy_hitters", "q85_bloom_contamination")
     for (name <- interesting) {
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

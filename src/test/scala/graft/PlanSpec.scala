@@ -80,4 +80,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q85 bloom contamination: gate is a scalar-subquery FILTER, no cartesian") {
+    val plan = planString(run("q85_bloom_contamination"))
+    assert(plan.contains("might_contain"), "bloom gate missing from the plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q82 CMS: partial+final aggregation, no Window, estimate joins broadcast") {
+    val plan = planString(run("q82_cms_heavy_hitters"))
+    assert(!plan.contains("Window"), "sketch must never need a window")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the ≤ depth·width sketch side must broadcast into the estimate join")
+  }
+
+  test("q83 KMV: the k-bounded aggregator runs partial+final (map-side collapse)") {
+    val plan = planString(run("q83_kmv_distinct"))
+    // ObjectHashAggregate appears twice per aggregate (partial + final);
+    // a sort-based fallback would read SortAggregate
+    assert(plan.contains("ObjectHashAggregate"), "typed Aggregator should plan object-hash")
+    assert(countShuffles(run("q83_kmv_distinct")) <= 2) // agg + the day rollup reuse
+  }
+
+  test("pqEncode plans as ONE quantize call, not an inlined argmin forest") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables(spark, d, "embeddings")
+    val plan = planString(
+      graft.operators.Similarity.pqEncode(emb, "vec_id", "embedding"))
+    assert(plan.contains("pq_quantize"))
+    // the packed word is quantized once; nibble extraction references it
+    assert("pq_quantize\\(".r.findAllIn(plan).size <= 2,
+      "pq_quantize inlined more than once per projection - CollapseProject guard broken")
+  }
 }
