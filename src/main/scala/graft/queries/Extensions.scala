@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Packing, RangeJoin, Rolling, Sampling, Sessionize, Skew}
+import graft.operators.{AsOf, Layout, Packing, RangeJoin, Rolling, Sampling, Sessionize, Skew}
 import graft.sources.Tables
 
 /** Beyond-reference temporal/sampling operators (the build brief's as-of
@@ -212,6 +212,27 @@ object Extensions {
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("roll_sum").as("roll_sum_c"), col("roll_cnt"))
 
+  /** q86: Z-order layout audit ([[graft.operators.Layout]]) — customers on
+    * a 256×256 key-derived grid, Morton-coded and assigned to 16
+    * contiguous z-range buckets (the files a clustered write would
+    * produce). The per-bucket extents prove the locality contract: with a
+    * power-of-two bucket count every bucket is an axis-aligned 64×64
+    * rectangle, so 2-D range predicates touch few buckets — the file-
+    * skipping property LayoutSpec measures against a real partitioned
+    * write. The oracle recomputes the identical mask cascade in SQL.
+    */
+  def q86ZorderLayout(spark: SparkSession, d: String): DataFrame = {
+    val g = Tables(spark, d, "customer").select(col("c_custkey"),
+      (col("c_custkey") % 256).as("gx"), (col("c_custkey") * 7 % 256).as("gy"))
+    g.withColumn("z", Layout.zValue(col("gx"), col("gy")))
+      .withColumn("bucket", Layout.zBucket(col("z"), zBits = 16, buckets = 16))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("gx").as("min_gx"), max("gx").as("max_gx"),
+        min("gy").as("min_gy"), max("gy").as("max_gy"),
+        min("z").as("z_lo"), max("z").as("z_hi"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_asof_join" -> q44AsofJoin _,
     "q45_range_join" -> q45RangeJoin _,
@@ -225,5 +246,6 @@ object Extensions {
     "q66_salted_join" -> q66SaltedJoin _,
     "q68_funnel" -> q68Funnel _,
     "q69_rolling_window" -> q69RollingWindow _,
+    "q86_zorder_layout" -> q86ZorderLayout _,
   )
 }

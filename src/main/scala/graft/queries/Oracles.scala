@@ -1045,6 +1045,28 @@ object Oracles {
     * cannot change the carried last-non-null right value.
     */
   val extensions: Map[String, String] = Map(
+    // Morton spread: the standard mask cascade, identical longs on both
+    // engines (pure BIGINT shifts/masks); bucket = top 4 z bits.
+    "q86_zorder_layout" ->
+      """WITH g AS (SELECT CAST(c_custkey % 256 AS BIGINT) AS gx,
+        |    CAST((c_custkey * 7) % 256 AS BIGINT) AS gy FROM customer),
+        |s1 AS (SELECT gx, gy, gx & 65535 AS ax, gy & 65535 AS ay FROM g),
+        |s2 AS (SELECT *, (ax | (ax << 8)) & 16711935 AS bx,
+        |    (ay | (ay << 8)) & 16711935 AS by FROM s1),
+        |s3 AS (SELECT *, (bx | (bx << 4)) & 252645135 AS cx,
+        |    (by | (by << 4)) & 252645135 AS cy FROM s2),
+        |s4 AS (SELECT *, (cx | (cx << 2)) & 858993459 AS dx,
+        |    (cy | (cy << 2)) & 858993459 AS dy FROM s3),
+        |s5 AS (SELECT gx, gy, (dx | (dx << 1)) & 1431655765 AS ex,
+        |    (dy | (dy << 1)) & 1431655765 AS ey FROM s4),
+        |z AS (SELECT gx, gy, ex | (ey << 1) AS z FROM s5),
+        |b AS (SELECT gx, gy, z, z >> 12 AS bucket FROM z)
+        |SELECT bucket, count(*) AS n,
+        |  min(gx) AS min_gx, max(gx) AS max_gx,
+        |  min(gy) AS min_gy, max(gy) AS max_gy,
+        |  min(z) AS z_lo, max(z) AS z_hi
+        |FROM b GROUP BY bucket""".stripMargin,
+
     "q44_asof_join" ->
       s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t, event_type,
          |    $CentsValue AS value_c FROM events),
