@@ -118,12 +118,98 @@ object Merge {
       if (fs.exists(hPath))
         upsert(spark.read.parquet(path), incoming, key, mode, tiebreak)
       else Dedup.keepFirst(incoming, Seq(col(key)), Seq(col(tiebreak).desc))
-    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp-" + java.util.UUID.randomUUID())
+    commitSwap(fs, hPath, merged)
+  }
+
+  /** Write `merged` to a temp path and swap it into `target` — the
+    * previous state is never destroyed before the new state is fully
+    * written (rename is atomic on HDFS/posix; on S3A the window is the
+    * rename, still strictly safer than overwrite-in-place).
+    */
+  private def commitSwap(fs: org.apache.hadoop.fs.FileSystem,
+                         target: org.apache.hadoop.fs.Path,
+                         merged: DataFrame): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(target + ".tmp-" + java.util.UUID.randomUUID())
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(path + ".old-" + java.util.UUID.randomUUID())
-    if (fs.exists(hPath)) fs.rename(hPath, old)
-    if (!fs.rename(tmp, hPath))
-      throw new java.io.IOException(s"upsertParquet: commit rename failed for $path")
+    val old = new org.apache.hadoop.fs.Path(target + ".old-" + java.util.UUID.randomUUID())
+    if (fs.exists(target)) fs.rename(target, old)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"commitSwap: rename failed for $target")
     fs.delete(old, true)
+  }
+
+  // -------------------------------------------------------------------
+  // Delta-log upserts — the LSM answer to "every chunk rewrites the whole
+  // sink". A chunked backfill calling [[upsertParquet]] per chunk pays
+  // O(sink) per chunk (O(chunks · sink) per epoch — the quadratic wall
+  // SCALE.md's sink section documents); appending each chunk as a DELTA
+  // and folding ONCE per epoch pays O(chunk) per chunk + one O(sink)
+  // fold. This is precisely the shape of a table-format transaction log
+  // (Delta/Iceberg append + periodic compaction), expressed on plain
+  // parquet; the fold's precedence rules reproduce sequential
+  // [[upsertParquet]] applications EXACTLY (MergeSpec pins the
+  // equivalence), so readers of the finalized sink see identical state.
+  // -------------------------------------------------------------------
+
+  private def deltasDir(path: String) = new org.apache.hadoop.fs.Path(path + ".deltas")
+
+  /** Sorted pending delta dirs for `path` (empty when finalized). */
+  def pendingDeltas(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[String] = {
+    val dir = deltasDir(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(_.getPath.toString)
+      .filter(_.contains("delta-")).sorted.toSeq
+  }
+
+  /** Append one chunk as the next delta — O(chunk) I/O, no read of the
+    * existing sink. Write order IS the precedence order ([[finalizeDeltas]]
+    * replays deltas in sequence), matching the sequential-upsert contract.
+    * The driver's chunk loop is sequential by construction, so the
+    * max+1 numbering never races.
+    */
+  def appendDelta(spark: org.apache.spark.sql.SparkSession, path: String,
+                  incoming: DataFrame): Unit = {
+    val next = pendingDeltas(spark, path)
+      .flatMap(p => "delta-(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toLong))
+      .foldLeft(0L)(math.max) + 1
+    incoming.write.mode(SaveMode.ErrorIfExists)
+      .parquet(f"${deltasDir(path)}/delta-$next%06d")
+  }
+
+  /** Fold all pending deltas (and the existing base, if any) into the
+    * base at `path`, then clear the delta dir. Precedence reproduces
+    * applying [[upsertParquet]] per delta in append order:
+    * `Ignore` → earliest write wins (base, then delta 1, 2, …);
+    * `Update` → latest write wins. Within one delta, newest-wins by
+    * `tiebreak` (the same collapse `upsert` applies to its incoming).
+    * No-op when no deltas are pending. Crash-safety: a crash before the
+    * final swap leaves base + deltas intact — re-running finalize (or the
+    * epoch that feeds it) converges to the same state, because replayed
+    * chunks resolve identically under the precedence rules.
+    */
+  def finalizeDeltas(spark: org.apache.spark.sql.SparkSession, path: String,
+                     key: String, mode: OnDuplicate, tiebreak: String): Unit = {
+    val deltas = pendingDeltas(spark, path)
+    if (deltas.isEmpty) return
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seqName = "__delta_seq"
+    val frames = (if (fs.exists(hPath))
+        Seq(spark.read.parquet(path).withColumn(seqName, lit(0L)))
+      else Nil) ++
+      deltas.zipWithIndex.map { case (p, i) =>
+        spark.read.parquet(p).withColumn(seqName, lit(i + 1L))
+      }
+    val seqOrder = mode match {
+      case Ignore => col(seqName).asc  // earliest write wins
+      case Update => col(seqName).desc // latest write wins
+    }
+    val merged = Dedup.keepFirst(frames.reduce(_ unionByName _),
+        Seq(col(key)), Seq(seqOrder, col(tiebreak).desc))
+      .drop(seqName)
+    commitSwap(fs, hPath, merged)
+    fs.delete(deltasDir(path), true)
   }
 }

@@ -133,12 +133,24 @@ object Incremental {
       val from = checkpoint.read().getOrElse(0L)
       if (cur - from < minDiff) return EpochReport(ran = false, from, cur, 0)
       val ranges = chunkRanges(from, cur, chunkSize)
+      // LSM shape (see Merge's delta-log section): each chunk APPENDS a
+      // delta — O(chunk), no read of the growing sink — and the whole-sink
+      // first-write-wins fold runs ONCE per epoch instead of once per
+      // chunk. Sequential per-chunk upserts paid O(chunks · sink) per
+      // epoch; the fold's precedence (earliest delta wins under Ignore)
+      // reproduces that sequence's end state exactly (MergeSpec-pinned).
+      // A crashed epoch leaves orphan deltas + an unadvanced checkpoint;
+      // the re-run re-appends the same chunks and the fold resolves the
+      // duplicates identically (T6 idempotence, unchanged).
       ranges.foreach { case (lo, hi) =>
         val chunk = source().filter(col(heightCol) >= lo && col(heightCol) < hi)
         dynamics.foreach { d =>
-          Merge.upsertParquet(spark, sinkPath(d.name), d.extract(chunk),
-            d.key, Merge.Ignore, d.tiebreak) // first-write-wins: append-only
+          Merge.appendDelta(spark, sinkPath(d.name), d.extract(chunk))
         }
+      }
+      dynamics.foreach { d =>
+        Merge.finalizeDeltas(spark, sinkPath(d.name), d.key, Merge.Ignore,
+          d.tiebreak)
       }
       snapshots.foreach { s =>
         Merge.upsertParquet(spark, sinkPath(s.name), s.build(spark),
