@@ -72,7 +72,8 @@ object ScaleProbe {
     // runs only those blocks (default: all). Unknown names fail loudly — a
     // typo must not silently measure nothing.
     val sections = Set("session", "termstats", "minhash", "ann", "temporal",
-      "packing", "relational", "topk", "kmeans", "sinks", "pq", "sketch")
+      "packing", "relational", "topk", "kmeans", "sinks", "pq", "sketch",
+      "prune")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -247,6 +248,56 @@ object ScaleProbe {
           "vec_id", "embedding", queries, k = 3).count()
       }
       spark.catalog.clearCache()
+    }
+    // Bloom semi-join reduction (q85): the claim is SHUFFLE BYTES, not
+    // wall — measure both. A listener sums shuffle write volume across
+    // the stages of each run; the contamination pipeline joins the huge
+    // corpus shingle stream against a small probe, so the gate should cut
+    // the corpus side's exchange to ~the contaminated fraction while the
+    // results stay bit-identical (q85's oracle IS q61's).
+    if (want("prune")) {
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def measured(name: String)(f: => Long): Unit = {
+        Thread.sleep(800) // let prior stage-completed events drain (the bus
+        bytes.set(0L)     // has no public flush; diagnostics-grade accuracy)
+        val t0 = System.nanoTime()
+        val n = f
+        Thread.sleep(800)
+        println(f"[scale] $name -> $n rows, ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+          f"${bytes.get / 1048576.0}%.1f MiB shuffled")
+      }
+      // Fixture shape matters: probe = replica 0, corpus = the OTHER
+      // replicas (disjoint shingle spaces by construction) + a 2% slice
+      // of replica 0 as the planted leak. The gate can then kill
+      // ~(factor−1)/factor of the corpus shingle stream before the
+      // exchange — the production shape, where a few thousand eval docs
+      // probe a training corpus that mostly does not contain them. (A
+      // first cut probed dense same-corpus splits: near-total shingle
+      // overlap left nothing to prune — the gate only earns its bloom
+      // when the non-matching fraction dominates, which is the point.)
+      for (factor <- Seq(4, 16)) {
+        val docs = materialize(docsAt(spark, d, factor), s"/tmp/scale/docs$factor")
+        val probe = docs.filter(col("doc_id") < 1000000L)
+        val corpus = docs.filter(col("doc_id") >= 1000000L)
+          .unionByName(docs.filter(col("doc_id") < 1000000L &&
+            col("doc_id") % 50 === 0))
+        measured(s"contamination-plain ${factor}x (${5000 * factor} docs)") {
+          TextDedup.contaminationAgainst(probe, corpus, "doc_id", "text",
+            k = 5).count()
+        }
+        measured(s"contamination-bloom ${factor}x") {
+          TextDedup.contaminationAgainst(probe, corpus, "doc_id", "text",
+            k = 5, bloomPrune = Some((1000000L, 1L << 23))).count()
+        }
+        spark.catalog.clearCache()
+      }
+      spark.sparkContext.removeSparkListener(listener)
     }
     // Sketch family (q82/q83) vs the exact forms they stand in for. The
     // exact heavy-hitter count shuffles every distinct key; the CMS path
