@@ -110,4 +110,42 @@ object Text {
       when(s === best && s > 0, lit(lang)).otherwise(otherwise)
     }
   }
+
+  /** PII scrubbing — the redaction pass every shipped training corpus
+    * runs. Patterns are RE2-safe (no lookaround/backrefs, like
+    * [[bpePieces]]) so Java regex and the DuckDB twin match identical
+    * spans; application ORDER is part of the contract (emails first so
+    * their digits can't be half-eaten as phone numbers, IPs before
+    * generic digit runs). Deliberately conservative, high-precision
+    * patterns — a production deployment swaps in its compliance set, the
+    * operator shape (ordered replace chain + per-pattern counts) is what
+    * the engine owns.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+\\d[\\d() -]{6,}\\d", "<PHONE>"),
+    ("idnum", "\\b\\d{9,}\\b", "<ID>"))
+
+  /** Text with every [[PiiPatterns]] occurrence replaced by its token,
+    * applied in declaration order.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (_, re, token)) =>
+      regexp_replace(acc, re, token)
+    }
+
+  /** Per-pattern match counts (`n_<name>` columns), counted on the SAME
+    * progressively-redacted stream the replacements see — so a span
+    * consumed by an earlier pattern is never double-counted by a later
+    * one (the DuckDB twin counts on the same intermediate strings).
+    */
+  def piiCounts(text: Column): Seq[Column] = {
+    val staged = PiiPatterns.scanLeft(text) { case (acc, (_, re, token)) =>
+      regexp_replace(acc, re, token)
+    }
+    PiiPatterns.zip(staged).map { case ((name, re, _), stage) =>
+      regexp_count(stage, lit(re)).cast("long").as(s"n_$name")
+    }
+  }
 }

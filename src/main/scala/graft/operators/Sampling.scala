@@ -128,4 +128,27 @@ object Sampling {
     }
     df.withColumn(splitCol, expr)
   }
+
+  /** Leakage-free TEMPORAL split with a purge embargo — the time-series
+    * counterpart of [[hashSplit]]: `train` is everything strictly before
+    * `boundary − embargo`, `test` everything at/after `boundary`, and the
+    * embargo band in between is labeled `embargo` and EXCLUDED from both.
+    * The embargo is what makes the split leakage-free when features are
+    * windowed: a trailing aggregate ([[Rolling.overRange]]), session, or
+    * as-of join computed for a train row just under the boundary would
+    * otherwise read events from the test period — the classic
+    * time-series-CV purge (de Prado's purged k-fold, reduced to the one
+    * holdout split a training pipeline ships). Row-local arithmetic —
+    * zero shuffle, pushdown-friendly, and the label is a pure function of
+    * the timestamp so re-runs and late-arriving data can never migrate a
+    * row across the boundary.
+    */
+  def timeSplit(df: DataFrame, ts: Column, boundary: Long, embargo: Long,
+                splitCol: String = "split"): DataFrame = {
+    require(embargo >= 0, s"embargo must be non-negative, got $embargo")
+    df.withColumn(splitCol,
+      when(ts < boundary - embargo, "train")
+        .when(ts >= boundary, "test")
+        .otherwise("embargo"))
+  }
 }

@@ -65,6 +65,27 @@ object Curation {
       .withColumnRenamed("doc", "doc_id")
   }
 
+  /** q87: PII scrubbing ([[graft.functions.Text.redactPii]]) — the
+    * redaction pass a shipped corpus runs. The synthetic docs carry no
+    * PII, so each doc PLANTS a deterministic email/IP/phone/id-number
+    * from its key (both engines construct the identical string); output
+    * is the per-pattern counts plus the md5 of the redacted text, so the
+    * hash match verifies every replaced SPAN, not just the counts.
+    * Ordered application is part of the contract (emails first — their
+    * digits must not be half-eaten as phone numbers).
+    */
+  def q87PiiRedaction(spark: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact u"), col("doc_id"), lit("@example.com from 10.0."),
+      col("doc_id") % 256, lit(".7 or call +1 555 01"),
+      (col("doc_id") % 90) + 10, lit(" ref 9"),
+      (col("doc_id") % 100000000L) + 100000000L)
+    Tables.balanced(spark, d, "documents")
+      .withColumn("__x", planted)
+      .select(col("doc_id") +: graft.functions.Text.piiCounts(col("__x")) :+
+        md5(graft.functions.Text.redactPii(col("__x"))).as("redacted_md5"): _*)
+  }
+
   /** q62: Gopher-style repetition signals per document
     * ([[TermStats.repetitionSignals]]: two explode→partial-agg passes).
     */
@@ -208,5 +229,6 @@ object Curation {
     "q73_oov_rate" -> q73OovRate _,
     "q74_curation_pipeline" -> q74CurationPipeline _,
     "q85_bloom_contamination" -> q85BloomContamination _,
+    "q87_pii_redaction" -> q87PiiRedaction _,
   )
 }

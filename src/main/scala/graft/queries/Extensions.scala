@@ -212,6 +212,24 @@ object Extensions {
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("roll_sum").as("roll_sum_c"), col("roll_cnt"))
 
+  /** q88: purged temporal split ([[Sampling.timeSplit]]) — train strictly
+    * before boundary−embargo, test at/after the boundary, a 2-day embargo
+    * band excluded from both (the leakage gate for windowed features:
+    * without the purge, a trailing-48h aggregate computed for a train row
+    * just under the boundary reads test-period events). Rolled up per
+    * split so the oracle checks band edges AND populations.
+    */
+  def q88TimeSplit(spark: SparkSession, d: String): DataFrame = {
+    val boundaryUs = 1705881600000000L // 2024-01-22T00:00:00Z
+    val embargoUs = 2L * 86400000000L
+    Sampling.timeSplit(Tables.eventsWithUs(spark, d), col("ts_us"),
+        boundaryUs, embargoUs)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("ts_us")).as("min_ts_us"), max(col("ts_us")).as("max_ts_us"))
+  }
+
   /** q86: Z-order layout audit ([[graft.operators.Layout]]) — customers on
     * a 256×256 key-derived grid, Morton-coded and assigned to 16
     * contiguous z-range buckets (the files a clustered write would
@@ -247,5 +265,6 @@ object Extensions {
     "q68_funnel" -> q68Funnel _,
     "q69_rolling_window" -> q69RollingWindow _,
     "q86_zorder_layout" -> q86ZorderLayout _,
+    "q88_time_split" -> q88TimeSplit _,
   )
 }

@@ -1047,6 +1047,18 @@ object Oracles {
   val extensions: Map[String, String] = Map(
     // Morton spread: the standard mask cascade, identical longs on both
     // engines (pure BIGINT shifts/masks); bucket = top 4 z bits.
+    "q88_time_split" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |s AS (SELECT user_id, t,
+        |    CASE WHEN t < 1705881600000000 - 172800000000 THEN 'train'
+        |         WHEN t >= 1705881600000000 THEN 'test'
+        |         ELSE 'embargo' END AS split
+        |  FROM e)
+        |SELECT split, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(t) AS min_ts_us, max(t) AS max_ts_us
+        |FROM s GROUP BY split""".stripMargin,
+
     "q86_zorder_layout" ->
       """WITH g AS (SELECT CAST(c_custkey % 256 AS BIGINT) AS gx,
         |    CAST((c_custkey * 7) % 256 AS BIGINT) AS gy FROM customer),
@@ -1290,6 +1302,33 @@ object Oracles {
          |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
          |  score
          |FROM r WHERE rn = 1""".stripMargin,
+
+    // The planted-PII string and the four ordered regexp_replace stages
+    // are constructed identically on both sides; patterns interpolate
+    // from Text.PiiPatterns so the twin can never drift. DuckDB needs the
+    // explicit 'g' flag (Spark's regexp_replace is global by default),
+    // and counts run on the progressively-redacted stages, matching
+    // Text.piiCounts.
+    "q87_pii_redaction" -> {
+      val Seq(email, ipv4, phone, idnum) =
+        graft.functions.Text.PiiPatterns.map(_._2)
+      s"""WITH t AS (SELECT doc_id,
+         |    text || ' contact u' || doc_id || '@example.com from 10.0.' ||
+         |    (doc_id % 256) || '.7 or call +1 555 01' ||
+         |    ((doc_id % 90) + 10) || ' ref 9' ||
+         |    ((doc_id % 100000000) + 100000000) AS x0 FROM documents),
+         |s1 AS (SELECT doc_id, x0, regexp_replace(x0, '$email', '<EMAIL>', 'g') AS x1 FROM t),
+         |s2 AS (SELECT *, regexp_replace(x1, '$ipv4', '<IP>', 'g') AS x2 FROM s1),
+         |s3 AS (SELECT *, regexp_replace(x2, '$phone', '<PHONE>', 'g') AS x3 FROM s2),
+         |s4 AS (SELECT *, regexp_replace(x3, '$idnum', '<ID>', 'g') AS x4 FROM s3)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(x0, '$email')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(x1, '$ipv4')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(x2, '$phone')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(x3, '$idnum')) AS BIGINT) AS n_idnum,
+         |  md5(x4) AS redacted_md5
+         |FROM s4""".stripMargin
+    },
 
     // Shared by q61 and q85: the Bloom-pruned form (q85) is contractually
     // bit-identical to the exact pipeline — false positives pass the gate

@@ -65,4 +65,31 @@ class TextSpec extends AnyFunSuite {
       .as[String].collect().toSeq
     assert(out == Seq("en", "de", "und", "en")) // tie le/the → en first
   }
+
+  test("PII redaction: ordered spans, multi-match, and count/replace agreement") {
+    val text = "mail a.b+c@x-y.co and d@e.io, ip 192.168.0.1, " +
+      "call +1 (555) 123-4567, ssn-ish 123456789 tail 12345678"
+    val r = Seq(text).toDF("t")
+      .select(Text.piiCounts(col("t")) :+ Text.redactPii(col("t")).as("red"): _*)
+      .collect().head
+    assert(r.getLong(0) == 2, "two emails")      // n_email
+    assert(r.getLong(1) == 1, "one ip")          // n_ipv4
+    assert(r.getLong(2) == 1, "one phone")       // n_phone
+    assert(r.getLong(3) == 1, "one long id; 8 digits must NOT match") // n_idnum
+    val red = r.getString(4)
+    assert(red.contains("<EMAIL> and <EMAIL>"))
+    assert(red.contains("<IP>") && red.contains("<PHONE>") && red.contains("<ID>"))
+    assert(red.contains("12345678"), "8-digit run stays")
+    assert(!red.contains("@") && !red.contains("192.168"))
+  }
+
+  test("PII order: an email's digits are never re-matched as phone/id") {
+    // 10 digits before the @ would match idnum if the email had not been
+    // consumed first — the ordered-application contract.
+    val r = Seq("reach 1234567890@mail.com now").toDF("t")
+      .select(Text.piiCounts(col("t")) :+ Text.redactPii(col("t")).as("red"): _*)
+      .collect().head
+    assert(r.getLong(0) == 1 && r.getLong(3) == 0)
+    assert(r.getString(4).contains("reach <EMAIL> now"))
+  }
 }

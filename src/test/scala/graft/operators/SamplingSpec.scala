@@ -97,4 +97,22 @@ class SamplingSpec extends AnyFunSuite {
     // raw share of rare = 1%, weighted share ≈ 9% → upsampled
     assert(w("rare")._3 > 80000L)
   }
+
+  test("timeSplit: strict band edges, embargo excluded from both sides") {
+    val b = 1000L
+    val df = Seq(899L, 900L, 901L, 999L, 1000L, 1001L).toDF("t")
+    val r = Sampling.timeSplit(df, col("t"), boundary = b, embargo = 100L)
+      .select("t", "split").as[(Long, String)].collect().toMap
+    assert(r(899L) == "train")   // strictly below boundary - embargo
+    assert(r(900L) == "embargo") // boundary - embargo is already purged
+    assert(r(901L) == "embargo")
+    assert(r(999L) == "embargo")
+    assert(r(1000L) == "test")   // boundary itself is test
+    assert(r(1001L) == "test")
+    // zero embargo degenerates to a plain boundary split
+    val r0 = Sampling.timeSplit(df, col("t"), b, 0L)
+      .select("t", "split").as[(Long, String)].collect().toMap
+    assert(r0(999L) == "train" && r0(1000L) == "test")
+    assert(!r0.values.exists(_ == "embargo"))
+  }
 }
