@@ -212,6 +212,19 @@ object Extensions {
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("roll_sum").as("roll_sum_c"), col("roll_cnt"))
 
+  /** q89: recency-decayed activity features ([[Rolling.decayedSum]]) —
+    * per-user value halved every 3 days, anchored at 2024-01-31. Exact
+    * shift-based ppm weights (never `pow` — engines round it
+    * differently), plain partial-agg integer sum: the feature-store
+    * recency signal with zero FP hazard in the oracle compare.
+    */
+  def q89DecayedFeatures(spark: SparkSession, d: String): DataFrame =
+    Rolling.decayedSum(
+      Tables.eventsWithUs(spark, d)
+        .withColumn("value_c", round(col("value") * 100).cast("long")),
+      Seq(col("user_id")), col("ts_us"), col("value_c"),
+      asOf = 1706659200000000L, halfLife = 3L * 86400000000L)
+
   /** q88: purged temporal split ([[Sampling.timeSplit]]) — train strictly
     * before boundary−embargo, test at/after the boundary, a 2-day embargo
     * band excluded from both (the leakage gate for windowed features:
@@ -266,5 +279,6 @@ object Extensions {
     "q69_rolling_window" -> q69RollingWindow _,
     "q86_zorder_layout" -> q86ZorderLayout _,
     "q88_time_split" -> q88TimeSplit _,
+    "q89_decayed_features" -> q89DecayedFeatures _,
   )
 }

@@ -1047,6 +1047,20 @@ object Oracles {
   val extensions: Map[String, String] = Map(
     // Morton spread: the standard mask cascade, identical longs on both
     // engines (pure BIGINT shifts/masks); bucket = top 4 z bits.
+    "q89_decayed_features" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
+        |w AS (SELECT user_id, value_c,
+        |    CASE WHEN greatest(0, (1706659200000000 - t) // 259200000000) >= 20
+        |         THEN 0
+        |         ELSE 1000000 >> CAST(greatest(0,
+        |           (1706659200000000 - t) // 259200000000) AS INTEGER)
+        |    END AS weight
+        |  FROM e)
+        |SELECT user_id, CAST(sum(value_c * weight) AS BIGINT) AS decayed_ppm,
+        |  CAST(sum(value_c) AS BIGINT) AS raw_sum, count(*) AS n
+        |FROM w GROUP BY user_id""".stripMargin,
+
     "q88_time_split" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
         |s AS (SELECT user_id, t,

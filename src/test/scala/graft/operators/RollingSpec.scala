@@ -34,4 +34,28 @@ class RollingSpec extends AnyFunSuite {
       .select("k", "t", "roll_sum").as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 0L, 1L), (2L, 1L, 100L), (1L, 2L, 3L)))
   }
+
+  test("decayedSum: exact shift weights, future rows undecayed, floor after 20 halvings") {
+    // asOf=100, halfLife=10: elapsed 0→w=1e6, 25→2 halvings→250k,
+    // future (t=110)→0 elapsed→1e6, ancient (t=-150)→25 halvings→0
+    val df = Seq(
+      ("u", 100L, 7L), ("u", 75L, 8L), ("u", 110L, 5L), ("u", -150L, 9L))
+      .toDF("k", "t", "v")
+    val r = Rolling.decayedSum(df, Seq(col("k")), col("t"), col("v"),
+        asOf = 100L, halfLife = 10L)
+      .select("decayed_ppm", "raw_sum", "n").as[(Long, Long, Long)]
+      .collect().head
+    assert(r == ((7L * 1000000 + 8L * 250000 + 5L * 1000000 + 0L, 29L, 4L)))
+  }
+
+  test("decayedSum is partitioning-invariant (partial agg, no window)") {
+    val rows = (1 to 500).map(i => ("u" + i % 7, i.toLong * 3, i.toLong))
+    val a = Rolling.decayedSum(rows.toDF("k", "t", "v").repartition(1),
+      Seq(col("k")), col("t"), col("v"), 1500L, 100L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val b = Rolling.decayedSum(rows.toDF("k", "t", "v").repartition(13),
+      Seq(col("k")), col("t"), col("v"), 1500L, 100L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
