@@ -84,6 +84,14 @@ object PqQuantize {
   def quantize(vec: ArrayData, cb: ArrayData, norms: ArrayData,
                sub: Int, vecF: Boolean): Long = {
     val k = norms.numElements() / sub
+    // nibble-packing contract: 4 bits per code, 16 subspaces per long —
+    // a larger codebook would silently bleed bits into the neighbor's
+    // nibble (and 4·s ≥ 64 would wrap the shift). Fail loudly; the JIT
+    // hoists the constant check out of the row loop.
+    if (k < 1 || k > 16 || sub < 1 || sub > 16)
+      throw new IllegalArgumentException(
+        s"pq_quantize packs 4-bit codes: need 1 <= k <= 16 (got $k) and " +
+          s"1 <= sub <= 16 (got $sub)")
     var packed = 0L
     var s = 0
     while (s < sub) {

@@ -153,29 +153,44 @@ object Merge {
 
   private def deltasDir(path: String) = new org.apache.hadoop.fs.Path(path + ".deltas")
 
-  /** Sorted pending delta dirs for `path` (empty when finalized). */
+  /** Sorted pending delta dirs for `path` (empty when finalized). Only
+    * COMMITTED deltas count: names must match `delta-<digits>` exactly
+    * (matched on the dir NAME, never the full path — a sink path that
+    * itself contains "delta-1" must not corrupt numbering), so a torn
+    * append's `.tmp-*` dir is invisible to both numbering and the fold.
+    */
   def pendingDeltas(spark: org.apache.spark.sql.SparkSession,
                     path: String): Seq[String] = {
     val dir = deltasDir(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).map(_.getPath.toString)
-      .filter(_.contains("delta-")).sorted.toSeq
+    else fs.listStatus(dir)
+      .filter(s => s.getPath.getName.matches("delta-\\d+"))
+      .map(_.getPath.toString).sorted.toSeq
   }
 
   /** Append one chunk as the next delta — O(chunk) I/O, no read of the
     * existing sink. Write order IS the precedence order ([[finalizeDeltas]]
     * replays deltas in sequence), matching the sequential-upsert contract.
     * The driver's chunk loop is sequential by construction, so the
-    * max+1 numbering never races.
+    * max+1 numbering never races. The write lands in a `.tmp-*` dir and
+    * is RENAMED into its delta name: a crash mid-write leaves only the
+    * ignored tmp dir, never a torn `delta-N` that would wedge every
+    * subsequent [[finalizeDeltas]] on a corrupt footer.
     */
   def appendDelta(spark: org.apache.spark.sql.SparkSession, path: String,
                   incoming: DataFrame): Unit = {
     val next = pendingDeltas(spark, path)
-      .flatMap(p => "delta-(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toLong))
+      .flatMap(p => "delta-(\\d+)$".r.findFirstMatchIn(p).map(_.group(1).toLong))
       .foldLeft(0L)(math.max) + 1
-    incoming.write.mode(SaveMode.ErrorIfExists)
-      .parquet(f"${deltasDir(path)}/delta-$next%06d")
+    val dir = deltasDir(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      ".tmp-" + java.util.UUID.randomUUID())
+    incoming.write.mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
+    val target = new org.apache.hadoop.fs.Path(dir, f"delta-$next%06d")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"appendDelta: commit rename failed for $target")
   }
 
   /** Fold all pending deltas (and the existing base, if any) into the
@@ -195,13 +210,16 @@ object Merge {
     if (deltas.isEmpty) return
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val seqName = "__delta_seq"
-    val frames = (if (fs.exists(hPath))
-        Seq(spark.read.parquet(path).withColumn(seqName, lit(0L)))
-      else Nil) ++
-      deltas.zipWithIndex.map { case (p, i) =>
-        spark.read.parquet(p).withColumn(seqName, lit(i + 1L))
-      }
+    val bare = (if (fs.exists(hPath)) Seq(spark.read.parquet(path)) else Nil) ++
+      deltas.map(spark.read.parquet(_))
+    // collision-free sequence column (same rationale as upsert's __pri):
+    // a sink column literally named __delta_seq must not get clobbered.
+    val seqName = Iterator.from(0).map(i => s"__delta_seq$i")
+      .find(n => !bare.head.columns.contains(n)).get
+    val frames = bare.zipWithIndex.map { case (df, i) =>
+      // base (when present) is index 0 = oldest; deltas follow in order
+      df.withColumn(seqName, lit(if (fs.exists(hPath)) i.toLong else i + 1L))
+    }
     val seqOrder = mode match {
       case Ignore => col(seqName).asc  // earliest write wins
       case Update => col(seqName).desc // latest write wins

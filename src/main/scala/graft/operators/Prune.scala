@@ -35,6 +35,16 @@ object Prune {
                 keyCol: Column, expectedItems: Long, numBits: Long): DataFrame = {
     require(expectedItems > 0 && numBits > 0,
       s"need positive sizing, got items=$expectedItems bits=$numBits")
+    // xxhash64 is TYPE-sensitive (int 42 and bigint 42 hash differently)
+    // while the exact equi-join downstream would happily cast-and-match —
+    // a type mismatch here would silently drop true matches and break the
+    // superset contract. Fail loudly instead.
+    val bigType = big.select(bigKey).schema.head.dataType
+    val keyType = keys.select(keyCol).schema.head.dataType
+    require(bigType == keyType,
+      s"bloomSemi key types must match exactly (xxhash64 is type-sensitive): " +
+        s"big side ${bigType.simpleString} vs keys ${keyType.simpleString} — " +
+        s"cast one side explicitly")
     val gateCol = Cols.freeName(big, "__gate_k")
     // `might_contain` requires its Bloom argument to be a constant or a
     // SCALAR SUBQUERY (the analyzer rejects a join-produced attribute), so

@@ -194,8 +194,14 @@ object Sketches {
         s"quantile '$label': p=$p outside (0,1] or beyond 6-decimal precision")
     }
     val width = hi - lo
-    val bin = least(lit(bins - 1L), greatest(lit(0L),
-      expr(s"((__v - ${lo}L) * ${bins}L) div ${width}L")))
+    require(width <= Long.MaxValue / bins,
+      s"(hi-lo)·bins overflows Long: [$lo,$hi) with $bins bins")
+    // clamp the VALUE into [lo, hi-1] BEFORE the multiply: clamping the
+    // bin after would let an out-of-range value (e.g. a stray ns
+    // timestamp) overflow `(v-lo)·bins` negative and land in bin 0
+    // instead of the top bin. In-range values compute identically.
+    val bin = expr(
+      s"((least(${hi - 1}L, greatest(${lo}L, __v)) - ${lo}L) * ${bins}L) div ${width}L")
     import org.apache.spark.sql.expressions.Window
     val byGroup = Window.partitionBy(groups.map(col): _*)
     val hist = df

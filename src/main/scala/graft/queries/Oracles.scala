@@ -1610,10 +1610,12 @@ object Oracles {
 
     // 64 equi-width bins over [0, 4096); quantile = lower edge of the
     // first bin whose cumulative count reaches rank ⌈p·n⌉ (micro-unit
-    // integer rank arithmetic, the q63 rule).
+    // integer rank arithmetic, the q63 rule). The VALUE clamps into
+    // [lo, hi-1] before the multiply — identical to the operator (an
+    // after-the-multiply bin clamp would diverge on overflow).
     "q84_hist_quantiles" ->
       """WITH h AS (SELECT lang,
-        |    least(63, greatest(0, (n_chars * 64) // 4096)) AS bin,
+        |    ((least(4095, greatest(0, n_chars)) - 0) * 64) // 4096 AS bin,
         |    count(*) AS c
         |  FROM documents GROUP BY 1, 2),
         |cum AS (SELECT lang, bin, c,

@@ -95,6 +95,35 @@ class MergeSpec extends AnyFunSuite {
       spark.read.parquet(once).as[(String, Long, Long)].collect().toSet)
   }
 
+  test("delta-log: torn appends are invisible; 'delta-' in the sink path is harmless") {
+    // a path that itself contains "delta-1" must not confuse numbering
+    val base = java.nio.file.Files.createTempDirectory("graft_delta-1_x").toString
+    val path = base + "/delta-1/s"
+    Merge.appendDelta(spark, path, Seq(("k1", 1L, 1L)).toDF("_key", "val", "ver"))
+    Merge.appendDelta(spark, path, Seq(("k2", 2L, 1L)).toDF("_key", "val", "ver"))
+    assert(Merge.pendingDeltas(spark, path).size == 2)
+    // simulate a torn write: an abandoned tmp dir with garbage inside
+    val torn = new java.io.File(path + ".deltas/.tmp-dead")
+    torn.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(torn.toString, "part-0.parquet"), "not parquet")
+    assert(Merge.pendingDeltas(spark, path).size == 2, "torn tmp dir leaked in")
+    Merge.finalizeDeltas(spark, path, "_key", Merge.Ignore, "ver")
+    val state = spark.read.parquet(path)
+      .select("_key", "val").as[(String, Long)].collect().toMap
+    assert(state == Map("k1" -> 1L, "k2" -> 2L))
+  }
+
+  test("delta-log: a sink column named __delta_seq0 survives the fold") {
+    val path = tmpSink("seqcol")
+    val df = Seq(("k1", 7L, 1L)).toDF("_key", "__delta_seq0", "ver")
+    Merge.appendDelta(spark, path, df)
+    Merge.finalizeDeltas(spark, path, "_key", Merge.Ignore, "ver")
+    val r = spark.read.parquet(path).select("_key", "__delta_seq0")
+      .as[(String, Long)].collect().head
+    assert(r == (("k1", 7L)))
+  }
+
   test("delta-log: a second epoch folds on top of the finalized base") {
     val path = tmpSink("epochs")
     Merge.appendDelta(spark, path, Seq(("k1", 1L, 1L)).toDF("_key", "val", "ver"))

@@ -32,6 +32,13 @@ class PruneSpec extends AnyFunSuite {
       s"bloom gate passed ${prunedKeys.size} of 2000 rows - not pruning")
   }
 
+  test("bloomSemi rejects mismatched key types (xxhash64 is type-sensitive)") {
+    val big = Seq(1, 2, 3).toDF("k") // int
+    val keys = Seq(1L, 2L).toDF("pk") // bigint
+    assertThrows[IllegalArgumentException](
+      Prune.bloomSemi(big, col("k"), keys, col("pk"), 10L, 1024L))
+  }
+
   test("contaminationAgainst with bloomPrune equals the unpruned pipeline") {
     val docs = (1 to 60).map { i =>
       val words = (0 until 12).map(j => s"w${(i * 7 + j * 3) % 40}")

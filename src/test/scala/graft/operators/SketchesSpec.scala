@@ -149,5 +149,13 @@ class SketchesSpec extends AnyFunSuite {
       .select("n", "q_p01", "q_p100").as[(Long, Long, Long)].collect().head
     // -5 clamps to bin 0 (edge 0); 1000 clamps to bin 9 (edge 90)
     assert(r == ((4L, 0L, 90L)))
+    // overflow regression: a stray ns-scale value must clamp to the TOP
+    // bin, not wrap (v-lo)*bins negative and land in bin 0
+    val big = Seq(("g", 1L, 3L), ("g", 2L, 1700000000000000000L))
+      .toDF("g", "id", "v")
+    val rb = Sketches.histQuantiles(big, Seq("g"), col("v"), 0L, 100L, 10,
+        Seq("p100" -> 1.0))
+      .select("q_p100").as[Long].collect().head
+    assert(rb == 90L, s"ns-scale value landed at edge $rb, expected top bin 90")
   }
 }
