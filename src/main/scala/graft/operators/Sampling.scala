@@ -129,6 +129,50 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** Proportional stratified sample of EXACTLY `totalN` rows (when the
+    * corpus has that many) by largest-remainder apportionment — the
+    * "build an N-doc eval set matching the corpus mix" operator. Each
+    * stratum's allocation is `floor(n_g·N / T)` plus one of the
+    * `N − Σ floor` leftovers, granted in order of largest remainder
+    * (`n_g·N mod T` descending, stratum key ascending — fully
+    * deterministic, and INTEGER end to end: quota arithmetic in doubles
+    * drifts, apportionment off-by-ones are exactly the bugs
+    * largest-remainder exists to avoid). Rows within a stratum are picked
+    * by the [[capPerGroup]] salted-hash rank, so membership is sticky per
+    * salt. A stratum smaller than its allocation contributes everything
+    * it has (the result is then < N — the caller asked for more than
+    * exists at that mix).
+    *
+    * Scale shape: the per-stratum count table is tiny (≤ #strata rows) —
+    * its apportionment windows are single-partition over that table, not
+    * the corpus; the corpus itself pays ONE shuffle on the stratum key
+    * for the rank window, then a broadcast join against the allocations.
+    */
+  def proportionalSample(df: DataFrame, group: String, id: String,
+                         salt: String, totalN: Long): DataFrame = {
+    require(totalN > 0, s"totalN must be positive, got $totalN")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(group)).agg(count(lit(1)).as("__n"))
+    val all = Window.partitionBy()
+    val alloc = counts
+      .withColumn("__t", sum(col("__n")).over(all))
+      .withColumn("__base", expr(s"(__n * ${totalN}L) div __t"))
+      .withColumn("__rem", expr(s"(__n * ${totalN}L) % __t"))
+      .withColumn("__rr", row_number().over(
+        all.orderBy(col("__rem").desc, col(group).asc)))
+      .withColumn("__leftover", lit(totalN) - sum(col("__base")).over(all))
+      .withColumn("__alloc",
+        col("__base") + when(col("__rr") <= col("__leftover"), 1L).otherwise(0L))
+      .select(col(group), col("__alloc"))
+    val rn = Cols.freeName(df, "__rn")
+    val w = Window.partitionBy(col(group))
+      .orderBy(Text.baseHash32(concat(lit(s"$salt:"), col(id))).asc, col(id).asc)
+    df.withColumn(rn, row_number().over(w))
+      .join(broadcast(alloc), group)
+      .filter(col(rn) <= col("__alloc"))
+      .drop(rn, "__alloc")
+  }
+
   /** Leakage-free TEMPORAL split with a purge embargo — the time-series
     * counterpart of [[hashSplit]]: `train` is everything strictly before
     * `boundary − embargo`, `test` everything at/after `boundary`, and the

@@ -212,6 +212,17 @@ object Extensions {
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("roll_sum").as("roll_sum_c"), col("roll_cnt"))
 
+  /** q90: exact-N stratified sample ([[Sampling.proportionalSample]]) —
+    * 500 documents apportioned across languages by largest remainder
+    * (integer-exact quotas), rows picked by sticky salted-hash rank. The
+    * oracle reproduces the SAME 500 doc ids, so apportionment, leftover
+    * order, and in-stratum ranking are all hash-verified.
+    */
+  def q90StratifiedSample(spark: SparkSession, d: String): DataFrame =
+    Sampling.proportionalSample(
+      Tables(spark, d, "documents").select(col("doc_id"), col("lang")),
+      group = "lang", id = "doc_id", salt = "strat", totalN = 500L)
+
   /** q89: recency-decayed activity features ([[Rolling.decayedSum]]) —
     * per-user value halved every 3 days, anchored at 2024-01-31. Exact
     * shift-based ppm weights (never `pow` — engines round it
@@ -280,5 +291,6 @@ object Extensions {
     "q86_zorder_layout" -> q86ZorderLayout _,
     "q88_time_split" -> q88TimeSplit _,
     "q89_decayed_features" -> q89DecayedFeatures _,
+    "q90_stratified_sample" -> q90StratifiedSample _,
   )
 }

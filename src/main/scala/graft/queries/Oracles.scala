@@ -1047,6 +1047,22 @@ object Oracles {
   val extensions: Map[String, String] = Map(
     // Morton spread: the standard mask cascade, identical longs on both
     // engines (pure BIGINT shifts/masks); bucket = top 4 z bits.
+    "q90_stratified_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |a AS (SELECT lang, n, sum(n) OVER () AS tt FROM c),
+        |b AS (SELECT lang, n, tt, (n * 500) // tt AS base,
+        |    (n * 500) % tt AS rem FROM a),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang ASC) AS rr,
+        |    500 - sum(base) OVER () AS leftover FROM b),
+        |al AS (SELECT lang,
+        |    base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS alloc FROM r),
+        |rk AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5('strat:' || doc_id), 1, 8))::BIGINT,
+        |             doc_id) AS rn
+        |  FROM documents)
+        |SELECT rk.doc_id, rk.lang FROM rk JOIN al USING (lang)
+        |WHERE rn <= alloc""".stripMargin,
+
     "q89_decayed_features" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t,
         |    CAST(round(value * 100) AS BIGINT) AS value_c FROM events),

@@ -98,6 +98,43 @@ class SamplingSpec extends AnyFunSuite {
     assert(w("rare")._3 > 80000L)
   }
 
+  test("proportionalSample: exactly N rows, allocations within 1 of exact quota") {
+    val rows = (1 to 70).map(i => (s"d$i", "big")) ++
+      (1 to 25).map(i => (s"e$i", "mid")) ++
+      (1 to 5).map(i => (s"f$i", "small"))
+    val df = rows.toDF("id", "g")
+    val out = Sampling.proportionalSample(df, "g", "id", "s1", 20L)
+      .select("g").as[String].collect()
+    assert(out.length == 20)
+    val byG = out.groupBy(identity).view.mapValues(_.size).toMap
+    // exact quotas: 14, 5, 1 — largest remainder keeps each within 1
+    assert(math.abs(byG("big") - 14) <= 1)
+    assert(math.abs(byG("mid") - 5) <= 1)
+    assert(math.abs(byG.getOrElse("small", 0) - 1) <= 1)
+    // sticky: same salt → same set
+    val again = Sampling.proportionalSample(df, "g", "id", "s1", 20L)
+      .select("id").as[String].collect().toSet
+    val first = Sampling.proportionalSample(df, "g", "id", "s1", 20L)
+      .select("id").as[String].collect().toSet
+    assert(again == first)
+  }
+
+  test("proportionalSample: an undersized stratum contributes all it has") {
+    val rows = (1 to 3).map(i => (s"a$i", "tiny")) ++
+      (1 to 97).map(i => (s"b$i", "huge"))
+    val out = Sampling.proportionalSample(rows.toDF("id", "g"), "g", "id",
+        "s2", 50L)
+      .select("g").as[String].collect()
+    val byG = out.groupBy(identity).view.mapValues(_.size).toMap
+    // tiny's quota floor(3*50/100)=1 — well under its 3 rows here; the
+    // cap only binds when alloc > n_g, in which case output < N
+    assert(byG.values.sum == 50 && byG("tiny") >= 1)
+    val skewed = Sampling.proportionalSample(
+      ((1 to 2).map(i => (s"a$i", "tiny")) ++ Seq(("b1", "huge")))
+        .toDF("id", "g"), "g", "id", "s2", 30L)
+    assert(skewed.count() == 3) // only 3 rows exist — result < N, never fails
+  }
+
   test("timeSplit: strict band edges, embargo excluded from both sides") {
     val b = 1000L
     val df = Seq(899L, 900L, 901L, 999L, 1000L, 1001L).toDF("t")
