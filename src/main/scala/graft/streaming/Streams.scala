@@ -127,6 +127,29 @@ object Streams {
         col("c"))
   }
 
+  /** Live distinct-count estimate per event-time window — the streaming
+    * twin of [[graft.operators.Sketches.kmvDistinct]] grouped by day. The
+    * KMV buffer is a typed `Aggregator`, and Spark's watermarked
+    * aggregation maintains aggregator state across micro-batches exactly
+    * like map-side partial buffers across tasks (same `merge`), so the
+    * live estimate per window EQUALS the batch build over the same rows —
+    * the uniques dashboard without a distinct shuffle per trigger.
+    * Input needs `ts_us` + the key column; emits
+    * (window_start, n_mins, est_distinct).
+    */
+  def kmvSketched(events: DataFrame, key: String, windowLength: String,
+                  watermarkDelay: String, k: Int,
+                  salt: String = "kmv"): DataFrame = {
+    val windowed = events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("w", window(col("ts"), windowLength))
+    graft.operators.Sketches.kmvDistinct(windowed, Seq("w"), col(key), k,
+        salt = salt)
+      .select(col("w.start").as("window_start"), col("n_mins"),
+        col("est_distinct"))
+  }
+
   /** One event on the tagged temporal stream: right-side rows (`isRight`)
     * update per-key state, left-side rows get enriched.
     */

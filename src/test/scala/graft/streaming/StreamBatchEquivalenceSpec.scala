@@ -200,4 +200,36 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       assert(spark.table("eq_cms").agg(max("c")).as[Long].collect().head > 1L)
     } finally query.stop()
   }
+
+  test("kmvSketched stream ≡ per-day batch kmvDistinct (q83 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new Random(13)
+    val day = 86400000000L
+    // ~90 distinct keys per day over k=16 → the estimator path; fed in 5
+    // micro-batches so cross-batch KMV buffer merging is exercised
+    val rows = Seq.fill(400)((rnd.nextLong(2 * day), s"u${rnd.nextInt(180)}"))
+    val input = MemoryStream[(Long, String)]
+    val stream = Streams.kmvSketched(
+      input.toDF().toDF("ts_us", "k"), "k", "1 day", "0 seconds", k = 16)
+    val query = stream.writeStream.format("memory").queryName("eq_kmv")
+      .outputMode("complete").start()
+    try {
+      rows.sortBy(_._1).grouped(80).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+      val streamed = spark.table("eq_kmv")
+        .select(col("window_start").cast("long"), col("n_mins"),
+          col("est_distinct"))
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = Sketches.kmvDistinct(
+          rows.toDF("ts_us", "k")
+            .withColumn("day", (col("ts_us") - pmod(col("ts_us"), lit(day)))),
+          Seq("day"), col("k"), 16)
+        .select(col("day"), col("n_mins"), col("est_distinct"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed.map { case (w, n, e) => (w * 1000000L, n, e) } == batch)
+      assert(batch.nonEmpty && batch.forall(_._2 == 16L)) // estimator path hit
+    } finally query.stop()
+  }
 }
