@@ -68,6 +68,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("histQuantiles property: one-value bins ≡ exact byRank on random integer data") {
+    val gen = Gen.listOfN(80, Gen.chooseNum(0L, 49L))
+    val ps = Seq("p10" -> 0.1, "p50" -> 0.5, "p97" -> 0.97)
+    val prop = Prop.forAll(gen) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+        .toDF("g", "id", "v")
+      val exact = Quantiles.byRank(df, Seq(col("g")), col("v"), col("id"), ps)
+        .select("q_p10", "q_p50", "q_p97")
+        .as[(Long, Long, Long)].collect().head
+      val hist = Sketches.histQuantiles(df, Seq("g"), col("v"), 0L, 50L, 50, ps)
+        .select("q_p10", "q_p50", "q_p97")
+        .as[(Long, Long, Long)].collect().head
+      hist == exact
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // ---------------------------------------------------------------- KMV
 
   test("KmvMins unit: merge of split buffers equals single fold (mergeability)") {
