@@ -346,7 +346,8 @@ object ScaleProbe {
           .withColumn("ts", col("ts") + i * ninetyDaysNs))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
-      for (name <- Seq("q76_append_series", "q78_incremental_driver")) {
+      for (name <- Seq("q76_append_series", "q78_incremental_driver",
+          "q91_partitioned_driver")) {
         time(s"$name ${factor}x (${100000 * factor} events)") {
           SparkEntry.queries(name)(spark, dir).count()
         }

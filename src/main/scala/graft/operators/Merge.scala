@@ -151,6 +151,75 @@ object Merge {
   // equivalence), so readers of the finalized sink see identical state.
   // -------------------------------------------------------------------
 
+  /** Height-partitioned dynamic-overwrite sink — the STEADY-STATE form,
+    * for collections whose keys are HEIGHT-LOCAL (each document derives
+    * from rows of one source chunk, so a key can only ever live in its
+    * own height range — true for every content-keyed dynamic collection:
+    * the key embeds the row identity). Rows land in `__hb = height div
+    * bucketWidth` partitions; the write first MERGES the buckets the
+    * chunk touches (a partition-PRUNED read — chunk boundaries rarely
+    * align with bucket boundaries, and a raw dynamic overwrite would
+    * silently wipe a partially-covered bucket's earlier rows) and then
+    * dynamically overwrites exactly those buckets. Per-chunk cost is
+    * O(chunk + the ≤ chunk/bucketWidth + 2 touched buckets) — NEVER the
+    * sink size, so the delta-log's one remaining O(sink) epoch fold
+    * disappears; untouched partitions are not even read (IncrementalSpec
+    * pins their files byte-for-byte across epochs). Replay idempotence:
+    * re-processing a chunk finds its own rows in `existing` and
+    * first-write-wins keeps them — same end state (T6).
+    */
+  def upsertPartitionedByHeight(spark: org.apache.spark.sql.SparkSession,
+                                path: String, incoming: DataFrame,
+                                key: String, mode: OnDuplicate,
+                                tiebreak: String,
+                                heightCol: String, bucketWidth: Long): Unit = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(!incoming.columns.contains("__hb"),
+      "incoming already has a __hb column — alias it away first")
+    val withB = Dedup.keepFirst(incoming, Seq(col(key)), Seq(col(tiebreak).desc))
+      .withColumn("__hb", expr(s"$heightCol div ${bucketWidth}L"))
+    // the chunk's bucket ids: a bounded tiny set (≤ chunk/bucketWidth + 2)
+    // — collected so the existing-side read is a STATIC partition-pruned
+    // scan (an isin filter on the partition column), not a join
+    val touched = withB.select("__hb").distinct()
+      .collect().map(_.getLong(0)).sorted
+    // the whole point is a HANDFUL of buckets per chunk (bucketWidth of
+    // the same order as the chunk's height span). Thousands means the
+    // width is mis-sized: the isin prune, the per-bucket renames, and
+    // real-filesystem listing all degrade — fail loudly instead.
+    require(touched.length <= 1024,
+      s"chunk touches ${touched.length} height buckets — bucketWidth " +
+        s"$bucketWidth is far below the chunk's height span; size it near " +
+        s"the chunk size")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(hPath)) {
+        val existing = spark.read.parquet(path)
+          .filter(col("__hb").isin(touched: _*))
+          .select(withB.columns.map(col): _*) // align column order for union
+        upsert(existing, withB, key, mode, tiebreak)
+      } else withB
+    // Write the merged buckets to a sibling temp layout, then swap ONLY
+    // the touched partition dirs into place. Spark forbids overwriting a
+    // path it is reading (self-overwrite), and a raw dynamic overwrite
+    // would race the read anyway; the explicit per-bucket rename is the
+    // same guarantee class as commitSwap — untouched partitions are
+    // never read, written, or renamed.
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp-" + java.util.UUID.randomUUID())
+    merged.write.partitionBy("__hb").parquet(tmp.toString)
+    touched.foreach { b =>
+      val target = new org.apache.hadoop.fs.Path(hPath, s"__hb=$b")
+      val source = new org.apache.hadoop.fs.Path(tmp, s"__hb=$b")
+      if (fs.exists(target)) fs.delete(target, true)
+      fs.mkdirs(hPath)
+      if (fs.exists(source) && !fs.rename(source, target))
+        throw new java.io.IOException(
+          s"upsertPartitionedByHeight: rename failed for bucket $b")
+    }
+    fs.delete(tmp, true)
+  }
+
   private def deltasDir(path: String) = new org.apache.hadoop.fs.Path(path + ".deltas")
 
   /** Sorted pending delta dirs for `path` (empty when finalized). Only

@@ -1561,17 +1561,22 @@ object Oracles {
 
     // Two chunked epochs + a gated third must leave exactly the state of
     // one direct scan: every event once in the dynamic sink, the snapshot
-    // agreeing with the same aggregate.
-    "q78_incremental_driver" ->
-      s"""WITH docs AS (
-         |  SELECT user_id, $CentsValue AS value_c FROM events)
-         |SELECT user_id, count(*) AS n_docs,
-         |  CAST(sum(value_c) AS BIGINT) AS sum_value_c,
-         |  count(*) AS n_events,
-         |  CAST(sum(value_c) AS BIGINT) AS snap_sum_c,
-         |  true AS gated
-         |FROM docs GROUP BY user_id""".stripMargin,
+    // agreeing with the same aggregate. Shared by q78 (delta-log sink)
+    // and q91 (height-partitioned dynamic-overwrite sink): both forms
+    // MUST leave identical end state — the shared twin is the contract.
+    "q78_incremental_driver" -> DriverTwin,
+    "q91_partitioned_driver" -> DriverTwin,
   )
+
+  private lazy val DriverTwin: String =
+    s"""WITH docs AS (
+       |  SELECT user_id, $CentsValue AS value_c FROM events)
+       |SELECT user_id, count(*) AS n_docs,
+       |  CAST(sum(value_c) AS BIGINT) AS sum_value_c,
+       |  count(*) AS n_events,
+       |  CAST(sum(value_c) AS BIGINT) AS snap_sum_c,
+       |  true AS gated
+       |FROM docs GROUP BY user_id""".stripMargin
 
   /** Twins of the mergeable-sketch queries (q82–q84,
     * [[graft.operators.Sketches]]). Each twin recomputes the sketch

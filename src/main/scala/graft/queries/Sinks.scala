@@ -89,7 +89,22 @@ object Sinks {
     * checkpoint resume, and first-write-wins re-processing must all be
     * invisible in the end state (T6 idempotence).
     */
-  def q78IncrementalDriver(spark: SparkSession, d: String): DataFrame = {
+  def q78IncrementalDriver(spark: SparkSession, d: String): DataFrame =
+    incrementalDriverRun(spark, d, partitioned = false)
+
+  /** q91: the SAME two-epoch driver with the STEADY-STATE sink —
+    * [[Incremental.DynamicCollection.heightBucket]] routes ev_docs
+    * through [[graft.operators.Merge.upsertPartitionedByHeight]], so
+    * each chunk rewrites only its own height partitions and no epoch
+    * fold runs at all. The oracle is q78's twin UNCHANGED: both sink
+    * forms must leave exactly the state of one direct scan — the
+    * equality is the contract (the q85/q61 pattern).
+    */
+  def q91PartitionedDriver(spark: SparkSession, d: String): DataFrame =
+    incrementalDriverRun(spark, d, partitioned = true)
+
+  private def incrementalDriverRun(spark: SparkSession, d: String,
+                                   partitioned: Boolean): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_q78_").toString
     val ev = Tables.eventsWithUs(spark, d)
     val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
@@ -98,7 +113,10 @@ object Sinks {
     val dyn = Incremental.DynamicCollection("ev_docs",
       chunk => chunk.select(md5(col("event_id").cast("string")).as("_key"),
         col("event_id"), col("user_id"), cents(col("value")).as("value_c")),
-      key = "_key", tiebreak = "event_id")
+      key = "_key", tiebreak = "event_id",
+      // bucketWidth ~ chunk size: each chunk touches ≤ 2 partitions —
+      // the sizing contract upsertPartitionedByHeight enforces
+      heightBucket = if (partitioned) Some(math.max(1L, maxId / 5)) else None)
     val snap = Incremental.SnapshotCollection("user_snap",
       s => source().groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("snap_sum_c")),
@@ -124,5 +142,6 @@ object Sinks {
     "q76_append_series" -> q76AppendSeries _,
     "q77_merge_metrics" -> q77MergeMetrics _,
     "q78_incremental_driver" -> q78IncrementalDriver _,
+    "q91_partitioned_driver" -> q91PartitionedDriver _,
   )
 }

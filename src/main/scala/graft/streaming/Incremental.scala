@@ -63,9 +63,18 @@ object Incremental {
   /** One dynamic (append-by-range) collection: how to turn the source rows
     * of one chunk into keyed documents. Keys must be content-derived so
     * re-processing is a no-op (D1/T6).
+    *
+    * `heightBucket = Some(width)` opts the collection into the
+    * STEADY-STATE sink ([[Merge.upsertPartitionedByHeight]]): the
+    * extracted frame must RETAIN the driver's height column, and keys
+    * must be height-local (content keys are). Per-chunk cost is then
+    * O(chunk) with no epoch fold at all — partitions outside the chunk's
+    * height range are never rewritten (IncrementalSpec pins untouched
+    * files byte-for-byte across epochs).
     */
   case class DynamicCollection(name: String, extract: DataFrame => DataFrame,
-                               key: String, tiebreak: String)
+                               key: String, tiebreak: String,
+                               heightBucket: Option[Long] = None)
 
   /** One snapshot (full-refresh) collection (T3 "inventories"). */
   case class SnapshotCollection(name: String, build: SparkSession => DataFrame,
@@ -145,10 +154,19 @@ object Incremental {
       ranges.foreach { case (lo, hi) =>
         val chunk = source().filter(col(heightCol) >= lo && col(heightCol) < hi)
         dynamics.foreach { d =>
-          Merge.appendDelta(spark, sinkPath(d.name), d.extract(chunk))
+          d.heightBucket match {
+            case Some(width) =>
+              // steady-state path: the chunk rewrites ONLY its own height
+              // partitions — no delta log, no epoch fold
+              Merge.upsertPartitionedByHeight(spark, sinkPath(d.name),
+                d.extract(chunk), d.key, Merge.Ignore, d.tiebreak,
+                heightCol, width)
+            case None =>
+              Merge.appendDelta(spark, sinkPath(d.name), d.extract(chunk))
+          }
         }
       }
-      dynamics.foreach { d =>
+      dynamics.filter(_.heightBucket.isEmpty).foreach { d =>
         Merge.finalizeDeltas(spark, sinkPath(d.name), d.key, Merge.Ignore,
           d.tiebreak)
       }

@@ -124,6 +124,46 @@ class MergeSpec extends AnyFunSuite {
     assert(r == (("k1", 7L)))
   }
 
+  test("partitioned sink: partially-covered buckets merge instead of clobbering") {
+    val path = tmpSink("hb")
+    def chunk(rows: Seq[(String, Long, Long)]) =
+      Merge.upsertPartitionedByHeight(spark, path,
+        rows.toDF("_key", "h", "ver"), "_key", Merge.Ignore, "ver",
+        heightCol = "h", bucketWidth = 10L)
+    chunk(Seq(("a", 3L, 1L), ("b", 14L, 1L)))  // buckets 0 and 1 (partial)
+    chunk(Seq(("c", 17L, 1L), ("d", 25L, 1L))) // bucket 1 AGAIN + bucket 2
+    val state = spark.read.parquet(path)
+      .select("_key", "h").as[(String, Long)].collect().toSet
+    // the second chunk must NOT wipe b (bucket 1's earlier row)
+    assert(state == Set(("a", 3L), ("b", 14L), ("c", 17L), ("d", 25L)))
+    // replaying chunk 2 is a no-op (first-write-wins on merge)
+    chunk(Seq(("c", 17L, 9L), ("d", 25L, 9L)))
+    val replayed = spark.read.parquet(path)
+      .select("_key", "ver").as[(String, Long)].collect().toMap
+    assert(replayed("c") == 1L && replayed("d") == 1L)
+  }
+
+  test("partitioned sink: untouched partitions are not rewritten") {
+    val path = tmpSink("hb2")
+    def files(b: Long) = {
+      val dir = new java.io.File(s"$path/__hb=$b")
+      if (!dir.exists()) Map.empty[String, Long]
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    Merge.upsertPartitionedByHeight(spark, path,
+      Seq(("a", 5L, 1L)).toDF("_key", "h", "ver"), "_key", Merge.Ignore,
+      "ver", "h", 10L)
+    val bucket0 = files(0L)
+    assert(bucket0.nonEmpty)
+    Thread.sleep(1100) // mtime granularity
+    Merge.upsertPartitionedByHeight(spark, path,
+      Seq(("z", 95L, 1L)).toDF("_key", "h", "ver"), "_key", Merge.Ignore,
+      "ver", "h", 10L)
+    assert(files(0L) == bucket0, "bucket 0 was rewritten by a bucket-9 chunk")
+    assert(files(9L).nonEmpty)
+  }
+
   test("delta-log: a second epoch folds on top of the finalized base") {
     val path = tmpSink("epochs")
     Merge.appendDelta(spark, path, Seq(("k1", 1L, 1L)).toDF("_key", "val", "ver"))
