@@ -279,6 +279,29 @@ object Merge {
     if (deltas.isEmpty) return
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    commitSwap(fs, hPath, mergedView(spark, path, deltas, key, mode, tiebreak))
+    fs.delete(deltasDir(path), true)
+  }
+
+  /** The CURRENT logical state of a delta-log sink — base + pending
+    * deltas resolved with [[finalizeDeltas]]'s exact precedence, WITHOUT
+    * writing anything. This is the mid-compaction read view: a follower
+    * that appends deltas and compacts on a threshold serves reads from
+    * here between folds (the transaction-log read path). Falls back to
+    * the plain base read when no deltas are pending.
+    */
+  def readMerged(spark: org.apache.spark.sql.SparkSession, path: String,
+                 key: String, mode: OnDuplicate, tiebreak: String): DataFrame = {
+    val deltas = pendingDeltas(spark, path)
+    if (deltas.isEmpty) spark.read.parquet(path)
+    else mergedView(spark, path, deltas, key, mode, tiebreak)
+  }
+
+  private def mergedView(spark: org.apache.spark.sql.SparkSession,
+                         path: String, deltas: Seq[String], key: String,
+                         mode: OnDuplicate, tiebreak: String): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bare = (if (fs.exists(hPath)) Seq(spark.read.parquet(path)) else Nil) ++
       deltas.map(spark.read.parquet(_))
     // collision-free sequence column (same rationale as upsert's __pri):
@@ -293,10 +316,8 @@ object Merge {
       case Ignore => col(seqName).asc  // earliest write wins
       case Update => col(seqName).desc // latest write wins
     }
-    val merged = Dedup.keepFirst(frames.reduce(_ unionByName _),
+    Dedup.keepFirst(frames.reduce(_ unionByName _),
         Seq(col(key)), Seq(seqOrder, col(tiebreak).desc))
       .drop(seqName)
-    commitSwap(fs, hPath, merged)
-    fs.delete(deltasDir(path), true)
   }
 }

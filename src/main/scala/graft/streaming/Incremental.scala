@@ -112,6 +112,37 @@ object Incremental {
       }
       .start()
 
+  /** The streaming follower on the DELTA LOG: each micro-batch appends an
+    * O(batch) delta (never reading the growing sink) and the whole-sink
+    * fold runs only every `compactEvery` batches — the same LSM shape the
+    * batch [[Driver]] uses per epoch, driven by the trigger instead of
+    * height ranges. Between folds the sink's logical state is served by
+    * [[Merge.readMerged]] (base + pending deltas under the same
+    * precedence — the transaction-log read path), so consumers never see
+    * a partially-applied batch. Idempotence (T6) is unchanged: a
+    * replayed micro-batch appends a duplicate delta and first-write-wins
+    * resolves it away, exactly the crashed-epoch story MergeSpec pins.
+    * Compared to [[streamingUpsert]] (per-batch O(sink) rewrite — fine
+    * for bootstrap-scale sinks), this is the steady-state form for
+    * long-running followers whose sink dwarfs a trigger interval's rows.
+    */
+  def streamingUpsertDelta(stream: DataFrame, checkpointDir: String,
+                           sinkPath: String, key: String, tiebreak: String,
+                           compactEvery: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery > 0, s"compactEvery must be positive, got $compactEvery")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        Merge.appendDelta(spark, sinkPath, batch)
+        if (Merge.pendingDeltas(spark, sinkPath).size >= compactEvery)
+          Merge.finalizeDeltas(spark, sinkPath, key, Merge.Ignore, tiebreak)
+        ()
+      }
+      .start()
+  }
+
   /** The follower/backfill driver. `source` must yield rows with a
     * monotonically increasing `heightCol`; `currentHeight` is re-read per
     * epoch.

@@ -120,6 +120,41 @@ class IncrementalSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streamingUpsertDelta: delta appends + threshold compaction ≡ the per-batch upsert") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-delta").toFile.getAbsolutePath
+    val rows = (0L until 300L).map(i => (i, i % 17, (i % 23).toDouble))
+    val input = MemoryStream[(Long, Long, Double)]
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(md5(to_json(struct(col("event_id"), col("user_id"), col("value")))).as("_key"),
+        col("user_id"), round(col("value") * 100).cast("long").as("value_c"),
+        col("event_id"))
+    val query = Incremental.streamingUpsertDelta(
+      shape(input.toDF().toDF("event_id", "user_id", "value")),
+      s"$dir/ckpt", s"$dir/sink", key = "_key", tiebreak = "event_id",
+      compactEvery = 2)
+    try {
+      // batch 1: delta only (no fold yet) — reads must already see it
+      input.addData(rows.take(150): _*); query.processAllAvailable()
+      assert(graft.operators.Merge.pendingDeltas(spark, s"$dir/sink").size == 1)
+      val midState = graft.operators.Merge.readMerged(spark, s"$dir/sink",
+        "_key", graft.operators.Merge.Ignore, "event_id")
+      assert(midState.count() == 150)
+      // batch 2 (overlapping redelivery) trips the threshold → fold
+      input.addData(rows.slice(100, 200): _*); query.processAllAvailable()
+      assert(graft.operators.Merge.pendingDeltas(spark, s"$dir/sink").isEmpty)
+      input.addData(rows.drop(200): _*); query.processAllAvailable()
+      // end state (1 pending delta + base) equals the direct computation
+      val state = graft.operators.Merge.readMerged(spark, s"$dir/sink",
+        "_key", graft.operators.Merge.Ignore, "event_id")
+      val expected = shape(rows.toDF("event_id", "user_id", "value"))
+      assert(state.collect().toSet == expected.collect().toSet)
+      assert(state.count() == 300)
+    } finally query.stop()
+  }
+
   test("re-processing a chunk is a no-op (content-keyed append, T6)") {
     val dir = Files.createTempDirectory("graft-incr2").toFile.getAbsolutePath
     val driver = mkDriver(() => 300L, s"$dir/state", s"$dir/sink")
