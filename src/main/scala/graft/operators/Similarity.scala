@@ -237,13 +237,38 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, centroids: DataFrame, id: String,
                 vec: String, queryPred: Column, k: Int): DataFrame = {
     val assigned = ivfAssign(corpus, centroids, id, vec)
-    val coded = pqEncode(assigned, id, vec, carry = Seq("cell"))
+    ivfPqTopKIndexed(buildIvfPqIndex(corpus, centroids, id, vec),
+      assigned.filter(queryPred)
+        .select(col(id).as("qid"), col(vec).as("qv"), col("cell")), k)
+  }
+
+  /** The materialized IVF-PQ index: `(cid, cell, code0..code{PqSub-1})` —
+    * the (cell, code) table a production deployment writes ONCE at ingest
+    * (~2 B codes + a cell id per vector; the 100 TB corpus's index is
+    * ~1 TB). Built here so the probe can separate INDEX COST (this, paid
+    * once) from QUERY COST ([[ivfPqTopKIndexed]], paid per search) —
+    * end-to-end `ivfPqTopK` re-assigns the corpus per call, which
+    * dominates past ~100 centroids and is exactly what materialization
+    * removes.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, centroids: DataFrame, id: String,
+                      vec: String): DataFrame =
+    pqEncode(ivfAssign(corpus, centroids, id, vec), id, vec,
+        carry = Seq("cell"))
       .select(col(id).as("cid") +: col("cell") +:
         (0 until PqSub).map(s => col(s"code$s")): _*)
-    val q = adcLuts(assigned.filter(queryPred)
-      .select(col(id).as("qid"), col(vec).as("qv"), col("cell")), "qv")
-      .drop("qv")
-    val scored = q.join(coded, Seq("cell"))
+
+  /** Search a prebuilt [[buildIvfPqIndex]] table: queries arrive ALREADY
+    * cell-assigned as `(qid, qv, cell)` (assigning the query set is
+    * |Q|·|cells| dots — negligible), grow their ADC LUTs, prune via the
+    * cell equi-join, score codes. Same arithmetic as the end-to-end form
+    * (equivalence test-pinned), but the scan side is the 2-byte code
+    * table, never the vectors.
+    */
+  def ivfPqTopKIndexed(index: DataFrame, queries: DataFrame,
+                       k: Int): DataFrame = {
+    val q = adcLuts(queries, "qv").drop("qv")
+    val scored = q.join(index, Seq("cell"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"), col("cell"),
         adcPm(s => col(s"code$s")).as("adc_pm"))

@@ -316,4 +316,23 @@ class SimilaritySpec extends AnyFunSuite {
       }.map { case (q, c, _) => (q, c) }.toSet
     assert(neg.map { case (q, _, c, _) => (q, c) }.toSet == expected)
   }
+
+  test("ivfPqTopKIndexed over a prebuilt index equals the end-to-end form") {
+    import spark.implicits._
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+    val qp = col("vec_id") >= 20 && col("vec_id") < 30
+    val direct = Similarity.ivfPqTopK(emb, cents, "vec_id", "embedding",
+        qp, k = 3)
+      .select("qid", "cid", "adc_pm", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val index = Similarity.buildIvfPqIndex(emb, cents, "vec_id", "embedding")
+    val qAssigned = Similarity.ivfAssign(emb.filter(qp), cents, "vec_id", "embedding")
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"))
+    val indexed = Similarity.ivfPqTopKIndexed(index, qAssigned, k = 3)
+      .select("qid", "cid", "adc_pm", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(indexed == direct)
+    assert(direct.nonEmpty)
+  }
 }
