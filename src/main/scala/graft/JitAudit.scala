@@ -27,14 +27,19 @@ object JitAudit {
     for (name <- names) {
       try {
         val df = SparkEntry.queries(name)(spark, d)
-        def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[WholeStageCodegenExec] =
-          p match {
+        def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[WholeStageCodegenExec] = {
+          // subquery plans (scalar subqueries, the bloom gates) are
+          // separate trees reachable only via subqueries — codegen in
+          // them must not escape the audit
+          val subs = p.subqueries.flatMap(walk)
+          (p match {
             case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
             case w: WholeStageCodegenExec => w +: w.children.flatMap(walk)
             case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
             case _: ExecutedCommandExec => Nil
             case other => other.children.flatMap(walk)
-          }
+          }) ++ subs
+        }
         val sizes = walk(df.queryExecution.executedPlan).map { w =>
           val (_, code) = w.doCodeGen()
           org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator

@@ -176,48 +176,75 @@ object Merge {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     require(!incoming.columns.contains("__hb"),
       "incoming already has a __hb column — alias it away first")
-    val withB = Dedup.keepFirst(incoming, Seq(col(key)), Seq(col(tiebreak).desc))
+    // the incoming-side dedup happens inside upsert's precedence window
+    // when a sink exists (doing it here too would be a redundant extra
+    // shuffle — the upsertParquet rationale); only the fresh-sink branch
+    // needs its own collapse. The pipeline feeds TWO actions (the
+    // touched-bucket collect and the write), so it is persisted for the
+    // duration of this call.
+    val withB = incoming
       .withColumn("__hb", expr(s"$heightCol div ${bucketWidth}L"))
-    // the chunk's bucket ids: a bounded tiny set (≤ chunk/bucketWidth + 2)
-    // — collected so the existing-side read is a STATIC partition-pruned
-    // scan (an isin filter on the partition column), not a join
-    val touched = withB.select("__hb").distinct()
-      .collect().map(_.getLong(0)).sorted
-    // the whole point is a HANDFUL of buckets per chunk (bucketWidth of
-    // the same order as the chunk's height span). Thousands means the
-    // width is mis-sized: the isin prune, the per-bucket renames, and
-    // real-filesystem listing all degrade — fail loudly instead.
-    require(touched.length <= 1024,
-      s"chunk touches ${touched.length} height buckets — bucketWidth " +
-        s"$bucketWidth is far below the chunk's height span; size it near " +
-        s"the chunk size")
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val merged =
-      if (fs.exists(hPath)) {
-        val existing = spark.read.parquet(path)
-          .filter(col("__hb").isin(touched: _*))
-          .select(withB.columns.map(col): _*) // align column order for union
-        upsert(existing, withB, key, mode, tiebreak)
-      } else withB
-    // Write the merged buckets to a sibling temp layout, then swap ONLY
-    // the touched partition dirs into place. Spark forbids overwriting a
-    // path it is reading (self-overwrite), and a raw dynamic overwrite
-    // would race the read anyway; the explicit per-bucket rename is the
-    // same guarantee class as commitSwap — untouched partitions are
-    // never read, written, or renamed.
-    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp-" + java.util.UUID.randomUUID())
-    merged.write.partitionBy("__hb").parquet(tmp.toString)
-    touched.foreach { b =>
-      val target = new org.apache.hadoop.fs.Path(hPath, s"__hb=$b")
-      val source = new org.apache.hadoop.fs.Path(tmp, s"__hb=$b")
-      if (fs.exists(target)) fs.delete(target, true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the chunk's bucket ids: a bounded tiny set (≤ chunk/bucketWidth + 2)
+      // — collected so the existing-side read is a STATIC partition-pruned
+      // scan (an isin filter on the partition column), not a join
+      val touched = withB.select("__hb").distinct()
+        .collect().map(_.getLong(0)).sorted
+      // the whole point is a HANDFUL of buckets per chunk (bucketWidth of
+      // the same order as the chunk's height span). Thousands means the
+      // width is mis-sized: the isin prune, the per-bucket renames, and
+      // real-filesystem listing all degrade — fail loudly instead.
+      require(touched.length <= 1024,
+        s"chunk touches ${touched.length} height buckets — bucketWidth " +
+          s"$bucketWidth is far below the chunk's height span; size it near " +
+          s"the chunk size")
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // an empty base dir (a crash between mkdirs and the first rename)
+      // must not count as an existing sink — parquet schema inference
+      // would fail on it forever
+      val baseExists = fs.exists(hPath) && fs.listStatus(hPath).nonEmpty
+      val merged =
+        if (baseExists) {
+          val existing = spark.read.parquet(path)
+            .filter(col("__hb").isin(touched: _*))
+            .select(withB.columns.map(col): _*) // align column order for union
+          upsert(existing, withB, key, mode, tiebreak)
+        } else Dedup.keepFirst(withB, Seq(col(key)), Seq(col(tiebreak).desc))
+      // Write the merged buckets to a sibling temp layout, then swap ONLY
+      // the touched partition dirs into place — Spark forbids overwriting
+      // a path it is reading (self-overwrite), and a raw dynamic overwrite
+      // would race the read anyway. Per bucket the swap follows
+      // commitSwap's ordering (old renamed ASIDE first, deleted only once
+      // the new state is in): a crash window loses no earlier rows. A
+      // touched bucket whose merged output vanished entirely means the
+      // height-locality contract was violated (keys roamed buckets under
+      // Update) — fail loudly rather than silently emptying it.
+      val tmp = new org.apache.hadoop.fs.Path(path + ".tmp-" + java.util.UUID.randomUUID())
+      merged.write.partitionBy("__hb").parquet(tmp.toString)
       fs.mkdirs(hPath)
-      if (fs.exists(source) && !fs.rename(source, target))
-        throw new java.io.IOException(
-          s"upsertPartitionedByHeight: rename failed for bucket $b")
-    }
-    fs.delete(tmp, true)
+      touched.foreach { b =>
+        val target = new org.apache.hadoop.fs.Path(hPath, s"__hb=$b")
+        val source = new org.apache.hadoop.fs.Path(tmp, s"__hb=$b")
+        if (!fs.exists(source)) {
+          if (fs.exists(target))
+            throw new java.io.IOException(
+              s"upsertPartitionedByHeight: merged output for bucket $b is " +
+                s"empty but the bucket holds rows — height-locality violated")
+          // else: an all-duplicate incoming slice produced nothing new
+        } else {
+          val old = new org.apache.hadoop.fs.Path(
+            path + s".old-$b-" + java.util.UUID.randomUUID())
+          if (fs.exists(target)) fs.rename(target, old)
+          if (!fs.rename(source, target))
+            throw new java.io.IOException(
+              s"upsertPartitionedByHeight: rename failed for bucket $b")
+          fs.delete(old, true)
+        }
+      }
+      fs.delete(tmp, true)
+    } finally withB.unpersist()
   }
 
   private def deltasDir(path: String) = new org.apache.hadoop.fs.Path(path + ".deltas")
@@ -285,16 +312,34 @@ object Merge {
 
   /** The CURRENT logical state of a delta-log sink — base + pending
     * deltas resolved with [[finalizeDeltas]]'s exact precedence, WITHOUT
-    * writing anything. This is the mid-compaction read view: a follower
+    * writing anything. This is the between-folds read view: a follower
     * that appends deltas and compacts on a threshold serves reads from
-    * here between folds (the transaction-log read path). Falls back to
-    * the plain base read when no deltas are pending.
+    * here (the transaction-log read path). Falls back to the plain base
+    * read when no deltas are pending.
+    *
+    * Consistency contract: the returned frame is LAZY and references the
+    * delta/base files it listed — a [[finalizeDeltas]] running while the
+    * read executes deletes those paths out from under it (the same
+    * non-transactional-parquet caveat as reading during
+    * [[upsertParquet]]'s swap). Quiesce compaction around long reads, or
+    * collect/checkpoint promptly; plain parquet has no snapshot
+    * isolation to offer — that is Delta/Iceberg's job, and the swap
+    * point SCALE.md documents. The sink must have at least one committed
+    * write (append or fold).
     */
   def readMerged(spark: org.apache.spark.sql.SparkSession, path: String,
                  key: String, mode: OnDuplicate, tiebreak: String): DataFrame = {
     val deltas = pendingDeltas(spark, path)
-    if (deltas.isEmpty) spark.read.parquet(path)
-    else mergedView(spark, path, deltas, key, mode, tiebreak)
+    if (deltas.nonEmpty) mergedView(spark, path, deltas, key, mode, tiebreak)
+    else {
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hPath))
+        throw new IllegalStateException(
+          s"readMerged: $path has no base and no pending deltas — nothing " +
+            s"has been committed to this sink yet")
+      spark.read.parquet(path)
+    }
   }
 
   private def mergedView(spark: org.apache.spark.sql.SparkSession,

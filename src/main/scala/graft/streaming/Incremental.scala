@@ -69,8 +69,8 @@ object Incremental {
     * extracted frame must RETAIN the driver's height column, and keys
     * must be height-local (content keys are). Per-chunk cost is then
     * O(chunk) with no epoch fold at all — partitions outside the chunk's
-    * height range are never rewritten (IncrementalSpec pins untouched
-    * files byte-for-byte across epochs).
+    * height range are never rewritten (MergeSpec pins untouched partitions'
+    * part files unchanged across epochs).
     */
   case class DynamicCollection(name: String, extract: DataFrame => DataFrame,
                                key: String, tiebreak: String,
@@ -118,8 +118,11 @@ object Incremental {
     * batch [[Driver]] uses per epoch, driven by the trigger instead of
     * height ranges. Between folds the sink's logical state is served by
     * [[Merge.readMerged]] (base + pending deltas under the same
-    * precedence — the transaction-log read path), so consumers never see
-    * a partially-applied batch. Idempotence (T6) is unchanged: a
+    * precedence — the transaction-log read path); a single append is
+    * atomic (tmp+rename), but long reads must not overlap a compaction —
+    * see readMerged's consistency contract (plain parquet has no
+    * snapshot isolation; that is the documented Delta/Iceberg swap
+    * point). Idempotence (T6) is unchanged: a
     * replayed micro-batch appends a duplicate delta and first-write-wins
     * resolves it away, exactly the crashed-epoch story MergeSpec pins.
     * Compared to [[streamingUpsert]] (per-batch O(sink) rewrite — fine
