@@ -92,6 +92,18 @@ object PqQuantize {
       throw new IllegalArgumentException(
         s"pq_quantize packs 4-bit codes: need 1 <= k <= 16 (got $k) and " +
           s"1 <= sub <= 16 (got $sub)")
+    // The subspace layout reads vec[s·subDim + i] with subDim taken from
+    // the codebook — an undersized vector would otherwise read past its
+    // UnsafeArrayData bounds SILENTLY (Platform.getDouble has no bounds
+    // check) and emit garbage codes. Fail loudly like the k/sub guard;
+    // all entries share one subDim by construction (pqCodebook), so the
+    // first entry's length bounds every access.
+    val subDim0 = cb.getArray(0).numElements()
+    if (vec.numElements() < sub * subDim0)
+      throw new IllegalArgumentException(
+        s"pq_quantize: vector has ${vec.numElements()} elements but the " +
+          s"codebook expects at least ${sub * subDim0} ($sub subspaces x " +
+          s"$subDim0 dims)")
     var packed = 0L
     var s = 0
     while (s < sub) {

@@ -40,8 +40,9 @@ object Geo {
     struct(array(lng, lat).as("coordinates"), lit("Point").as("type"))
 
   /** The FOREIGN-cell seam — explicitly NOT an h3 decode. Maps any opaque
-    * cell id to stable in-range coordinates (lat ∈ [-85, 85), lng ∈
-    * [-175, 175)) via md5, null-safely (P8). H3's base-cell orientation
+    * cell id to stable in-range coordinates (lat ∈ [-84.75, 85.25), lng ∈
+    * [-174.5, 175.5) — the base [-85,85)/[-175,175) lattice shifted by the
+    * anti-tie offsets below) via md5, null-safely (P8). H3's base-cell orientation
     * tables cannot be re-derived offline (see [[IcosaGrid]]'s
     * compatibility note), so foreign H3 indexes are anchored to
     * deterministic pseudo-coordinates here and then snapped onto the real

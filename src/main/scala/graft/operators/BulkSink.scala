@@ -55,6 +55,15 @@ object BulkSink {
   /** Stream `df` into the writer with per-partition connections and
     * `batchSize` bulk chunks; returns the total accepted count (via an
     * accumulator — no driver-side collect).
+    *
+    * Count semantics are AT-LEAST-ONCE: a retried or speculative task
+    * attempt re-runs its partition, and the accumulator sums every
+    * attempt's batches, so the returned count can exceed the rows actually
+    * resident in an idempotent sink (JsonLinesWriter truncates on open, so
+    * its FILES are exactly-once; only the counter over-reports). Callers
+    * needing an exact count must derive it from the sink itself — the
+    * flagship re-reads the sink directory and counts that, treating this
+    * return value as a progress indicator.
     */
   def write(df: DataFrame, writer: BulkWriter, batchSize: Int): Long = {
     require(batchSize > 0, "batchSize must be positive")

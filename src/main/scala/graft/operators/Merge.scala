@@ -207,7 +207,16 @@ object Merge {
       val baseExists = fs.exists(hPath) && fs.listStatus(hPath).nonEmpty
       val merged =
         if (baseExists) {
-          val existing = spark.read.parquet(path)
+          // User-specified schema: partition-column TYPE INFERENCE would
+          // read `__hb` back as IntegerType while the incoming side
+          // computes LongType — the isin prune then compares through a
+          // cast of the partition column and static pruning rests on
+          // UnwrapCastInBinaryComparison firing (fragile across Spark
+          // versions; a miss means a full-sink scan, defeating the
+          // O(chunk) contract). Passing the incoming schema makes `__hb`
+          // long at the source: the prune is a bare In on the partition
+          // column (pinned in MergeSpec's plan test).
+          val existing = spark.read.schema(withB.schema).parquet(path)
             .filter(col("__hb").isin(touched: _*))
             .select(withB.columns.map(col): _*) // align column order for union
           upsert(existing, withB, key, mode, tiebreak)

@@ -167,10 +167,16 @@ object Sampling {
     val rn = Cols.freeName(df, "__rn")
     val w = Window.partitionBy(col(group))
       .orderBy(Text.baseHash32(concat(lit(s"$salt:"), col(id))).asc, col(id).asc)
+    // Null-safe equality on the stratum key: groupBy above KEEPS a null
+    // stratum (and allocates it quota), but a plain equi-join can never
+    // match null keys — those allocated slots would silently vanish and
+    // the result would under-fill the EXACTLY-totalN contract. <=> makes
+    // null-stratum rows sampleable like any other stratum.
+    val ga = Cols.freeName(df, "__g")
     df.withColumn(rn, row_number().over(w))
-      .join(broadcast(alloc), group)
+      .join(broadcast(alloc.withColumnRenamed(group, ga)), col(group) <=> col(ga))
       .filter(col(rn) <= col("__alloc"))
-      .drop(rn, "__alloc")
+      .drop(rn, "__alloc", ga)
   }
 
   /** Leakage-free TEMPORAL split with a purge embargo — the time-series

@@ -164,6 +164,31 @@ class MergeSpec extends AnyFunSuite {
     assert(files(9L).nonEmpty)
   }
 
+  test("partitioned sink: the existing-side read prunes statically, no cast") {
+    // upsertPartitionedByHeight computes __hb as LONG on the incoming side
+    // but parquet partition-column INFERENCE reads it back as int — the
+    // isin prune would then run through cast(__hb as bigint) and static
+    // pruning would rest on UnwrapCastInBinaryComparison. The fix passes
+    // the incoming schema to the read; this pins the resulting plan: the
+    // partition filter is a bare In on a long __hb, never a cast.
+    val path = tmpSink("hbprune")
+    val inc = Seq(("a", 5L, 1L), ("z", 95L, 1L)).toDF("_key", "h", "ver")
+    Merge.upsertPartitionedByHeight(spark, path, inc, "_key", Merge.Ignore,
+      "ver", "h", 10L)
+    val schema = inc.withColumn("__hb", expr("h div 10L")).schema
+    val read = spark.read.schema(schema).parquet(path)
+      .filter(col("__hb").isin(0L))
+    val scan = read.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in the plan"))
+    val pf = scan.metadata.getOrElse("PartitionFilters", "")
+    assert(pf.contains("__hb"), s"partition filter missing: $pf")
+    assert(!pf.toLowerCase.contains("cast"),
+      s"partition filter runs through a cast — static pruning fragile: $pf")
+    // and the pruned read returns exactly bucket 0's row
+    assert(read.select("_key").as[String].collect().toSeq == Seq("a"))
+  }
+
   test("delta-log: a second epoch folds on top of the finalized base") {
     val path = tmpSink("epochs")
     Merge.appendDelta(spark, path, Seq(("k1", 1L, 1L)).toDF("_key", "val", "ver"))

@@ -135,6 +135,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(skewed.count() == 3) // only 3 rows exist — result < N, never fails
   }
 
+  test("proportionalSample: a NULL stratum keeps its allocated quota") {
+    // groupBy allocates the null stratum quota; a plain equi-join would
+    // drop every null-key row and silently under-fill totalN. The
+    // null-safe join keeps the contract: exactly N rows out.
+    val rows = (1 to 40).map(i => (s"n$i", Option.empty[String])) ++
+      (1 to 60).map(i => (s"g$i", Some("en")))
+    val out = Sampling.proportionalSample(rows.toDF("id", "g"), "g", "id",
+        "s3", 10L)
+      .select("g").as[Option[String]].collect()
+    assert(out.length == 10, s"expected exactly 10 rows, got ${out.length}")
+    val byG = out.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byG(None) == 4 && byG(Some("en")) == 6)
+  }
+
   test("timeSplit: strict band edges, embargo excluded from both sides") {
     val b = 1000L
     val df = Seq(899L, 900L, 901L, 999L, 1000L, 1001L).toDF("t")
