@@ -308,6 +308,40 @@ object Oracles {
   private def pqAdcTerm(s: Int, cbAlias: String): String =
     s"list_reduce(list_transform(range(1, 17), i -> qv[$s * 16 + i]::DOUBLE * $cbAlias.vec[i]), (a, b) -> a + b)"
 
+  /** q81 AND q92 twin — q38's cent/asg cell assignment + the PQ code/ADC
+    * chain. q92's materialized-index path must land on the identical end
+    * state (the index is pure storage layout), so one twin serves both.
+    */
+  private lazy val IvfPqSql =
+    s"""$pqCodesSql,
+       |cent AS (SELECT vec_id AS cent_id, embedding AS centv
+       |  FROM embeddings WHERE vec_id < 8),
+       |asg AS (SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosPm("e.embedding", "c.centv")} DESC, c.cent_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, cell FROM asg
+       |      WHERE vec_id >= 20 AND vec_id < 30),
+       |cc AS (SELECT asg.vec_id AS cid, asg.cell, c0, c1, c2, c3
+       |      FROM asg JOIN codes ON asg.vec_id = codes.vec_id),
+       |p AS (SELECT qid, qv, cid, q.cell AS cell, c0, c1, c2, c3
+       |      FROM q JOIN cc USING (cell) WHERE cid <> qid),
+       |sc AS (SELECT qid, cid, cell,
+       |    CAST(round(1000000.0 * (${pqAdcTerm(0, "cb0")}
+       |      + ${pqAdcTerm(1, "cb1")}
+       |      + ${pqAdcTerm(2, "cb2")}
+       |      + ${pqAdcTerm(3, "cb3")})) AS BIGINT) AS adc_pm
+       |  FROM p JOIN cb cb0 ON cb0.s = 0 AND cb0.c = p.c0
+       |         JOIN cb cb1 ON cb1.s = 1 AND cb1.c = p.c1
+       |         JOIN cb cb2 ON cb2.s = 2 AND cb2.c = p.c2
+       |         JOIN cb cb3 ON cb3.s = 3 AND cb3.c = p.c3),
+       |r2 AS (SELECT qid, cid, cell, adc_pm,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc_pm DESC, cid ASC) AS "rank"
+       |  FROM sc)
+       |SELECT qid, cid, cell, adc_pm, "rank" FROM r2 WHERE "rank" <= 3""".stripMargin
+
   private lazy val BruteForceTop5Sql =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
        |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
@@ -533,35 +567,13 @@ object Oracles {
          |SELECT qid, cid, adc_pm, "rank" FROM r2 WHERE "rank" <= 3""".stripMargin,
 
     // IVF-PQ: q38's cent/asg cell assignment + the PQ code/ADC chain.
-    "q81_ivf_pq_topk" ->
-      s"""$pqCodesSql,
-         |cent AS (SELECT vec_id AS cent_id, embedding AS centv
-         |  FROM embeddings WHERE vec_id < 8),
-         |asg AS (SELECT vec_id, embedding, cell FROM (
-         |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosPm("e.embedding", "c.centv")} DESC, c.cent_id ASC) AS rn
-         |    FROM embeddings e CROSS JOIN cent c)
-         |  WHERE rn = 1),
-         |q AS (SELECT vec_id AS qid, embedding AS qv, cell FROM asg
-         |      WHERE vec_id >= 20 AND vec_id < 30),
-         |cc AS (SELECT asg.vec_id AS cid, asg.cell, c0, c1, c2, c3
-         |      FROM asg JOIN codes ON asg.vec_id = codes.vec_id),
-         |p AS (SELECT qid, qv, cid, q.cell AS cell, c0, c1, c2, c3
-         |      FROM q JOIN cc USING (cell) WHERE cid <> qid),
-         |sc AS (SELECT qid, cid, cell,
-         |    CAST(round(1000000.0 * (${pqAdcTerm(0, "cb0")}
-         |      + ${pqAdcTerm(1, "cb1")}
-         |      + ${pqAdcTerm(2, "cb2")}
-         |      + ${pqAdcTerm(3, "cb3")})) AS BIGINT) AS adc_pm
-         |  FROM p JOIN cb cb0 ON cb0.s = 0 AND cb0.c = p.c0
-         |         JOIN cb cb1 ON cb1.s = 1 AND cb1.c = p.c1
-         |         JOIN cb cb2 ON cb2.s = 2 AND cb2.c = p.c2
-         |         JOIN cb cb3 ON cb3.s = 3 AND cb3.c = p.c3),
-         |r2 AS (SELECT qid, cid, cell, adc_pm,
-         |    row_number() OVER (PARTITION BY qid ORDER BY adc_pm DESC, cid ASC) AS "rank"
-         |  FROM sc)
-         |SELECT qid, cid, cell, adc_pm, "rank" FROM r2 WHERE "rank" <= 3""".stripMargin,
+    "q81_ivf_pq_topk" -> IvfPqSql,
+
+    // q92 is q81's semantics through the MATERIALIZED index (build →
+    // parquet round-trip → indexed search): identical end state is the
+    // contract, so the twin IS q81's SQL — hash-compared independently
+    // against the index-path result (the q30/q53 pattern).
+    "q92_ivf_pq_indexed" -> IvfPqSql,
 
     "q31_ann_lsh_topk" ->
       s"""WITH emb AS (SELECT vec_id, embedding, ${rpBucket("embedding")} AS bucket FROM embeddings),
