@@ -150,7 +150,9 @@ object Similarity {
     * table would store.
     */
   def pqEncode(corpus: DataFrame, id: String, vec: String,
-               carry: Seq[String] = Nil): DataFrame = {
+               carry: Seq[String] = Nil,
+               codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = pqCodebook)
+      : DataFrame = {
     // The whole 4-subspace encode is ONE codegen'd expression
     // ([[graft.expressions.PqQuantize]] — a single static call per row)
     // emitting the packed word; the 4-bit code columns are nibble
@@ -161,16 +163,54 @@ object Similarity {
     // then `array_min`+`array_position` over a distance array) generated
     // ~10 KB of fused whole-stage code — past HotSpot's 8000-byte JIT
     // limit, leaving the encode stage interpreted and ~10× slower.
+    // A TRAINED codebook ([[trainPqCodebooks]]) swaps the constants, not
+    // the operator: same kernel, same ascending-fold norm arithmetic.
+    val norms =
+      if (codebook eq pqCodebook) pqCbNorm2
+      else codebook.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
     val keep = col(id) +: carry.map(col)
     val packed = call_function("pq_quantize", col(vec),
-      typedlit(pqCodebook.flatten.map(_.toSeq).toSeq),
-      typedlit(pqCbNorm2.flatten.toSeq), lit(PqSub))
+      typedlit(codebook.flatten.map(_.toSeq).toSeq),
+      typedlit(norms.flatten.toSeq), lit(PqSub))
     corpus.select(keep :+ packed.as("pq_code"): _*)
       .select(keep ++ (0 until PqSub).map { s =>
         shiftright(col("pq_code"), 4 * s).bitwiseAND(lit(15L))
           .cast("int").as(s"code$s")
       } :+ col("pq_code"): _*)
   }
+
+  /** Train data-adaptive PQ codebooks — the production step the
+    * md5-constant [[pqCodebook]] stands in for. Per subspace s the corpus
+    * is SLICED to its PqSubDim components and Lloyd-refined
+    * ([[kmeansRefine]]: ordered-fold means, bit-reproducible across
+    * engines) from the PqK seed rows matching `seedPred`; entry c of the
+    * trained codebook is the refined centroid of seed cell c (ascending
+    * seed-id order). The k·PqSub result rows are collected — codebooks
+    * are driver-side constants by definition (the same broadcast-constant
+    * pattern as the LSH planes), so this is a bounded ≤ PqSub·PqK-row
+    * collect, never data-scale. Feed the result to [[pqEncode]]'s
+    * `codebook` parameter: training swaps the constants, not the
+    * operator.
+    *
+    * Cost: PqSub independent Lloyd runs, each `iters` broadcast-assign
+    * passes over the sliced corpus — embarrassingly parallel across
+    * subspaces on a cluster; sequential here keeps one corpus scan per
+    * iteration resident at a time.
+    */
+  def trainPqCodebooks(corpus: DataFrame, id: String, vec: String,
+                       seedPred: Column, iters: Int)
+      : IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    (0 until PqSub).map { s =>
+      val sliced = corpus.select(col(id),
+        slice(col(vec), s * PqSubDim + 1, PqSubDim).as(vec))
+      val refined = kmeansRefine(sliced, sliced.filter(seedPred), id, vec, iters)
+      val rows = refined.orderBy(col(id)).select(col(vec)).collect()
+        .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+      require(rows.length == PqK,
+        s"subspace $s trained ${rows.length} codebook entries, need $PqK " +
+          s"(seedPred must select exactly $PqK rows)")
+      rows
+    }
 
   /** Per-query ADC lookup tables: `__lut{s}[c+1] = ⟨qv_s, cb[s][c]⟩` —
     * the FAISS ADC preparation step. Computed ONCE PER QUERY ROW (16
@@ -182,10 +222,12 @@ object Similarity {
     * with the LUT the streamed side touches only the 2-byte codes, which
     * is the entire point of ADC.
     */
-  private def adcLuts(q: DataFrame, qv: String): DataFrame =
+  private def adcLuts(q: DataFrame, qv: String,
+                      codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+                        pqCodebook): DataFrame =
     (0 until PqSub).foldLeft(q) { (df, s) =>
       df.withColumn(s"__lut$s", array((0 until PqK).map { c =>
-        call_function("vec_dot", typedlit(pqCodebook(s)(c)),
+        call_function("vec_dot", typedlit(codebook(s)(c)),
           slice(col(qv), s * PqSubDim + 1, PqSubDim))
       }: _*))
     }
@@ -213,11 +255,13 @@ object Similarity {
     * memory-speed; IVF cells ([[ivfAssign]]) prune it further.
     */
   def pqAdcTopK(corpus: DataFrame, id: String, vec: String,
-                queryPred: Column, k: Int): DataFrame = {
-    val coded = pqEncode(corpus, id, vec)
+                queryPred: Column, k: Int,
+                codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+                  pqCodebook): DataFrame = {
+    val coded = pqEncode(corpus, id, vec, codebook = codebook)
       .select(col(id).as("cid") +: (0 until PqSub).map(s => col(s"code$s")): _*)
     val q = adcLuts(corpus.filter(queryPred)
-      .select(col(id).as("qid"), col(vec).as("qv")), "qv").drop("qv")
+      .select(col(id).as("qid"), col(vec).as("qv")), "qv", codebook).drop("qv")
     val scored = coded.crossJoin(broadcast(q)) // deliberate: |Q| small
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),

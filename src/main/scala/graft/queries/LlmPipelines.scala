@@ -362,11 +362,29 @@ object LlmPipelines {
     Similarity.ivfPqTopKIndexed(index, queries, k = 3)
   }
 
+  /** q93: PQ encode with KMEANS-TRAINED codebooks — the proof that
+    * "training swaps the constants, not the operator". Per subspace the
+    * corpus slice is Lloyd-refined from the 16 lowest-id seed slices
+    * (2 iterations, [[Similarity.trainPqCodebooks]]) and the trained
+    * centroids replace the md5 constants in the SAME [[Similarity.pqEncode]]
+    * kernel. The oracle re-runs the identical per-subspace Lloyd chain in
+    * SQL (the q50 twin pattern, 16-dim slices) and encodes with ITS
+    * trained codebooks — codes match only if training AND encode agree
+    * bit-for-bit end to end.
+    */
+  def q93PqTrained(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.balanced(spark, d, "embeddings")
+    val trained = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      col("vec_id") < Similarity.PqK, iters = 2)
+    Similarity.pqEncode(emb, "vec_id", "embedding", codebook = trained)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_pq_encode" -> q79PqEncode _,
     "q80_pq_adc_topk" -> q80PqAdcTopk _,
     "q81_ivf_pq_topk" -> q81IvfPqTopk _,
     "q92_ivf_pq_indexed" -> q92IvfPqIndexed _,
+    "q93_pq_trained" -> q93PqTrained _,
     "q35_binary_features" -> q35BinaryFeatures _,
     "q36_frame_sample" -> q36FrameSample _,
     "q42_resize_stub" -> q42ResizeStub _,

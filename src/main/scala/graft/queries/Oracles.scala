@@ -224,13 +224,14 @@ object Oracles {
   // twin of Text.hash32(x, seed column j)
   private def hash32(seedExpr: String, v: String) =
     s"('0x' || substr(md5($seedExpr || ':' || $v), 1, 8))::BIGINT"
-  // twin of Similarity.cosineScaledPm over 64-dim float vectors
-  private def cosPm(a: String, b: String) = {
+  // twin of Similarity.cosineScaledPm over `dims`-dim float vectors
+  private def cosPmD(a: String, b: String, dims: Int) = {
     def dot(x: String, y: String) =
-      s"list_reduce(list_transform(range(1,65), i -> $x[i]::DOUBLE * $y[i]::DOUBLE), (p,q) -> p+q)"
+      s"list_reduce(list_transform(range(1,${dims + 1}), i -> $x[i]::DOUBLE * $y[i]::DOUBLE), (p,q) -> p+q)"
     s"""CAST(round(1000000.0 * (${dot(a, b)}
        |  / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))) AS BIGINT)""".stripMargin
   }
+  private def cosPm(a: String, b: String) = cosPmD(a, b, 64)
   // The q28 candidate-pair CTE chain (shared by q28 and q43): shingles →
   // one md5 per shingle → the (2j+1, 40503j+1) affine family mod 2^31-1
   // (twin of Text.baseHash32 + Text.affine) → 4-band LSH keys → distinct
@@ -609,6 +610,8 @@ object Oracles {
 
     "q50_kmeans_refine" -> kmeansSql(iters = 3, k = 8, dims = 64),
 
+    "q93_pq_trained" -> pqTrainedSql(iters = 2),
+
     // Twin of Similarity.annTopKMultiTable: two independent 6-plane
     // tables unioned, distinct scored pairs, then rank.
     "q55_ann_multitable" ->
@@ -687,6 +690,70 @@ object Oracles {
     sb ++= s"""SELECT cell, CAST(t.i - 1 AS BIGINT) AS i,
               |  CAST(round(1000000.0 * cv[t.i]) AS BIGINT) AS m_pm, n_members
               |FROM cent$iters, range(1, ${dims + 1}) t(i)""".stripMargin
+    sb.toString
+  }
+
+  /** Generated twin of q93 ([[LlmPipelines.q93PqTrained]]): per subspace,
+    * the SAME chained-CTE Lloyd iteration as [[kmeansSql]] but over the
+    * PqSubDim-sliced vectors (seeds = the PqK lowest vec_ids' slices),
+    * then the [[pqCodesSql]] encode argmin with the TRAINED codebooks in
+    * place of the printed constants. Every stage reuses a fold shape
+    * already proven bit-equal across engines (q50's ordered Lloyd means,
+    * q79's `n2 − 2·dot` argmin), so the composition is exact too: a code
+    * matches only if training and encode agree end to end.
+    */
+  private def pqTrainedSql(iters: Int): String = {
+    import graft.operators.Similarity.{PqK, PqSub, PqSubDim}
+    require(PqSub == 4, "the CASE pivot below is written for 4 subspaces")
+    val sb = new StringBuilder
+    sb ++= "WITH "
+    for (s <- 0 until PqSub) {
+      val off = s * PqSubDim
+      sb ++= s"""es$s AS MATERIALIZED (SELECT vec_id,
+                |  embedding[${off + 1}:${off + PqSubDim}] AS sv FROM embeddings),
+                |c${s}_0 AS MATERIALIZED (SELECT vec_id AS cell,
+                |  list_transform(sv, x -> x::DOUBLE) AS cv FROM es$s WHERE vec_id < $PqK),
+                |""".stripMargin
+      for (it <- 1 to iters) {
+        sb ++= s"""sc${s}_$it AS (SELECT e.vec_id, e.sv, c.cell,
+                  |    row_number() OVER (PARTITION BY e.vec_id
+                  |      ORDER BY ${cosPmD("e.sv", "c.cv", PqSubDim)} DESC, c.cell ASC) AS rn
+                  |  FROM es$s e CROSS JOIN c${s}_${it - 1} c),
+                  |asg${s}_$it AS (SELECT vec_id, sv, cell FROM sc${s}_$it WHERE rn = 1),
+                  |cm${s}_$it AS (SELECT cell, i,
+                  |    list_reduce(list(sv[i]::DOUBLE ORDER BY vec_id),
+                  |      (p, q) -> p + q) / count(*) AS m
+                  |  FROM asg${s}_$it, range(1, ${PqSubDim + 1}) t(i) GROUP BY cell, i),
+                  |nc${s}_$it AS (SELECT cell, list(m ORDER BY i) AS cv FROM cm${s}_$it GROUP BY cell),
+                  |c${s}_$it AS MATERIALIZED (SELECT p.cell, coalesce(n.cv, p.cv) AS cv
+                  |  FROM c${s}_${it - 1} p LEFT JOIN nc${s}_$it n USING (cell)),
+                  |""".stripMargin
+      }
+    }
+    // the 4 trained codebooks as one (s, c, cv, n2) table — n2 via the
+    // same 0.0-seeded ascending fold as Similarity.pqEncode's norms
+    sb ++= (0 until PqSub).map { s =>
+      s"""SELECT $s AS s, cell AS c, cv,
+         |  list_reduce([0.0] || list_transform(range(1, ${PqSubDim + 1}),
+         |    i -> cv[i] * cv[i]), (p, q) -> p + q) AS n2
+         |FROM c${s}_$iters""".stripMargin
+    }.mkString("cb AS MATERIALIZED (\n", "\nUNION ALL\n", "),\n")
+    sb ++= s"""d AS (SELECT vec_id, s, c,
+              |    n2 - 2.0 * list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+              |      i -> embedding[s * $PqSubDim + i]::DOUBLE * cv[i]), (a, b) -> a + b) AS dist
+              |  FROM embeddings CROSS JOIN cb),
+              |r AS (SELECT vec_id, s, c,
+              |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
+              |  FROM d),
+              |codes AS (SELECT vec_id,
+              |    MAX(CASE WHEN s = 0 THEN c END) AS c0, MAX(CASE WHEN s = 1 THEN c END) AS c1,
+              |    MAX(CASE WHEN s = 2 THEN c END) AS c2, MAX(CASE WHEN s = 3 THEN c END) AS c3
+              |  FROM r WHERE rn = 1 GROUP BY vec_id)
+              |SELECT vec_id,
+              |  CAST(c0 AS INTEGER) AS code0, CAST(c1 AS INTEGER) AS code1,
+              |  CAST(c2 AS INTEGER) AS code2, CAST(c3 AS INTEGER) AS code3,
+              |  CAST(c0 + c1 * 16 + c2 * 256 + c3 * 4096 AS BIGINT) AS pq_code
+              |FROM codes""".stripMargin
     sb.toString
   }
 

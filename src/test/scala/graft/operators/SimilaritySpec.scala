@@ -317,6 +317,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(neg.map { case (q, _, c, _) => (q, c) }.toSet == expected)
   }
 
+  test("trainPqCodebooks: right shape, deterministic, encode stays valid") {
+    // 64-dim corpus: 20 deterministic vectors (same generator family the
+    // fixtures use — index-derived, no RNG)
+    val emb = (0 until 20).map { v =>
+      (v.toLong, (0 until Similarity.PqDims).map(i =>
+        math.sin(v * 31 + i * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      col("vec_id") < Similarity.PqK, iters = 2)
+    assert(cb.length == Similarity.PqSub)
+    assert(cb.forall(_.length == Similarity.PqK))
+    assert(cb.forall(_.forall(_.length == Similarity.PqSubDim)))
+    // deterministic: a second training is bit-identical
+    val cb2 = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      col("vec_id") < Similarity.PqK, iters = 2)
+    assert(cb == cb2)
+    // trained constants differ from the md5 defaults, and the SAME encode
+    // kernel accepts them (codes in range, packed word consistent)
+    assert(cb != Similarity.pqCodebook)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", codebook = cb)
+      .select("code0", "code1", "code2", "code3", "pq_code")
+      .as[(Int, Int, Int, Int, Long)].collect()
+    codes.foreach { case (c0, c1, c2, c3, w) =>
+      Seq(c0, c1, c2, c3).foreach(c => assert(c >= 0 && c < Similarity.PqK))
+      assert(w == c0 + c1 * 16L + c2 * 256L + c3 * 4096L)
+    }
+  }
+
   test("ivfPqTopKIndexed over a prebuilt index equals the end-to-end form") {
     import spark.implicits._
     val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
