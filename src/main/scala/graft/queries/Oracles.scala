@@ -147,6 +147,49 @@ object Oracles {
     "q20_retention_filter" ->
       s"""SELECT event_type, count(*) AS cnt FROM events
          |WHERE epoch_us(ts) >= ${Relational.Q20CutoffUs} GROUP BY event_type""".stripMargin,
+
+    // J4 composition: accounts⨝blocks by height, latest per (address, day)
+    // (time DESC, height tiebreak), day-ordered series per account.
+    "q94_balances_rebuild" ->
+      s"""WITH acc AS (SELECT event_id AS block, 'u' || user_id AS address,
+         |    $CentsValue AS balance, event_id % 97 AS staked_balance,
+         |    event_id % 7 AS dc_balance
+         |  FROM events),
+         |blk AS (SELECT event_id AS height, epoch_us(ts) AS time, ts FROM events),
+         |j AS (SELECT address, strftime(blk.ts, '%Y-%m-%d') AS date, balance,
+         |    staked_balance, dc_balance,
+         |    row_number() OVER (PARTITION BY address, strftime(blk.ts, '%Y-%m-%d')
+         |                       ORDER BY time DESC, height DESC) AS rn
+         |  FROM acc JOIN blk ON acc.block = blk.height)
+         |SELECT address AS "_key", address, count(*) AS n_days,
+         |  string_agg(date || ':' || CAST(balance AS VARCHAR)
+         |      || ':' || CAST(staked_balance AS VARCHAR)
+         |      || ':' || CAST(dc_balance AS VARCHAR), ';' ORDER BY date) AS series
+         |FROM j WHERE rn = 1 GROUP BY address""".stripMargin,
+
+    // P9/F11: Spark's try_divide yields NULL on 0/0 — exactly DuckDB's
+    // IEEE division — and both scrub to 0; the injected-NaN channel pins
+    // the literal isnan/nanvl guards. The group mean is the 0.0-seeded
+    // ascending fold, matching the engine's
+    // `aggregate(sort_array(collect_list(...)))` bit-for-bit.
+    "q95_nan_scrub" ->
+      """WITH e AS (SELECT event_id, value,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) % 5 AS grp,
+        |    CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 5 = 2
+        |         THEN 0.0::DOUBLE ELSE value END AS m,
+        |    CASE WHEN event_id % 7 = 0 THEN 'NaN'::DOUBLE ELSE value END AS noisy
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |g AS (SELECT grp,
+        |    list_reduce([0.0::DOUBLE] || list(m ORDER BY event_id),
+        |      (a, b) -> a + b) / count(*) AS mean
+        |  FROM e GROUP BY grp)
+        |SELECT event_id, grp, (m / mean) IS NULL AS was_scrubbed,
+        |  CAST(round(1000000.0 * coalesce(m / mean, 0.0)) AS BIGINT) AS norm_pm,
+        |  isnan(noisy) AS was_nan,
+        |  CAST(round((CASE WHEN isnan(noisy) THEN 0.0::DOUBLE ELSE noisy END) * 100)
+        |    AS BIGINT) AS denoised_c
+        |FROM e JOIN g USING (grp)""".stripMargin,
   )
 
   /** Twins of [[JsonPipelines]]: the payload JSON is rebuilt byte-identically

@@ -268,6 +268,72 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** q94 — J4 as a COMPOSITION (its pieces are oracled piecewise in
+    * q06/q14/q17; this row verifies the product pipeline
+    * [[graft.pipelines.Collections.balances]] end to end): account rows
+    * rendered from events join their blocks by height, the latest row per
+    * (address, UTC day) survives (time desc, height tiebreak), and each
+    * account carries its day-ordered series — flattened to a string so
+    * the cross-engine hash compare sees scalar columns (the q17
+    * convention). Reference `src/blockchain_queries.py:322-361`.
+    */
+  def q94BalancesRebuild(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables(spark, d, "events").withColumn("ts_us", tsUs)
+    val accounts = ev.select(
+      col("event_id").as("block"),
+      concat(lit("u"), col("user_id")).as("address"),
+      cents(col("value")).as("balance"),
+      (col("event_id") % 97).as("staked_balance"),
+      (col("event_id") % 7).as("dc_balance"))
+    val blocks = ev.select(
+      col("event_id").as("height"),
+      col("ts_us").as("time"),
+      timestamp_micros(col("ts_us")).as("timestamp"))
+    graft.pipelines.Collections.balances(accounts, blocks)
+      .select(col("_key"), col("address"),
+        size(col("daily_balances")).cast("long").as("n_days"),
+        concat_ws(";", transform(col("daily_balances"), s =>
+          concat_ws(":", s.getField("date"),
+            s.getField("balance").cast("string"),
+            s.getField("staked_balance").cast("string"),
+            s.getField("dc_balance").cast("string")))).as("series"))
+  }
+
+  /** q95 — P9+F11 in column form. Two degenerate-input scrubs in one row:
+    *
+    *  - P9, the metrics mean-normalization: group 2's metric is
+    *    identically zero, so `m/mean` is 0/0 there. Spark 4's ANSI
+    *    `Divide` throws on a zero divisor (even for doubles), so the
+    *    engine uses `try_divide` — NULL on 0/0, which is EXACTLY what
+    *    DuckDB's IEEE division returns — and `coalesce`-scrubs to 0: the
+    *    same end state GraphMetrics' Scala-side zero-mean guard produces.
+    *  - F11, the `isnan` guard: an injected-NaN channel (every 7th event)
+    *    is flagged by `isnan` and scrubbed by `nanvl` — the literal
+    *    nanvl/isnan column functions the id names.
+    *
+    * The group mean is an ordered fold (the q50 pattern) so every
+    * non-degenerate quotient is bit-identical across engines.
+    */
+  def q95NanScrub(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables(spark, d, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("k").isNotNull)
+      .withColumn("grp", col("k") % 5)
+      .withColumn("m", when(col("grp") === 2, lit(0.0)).otherwise(col("value")))
+    val means = ev.groupBy(col("grp"))
+      .agg((aggregate(sort_array(collect_list(struct(col("event_id"), col("m")))),
+        lit(0.0), (acc, s) => acc + s.getField("m")) / count(lit(1))).as("mean"))
+    val q = try_divide(col("m"), col("mean"))
+    val noisy = when(col("event_id") % 7 === 0, lit(Double.NaN))
+      .otherwise(col("value"))
+    ev.join(broadcast(means), Seq("grp"))
+      .select(col("event_id"), col("grp"),
+        q.isNull.as("was_scrubbed"),
+        round(lit(1000000.0) * coalesce(q, lit(0.0))).cast("long").as("norm_pm"),
+        isnan(noisy).as("was_nan"),
+        round(nanvl(noisy, lit(0.0)) * 100).cast("long").as("denoised_c"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_sum_groupby" -> q01AggSumGroupBy _,
     "q02_filter_time_range" -> q02FilterTimeRange _,
@@ -289,5 +355,7 @@ object Relational {
     "q18_upsert_update" -> q18UpsertUpdate _,
     "q19_upsert_ignore" -> q19UpsertIgnore _,
     "q20_retention_filter" -> q20RetentionFilter _,
+    "q94_balances_rebuild" -> q94BalancesRebuild _,
+    "q95_nan_scrub" -> q95NanScrub _,
   )
 }
