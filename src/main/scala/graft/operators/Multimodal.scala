@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata, processed partition-wise.
   *
-  * The decode step itself (JPEG/PNG/audio codecs) is STUBBED — the
-  * container ships no media libraries — behind [[MediaCodec]]:
-  * [[DeterministicStubCodec]] derives features from the raw bytes so the
-  * whole pipeline is real and testable end-to-end (schema, partitioning,
-  * batch shape, feature fan-out), and a production codec (javacv/ffmpeg)
+  * The decode seam is [[MediaCodec]]. For PPM (Netpbm P6) the decode is
+  * REAL — [[Ppm]] parses the public header+raw-pixels format and
+  * [[Ppm.resizeNearest]] downsamples in the pixel domain, no libraries
+  * needed (q42/q96 are oracle-checked over it). Formats whose codecs the
+  * container can't ship (JPEG/PNG/audio) remain behind
+  * [[DeterministicStubCodec]], which derives features from the raw bytes
+  * so the pipeline shape (schema, partitioning, batch flow, feature
+  * fan-out) stays real and testable; a production codec (javacv/ffmpeg)
   * drops into the one trait method.
   *
   * Scale design: media bytes never shuffle — metadata extraction and
@@ -28,6 +31,10 @@ object Multimodal {
   /** One decoded row: stub "dimensions" + a small feature vector. */
   case class MediaFeatures(id: Long, sizeBytes: Long, sha: String,
     width: Int, height: Int, byteSum: Long, firstByte: Int, lastByte: Int)
+
+  /** One [[resizePpm]] output row. */
+  case class PpmResized(id: Long, w: Int, h: Int, wo: Int, ho: Int,
+    origBytes: Long, resizedBytes: Long, resizedSha: String)
 
   private implicit val inEnc: Encoder[(Long, Array[Byte])] =
     Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
@@ -52,6 +59,137 @@ object Multimodal {
         width = 1 + first % 64, height = 1 + last % 64,
         byteSum = sum, firstByte = first, lastByte = last)
     }
+  }
+
+  /** REAL pure-JVM decoder for binary PPM (Netpbm "P6"), the public
+    * header+raw-pixels format: `P6 <ws> width <ws> height <ws> maxval
+    * <one ws> RGB-bytes` (comments `#…\n` allowed in the header per the
+    * spec). No libraries — the whole format is ~20 lines of parsing —
+    * which makes it the one image format this container can decode FOR
+    * REAL: q42/q96 run genuine header parses and pixel-domain work, and
+    * [[DeterministicStubCodec]] remains only for formats whose codecs
+    * aren't shippable here.
+    */
+  object Ppm {
+    private def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t'
+
+    /** Parse the P6 header → (width, height, maxval, payload offset).
+      * Fails loudly on anything that is not a well-formed P6 — a silent
+      * fallback would turn corrupt media into plausible features.
+      */
+    def parseHeader(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+      var i = 0
+      def skipWsAndComments(): Unit = {
+        var moved = true
+        while (moved) {
+          moved = false
+          while (i < bytes.length && isWs(bytes(i))) { i += 1; moved = true }
+          if (i < bytes.length && bytes(i) == '#') {
+            while (i < bytes.length && bytes(i) != '\n') i += 1
+            moved = true
+          }
+        }
+      }
+      def token(): String = {
+        skipWsAndComments()
+        val s = i
+        while (i < bytes.length && !isWs(bytes(i))) i += 1
+        new String(bytes, s, i - s, java.nio.charset.StandardCharsets.US_ASCII)
+      }
+      val magic = token()
+      require(magic == "P6", s"not a P6 PPM (magic '$magic')")
+      val w = token().toInt
+      val h = token().toInt
+      val mx = token().toInt
+      require(w > 0 && h > 0 && mx > 0 && mx < 65536,
+        s"bad PPM dimensions/maxval: $w x $h maxval $mx")
+      require(mx < 256, "16-bit PPM (maxval >= 256) not supported")
+      i += 1 // exactly ONE whitespace separates maxval from the payload
+      require(bytes.length >= i + 3 * w * h,
+        s"truncated PPM: need ${3 * w * h} payload bytes, have ${bytes.length - i}")
+      (w, h, mx, i)
+    }
+
+    /** Serialize (the header form the parser round-trips). */
+    def render(w: Int, h: Int, maxval: Int, pixels: Array[Byte]): Array[Byte] = {
+      require(pixels.length == 3 * w * h,
+        s"payload must be ${3 * w * h} bytes, got ${pixels.length}")
+      val header = s"P6\n$w $h\n$maxval\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + pixels.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(pixels, 0, out, header.length, pixels.length)
+      out
+    }
+
+    /** Nearest-neighbor downscale by integer stride IN THE PIXEL DOMAIN:
+      * keep pixel (x, y) when both coordinates are multiples of `stride`
+      * — output is a valid P6 of ceil(w/stride) × ceil(h/stride).
+      */
+    def resizeNearest(bytes: Array[Byte], stride: Int): Array[Byte] = {
+      require(stride >= 1, s"stride must be >= 1, got $stride")
+      val (w, h, mx, off) = parseHeader(bytes)
+      val wo = (w + stride - 1) / stride
+      val ho = (h + stride - 1) / stride
+      val px = new Array[Byte](3 * wo * ho)
+      var yo = 0
+      while (yo < ho) {
+        var xo = 0
+        while (xo < wo) {
+          val src = off + ((yo * stride) * w + xo * stride) * 3
+          val dst = (yo * wo + xo) * 3
+          px(dst) = bytes(src); px(dst + 1) = bytes(src + 1); px(dst + 2) = bytes(src + 2)
+          xo += 1
+        }
+        yo += 1
+      }
+      render(wo, ho, mx, px)
+    }
+  }
+
+  /** [[MediaCodec]] over real P6 bytes: width/height come from the PARSED
+    * header (not byte heuristics), byteSum/first/last from the pixel
+    * payload only.
+    */
+  object PpmCodec extends MediaCodec {
+    def decode(bytes: Array[Byte]): MediaFeatures = {
+      val (w, h, _, off) = Ppm.parseHeader(bytes)
+      val n = 3 * w * h
+      var sum = 0L
+      var i = off
+      while (i < off + n) { sum += bytes(i) & 0xff; i += 1 }
+      MediaFeatures(id = -1L, sizeBytes = bytes.length,
+        sha = org.apache.commons.codec.digest.DigestUtils.md5Hex(bytes),
+        width = w, height = h, byteSum = sum,
+        firstByte = bytes(off) & 0xff, lastByte = bytes(off + n - 1) & 0xff)
+    }
+  }
+
+  /** Pixel-domain resize over a PPM binary column: parse → nearest-neighbor
+    * downscale ([[Ppm.resizeNearest]]) → re-render; emits original and
+    * resized dimensions plus the resized content hash. Same partition-local
+    * shape as [[resample]] (bytes never shuffle) but the work is a REAL
+    * decode of a real format.
+    */
+  def resizePpm(spark: SparkSession, df: DataFrame, idCol: String,
+                binCol: String, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    implicit val enc: Encoder[PpmResized] = Encoders.product[PpmResized]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, _, _) = Ppm.parseHeader(bytes)
+          val resized = Ppm.resizeNearest(bytes, stride)
+          val (wo, ho, _, _) = Ppm.parseHeader(resized)
+          PpmResized(id, w, h, wo, ho, bytes.length.toLong,
+            resized.length.toLong,
+            org.apache.commons.codec.digest.DigestUtils.md5Hex(resized))
+        }
+      }
+      .toDF("id", "w", "h", "wo", "ho", "orig_bytes", "resized_bytes",
+        "resized_sha")
   }
 
   /** Attach typed metadata to a binary column — pure column ops (codegen'd,

@@ -296,17 +296,46 @@ object LlmPipelines {
         col("frame_bytes"))
   }
 
-  /** q42: the resize member of the multimodal family — stride-4 byte
-    * resample of each blob, emitting updated size metadata + content hash
-    * of the resized payload.
+  /** Deterministic synthetic P6 images rendered FROM the ASCII corpus —
+    * the fixture's stand-in for camera bytes: dimensions from the first/
+    * last character (1–16 each), pixel payload = the text cycled to
+    * exactly 3·w·h bytes, a real binary P6 the [[graft.operators.Multimodal.Ppm]]
+    * parser round-trips. ASCII-only, so the DuckDB twin rebuilds the
+    * identical bytes as a string.
     */
-  def q42ResizeStub(spark: SparkSession, d: String): DataFrame = {
-    val bin = Tables.balanced(spark, d, "documents")
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("bytes"))
-    graft.operators.Multimodal.resample(spark, bin, "doc_id", "bytes", 4)
-      .select(col("id").as("doc_id"), col("orig_bytes"),
-        col("resized_bytes"), col("resized_sha"))
-  }
+  private def renderedPpm(spark: SparkSession, d: String): DataFrame =
+    Tables.balanced(spark, d, "documents")
+      .withColumn("w", expr("1 + ascii(substring(text, 1, 1)) % 16"))
+      .withColumn("h", expr("1 + ascii(substring(text, length(text), 1)) % 16"))
+      .select(col("doc_id"), encode(concat(
+        lit("P6"), expr("chr(10)"), col("w").cast("string"), lit(" "),
+        col("h").cast("string"), expr("chr(10)"), lit("255"), expr("chr(10)"),
+        expr("substring(repeat(text, CAST(w*h*3 div length(text) AS INT) + 1), 1, w*h*3)")),
+        "utf-8").as("ppm"))
+
+  /** q42: REAL pixel-domain resize — the rendered P6 blobs are parsed
+    * (genuine header decode, [[graft.operators.Multimodal.resizePpm]])
+    * and nearest-neighbor downscaled by stride 2; output carries parsed
+    * original dims, resized dims, byte counts, and the md5 of the
+    * re-rendered P6. The oracle rebuilds the same bytes relationally, so
+    * a hash match proves the parse → 2D sample → re-render loop exact.
+    */
+  def q42PpmResize(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.resizePpm(spark, renderedPpm(spark, d),
+        "doc_id", "ppm", 2)
+      .select(col("id").as("doc_id"), col("w"), col("h"), col("wo"),
+        col("ho"), col("orig_bytes"), col("resized_bytes"), col("resized_sha"))
+
+  /** q96: the decode member over the same rendered P6 blobs through the
+    * REAL [[graft.operators.Multimodal.PpmCodec]] — width/height from the
+    * parsed header, byteSum/first/last over the pixel payload only.
+    */
+  def q96PpmDecode(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.decodeFeatures(spark, renderedPpm(spark, d),
+        "doc_id", "ppm", graft.operators.Multimodal.PpmCodec)
+      .select(col("id").as("doc_id"), col("sizeBytes").as("size_bytes"),
+        col("sha"), col("width"), col("height"), col("byteSum").as("byte_sum"),
+        col("firstByte").as("first_byte"), col("lastByte").as("last_byte"))
 
   /** q79: PQ encode ([[Similarity.pqEncode]]) — every embedding compressed
     * to four 4-bit codes + the packed 2-byte word. The oracle recomputes
@@ -387,7 +416,8 @@ object LlmPipelines {
     "q93_pq_trained" -> q93PqTrained _,
     "q35_binary_features" -> q35BinaryFeatures _,
     "q36_frame_sample" -> q36FrameSample _,
-    "q42_resize_stub" -> q42ResizeStub _,
+    "q42_ppm_resize" -> q42PpmResize _,
+    "q96_ppm_decode" -> q96PpmDecode _,
     "q38_ann_ivf_topk" -> q38AnnIvfTopK _,
     "q39_embedding_neardup" -> q39EmbeddingNearDup _,
     "q24_text_stats" -> q24TextStats _,

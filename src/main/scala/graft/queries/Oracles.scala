@@ -530,14 +530,62 @@ object Oracles {
          |  CAST(ascii(substr(text, length(text), 1)) AS INTEGER) AS last_byte
          |FROM documents""".stripMargin,
 
-    // ASCII corpus: md5 over the stride-kept characters equals md5 over
-    // the stride-kept utf-8 bytes (same convention as q35/q36)
-    "q42_resize_stub" ->
-      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_bytes,
-         |  CAST(len(range(1, length(text)+1, 4)) AS BIGINT) AS resized_bytes,
-         |  md5(array_to_string(list_transform(range(1, length(text)+1, 4),
-         |    i -> substr(text, CAST(i AS INTEGER), 1)), '')) AS resized_sha
-         |FROM documents""".stripMargin,
+    // q42/q96 share the rendered-P6 CTEs: the ASCII corpus rebuilds the
+    // engine's synthetic P6 bytes AS A STRING byte-for-byte (dims from
+    // first/last char, payload = text cycled to 3wh), so md5-of-string
+    // equals the engine's md5-of-bytes. The resize twin re-samples the
+    // pixel grid relationally: keep (2xo, 2yo), re-render, hash — a match
+    // proves the engine's parse → 2D sample → re-render loop exact.
+    "q42_ppm_resize" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    1 + ascii(substr(text, 1, 1)) % 16 AS w,
+         |    1 + ascii(substr(text, length(text), 1)) % 16 AS h
+         |  FROM documents),
+         |p AS (SELECT doc_id, w, h, (w+1)//2 AS wo, (h+1)//2 AS ho,
+         |    substr(repeat(text, CAST(w*h*3 // length(text) AS INTEGER) + 1),
+         |      1, w*h*3) AS px
+         |  FROM t),
+         |s AS (SELECT doc_id, w, h, wo, ho, px,
+         |    array_to_string(flatten(flatten(list_transform(range(0, ho), yo ->
+         |      list_transform(range(0, wo), xo ->
+         |        list_transform(range(1, 4), c ->
+         |          substr(px, CAST((2*yo*w + 2*xo)*3 + c AS INTEGER), 1)))))), '')
+         |      AS rpx
+         |  FROM p)
+         |SELECT doc_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+         |  CAST(wo AS INTEGER) AS wo, CAST(ho AS INTEGER) AS ho,
+         |  CAST(length('P6' || chr(10) || CAST(w AS VARCHAR) || ' '
+         |    || CAST(h AS VARCHAR) || chr(10) || '255' || chr(10) || px)
+         |    AS BIGINT) AS orig_bytes,
+         |  CAST(length('P6' || chr(10) || CAST(wo AS VARCHAR) || ' '
+         |    || CAST(ho AS VARCHAR) || chr(10) || '255' || chr(10) || rpx)
+         |    AS BIGINT) AS resized_bytes,
+         |  md5('P6' || chr(10) || CAST(wo AS VARCHAR) || ' '
+         |    || CAST(ho AS VARCHAR) || chr(10) || '255' || chr(10) || rpx)
+         |    AS resized_sha
+         |FROM s""".stripMargin,
+
+    "q96_ppm_decode" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    1 + ascii(substr(text, 1, 1)) % 16 AS w,
+         |    1 + ascii(substr(text, length(text), 1)) % 16 AS h
+         |  FROM documents),
+         |p AS (SELECT doc_id, w, h,
+         |    substr(repeat(text, CAST(w*h*3 // length(text) AS INTEGER) + 1),
+         |      1, w*h*3) AS px
+         |  FROM t),
+         |f AS (SELECT doc_id, w, h, px,
+         |    'P6' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
+         |      || chr(10) || '255' || chr(10) || px AS ppm
+         |  FROM p)
+         |SELECT doc_id, CAST(length(ppm) AS BIGINT) AS size_bytes, md5(ppm) AS sha,
+         |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(list_reduce([0::BIGINT] || list_transform(range(1, length(px)+1),
+         |    i -> ascii(substr(px, CAST(i AS INTEGER), 1))::BIGINT), (a,b) -> a+b)
+         |    AS BIGINT) AS byte_sum,
+         |  CAST(ascii(substr(px, 1, 1)) AS INTEGER) AS first_byte,
+         |  CAST(ascii(substr(px, length(px), 1)) AS INTEGER) AS last_byte
+         |FROM f""".stripMargin,
 
     "q36_frame_sample" ->
       s"""WITH f AS (SELECT doc_id, text, length(text) AS len,

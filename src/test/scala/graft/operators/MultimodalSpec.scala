@@ -50,4 +50,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out._4 ==
       org.apache.commons.codec.digest.DigestUtils.md5Hex("048".getBytes))
   }
+
+  // A hand-built 3x3 P6: pixel (x, y) has RGB (10x+y, 100+x, 200+y).
+  private def px3(x: Int, y: Int) =
+    Array((10 * x + y).toByte, (100 + x).toByte, (200 + y).toByte)
+  private def ppm3x3: Array[Byte] = Multimodal.Ppm.render(3, 3, 255,
+    (for (y <- 0 until 3; x <- 0 until 3) yield px3(x, y)).flatten.toArray)
+
+  test("Ppm golden: parse round-trips render, comments and whitespace ok") {
+    val img = ppm3x3
+    val (w, h, mx, off) = Multimodal.Ppm.parseHeader(img)
+    assert((w, h, mx) == ((3, 3, 255)))
+    assert(img.length == off + 27)
+    // the header form with a comment line parses to the same dims
+    val commented = ("P6\n# a comment\n 3\t3\n255\n".getBytes("US-ASCII")
+      ++ img.drop(off))
+    assert(Multimodal.Ppm.parseHeader(commented)._1 == 3)
+    // corrupt magic fails loudly, never silent garbage
+    intercept[IllegalArgumentException] {
+      Multimodal.Ppm.parseHeader("P5\n3 3\n255\n".getBytes("US-ASCII"))
+    }
+    // truncated payload fails loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.Ppm.parseHeader(img.dropRight(1))
+    }
+  }
+
+  test("Ppm golden: stride-2 nearest-neighbor keeps pixels (0,0),(2,0),(0,2),(2,2)") {
+    val resized = Multimodal.Ppm.resizeNearest(ppm3x3, 2)
+    val (wo, ho, _, off) = Multimodal.Ppm.parseHeader(resized)
+    assert((wo, ho) == ((2, 2)))
+    val kept = resized.drop(off)
+    assert(kept.toSeq ==
+      (px3(0, 0) ++ px3(2, 0) ++ px3(0, 2) ++ px3(2, 2)).toSeq)
+  }
+
+  test("PpmCodec decodes header dims and payload-only features; resizePpm end-to-end") {
+    val df = Seq((7L, ppm3x3)).toDF("id", "bytes")
+    val f = Multimodal.decodeFeatures(spark, df, "id", "bytes",
+      Multimodal.PpmCodec).as[Multimodal.MediaFeatures].head()
+    assert(f.width == 3 && f.height == 3)
+    val payload = ppm3x3.drop(ppm3x3.length - 27)
+    assert(f.byteSum == payload.map(_ & 0xff).map(_.toLong).sum)
+    assert(f.firstByte == (payload.head & 0xff) &&
+      f.lastByte == (payload.last & 0xff))
+    val r = Multimodal.resizePpm(spark, df, "id", "bytes", 2)
+      .select("w", "h", "wo", "ho", "resized_sha")
+      .as[(Int, Int, Int, Int, String)].head()
+    assert(r._1 == 3 && r._2 == 3 && r._3 == 2 && r._4 == 2)
+    assert(r._5 == org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(Multimodal.Ppm.resizeNearest(ppm3x3, 2)))
+  }
 }
