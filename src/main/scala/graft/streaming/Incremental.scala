@@ -146,6 +146,34 @@ object Incremental {
       .start()
   }
 
+  /** The streaming follower on the HEIGHT-BUCKETED sink — the third sink
+    * regime, completing the set: [[streamingUpsert]] rewrites O(sink) per
+    * batch (bootstrap scale), [[streamingUpsertDelta]] appends O(batch)
+    * with a periodic O(sink) fold (LSM), and THIS form merges only the
+    * micro-batch's own height buckets ([[Merge.upsertPartitionedByHeight]])
+    * — per-batch cost O(batch + touched buckets), NEVER the sink size, no
+    * fold ever. Exactly the q91 batch driver's steady-state path with
+    * `foreachBatch` as the chunk loop and the stream's offset log as the
+    * checkpoint; requires the same height-locality contract on keys
+    * (content keys qualify) and a `heightCol` on every row. Idempotence
+    * (T6) is unchanged: a replayed micro-batch finds its own rows in the
+    * merged buckets and first-write-wins keeps them —
+    * StreamBatchEquivalenceSpec pins stream ≡ batch end state.
+    */
+  def streamingUpsertPartitioned(stream: DataFrame, checkpointDir: String,
+                                 sinkPath: String, key: String,
+                                 tiebreak: String, heightCol: String,
+                                 bucketWidth: Long)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Merge.upsertPartitionedByHeight(batch.sparkSession, sinkPath, batch,
+          key, Merge.Ignore, tiebreak, heightCol, bucketWidth)
+        ()
+      }
+      .start()
+
   /** The follower/backfill driver. `source` must yield rows with a
     * monotonically increasing `heightCol`; `currentHeight` is re-read per
     * epoch.

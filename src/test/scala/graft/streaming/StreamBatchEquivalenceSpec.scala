@@ -232,4 +232,47 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       assert(batch.nonEmpty && batch.forall(_._2 == 16L)) // estimator path hit
     } finally query.stop()
   }
+
+  test("streamingUpsertPartitioned stream ≡ chunked batch height-bucketed sink (q91 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-hb")
+      .toFile.getAbsolutePath
+    // content-keyed rows over a 0..299 height range; micro-batches overlap
+    // (redelivery) so sink-side idempotence is exercised, and chunk
+    // boundaries deliberately MISALIGN with the bucket width (height 100
+    // spans buckets 1-2 etc.) so partial-bucket merging is hit too
+    val rows = (0L until 300L).map(i => (i, i % 17, (i % 23).toDouble))
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(md5(to_json(struct(col("h"), col("user_id"), col("value"))))
+        .as("_key"), col("user_id"),
+        round(col("value") * 100).cast("long").as("value_c"), col("h"))
+    val input = MemoryStream[(Long, Long, Double)]
+    val query = Incremental.streamingUpsertPartitioned(
+      shape(input.toDF().toDF("h", "user_id", "value")),
+      s"$dir/ckpt", s"$dir/stream_sink", key = "_key", tiebreak = "h",
+      heightCol = "h", bucketWidth = 80L)
+    try {
+      Seq(rows.take(150), rows.slice(100, 220), rows.drop(200)).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    // the batch driver's steady-state path over different chunking
+    Seq(rows.take(90), rows.slice(90, 260), rows.drop(260)).foreach { chunk =>
+      graft.operators.Merge.upsertPartitionedByHeight(spark,
+        s"$dir/batch_sink", shape(chunk.toDF("h", "user_id", "value")),
+        "_key", graft.operators.Merge.Ignore, "h", "h", 80L)
+    }
+    val streamed = spark.read.parquet(s"$dir/stream_sink")
+      .select("_key", "user_id", "value_c", "h", "__hb")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val batch = spark.read.parquet(s"$dir/batch_sink")
+      .select("_key", "user_id", "value_c", "h", "__hb")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size == 300)
+    // the layout really is height-bucketed: 300 heights / width 80 → 4 dirs
+    assert(new java.io.File(s"$dir/stream_sink").listFiles()
+      .count(_.getName.startsWith("__hb=")) == 4)
+  }
 }
