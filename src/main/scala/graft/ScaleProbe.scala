@@ -73,7 +73,7 @@ object ScaleProbe {
     // typo must not silently measure nothing.
     val sections = Set("session", "termstats", "minhash", "ann", "temporal",
       "packing", "relational", "topk", "kmeans", "sinks", "pq", "sketch",
-      "prune", "sinkbig")
+      "prune", "sinkbig", "pqtrain")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -261,6 +261,35 @@ object ScaleProbe {
       time(s"ivf-pq-topk-indexed ${factor}x (prebuilt cell+code table)") {
         Similarity.ivfPqTopKIndexed(index, qAssigned, k = 3).count()
       }
+      spark.catalog.clearCache()
+    }
+    // PQ codebook TRAINING payoff (q93): recall@10 of the ADC scan against
+    // exact cosine ground truth, md5-constant codebooks vs kmeans-trained
+    // ones (2 Lloyd iterations per subspace on replica-0 seed slices).
+    // Training swaps the constants, not the operator — same PqQuantize
+    // kernel, same ADC LUTs — so any recall gap is pure codebook quality.
+    if (want("pqtrain")) for (factor <- Seq(1, 4)) {
+      val emb = materialize(embAt(spark, d, factor), s"/tmp/scale/emb$factor")
+      val queries = col("vec_id") % 1000000L < 20
+      val exact = materialize(
+        Similarity.bruteForceTopK(emb, emb.filter(queries),
+          "vec_id", "embedding", k = 10).select(col("qid"), col("cid")),
+        s"/tmp/scale/pqexact$factor")
+      def recall(adc: DataFrame, name: String): Unit = {
+        val hit = adc.select(col("qid"), col("cid"))
+          .join(exact, Seq("qid", "cid")).count()
+        println(f"[scale] $name recall@10 = ${hit.toDouble / exact.count()}%.3f")
+      }
+      recall(Similarity.pqAdcTopK(emb, "vec_id", "embedding", queries, k = 10),
+        s"adc-md5-codebooks ${factor}x")
+      var trained: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = null
+      time(s"pq-train ${factor}x (4 subspaces, 2 Lloyd iters, ${2000 * factor} vecs)") {
+        trained = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+          col("vec_id") < Similarity.PqK, iters = 2)
+        trained.length.toLong
+      }
+      recall(Similarity.pqAdcTopK(emb, "vec_id", "embedding", queries, k = 10,
+        codebook = trained), s"adc-trained ${factor}x")
       spark.catalog.clearCache()
     }
     // Bloom semi-join reduction (q85): the claim is SHUFFLE BYTES, not
