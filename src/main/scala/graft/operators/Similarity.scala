@@ -296,9 +296,11 @@ object Similarity {
     * removes.
     */
   def buildIvfPqIndex(corpus: DataFrame, centroids: DataFrame, id: String,
-                      vec: String): DataFrame =
+                      vec: String,
+                      codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+                        pqCodebook): DataFrame =
     pqEncode(ivfAssign(corpus, centroids, id, vec), id, vec,
-        carry = Seq("cell"))
+        carry = Seq("cell"), codebook = codebook)
       .select(col(id).as("cid") +: col("cell") +:
         (0 until PqSub).map(s => col(s"code$s")): _*)
 
@@ -309,9 +311,10 @@ object Similarity {
     * (equivalence test-pinned), but the scan side is the 2-byte code
     * table, never the vectors.
     */
-  def ivfPqTopKIndexed(index: DataFrame, queries: DataFrame,
-                       k: Int): DataFrame = {
-    val q = adcLuts(queries, "qv").drop("qv")
+  def ivfPqTopKIndexed(index: DataFrame, queries: DataFrame, k: Int,
+                       codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+                         pqCodebook): DataFrame = {
+    val q = adcLuts(queries, "qv", codebook).drop("qv")
     val scored = q.join(index, Seq("cell"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"), col("cell"),

@@ -408,12 +408,53 @@ object LlmPipelines {
     Similarity.pqEncode(emb, "vec_id", "embedding", codebook = trained)
   }
 
+  /** q97: the PRODUCTION ANN stack end to end — every constant trained,
+    * every phase materialized, in one oracle-checked query:
+    *
+    *  1. coarse quantizer: 2 Lloyd iterations refine the 8 seed centroids
+    *     over the full corpus ([[Similarity.kmeansRefine]]);
+    *  2. PQ codebooks: per-subspace Lloyd on a FIXED 500-vector training
+    *     sample ([[Similarity.trainPqCodebooks]] — production trains on a
+    *     sample precisely so training cost is independent of corpus
+    *     size);
+    *  3. index: the (cell, code) table built with the trained constants
+    *     and written to parquet ([[Similarity.buildIvfPqIndex]], the
+    *     pay-once ingest step);
+    *  4. search: cell-assigned queries ADC-scan the re-read 2-byte table
+    *     ([[Similarity.ivfPqTopKIndexed]]).
+    *
+    * The oracle replays the identical composition in SQL — the q50 Lloyd
+    * chain (64-dim, k=8) for the centroids, four sliced Lloyd chains for
+    * the codebooks, the encode argmin, the trained-cell assignment, and
+    * the ADC ranking — so a hash match pins the WHOLE trained stack, not
+    * the pieces.
+    */
+  def q97AnnProduction(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.balanced(spark, d, "embeddings")
+    val cents = Similarity.kmeansRefine(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", iters = 2)
+      .select(col("vec_id"), col("embedding"))
+    val cb = Similarity.trainPqCodebooks(emb.filter(col("vec_id") < 500),
+      "vec_id", "embedding", col("vec_id") < Similarity.PqK, iters = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ann_prod").toString
+    Similarity.buildIvfPqIndex(emb, cents, "vec_id", "embedding", cb)
+      .write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val queries = Similarity.ivfAssign(
+        emb.filter(col("vec_id") >= 20 && col("vec_id") < 30), cents,
+        "vec_id", "embedding")
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"))
+    Similarity.ivfPqTopKIndexed(index, queries, k = 3, cb)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_pq_encode" -> q79PqEncode _,
     "q80_pq_adc_topk" -> q80PqAdcTopk _,
     "q81_ivf_pq_topk" -> q81IvfPqTopk _,
     "q92_ivf_pq_indexed" -> q92IvfPqIndexed _,
     "q93_pq_trained" -> q93PqTrained _,
+    "q97_ann_production" -> q97AnnProduction _,
     "q35_binary_features" -> q35BinaryFeatures _,
     "q36_frame_sample" -> q36FrameSample _,
     "q42_ppm_resize" -> q42PpmResize _,

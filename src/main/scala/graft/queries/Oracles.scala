@@ -703,6 +703,8 @@ object Oracles {
 
     "q93_pq_trained" -> pqTrainedSql(iters = 2),
 
+    "q97_ann_production" -> annProductionSql(centIters = 2, cbIters = 2),
+
     // Twin of Similarity.annTopKMultiTable: two independent 6-plane
     // tables unioned, distinct scored pairs, then rank.
     "q55_ann_multitable" ->
@@ -750,9 +752,13 @@ object Oracles {
     * BIT-equal across engines and assignments can never diverge on a
     * borderline vector. Emptied cells keep the previous centroid.
     */
-  private def kmeansSql(iters: Int, k: Int, dims: Int): String = {
+  /** The Lloyd CTE chain `e, cent0 .. cent$iters` (cent$it: cell, cv,
+    * n_members) WITHOUT the leading WITH or a final SELECT — reused by
+    * [[kmeansSql]] (q50) and composed into the q97 production-stack twin.
+    */
+  private def kmeansCtes(iters: Int, k: Int, dims: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+    sb ++= s"""e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
               |cent0 AS MATERIALIZED (SELECT vec_id AS cell,
               |  list_transform(embedding, x -> x::DOUBLE) AS cv,
               |  CAST(0 AS BIGINT) AS n_members
@@ -776,32 +782,31 @@ object Oracles {
                 |  FROM cent${it - 1} p LEFT JOIN nc$it n USING (cell)),
                 |""".stripMargin
     }
-    sb.setLength(sb.length - 2)
-    sb ++= "\n"
-    sb ++= s"""SELECT cell, CAST(t.i - 1 AS BIGINT) AS i,
-              |  CAST(round(1000000.0 * cv[t.i]) AS BIGINT) AS m_pm, n_members
-              |FROM cent$iters, range(1, ${dims + 1}) t(i)""".stripMargin
+    sb.setLength(sb.length - 2) // drop the trailing ",\n"
     sb.toString
   }
 
-  /** Generated twin of q93 ([[LlmPipelines.q93PqTrained]]): per subspace,
-    * the SAME chained-CTE Lloyd iteration as [[kmeansSql]] but over the
-    * PqSubDim-sliced vectors (seeds = the PqK lowest vec_ids' slices),
-    * then the [[pqCodesSql]] encode argmin with the TRAINED codebooks in
-    * place of the printed constants. Every stage reuses a fold shape
-    * already proven bit-equal across engines (q50's ordered Lloyd means,
-    * q79's `n2 − 2·dot` argmin), so the composition is exact too: a code
-    * matches only if training and encode agree end to end.
+  private def kmeansSql(iters: Int, k: Int, dims: Int): String =
+    s"WITH ${kmeansCtes(iters, k, dims)}\n" +
+      s"""SELECT cell, CAST(t.i - 1 AS BIGINT) AS i,
+         |  CAST(round(1000000.0 * cv[t.i]) AS BIGINT) AS m_pm, n_members
+         |FROM cent$iters, range(1, ${dims + 1}) t(i)""".stripMargin
+
+  /** The per-subspace training + encode CTE chain, ending at
+    * `cb(s, c, cv, n2)` and `codes(vec_id, c0..c3)`, WITHOUT the leading
+    * WITH or a final SELECT — reused by [[pqTrainedSql]] (q93, trained on
+    * the full corpus) and the q97 production twin (trained on a fixed
+    * sample via `trainWhere`). Encoding always covers the FULL corpus;
+    * only the Lloyd inputs are restricted.
     */
-  private def pqTrainedSql(iters: Int): String = {
+  private def pqTrainCtes(iters: Int, trainWhere: String): String = {
     import graft.operators.Similarity.{PqK, PqSub, PqSubDim}
     require(PqSub == 4, "the CASE pivot below is written for 4 subspaces")
     val sb = new StringBuilder
-    sb ++= "WITH "
     for (s <- 0 until PqSub) {
       val off = s * PqSubDim
       sb ++= s"""es$s AS MATERIALIZED (SELECT vec_id,
-                |  embedding[${off + 1}:${off + PqSubDim}] AS sv FROM embeddings),
+                |  embedding[${off + 1}:${off + PqSubDim}] AS sv FROM embeddings $trainWhere),
                 |c${s}_0 AS MATERIALIZED (SELECT vec_id AS cell,
                 |  list_transform(sv, x -> x::DOUBLE) AS cv FROM es$s WHERE vec_id < $PqK),
                 |""".stripMargin
@@ -839,13 +844,60 @@ object Oracles {
               |codes AS (SELECT vec_id,
               |    MAX(CASE WHEN s = 0 THEN c END) AS c0, MAX(CASE WHEN s = 1 THEN c END) AS c1,
               |    MAX(CASE WHEN s = 2 THEN c END) AS c2, MAX(CASE WHEN s = 3 THEN c END) AS c3
-              |  FROM r WHERE rn = 1 GROUP BY vec_id)
-              |SELECT vec_id,
-              |  CAST(c0 AS INTEGER) AS code0, CAST(c1 AS INTEGER) AS code1,
-              |  CAST(c2 AS INTEGER) AS code2, CAST(c3 AS INTEGER) AS code3,
-              |  CAST(c0 + c1 * 16 + c2 * 256 + c3 * 4096 AS BIGINT) AS pq_code
-              |FROM codes""".stripMargin
+              |  FROM r WHERE rn = 1 GROUP BY vec_id)""".stripMargin
     sb.toString
+  }
+
+  private def pqTrainedSql(iters: Int): String =
+    s"WITH ${pqTrainCtes(iters, "")}\n" +
+      """SELECT vec_id,
+        |  CAST(c0 AS INTEGER) AS code0, CAST(c1 AS INTEGER) AS code1,
+        |  CAST(c2 AS INTEGER) AS code2, CAST(c3 AS INTEGER) AS code3,
+        |  CAST(c0 + c1 * 16 + c2 * 256 + c3 * 4096 AS BIGINT) AS pq_code
+        |FROM codes""".stripMargin
+
+  /** Generated twin of q97 ([[LlmPipelines.q97AnnProduction]]) — the full
+    * trained stack composed from chains already proven exact piecewise:
+    * [[kmeansCtes]] trains the coarse centroids (64-dim, k=8, 2 iters),
+    * [[pqTrainCtes]] trains the codebooks on the fixed 500-vector sample
+    * and encodes the full corpus, then the corpus is assigned to the
+    * TRAINED cells and the ADC ranking runs over the TRAINED codebooks.
+    * A hash match certifies the whole production path: training (twice),
+    * encode, assignment, and search agree bit-for-bit with the engine.
+    * Assembled without an outer stripMargin: the chains are already
+    * stripped, and re-stripping would eat the first '|' of any '||'.
+    */
+  private def annProductionSql(centIters: Int, cbIters: Int): String = {
+    def adcCv(s: Int, a: String) =
+      s"list_reduce(list_transform(range(1, 17), i -> qv[$s * 16 + i]::DOUBLE * $a.cv[i]), (x, y) -> x + y)"
+    val tail =
+      s"""asgF AS (SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosPm("e.embedding", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM e CROSS JOIN cent$centIters c)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, cell FROM asgF
+         |      WHERE vec_id >= 20 AND vec_id < 30),
+         |cc AS (SELECT asgF.vec_id AS cid, asgF.cell, c0, c1, c2, c3
+         |      FROM asgF JOIN codes ON asgF.vec_id = codes.vec_id),
+         |p AS (SELECT qid, qv, cid, q.cell AS cell, c0, c1, c2, c3
+         |      FROM q JOIN cc USING (cell) WHERE cid <> qid),
+         |sc AS (SELECT qid, cid, cell,
+         |    CAST(round(1000000.0 * (${adcCv(0, "cb0")}
+         |      + ${adcCv(1, "cb1")}
+         |      + ${adcCv(2, "cb2")}
+         |      + ${adcCv(3, "cb3")})) AS BIGINT) AS adc_pm
+         |  FROM p JOIN cb cb0 ON cb0.s = 0 AND cb0.c = p.c0
+         |         JOIN cb cb1 ON cb1.s = 1 AND cb1.c = p.c1
+         |         JOIN cb cb2 ON cb2.s = 2 AND cb2.c = p.c2
+         |         JOIN cb cb3 ON cb3.s = 3 AND cb3.c = p.c3),
+         |r2 AS (SELECT qid, cid, cell, adc_pm,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc_pm DESC, cid ASC) AS "rank"
+         |  FROM sc)
+         |SELECT qid, cid, cell, adc_pm, "rank" FROM r2 WHERE "rank" <= 3""".stripMargin
+    s"WITH ${kmeansCtes(centIters, 8, 64)},\n" +
+      s"${pqTrainCtes(cbIters, "WHERE vec_id < 500")},\n$tail"
   }
 
   /** Twin of [[Graphs.edges]]: same-nation customer⨝supplier pairs with

@@ -20,6 +20,12 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fail = 0
+# A requested name with NO oracle entry must fail loudly: iterating only
+# the oracle keys silently skipped it and printed ALL GREEN having
+# compared nothing (the round-9 "vacuous subset green" trap, regrown).
+for name in sorted(only - set(oracle)):
+    print(f"FAIL {name}: no oracle SQL registered for this query")
+    fail += 1
 for name in sorted(oracle):
     if only and name not in only:
         continue
