@@ -448,6 +448,39 @@ object LlmPipelines {
     Similarity.ivfPqTopKIndexed(index, queries, k = 3, cb)
   }
 
+  /** q98: SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023, §2 —
+    * public knowledge): kmeans cells bucket the embedding space (trained,
+    * not hashed — 2 Lloyd iterations over the 8 seeds), candidate pairs
+    * form ONLY within a cell (the cell equi-join replaces all-pairs,
+    * exactly the paper's "within-cluster pairwise similarity"), pairs at
+    * cosine ≥ 0.45 connect into duplicate groups, and each group is
+    * labeled with its minimum vec_id representative + size — the
+    * keep-one-per-group product. The embedding-space sibling of q43's
+    * MinHash text clusters; complements q39's LSH-bucketed near-dup
+    * (hash buckets trade recall for no training; kmeans cells are the
+    * data-adaptive variant).
+    */
+  def q98SemanticDedup(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.balanced(spark, d, "embeddings")
+    val cents = Similarity.kmeansRefine(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", iters = 2)
+      .select(col("vec_id"), col("embedding"))
+    val assigned = Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("n"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("n").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("n").as("nb"))
+    val pairs = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .select(col("cell"), col("id_a"), col("id_b"),
+        Similarity.cosFromNorms(col("va"), col("vb"), col("na"), col("nb"))
+          .as("cos_pm"))
+      .filter(col("cos_pm") >= 450000L)
+    TextDedup.dupClusters(pairs, "id_a", "id_b")
+      .select(col("node").as("vec_id"), col("cluster"), col("cluster_size"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_pq_encode" -> q79PqEncode _,
     "q80_pq_adc_topk" -> q80PqAdcTopk _,
@@ -455,6 +488,7 @@ object LlmPipelines {
     "q92_ivf_pq_indexed" -> q92IvfPqIndexed _,
     "q93_pq_trained" -> q93PqTrained _,
     "q97_ann_production" -> q97AnnProduction _,
+    "q98_semantic_dedup" -> q98SemanticDedup _,
     "q35_binary_features" -> q35BinaryFeatures _,
     "q36_frame_sample" -> q36FrameSample _,
     "q42_ppm_resize" -> q42PpmResize _,

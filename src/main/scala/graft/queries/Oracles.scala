@@ -705,6 +705,8 @@ object Oracles {
 
     "q97_ann_production" -> annProductionSql(centIters = 2, cbIters = 2),
 
+    "q98_semantic_dedup" -> semanticDedupSql(centIters = 2),
+
     // Twin of Similarity.annTopKMultiTable: two independent 6-plane
     // tables unioned, distinct scored pairs, then rank.
     "q55_ann_multitable" ->
@@ -898,6 +900,39 @@ object Oracles {
          |SELECT qid, cid, cell, adc_pm, "rank" FROM r2 WHERE "rank" <= 3""".stripMargin
     s"WITH ${kmeansCtes(centIters, 8, 64)},\n" +
       s"${pqTrainCtes(cbIters, "WHERE vec_id < 500")},\n$tail"
+  }
+
+  /** Generated twin of q98 ([[LlmPipelines.q98SemanticDedup]]): the
+    * [[kmeansCtes]] Lloyd chain assigns every vector to its trained cell,
+    * within-cell pairs at cosine ≥ 0.45 connect, and the q43-pattern
+    * recursive reachability CTE labels each duplicate group with its
+    * min-id representative. Assembled without an outer stripMargin (the
+    * chain is pre-stripped).
+    */
+  private def semanticDedupSql(centIters: Int): String = {
+    val tail =
+      s"""asgF AS (SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosPm("e.embedding", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM e CROSS JOIN cent$centIters c)
+         |  WHERE rn = 1),
+         |pr0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosPm("a.embedding", "b.embedding")} AS cos_pm
+         |  FROM asgF a JOIN asgF b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |f AS (SELECT id_a, id_b FROM pr0 WHERE cos_pm >= 450000),
+         |u AS (SELECT id_a AS a2, id_b AS b2 FROM f
+         |      UNION SELECT id_b, id_a FROM f),
+         |nd AS (SELECT DISTINCT a2 AS node FROM u),
+         |reach(s2, r) AS (
+         |  SELECT node, node FROM nd
+         |  UNION
+         |  SELECT reach.s2, u.b2 FROM reach JOIN u ON reach.r = u.a2),
+         |lab AS (SELECT s2 AS vec_id, min(r) AS cluster FROM reach GROUP BY s2)
+         |SELECT lab.vec_id, lab.cluster, cnt.cluster_size
+         |FROM lab JOIN (SELECT cluster, count(*) AS cluster_size
+         |               FROM lab GROUP BY cluster) cnt USING (cluster)""".stripMargin
+    s"WITH RECURSIVE ${kmeansCtes(centIters, 8, 64)},\n$tail"
   }
 
   /** Twin of [[Graphs.edges]]: same-nation customer⨝supplier pairs with
