@@ -481,6 +481,31 @@ object LlmPipelines {
       .select(col("node").as("vec_id"), col("cluster"), col("cluster_size"))
   }
 
+  /** q99: cross-split LEAKAGE audit — the check every training pipeline
+    * runs after splitting: near-duplicate pairs that STRADDLE the
+    * train/test boundary (a test doc with a train near-dup measures the
+    * model's memory, not its skill). Composition of verified pieces:
+    * the q46 salted hash split assigns sides (row-local, a pure function
+    * of the id), q28's MinHash signatures feed
+    * [[TextDedup.lshCandidatePairsAgainst]] with test as the probe side —
+    * train×train and test×test pairs NEVER FORM (the q58 asymmetry,
+    * which is what keeps the audit affordable as the corpus grows: cost
+    * tracks |test|·bands, not |corpus|²).
+    */
+  def q99SplitLeakage(spark: SparkSession, d: String): DataFrame = {
+    // Persist: both split sides read the same signature scan (the q58
+    // convention; caller-owned lineage, Bench/Verify clearCache per query).
+    val sigs = TextDedup.minhashSignatures(
+        Tables.balanced(spark, d, "documents"), "doc_id", "text",
+        ShingleK, NumHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucket = graft.operators.Sampling.hashBucket(col("doc"), "leak1", 100)
+    TextDedup.lshCandidatePairsAgainst(
+        sigs.filter(bucket >= 90), sigs.filter(bucket < 90),
+        NumHashes, Bands)
+      .filter(col("n_sig_equal") >= 8)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_pq_encode" -> q79PqEncode _,
     "q80_pq_adc_topk" -> q80PqAdcTopk _,
@@ -489,6 +514,7 @@ object LlmPipelines {
     "q93_pq_trained" -> q93PqTrained _,
     "q97_ann_production" -> q97AnnProduction _,
     "q98_semantic_dedup" -> q98SemanticDedup _,
+    "q99_split_leakage" -> q99SplitLeakage _,
     "q35_binary_features" -> q35BinaryFeatures _,
     "q36_frame_sample" -> q36FrameSample _,
     "q42_ppm_resize" -> q42PpmResize _,

@@ -470,6 +470,17 @@ object Oracles {
          |SELECT * FROM e
          |WHERE n_sig_equal >= 8 AND (doc_a % 2) <> (doc_b % 2)""".stripMargin,
 
+    // q99: the same pair table restricted to pairs that STRADDLE the
+    // q46-style salted hash split (train = bucket < 90, salt "leak1") —
+    // train×train and test×test pairs are excluded exactly as the
+    // engine's asymmetric probe never forms them.
+    "q99_split_leakage" ->
+      s"""WITH $MinhashPairsCtes
+         |SELECT * FROM e
+         |WHERE n_sig_equal >= 8
+         |  AND (('0x' || substr(md5('leak1:' || doc_a), 1, 8))::BIGINT % 100 < 90)
+         |   <> (('0x' || substr(md5('leak1:' || doc_b), 1, 8))::BIGINT % 100 < 90)""".stripMargin,
+
     // CC over the q28 near-dup pairs: exact min-reachable-id labels via a
     // recursive reachability CTE (the Spark side converges its min-label
     // propagation to the same fixpoint)

@@ -103,6 +103,32 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(run("q83_kmv_distinct")) <= 2) // agg + the day rollup reuse
   }
 
+  test("materialized-index search phase never re-encodes and never re-assigns") {
+    import org.apache.spark.sql.functions.col
+    // the contract that makes q92/q97 the 100 TB path: encode and cell
+    // assignment are PAID AT INGEST — the query phase must scan the
+    // prebuilt (cell, code) table only. pq_quantize or a corpus-side
+    // vec_dot forest in the search plan means the ingest/search split
+    // silently regressed to the e2e form.
+    val emb = graft.sources.Tables(spark, d, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_planspec_ivfpq").toString
+    graft.operators.Similarity.buildIvfPqIndex(emb, cents, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val queries = graft.operators.Similarity.ivfAssign(
+        emb.filter(col("vec_id") >= 20 && col("vec_id") < 30), cents,
+        "vec_id", "embedding")
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"))
+    val search = graft.operators.Similarity.ivfPqTopKIndexed(index, queries, 3)
+    val plan = planString(search)
+    assert(!plan.contains("pq_quantize"),
+      "search phase re-encodes the corpus - the ingest/search split regressed")
+    assert(!plan.toLowerCase.contains("cartesianproduct"),
+      "cell equi-join degenerated to a cartesian product")
+  }
+
   test("pqEncode plans as ONE quantize call, not an inlined argmin forest") {
     import org.apache.spark.sql.functions.col
     val emb = graft.sources.Tables(spark, d, "embeddings")
