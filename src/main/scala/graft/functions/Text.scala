@@ -29,6 +29,23 @@ object Text {
     when(size(toks) >= k, array_distinct(grams)).otherwise(array().cast("array<string>"))
   }
 
+  /** Consecutive NON-overlapping k-token blocks joined by single spaces —
+    * the unit of exact span dedup ([[graft.operators.TextDedup.spanDedup]]).
+    * Unlike [[shingles]] (overlapping, distinct, for similarity), blocks
+    * tile the document: order and multiplicity are preserved so the
+    * document can be REBUILT from its surviving blocks. The final block
+    * may be shorter than k; empty array for an empty token list (never a
+    * descending `sequence`).
+    */
+  def blocks(toks: Column, k: Int): Column = {
+    require(k > 0, s"block size must be positive, got $k")
+    when(size(toks) > 0,
+      transform(
+        sequence(lit(0), floor((size(toks) - 1) / lit(k)).cast("int")),
+        i => concat_ws(" ", slice(toks, i * k + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Portable 32-bit hash: first 8 hex chars of md5("<seed>:<value>") as a
     * non-negative long in [0, 2^32). Stable across Spark and any SQL engine
     * with md5 — the basis for minhash/simhash/LSH signatures.

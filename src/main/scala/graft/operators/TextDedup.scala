@@ -376,6 +376,49 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Exact SPAN dedup at k-token block granularity — the within-corpus
+    * repeated-text removal every large training pipeline runs (C4 removed
+    * repeated three-sentence spans; Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", does exact substring
+    * dedup at ~50-token granularity — both public recipes). Documents are
+    * tiled into consecutive non-overlapping k-token blocks
+    * ([[Text.blocks]]); only the corpus-globally FIRST occurrence of each
+    * distinct block text survives (ordered by (doc, pos)); every document
+    * is rebuilt from its surviving blocks in original order.
+    *
+    * Returns (doc_id, n_blocks, kept_blocks, new_text); a fully-deduped
+    * document keeps its row with kept_blocks = 0 and new_text = ''.
+    *
+    * Scale shape: first-wins is a `min(struct(doc, pos))` AGGREGATION by
+    * block text, not a window — partial aggregation combines map-side, so
+    * a block repeated millions of times (boilerplate, the real-corpus hot
+    * key) costs one pre-aggregated row per task instead of a skewed sort
+    * partition; the winning rows ARE the kept set, so no join back to the
+    * exploded blocks is needed. Two keyed shuffles total (by block text,
+    * then by doc for the rebuild), both with map-side combine.
+    */
+  def spanDedup(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
+    val blocked = docs.select(col(id).as("doc"),
+      Text.blocks(Text.tokens(col(text)), k).as("blks"))
+    // Narrow (shuffle-free) per-doc block count, joined back at the end so
+    // zero-survivor documents still report.
+    val nb = blocked.select(col("doc"), size(col("blks")).cast("long").as("n_blocks"))
+    val winners = blocked
+      .select(col("doc"), posexplode(col("blks")).as(Seq("pos", "blk")))
+      .groupBy(col("blk"))
+      .agg(min(struct(col("doc"), col("pos"))).as("w"))
+      .select(col("w.doc").as("doc"), col("w.pos").as("pos"), col("blk"))
+    val rebuilt = winners.groupBy(col("doc"))
+      .agg(count(lit(1)).as("kept_blocks"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("blk")))),
+            x => x.getField("blk")), " ").as("new_text"))
+    nb.join(rebuilt, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"), col("n_blocks"),
+        coalesce(col("kept_blocks"), lit(0L)).as("kept_blocks"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
+  }
+
   def simhash(docs: DataFrame, id: String, text: String): DataFrame = {
     val toks = docs.select(col(id).as("doc"),
         explode(Text.tokens(col(text))).as("t"))

@@ -88,6 +88,17 @@ object LlmPipelines {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
         col("jac_pm"))
 
+  /** q100: exact SPAN dedup at 3-token block granularity (C4 / Lee et al.
+    * 2022 within-corpus repeated-text removal): only the globally-first
+    * occurrence of each distinct block survives, documents are rebuilt
+    * from their surviving blocks. First-wins is a min-struct aggregation
+    * (map-side combine), never a window sort — boilerplate hot blocks
+    * pre-aggregate per task instead of skewing a sort partition.
+    */
+  def q100SpanDedup(spark: SparkSession, d: String): DataFrame =
+    TextDedup.spanDedup(Tables.balanced(spark, d, "documents"),
+      "doc_id", "text", k = 3)
+
   /** q28: MinHash+LSH candidate pairs — 16 hashes, 4 bands × 4 rows;
     * output is the agreeing-component count (jaccard estimate ×16).
     */
@@ -526,6 +537,7 @@ object LlmPipelines {
     "q25_lang_id" -> q25LangId _,
     "q26_fingerprint_dedup" -> q26FingerprintDedup _,
     "q27_ngram_jaccard_pairs" -> q27NgramJaccardPairs _,
+    "q100_span_dedup" -> q100SpanDedup _,
     "q28_minhash_lsh_pairs" -> q28MinhashLshPairs _,
     "q43_dup_clusters" -> q43DupClusters _,
     "q29_simhash" -> q29Simhash _,

@@ -459,6 +459,28 @@ object Oracles {
          |  FROM i JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
          |SELECT * FROM j WHERE jac_pm >= 800000""".stripMargin,
 
+    // q100: exact span dedup — k=3 token blocks, global first-wins by
+    // (doc, pos), documents rebuilt from surviving blocks. The oracle uses
+    // a window for first-wins (fine at oracle scale); the engine uses the
+    // skew-proof min-struct aggregation — same kept set by construction.
+    "q100_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |nb AS (SELECT doc_id, CAST(ceil(len(toks)/3.0) AS BIGINT) AS n_blocks FROM t),
+         |b0 AS (SELECT doc_id, toks,
+         |        unnest(range(CAST(ceil(len(toks)/3.0) AS BIGINT))) AS pos FROM t),
+         |b AS (SELECT doc_id, pos,
+         |        array_to_string(toks[pos*3+1 : pos*3+3], ' ') AS blk FROM b0),
+         |w AS (SELECT doc_id, pos, blk FROM (
+         |        SELECT doc_id, pos, blk,
+         |          row_number() OVER (PARTITION BY blk ORDER BY doc_id, pos) AS rn
+         |        FROM b) WHERE rn = 1),
+         |r AS (SELECT doc_id, count(*) AS kept_blocks,
+         |        string_agg(blk, ' ' ORDER BY pos) AS new_text FROM w GROUP BY doc_id)
+         |SELECT nb.doc_id, nb.n_blocks,
+         |  CAST(coalesce(r.kept_blocks, 0) AS BIGINT) AS kept_blocks,
+         |  coalesce(r.new_text, '') AS new_text
+         |FROM nb LEFT JOIN r USING (doc_id)""".stripMargin,
+
     "q28_minhash_lsh_pairs" ->
       s"""WITH $MinhashPairsCtes
          |SELECT * FROM e WHERE n_sig_equal >= 8""".stripMargin,

@@ -36,6 +36,32 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!cands.contains((1L, 3L))) // dissimilar docs never band-collide here
   }
 
+  test("spanDedup: global first-wins by (doc, pos), rebuild, zero-survivor row kept") {
+    // k=2 blocks: doc 1 = ["a b","c d","e f"], doc 2 = ["c d","a b","x"],
+    // doc 3 = ["a b","c d","e f"] (full dup of 1).
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "c d a b x"),
+      (3L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.spanDedup(docs, "doc_id", "text", k = 2)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 3L, "a b c d e f"))) // first occurrences all win
+    // doc 2: "c d" and "a b" already seen in doc 1; only the short tail "x"
+    // survives, in original position order.
+    assert(out(2L) == ((2L, 3L, 1L, "x")))
+    // doc 3 loses every block but keeps its row.
+    assert(out(3L) == ((3L, 3L, 0L, "")))
+  }
+
+  test("spanDedup: within-doc repeats collapse to the earliest position") {
+    val docs = Seq((7L, "p q p q p")).toDF("doc_id", "text")
+    // k=2 → blocks ["p q","p q","p"]: second "p q" is removed, tail "p" stays.
+    val out = TextDedup.spanDedup(docs, "doc_id", "text", k = 2)
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.toSeq == Seq((7L, 3L, 2L, "p q p")))
+  }
+
   test("df-cap drops hot shingles from the inverted index") {
     // every doc shares the hot shingle "x y z"; with maxDf=2 it is dropped
     val docs = Seq((1L, "x y z a b c"), (2L, "x y z d e f"), (3L, "x y z g h i"))
