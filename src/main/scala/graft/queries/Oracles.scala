@@ -1856,6 +1856,15 @@ object Oracles {
     // MUST leave identical end state — the shared twin is the contract.
     "q78_incremental_driver" -> DriverTwin,
     "q91_partitioned_driver" -> DriverTwin,
+
+    // q101: the jsonlines DSv2 round-trip must be a perfect pass-through —
+    // the twin never sees the connector, only the source table.
+    "q101_jsonlines_roundtrip" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents
+         |WHERE n_chars >= 290 AND lang IN ('en','de','zh')
+         |GROUP BY lang""".stripMargin,
   )
 
   private lazy val DriverTwin: String =

@@ -138,10 +138,35 @@ object Sinks {
         lit(e1.ran && e2.ran && !e3.ran).as("gated"))
   }
 
+  /** q101: the DataSource V2 connector round-trip — documents projected
+    * to (doc_id, lang, n_chars) go OUT through the `jsonlines` V2 write
+    * path ([[graft.sources.JsonLinesSource]]: staged files, two-phase
+    * driver commit) and come BACK through its V2 scan with the filter
+    * pushed into the line parser and `doc_id` pruned out of it, then
+    * aggregate. The oracle runs the same filter+aggregate directly over
+    * the parquet table: write → commit → scan → pushdown must be a
+    * perfect pass-through, the round-trip IS the contract (the q78
+    * pattern applied to the connector itself).
+    */
+  def q101JsonlinesRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q101_").toString
+    Tables.balanced(spark, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.format("jsonlines").mode("overwrite").save(dir)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("n_chars", LongType)))
+    spark.read.format("jsonlines").schema(schema).load(dir)
+      .filter(col("n_chars") >= 290L && col("lang").isin("en", "de", "zh"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_append_series" -> q76AppendSeries _,
     "q77_merge_metrics" -> q77MergeMetrics _,
     "q78_incremental_driver" -> q78IncrementalDriver _,
     "q91_partitioned_driver" -> q91PartitionedDriver _,
+    "q101_jsonlines_roundtrip" -> q101JsonlinesRoundtrip _,
   )
 }

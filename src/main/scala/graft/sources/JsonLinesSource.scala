@@ -1,0 +1,464 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A REAL DataSource V2 connector for the JSON-lines sink format that
+  * [[graft.operators.BulkSink.JsonLinesWriter]] emits — the engine-side
+  * half of the reference's external connector seam
+  * (`src/arango_queries.py:211-258` bulk-imports JSON document arrays;
+  * `src/etl.py:42-51` wires the endpoints). The sandbox has no network,
+  * so the directory stands in for the endpoint, but every part of the
+  * CONNECTOR PROTOCOL is the real Spark surface a JDBC/HTTP connector
+  * would implement:
+  *
+  *  - declared schema (S1 convention — no inference; `inferSchema`
+  *    refuses loudly),
+  *  - one [[InputPartition]] per sink file → parallel scan,
+  *  - COLUMN PRUNING pushed into the parser (unrequested fields are
+  *    never materialized — [[SupportsPushDownRequiredColumns]]),
+  *  - FILTER pushdown with faithful SQL null semantics, evaluated
+  *    pre-emit so pruned-out filter columns still work
+  *    ([[SupportsPushDownFilters]]; unsupported predicates are handed
+  *    back to Spark untouched),
+  *  - per-partition LIMIT pushdown (partial — Spark keeps the global
+  *    limit; [[SupportsPushDownLimit]]),
+  *  - a two-phase WRITE commit: tasks stage `.stage-*` files, the
+  *    driver's [[BatchWrite.commit]] promotes exactly one winner per
+  *    partition and sweeps speculative losers, so retried/speculative
+  *    attempts never double-appear ([[SupportsTruncate]] gives
+  *    overwrite mode).
+  *
+  * Cluster note: readers/writers rebuild a default Hadoop
+  * `Configuration` executor-side, which resolves local and `file://`
+  * paths; a cluster deployment against `hdfs://`/`s3a://` would thread
+  * the driver conf through the factories (the one seam left open, same
+  * as [[graft.operators.BulkSink]]'s endpoint).
+  */
+class JsonLinesSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "jsonlines"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "jsonlines is a declared-schema source (S1 convention): pass " +
+        ".schema(...) on read — schema inference over an external sink " +
+        "is a silent-drift risk this engine refuses")
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "jsonlines requires a path: .load(dir) / .save(dir)")
+    new JsonLinesTable(path, schema)
+  }
+}
+
+object JsonLinesSource {
+  /** Scalar types the parser/serializer handles — the sink format is flat
+    * JSON documents (the BulkSink payload shape).
+    */
+  private[sources] def supportedType(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | DoubleType | BooleanType => true
+    case _ => false
+  }
+
+  /** A data file: not hidden (no '.'/'_' prefix — Hadoop convention, and
+    * exactly what keeps half-written `.stage-*` files invisible to
+    * concurrent readers).
+    */
+  private[sources] def isDataFile(name: String): Boolean =
+    !name.startsWith(".") && !name.startsWith("_")
+
+  private[sources] def listDataFiles(dir: String): Seq[(String, Long)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && isDataFile(s.getPath.getName))
+      .map(s => (s.getPath.toString, s.getLen))
+      .sortBy(_._1) // deterministic partition order
+  }
+
+  /** JSON string escaping per RFC 8259 (the only characters that MUST be
+    * escaped: quote, backslash, control chars).
+    */
+  private[sources] def escape(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.result()
+  }
+}
+
+final class JsonLinesTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  tableSchema.fields.foreach { f =>
+    require(JsonLinesSource.supportedType(f.dataType),
+      s"jsonlines: unsupported column type ${f.dataType.sql} for '${f.name}' " +
+        "(flat string/long/int/double/boolean documents only — the BulkSink payload shape)")
+  }
+
+  override def name(): String = s"jsonlines:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JsonLinesScanBuilder(path, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new JsonLinesWriteBuilder(path, info.schema(), info.queryId())
+}
+
+// ---------------------------------------------------------------- read
+
+final class JsonLinesScanBuilder(path: String, tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  /** A filter is pushable when every referenced column is a supported
+    * top-level field and the predicate shape is one we evaluate with
+    * faithful SQL semantics. Everything else is returned to Spark.
+    */
+  private def pushable(f: Filter): Boolean = {
+    def known(c: String) = tableSchema.fieldNames.contains(c)
+    f match {
+      case EqualTo(c, _) => known(c)
+      case EqualNullSafe(c, _) => known(c)
+      case GreaterThan(c, _) => known(c)
+      case GreaterThanOrEqual(c, _) => known(c)
+      case LessThan(c, _) => known(c)
+      case LessThanOrEqual(c, _) => known(c)
+      case In(c, _) => known(c)
+      case IsNull(c) => known(c)
+      case IsNotNull(c) => known(c)
+      // And/Or stay pushable because the null→drop collapse is monotone
+      // under both; NOT is not (NOT of a NULL child must still drop), so
+      // Not(...) is handed back to Spark.
+      case And(l, r) => pushable(l) && pushable(r)
+      case Or(l, r) => pushable(l) && pushable(r)
+      case StringStartsWith(c, _) => known(c)
+      case StringEndsWith(c, _) => known(c)
+      case StringContains(c, _) => known(c)
+      case _ => false
+    }
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(pushable)
+    pushed = sup
+    unsup // Spark keeps evaluating these
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  // default isPartiallyPushed() = true: Spark keeps the global limit.
+
+  override def build(): Scan =
+    new JsonLinesScan(path, tableSchema, required, pushed, limit)
+}
+
+final class JsonLinesScan(path: String, tableSchema: StructType,
+                          required: StructType, filters: Array[Filter],
+                          limit: Int) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"jsonlines path=$path, PushedFilters: ${filters.mkString("[", ", ", "]")}" +
+      (if (limit >= 0) s", PushedLimit: $limit" else "")
+
+  override def planInputPartitions(): Array[InputPartition] =
+    JsonLinesSource.listDataFiles(path)
+      .map { case (f, len) => JsonLinesInputPartition(f, len): InputPartition }
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Filter columns may be pruned OUT of `required` (a fully-pushed
+    // predicate needs no output column) — parse the union.
+    val filterCols = filters.flatMap(_.references).distinct
+    val evalSchema = StructType(required.fields ++
+      filterCols.filterNot(required.fieldNames.contains)
+        .map(c => tableSchema(tableSchema.fieldIndex(c))))
+    JsonLinesReaderFactory(evalSchema, required, filters, limit)
+  }
+}
+
+final case class JsonLinesInputPartition(file: String, length: Long)
+    extends InputPartition
+
+final case class JsonLinesReaderFactory(evalSchema: StructType,
+                                        required: StructType,
+                                        filters: Array[Filter], limit: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new JsonLinesPartitionReader(
+      partition.asInstanceOf[JsonLinesInputPartition].file,
+      evalSchema, required, filters, limit)
+}
+
+/** Streams one sink file: parse line → evaluate pushed filters → project
+  * the pruned schema. Unrequested fields are never converted (pruning
+  * reaches the parser, the DSv2 analog of `ReadSchema` on a parquet
+  * scan).
+  */
+final class JsonLinesPartitionReader(file: String, evalSchema: StructType,
+                                     required: StructType,
+                                     filters: Array[Filter], limit: Int)
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val in = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(new Configuration())
+    new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+  }
+  private val requiredIdx = required.fields.map(f => evalSchema.fieldIndex(f.name))
+  private var row: GenericInternalRow = _
+  private var emitted = 0
+
+  /** JSON value → JVM value per declared type; null for JSON null, a
+    * missing field, or a type the node can't represent (declared-schema
+    * reads are null-tolerant, the P8 convention).
+    */
+  private def convert(node: JsonNode, dt: DataType): Any =
+    if (node == null || node.isNull) null
+    else dt match {
+      case StringType => if (node.isTextual) node.asText() else node.toString
+      case LongType => if (node.canConvertToLong) node.asLong() else null
+      case IntegerType => if (node.canConvertToInt) node.asInt() else null
+      case DoubleType => if (node.isNumber) node.asDouble() else null
+      case BooleanType => if (node.isBoolean) node.asBoolean() else null
+      case _ => null
+    }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
+    case (x: Number, y: Number) => (x, y) match {
+      case (_: java.lang.Double, _) | (_, _: java.lang.Double) =>
+        Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+      case _ => Some(java.lang.Long.compare(x.longValue(), y.longValue()))
+    }
+    case _ => None
+  }
+
+  /** SQL three-valued logic collapsed to keep/drop: a NULL predicate
+    * result drops the row, exactly what a post-scan Filter would do.
+    */
+  private def eval(f: Filter, get: String => Any): Boolean = f match {
+    case EqualTo(c, v) => cmp(get(c), v).contains(0)
+    case EqualNullSafe(c, v) =>
+      val x = get(c); if (x == null || v == null) x == null && v == null
+      else cmp(x, v).contains(0)
+    case GreaterThan(c, v) => cmp(get(c), v).exists(_ > 0)
+    case GreaterThanOrEqual(c, v) => cmp(get(c), v).exists(_ >= 0)
+    case LessThan(c, v) => cmp(get(c), v).exists(_ < 0)
+    case LessThanOrEqual(c, v) => cmp(get(c), v).exists(_ <= 0)
+    case In(c, vs) => val x = get(c); x != null && vs.exists(v => cmp(x, v).contains(0))
+    case IsNull(c) => get(c) == null
+    case IsNotNull(c) => get(c) != null
+    case And(l, r) => eval(l, get) && eval(r, get)
+    case Or(l, r) => eval(l, get) || eval(r, get)
+    case StringStartsWith(c, v) =>
+      get(c) match { case s: String => s.startsWith(v); case _ => false }
+    case StringEndsWith(c, v) =>
+      get(c) match { case s: String => s.endsWith(v); case _ => false }
+    case StringContains(c, v) =>
+      get(c) match { case s: String => s.contains(v); case _ => false }
+    case _ => true // unreachable: pushable() gates what lands here
+  }
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    var line = in.readLine()
+    while (line != null) {
+      if (line.nonEmpty) {
+        val node = mapper.readTree(line)
+        val vals = evalSchema.fields.map(f => convert(node.get(f.name), f.dataType))
+        val byName: String => Any = c => vals(evalSchema.fieldIndex(c))
+        if (filters.forall(eval(_, byName))) {
+          val out = new Array[Any](requiredIdx.length)
+          var i = 0
+          while (i < requiredIdx.length) {
+            out(i) = vals(requiredIdx(i)) match {
+              case s: String => UTF8String.fromString(s)
+              case v => v
+            }
+            i += 1
+          }
+          row = new GenericInternalRow(out)
+          emitted += 1
+          return true
+        }
+      }
+      line = in.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}
+
+// --------------------------------------------------------------- write
+
+/** Append and Overwrite (via truncate) are supported; note
+  * `DataFrameWriter.save`'s DEFAULT mode is ErrorIfExists, which Spark
+  * rejects for path-based V2 providers — callers write with an explicit
+  * `.mode("append")` or `.mode("overwrite")`.
+  */
+final class JsonLinesWriteBuilder(path: String, schema: StructType,
+                                  queryId: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new JsonLinesWrite(path, schema, queryId, overwrite)
+}
+
+final class JsonLinesWrite(path: String, schema: StructType, queryId: String,
+                           overwrite: Boolean) extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    JsonLinesWriterFactory(path, schema)
+
+  /** Two-phase commit, driver side: exactly one staged file per partition
+    * is promoted to its final `part-NNNNN.jsonl` name (Spark hands the
+    * driver ONE commit message per partition — the winner among retried /
+    * speculative attempts); every other `.stage-*` leftover is a loser
+    * and is swept. Overwrite deletes prior data files first, after the
+    * new stage files are all safely on disk.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    if (overwrite && fs.exists(dir)) {
+      fs.listStatus(dir).foreach { s =>
+        if (s.isFile && JsonLinesSource.isDataFile(s.getPath.getName))
+          fs.delete(s.getPath, false)
+      }
+    }
+    val winners = mutable.Set.empty[String]
+    messages.foreach { case JsonLinesCommitMessage(staged, partitionId) =>
+      winners += staged
+      // queryId in the final name keeps APPEND writes collision-free
+      // across jobs (two appends never fight over part-00000).
+      val target = new Path(dir, f"part-$partitionId%05d-$queryId.jsonl")
+      if (fs.exists(target)) fs.delete(target, false)
+      require(fs.rename(new Path(staged), target),
+        s"jsonlines commit: rename $staged -> $target failed")
+    }
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { s => // sweep losers
+      val n = s.getPath.getName
+      if (n.startsWith(".stage-") && !winners.contains(s.getPath.toString))
+        fs.delete(s.getPath, false)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>
+      if (s.getPath.getName.startsWith(".stage-")) fs.delete(s.getPath, false)
+    }
+  }
+}
+
+final case class JsonLinesCommitMessage(stagedPath: String, partitionId: Int)
+    extends WriterCommitMessage
+
+final case class JsonLinesWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new JsonLinesDataWriter(path, schema, partitionId, taskId)
+}
+
+/** Task-side writer: serializes rows to a hidden `.stage-p-t.jsonl` file
+  * (taskId makes retried/speculative attempts collision-free); `commit`
+  * hands the staged path to the driver, `abort` deletes it. Non-finite
+  * doubles serialize as JSON null (RFC 8259 has no NaN/Infinity).
+  */
+final class JsonLinesDataWriter(path: String, schema: StructType,
+                                partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val staged = new Path(path, f".stage-$partitionId%05d-$taskId.jsonl")
+  private val fs = staged.getFileSystem(new Configuration())
+  private val out = {
+    fs.mkdirs(staged.getParent)
+    new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(staged, true), java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  override def write(record: InternalRow): Unit = {
+    val b = new StringBuilder(64)
+    b.append('{')
+    var i = 0
+    while (i < schema.fields.length) {
+      if (i > 0) b.append(',')
+      val f = schema.fields(i)
+      b.append('"').append(JsonLinesSource.escape(f.name)).append("\":")
+      if (record.isNullAt(i)) b.append("null")
+      else f.dataType match {
+        case StringType =>
+          b.append('"').append(JsonLinesSource.escape(record.getUTF8String(i).toString)).append('"')
+        case LongType => b.append(record.getLong(i))
+        case IntegerType => b.append(record.getInt(i))
+        case DoubleType =>
+          val v = record.getDouble(i)
+          if (java.lang.Double.isFinite(v)) b.append(v) else b.append("null")
+        case BooleanType => b.append(record.getBoolean(i))
+        case dt => throw new IllegalArgumentException(
+          s"jsonlines: unsupported write type ${dt.sql}") // gated in JsonLinesTable
+      }
+      i += 1
+    }
+    b.append('}')
+    out.write(b.result()); out.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    JsonLinesCommitMessage(staged.toString, partitionId)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    if (fs.exists(staged)) fs.delete(staged, false)
+  }
+
+  override def close(): Unit = ()
+}
