@@ -73,7 +73,7 @@ object ScaleProbe {
     // typo must not silently measure nothing.
     val sections = Set("session", "termstats", "minhash", "ann", "temporal",
       "packing", "relational", "topk", "kmeans", "sinks", "pq", "sketch",
-      "prune", "sinkbig", "pqtrain")
+      "prune", "sinkbig", "pqtrain", "spandedup")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -268,6 +268,54 @@ object ScaleProbe {
     // ones (2 Lloyd iterations per subspace on replica-0 seed slices).
     // Training swaps the constants, not the operator — same PqQuantize
     // kernel, same ADC LUTs — so any recall gap is pure codebook quality.
+    // Exact span dedup (q100): the shipped WINDOW form (rn=1 →
+    // InferWindowGroupLimit → map-side partial top-1 per block, codegen'd
+    // sort) vs the textbook min-struct AGGREGATION twin (struct buffer →
+    // interpreted SortAggregate both sides of the exchange), under an
+    // injected corpus-wide boilerplate block in half the docs (the
+    // real-corpus hot key: a shared footer). Both forms compute the full
+    // rebuild and are equality-checked at 1x. This measurement is WHY the
+    // operator ships the window form.
+    if (want("spandedup")) for (factor <- Seq(1, 4, 16)) {
+      val docs = materialize(
+        docsAt(spark, d, factor).select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("shared footer boilerplate "), col("text")))
+            .otherwise(col("text")).as("text")),
+        s"/tmp/scale/spand$factor")
+      // force kept_blocks AND new_text: count() alone would let Catalyst
+      // prune the computed columns (the q80 timing trap)
+      def force(out: DataFrame): Long =
+        out.agg(sum(col("kept_blocks")), sum(length(col("new_text"))))
+          .head().getLong(0)
+      var winSum = -1L; var aggSum = -2L
+      // Two alternating reps: rep 1 pays input/shuffle warmup for BOTH
+      // forms, rep 2 is the steady-state comparison (the q32 lesson:
+      // first-timed-form-loses is an ordering artifact, not a plan fact).
+      for (rep <- 1 to 2) {
+        time(s"span-dedup window-form (shipped) ${factor}x rep$rep") {
+          winSum = force(TextDedup.spanDedup(docs, "doc_id", "text", k = 3)); winSum
+        }
+        time(s"span-dedup min-struct-agg twin ${factor}x rep$rep") {
+          val ex = docs.select(col("doc_id"),
+              graft.functions.Text.blocks(
+                graft.functions.Text.tokens(col("text")), 3).as("blks"))
+            .select(col("doc_id"), posexplode(col("blks")).as(Seq("pos", "blk")))
+          val kept = ex.groupBy(col("blk"))
+            .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+            .select(col("w.doc_id").as("doc_id"), col("w.pos").as("pos"), col("blk"))
+          val rebuilt = kept.groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("kept_blocks"),
+              array_join(transform(
+                array_sort(collect_list(struct(col("pos"), col("blk")))),
+                x => x.getField("blk")), " ").as("new_text"))
+          aggSum = force(rebuilt); aggSum
+        }
+      }
+      require(factor > 1 || aggSum == winSum,
+        s"span-dedup forms disagree at 1x: agg=$aggSum window=$winSum")
+      spark.catalog.clearCache()
+    }
     if (want("pqtrain")) for (factor <- Seq(1, 4)) {
       val emb = materialize(embAt(spark, d, factor), s"/tmp/scale/emb$factor")
       val queries = col("vec_id") % 1000000L < 20

@@ -389,13 +389,21 @@ object TextDedup {
     * Returns (doc_id, n_blocks, kept_blocks, new_text); a fully-deduped
     * document keeps its row with kept_blocks = 0 and new_text = ''.
     *
-    * Scale shape: first-wins is a `min(struct(doc, pos))` AGGREGATION by
-    * block text, not a window — partial aggregation combines map-side, so
-    * a block repeated millions of times (boilerplate, the real-corpus hot
-    * key) costs one pre-aggregated row per task instead of a skewed sort
-    * partition; the winning rows ARE the kept set, so no join back to the
-    * exploded blocks is needed. Two keyed shuffles total (by block text,
-    * then by doc for the rebuild), both with map-side combine.
+    * Scale shape — MEASURED (SCALE.md `spandedup`): first-wins is
+    * `row_number() OVER (PARTITION BY blk ORDER BY doc, pos) = 1`, which
+    * Spark's InferWindowGroupLimit turns into a map-side partial
+    * `WindowGroupLimit` BEFORE the exchange — each task forwards at most
+    * one row per block it sees, so a block repeated millions of times
+    * (boilerplate, the real-corpus hot key) costs one row per task,
+    * never a skewed sort partition. The alternative — `min(struct(doc,
+    * pos))` GROUP BY blk — cannot hash-aggregate (struct buffer →
+    * SortAggregate both sides) but its partial side ALSO combines
+    * map-side; the alternating-rep probe measures steady-state PARITY
+    * between the two (first-timed-form-loses is warmup, the q32
+    * lesson). The window form ships because it is the repo's D3
+    * newest/first-wins idiom and keeps the whole pipeline codegen'd;
+    * the agg twin stays in the probe, equality-checked. Two keyed
+    * shuffles total (by block text, then by doc for the rebuild).
     */
   def spanDedup(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
     val blocked = docs.select(col(id).as("doc"),
@@ -403,11 +411,12 @@ object TextDedup {
     // Narrow (shuffle-free) per-doc block count, joined back at the end so
     // zero-survivor documents still report.
     val nb = blocked.select(col("doc"), size(col("blks")).cast("long").as("n_blocks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk")).orderBy(col("doc"), col("pos"))
     val winners = blocked
       .select(col("doc"), posexplode(col("blks")).as(Seq("pos", "blk")))
-      .groupBy(col("blk"))
-      .agg(min(struct(col("doc"), col("pos"))).as("w"))
-      .select(col("w.doc").as("doc"), col("w.pos").as("pos"), col("blk"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
     val rebuilt = winners.groupBy(col("doc"))
       .agg(count(lit(1)).as("kept_blocks"),
         array_join(

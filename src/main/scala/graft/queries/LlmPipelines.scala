@@ -91,9 +91,11 @@ object LlmPipelines {
   /** q100: exact SPAN dedup at 3-token block granularity (C4 / Lee et al.
     * 2022 within-corpus repeated-text removal): only the globally-first
     * occurrence of each distinct block survives, documents are rebuilt
-    * from their surviving blocks. First-wins is a min-struct aggregation
-    * (map-side combine), never a window sort — boilerplate hot blocks
-    * pre-aggregate per task instead of skewing a sort partition.
+    * from their surviving blocks. First-wins is rn=1 under
+    * InferWindowGroupLimit: map-side partial top-1 per block, so
+    * boilerplate hot blocks forward one row per task (steady-state
+    * parity with the min-struct SortAggregate twin, both skew-safe —
+    * SCALE.md `spandedup`).
     */
   def q100SpanDedup(spark: SparkSession, d: String): DataFrame =
     TextDedup.spanDedup(Tables.balanced(spark, d, "documents"),
