@@ -406,15 +406,25 @@ object TextDedup {
     * shuffles total (by block text, then by doc for the rebuild).
     */
   def spanDedup(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
-    val blocked = docs.select(col(id).as("doc"),
-      Text.blocks(Text.tokens(col(text)), k).as("blks"))
-    // Narrow (shuffle-free) per-doc block count, joined back at the end so
-    // zero-survivor documents still report.
+    val blocked = tiled(docs, id, text, k)
+    firstWinsRebuild(blocked,
+      blocked.select(col("doc"), posexplode(col("blks")).as(Seq("pos", "blk"))))
+  }
+
+  /** Documents tiled into k-token blocks: (doc, blks). */
+  private def tiled(docs: DataFrame, id: String, text: String, k: Int): DataFrame =
+    docs.select(col(id).as("doc"), Text.blocks(Text.tokens(col(text)), k).as("blks"))
+
+  /** Shared tail of both span-dedup forms: batch-internal first-wins by
+    * (doc, pos) over the candidate blocks, then rebuild every tiled
+    * document from its survivors (zero-survivor docs keep their row via
+    * the narrow per-doc block count joined back at the end).
+    */
+  private def firstWinsRebuild(blocked: DataFrame, candidates: DataFrame): DataFrame = {
     val nb = blocked.select(col("doc"), size(col("blks")).cast("long").as("n_blocks"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("blk")).orderBy(col("doc"), col("pos"))
-    val winners = blocked
-      .select(col("doc"), posexplode(col("blks")).as(Seq("pos", "blk")))
+    val winners = candidates
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val rebuilt = winners.groupBy(col("doc"))
@@ -426,6 +436,29 @@ object TextDedup {
       .select(col("doc").as("doc_id"), col("n_blocks"),
         coalesce(col("kept_blocks"), lit(0L)).as("kept_blocks"),
         coalesce(col("new_text"), lit("")).as("new_text"))
+  }
+
+  /** Incremental exact span dedup — [[spanDedup]] under CORPUS GROWTH,
+    * the q58 asymmetry: an incoming batch is deduped against an existing
+    * block REGISTRY (the distinct block texts already in the corpus)
+    * without ever re-scanning or re-deduping the existing corpus. An
+    * incoming block survives iff it is (a) absent from the registry and
+    * (b) the batch-internal first occurrence by (doc, pos).
+    *
+    * `registry` is a single-column frame of distinct block texts (column
+    * `blk`) — exactly what a previous batch's surviving blocks produce,
+    * so batches chain: registry' = registry ∪ surviving blocks. The
+    * anti-join is keyed on block text (shuffle both sides by `blk`;
+    * at real scale the registry is the big side, so this is the one
+    * unavoidable big shuffle — it replaces re-running [[spanDedup]] over
+    * corpus+batch, which would re-shuffle the whole corpus every epoch).
+    */
+  def spanDedupAgainst(incoming: DataFrame, registry: DataFrame,
+                       id: String, text: String, k: Int): DataFrame = {
+    val blocked = tiled(incoming, id, text, k)
+    firstWinsRebuild(blocked,
+      blocked.select(col("doc"), posexplode(col("blks")).as(Seq("pos", "blk")))
+        .join(registry.select(col("blk")), Seq("blk"), "left_anti"))
   }
 
   def simhash(docs: DataFrame, id: String, text: String): DataFrame = {

@@ -101,6 +101,24 @@ object LlmPipelines {
     TextDedup.spanDedup(Tables.balanced(spark, d, "documents"),
       "doc_id", "text", k = 3)
 
+  /** q102: INCREMENTAL exact span dedup — the q58 asymmetry applied to
+    * q100: odd-id docs (the incoming batch) dedup against the distinct
+    * block registry of even-id docs (the existing corpus), which is
+    * never re-scanned or re-deduped; batch-internal first-wins still
+    * applies among the surviving blocks.
+    */
+  def q102SpanDedupIncremental(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    // Registry = ALL distinct blocks of the existing corpus (survivors
+    // and removed duplicates tile the same block set).
+    val existingBlocks = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(graft.functions.Text.blocks(
+        graft.functions.Text.tokens(col("text")), 3)).as("blk"))
+      .distinct()
+    TextDedup.spanDedupAgainst(docs.filter(col("doc_id") % 2 === 1),
+      existingBlocks, "doc_id", "text", k = 3)
+  }
+
   /** q28: MinHash+LSH candidate pairs — 16 hashes, 4 bands × 4 rows;
     * output is the agreeing-component count (jaccard estimate ×16).
     */
@@ -540,6 +558,7 @@ object LlmPipelines {
     "q26_fingerprint_dedup" -> q26FingerprintDedup _,
     "q27_ngram_jaccard_pairs" -> q27NgramJaccardPairs _,
     "q100_span_dedup" -> q100SpanDedup _,
+    "q102_span_dedup_incremental" -> q102SpanDedupIncremental _,
     "q28_minhash_lsh_pairs" -> q28MinhashLshPairs _,
     "q43_dup_clusters" -> q43DupClusters _,
     "q29_simhash" -> q29Simhash _,

@@ -481,6 +481,32 @@ object Oracles {
          |  coalesce(r.new_text, '') AS new_text
          |FROM nb LEFT JOIN r USING (doc_id)""".stripMargin,
 
+    // q102: incremental span dedup — odd-id docs against the even-id
+    // corpus's distinct block registry, then batch-internal first-wins.
+    "q102_span_dedup_incremental" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents WHERE doc_id % 2 = 1),
+         |reg AS (SELECT DISTINCT array_to_string(toks[pos*3+1 : pos*3+3], ' ') AS blk
+         |        FROM (SELECT doc_id, toks,
+         |                unnest(range(CAST(ceil(len(toks)/3.0) AS BIGINT))) AS pos
+         |              FROM (SELECT doc_id, $Toks AS toks FROM documents
+         |                    WHERE doc_id % 2 = 0))),
+         |nb AS (SELECT doc_id, CAST(ceil(len(toks)/3.0) AS BIGINT) AS n_blocks FROM t),
+         |b0 AS (SELECT doc_id, toks,
+         |        unnest(range(CAST(ceil(len(toks)/3.0) AS BIGINT))) AS pos FROM t),
+         |b AS (SELECT doc_id, pos,
+         |        array_to_string(toks[pos*3+1 : pos*3+3], ' ') AS blk FROM b0),
+         |cand AS (SELECT b.* FROM b WHERE blk NOT IN (SELECT blk FROM reg)),
+         |w AS (SELECT doc_id, pos, blk FROM (
+         |        SELECT doc_id, pos, blk,
+         |          row_number() OVER (PARTITION BY blk ORDER BY doc_id, pos) AS rn
+         |        FROM cand) WHERE rn = 1),
+         |r AS (SELECT doc_id, count(*) AS kept_blocks,
+         |        string_agg(blk, ' ' ORDER BY pos) AS new_text FROM w GROUP BY doc_id)
+         |SELECT nb.doc_id, nb.n_blocks,
+         |  CAST(coalesce(r.kept_blocks, 0) AS BIGINT) AS kept_blocks,
+         |  coalesce(r.new_text, '') AS new_text
+         |FROM nb LEFT JOIN r USING (doc_id)""".stripMargin,
+
     "q28_minhash_lsh_pairs" ->
       s"""WITH $MinhashPairsCtes
          |SELECT * FROM e WHERE n_sig_equal >= 8""".stripMargin,

@@ -62,6 +62,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((7L, 3L, 2L, "p q p")))
   }
 
+  test("spanDedupAgainst chains: batch-vs-registry ≡ the batch's slice of a global dedup") {
+    // A = low ids (existing corpus), B = high ids (incoming). Global
+    // first-wins orders every A occurrence before any B occurrence, so
+    // dedup(A∪B) restricted to B must equal B deduped against A's
+    // distinct block registry — the contract that lets batches chain.
+    val a = Seq((1L, "a b c d e f"), (2L, "c d a b x")).toDF("doc_id", "text")
+    val b = Seq((10L, "a b q r c d"), (11L, "q r s")).toDF("doc_id", "text")
+    val registry = a.select(explode(graft.functions.Text.blocks(
+      graft.functions.Text.tokens(col("text")), 2)).as("blk")).distinct()
+    val incremental = TextDedup.spanDedupAgainst(b, registry, "doc_id", "text", 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val global = TextDedup.spanDedup(a.unionByName(b), "doc_id", "text", 2)
+      .filter(col("doc_id") >= 10L)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(incremental == global)
+    // spot-check: doc 10's "a b" and "c d" are registry hits; "q r"
+    // survives (its global first occurrence is in the batch).
+    assert(incremental.head == ((10L, 3L, 1L, "q r")))
+  }
+
   test("df-cap drops hot shingles from the inverted index") {
     // every doc shares the hot shingle "x y z"; with maxDf=2 it is dropped
     val docs = Seq((1L, "x y z a b c"), (2L, "x y z d e f"), (3L, "x y z g h i"))
