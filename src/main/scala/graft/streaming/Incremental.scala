@@ -174,6 +174,60 @@ object Incremental {
       }
       .start()
 
+  /** Streaming incremental exact span dedup — the q102 chaining contract
+    * (`registry' = registry ∪ new distinct blocks`) driven by
+    * `foreachBatch`: each micro-batch is deduped against the persistent
+    * block registry ([[graft.operators.TextDedup.spanDedupAgainst]]),
+    * the rebuilt documents land in `outPath` via a KEYED first-write-wins
+    * upsert, and only the batch's genuinely-new distinct blocks append to
+    * `registryPath`.
+    *
+    * Replay safety (T6) hangs on the WRITE ORDER: documents first,
+    * registry second. A batch replayed after a crash between the two
+    * writes recomputes the same dedup (registry unchanged), the keyed
+    * upsert ignores the already-present doc rows, and the registry
+    * append retries. The reverse order would be wrong: with its blocks
+    * already registered, a replayed batch would dedup to empty rebuilds
+    * and first-write-wins would keep THOSE. The registry delta is the
+    * batch's distinct blocks anti-joined on the registry — by
+    * construction exactly the surviving block set, and empty on replay,
+    * so the registry never accumulates duplicates.
+    */
+  def streamingSpanDedup(stream: DataFrame, checkpointDir: String,
+                         outPath: String, registryPath: String,
+                         id: String, text: String, k: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val reg = readRegistry(spark, registryPath)
+        val deduped = graft.operators.TextDedup.spanDedupAgainst(
+          batch, reg, id, text, k)
+        Merge.upsertParquet(spark, outPath, deduped,
+          "doc_id", Merge.Ignore, "n_blocks")
+        batch.select(explode(graft.functions.Text.blocks(
+            graft.functions.Text.tokens(col(text)), k)).as("blk"))
+          .distinct()
+          .join(reg, Seq("blk"), "left_anti")
+          .write.mode("append").parquet(registryPath)
+        ()
+      }
+      .start()
+
+  /** The block registry, empty-safe before the first batch commits. */
+  private def readRegistry(spark: SparkSession, registryPath: String): DataFrame = {
+    val p = new Path(registryPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.parquet(registryPath)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("blk",
+          org.apache.spark.sql.types.StringType))))
+  }
+
   /** The follower/backfill driver. `source` must yield rows with a
     * monotonically increasing `heightCol`; `currentHeight` is re-read per
     * epoch.

@@ -275,4 +275,39 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/stream_sink").listFiles()
       .count(_.getName.startsWith("__hb=")) == 4)
   }
+
+  test("streamingSpanDedup stream ≡ global batch span dedup (q100/q102 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-span")
+      .toFile.getAbsolutePath
+    // Batch ids are ordered (b1 < b2 < b3), so the streamed chain must
+    // equal ONE global first-wins dedup over the concatenation — the
+    // q102 chaining contract, exercised across the persistent registry.
+    val b1 = Seq((1L, "a b c d e f"), (2L, "c d a b x"))
+    val b2 = Seq((10L, "a b q r c d"), (11L, "q r s"))
+    val b3 = Seq((20L, "q r s t u v"), (21L, "a b c d e f"))
+    val input = MemoryStream[(Long, String)]
+    val query = Incremental.streamingSpanDedup(
+      input.toDF().toDF("doc_id", "text"),
+      s"$dir/ckpt", s"$dir/out", s"$dir/registry",
+      id = "doc_id", text = "text", k = 2)
+    try {
+      Seq(b1, b2, b3).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "n_blocks", "kept_blocks", "new_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val global = graft.operators.TextDedup.spanDedup(
+        (b1 ++ b2 ++ b3).toDF("doc_id", "text"), "doc_id", "text", k = 2)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed == global)
+    assert(streamed.size == 6)
+    assert(streamed.contains((21L, 3L, 0L, ""))) // full dup of doc 1, batches apart
+    // registry carries each distinct block exactly once
+    val reg = spark.read.parquet(s"$dir/registry").as[String].collect()
+    assert(reg.length == reg.distinct.length)
+  }
 }
