@@ -354,14 +354,20 @@ final class JsonLinesWrite(path: String, schema: StructType, queryId: String,
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    JsonLinesWriterFactory(path, schema)
+    JsonLinesWriterFactory(path, schema, queryId)
+
+  // Stage files are scoped by queryId so CONCURRENT append jobs never
+  // sweep each other's in-flight files (commit and abort below only touch
+  // `.stage-<this queryId>-*`).
+  private def stagePrefix = s".stage-$queryId-"
 
   /** Two-phase commit, driver side: exactly one staged file per partition
-    * is promoted to its final `part-NNNNN.jsonl` name (Spark hands the
-    * driver ONE commit message per partition — the winner among retried /
-    * speculative attempts); every other `.stage-*` leftover is a loser
-    * and is swept. Overwrite deletes prior data files first, after the
-    * new stage files are all safely on disk.
+    * is promoted to its final name (Spark hands the driver ONE commit
+    * message per partition — the winner among retried / speculative
+    * attempts); every other leftover of THIS job's stage prefix is a
+    * loser and is swept (other jobs' in-flight stage files are untouched
+    * — concurrent appends are safe). Overwrite deletes prior data files
+    * first, after the new stage files are all safely on disk.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -382,9 +388,9 @@ final class JsonLinesWrite(path: String, schema: StructType, queryId: String,
       require(fs.rename(new Path(staged), target),
         s"jsonlines commit: rename $staged -> $target failed")
     }
-    if (fs.exists(dir)) fs.listStatus(dir).foreach { s => // sweep losers
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { s => // sweep THIS job's losers
       val n = s.getPath.getName
-      if (n.startsWith(".stage-") && !winners.contains(s.getPath.toString))
+      if (n.startsWith(stagePrefix) && !winners.contains(s.getPath.toString))
         fs.delete(s.getPath, false)
     }
   }
@@ -393,7 +399,7 @@ final class JsonLinesWrite(path: String, schema: StructType, queryId: String,
     val dir = new Path(path)
     val fs = dir.getFileSystem(new Configuration())
     if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>
-      if (s.getPath.getName.startsWith(".stage-")) fs.delete(s.getPath, false)
+      if (s.getPath.getName.startsWith(stagePrefix)) fs.delete(s.getPath, false)
     }
   }
 }
@@ -401,21 +407,23 @@ final class JsonLinesWrite(path: String, schema: StructType, queryId: String,
 final case class JsonLinesCommitMessage(stagedPath: String, partitionId: Int)
     extends WriterCommitMessage
 
-final case class JsonLinesWriterFactory(path: String, schema: StructType)
+final case class JsonLinesWriterFactory(path: String, schema: StructType,
+                                        queryId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new JsonLinesDataWriter(path, schema, partitionId, taskId)
+    new JsonLinesDataWriter(path, schema, queryId, partitionId, taskId)
 }
 
-/** Task-side writer: serializes rows to a hidden `.stage-p-t.jsonl` file
-  * (taskId makes retried/speculative attempts collision-free); `commit`
-  * hands the staged path to the driver, `abort` deletes it. Non-finite
-  * doubles serialize as JSON null (RFC 8259 has no NaN/Infinity).
+/** Task-side writer: serializes rows to a hidden `.stage-<query>-p-t.jsonl`
+  * file (taskId makes retried/speculative attempts collision-free, the
+  * queryId scopes concurrent jobs); `commit` hands the staged path to the
+  * driver, `abort` deletes it. Non-finite doubles serialize as JSON null
+  * (RFC 8259 has no NaN/Infinity).
   */
 final class JsonLinesDataWriter(path: String, schema: StructType,
-                                partitionId: Int, taskId: Long)
+                                queryId: String, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
-  private val staged = new Path(path, f".stage-$partitionId%05d-$taskId.jsonl")
+  private val staged = new Path(path, f".stage-$queryId-$partitionId%05d-$taskId.jsonl")
   private val fs = staged.getFileSystem(new Configuration())
   private val out = {
     fs.mkdirs(staged.getParent)
