@@ -214,6 +214,53 @@ object TermStats {
     * is keyed on the shingle hash. Raffel et al. 2020 §2.2 deduplicates
     * three-sentence spans corpus-wide with exactly this shape.
     */
+  /** Bigram language-model FLUENCY score — the integer-portable surrogate
+    * for the CCNet / Gopher LM-perplexity quality gate (Wenzek et al.
+    * 2020 §3.3 bucket documents by LM score; public recipe). A corpus
+    * bigram model with add-one smoothing scores every document by its
+    * mean transition probability:
+    *
+    *   p_micro(w1→w2) = (1e6 · (c(w1,w2) + 1)) div (c(w1·) + V)
+    *   fluency_pm(doc) = Σ p_micro div n_bigrams
+    *
+    * — all BIGINT division (the [[tfidf]] idf_micro rule: `ln`/`exp`
+    * round differently per libm, integer arithmetic hash-matches any
+    * engine). Monotone in the model's mean likelihood, so threshold /
+    * tercile gates compose exactly as in CCNet — pair with
+    * [[Quantiles.histQuantiles]] for distributed head/middle/tail
+    * cutoffs (no global window). A production deployment would swap the
+    * corpus-trained bigram table for a trained LM's logprob column; the
+    * gating plumbing is identical.
+    *
+    * Returns (doc_id, n_bigrams, fluency_pm) for documents with ≥ 1
+    * bigram. Shuffle shape: two keyed aggs (bigram counts, context
+    * counts) + the count-table joins back to the bigram stream (AQE
+    * handles hot-bigram skew, the [[tfidf]] note) + one groupBy doc.
+    * The vocabulary size is a broadcast 1-row aggregate, never assumed
+    * driver-collectable.
+    */
+  def lmFluency(docs: DataFrame, id: String, text: String): DataFrame = {
+    val toks = docs.select(col(id).as("doc"), Text.tokens(col(text)).as("t"))
+    // Persist: the bigram stream feeds c2, c1, AND the scoring join.
+    val bi = toks.select(col("doc"), explode(when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i.cast("int")).as("w1"),
+            element_at(col("t"), (i + 1).cast("int")).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("doc"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = broadcast(toks.select(explode(col("t")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v")))
+    bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(vocab)
+      .withColumn("p_micro", expr("(1000000 * (c2 + 1)) div (c1 + v)"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("sp"))
+      .select(col("doc").as("doc_id"), col("n_bigrams"),
+        expr("sp div n_bigrams").as("fluency_pm"))
+  }
+
   def boilerplateFraction(docs: DataFrame, id: String, text: String, k: Int,
                           maxDf: Long): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")

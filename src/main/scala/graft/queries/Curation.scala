@@ -215,8 +215,17 @@ object Curation {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
   }
 
+  /** q103: bigram-LM fluency — the CCNet perplexity-gate surrogate
+    * ([[TermStats.lmFluency]]: corpus bigram model, add-one smoothing,
+    * all-BIGINT arithmetic so the score hash-matches any engine).
+    */
+  def q103LmFluency(spark: SparkSession, d: String): DataFrame =
+    TermStats.lmFluency(Tables.balanced(spark, d, "documents"),
+      "doc_id", "text")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_tfidf_top_term" -> q60TfidfTopTerm _,
+    "q103_lm_fluency" -> q103LmFluency _,
     "q61_contamination" -> q61Contamination _,
     "q62_repetition_signals" -> q62RepetitionSignals _,
     "q63_length_quantiles" -> q63LengthQuantiles _,

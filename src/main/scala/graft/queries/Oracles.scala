@@ -1629,6 +1629,24 @@ object Oracles {
        |FROM j JOIN sz USING (doc_id)""".stripMargin
 
   val curation: Map[String, String] = Map(
+    // q103: bigram-LM fluency — identical integer arithmetic to the
+    // engine: add-one-smoothed transition probability in micro units via
+    // BIGINT division, mean per doc via BIGINT division.
+    "q103_lm_fluency" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |bi AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+         |       FROM (SELECT doc_id, toks,
+         |               unnest(range(1, len(toks))) AS i FROM t)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+         |v AS (SELECT count(DISTINCT tok) AS v
+         |      FROM (SELECT unnest(toks) AS tok FROM t)),
+         |p AS (SELECT doc_id, (1000000 * (c2 + 1)) // (c1 + v) AS p_micro
+         |      FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(p_micro) // count(*) AS BIGINT) AS fluency_pm
+         |FROM p GROUP BY doc_id""".stripMargin,
+
     "q60_tfidf_top_term" ->
       // length(term) >= 1 mirrors TermStats.tfidf's minTermLen gate: the
       // Spark side drops the '' token that tokenizing an empty/whitespace

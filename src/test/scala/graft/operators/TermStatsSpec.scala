@@ -28,6 +28,20 @@ class TermStatsSpec extends AnyFunSuite {
     assert(rows((2L, "b")) == (2L, "b", 3L, 2L, 4500000L))
   }
 
+  test("lmFluency: hand-computed bigram model, vocab counts ALL tokens") {
+    // corpus: d1 = a b a b, d2 = a b c, d3 = z (no bigrams, but z ∈ vocab)
+    // bigrams: d1 (a,b)(b,a)(a,b); d2 (a,b)(b,c)
+    // c2: (a,b)=3 (b,a)=1 (b,c)=1; c1: a=3 b=2; V = |{a,b,c,z}| = 4
+    // p(a,b) = 1e6·4 div 7 = 571428; p(b,a) = p(b,c) = 1e6·2 div 6 = 333333
+    val corpus = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = TermStats.lmFluency(corpus, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, (571428L + 333333L + 571428L) / 3)))
+    assert(out(2L) == ((2L, 2L, (571428L + 333333L) / 2)))
+    assert(!out.contains(3L)) // no bigrams → no score row
+  }
+
   test("topTermPerDoc picks max score with term-asc tiebreak") {
     val top = TermStats.topTermPerDoc(docs, "doc_id", "text")
       .select("doc", "term").as[(Long, String)].collect().toMap
