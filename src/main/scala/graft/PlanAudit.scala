@@ -9,7 +9,8 @@ object PlanAudit {
       "q12_geo_haversine", "q16_window_rewards_5d", "q30_cosine_topk",
       "q22_witness_explode_pipeline", "q44_asof_join", "q45_range_join",
       "q48_sequence_packing", "q51_ann_multiprobe", "q80_pq_adc_topk",
-      "q82_cms_heavy_hitters", "q85_bloom_contamination")
+      "q82_cms_heavy_hitters", "q85_bloom_contamination",
+      "q100_span_dedup", "q101_jsonlines_roundtrip", "q103_lm_fluency")
     for (name <- interesting) {
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

@@ -114,6 +114,12 @@ object ScaleProbe {
       time(s"novelty ${factor}x") {
         graft.operators.TermStats.noveltyFraction(docs, "doc_id", "text", 3).count()
       }
+      time(s"lm-fluency ${factor}x") {
+        // force the computed columns (count() would prune the joins)
+        graft.operators.TermStats.lmFluency(docs, "doc_id", "text")
+          .agg(sum(col("fluency_pm")), sum(col("n_bigrams"))).head()
+          .getLong(1)
+      }
       time(s"simhash-pairs ${factor}x") {
         TextDedup.simhashNearDupPairs(
           TextDedup.simhash(docs, "doc_id", "text"), 3).count()
