@@ -320,6 +320,30 @@ object ScaleProbe {
       }
       require(factor > 1 || aggSum == winSum,
         s"span-dedup forms disagree at 1x: agg=$aggSum window=$winSum")
+      // CORPUS GROWTH: one 1×-sized incoming batch (half its docs repeat
+      // corpus blocks, half bring new ones) against a pre-materialized
+      // block registry of the factor× corpus — the q102 path — vs
+      // re-running the global dedup over corpus+batch. The registry is an
+      // ingest-time artifact (built once, amortized), so only the
+      // per-batch costs are timed; the claim under test is O(batch +
+      // registry shuffle) vs O(corpus).
+      val registry = materialize(
+        docs.select(explode(graft.functions.Text.blocks(
+            graft.functions.Text.tokens(col("text")), 3)).as("blk"))
+          .distinct(),
+        s"/tmp/scale/spanreg$factor")
+      val batch = materialize(
+        docsAt(spark, d, 1).select((col("doc_id") + 900000000L).as("doc_id"),
+          when(col("doc_id") % 2 === 1,
+            regexp_replace(col("text"), "(\\S+)", "nv_$1"))
+            .otherwise(col("text")).as("text")),
+        s"/tmp/scale/spanbatch$factor")
+      time(s"span-dedup incremental batch-vs-registry ${factor}x corpus") {
+        force(TextDedup.spanDedupAgainst(batch, registry, "doc_id", "text", 3))
+      }
+      time(s"span-dedup global re-dedup ${factor}x corpus + batch") {
+        force(TextDedup.spanDedup(docs.unionByName(batch), "doc_id", "text", 3))
+      }
       spark.catalog.clearCache()
     }
     if (want("pqtrain")) for (factor <- Seq(1, 4)) {
