@@ -223,9 +223,34 @@ object Curation {
     TermStats.lmFluency(Tables.balanced(spark, d, "documents"),
       "doc_id", "text")
 
+  /** q104: the full CCNet quality gate (Wenzek et al. 2020 §3.3) —
+    * per-LANGUAGE fluency terciles bucket every document head/middle/
+    * tail. Composition of verified pieces: [[TermStats.lmFluency]]
+    * scores (q103), [[graft.operators.Quantiles.byRank]] cutoffs at
+    * p=1/3, 2/3 keyed by lang (no global window — the per-language
+    * grouping is both CCNet's actual recipe and the thing that keeps the
+    * rank window distributed), and a broadcastable 5-row cutoff join.
+    * Higher fluency = more model-like text = head, mirroring CCNet's
+    * lower-perplexity-is-better orientation.
+    */
+  def q104CcnetGate(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    val f = TermStats.lmFluency(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val cuts = graft.operators.Quantiles.byRank(f, Seq(col("lang")),
+      col("fluency_pm"), col("doc_id"),
+      Seq(("t33", 0.333333), ("t67", 0.666667)))
+    f.join(cuts.select(col("lang"), col("q_t33"), col("q_t67")), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("fluency_pm"),
+        when(col("fluency_pm") > col("q_t67"), lit("head"))
+          .when(col("fluency_pm") > col("q_t33"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_tfidf_top_term" -> q60TfidfTopTerm _,
     "q103_lm_fluency" -> q103LmFluency _,
+    "q104_ccnet_gate" -> q104CcnetGate _,
     "q61_contamination" -> q61Contamination _,
     "q62_repetition_signals" -> q62RepetitionSignals _,
     "q63_length_quantiles" -> q63LengthQuantiles _,

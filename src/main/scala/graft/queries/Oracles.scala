@@ -282,6 +282,25 @@ object Oracles {
   // NOTE: deliberately NOT pre-stripMargin'd — this block is interpolated
   // into margin strings and stripped exactly once there (double-stripping
   // would eat the first '|' of every '||' concat).
+  // The q103 bigram-LM CTE chain (shared by q103 and q104): bigrams →
+  // counts → add-one-smoothed transition probability in micro units →
+  // per-doc mean, all BIGINT division. NOT pre-stripMargin'd (the
+  // MinhashPairsCtes rule below).
+  private val LmFluencyCtes =
+    s"""t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |bi AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+       |       FROM (SELECT doc_id, toks,
+       |               unnest(range(1, len(toks))) AS i FROM t)),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+       |v AS (SELECT count(DISTINCT tok) AS v
+       |      FROM (SELECT unnest(toks) AS tok FROM t)),
+       |p AS (SELECT doc_id, (1000000 * (c2 + 1)) // (c1 + v) AS p_micro
+       |      FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+       |f AS (SELECT doc_id, count(*) AS n_bigrams,
+       |        CAST(sum(p_micro) // count(*) AS BIGINT) AS fluency_pm
+       |      FROM p GROUP BY doc_id)"""
+
   private val MinhashPairsCtes =
     s"""t AS (SELECT doc_id, $Toks AS toks FROM documents),
        |s AS (SELECT doc_id, ${shingleList("toks")} AS sh FROM t),
@@ -1633,19 +1652,30 @@ object Oracles {
     // engine: add-one-smoothed transition probability in micro units via
     // BIGINT division, mean per doc via BIGINT division.
     "q103_lm_fluency" ->
-      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
-         |bi AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-         |       FROM (SELECT doc_id, toks,
-         |               unnest(range(1, len(toks))) AS i FROM t)),
-         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
-         |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
-         |v AS (SELECT count(DISTINCT tok) AS v
-         |      FROM (SELECT unnest(toks) AS tok FROM t)),
-         |p AS (SELECT doc_id, (1000000 * (c2 + 1)) // (c1 + v) AS p_micro
-         |      FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
-         |SELECT doc_id, count(*) AS n_bigrams,
-         |  CAST(sum(p_micro) // count(*) AS BIGINT) AS fluency_pm
-         |FROM p GROUP BY doc_id""".stripMargin,
+      s"""WITH $LmFluencyCtes
+         |SELECT doc_id, n_bigrams, fluency_pm FROM f""".stripMargin,
+
+    // q104: the CCNet gate — q103's scores, per-language tercile cutoffs
+    // by the byRank integer bound ((rn−1)·1e6 < p_micro·n ≤ rn·1e6,
+    // value asc, doc_id tiebreak), then head/middle/tail labels.
+    "q104_ccnet_gate" ->
+      s"""WITH $LmFluencyCtes,
+         |fl AS (SELECT f.doc_id, d.lang, f.fluency_pm
+         |       FROM f JOIN documents d USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |          ORDER BY fluency_pm, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY lang) AS n FROM fl),
+         |cuts AS (SELECT lang,
+         |    min(CASE WHEN (rn-1)*1000000 < 333333*n AND 333333*n <= rn*1000000
+         |             THEN fluency_pm END) AS q_t33,
+         |    min(CASE WHEN (rn-1)*1000000 < 666667*n AND 666667*n <= rn*1000000
+         |             THEN fluency_pm END) AS q_t67
+         |  FROM r GROUP BY lang)
+         |SELECT fl.doc_id, fl.lang, fl.fluency_pm,
+         |  CASE WHEN fl.fluency_pm > q_t67 THEN 'head'
+         |       WHEN fl.fluency_pm > q_t33 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM fl JOIN cuts USING (lang)""".stripMargin,
 
     "q60_tfidf_top_term" ->
       // length(term) >= 1 mirrors TermStats.tfidf's minTermLen gate: the
