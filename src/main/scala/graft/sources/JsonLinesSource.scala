@@ -97,6 +97,29 @@ object JsonLinesSource {
       .sortBy(_._1) // deterministic partition order
   }
 
+  /** Small-file COMPACTION for an append-mode sink directory — the
+    * maintenance job every append sink needs (each append job leaves its
+    * own part files; a follower appending small batches degrades readers
+    * toward one-file-per-batch). One Spark job: scan through the
+    * connector, coalesce to `targetFiles`, write back through the same
+    * two-phase commit — which is what makes this CRASH-SAFE: the scan's
+    * input files are pinned at planning, new data stages as hidden
+    * files, and the originals are deleted only in the driver commit
+    * after every read task has finished (a crash mid-job leaves the
+    * original files untouched plus sweepable stage litter).
+    *
+    * Returns the row count compacted. `coalesce` (not `repartition`):
+    * compaction must not pay a shuffle, only a read+write.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              schema: StructType, targetFiles: Int = 1): Long = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val df = spark.read.format("jsonlines").schema(schema).load(dir)
+      .coalesce(targetFiles)
+    df.write.format("jsonlines").mode("overwrite").save(dir)
+    spark.read.format("jsonlines").schema(schema).load(dir).count()
+  }
+
   /** JSON string escaping per RFC 8259 (the only characters that MUST be
     * escaped: quote, backslash, control chars).
     */

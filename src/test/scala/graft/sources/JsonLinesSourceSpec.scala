@@ -114,6 +114,20 @@ class JsonLinesSourceSpec extends AnyFunSuite {
     assert(back.filter(col("name") === "alpha").select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("compact folds append litter into targetFiles without losing rows") {
+    val dir = freshDir()
+    (1 to 3).foreach { _ =>
+      sample.repartition(2).write.format("jsonlines").mode("append").save(dir)
+    }
+    def dataFiles() = new java.io.File(dir).listFiles()
+      .filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(dataFiles().length == 6) // 3 appends × 2 partitions
+    assert(JsonLinesSource.compact(spark, dir, schema) == 12L)
+    assert(dataFiles().length == 1)
+    assert(readBack(dir).count() == 12L)
+    assert(readBack(dir).filter(col("id") === 1L).count() == 3L)
+  }
+
   test("declared-schema convention: inference refuses loudly") {
     val dir = freshDir()
     sample.write.format("jsonlines").mode("overwrite").save(dir)
