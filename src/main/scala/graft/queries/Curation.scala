@@ -247,8 +247,29 @@ object Curation {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** q105: BPE merge training (Sennrich et al. 2016) over the corpus
+    * vocabulary ([[graft.operators.Bpe.trainMerges]]). The vocabulary is
+    * one keyed aggregate over the corpus, bounded to the top 500 words
+    * (count desc, word asc — the q97 bounded-sample rule: training cost
+    * is independent of corpus size); each merge iteration is windows +
+    * one 1-row argmax over that bounded symbol table. All-integer counts
+    * and lexicographic tie-breaks make the full 8-merge run hash-exact
+    * against the generated DuckDB iteration chain (the q93 Lloyd-twin
+    * pattern).
+    */
+  def q105BpeMerges(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    val vocab = docs
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc).limit(500)
+    graft.operators.Bpe.trainMerges(vocab, "w", "f", nMerges = 8)
+      .withColumnRenamed("rank", "merge_rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_tfidf_top_term" -> q60TfidfTopTerm _,
+    "q105_bpe_merges" -> q105BpeMerges _,
     "q103_lm_fluency" -> q103LmFluency _,
     "q104_ccnet_gate" -> q104CcnetGate _,
     "q61_contamination" -> q61Contamination _,

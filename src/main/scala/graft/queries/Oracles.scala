@@ -1647,7 +1647,58 @@ object Oracles {
        |  CAST(n_corpus_docs AS BIGINT) AS n_corpus_docs
        |FROM j JOIN sz USING (doc_id)""".stripMargin
 
+  /** Generated twin of q105 ([[Curation.q105BpeMerges]]) — the BPE merge
+    * loop unrolled as a CTE chain, one `(pair count → argmax → greedy
+    * merge)` block per iteration, exactly mirroring
+    * [[graft.operators.Bpe.trainMerges]]: overlapping pair occurrences
+    * all count; ties break (count desc, l asc, r asc); greedy
+    * left-to-right = keep the alternating positions of each consecutive
+    * match run (`(pos − run_start) % 2 = 0`); consumed right halves
+    * vanish via the pos+1 anti-join.
+    */
+  private def bpeSql(nMerges: Int, topV: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""v0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f
+              |  FROM (SELECT unnest($Toks) AS w FROM documents)
+              |  GROUP BY w ORDER BY f DESC, w ASC LIMIT $topV),
+              |s0 AS MATERIALIZED (SELECT w, f, CAST(i AS BIGINT) AS pos,
+              |    substring(w, CAST(i AS INT), 1) AS sym
+              |  FROM (SELECT w, f, unnest(range(1, length(w) + 1)) AS i FROM v0)),
+              |""".stripMargin
+    for (k <- 1 to nMerges) {
+      sb ++= s"""p$k AS MATERIALIZED (SELECT w, f, pos, sym,
+                |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM s${k - 1}),
+                |b$k AS MATERIALIZED (SELECT sym AS l, nxt AS r, CAST(sum(f) AS BIGINT) AS cnt
+                |  FROM p$k WHERE nxt IS NOT NULL GROUP BY 1, 2
+                |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+                |m$k AS (SELECT p.w, p.pos,
+                |    row_number() OVER (PARTITION BY p.w ORDER BY p.pos) AS rn
+                |  FROM p$k p, b$k b WHERE p.sym = b.l AND p.nxt = b.r),
+                |kp$k AS (SELECT w, pos FROM (
+                |    SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, pos - rn) AS off
+                |    FROM m$k) WHERE off % 2 = 0),
+                |s$k AS MATERIALIZED (SELECT w, f,
+                |    row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, sym FROM (
+                |    SELECT t.w, t.f, t.pos,
+                |      CASE WHEN c.pos IS NOT NULL THEN t.sym || t.nxt ELSE t.sym END AS sym
+                |    FROM p$k t
+                |    LEFT JOIN kp$k c ON t.w = c.w AND t.pos = c.pos
+                |    LEFT JOIN kp$k v ON t.w = v.w AND t.pos = v.pos + 1
+                |    WHERE v.pos IS NULL)),
+                |""".stripMargin
+    }
+    val union = (1 to nMerges).map { k =>
+      s"""SELECT CAST($k AS INTEGER) AS merge_rank, l, r, l || r AS merged,
+         |  cnt AS pair_count FROM b$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH ${sb.toString}mg AS (\n$union)\nSELECT * FROM mg"
+  }
+
   val curation: Map[String, String] = Map(
+    // q105: BPE merge training — the unrolled iteration chain; see
+    // [[bpeSql]]. 8 merges over the top-500 vocabulary, like the engine.
+    "q105_bpe_merges" -> bpeSql(nMerges = 8, topV = 500),
+
     // q103: bigram-LM fluency — identical integer arithmetic to the
     // engine: add-one-smoothed transition probability in micro units via
     // BIGINT division, mean per doc via BIGINT division.

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** [[Bpe.trainMerges]] against hand-derived merge sequences: the Sennrich
+  * §3.2-style vocabulary (counts chosen so ties exercise the lexicographic
+  * break), and overlap runs where greedy left-to-right keeps alternating
+  * match positions.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def train(vocab: Seq[(String, Long)], n: Int) =
+    Bpe.trainMerges(vocab.toDF("w", "f"), "w", "f", n)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+      .toSeq
+
+  test("Sennrich-style vocabulary: ties break lexicographically, merged symbols re-pair") {
+    // pair counts at step 1: es=9, st=9 (tie -> es), we=8, lo=7, ow=7, ...
+    val vocab = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    assert(train(vocab, 4) === Seq(
+      (1, "e", "s", "es", 9L),   // tie with (s,t) 9 — left asc wins
+      (2, "es", "t", "est", 9L), // the merged symbol immediately re-pairs
+      (3, "l", "o", "lo", 7L),   // tie with (o,w) 7
+      (4, "lo", "w", "low", 7L)))
+  }
+
+  test("overlapping run: greedy left-to-right keeps alternating positions") {
+    // 'aaaa' has matches of (a,a) at pos 1,2,3 — one run; greedy keeps 1,3.
+    val m = train(Seq("aaaa" -> 1L), 2)
+    assert(m === Seq(
+      (1, "a", "a", "aa", 3L),   // overlapping occurrences all count
+      (2, "aa", "aa", "aaaa", 1L)))
+  }
+
+  test("odd run leaves a singleton tail that pairs with the next merge") {
+    // 'aaaaa' -> matches at 1..4; greedy keeps 1,3 -> aa,aa,a. Then
+    // (aa,aa)=1 ties (aa,a)=1: same left, right "a" < "aa" -> (aa,a).
+    val m = train(Seq("aaaaa" -> 1L), 2)
+    assert(m === Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "aa", "a", "aaa", 1L)))
+  }
+
+  test("stops early when no adjacent pairs remain") {
+    val m = train(Seq("ab" -> 1L), 5)
+    assert(m.size === 1 && m.head === ((1, "a", "b", "ab", 1L)))
+  }
+}
