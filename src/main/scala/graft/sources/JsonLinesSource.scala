@@ -153,7 +153,8 @@ final class JsonLinesTable(path: String, tableSchema: StructType)
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JsonLinesScanBuilder(path, tableSchema)
+    new JsonLinesScanBuilder(path, tableSchema,
+      columnar = options.getBoolean("columnar", true))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new JsonLinesWriteBuilder(path, info.schema(), info.queryId())
@@ -161,7 +162,8 @@ final class JsonLinesTable(path: String, tableSchema: StructType)
 
 // ---------------------------------------------------------------- read
 
-final class JsonLinesScanBuilder(path: String, tableSchema: StructType)
+final class JsonLinesScanBuilder(path: String, tableSchema: StructType,
+                                 columnar: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -211,12 +213,12 @@ final class JsonLinesScanBuilder(path: String, tableSchema: StructType)
   // default isPartiallyPushed() = true: Spark keeps the global limit.
 
   override def build(): Scan =
-    new JsonLinesScan(path, tableSchema, required, pushed, limit)
+    new JsonLinesScan(path, tableSchema, required, pushed, limit, columnar)
 }
 
 final class JsonLinesScan(path: String, tableSchema: StructType,
                           required: StructType, filters: Array[Filter],
-                          limit: Int) extends Scan with Batch {
+                          limit: Int, columnar: Boolean) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -235,7 +237,7 @@ final class JsonLinesScan(path: String, tableSchema: StructType,
     val evalSchema = StructType(required.fields ++
       filterCols.filterNot(required.fieldNames.contains)
         .map(c => tableSchema(tableSchema.fieldIndex(c))))
-    JsonLinesReaderFactory(evalSchema, required, filters, limit)
+    JsonLinesReaderFactory(evalSchema, required, filters, limit, columnar)
   }
 }
 
@@ -244,23 +246,42 @@ final case class JsonLinesInputPartition(file: String, length: Long)
 
 final case class JsonLinesReaderFactory(evalSchema: StructType,
                                         required: StructType,
-                                        filters: Array[Filter], limit: Int)
+                                        filters: Array[Filter], limit: Int,
+                                        columnar: Boolean)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new JsonLinesPartitionReader(
-      partition.asInstanceOf[JsonLinesInputPartition].file,
-      evalSchema, required, filters, limit)
+      new JsonLineDecoder(
+        partition.asInstanceOf[JsonLinesInputPartition].file,
+        evalSchema, required, filters),
+      limit)
+
+  // The VECTORIZED path: same decoder, batched into ColumnarBatches so
+  // the downstream plan enters via codegen'd ColumnarToRow instead of a
+  // per-row virtual get() — the same structure Spark's own parquet reader
+  // uses, and the reason a scan-heavy query on this source keeps up with
+  // row counts that drown a row-at-a-time PartitionReader in dispatch
+  // overhead.
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new JsonLinesColumnarReader(
+      new JsonLineDecoder(
+        partition.asInstanceOf[JsonLinesInputPartition].file,
+        evalSchema, required, filters),
+      limit)
 }
 
-/** Streams one sink file: parse line → evaluate pushed filters → project
-  * the pruned schema. Unrequested fields are never converted (pruning
-  * reaches the parser, the DSv2 analog of `ReadSchema` on a parquet
-  * scan).
+/** Shared per-file decode kernel for the row and columnar readers:
+  * stream lines, parse, evaluate pushed filters, surface only surviving
+  * rows as a boxed `evalSchema`-ordered value array. Unrequested fields
+  * are never converted (pruning reaches the parser, the DSv2 analog of
+  * `ReadSchema` on a parquet scan).
   */
-final class JsonLinesPartitionReader(file: String, evalSchema: StructType,
-                                     required: StructType,
-                                     filters: Array[Filter], limit: Int)
-    extends PartitionReader[InternalRow] {
+private[sources] final class JsonLineDecoder(file: String,
+                                             val evalSchema: StructType,
+                                             val required: StructType,
+                                             filters: Array[Filter]) {
   private val mapper = new ObjectMapper()
   private val in = {
     val p = new Path(file)
@@ -268,9 +289,7 @@ final class JsonLinesPartitionReader(file: String, evalSchema: StructType,
     new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
   }
-  private val requiredIdx = required.fields.map(f => evalSchema.fieldIndex(f.name))
-  private var row: GenericInternalRow = _
-  private var emitted = 0
+  val requiredIdx: Array[Int] = required.fields.map(f => evalSchema.fieldIndex(f.name))
 
   /** JSON value → JVM value per declared type; null for JSON null, a
     * missing field, or a type the node can't represent (declared-schema
@@ -325,36 +344,110 @@ final class JsonLinesPartitionReader(file: String, evalSchema: StructType,
     case _ => true // unreachable: pushable() gates what lands here
   }
 
-  override def next(): Boolean = {
-    if (limit >= 0 && emitted >= limit) return false
+  /** The next filter-surviving row's `evalSchema` values, or null at EOF. */
+  def nextVals(): Array[Any] = {
     var line = in.readLine()
     while (line != null) {
       if (line.nonEmpty) {
         val node = mapper.readTree(line)
-        val vals = evalSchema.fields.map(f => convert(node.get(f.name), f.dataType))
+        val vals: Array[Any] =
+          evalSchema.fields.map(f => convert(node.get(f.name), f.dataType))
         val byName: String => Any = c => vals(evalSchema.fieldIndex(c))
-        if (filters.forall(eval(_, byName))) {
-          val out = new Array[Any](requiredIdx.length)
-          var i = 0
-          while (i < requiredIdx.length) {
-            out(i) = vals(requiredIdx(i)) match {
-              case s: String => UTF8String.fromString(s)
-              case v => v
-            }
-            i += 1
-          }
-          row = new GenericInternalRow(out)
-          emitted += 1
-          return true
-        }
+        if (filters.forall(eval(_, byName))) return vals
       }
       line = in.readLine()
     }
-    false
+    null
+  }
+
+  def close(): Unit = in.close()
+}
+
+/** Row-at-a-time reader over the shared decoder (the `columnar=false`
+  * escape hatch, and the semantics twin the columnar path is pinned
+  * against in JsonLinesSourceSpec).
+  */
+final class JsonLinesPartitionReader(dec: JsonLineDecoder, limit: Int)
+    extends PartitionReader[InternalRow] {
+  private var row: GenericInternalRow = _
+  private var emitted = 0
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    val vals = dec.nextVals()
+    if (vals == null) return false
+    val out = new Array[Any](dec.requiredIdx.length)
+    var i = 0
+    while (i < dec.requiredIdx.length) {
+      out(i) = vals(dec.requiredIdx(i)) match {
+        case s: String => UTF8String.fromString(s)
+        case v => v
+      }
+      i += 1
+    }
+    row = new GenericInternalRow(out)
+    emitted += 1
+    true
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = in.close()
+  override def close(): Unit = dec.close()
+}
+
+/** Vectorized reader: fills reusable on-heap column vectors in
+  * [[JsonLinesColumnarReader.BatchSize]]-row batches. The vectors are
+  * allocated once and `reset()` per batch (the parquet-reader lifecycle —
+  * downstream consumes each batch fully before requesting the next, so
+  * reuse is safe).
+  */
+final class JsonLinesColumnarReader(dec: JsonLineDecoder, limit: Int)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val BatchSize = 4096
+  private val vectors = OnHeapColumnVector.allocateColumns(BatchSize, dec.required)
+  private val batch = new ColumnarBatch(vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector), 0)
+  private val dts = dec.required.fields.map(_.dataType)
+  private var emitted = 0
+
+  override def next(): Boolean = {
+    vectors.foreach(_.reset())
+    var n = 0
+    var more = true
+    while (n < BatchSize && more && (limit < 0 || emitted < limit)) {
+      val vals = dec.nextVals()
+      if (vals == null) more = false
+      else {
+        var i = 0
+        while (i < dts.length) {
+          val v = vals(dec.requiredIdx(i))
+          if (v == null) vectors(i).putNull(n)
+          else dts(i) match {
+            case StringType => vectors(i).putByteArray(n,
+              v.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            case LongType => vectors(i).putLong(n, v.asInstanceOf[Long])
+            case IntegerType => vectors(i).putInt(n, v.asInstanceOf[Int])
+            case DoubleType => vectors(i).putDouble(n, v.asInstanceOf[Double])
+            case BooleanType => vectors(i).putBoolean(n, v.asInstanceOf[Boolean])
+            case dt => throw new IllegalStateException(
+              s"jsonlines columnar: unreachable type $dt") // gated in JsonLinesTable
+          }
+          i += 1
+        }
+        n += 1
+        emitted += 1
+      }
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = {
+    batch.close()
+    dec.close()
+  }
 }
 
 // --------------------------------------------------------------- write

@@ -128,6 +128,39 @@ class JsonLinesSourceSpec extends AnyFunSuite {
     assert(readBack(dir).filter(col("id") === 1L).count() == 3L)
   }
 
+  test("columnar read is the default physical path and matches the row reader") {
+    val dir = freshDir()
+    // > one batch (4096): make batching boundaries real, not theoretical.
+    val big = spark.range(10000).select(col("id"),
+      concat(lit("name_"), col("id")).as("name"),
+      (col("id") * 1.5).as("score"), (col("id") % 3 === 0).as("ok"))
+    big.write.format("jsonlines").mode("overwrite").save(dir)
+
+    val colQ = readBack(dir)
+    val rowQ = spark.read.format("jsonlines").option("columnar", "false")
+      .schema(schema).load(dir)
+    // plan shape: the default path enters through ColumnarToRow, the
+    // opt-out stays row-based
+    assert(colQ.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(!rowQ.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    // semantics twin: full contents agree, including null handling
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Option[Double], Boolean)].collect().sortBy(_._1).toSeq
+    assert(dump(colQ) == dump(rowQ))
+    assert(colQ.count() == 10000L)
+  }
+
+  test("columnar path honors pushdown, pruning, limit, and null semantics") {
+    val dir = freshDir()
+    sample.write.format("jsonlines").mode("overwrite").save(dir)
+    // pushed filter over a pruned-out column + nulls (row 3 name=null)
+    val q = readBack(dir).filter(col("name").isNotNull && col("score") <= 2.5)
+      .select("id")
+    assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(q.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(readBack(dir).limit(3).count() == 3L)
+  }
+
   test("declared-schema convention: inference refuses loudly") {
     val dir = freshDir()
     sample.write.format("jsonlines").mode("overwrite").save(dir)
