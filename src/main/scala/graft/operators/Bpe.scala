@@ -6,14 +6,15 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Byte-pair-encoding MERGE TRAINING (Sennrich et al. 2016, "Neural
-  * Machine Translation of Rare Words with Subword Units" — the public
-  * recipe behind every BPE/WordPiece-family tokenizer): starting from
-  * characters, repeatedly (1) count adjacent symbol pairs weighted by
-  * word frequency (overlapping positions count, the canonical
-  * convention), (2) merge the most frequent pair everywhere with the
-  * greedy left-to-right rule, (3) record the merge. The ordered merge
-  * table IS the tokenizer artifact.
+/** Byte-pair-encoding MERGE TRAINING and APPLICATION (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword Units" —
+  * the public recipe behind every BPE/WordPiece-family tokenizer):
+  * starting from characters, repeatedly (1) count adjacent symbol pairs
+  * weighted by word frequency (overlapping positions count, the
+  * canonical convention), (2) merge the most frequent pair everywhere
+  * with the greedy left-to-right rule, (3) record the merge. The ordered
+  * merge table IS the tokenizer artifact; applying it in rank order
+  * segments any word.
   *
   * Determinism: ties on pair count break lexicographically (left asc,
   * right asc) — engines never disagree on integer counts + string
@@ -29,20 +30,67 @@ import org.apache.spark.sql.functions._
   * windows compute: `grp = pos − row_number()` groups a run,
   * `min(pos) OVER (w, grp)` anchors it. (RE2-style regex replace can't
   * express this portably — no lookbehind — which is why the operator
-  * speaks windows, not regexes.)
+  * speaks windows, not regexes.) ONE pass per rule is exhaustive: the
+  * merged symbol is a fresh token that can never re-form its own rule's
+  * (l, r) adjacency.
   *
   * Scale: BPE trains on a bounded SAMPLE (the q97 rule — training cost
   * independent of corpus size); each of the `nMerges` iterations is two
   * word-keyed window passes + one pair aggregation over the sample, and
   * the only driver-side data is the single winning pair per iteration
-  * (the kmeans-centroid pattern). Each generation is lineage-truncated
-  * with a LAZY `localCheckpoint` that the next iteration's argmax job
-  * materializes (the [[TextDedup]] iterativeCC rule — without it the
-  * analyzer re-walks a plan that grows by two windows and two joins per
-  * iteration, and planning time explodes combinatorially long before
+  * (the kmeans-centroid pattern). APPLICATION runs over the corpus'
+  * DISTINCT words — a Zipf-bounded vocabulary, never the token stream —
+  * and callers re-join pieces to the corpus by word key. Each generation
+  * is lineage-truncated with a LAZY `localCheckpoint` that the next
+  * action materializes (the [[TextDedup]] iterativeCC rule — without it
+  * the analyzer re-walks a plan that grows by two windows and two joins
+  * per iteration, and planning time explodes combinatorially long before
   * any data is touched).
   */
 object Bpe {
+
+  private val byW = Window.partitionBy("w").orderBy("pos")
+
+  /** Character-level symbol table (w, extra…, pos, sym) for a word list;
+    * empty words contribute no rows (and `sequence(1, 0)` would run
+    * DESCENDING, so they must not reach the explode).
+    */
+  private def charSyms(words: DataFrame, word: String,
+                       extra: Seq[String]): DataFrame =
+    words
+      .withColumn("w", col(word))
+      .filter(length(col("w")) >= 1)
+      .select(col("w") +: extra.map(col) :+ posexplode(
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")): _*)
+      .select(col("w") +: extra.map(col) :+
+        (col("pos") + 1).as("pos") :+ col("col").as("sym"): _*)
+
+  /** One greedy left-to-right merge pass of (l, r) over a
+    * (w, extra…, pos, sym, nxt) table: keep the alternating positions of
+    * each match run, drop the consumed right halves, renumber.
+    */
+  private def mergePass(withNext: DataFrame, l: String, r: String,
+                        extra: Seq[String]): DataFrame = {
+    val kept = withNext
+      .filter(col("sym") === lit(l) && col("nxt") === lit(r))
+      .withColumn("grp", col("pos") - row_number().over(byW))
+      .withColumn("off",
+        col("pos") - min(col("pos")).over(Window.partitionBy("w", "grp")))
+      .filter(col("off") % 2 === 0)
+      .select(col("w"), col("pos"))
+    val curK = kept.withColumn("curk", lit(true))
+    val prvK = kept.select(col("w"), (col("pos") + 1).as("pos"))
+      .withColumn("prvk", lit(true))
+    withNext
+      .join(curK, Seq("w", "pos"), "left")
+      .join(prvK, Seq("w", "pos"), "left")
+      .filter(col("prvk").isNull) // the consumed right halves vanish
+      .select(col("w") +: extra.map(col) :+
+        when(col("curk"), concat(col("sym"), col("nxt")))
+          .otherwise(col("sym")).as("sym") :+ col("pos"): _*)
+      .withColumn("pos", row_number().over(byW))
+      .select("w" +: extra :+ "pos" :+ "sym" map col: _*)
+  }
 
   /** Train `nMerges` BPE merges over a (word, freq) table. Returns the
     * ordered merge table (rank, l, r, merged, pair_count); stops early
@@ -52,12 +100,8 @@ object Bpe {
                   nMerges: Int): DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = words.sparkSession
-    val byW = Window.partitionBy("w").orderBy("pos")
-    var syms = words
-      .select(col(word).as("w"), col(freq).cast("long").as("f"))
-      .select(col("w"), col("f"), posexplode(
-        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
-      .select(col("w"), col("f"), (col("pos") + 1).as("pos"), col("col").as("sym"))
+    var syms = charSyms(
+        words.select(col(word), col(freq).cast("long").as("f")), word, Seq("f"))
       .localCheckpoint(false)
     val merges = mutable.Buffer.empty[(Int, String, String, String, Long)]
     var exhausted = false
@@ -72,33 +116,36 @@ object Bpe {
       else {
         val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((k, l, r, l + r, cnt))
-        // greedy left-to-right = alternating positions of each match run
-        val kept = withNext
-          .filter(col("sym") === lit(l) && col("nxt") === lit(r))
-          .withColumn("grp", col("pos") - row_number().over(byW))
-          .withColumn("off",
-            col("pos") - min(col("pos")).over(Window.partitionBy("w", "grp")))
-          .filter(col("off") % 2 === 0)
-          .select(col("w"), col("pos"))
-        val curK = kept.withColumn("curk", lit(true))
-        val prvK = kept.select(col("w"), (col("pos") + 1).as("pos"))
-          .withColumn("prvk", lit(true))
         // Lazy checkpoint: the NEXT iteration's argmax (or nothing, on
         // the last pass) is the job that materializes this generation —
         // one extra job total, not one per iteration.
-        syms = withNext
-          .join(curK, Seq("w", "pos"), "left")
-          .join(prvK, Seq("w", "pos"), "left")
-          .filter(col("prvk").isNull) // the consumed right halves vanish
-          .select(col("w"), col("f"),
-            when(col("curk"), concat(col("sym"), col("nxt")))
-              .otherwise(col("sym")).as("sym"), col("pos"))
-          .withColumn("pos", row_number().over(byW))
-          .select("w", "f", "pos", "sym")
-          .localCheckpoint(false)
+        syms = mergePass(withNext, l, r, Seq("f")).localCheckpoint(false)
       }
     }
     import spark.implicits._
     merges.toSeq.toDF("rank", "l", "r", "merged", "pair_count")
+  }
+
+  /** Segment every word with an ordered merge list (the tokenizer's
+    * ENCODE path): one greedy pass per rule, rank order. Returns
+    * (w, pieces, n_pieces) where `pieces` joins the surviving symbols
+    * with single spaces. Training evolves its own symbol table by the
+    * identical pass, so `applyMerges(trainWords, merges)` reproduces the
+    * trainer's final state — the equivalence the q106 oracle pins.
+    */
+  def applyMerges(words: DataFrame, word: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    var syms = charSyms(words.select(col(word)), word, Seq.empty)
+      .localCheckpoint(false)
+    for ((l, r) <- merges) {
+      val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(byW))
+      syms = mergePass(withNext, l, r, Seq.empty).localCheckpoint(false)
+    }
+    syms.groupBy(col("w"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("sym")))),
+          x => x("sym")), " ").as("pieces"),
+        count(lit(1)).as("n_pieces"))
   }
 }

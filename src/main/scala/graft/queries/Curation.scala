@@ -267,9 +267,29 @@ object Curation {
       .withColumnRenamed("rank", "merge_rank")
   }
 
+  /** q106: segment the corpus' FULL distinct vocabulary with the
+    * q105-trained merge table ([[graft.operators.Bpe.applyMerges]]) — the
+    * tokenizer ENCODE path, demonstrating train-on-sample /
+    * apply-to-corpus: the merge table (8 rows) collects driver-side and
+    * replays as one greedy window pass per rule over distinct words
+    * (Zipf-bounded — never the raw token stream; callers re-join pieces
+    * to tokens by word key).
+    */
+  def q106BpeSegment(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    val toks = docs.select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc).limit(500)
+    val merges = graft.operators.Bpe.trainMerges(vocab, "w", "f", nMerges = 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Bpe.applyMerges(toks.distinct(), "w", merges)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_tfidf_top_term" -> q60TfidfTopTerm _,
     "q105_bpe_merges" -> q105BpeMerges _,
+    "q106_bpe_segment" -> q106BpeSegment _,
     "q103_lm_fluency" -> q103LmFluency _,
     "q104_ccnet_gate" -> q104CcnetGate _,
     "q61_contamination" -> q61Contamination _,

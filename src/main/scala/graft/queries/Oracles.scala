@@ -1656,7 +1656,42 @@ object Oracles {
     * match run (`(pos − run_start) % 2 = 0`); consumed right halves
     * vanish via the pos+1 anti-join.
     */
-  private def bpeSql(nMerges: Int, topV: Int): String = {
+  /** One greedy merge pass as SQL CTEs: `$p` adds the lead() neighbor to
+    * `$src`, then (given the 1-row pair table `$b`) `$m`/`$kp` compute the
+    * alternating keep-positions of each match run and `$dst` rebuilds the
+    * renumbered next generation. `cols`/`tcols` carry the passthrough
+    * columns ("w, f" train-side, "w" apply-side).
+    */
+  private def bpePassSql(k: Int, src: String, p: String, b: String,
+                         m: String, kp: String, dst: String,
+                         cols: String, tcols: String): String =
+    s"""$m AS (SELECT p.w, p.pos,
+       |    row_number() OVER (PARTITION BY p.w ORDER BY p.pos) AS rn
+       |  FROM $p p, $b b WHERE p.sym = b.l AND p.nxt = b.r),
+       |$kp AS (SELECT w, pos FROM (
+       |    SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, pos - rn) AS off
+       |    FROM $m) WHERE off % 2 = 0),
+       |$dst AS MATERIALIZED (SELECT $cols,
+       |    row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, sym FROM (
+       |    SELECT $tcols, t.pos,
+       |      CASE WHEN c.pos IS NOT NULL THEN t.sym || t.nxt ELSE t.sym END AS sym
+       |    FROM $p t
+       |    LEFT JOIN $kp c ON t.w = c.w AND t.pos = c.pos
+       |    LEFT JOIN $kp v ON t.w = v.w AND t.pos = v.pos + 1
+       |    WHERE v.pos IS NULL)),
+       |""".stripMargin
+
+  private def bpeLeadSql(p: String, src: String, cols: String): String =
+    s"""$p AS MATERIALIZED (SELECT $cols, pos, sym,
+       |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM $src),
+       |""".stripMargin
+
+  /** The TRAINING chain: top-`topV` vocabulary, char explode, then per
+    * iteration (pair count+argmax `b\$k`, merge pass `s\$k`). Shared by
+    * [[bpeSql]] (q105, emits the merge table) and [[bpeApplySql]] (q106,
+    * replays `b1..bN` over the full distinct-word list).
+    */
+  private def bpeTrainCtes(nMerges: Int, topV: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""v0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f
               |  FROM (SELECT unnest($Toks) AS w FROM documents)
@@ -1666,38 +1701,59 @@ object Oracles {
               |  FROM (SELECT w, f, unnest(range(1, length(w) + 1)) AS i FROM v0)),
               |""".stripMargin
     for (k <- 1 to nMerges) {
-      sb ++= s"""p$k AS MATERIALIZED (SELECT w, f, pos, sym,
-                |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM s${k - 1}),
-                |b$k AS MATERIALIZED (SELECT sym AS l, nxt AS r, CAST(sum(f) AS BIGINT) AS cnt
+      sb ++= bpeLeadSql(s"p$k", s"s${k - 1}", "w, f")
+      sb ++= s"""b$k AS MATERIALIZED (SELECT sym AS l, nxt AS r, CAST(sum(f) AS BIGINT) AS cnt
                 |  FROM p$k WHERE nxt IS NOT NULL GROUP BY 1, 2
                 |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-                |m$k AS (SELECT p.w, p.pos,
-                |    row_number() OVER (PARTITION BY p.w ORDER BY p.pos) AS rn
-                |  FROM p$k p, b$k b WHERE p.sym = b.l AND p.nxt = b.r),
-                |kp$k AS (SELECT w, pos FROM (
-                |    SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, pos - rn) AS off
-                |    FROM m$k) WHERE off % 2 = 0),
-                |s$k AS MATERIALIZED (SELECT w, f,
-                |    row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, sym FROM (
-                |    SELECT t.w, t.f, t.pos,
-                |      CASE WHEN c.pos IS NOT NULL THEN t.sym || t.nxt ELSE t.sym END AS sym
-                |    FROM p$k t
-                |    LEFT JOIN kp$k c ON t.w = c.w AND t.pos = c.pos
-                |    LEFT JOIN kp$k v ON t.w = v.w AND t.pos = v.pos + 1
-                |    WHERE v.pos IS NULL)),
                 |""".stripMargin
+      sb ++= bpePassSql(k, s"s${k - 1}", s"p$k", s"b$k",
+        s"m$k", s"kp$k", s"s$k", "w, f", "t.w, t.f")
     }
+    sb.toString
+  }
+
+  private def bpeSql(nMerges: Int, topV: Int): String = {
     val union = (1 to nMerges).map { k =>
       s"""SELECT CAST($k AS INTEGER) AS merge_rank, l, r, l || r AS merged,
          |  cnt AS pair_count FROM b$k""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"WITH ${sb.toString}mg AS (\n$union)\nSELECT * FROM mg"
+    s"WITH ${bpeTrainCtes(nMerges, topV)}mg AS (\n$union)\nSELECT * FROM mg"
+  }
+
+  /** Generated twin of q106 ([[Curation.q106BpeSegment]]): train (the
+    * [[bpeTrainCtes]] chain), then APPLY `b1..bN` in rank order over the
+    * corpus' full distinct-word list — the same merge-pass blocks, minus
+    * the pair-count argmax. Empty words vanish on both sides (no symbols
+    * to explode).
+    */
+  private def bpeApplySql(nMerges: Int, topV: Int): String = {
+    val sb = new StringBuilder
+    sb ++= bpeTrainCtes(nMerges, topV)
+    sb ++= s"""aw0 AS MATERIALIZED (SELECT DISTINCT w
+              |  FROM (SELECT unnest($Toks) AS w FROM documents)),
+              |a0 AS MATERIALIZED (SELECT w, CAST(i AS BIGINT) AS pos,
+              |    substring(w, CAST(i AS INT), 1) AS sym
+              |  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM aw0)),
+              |""".stripMargin
+    for (k <- 1 to nMerges) {
+      sb ++= bpeLeadSql(s"ap$k", s"a${k - 1}", "w")
+      sb ++= bpePassSql(k, s"a${k - 1}", s"ap$k", s"b$k",
+        s"am$k", s"akp$k", s"a$k", "w", "t.w")
+    }
+    s"WITH ${sb.toString}seg AS (SELECT w, " +
+      s"""string_agg(sym, ' ' ORDER BY pos) AS pieces,
+         |  CAST(count(*) AS BIGINT) AS n_pieces FROM a$nMerges GROUP BY w)
+         |SELECT * FROM seg""".stripMargin
   }
 
   val curation: Map[String, String] = Map(
     // q105: BPE merge training — the unrolled iteration chain; see
     // [[bpeSql]]. 8 merges over the top-500 vocabulary, like the engine.
     "q105_bpe_merges" -> bpeSql(nMerges = 8, topV = 500),
+
+    // q106: BPE segmentation of the full vocabulary with the q105-trained
+    // merge table — see [[bpeApplySql]].
+    "q106_bpe_segment" -> bpeApplySql(nMerges = 8, topV = 500),
 
     // q103: bigram-LM fluency — identical integer arithmetic to the
     // engine: add-one-smoothed transition probability in micro units via

@@ -47,6 +47,30 @@ class BpeSpec extends AnyFunSuite {
       (2, "aa", "a", "aaa", 1L)))
   }
 
+  test("applyMerges segments unseen words with the trained table (the Sennrich demo)") {
+    val vocab = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = train(vocab, 4).map(m => (m._2, m._3)) // es, est, lo, low
+    val seg = Bpe.applyMerges(
+        Seq("lowest", "newest", "x", "estlow").toDF("w"), "w", merges)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(seg === Seq(
+      ("estlow", "est low", 2L),   // rank order: es -> est, then lo -> low
+      ("lowest", "low est", 2L),   // the classic: unseen word, fully covered
+      ("newest", "n e w est", 4L),
+      ("x", "x", 1L)))
+  }
+
+  test("applyMerges over the training words reproduces the trainer's final state") {
+    val vocab = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = train(vocab, 4).map(m => (m._2, m._3))
+    val seg = Bpe.applyMerges(vocab.map(_._1).toDF("w"), "w", merges)
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(seg === Seq(
+      ("low", "low"), ("lower", "low e r"),
+      ("newest", "n e w est"), ("widest", "w i d est")))
+  }
+
   test("stops early when no adjacent pairs remain") {
     val m = train(Seq("ab" -> 1L), 5)
     assert(m.size === 1 && m.head === ((1, "a", "b", "ab", 1L)))
