@@ -282,6 +282,8 @@ private[sources] final class JsonLineDecoder(file: String,
                                              val evalSchema: StructType,
                                              val required: StructType,
                                              filters: Array[Filter]) {
+  import com.fasterxml.jackson.core.{JsonParser, JsonToken}
+
   private val mapper = new ObjectMapper()
   private val in = {
     val p = new Path(file)
@@ -290,21 +292,90 @@ private[sources] final class JsonLineDecoder(file: String,
       new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
   }
   val requiredIdx: Array[Int] = required.fields.map(f => evalSchema.fieldIndex(f.name))
+  private val fieldIdx: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    evalSchema.fields.zipWithIndex.foreach { case (f, i) => m.put(f.name, i) }
+    m
+  }
+  private val dts = evalSchema.fields.map(_.dataType)
 
-  /** JSON value → JVM value per declared type; null for JSON null, a
-    * missing field, or a type the node can't represent (declared-schema
-    * reads are null-tolerant, the P8 convention).
+  /** STREAMING decode: one pass over the line's tokens, no JsonNode tree
+    * (the probe showed parse, not row dispatch, dominating scan cost —
+    * `readTree` allocated a node per field including the unrequested
+    * ones). Token → JVM value per declared type; null for JSON null, a
+    * missing field, or a token the type can't represent (declared-schema
+    * reads are null-tolerant, the P8 convention). Unrequested fields are
+    * `skipChildren()`-ed without materializing anything; duplicate keys
+    * keep the LAST occurrence (the readTree behavior).
     */
-  private def convert(node: JsonNode, dt: DataType): Any =
-    if (node == null || node.isNull) null
-    else dt match {
-      case StringType => if (node.isTextual) node.asText() else node.toString
-      case LongType => if (node.canConvertToLong) node.asLong() else null
-      case IntegerType => if (node.canConvertToInt) node.asInt() else null
-      case DoubleType => if (node.isNumber) node.asDouble() else null
-      case BooleanType => if (node.isBoolean) node.asBoolean() else null
-      case _ => null
+  private def convertToken(p: JsonParser, t: JsonToken, dt: DataType): Any =
+    t match {
+      case JsonToken.VALUE_NULL => null
+      case JsonToken.START_OBJECT | JsonToken.START_ARRAY =>
+        // nested value: only a string column can hold it (as its JSON
+        // text, the readTree `toString` behavior) — rare path, tree-based
+        if (dt == StringType) {
+          val node = mapper.readTree[JsonNode](p); node.toString
+        } else { p.skipChildren(); null }
+      case _ => dt match {
+        case StringType => p.getText
+        case LongType =>
+          if (t == JsonToken.VALUE_NUMBER_INT) {
+            p.getNumberType match {
+              case JsonParser.NumberType.INT | JsonParser.NumberType.LONG =>
+                p.getLongValue
+              case _ => null // BigInteger overflow
+            }
+          } else if (t == JsonToken.VALUE_NUMBER_FLOAT) {
+            val d = p.getDoubleValue // canConvertToLong: integral + in range
+            if (d == Math.rint(d) && d >= Long.MinValue.toDouble &&
+              d <= Long.MaxValue.toDouble) d.toLong else null
+          } else null
+        case IntegerType =>
+          if (t == JsonToken.VALUE_NUMBER_INT) {
+            p.getNumberType match {
+              case JsonParser.NumberType.INT => p.getIntValue
+              case JsonParser.NumberType.LONG =>
+                val l = p.getLongValue
+                if (l >= Int.MinValue && l <= Int.MaxValue) l.toInt else null
+              case _ => null
+            }
+          } else if (t == JsonToken.VALUE_NUMBER_FLOAT) {
+            val d = p.getDoubleValue
+            if (d == Math.rint(d) && d >= Int.MinValue.toDouble &&
+              d <= Int.MaxValue.toDouble) d.toInt else null
+          } else null
+        case DoubleType =>
+          if (t == JsonToken.VALUE_NUMBER_INT || t == JsonToken.VALUE_NUMBER_FLOAT)
+            p.getDoubleValue
+          else null
+        case BooleanType =>
+          if (t == JsonToken.VALUE_TRUE) true
+          else if (t == JsonToken.VALUE_FALSE) false
+          else null
+        case _ => null
+      }
     }
+
+  private def parseLine(line: String): Array[Any] = {
+    val vals = new Array[Any](dts.length)
+    val p = mapper.getFactory.createParser(line)
+    try {
+      if (p.nextToken() == JsonToken.START_OBJECT) {
+        var t = p.nextToken()
+        while (t == JsonToken.FIELD_NAME) {
+          val i = fieldIdx.get(p.currentName())
+          val vt = p.nextToken()
+          if (i == null) {
+            if (vt == JsonToken.START_OBJECT || vt == JsonToken.START_ARRAY)
+              p.skipChildren()
+          } else vals(i.intValue()) = convertToken(p, vt, dts(i.intValue()))
+          t = p.nextToken()
+        }
+      }
+      vals
+    } finally p.close()
+  }
 
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (null, _) | (_, null) => None
@@ -349,9 +420,7 @@ private[sources] final class JsonLineDecoder(file: String,
     var line = in.readLine()
     while (line != null) {
       if (line.nonEmpty) {
-        val node = mapper.readTree(line)
-        val vals: Array[Any] =
-          evalSchema.fields.map(f => convert(node.get(f.name), f.dataType))
+        val vals = parseLine(line)
         val byName: String => Any = c => vals(evalSchema.fieldIndex(c))
         if (filters.forall(eval(_, byName))) return vals
       }
