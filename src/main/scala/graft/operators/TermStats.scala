@@ -261,6 +261,93 @@ object TermStats {
         expr("sp div n_bigrams").as("fluency_pm"))
   }
 
+  /** Trigram "stupid backoff" fluency (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the web-scale scoring
+    * recipe that skips normalized smoothing entirely): score each EVAL
+    * document's trigrams against counts from a separate TRAIN corpus,
+    * backing off trigram → bigram → unigram with factor α = 0.4 at each
+    * level:
+    *
+    *   S(w₃|w₁w₂) = c₃(w₁w₂w₃)/c₂(w₁w₂)         if the trigram was seen
+    *              | 0.4 · c₂(w₂w₃)/c₁(w₂)        else if the bigram was
+    *              | 0.4² · c₁(w₃)/N              else if the unigram was
+    *              | 0                             (out-of-vocabulary)
+    *
+    * All-integer micro units — `(1e6·c₃) div c₂`, `(4e5·c₂) div c₁`,
+    * `(1.6e5·c₁) div N` — so the scores are hash-exact across engines
+    * (0.4 and 0.16 are exact in micro; a float α would not be). Scoring
+    * a HELD-OUT split is what makes backoff real: the corpus' own
+    * trigrams always hit level 3 (every scored trigram is in the count
+    * table by construction), which is why [[lmFluency]] smooths instead
+    * — the two operators are the two halves of the CCNet recipe (train
+    * on the reference corpus, score the crawl).
+    *
+    * Returns (doc_id, n_trigrams, n_tri_hits, n_bi_backoffs,
+    * n_uni_backoffs, fluency_pm) for eval documents with ≥ 3 tokens.
+    * Shuffle shape: three keyed count aggregates over the train corpus
+    * (map-side partial — token multisets collapse per doc before the
+    * exchange), then the eval trigram stream left-joins each count table
+    * on its n-gram key (Zipf-bounded vocabulary tables, shuffle joins,
+    * AQE-handled skew); the train token total is a broadcast 1-row
+    * aggregate. Nothing is driver-collected.
+    */
+  def lmFluencyBackoff(train: DataFrame, eval: DataFrame, id: String,
+                       text: String): DataFrame = {
+    def toks(df: DataFrame) =
+      df.select(col(id).as("doc"), Text.tokens(col(text)).as("t"))
+    def tris(df: DataFrame) = toks(df)
+      .select(col("doc"), explode(when(size(col("t")) >= 3,
+          transform(sequence(lit(1), size(col("t")) - 2),
+            i => struct(element_at(col("t"), i.cast("int")).as("w1"),
+              element_at(col("t"), (i + 1).cast("int")).as("w2"),
+              element_at(col("t"), (i + 2).cast("int")).as("w3"))))
+          .otherwise(array().cast(
+            "array<struct<w1:string,w2:string,w3:string>>"))).as("g"))
+      .select(col("doc"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+    val trTok = toks(train).select(col("doc"), explode(col("t")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trBi = toks(train)
+      .select(col("doc"), explode(when(size(col("t")) >= 2,
+          transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i.cast("int")).as("w1"),
+              element_at(col("t"), (i + 1).cast("int")).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c3 = tris(train).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val b2 = trBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val u1 = trTok.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val nTok = broadcast(trTok.agg(count(lit(1)).as("n")))
+    tris(eval)
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(b2.select(col("w1"), col("w2"), col("c2").as("c2_ctx")),
+        Seq("w1", "w2"), "left")
+      .join(b2.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c2").as("c2_bo")), Seq("w2", "w3"), "left")
+      .join(u1.select(col("w").as("w2"), col("c1").as("c1_w2")), Seq("w2"), "left")
+      .join(u1.select(col("w").as("w3"), col("c1").as("c1_w3")), Seq("w3"), "left")
+      .crossJoin(nTok)
+      .withColumn("lvl",
+        when(col("c3").isNotNull, 3).when(col("c2_bo").isNotNull, 2)
+          .when(col("c1_w3").isNotNull, 1).otherwise(0))
+      .withColumn("s_micro",
+        when(col("lvl") === 3, expr("(1000000 * c3) div c2_ctx"))
+          .when(col("lvl") === 2, expr("(400000 * c2_bo) div c1_w2"))
+          .when(col("lvl") === 1, expr("(160000 * c1_w3) div n"))
+          .otherwise(lit(0L)))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri_hits"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bi_backoffs"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_uni_backoffs"),
+        sum(col("s_micro")).as("sp"))
+      .select(col("doc").as("doc_id"), col("n_trigrams"), col("n_tri_hits"),
+        col("n_bi_backoffs"), col("n_uni_backoffs"),
+        expr("sp div n_trigrams").as("fluency_pm"))
+  }
+
   def boilerplateFraction(docs: DataFrame, id: String, text: String, k: Int,
                           maxDf: Long): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")

@@ -286,10 +286,26 @@ object Curation {
     graft.operators.Bpe.applyMerges(toks.distinct(), "w", merges)
   }
 
+  /** q107: trigram stupid-backoff fluency
+    * ([[TermStats.lmFluencyBackoff]], Brants et al. 2007) — train the
+    * count tables on the q46-pattern 80% hash split, score the held-out
+    * 20% with trigram→bigram→unigram backoff at α = 0.4 in exact micro
+    * units. The held-out split is what makes the backoff levels fire
+    * (the corpus' own trigrams always hit level 3).
+    */
+  def q107LmBackoff(spark: SparkSession, d: String): DataFrame = {
+    val split = Sampling.hashSplit(Tables.balanced(spark, d, "documents"),
+      "doc_id", "lm", Seq("train" -> 80, "eval" -> 20))
+    TermStats.lmFluencyBackoff(
+      split.filter(col("split") === "train"),
+      split.filter(col("split") === "eval"), "doc_id", "text")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_tfidf_top_term" -> q60TfidfTopTerm _,
     "q105_bpe_merges" -> q105BpeMerges _,
     "q106_bpe_segment" -> q106BpeSegment _,
+    "q107_lm_backoff" -> q107LmBackoff _,
     "q103_lm_fluency" -> q103LmFluency _,
     "q104_ccnet_gate" -> q104CcnetGate _,
     "q61_contamination" -> q61Contamination _,

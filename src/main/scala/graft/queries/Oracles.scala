@@ -1755,6 +1755,49 @@ object Oracles {
     // merge table — see [[bpeApplySql]].
     "q106_bpe_segment" -> bpeApplySql(nMerges = 8, topV = 500),
 
+    // q107: trigram stupid backoff (Brants et al. 2007) — train counts
+    // from the q46-pattern 80% hash split (salt "lm"), eval trigrams
+    // left-join each count table, α=0.4 backoff in exact micro units
+    // (1e6 / 4e5 / 1.6e5 numerators), same CASE order as the engine.
+    "q107_lm_backoff" ->
+      s"""WITH tk AS (SELECT doc_id, $Toks AS t,
+         |    ('0x' || substr(md5('lm:' || doc_id), 1, 8))::BIGINT % 100 AS bucket
+         |  FROM documents),
+         |tr AS (SELECT doc_id, t FROM tk WHERE bucket < 80),
+         |ev AS (SELECT doc_id, t FROM tk WHERE bucket >= 80),
+         |tri_ev AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM ev)),
+         |tri_tr AS (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+         |  FROM (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM tr)),
+         |bi_tr AS (SELECT t[i] AS w1, t[i+1] AS w2
+         |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tr)),
+         |uni_tr AS (SELECT unnest(t) AS w FROM tr),
+         |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri_tr GROUP BY 1, 2, 3),
+         |b2 AS (SELECT w1, w2, count(*) AS c2 FROM bi_tr GROUP BY 1, 2),
+         |u1 AS (SELECT w, count(*) AS c1 FROM uni_tr GROUP BY 1),
+         |nt AS (SELECT count(*) AS n FROM uni_tr),
+         |s AS (SELECT e.doc_id,
+         |    CASE WHEN c3.c3 IS NOT NULL THEN 3
+         |         WHEN b23.c2 IS NOT NULL THEN 2
+         |         WHEN u3.c1 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+         |    CASE WHEN c3.c3 IS NOT NULL THEN (1000000 * c3.c3) // b12.c2
+         |         WHEN b23.c2 IS NOT NULL THEN (400000 * b23.c2) // u2.c1
+         |         WHEN u3.c1 IS NOT NULL THEN (160000 * u3.c1) // nt.n
+         |         ELSE 0 END AS s_micro
+         |  FROM tri_ev e
+         |  LEFT JOIN c3 ON c3.w1 = e.w1 AND c3.w2 = e.w2 AND c3.w3 = e.w3
+         |  LEFT JOIN b2 b12 ON b12.w1 = e.w1 AND b12.w2 = e.w2
+         |  LEFT JOIN b2 b23 ON b23.w1 = e.w2 AND b23.w2 = e.w3
+         |  LEFT JOIN u1 u2 ON u2.w = e.w2
+         |  LEFT JOIN u1 u3 ON u3.w = e.w3
+         |  CROSS JOIN nt)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |  CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hits,
+         |  CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi_backoffs,
+         |  CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_backoffs,
+         |  CAST(sum(s_micro) // count(*) AS BIGINT) AS fluency_pm
+         |FROM s GROUP BY doc_id""".stripMargin,
+
     // q103: bigram-LM fluency — identical integer arithmetic to the
     // engine: add-one-smoothed transition probability in micro units via
     // BIGINT division, mean per doc via BIGINT division.

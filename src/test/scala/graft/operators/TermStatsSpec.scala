@@ -120,4 +120,27 @@ class TermStatsSpec extends AnyFunSuite {
       .select("doc").as[Long].collect().toSet
     assert(got == Set(2L))
   }
+
+  test("lmFluencyBackoff: each backoff level scores by the Brants rule") {
+    // train "a b c a b d": c3(abc,bca,cab,abd)=1 each; c2: ab=2, bc/ca/bd=1;
+    // c1: a=2, b=2, c=1, d=1; N=6
+    val train = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "a b c"), // trigram hit:  (1e6·1) div c2(ab)=2 -> 500000
+      (2L, "c a b"), // trigram hit:  (1e6·1) div c2(ca)=1 -> 1000000
+      (3L, "x b d"), // bigram backoff: (4e5·c2(bd)=1) div c1(b)=2 -> 200000
+      (4L, "x y d"), // unigram backoff: (1.6e5·c1(d)=1) div 6 -> 26666
+      (5L, "x y z") // OOV -> 0
+    ).toDF("doc_id", "text")
+    val got = TermStats.lmFluencyBackoff(train, eval, "doc_id", "text")
+      .select("doc_id", "n_trigrams", "n_tri_hits", "n_bi_backoffs",
+        "n_uni_backoffs", "fluency_pm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 1L, 1L, 0L, 0L, 500000L),
+      (2L, 1L, 1L, 0L, 0L, 1000000L),
+      (3L, 1L, 0L, 1L, 0L, 200000L),
+      (4L, 1L, 0L, 0L, 1L, 26666L),
+      (5L, 1L, 0L, 0L, 0L, 0L)))
+  }
 }
