@@ -292,10 +292,22 @@ object TermStats {
     * aggregate. Nothing is driver-collected.
     */
   def lmFluencyBackoff(train: DataFrame, eval: DataFrame, id: String,
-                       text: String): DataFrame = {
-    def toks(df: DataFrame) =
-      df.select(col(id).as("doc"), Text.tokens(col(text)).as("t"))
-    def tris(df: DataFrame) = toks(df)
+                       text: String): DataFrame =
+    lmScoreAgainst(eval, lmCounts(train, id, text), id, text)
+
+  /** The trained stupid-backoff artifact: trigram / bigram / unigram
+    * count tables + the 1-row token total. Computed once, scored against
+    * many times (the streaming twin captures one instance across every
+    * micro-batch — CCNet's train-once / score-the-crawl deployment).
+    */
+  final case class LmCounts(c3: DataFrame, b2: DataFrame, u1: DataFrame,
+                            nTok: DataFrame)
+
+  private def lmToks(df: DataFrame, id: String, text: String) =
+    df.select(col(id).as("doc"), Text.tokens(col(text)).as("t"))
+
+  private def lmTris(df: DataFrame, id: String, text: String) =
+    lmToks(df, id, text)
       .select(col("doc"), explode(when(size(col("t")) >= 3,
           transform(sequence(lit(1), size(col("t")) - 2),
             i => struct(element_at(col("t"), i.cast("int")).as("w1"),
@@ -305,9 +317,16 @@ object TermStats {
             "array<struct<w1:string,w2:string,w3:string>>"))).as("g"))
       .select(col("doc"), col("g.w1").as("w1"), col("g.w2").as("w2"),
         col("g.w3").as("w3"))
-    val trTok = toks(train).select(col("doc"), explode(col("t")).as("w"))
+
+  /** Train the [[LmCounts]] tables. The returned plans are LAZY and
+    * shared-subtree persisted (caller owns the cache, the repo-wide
+    * convention in this file's header).
+    */
+  def lmCounts(train: DataFrame, id: String, text: String): LmCounts = {
+    val trTok = lmToks(train, id, text)
+      .select(col("doc"), explode(col("t")).as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val trBi = toks(train)
+    val trBi = lmToks(train, id, text)
       .select(col("doc"), explode(when(size(col("t")) >= 2,
           transform(sequence(lit(1), size(col("t")) - 1),
             i => struct(element_at(col("t"), i.cast("int")).as("w1"),
@@ -315,12 +334,21 @@ object TermStats {
           .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val c3 = tris(train).groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("c3"))
-    val b2 = trBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val u1 = trTok.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val nTok = broadcast(trTok.agg(count(lit(1)).as("n")))
-    tris(eval)
+    LmCounts(
+      c3 = lmTris(train, id, text).groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("c3")),
+      b2 = trBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")),
+      u1 = trTok.groupBy(col("w")).agg(count(lit(1)).as("c1")),
+      nTok = broadcast(trTok.agg(count(lit(1)).as("n"))))
+  }
+
+  /** Score `eval`'s trigrams against a trained [[LmCounts]] artifact —
+    * the join half of [[lmFluencyBackoff]].
+    */
+  def lmScoreAgainst(eval: DataFrame, t: LmCounts, id: String,
+                     text: String): DataFrame = {
+    val (c3, b2, u1, nTok) = (t.c3, t.b2, t.u1, t.nTok)
+    lmTris(eval, id, text)
       .join(c3, Seq("w1", "w2", "w3"), "left")
       .join(b2.select(col("w1"), col("w2"), col("c2").as("c2_ctx")),
         Seq("w1", "w2"), "left")

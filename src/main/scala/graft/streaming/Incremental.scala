@@ -215,6 +215,36 @@ object Incremental {
       }
       .start()
 
+  /** Streaming LM quality scoring — the CCNet deployment shape of q107:
+    * the stupid-backoff count tables are trained ONCE
+    * ([[graft.operators.TermStats.lmCounts]], captured by the closure
+    * and persisted, so every micro-batch reuses the same materialized
+    * artifact), and each arriving batch of documents is scored against
+    * them ([[graft.operators.TermStats.lmScoreAgainst]]) and landed in
+    * `outPath` via a KEYED first-write-wins upsert.
+    *
+    * Replay safety (T6) is free here: scoring is a pure function of
+    * (batch, frozen counts), so a replayed batch recomputes identical
+    * rows and the Ignore-mode upsert drops them — no write-order
+    * subtlety, unlike [[streamingSpanDedup]] whose registry mutates.
+    */
+  def streamingLmScore(stream: DataFrame, train: DataFrame,
+                       checkpointDir: String, outPath: String,
+                       id: String, text: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val counts = graft.operators.TermStats.lmCounts(train, id, text)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val scored = graft.operators.TermStats.lmScoreAgainst(
+          batch, counts, id, text)
+        Merge.upsertParquet(batch.sparkSession, outPath, scored,
+          "doc_id", Merge.Ignore, "n_trigrams")
+        ()
+      }
+      .start()
+  }
+
   /** The block registry, empty-safe before the first batch commits. */
   private def readRegistry(spark: SparkSession, registryPath: String): DataFrame = {
     val p = new Path(registryPath)

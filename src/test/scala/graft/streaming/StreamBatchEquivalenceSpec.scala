@@ -310,4 +310,35 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     val reg = spark.read.parquet(s"$dir/registry").as[String].collect()
     assert(reg.length == reg.distinct.length)
   }
+
+  test("streamingLmScore stream ≡ batch lmFluencyBackoff (q107 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-lm")
+      .toFile.getAbsolutePath
+    val train = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+    val b1 = Seq((1L, "a b c"), (2L, "c a b"))
+    val b2 = Seq((3L, "x b d"), (4L, "x y d"))
+    val b3 = Seq((5L, "x y z"), (1L, "a b c")) // replayed doc: Ignore keeps first
+    val input = MemoryStream[(Long, String)]
+    val query = Incremental.streamingLmScore(
+      input.toDF().toDF("doc_id", "text"), train,
+      s"$dir/ckpt", s"$dir/out", id = "doc_id", text = "text")
+    try {
+      Seq(b1, b2, b3).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "n_trigrams", "n_tri_hits", "n_bi_backoffs",
+        "n_uni_backoffs", "fluency_pm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.TermStats.lmFluencyBackoff(
+        train, (b1 ++ b2 ++ b3).distinct.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size == 5)
+    assert(streamed.contains((4L, 1L, 0L, 0L, 1L, 26666L))) // unigram backoff
+  }
 }
