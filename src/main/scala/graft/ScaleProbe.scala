@@ -303,7 +303,7 @@ object ScaleProbe {
       def pruned(columnar: Boolean): Long =
         rd(columnar).filter(col("doc_id") % 7 === 0)
           .agg(sum(col("n_chars"))).head().getLong(0)
-      var cFull = -1L; var rFull = -2L
+      var cFull = -1L; var rFull = -2L; var cPr = -1L; var rPr = -2L
       for (rep <- 1 to 2) {
         time(s"jsonlines full scan COLUMNAR ${factor}x rep$rep") {
           cFull = full(columnar = true); cFull
@@ -312,14 +312,16 @@ object ScaleProbe {
           rFull = full(columnar = false); rFull
         }
         time(s"jsonlines pruned+filtered COLUMNAR ${factor}x rep$rep") {
-          pruned(columnar = true)
+          cPr = pruned(columnar = true); cPr
         }
         time(s"jsonlines pruned+filtered row ${factor}x rep$rep") {
-          pruned(columnar = false)
+          rPr = pruned(columnar = false); rPr
         }
       }
       require(cFull == rFull,
         s"jsonlines columnar/row scans disagree at ${factor}x: $cFull vs $rFull")
+      require(cPr == rPr,
+        s"jsonlines columnar/row pruned scans disagree at ${factor}x: $cPr vs $rPr")
     }
     // NARROW rows: per-row costs (parse + dispatch) dominate over bytes —
     // the shape where a vectorized reader separates from a row reader.

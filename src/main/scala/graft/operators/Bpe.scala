@@ -100,8 +100,13 @@ object Bpe {
                   nMerges: Int): DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = words.sparkSession
-    var syms = charSyms(
-        words.select(col(word), col(freq).cast("long").as("f")), word, Seq("f"))
+    // Normalize to one row per word (duplicate vocab rows SUM their
+    // frequencies — the only well-defined reading of a (word, freq)
+    // table; without this, every window below would interleave the
+    // duplicates' symbol rows in nondeterministic tie order).
+    val vocab = words.select(col(word), col(freq).cast("long").as("f"))
+      .groupBy(col(word)).agg(sum(col("f")).as("f"))
+    var syms = charSyms(vocab, word, Seq("f"))
       .localCheckpoint(false)
     val merges = mutable.Buffer.empty[(Int, String, String, String, Long)]
     var exhausted = false
@@ -135,7 +140,10 @@ object Bpe {
     */
   def applyMerges(words: DataFrame, word: String,
                   merges: Seq[(String, String)]): DataFrame = {
-    var syms = charSyms(words.select(col(word)), word, Seq.empty)
+    // Same normalization as the trainer: duplicate word rows would
+    // interleave under every w-partitioned window; for segmentation the
+    // duplicates carry no information, so distinct() is the semantics.
+    var syms = charSyms(words.select(col(word)).distinct(), word, Seq.empty)
       .localCheckpoint(false)
     for ((l, r) <- merges) {
       val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(byW))

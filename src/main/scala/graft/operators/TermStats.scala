@@ -318,14 +318,18 @@ object TermStats {
       .select(col("doc"), col("g.w1").as("w1"), col("g.w2").as("w2"),
         col("g.w3").as("w3"))
 
-  /** Train the [[LmCounts]] tables. The returned plans are LAZY and
-    * shared-subtree persisted (caller owns the cache, the repo-wide
-    * convention in this file's header).
+  /** Train the [[LmCounts]] tables. What persists is the AGGREGATED
+    * count tables (Zipf-bounded, orders smaller than the exploded n-gram
+    * streams they collapse) — so a streaming consumer scoring many
+    * batches against one artifact really does pay the train-corpus
+    * tokenize+shuffle once, not per batch; the token total derives from
+    * the unigram table (`Σ c1`), never a second corpus pass. Caller owns
+    * the caches (the convention in this file's header).
     */
   def lmCounts(train: DataFrame, id: String, text: String): LmCounts = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val trTok = lmToks(train, id, text)
       .select(col("doc"), explode(col("t")).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val trBi = lmToks(train, id, text)
       .select(col("doc"), explode(when(size(col("t")) >= 2,
           transform(sequence(lit(1), size(col("t")) - 1),
@@ -333,13 +337,14 @@ object TermStats {
               element_at(col("t"), (i + 1).cast("int")).as("w2"))))
           .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val u1 = trTok.groupBy(col("w")).agg(count(lit(1)).as("c1")).persist(lvl)
     LmCounts(
       c3 = lmTris(train, id, text).groupBy(col("w1"), col("w2"), col("w3"))
-        .agg(count(lit(1)).as("c3")),
-      b2 = trBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")),
-      u1 = trTok.groupBy(col("w")).agg(count(lit(1)).as("c1")),
-      nTok = broadcast(trTok.agg(count(lit(1)).as("n"))))
+        .agg(count(lit(1)).as("c3")).persist(lvl),
+      b2 = trBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        .persist(lvl),
+      u1 = u1,
+      nTok = broadcast(u1.agg(sum(col("c1")).as("n"))))
   }
 
   /** Score `eval`'s trigrams against a trained [[LmCounts]] artifact —

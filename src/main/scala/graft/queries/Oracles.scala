@@ -1656,13 +1656,13 @@ object Oracles {
     * match run (`(pos − run_start) % 2 = 0`); consumed right halves
     * vanish via the pos+1 anti-join.
     */
-  /** One greedy merge pass as SQL CTEs: `$p` adds the lead() neighbor to
-    * `$src`, then (given the 1-row pair table `$b`) `$m`/`$kp` compute the
-    * alternating keep-positions of each match run and `$dst` rebuilds the
-    * renumbered next generation. `cols`/`tcols` carry the passthrough
-    * columns ("w, f" train-side, "w" apply-side).
+  /** One greedy merge pass as SQL CTEs over the lead-extended table `$p`
+    * (emitted by [[bpeLeadSql]]): given the 1-row pair table `$b`,
+    * `$m`/`$kp` compute the alternating keep-positions of each match run
+    * and `$dst` rebuilds the renumbered next generation. `cols`/`tcols`
+    * carry the passthrough columns ("w, f" train-side, "w" apply-side).
     */
-  private def bpePassSql(k: Int, src: String, p: String, b: String,
+  private def bpePassSql(p: String, b: String,
                          m: String, kp: String, dst: String,
                          cols: String, tcols: String): String =
     s"""$m AS (SELECT p.w, p.pos,
@@ -1706,7 +1706,7 @@ object Oracles {
                 |  FROM p$k WHERE nxt IS NOT NULL GROUP BY 1, 2
                 |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
                 |""".stripMargin
-      sb ++= bpePassSql(k, s"s${k - 1}", s"p$k", s"b$k",
+      sb ++= bpePassSql(s"p$k", s"b$k",
         s"m$k", s"kp$k", s"s$k", "w, f", "t.w, t.f")
     }
     sb.toString
@@ -1737,7 +1737,7 @@ object Oracles {
               |""".stripMargin
     for (k <- 1 to nMerges) {
       sb ++= bpeLeadSql(s"ap$k", s"a${k - 1}", "w")
-      sb ++= bpePassSql(k, s"a${k - 1}", s"ap$k", s"b$k",
+      sb ++= bpePassSql(s"ap$k", s"b$k",
         s"am$k", s"akp$k", s"a$k", "w", "t.w")
     }
     s"WITH ${sb.toString}seg AS (SELECT w, " +

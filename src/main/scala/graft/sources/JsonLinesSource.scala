@@ -318,7 +318,15 @@ private[sources] final class JsonLineDecoder(file: String,
           val node = mapper.readTree[JsonNode](p); node.toString
         } else { p.skipChildren(); null }
       case _ => dt match {
-        case StringType => p.getText
+        case StringType => t match {
+          // Canonicalize non-string scalars the way readTree's
+          // node.toString did ({"name": 1.50} -> "1.5", 1e3 -> "1000.0")
+          // rather than echoing raw source text — parity with the
+          // pre-streaming decoder on foreign-written files.
+          case JsonToken.VALUE_NUMBER_INT => p.getNumberValue.toString
+          case JsonToken.VALUE_NUMBER_FLOAT => String.valueOf(p.getDoubleValue)
+          case _ => p.getText
+        }
         case LongType =>
           if (t == JsonToken.VALUE_NUMBER_INT) {
             p.getNumberType match {
