@@ -150,7 +150,7 @@ final class JsonLinesTable(path: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonLinesScanBuilder(path, tableSchema,
@@ -238,6 +238,75 @@ final class JsonLinesScan(path: String, tableSchema: StructType,
       filterCols.filterNot(required.fieldNames.contains)
         .map(c => tableSchema(tableSchema.fieldIndex(c))))
     JsonLinesReaderFactory(evalSchema, required, filters, limit, columnar)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new JsonLinesMicroBatchStream(path, createReaderFactory())
+}
+
+/** MICRO-BATCH STREAMING over a jsonlines sink directory — the tailing
+  * follower seam the reference runs as a polling daemon
+  * (`src/etl.py:42-51` re-queries the chain on a timer). The write
+  * side's two-phase commit is what makes this sound: a data file becomes
+  * visible ATOMICALLY (stage-file rename at driver commit) and is never
+  * modified afterwards, so "the sorted set of visible file names" is a
+  * monotone, replayable offset — each micro-batch reads exactly the
+  * files that appeared since the previous offset. No per-row watermark
+  * state: the contract is the same as Spark's own FileStreamSource,
+  * minus its compaction log (the offset carries the file list — fine at
+  * sink-directory scale; `compact()` must not run while a tailer is
+  * live, also the FileStreamSource rule).
+  *
+  * Pushdown carries over: the reader factory is the SAME one the batch
+  * scan built, so pruning/filter/columnar apply per micro-batch.
+  */
+final class JsonLinesMicroBatchStream(path: String,
+                                      factory: PartitionReaderFactory)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def currentFiles(): Seq[(String, Long)] =
+    JsonLinesSource.listDataFiles(path)
+
+  override def initialOffset(): Offset = JsonLinesOffset(Seq.empty)
+
+  override def latestOffset(): Offset =
+    JsonLinesOffset(currentFiles().map(_._1))
+
+  override def deserializeOffset(json: String): Offset =
+    JsonLinesOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[JsonLinesOffset].files.toSet
+    val lens = currentFiles().toMap
+    end.asInstanceOf[JsonLinesOffset].files
+      .filterNot(seen)
+      .map(f => JsonLinesInputPartition(f, lens.getOrElse(f, 0L)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = factory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** The offset: the sorted list of visible data files. JSON form is a
+  * plain array so the checkpoint offset log stays human-readable.
+  */
+final case class JsonLinesOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.sorted.map(f => "\"" + JsonLinesSource.escape(f) + "\"")
+      .mkString("[", ",", "]")
+}
+
+object JsonLinesOffset {
+  def fromJson(json: String): JsonLinesOffset = {
+    val mapper = new ObjectMapper()
+    val node = mapper.readTree(json)
+    require(node.isArray, s"jsonlines offset must be a JSON array, got: $json")
+    JsonLinesOffset((0 until node.size()).map(node.get(_).asText()))
   }
 }
 

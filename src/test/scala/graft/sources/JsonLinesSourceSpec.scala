@@ -161,6 +161,39 @@ class JsonLinesSourceSpec extends AnyFunSuite {
     assert(readBack(dir).limit(3).count() == 3L)
   }
 
+  test("micro-batch streaming read tails the sink exactly-once as files commit") {
+    val dir = freshDir()
+    val outDir = freshDir()
+    val ckpt = freshDir()
+    sample.write.format("jsonlines").mode("append").save(dir)
+    // pushdown carries into the stream: filter + projection reach the scan
+    val stream = spark.readStream.format("jsonlines").schema(schema).load(dir)
+      .filter(col("id") >= 2L).select("id", "name")
+    val query = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir); ()
+      }
+      .start()
+    try {
+      query.processAllAvailable()
+      // second append AFTER the first batch committed: only the new
+      // files may appear in the next micro-batch
+      sample.write.format("jsonlines").mode("append").save(dir)
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.read.parquet(outDir).as[(Long, String)].collect()
+      .sortBy(_._1).toSeq // row 3's name is null — don't String-sort it
+    // ids 2,3,4 from each of the two appends — exactly once each
+    assert(got.map(_._1) == Seq(2L, 2L, 3L, 3L, 4L, 4L))
+    assert(got.filter(_._1 == 4L).forall(_._2 == "delta"))
+    // the offset log records file-list offsets (human-readable JSON array)
+    val off = new java.io.File(s"$ckpt/offsets").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .map(f => scala.io.Source.fromFile(f).mkString).mkString
+    assert(off.contains("part-"))
+  }
+
   test("declared-schema convention: inference refuses loudly") {
     val dir = freshDir()
     sample.write.format("jsonlines").mode("overwrite").save(dir)
