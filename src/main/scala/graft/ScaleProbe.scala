@@ -124,6 +124,27 @@ object ScaleProbe {
         TextDedup.simhashNearDupPairs(
           TextDedup.simhash(docs, "doc_id", "text"), 3).count()
       }
+      // q107 shape: train counts on a fixed 1x slice, score the growing
+      // remainder — the CCNet deployment. Cost should track the SCORED
+      // side (trigram explode + count-table joins), with the train side
+      // amortized across the factor.
+      time(s"lm-backoff ${factor}x (train 1x, score ${factor}x)") {
+        val train = docs.filter(col("doc_id") % 1000000L < 1000L)
+        graft.operators.TermStats.lmFluencyBackoff(train, docs,
+            "doc_id", "text")
+          .agg(sum(col("fluency_pm")), sum(col("n_tri_hits"))).head()
+          .getLong(1)
+      }
+      // q105 shape: the BPE trainer reads only the top-500 vocabulary,
+      // so the iterations are corpus-size-independent; only the vocab
+      // aggregate scales with the corpus.
+      time(s"bpe-train ${factor}x (8 merges, top-500 vocab)") {
+        val vocab = docs.select(explode(
+            graft.functions.Text.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("f"))
+          .orderBy(col("f").desc, col("w").asc).limit(500)
+        graft.operators.Bpe.trainMerges(vocab, "w", "f", 8).count()
+      }
       spark.catalog.clearCache()
     }
     if (want("minhash")) for (factor <- Seq(1, 4, 16)) {
