@@ -54,16 +54,28 @@ object Bpe {
   /** Character-level symbol table (w, extra…, pos, sym) for a word list;
     * empty words contribute no rows (and `sequence(1, 0)` would run
     * DESCENDING, so they must not reach the explode).
+    *
+    * `singlePartition`: the TRAINER's vocabulary is BOUNDED (the top-N
+    * sample contract), so its symbol table is a few thousand rows — the
+    * [[TextDedup]] localCC reasoning ("fits one partition → run it
+    * there"): every per-iteration window, join, and pair aggregate then
+    * runs exchange-free (SinglePartition satisfies every clustering, and
+    * `localCheckpoint` preserves partitioning), where the session's 32
+    * shuffle partitions paid two exchanges per merge pass to move
+    * kilobytes. SEGMENTATION stays hash-distributed: it runs over the
+    * full corpus vocabulary, unbounded at web scale.
     */
-  private def charSyms(words: DataFrame, word: String,
-                       extra: Seq[String]): DataFrame =
-    words
+  private def charSyms(words: DataFrame, word: String, extra: Seq[String],
+                       singlePartition: Boolean): DataFrame = {
+    val in = words
       .withColumn("w", col(word))
       .filter(length(col("w")) >= 1)
+    (if (singlePartition) in.repartition(1) else in)
       .select(col("w") +: extra.map(col) :+ posexplode(
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")): _*)
       .select(col("w") +: extra.map(col) :+
         (col("pos") + 1).as("pos") :+ col("col").as("sym"): _*)
+  }
 
   /** One greedy left-to-right merge pass of (l, r) over a
     * (w, extra…, pos, sym, nxt) table: keep the alternating positions of
@@ -106,7 +118,7 @@ object Bpe {
     // duplicates' symbol rows in nondeterministic tie order).
     val vocab = words.select(col(word), col(freq).cast("long").as("f"))
       .groupBy(col(word)).agg(sum(col("f")).as("f"))
-    var syms = charSyms(vocab, word, Seq("f"))
+    var syms = charSyms(vocab, word, Seq("f"), singlePartition = true)
       .localCheckpoint(false)
     val merges = mutable.Buffer.empty[(Int, String, String, String, Long)]
     var exhausted = false
@@ -143,7 +155,8 @@ object Bpe {
     // Same normalization as the trainer: duplicate word rows would
     // interleave under every w-partitioned window; for segmentation the
     // duplicates carry no information, so distinct() is the semantics.
-    var syms = charSyms(words.select(col(word)).distinct(), word, Seq.empty)
+    var syms = charSyms(words.select(col(word)).distinct(), word,
+        Seq.empty, singlePartition = false)
       .localCheckpoint(false)
     for ((l, r) <- merges) {
       val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(byW))
