@@ -280,10 +280,19 @@ final class JsonLinesMicroBatchStream(path: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[JsonLinesOffset].files.toSet
     val lens = currentFiles().toMap
-    end.asInstanceOf[JsonLinesOffset].files
-      .filterNot(seen)
-      .map(f => JsonLinesInputPartition(f, lens.getOrElse(f, 0L)): InputPartition)
-      .toArray
+    val batch = end.asInstanceOf[JsonLinesOffset].files.filterNot(seen)
+    // A file named by a committed offset but no longer on disk means the
+    // sink was compacted/overwritten while a tailer was live — rows were
+    // rewritten into files this stream cannot distinguish from new data.
+    // Fail loudly rather than silently re-reading or skipping.
+    val gone = batch.filterNot(lens.contains)
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"jsonlines stream at $path: offset names ${gone.size} file(s) that " +
+        s"no longer exist (e.g. ${gone.head}); the sink was compacted or " +
+        "overwritten while being tailed — restart the stream from a fresh " +
+        "checkpoint (compact() must not run under a live tailer, the " +
+        "FileStreamSource rule)")
+    batch.map(f => JsonLinesInputPartition(f, lens(f)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = factory
