@@ -2089,6 +2089,16 @@ object Oracles {
          |FROM documents
          |WHERE n_chars >= 290 AND lang IN ('en','de','zh')
          |GROUP BY lang""".stripMargin,
+
+    // q108: the tiered sink's two compactions + mixed base/tail read must
+    // be invisible — the twin scans the source table directly.
+    "q108_tiered_sink" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM documents
+         |WHERE n_chars >= 250
+         |GROUP BY lang""".stripMargin,
   )
 
   private lazy val DriverTwin: String =

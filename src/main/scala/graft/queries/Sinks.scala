@@ -162,11 +162,43 @@ object Sinks {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** q108: the TIERED sink lifecycle ([[graft.sources.TieredJsonSink]]) —
+    * the storage-management half of the connector story. Three document
+    * batches go through the full log-structured cycle: append (jsonl
+    * tail) → compact (parquet base-0) → append → compact again (the
+    * ITERATIVE path: base-1 absorbs base-0 ∪ tail) → a third append left
+    * live as tail — then one tiered read (newest base ∪ un-absorbed
+    * tail) aggregates. The oracle scans the source table directly: two
+    * compactions and a mixed base/tail read must be invisible in the end
+    * state — the same T6-idempotence contract as q78, applied to the
+    * sink's storage tiers.
+    */
+  def q108TieredSink(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.sources.TieredJsonSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_q108_").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("n_chars", LongType)))
+    val docs = Tables.balanced(spark, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    TieredJsonSink.append(docs.filter(col("doc_id") % 3 === 0), dir)
+    TieredJsonSink.compact(spark, dir, schema)
+    TieredJsonSink.append(docs.filter(col("doc_id") % 3 === 1), dir)
+    TieredJsonSink.compact(spark, dir, schema)
+    TieredJsonSink.append(docs.filter(col("doc_id") % 3 === 2), dir)
+    TieredJsonSink.read(spark, dir, schema)
+      .filter(col("n_chars") >= 250L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id")).as("sum_ids"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_append_series" -> q76AppendSeries _,
     "q77_merge_metrics" -> q77MergeMetrics _,
     "q78_incremental_driver" -> q78IncrementalDriver _,
     "q91_partitioned_driver" -> q91PartitionedDriver _,
     "q101_jsonlines_roundtrip" -> q101JsonlinesRoundtrip _,
+    "q108_tiered_sink" -> q108TieredSink _,
   )
 }

@@ -87,6 +87,14 @@ object JsonLinesSource {
   private[sources] def isDataFile(name: String): Boolean =
     !name.startsWith(".") && !name.startsWith("_")
 
+  /** Parse the `include`/`exclude` scan options: comma-separated file
+    * NAMES (not paths — the writer's `part-<id>-<query>.jsonl` names are
+    * comma-free by construction). Empty/absent → None.
+    */
+  private[sources] def nameList(opt: String): Option[Set[String]] =
+    Option(opt).map(_.trim).filter(_.nonEmpty)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+
   private[sources] def listDataFiles(dir: String): Seq[(String, Long)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(new Configuration())
@@ -154,7 +162,9 @@ final class JsonLinesTable(path: String, tableSchema: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonLinesScanBuilder(path, tableSchema,
-      columnar = options.getBoolean("columnar", true))
+      columnar = options.getBoolean("columnar", true),
+      include = JsonLinesSource.nameList(options.get("include")),
+      exclude = JsonLinesSource.nameList(options.get("exclude")))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new JsonLinesWriteBuilder(path, info.schema(), info.queryId())
@@ -163,7 +173,9 @@ final class JsonLinesTable(path: String, tableSchema: StructType)
 // ---------------------------------------------------------------- read
 
 final class JsonLinesScanBuilder(path: String, tableSchema: StructType,
-                                 columnar: Boolean = true)
+                                 columnar: Boolean = true,
+                                 include: Option[Set[String]] = None,
+                                 exclude: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -213,22 +225,50 @@ final class JsonLinesScanBuilder(path: String, tableSchema: StructType,
   // default isPartiallyPushed() = true: Spark keeps the global limit.
 
   override def build(): Scan =
-    new JsonLinesScan(path, tableSchema, required, pushed, limit, columnar)
+    new JsonLinesScan(path, tableSchema, required, pushed, limit, columnar,
+      include, exclude)
 }
 
 final class JsonLinesScan(path: String, tableSchema: StructType,
                           required: StructType, filters: Array[Filter],
-                          limit: Int, columnar: Boolean) extends Scan with Batch {
+                          limit: Int, columnar: Boolean,
+                          include: Option[Set[String]] = None,
+                          exclude: Option[Set[String]] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"jsonlines path=$path, PushedFilters: ${filters.mkString("[", ", ", "]")}" +
       (if (limit >= 0) s", PushedLimit: $limit" else "")
 
-  override def planInputPartitions(): Array[InputPartition] =
-    JsonLinesSource.listDataFiles(path)
-      .map { case (f, len) => JsonLinesInputPartition(f, len): InputPartition }
+  /** The scanned file set, pinned AT PLANNING (the snapshot contract an
+    * append-while-scanning sink needs). `include` reads exactly the named
+    * files and fails loudly on a missing one (a compaction's input pin —
+    * a name that vanished means a concurrent rewrite, and silently
+    * absorbing a different row set would corrupt the manifest);
+    * `exclude` drops named files (a tiered read skipping tail files a
+    * crashed compaction already absorbed into its parquet base but did
+    * not yet GC — [[TieredJsonSink]]).
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val listed = JsonLinesSource.listDataFiles(path)
+    val files = include match {
+      case Some(names) =>
+        val byName = listed.map { case (f, len) => new Path(f).getName -> (f, len) }.toMap
+        val missing = names.filterNot(byName.contains)
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"jsonlines scan at $path: include names ${missing.size} file(s) " +
+            s"not on disk (e.g. ${missing.head}) — the sink was rewritten " +
+            "under a pinned scan")
+        names.toSeq.sorted.map(byName)
+      case None => exclude match {
+        case Some(names) => listed.filterNot { case (f, _) => names.contains(new Path(f).getName) }
+        case None => listed
+      }
+    }
+    files.map { case (f, len) => JsonLinesInputPartition(f, len): InputPartition }
       .toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // Filter columns may be pruned OUT of `required` (a fully-pushed
