@@ -73,7 +73,7 @@ object ScaleProbe {
     // typo must not silently measure nothing.
     val sections = Set("session", "termstats", "minhash", "ann", "temporal",
       "packing", "relational", "topk", "kmeans", "sinks", "pq", "sketch",
-      "prune", "sinkbig", "pqtrain", "spandedup", "jsonlines")
+      "prune", "sinkbig", "pqtrain", "spandedup", "jsonlines", "tiered")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -368,6 +368,64 @@ object ScaleProbe {
       require(c == r, s"jsonlines narrow scans disagree: $c vs $r")
     }
 
+    // Tiered sink (q108): the payoff claim is that READS of settled data
+    // leave the JSON-parse regime — a factor× corpus compacted to a
+    // parquet base plus a 1×-sized live jsonl tail versus the same data
+    // all-jsonl. The cost side is measured too: compact() rewrites
+    // base ∪ fresh, so its wall is O(sink), same class as the delta
+    // epoch fold in `sinkbig` — the cadence lever, not a free lunch.
+    // Alternating reps (the q32 lesson): rep 1 warms the page cache for
+    // both layouts, read rep 2.
+    if (want("tiered")) for (factor <- Seq(1, 4, 16)) {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("n_chars", LongType)))
+      def shaped(df: DataFrame) = df.select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_chars"))
+      val corpus = shaped(docsAt(spark, d, factor))
+      val fresh = shaped(docsAt(spark, d, 1)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text")))
+      val flatDir = s"/tmp/scale/tier_flat$factor"
+      val tierDir = s"/tmp/scale/tier_base$factor"
+      // clean slate: overwrite mode truncates jsonl data files but knows
+      // nothing about a previous run's _base-<n> dirs
+      for (dir <- Seq(flatDir, tierDir)) {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (hfs.exists(p)) hfs.delete(p, true)
+      }
+      // layout A: the whole corpus + fresh batch live as jsonl tail
+      corpus.write.format("jsonlines").mode("overwrite").save(flatDir)
+      fresh.write.format("jsonlines").mode("append").save(flatDir)
+      // layout B: corpus compacted to a parquet base, fresh stays tail
+      corpus.write.format("jsonlines").mode("overwrite").save(tierDir)
+      time(s"tiered compact ${factor}x corpus -> base (O(sink) rewrite)") {
+        graft.sources.TieredJsonSink.compact(spark, tierDir, schema)
+      }
+      fresh.write.format("jsonlines").mode("append").save(tierDir)
+      def agg(df: DataFrame): Long =
+        df.filter(col("n_chars") >= 100L).agg(sum(col("n_chars")))
+          .head().getLong(0)
+      var flat = -1L; var tier = -2L
+      for (rep <- 1 to 2) {
+        time(s"tiered read flat-jsonl ${factor}x+1x rep$rep") {
+          flat = agg(spark.read.format("jsonlines").schema(schema)
+            .load(flatDir)); flat
+        }
+        time(s"tiered read base+tail ${factor}x+1x rep$rep") {
+          tier = agg(graft.sources.TieredJsonSink.read(spark, tierDir, schema))
+          tier
+        }
+      }
+      require(flat == tier,
+        s"tiered layouts disagree at ${factor}x: flat=$flat tiered=$tier")
+      // maintenance cadence cost: absorbing the 1x tail re-rewrites the
+      // factor× base — the amplification that sets how often to compact
+      time(s"tiered re-compact ${factor}x base absorbing 1x tail") {
+        graft.sources.TieredJsonSink.compact(spark, tierDir, schema)
+      }
+      spark.catalog.clearCache()
+    }
     if (want("spandedup")) for (factor <- Seq(1, 4, 16)) {
       val docs = materialize(
         docsAt(spark, d, factor).select(col("doc_id"),
