@@ -301,8 +301,80 @@ object Curation {
       split.filter(col("split") === "eval"), "doc_id", "text")
   }
 
+  /** q109: "pipeline v2" — the round-10 operators composed END-TO-END the
+    * way a production curation run chains them (q74 is v1 with the
+    * round-7 stages; this is the same linearity claim over the newer,
+    * heavier pieces):
+    *   1. exact SPAN DEDUP ([[TextDedup.spanDedup]] k=3, q100): every
+    *      document rebuilt from its globally-surviving blocks; documents
+    *      that kept nothing drop out;
+    *   2. CCNet LM GATE on the REBUILT text ([[TermStats.lmFluency]] +
+    *      [[Quantiles.byRank]] per-language tercile, q103/q104): keep
+    *      head+middle (fluency above the per-language t33 cutoff) —
+    *      gating post-dedup text is the real ordering (boilerplate would
+    *      otherwise inflate its own fluency: repeated blocks are
+    *      high-count bigrams);
+    *   3. BPE FERTILITY of the surviving corpus ([[graft.operators.Bpe]],
+    *      q105/q106 constants shrunk to 6 merges / top-400 vocab): train
+    *      on the survivors' token stream, segment their DISTINCT words,
+    *      and report pieces-per-token per language in micro units — the
+    *      tokenizer-efficiency number a data-mix owner actually tracks.
+    * Output: one row per language — n_docs, kept_blocks, n_tokens,
+    * n_pieces, fertility_pm.
+    *
+    * Scale shape: stage 1 and 2 are the linear keyed-shuffle chains of
+    * their standalone forms; stage 3's training is bounded (top-400
+    * vocabulary — corpus-size-independent iterations), segmentation runs
+    * over DISTINCT words (Zipf-bounded), and the only driver-side
+    * transfer is the 6-row merge table. The two persists are the shared
+    * subtrees (rebuilt corpus feeds score+join; survivors feed rollup +
+    * token stream; word frequencies feed vocab + distinct + rollup) —
+    * caller-owned lifecycle, the [[TermStats]] convention.
+    */
+  def q109PipelineV2(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.Text
+    import org.apache.spark.storage.StorageLevel
+    val docs = Tables.balanced(spark, d, "documents")
+    val rebuilt = TextDedup.spanDedup(docs, "doc_id", "text", k = 3)
+      .filter(col("kept_blocks") >= 1L)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val scored = TermStats.lmFluency(rebuilt, "doc_id", "new_text")
+      .join(rebuilt.select(col("doc_id"), col("lang"), col("kept_blocks"),
+        col("new_text")), Seq("doc_id"))
+    val cuts = Quantiles.byRank(scored, Seq(col("lang")),
+      col("fluency_pm"), col("doc_id"), Seq(("t33", 0.333333)))
+    val survivors = scored
+      .join(cuts.select(col("lang"), col("q_t33")), Seq("lang"))
+      .filter(col("fluency_pm") > col("q_t33"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wordFreq = survivors
+      .select(col("lang"), explode(Text.tokens(col("new_text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vocab = wordFreq.groupBy(col("w")).agg(sum(col("n")).as("f"))
+      .orderBy(col("f").desc, col("w").asc).limit(400)
+    val merges = graft.operators.Bpe.trainMerges(vocab, "w", "f", nMerges = 6)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val seg = graft.operators.Bpe.applyMerges(
+      wordFreq.select(col("w")).distinct(), "w", merges)
+    val fertility = wordFreq
+      .join(seg.select(col("w"), col("n_pieces")), Seq("w"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("n_pieces")).as("n_pieces"))
+    survivors.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept_blocks")).as("kept_blocks"))
+      .join(fertility, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("kept_blocks"), col("n_tokens"),
+        col("n_pieces"),
+        expr("(1000000 * n_pieces) div n_tokens").as("fertility_pm"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_tfidf_top_term" -> q60TfidfTopTerm _,
+    "q109_pipeline_v2" -> q109PipelineV2 _,
     "q105_bpe_merges" -> q105BpeMerges _,
     "q106_bpe_segment" -> q106BpeSegment _,
     "q107_lm_backoff" -> q107LmBackoff _,

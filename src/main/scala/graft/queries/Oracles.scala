@@ -1691,10 +1691,11 @@ object Oracles {
     * [[bpeSql]] (q105, emits the merge table) and [[bpeApplySql]] (q106,
     * replays `b1..bN` over the full distinct-word list).
     */
-  private def bpeTrainCtes(nMerges: Int, topV: Int): String = {
+  private def bpeTrainCtes(nMerges: Int, topV: Int,
+      wordsSrc: String = s"SELECT unnest($Toks) AS w FROM documents"): String = {
     val sb = new StringBuilder
     sb ++= s"""v0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f
-              |  FROM (SELECT unnest($Toks) AS w FROM documents)
+              |  FROM ($wordsSrc)
               |  GROUP BY w ORDER BY f DESC, w ASC LIMIT $topV),
               |s0 AS MATERIALIZED (SELECT w, f, CAST(i AS BIGINT) AS pos,
               |    substring(w, CAST(i AS INT), 1) AS sym
@@ -1726,11 +1727,13 @@ object Oracles {
     * the pair-count argmax. Empty words vanish on both sides (no symbols
     * to explode).
     */
-  private def bpeApplySql(nMerges: Int, topV: Int): String = {
+  /** The APPLY chain (`aw0` distinct words from `wordsSrc` → char explode
+    * → one merge-pass block per trained rule `b1..bN`), shared by
+    * [[bpeApplySql]] (q106) and [[pipelineV2Sql]] (q109).
+    */
+  private def bpeApplyCtes(nMerges: Int, wordsSrc: String): String = {
     val sb = new StringBuilder
-    sb ++= bpeTrainCtes(nMerges, topV)
-    sb ++= s"""aw0 AS MATERIALIZED (SELECT DISTINCT w
-              |  FROM (SELECT unnest($Toks) AS w FROM documents)),
+    sb ++= s"""aw0 AS MATERIALIZED (SELECT DISTINCT w FROM ($wordsSrc)),
               |a0 AS MATERIALIZED (SELECT w, CAST(i AS BIGINT) AS pos,
               |    substring(w, CAST(i AS INT), 1) AS sym
               |  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM aw0)),
@@ -1740,16 +1743,107 @@ object Oracles {
       sb ++= bpePassSql(s"ap$k", s"b$k",
         s"am$k", s"akp$k", s"a$k", "w", "t.w")
     }
+    sb.toString
+  }
+
+  private def bpeApplySql(nMerges: Int, topV: Int): String = {
+    val sb = new StringBuilder
+    sb ++= bpeTrainCtes(nMerges, topV)
+    sb ++= bpeApplyCtes(nMerges,
+      s"SELECT unnest($Toks) AS w FROM documents")
     s"WITH ${sb.toString}seg AS (SELECT w, " +
       s"""string_agg(sym, ' ' ORDER BY pos) AS pieces,
          |  CAST(count(*) AS BIGINT) AS n_pieces FROM a$nMerges GROUP BY w)
          |SELECT * FROM seg""".stripMargin
   }
 
+  /** Generated twin of q109 ([[Curation.q109PipelineV2]]) — the composed
+    * pipeline as one CTE chain: the q100 span-dedup CTEs restricted to
+    * docs that kept >= 1 block (`rb`), the q103 bigram-fluency arithmetic
+    * re-sourced to the REBUILT text, the q104 tercile bound at t33 only
+    * (head+middle survive), then the q105/q106 BPE train+apply chains
+    * ([[bpeTrainCtes]]/[[bpeApplyCtes]]) re-sourced to the survivors'
+    * token stream, rolled up to per-language fertility.
+    */
+  private def pipelineV2Sql(nMerges: Int, topV: Int): String = {
+    val sb = new StringBuilder
+    // stage 1: span dedup (q100's CTEs; kept-nothing docs drop out because
+    // `rb` groups only surviving blocks)
+    sb ++= s"""sd0 AS (SELECT doc_id, $Toks AS toks FROM documents),
+              |sdb AS (SELECT doc_id, pos,
+              |    array_to_string(toks[pos*3+1 : pos*3+3], ' ') AS blk
+              |  FROM (SELECT doc_id, toks,
+              |          unnest(range(CAST(ceil(len(toks)/3.0) AS BIGINT))) AS pos
+              |        FROM sd0)),
+              |sdw AS (SELECT doc_id, pos, blk FROM (
+              |    SELECT doc_id, pos, blk,
+              |      row_number() OVER (PARTITION BY blk ORDER BY doc_id, pos) AS rn
+              |    FROM sdb) WHERE rn = 1),
+              |rb AS MATERIALIZED (SELECT s.doc_id, d.lang,
+              |    CAST(count(*) AS BIGINT) AS kept_blocks,
+              |    string_agg(blk, ' ' ORDER BY s.pos) AS new_text
+              |  FROM sdw s JOIN documents d ON s.doc_id = d.doc_id
+              |  GROUP BY s.doc_id, d.lang),
+              |""".stripMargin
+    // stage 2: q103's fluency arithmetic over new_text + the q104 t33 gate
+    sb ++= """t AS (SELECT doc_id, string_split_regex(trim(new_text), '\s+') AS toks
+             |      FROM rb),
+             |bi AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+             |       FROM (SELECT doc_id, toks,
+             |               unnest(range(1, len(toks))) AS i FROM t)),
+             |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+             |v AS (SELECT count(DISTINCT tok) AS v
+             |      FROM (SELECT unnest(toks) AS tok FROM t)),
+             |p AS (SELECT doc_id, (1000000 * (c2 + 1)) // (c1 + v) AS p_micro
+             |      FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+             |f AS (SELECT doc_id,
+             |        CAST(sum(p_micro) // count(*) AS BIGINT) AS fluency_pm
+             |      FROM p GROUP BY doc_id),
+             |fl AS (SELECT f.doc_id, rb.lang, rb.kept_blocks, rb.new_text,
+             |        f.fluency_pm
+             |       FROM f JOIN rb ON f.doc_id = rb.doc_id),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY lang
+             |          ORDER BY fluency_pm, doc_id) AS rn,
+             |        count(*) OVER (PARTITION BY lang) AS n FROM fl),
+             |cuts AS (SELECT lang,
+             |    min(CASE WHEN (rn-1)*1000000 < 333333*n AND 333333*n <= rn*1000000
+             |             THEN fluency_pm END) AS q_t33
+             |  FROM rk GROUP BY lang),
+             |sv AS MATERIALIZED (SELECT fl.doc_id, fl.lang, fl.kept_blocks,
+             |    fl.new_text
+             |  FROM fl JOIN cuts USING (lang) WHERE fluency_pm > q_t33),
+             |wds AS MATERIALIZED (SELECT lang,
+             |    unnest(string_split_regex(trim(new_text), '\s+')) AS w FROM sv),
+             |wf AS MATERIALIZED (SELECT lang, w, CAST(count(*) AS BIGINT) AS n
+             |  FROM wds GROUP BY lang, w),
+             |""".stripMargin
+    // stage 3: BPE train on the survivors' token stream, apply to their
+    // distinct words
+    sb ++= bpeTrainCtes(nMerges, topV, "SELECT w FROM wds")
+    sb ++= bpeApplyCtes(nMerges, "SELECT w FROM wds")
+    s"WITH ${sb.toString}" +
+      s"""seg AS (SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
+         |  FROM a$nMerges GROUP BY w),
+         |agg1 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(kept_blocks) AS BIGINT) AS kept_blocks
+         |  FROM sv GROUP BY lang),
+         |agg2 AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |    CAST(sum(n * n_pieces) AS BIGINT) AS n_pieces
+         |  FROM wf JOIN seg USING (w) GROUP BY lang)
+         |SELECT lang, n_docs, kept_blocks, n_tokens, n_pieces,
+         |  (1000000 * n_pieces) // n_tokens AS fertility_pm
+         |FROM agg1 JOIN agg2 USING (lang)""".stripMargin
+  }
+
   val curation: Map[String, String] = Map(
     // q105: BPE merge training — the unrolled iteration chain; see
     // [[bpeSql]]. 8 merges over the top-500 vocabulary, like the engine.
     "q105_bpe_merges" -> bpeSql(nMerges = 8, topV = 500),
+
+    // q109: the composed pipeline-v2 twin — see [[pipelineV2Sql]]. Same
+    // constants as the engine: 6 merges, top-400 vocabulary.
+    "q109_pipeline_v2" -> pipelineV2Sql(nMerges = 6, topV = 400),
 
     // q106: BPE segmentation of the full vocabulary with the q105-trained
     // merge table — see [[bpeApplySql]].
