@@ -15,6 +15,11 @@ run / fork := true
 // the bench driver tail-parses stdout for the one canonical JSON line,
 // and a prefixed line is not valid JSON (BENCH_r09 recorded parsed:null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's "[success] Total time: …" epilogue: every BENCH_r{1..9}
+// tail ends with that line AFTER the canonical JSON, and the driver's
+// last-line parse recorded parsed:null all nine rounds. With it off, the
+// bench's compact JSON line is the final line on stdout.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -21,11 +21,33 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS); read as long (ns since epoch).
+      // Older driver generations store events.ts as parquet
+      // TIMESTAMP(NANOS); read those as long (ns since epoch).
       // Runtime-settable; also set in GraftSession for sessions we build.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      normalizeEventTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Normalize `events.ts` to long ns-since-epoch across driver testdata
+    * generations: rounds 1-9 wrote parquet TIMESTAMP(NANOS) (long ns via
+    * the `nanosAsLong` legacy read), round 10 writes TIMESTAMP(MICROS)
+    * (arrives as TIMESTAMP_NTZ). Everything downstream keeps the long-ns
+    * contract (`ts div 1000` → µs, the precision DuckDB compares at).
+    * NTZ wall time is interpreted in the session time zone — pinned UTC in
+    * [[graft.GraftSession]] — which matches DuckDB's naive `epoch_us`.
+    * Works on batch and streaming frames alike (pure column ops).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case t => sys.error(s"events.ts: unsupported type $t")
     }
-    spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
   /** `ts` (long, ns) reduced to microseconds — the precision DuckDB (and

@@ -15,13 +15,15 @@ object StreamMain {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     // File-source streams need a declared schema and a *directory* that
     // files arrive in: stage the (read-only) test file into a temp dir.
-    val schema = graft.sources.Tables(spark, sfDir, "events").schema
+    // Declare the file's OWN schema (ts may be TIMESTAMP or legacy long
+    // ns depending on the testdata generation), then normalize post-read.
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val inDir = java.nio.file.Files.createTempDirectory("graft-stream-in")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       inDir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(schema)
-      .parquet(inDir.toString)
+    val stream = graft.sources.Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(inDir.toString))
       .withColumn("ts_us", expr("ts div 1000"))
     val windows = Streams.windowedRewards(stream, "1 day", "1 hour")
     val query = windows.writeStream.format("memory").queryName("rewards")
