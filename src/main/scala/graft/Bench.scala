@@ -7,6 +7,53 @@ import org.apache.spark.sql.SparkSession
   * must not look like a fast one).
   */
 object Bench {
+
+  /** The ROUND-10 query registry, frozen: `subset_total_prev_round` sums
+    * timings over exactly this set, so cross-round totals compare like
+    * with like — round 10's +14% "regression" took a session of forensics
+    * to attribute to new queries + driver testdata regeneration (verdict
+    * r10 item 5); this field makes the split arithmetic. Append-only per
+    * round: refresh to the PREVIOUS round's registry when adding queries.
+    */
+  val prevRoundQueries: Set[String] = Set(
+      "q01_agg_sum_groupby", "q02_filter_time_range", "q03_filter_in_projection",
+      "q04_join_left_enrich", "q05_join_inner_agg", "q06_argmax_per_day",
+      "q07_distinct_content_key", "q08_agg_min_max", "q09_json_extract",
+      "q100_span_dedup", "q101_jsonlines_roundtrip",
+      "q102_span_dedup_incremental", "q103_lm_fluency", "q104_ccnet_gate",
+      "q105_bpe_merges", "q106_bpe_segment", "q107_lm_backoff",
+      "q108_tiered_sink", "q109_pipeline_v2", "q10_dedup_newest_wins",
+      "q11_dedup_content_hash", "q12_geo_haversine", "q13_vertex_ref_roundtrip",
+      "q14_collect_sorted_list", "q15_json_fallback_coalesce",
+      "q16_window_rewards_5d", "q17_daily_balances", "q18_upsert_update",
+      "q19_upsert_ignore", "q20_retention_filter", "q21_payment_json_pipeline",
+      "q22_witness_explode_pipeline", "q23_payment_v2_explode_all",
+      "q24_text_stats", "q25_lang_id", "q26_fingerprint_dedup",
+      "q27_ngram_jaccard_pairs", "q28_minhash_lsh_pairs", "q29_simhash",
+      "q30_cosine_topk", "q31_ann_lsh_topk", "q32_graph_edges",
+      "q33_city_pagerank", "q34_city_betweenness", "q35_binary_features",
+      "q36_frame_sample", "q37_cell_decode", "q38_ann_ivf_topk",
+      "q39_embedding_neardup", "q40_bpe_token_count", "q41_ann_adaptive_topk",
+      "q42_ppm_resize", "q43_dup_clusters", "q44_asof_join", "q45_range_join",
+      "q46_hash_split", "q47_city_hits", "q48_sequence_packing",
+      "q49_quality_gate", "q50_kmeans_refine", "q51_ann_multiprobe",
+      "q52_asof_nearest", "q53_topk_agg", "q54_balanced_mix",
+      "q55_ann_multitable", "q56_interval_overlap", "q57_dedup_corpus",
+      "q58_incremental_neardup", "q59_sessionize", "q60_tfidf_top_term",
+      "q61_contamination", "q62_repetition_signals", "q63_length_quantiles",
+      "q64_mix_weights", "q65_boilerplate", "q66_salted_join",
+      "q67_simhash_pairs", "q68_funnel", "q69_rolling_window", "q70_novelty",
+      "q71_hard_negatives", "q72_novelty_against", "q73_oov_rate",
+      "q74_curation_pipeline", "q75_icosa_decode", "q76_append_series",
+      "q77_merge_metrics", "q78_incremental_driver", "q79_pq_encode",
+      "q80_pq_adc_topk", "q81_ivf_pq_topk", "q82_cms_heavy_hitters",
+      "q83_kmv_distinct", "q84_hist_quantiles", "q85_bloom_contamination",
+      "q86_zorder_layout", "q87_pii_redaction", "q88_time_split",
+      "q89_decayed_features", "q90_stratified_sample", "q91_partitioned_driver",
+      "q92_ivf_pq_indexed", "q93_pq_trained", "q94_balances_rebuild",
+      "q95_nan_scrub", "q96_ppm_decode", "q97_ann_production",
+      "q98_semantic_dedup", "q99_split_leakage")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -21,7 +68,7 @@ object Bench {
       names.foreach { name =>
         try { SparkEntry.queries(name)(spark, warmDir).count() }
         catch { case _: Throwable => () }
-        spark.catalog.clearCache()
+        Caches.clearAll(spark)
       }
     }
     // Steady-state timing: each query runs three times at the target SF
@@ -40,7 +87,7 @@ object Bench {
         val outcome =
           try { fn(spark, sfDir).count(); None }
           catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
-        spark.catalog.clearCache() // operators may persist(); don't let it creep
+        Caches.clearAll(spark) // persists + localCheckpoints; don't let them creep
         ((System.nanoTime() - t0) / 1e9, outcome)
       }
       val best = runs.minBy { case (t, out) => (out.isDefined, t) }
@@ -69,7 +116,8 @@ object Bench {
     def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     val qs = ok.map { case (k, v, _) => s"${jstr(keyOf(k))}:${r3(v)}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
+    val subset = ok.filter(r => prevRoundQueries(r._1))
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","subset_total_prev_round":${r3(subset.map(_._2).sum)},"subset_n":${subset.size},"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

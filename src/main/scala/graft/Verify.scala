@@ -28,9 +28,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Operators that persist() shared subtrees hand cache lifecycle to the
-      // caller (see e.g. TermStats/Sampling scaladoc); drop their entries so
-      // 74+ queries don't accumulate cached plans in one session.
-      spark.catalog.clearCache()
+      // caller (see e.g. TermStats/Sampling scaladoc); drop their entries —
+      // and localCheckpoint blocks, which clearCache alone misses — so
+      // 100+ queries don't accumulate storage blocks in one session.
+      Caches.clearAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -51,6 +51,16 @@ object Bpe {
 
   private val byW = Window.partitionBy("w").orderBy("pos")
 
+  /** Unpersist the RDD behind a `localCheckpoint`ed frame. `df.rdd` would
+    * derive a NEW RDD over the checkpointed one (unpersisting it is a
+    * no-op); the persisted blocks belong to the `LogicalRDD`'s own RDD,
+    * reached through the logical plan.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
+
   /** Character-level symbol table (w, extra…, pos, sym) for a word list;
     * empty words contribute no rows (and `sequence(1, 0)` would run
     * DESCENDING, so they must not reach the explode).
@@ -120,6 +130,13 @@ object Bpe {
       .groupBy(col(word)).agg(sum(col("f")).as("f"))
     var syms = charSyms(vocab, word, Seq("f"), singlePartition = true)
       .localCheckpoint(false)
+    // Training fully materializes inside this call (the merge table is a
+    // local Seq), so the checkpoint generations are DEAD on return — free
+    // them eagerly instead of leaving blocks for the ContextCleaner (a
+    // resident engine's registry loop would otherwise accumulate them;
+    // the lazy segment-side checkpoints stay caller-owned via
+    // graft.Caches.clearAll because the returned frame still needs them).
+    val gens = mutable.Buffer(syms)
     val merges = mutable.Buffer.empty[(Int, String, String, String, Long)]
     var exhausted = false
     for (k <- 1 to nMerges if !exhausted) {
@@ -137,8 +154,10 @@ object Bpe {
         // the last pass) is the job that materializes this generation —
         // one extra job total, not one per iteration.
         syms = mergePass(withNext, l, r, Seq("f")).localCheckpoint(false)
+        gens += syms
       }
     }
+    gens.foreach(freeCheckpoint)
     import spark.implicits._
     merges.toSeq.toDF("rank", "l", "r", "merged", "pair_count")
   }

@@ -47,8 +47,7 @@ object Relational {
   val Q02Lo = 1704672000000000L // 2024-01-08T00:00:00Z µs
   val Q02Hi = 1705881600000000L // 2024-01-22T00:00:00Z µs
   def q02FilterTimeRange(spark: SparkSession, d: String): DataFrame =
-    Tables(spark, d, "events")
-      .filter(tsUs > Q02Lo && tsUs < Q02Hi)
+    Tables.eventsExclusiveRangeUs(spark, d, Q02Lo, Q02Hi)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("sum_value_c"))
 

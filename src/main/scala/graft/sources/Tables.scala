@@ -34,20 +34,69 @@ object Tables {
     * the `nanosAsLong` legacy read), round 10 writes TIMESTAMP(MICROS)
     * (arrives as TIMESTAMP_NTZ). Everything downstream keeps the long-ns
     * contract (`ts div 1000` → µs, the precision DuckDB compares at).
-    * NTZ wall time is interpreted in the session time zone — pinned UTC in
-    * [[graft.GraftSession]] — which matches DuckDB's naive `epoch_us`.
-    * Works on batch and streaming frames alike (pure column ops).
+    * NTZ wall time is UTC by the driver's contract (DuckDB's naive
+    * `epoch_us`); the offset is computed with pure NTZ arithmetic
+    * (`timestampdiff` against the epoch NTZ literal), so the result is
+    * INDEPENDENT of `spark.sql.session.timeZone` — a cast to
+    * TimestampType would interpret the wall time in the session zone and
+    * silently shift under any non-UTC session. TimestampType is an
+    * instant, so `unix_micros` is zone-independent already. Works on
+    * batch and streaming frames alike (pure column ops).
+    *
+    * Pushdown note: the replaced `ts` is a COMPUTED column, so predicates
+    * on it cannot reach the parquet scan for timestamp-encoded data — use
+    * [[eventsExclusiveRangeUs]] for time-range scans; it pushes the range
+    * in the column's native type first.
     */
   def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     df.schema("ts").dataType match {
       case LongType => df
       case TimestampNTZType =>
-        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+        df.withColumn("ts",
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * 1000L)
       case TimestampType =>
         df.withColumn("ts", unix_micros(col("ts")) * 1000L)
       case t => sys.error(s"events.ts: unsupported type $t")
     }
+  }
+
+  /** Events scan with the P1 strictly-exclusive µs time range pushed down
+    * to the parquet scan in the column's NATIVE type, then normalized like
+    * [[apply]]. `normalizeEventTs` replaces `ts` with a computed column,
+    * which defeats parquet row-group/page pruning for timestamp-encoded
+    * data (a time-range scan over 100 TB of history would read every row
+    * group); this reader filters the RAW column first — a native-typed
+    * predicate the scan can evaluate against footer min/max stats — and
+    * keeps the exact `ts div 1000` predicate on top, so callers see
+    * precisely the rows they'd get by filtering after normalization.
+    * Native literals: Instant for TIMESTAMP (zone-independent),
+    * LocalDateTime for TIMESTAMP_NTZ (wall-UTC contract), widened ns
+    * bounds for legacy long-ns data.
+    */
+  def eventsExclusiveRangeUs(spark: SparkSession, sfDir: String,
+                             loUs: Long, hiUs: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    def secNanos(us: Long) =
+      (Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+    val native = raw.schema("ts").dataType match {
+      case LongType =>
+        // ns storage: (ts div 1000) ∈ (loUs, hiUs) ⟹ ts ∈ (loUs·1000, hiUs·1000)
+        raw.filter(col("ts") > loUs * 1000L && col("ts") < hiUs * 1000L)
+      case TimestampNTZType =>
+        def l(us: Long) = { val (s, n) = secNanos(us)
+          lit(java.time.LocalDateTime.ofEpochSecond(s, n.toInt, java.time.ZoneOffset.UTC)) }
+        raw.filter(col("ts") > l(loUs) && col("ts") < l(hiUs))
+      case TimestampType =>
+        def l(us: Long) = { val (s, n) = secNanos(us)
+          lit(java.time.Instant.ofEpochSecond(s, n)) }
+        raw.filter(col("ts") > l(loUs) && col("ts") < l(hiUs))
+      case t => sys.error(s"events.ts: unsupported type $t")
+    }
+    normalizeEventTs(native)
+      .filter(expr("ts div 1000") > loUs && expr("ts div 1000") < hiUs)
   }
 
   /** `ts` (long, ns) reduced to microseconds — the precision DuckDB (and
