@@ -245,6 +245,56 @@ object Incremental {
       .start()
   }
 
+  /** Streaming BPE segmentation — the tokenizer-ENCODE deployment shape
+    * of q106 (verdict r10 item 7): the merge table is trained ONCE (the
+    * q105 contract — rules frozen, captured by the closure) and each
+    * micro-batch segments only its PREVIOUSLY-UNSEEN words: the batch's
+    * distinct vocabulary anti-joins the sink (the [[streamingSpanDedup]]
+    * registry pattern) and [[graft.operators.Bpe.applyMerges]] runs over
+    * the fresh words alone, appending (w, pieces, n_pieces). Per-batch
+    * cost is therefore ∝ NEW vocabulary, not batch size — at 100 TB the
+    * arriving token stream is huge but its unseen-word tail is the
+    * Zipf remainder, exactly what an online tokenizer wants to pay for.
+    *
+    * Replay safety (T6): segmentation is a pure function of
+    * (word, rules), so a replayed batch anti-joins to an empty fresh set
+    * (its words are already in the sink) and appends nothing; any
+    * chunking of the vocabulary lands the same rows as one batch
+    * (StreamBatchEquivalenceSpec pins stream ≡ Bpe.applyMerges over the
+    * full distinct vocabulary).
+    */
+  def streamingBpeSegment(stream: DataFrame, checkpointDir: String,
+                          outPath: String, word: String,
+                          merges: Seq[(String, String)])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val seen = readSeenWords(spark, outPath)
+        val fresh = batch.select(col(word).as("w")).distinct()
+          .join(seen, Seq("w"), "left_anti")
+        graft.operators.Bpe.applyMerges(fresh, "w", merges)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+
+  /** The segmented-word sink's key column, empty-safe before the first
+    * batch commits.
+    */
+  private def readSeenWords(spark: SparkSession, outPath: String): DataFrame = {
+    val p = new Path(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.parquet(outPath).select("w")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.StringType))))
+  }
+
   /** The block registry, empty-safe before the first batch commits. */
   private def readRegistry(spark: SparkSession, registryPath: String): DataFrame = {
     val p = new Path(registryPath)

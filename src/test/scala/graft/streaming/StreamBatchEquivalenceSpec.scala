@@ -341,4 +341,43 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(streamed.size == 5)
     assert(streamed.contains((4L, 1L, 0L, 0L, 1L, 26666L))) // unigram backoff
   }
+
+  test("streamingBpeSegment stream ≡ batch applyMerges over the full vocabulary (q106 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-bpe")
+      .toFile.getAbsolutePath
+    // Train once on a fixed vocab (the q105 contract), freeze the rules.
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L), ("lowest", 4L)).toDF("w", "f")
+    val merges = graft.operators.Bpe.trainMerges(vocab, "w", "f", nMerges = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // Chunks overlap heavily: "low"/"newest" recur across batches and b3
+    // replays b1's words entirely — the anti-join must land each word once.
+    val b1 = Seq("low", "newest", "slow")
+    val b2 = Seq("newest", "widest", "low", "glowing")
+    val b3 = Seq("low", "slow", "newest")
+    val input = MemoryStream[String]
+    val query = Incremental.streamingBpeSegment(
+      input.toDF().toDF("w"), s"$dir/ckpt", s"$dir/out", "w", merges)
+    try {
+      Seq(b1, b2, b3).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("w", "pieces", "n_pieces")
+      .as[(String, String, Long)].collect().toSeq
+    // each distinct word exactly once, despite the overlap and the replay
+    assert(streamed.map(_._1).sorted == streamed.map(_._1).distinct.sorted)
+    val batch = graft.operators.Bpe.applyMerges(
+        (b1 ++ b2 ++ b3).toDF("w"), "w", merges)
+      .select("w", "pieces", "n_pieces")
+      .as[(String, String, Long)].collect().toSeq
+    assert(streamed.toSet == batch.toSet)
+    assert(streamed.size == 5) // low, newest, slow, widest, glowing
+    // trained words segment to their trained form (merges actually fired)
+    assert(streamed.exists { case (w, p, n) => w == "low" && n < w.length })
+  }
 }
