@@ -123,4 +123,59 @@ class TieredJsonSinkSpec extends AnyFunSuite {
     assert(v1.head.metadata("PushedFilters").contains("lang"),
       "filter must push into the parquet scan")
   }
+
+  test("torture: two interleaved appenders race a compaction loop; no row lost or doubled") {
+    // Verdict r10 item 9. Two writer threads append disjoint id batches
+    // while the single maintainer (this thread — the documented regime)
+    // compacts repeatedly and reads between compactions. Pinned:
+    //  - ACKNOWLEDGED rows are always readable (an append that returned
+    //    before a read started is in that read, whether it sits in the
+    //    tail, was include-pinned into a base mid-loop, or landed between
+    //    the compaction's file listing and its manifest commit);
+    //  - no read ever sees a duplicate (the exclude pin: absorbed files
+    //    never double-count against the base that holds their rows);
+    //  - after quiescing + a final compact, the sink is exactly the
+    //    union of everything appended, the tail is empty, and exactly
+    //    one committed base remains.
+    val dir = freshDir()
+    val acked1 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val acked2 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    def appender(base: Long, acked: java.util.concurrent.ConcurrentLinkedQueue[Long]) =
+      new Thread(() => {
+        try {
+          for (b <- 0 until 6) {
+            val ids = (base + b * 10) until (base + b * 10 + 10)
+            TieredJsonSink.append(rows(ids.head.toInt until (ids.last.toInt + 1)), dir)
+            ids.foreach(i => acked.add(i))
+          }
+        } catch { case t: Throwable => failed.set(t) }
+      })
+    val t1 = appender(1000L, acked1)
+    val t2 = appender(2000L, acked2)
+    t1.start(); t2.start()
+    while (t1.isAlive || t2.isAlive) {
+      // snapshot BEFORE the read: these rows were acknowledged, so the
+      // read that starts now must contain every one of them
+      val mustSee = (acked1.toArray(Array.empty[java.lang.Long]) ++
+        acked2.toArray(Array.empty[java.lang.Long])).map(_.longValue()).toSet
+      TieredJsonSink.compact(spark, dir, schema)
+      val seen = readIds(dir)
+      assert(seen.distinct == seen, s"duplicate rows in concurrent read")
+      val missing = mustSee -- seen.toSet
+      assert(missing.isEmpty, s"acknowledged rows missing from read: $missing")
+    }
+    assert(failed.get() == null, s"appender failed: ${failed.get()}")
+    t1.join(); t2.join()
+    TieredJsonSink.compact(spark, dir, schema)
+    val everything = ((1000L until 1060L) ++ (2000L until 2060L)).sorted
+    assert(readIds(dir) == everything)
+    assert(jsonlFiles(dir).isEmpty, "final compact must absorb the whole tail")
+    val bases = new java.io.File(dir).listFiles().filter(_.getName.startsWith("_base-"))
+    assert(bases.length == 1, "older bases must be GC'd")
+    // one more append after the final compact stays readable live tail
+    // (the exclude path against the committed manifest)
+    TieredJsonSink.append(rows(3000 until 3005), dir)
+    assert(readIds(dir) == (everything ++ (3000L until 3005L)).sorted)
+  }
 }
