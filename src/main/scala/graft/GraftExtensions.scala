@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.expressions.{IcosaEncode, IcosaLat, IcosaLng, PqQuantize, VecDot}
+import graft.expressions.{BpeSegment, IcosaEncode, IcosaLat, IcosaLng, PqQuantize, VecDot}
 
 /** The engine's SparkSessionExtensions: registers the custom codegen'd
   * expressions so they resolve by name (`call_function("vec_dot", …)` /
@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PqQuantize].getName, "pq_quantize"),
       (children: Seq[Expression]) =>
         PqQuantize(children.head, children(1), children(2), children(3))))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_segment"),
+      new ExpressionInfo(classOf[BpeSegment].getName, "bpe_segment"),
+      (children: Seq[Expression]) =>
+        BpeSegment(children.head, children(1), children(2))))
     ext.injectFunction((
       FunctionIdentifier("icosa_encode"),
       new ExpressionInfo(classOf[IcosaEncode].getName, "icosa_encode"),

@@ -73,7 +73,7 @@ object ScaleProbe {
     // typo must not silently measure nothing.
     val sections = Set("session", "termstats", "minhash", "ann", "temporal",
       "packing", "relational", "topk", "kmeans", "sinks", "pq", "sketch",
-      "prune", "sinkbig", "pqtrain", "spandedup", "jsonlines", "tiered")
+      "prune", "sinkbig", "pqtrain", "spandedup", "jsonlines", "tiered", "bpe")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -426,7 +426,7 @@ object ScaleProbe {
       }
       spark.catalog.clearCache()
     }
-    if (want("spandedup")) for (factor <- Seq(1, 4, 16)) {
+    if (want("spandedup")) for (factor <- Seq(1, 4, 16, 64)) {
       val docs = materialize(
         docsAt(spark, d, factor).select(col("doc_id"),
           when(col("doc_id") % 2 === 0,
@@ -489,6 +489,46 @@ object ScaleProbe {
         force(TextDedup.spanDedup(docs.unionByName(batch), "doc_id", "text", 3))
       }
       spark.catalog.clearCache()
+    }
+    // BPE: the q105/q106 scale contracts, measured. TRAINING must be FLAT
+    // across corpus growth (it runs on the top-N vocabulary sample — the
+    // corpus-size-independent claim); SEGMENTATION runs over the corpus'
+    // DISTINCT words, and the disjoint-replica corpus grows the
+    // vocabulary linearly with the factor — the honest worst case (real
+    // corpora share a Zipf head across shards; replicas here share
+    // nothing), so segment time may track vocab size but never token
+    // count. The top-N vocab AGGREGATION that feeds training is the one
+    // corpus-proportional stage (a groupBy over the token stream) and is
+    // timed separately so the flat-training claim isn't polluted by it.
+    if (want("bpe")) for (factor <- Seq(1, 4, 16, 64)) {
+      val docs = materialize(docsAt(spark, d, factor), s"/tmp/scale/bpedocs$factor")
+      val toks = docs.select(explode(
+        graft.functions.Text.tokens(col("text"))).as("w"))
+      var vocab: DataFrame = null
+      time(s"bpe top-500 vocab aggregation ${factor}x corpus") {
+        vocab = materialize(
+          toks.groupBy("w").agg(count(lit(1)).as("f"))
+            .orderBy(col("f").desc, col("w").asc).limit(500),
+          s"/tmp/scale/bpevocab$factor")
+        vocab.count()
+      }
+      var merges: Seq[(String, String)] = null
+      time(s"bpe train 8 merges on top-500 sample (${factor}x corpus behind it)") {
+        val m = graft.operators.Bpe.trainMerges(vocab, "w", "f", nMerges = 8)
+          .orderBy("rank").collect()
+        merges = m.map(r => (r.getString(1), r.getString(2))).toSeq
+        m.length.toLong
+      }
+      var distinctWords: DataFrame = null
+      time(s"bpe distinct-vocab extraction ${factor}x") {
+        distinctWords = materialize(toks.distinct(), s"/tmp/scale/bpedist$factor")
+        distinctWords.count()
+      }
+      time(s"bpe segment full distinct vocab ${factor}x") {
+        graft.operators.Bpe.applyMerges(distinctWords, "w", merges)
+          .agg(sum(col("n_pieces"))).head().getLong(0)
+      }
+      graft.Caches.clearAll(spark)
     }
     if (want("pqtrain")) for (factor <- Seq(1, 4)) {
       val emb = materialize(embAt(spark, d, factor), s"/tmp/scale/emb$factor")

@@ -168,12 +168,39 @@ object Bpe {
     * with single spaces. Training evolves its own symbol table by the
     * identical pass, so `applyMerges(trainWords, merges)` reproduces the
     * trainer's final state — the equivalence the q106 oracle pins.
+    *
+    * Execution: the codegen'd [[graft.expressions.BpeSegment]] kernel —
+    * segmentation is per-word pure, so it runs INSIDE whole-stage codegen
+    * as one shuffle-free projection (plus the distinct), not the trainer's
+    * per-rule window passes (8 rules = 8 sequential job barriers — at
+    * sf0.1 that was ~2.5 s of almost pure scheduling). The window algebra
+    * survives as [[applyMergesWindowed]], the cross-checked twin BpeSpec
+    * holds the kernel to.
     */
   def applyMerges(words: DataFrame, word: String,
                   merges: Seq[(String, String)]): DataFrame = {
-    // Same normalization as the trainer: duplicate word rows would
-    // interleave under every w-partitioned window; for segmentation the
-    // duplicates carry no information, so distinct() is the semantics.
+    // Same normalization as the trainer: duplicates carry no information
+    // for segmentation, so distinct() is the semantics; empty words
+    // contribute no symbol rows in the window form, so they are filtered
+    // here too (not segmented to an empty piece list).
+    val ls = typedLit(merges.map(_._1))
+    val rs = typedLit(merges.map(_._2))
+    words.select(col(word).as("w")).distinct()
+      .filter(length(col("w")) >= 1)
+      .select(col("w"),
+        call_function("bpe_segment", col("w"), ls, rs).as("seg"))
+      .select(col("w"), col("seg.pieces").as("pieces"),
+        col("seg.n_pieces").as("n_pieces"))
+  }
+
+  /** The window-algebra segmentation — [[applyMerges]]'s relational twin
+    * (identical greedy semantics, one merge pass per rule as two window
+    * functions + two joins). Kept as the independent implementation the
+    * equivalence property in BpeSpec cross-checks the codegen'd kernel
+    * against; [[applyMerges]] is the shipped path.
+    */
+  def applyMergesWindowed(words: DataFrame, word: String,
+                          merges: Seq[(String, String)]): DataFrame = {
     var syms = charSyms(words.select(col(word)).distinct(), word,
         Seq.empty, singlePartition = false)
       .localCheckpoint(false)

@@ -75,4 +75,42 @@ class BpeSpec extends AnyFunSuite {
     val m = train(Seq("ab" -> 1L), 5)
     assert(m.size === 1 && m.head === ((1, "a", "b", "ab", 1L)))
   }
+
+  test("codegen'd kernel ≡ window algebra on randomized words and rule tables") {
+    // The shipped applyMerges (BpeSegment expression) against the
+    // independent relational twin, over a tiny alphabet so rules FIRE
+    // often: runs of equal chars (l==r rules), overlaps, rules whose left
+    // half is a previous rule's output.
+    val rnd = new scala.util.Random(41)
+    for (round <- 1 to 5) {
+      val words = Seq.fill(60)(
+        (1 to (1 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      // evolve rules the way training does: each rule merges two symbols
+      // drawn from the current symbol pool, and its output joins the pool
+      var pool = Seq("a", "b", "c")
+      val rules = (1 to 6).map { _ =>
+        val l = pool(rnd.nextInt(pool.size)); val r = pool(rnd.nextInt(pool.size))
+        pool = (pool :+ (l + r)).distinct
+        (l, r)
+      }
+      val df = words.toDF("w")
+      val fast = Bpe.applyMerges(df, "w", rules)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val slow = Bpe.applyMergesWindowed(df, "w", rules)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(fast == slow, s"round $round diverged with rules $rules")
+    }
+  }
+
+  test("kernel splits by code point: a surrogate pair is one symbol, like substring()") {
+    // 𝕏 (U+1D54F) is two Java chars; the window form's substring() split
+    // treats it as ONE symbol, so the kernel must too.
+    val w = "a𝕏b"
+    val fast = Bpe.applyMerges(Seq(w).toDF("w"), "w", Seq.empty)
+      .collect().map(r => (r.getString(1), r.getLong(2))).head
+    assert(fast == ("a 𝕏 b", 3L))
+    val slow = Bpe.applyMergesWindowed(Seq(w).toDF("w"), "w", Seq.empty)
+      .collect().map(r => (r.getString(1), r.getLong(2))).head
+    assert(fast == slow)
+  }
 }
