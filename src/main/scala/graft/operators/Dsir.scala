@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Data selection via hashed n-gram importance resampling — the DSIR
+  * recipe (Xie et al. 2023, "Data Selection for Language Models via
+  * Importance Resampling"): fit cheap bag-of-hashed-ngram models of a
+  * TARGET corpus (the data you want more of) and the RAW pool, score
+  * every raw document by how much more likely the target model finds its
+  * features, and resample the pool toward the target distribution.
+  *
+  * Faithful-to-scale shape, exact-to-the-bit arithmetic:
+  *  - features are word unigrams + bigrams, OCCURRENCES not distinct
+  *    (counts are the model), hashed into `buckets` ids with the repo's
+  *    portable md5 base hash ([[Text.baseHash32]] — the same family the
+  *    DuckDB oracles reproduce);
+  *  - both models are add-one-smoothed bucket multinomials. DSIR scores
+  *    with Σ log p_t/p_r; logs are not hash-portable across engines, so
+  *    the engine scores with the ARITHMETIC likelihood ratio in exact
+  *    micro-units — per-bucket probabilities share the corpus-wide
+  *    denominator (T + buckets), so the per-doc sums reduce to integer
+  *    sums of smoothed counts: `score_pm = (1e6 · Σ(c_t(b)+1)) div
+  *    Σ(c_r(b)+1)` over the doc's feature occurrences, with the global
+  *    (T_r+B)/(T_t+B) factor folded out (constant across docs —
+  *    ranking-invariant). Same integer-micro-unit convention as the q103
+  *    CCNet gate; deterministic on every engine.
+  *  - resampling is the deterministic top-N by (score_pm DESC,
+  *    md5(id) ASC) — the hash tiebreak is the derandomized stand-in for
+  *    DSIR's Gumbel noise (same role: shuffle among near-equal scores,
+  *    reproducible here by construction).
+  *
+  * Scale shape (100 TB): feature explode is linear and row-local; each
+  * side collapses to a ≤`buckets`-row count table via one map-side-
+  * combined aggregation; the per-occurrence probability join is against
+  * that BROADCAST bucket table (no shuffle); the per-doc rollup is one
+  * keyed shuffle; selection is TakeOrderedAndProject (per-partition
+  * top-N + driver merge of N rows, never a global sort). The target
+  * model is typically small (a quality corpus) and the raw model is one
+  * aggregate over the pool — both fit the driver trivially at any corpus
+  * size since they are bucket-bounded. Long arithmetic holds while
+  * n_feats·(T_t+1) < 9.2e12 (score numerator ≤ 1e6·Σ(c_t+1)); beyond
+  * that (petabyte token counts) the sums move to decimal(38,0) —
+  * bucket-bounded, so the switch is mechanical.
+  */
+object Dsir {
+
+  /** (id, bucket) — one row per unigram/bigram OCCURRENCE of each doc. */
+  def featureBuckets(docs: DataFrame, id: String, text: String,
+                     buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val toks = Text.tokens(col(text))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i.cast("int")),
+          element_at(toks, (i + 1).cast("int")))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(id), explode(concat(toks, bigrams)).as("f"))
+      .select(col(id), pmod(Text.baseHash32(col("f")), lit(buckets.toLong)).as("bucket"))
+  }
+
+  /** Add-one-smoothed bucket count table of one corpus side:
+    * (bucket, c) for observed buckets; absent buckets carry c = 0 and
+    * are supplied by the scoring join's coalesce. ≤ `buckets` rows.
+    */
+  private def bucketCounts(feats: DataFrame): DataFrame =
+    feats.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+
+  /** Importance scores for every raw doc: (id, n_feats, score_pm) with
+    * `score_pm = (1e6 · Σ_occ (c_target(bucket)+1)) div Σ_occ (c_raw(bucket)+1)`.
+    * Higher = more target-like.
+    */
+  def importanceScores(raw: DataFrame, target: DataFrame, id: String,
+                       text: String, buckets: Int): DataFrame = {
+    val rFeats = featureBuckets(raw, id, text, buckets)
+    val tCounts = bucketCounts(featureBuckets(target, id, text, buckets))
+      .withColumnRenamed("c", "ct")
+    val rCounts = bucketCounts(rFeats).withColumnRenamed("c", "cr")
+    // every raw occurrence's bucket is in rCounts by construction; target
+    // counts fill with 0 where the target never hashed there
+    val stats = rCounts.join(tCounts, Seq("bucket"), "left_outer")
+      .select(col("bucket"), (coalesce(col("ct"), lit(0L)) + 1L).as("st"),
+        (col("cr") + 1L).as("sr"))
+    rFeats.join(broadcast(stats), Seq("bucket"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("st")).as("num"), sum(col("sr")).as("den"))
+      .select(col(id), col("n_feats"),
+        expr("(1000000 * num) div den").as("score_pm"))
+  }
+
+  /** Deterministic resample: the `n` most target-like docs, hash
+    * tiebreak (the derandomized Gumbel role). TakeOrderedAndProject —
+    * never a global sort.
+    */
+  def resample(scored: DataFrame, id: String, n: Int): DataFrame =
+    scored.orderBy(col("score_pm").desc, md5(col(id).cast("string")).asc)
+      .limit(n)
+
+  /** The full selection: score `raw` against `target`, keep the top `n`. */
+  def select(raw: DataFrame, target: DataFrame, id: String, text: String,
+             buckets: Int, n: Int): DataFrame =
+    resample(importanceScores(raw, target, id, text, buckets), id, n)
+}

@@ -372,7 +372,25 @@ object Curation {
         expr("(1000000 * n_pieces) div n_tokens").as("fertility_pm"))
   }
 
+  /** q110: DSIR importance resampling ([[graft.operators.Dsir]], Xie et
+    * al. 2023) — select from the raw pool (source != src0) the 100
+    * documents whose hashed unigram+bigram occurrence profile is most
+    * target-like (target = the src0 slice), scoring with the
+    * exact-integer arithmetic likelihood ratio (add-one-smoothed bucket
+    * counts, common denominators folded out) and the md5 tiebreak as the
+    * derandomized Gumbel. One broadcast probability join + one doc-keyed
+    * rollup + TakeOrderedAndProject.
+    */
+  def q110DsirSelect(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    graft.operators.Dsir.select(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "doc_id", "text", buckets = 1024, n = 100)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_dsir_select" -> q110DsirSelect _,
     "q60_tfidf_top_term" -> q60TfidfTopTerm _,
     "q109_pipeline_v2" -> q109PipelineV2 _,
     "q105_bpe_merges" -> q105BpeMerges _,

@@ -1837,6 +1837,36 @@ object Oracles {
   }
 
   val curation: Map[String, String] = Map(
+    // q110: DSIR importance resampling — unigram+bigram OCCURRENCES
+    // hashed with the portable md5 base hash into 1024 buckets; raw-side
+    // (source != src0) docs scored by the exact integer arithmetic
+    // likelihood ratio vs the src0 target model: per-bucket add-one
+    // counts share the corpus denominator, so score_pm = (1e6 *
+    // sum(ct+1)) // sum(cr+1) over the doc's occurrences; top 100 by
+    // (score_pm DESC, md5(doc_id) ASC) — the derandomized Gumbel.
+    "q110_dsir_select" ->
+      s"""WITH t AS (SELECT doc_id, source, $Toks AS toks FROM documents),
+         |feats AS (
+         |  SELECT doc_id, source, f FROM (
+         |    SELECT doc_id, source, unnest(toks) AS f FROM t
+         |    UNION ALL
+         |    SELECT doc_id, source, toks[i] || ' ' || toks[i+1] AS f
+         |    FROM (SELECT doc_id, source, toks,
+         |            unnest(range(1, len(toks))) AS i FROM t))),
+         |fb AS (SELECT doc_id, source,
+         |         ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS b
+         |       FROM feats),
+         |tc AS (SELECT b, count(*) AS ct FROM fb WHERE source = 'src0' GROUP BY b),
+         |rc AS (SELECT b, count(*) AS cr FROM fb WHERE source <> 'src0' GROUP BY b),
+         |stats AS (SELECT rc.b, coalesce(ct, 0) + 1 AS st, cr + 1 AS sr
+         |          FROM rc LEFT JOIN tc USING (b)),
+         |scored AS (SELECT doc_id, count(*) AS n_feats,
+         |             CAST((1000000 * sum(st)) // sum(sr) AS BIGINT) AS score_pm
+         |           FROM fb JOIN stats ON fb.b = stats.b
+         |           WHERE source <> 'src0' GROUP BY doc_id)
+         |SELECT doc_id, n_feats, score_pm FROM scored
+         |ORDER BY score_pm DESC, md5(doc_id::VARCHAR) ASC LIMIT 100""".stripMargin,
+
     // q105: BPE merge training — the unrolled iteration chain; see
     // [[bpeSql]]. 8 merges over the top-500 vocabulary, like the engine.
     "q105_bpe_merges" -> bpeSql(nMerges = 8, topV = 500),
