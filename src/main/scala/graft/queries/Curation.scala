@@ -389,7 +389,20 @@ object Curation {
       "doc_id", "text", buckets = 1024, n = 100)
   }
 
+  /** q111: T5 span-corruption example construction
+    * ([[graft.operators.SpanCorrupt]]) — 15% hash-Bernoulli corruption,
+    * consecutive masked positions per span, `<extra_id_k>` sentinels;
+    * one (inputs, targets) example per document. Pure window algebra,
+    * one doc-keyed shuffle.
+    */
+  def q111SpanCorrupt(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.SpanCorrupt
+    SpanCorrupt.examples(Tables.balanced(spark, d, "documents"),
+      "doc_id", "text", ratePm = 150)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_span_corrupt" -> q111SpanCorrupt _,
     "q110_dsir_select" -> q110DsirSelect _,
     "q60_tfidf_top_term" -> q60TfidfTopTerm _,
     "q109_pipeline_v2" -> q109PipelineV2 _,

@@ -1867,6 +1867,42 @@ object Oracles {
          |SELECT doc_id, n_feats, score_pm FROM scored
          |ORDER BY score_pm DESC, md5(doc_id::VARCHAR) ASC LIMIT 100""".stripMargin,
 
+    // q111: T5 span corruption — identical hash-Bernoulli mask
+    // (md5(doc:pos) % 1000 < 150), identical run grouping (pos − running
+    // masked count), dense_rank span numbering with the SAME non-null
+    // ordering key (engines disagree on default null placement), and the
+    // sentinel/targets rendering mirrored token for token.
+    "q111_span_corrupt" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |e AS (SELECT doc_id, i AS pos, toks[i] AS tok,
+         |        (('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT
+         |          % 1000) < 150 AS masked
+         |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i FROM t)),
+         |r AS (SELECT *, sum(CASE WHEN masked THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY doc_id ORDER BY pos) AS mrn FROM e),
+         |g AS (SELECT *, CASE WHEN masked THEN pos - mrn END AS grp FROM r),
+         |s AS (SELECT *,
+         |        CASE WHEN masked THEN dense_rank() OVER (PARTITION BY doc_id
+         |          ORDER BY coalesce(grp, 9223372036854775807)) - 1 END AS span_id,
+         |        CASE WHEN masked THEN coalesce(NOT lag(masked)
+         |          OVER (PARTITION BY doc_id ORDER BY pos), TRUE)
+         |          ELSE FALSE END AS span_start
+         |      FROM g),
+         |rend AS (SELECT doc_id, pos, masked, span_id,
+         |        CASE WHEN NOT masked THEN tok
+         |             WHEN span_start THEN '<extra_id_' || span_id::VARCHAR || '>'
+         |        END AS in_tok,
+         |        CASE WHEN masked AND span_start
+         |               THEN '<extra_id_' || span_id::VARCHAR || '> ' || tok
+         |             WHEN masked THEN tok END AS tgt_tok
+         |      FROM s)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(max(coalesce(span_id, -1)) + 1 AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         |  coalesce(string_agg(in_tok, ' ' ORDER BY pos), '') AS inputs,
+         |  coalesce(string_agg(tgt_tok, ' ' ORDER BY pos), '') AS targets
+         |FROM rend GROUP BY doc_id""".stripMargin,
+
     // q105: BPE merge training — the unrolled iteration chain; see
     // [[bpeSql]]. 8 merges over the top-500 vocabulary, like the engine.
     "q105_bpe_merges" -> bpeSql(nMerges = 8, topV = 500),
