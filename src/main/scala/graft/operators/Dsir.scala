@@ -68,28 +68,47 @@ object Dsir {
   private def bucketCounts(feats: DataFrame): DataFrame =
     feats.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
 
+  /** The frozen model artifact: (bucket, st, sr) with st = c_target+1,
+    * sr = c_raw+1 over observed raw buckets. ≤ `buckets` rows — the
+    * thing a deployment trains ONCE and broadcasts to every scorer
+    * (the [[graft.streaming.Incremental.streamingDsirScore]] shape).
+    */
+  def bucketStats(raw: DataFrame, target: DataFrame, id: String,
+                  text: String, buckets: Int): DataFrame = {
+    val tCounts = bucketCounts(featureBuckets(target, id, text, buckets))
+      .withColumnRenamed("c", "ct")
+    val rCounts = bucketCounts(featureBuckets(raw, id, text, buckets))
+      .withColumnRenamed("c", "cr")
+    rCounts.join(tCounts, Seq("bucket"), "left_outer")
+      .select(col("bucket"), (coalesce(col("ct"), lit(0L)) + 1L).as("st"),
+        (col("cr") + 1L).as("sr"))
+  }
+
+  /** Score `docs` against a frozen (bucket, st, sr) model: (id, n_feats,
+    * score_pm). Buckets the model never observed smooth to st = sr = 1
+    * (a neutral ratio contribution) — scoring a batch drawn from the
+    * model's own pool matches the all-at-once path exactly, and unseen
+    * vocabulary degrades gracefully.
+    */
+  def scoreAgainst(docs: DataFrame, stats: DataFrame, id: String,
+                   text: String, buckets: Int): DataFrame =
+    featureBuckets(docs, id, text, buckets)
+      .join(broadcast(stats), Seq("bucket"), "left_outer")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("st"), lit(1L))).as("num"),
+        sum(coalesce(col("sr"), lit(1L))).as("den"))
+      .select(col(id), col("n_feats"),
+        expr("(1000000 * num) div den").as("score_pm"))
+
   /** Importance scores for every raw doc: (id, n_feats, score_pm) with
     * `score_pm = (1e6 · Σ_occ (c_target(bucket)+1)) div Σ_occ (c_raw(bucket)+1)`.
     * Higher = more target-like.
     */
   def importanceScores(raw: DataFrame, target: DataFrame, id: String,
-                       text: String, buckets: Int): DataFrame = {
-    val rFeats = featureBuckets(raw, id, text, buckets)
-    val tCounts = bucketCounts(featureBuckets(target, id, text, buckets))
-      .withColumnRenamed("c", "ct")
-    val rCounts = bucketCounts(rFeats).withColumnRenamed("c", "cr")
-    // every raw occurrence's bucket is in rCounts by construction; target
-    // counts fill with 0 where the target never hashed there
-    val stats = rCounts.join(tCounts, Seq("bucket"), "left_outer")
-      .select(col("bucket"), (coalesce(col("ct"), lit(0L)) + 1L).as("st"),
-        (col("cr") + 1L).as("sr"))
-    rFeats.join(broadcast(stats), Seq("bucket"))
-      .groupBy(col(id))
-      .agg(count(lit(1)).as("n_feats"),
-        sum(col("st")).as("num"), sum(col("sr")).as("den"))
-      .select(col(id), col("n_feats"),
-        expr("(1000000 * num) div den").as("score_pm"))
-  }
+                       text: String, buckets: Int): DataFrame =
+    scoreAgainst(raw, bucketStats(raw, target, id, text, buckets),
+      id, text, buckets)
 
   /** Deterministic resample: the `n` most target-like docs, hash
     * tiebreak (the derandomized Gumbel role). TakeOrderedAndProject —

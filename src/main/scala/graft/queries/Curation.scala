@@ -401,7 +401,31 @@ object Curation {
       "doc_id", "text", ratePm = 150)
   }
 
+  /** q112: the EXAMPLE-PREP composition — [[q111SpanCorrupt]]'s denoising
+    * examples costed at their total token footprint (inputs + targets =
+    * n_tokens + 2·n_spans) and packed into fixed 512-token budgets with
+    * [[graft.operators.Packing.packByBudget]] (8 deterministic shards,
+    * salt "t5"), rolled up per pack: examples, tokens, boundary
+    * straddlers. This is the last mile before a training batch: corrupt →
+    * cost → pack, all window algebra, two keyed shuffles total (doc, then
+    * shard).
+    */
+  def q112ExamplePrep(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Packing, SpanCorrupt}
+    val ex = SpanCorrupt.examples(Tables.balanced(spark, d, "documents"),
+        "doc_id", "text", ratePm = 150)
+      .select(col("doc_id"),
+        (col("n_tokens") + lit(2L) * col("n_spans")).as("cost"))
+    Packing.packByBudget(ex, "doc_id", "cost", budget = 512L,
+        shards = 8, salt = "t5")
+      .groupBy(col("shard"), col("pack"))
+      .agg(count(lit(1)).as("n_examples"),
+        sum(col("cost")).as("pack_tokens"),
+        sum(when(col("n_chunks") > 1, 1L).otherwise(0L)).as("n_straddlers"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_example_prep" -> q112ExamplePrep _,
     "q111_span_corrupt" -> q111SpanCorrupt _,
     "q110_dsir_select" -> q110DsirSelect _,
     "q60_tfidf_top_term" -> q60TfidfTopTerm _,

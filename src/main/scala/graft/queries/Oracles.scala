@@ -1903,6 +1903,39 @@ object Oracles {
          |  coalesce(string_agg(tgt_tok, ' ' ORDER BY pos), '') AS targets
          |FROM rend GROUP BY doc_id""".stripMargin,
 
+    // q112: example-prep composition — the q111 mask/span arithmetic
+    // reduced to per-doc counts, example cost = n_tokens + 2·n_spans,
+    // then the q48 packing arithmetic (salt "t5", 8 shards, budget 512)
+    // and the per-pack rollup.
+    "q112_example_prep" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |e AS (SELECT doc_id, i AS pos,
+         |        (('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT
+         |          % 1000) < 150 AS masked
+         |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i FROM t)),
+         |r AS (SELECT *, sum(CASE WHEN masked THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY doc_id ORDER BY pos) AS mrn FROM e),
+         |g AS (SELECT doc_id, masked, CASE WHEN masked THEN pos - mrn END AS grp FROM r),
+         |d AS (SELECT doc_id, count(*) AS n_tokens,
+         |        count(DISTINCT grp) AS n_spans FROM g GROUP BY doc_id),
+         |cost AS (SELECT doc_id, n_tokens + 2 * n_spans AS cost FROM d),
+         |b AS (SELECT doc_id, cost,
+         |    ('0x' || substr(md5('t5:' || doc_id), 1, 8))::BIGINT % 8 AS shard,
+         |    ('0x' || substr(md5('t5-ord:' || doc_id), 1, 8))::BIGINT AS ord
+         |  FROM cost),
+         |c AS (SELECT doc_id, shard, cost,
+         |    CAST(sum(cost) OVER (PARTITION BY shard ORDER BY ord, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_after
+         |  FROM b),
+         |p AS (SELECT doc_id, shard, cost,
+         |    (cum_after - cost) // 512 AS pack,
+         |    ((cum_after - 1) // 512) - ((cum_after - cost) // 512) + 1 AS n_chunks
+         |  FROM c)
+         |SELECT shard, pack, count(*) AS n_examples,
+         |  CAST(sum(cost) AS BIGINT) AS pack_tokens,
+         |  CAST(sum(CASE WHEN n_chunks > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+         |FROM p GROUP BY shard, pack""".stripMargin,
+
     // q105: BPE merge training — the unrolled iteration chain; see
     // [[bpeSql]]. 8 merges over the top-500 vocabulary, like the engine.
     "q105_bpe_merges" -> bpeSql(nMerges = 8, topV = 500),

@@ -245,6 +245,37 @@ object Incremental {
       .start()
   }
 
+  /** Streaming DSIR scoring — the data-selection deployment shape of
+    * q110: the hashed-ngram bucket models are trained ONCE
+    * ([[graft.operators.Dsir.bucketStats]], persisted so every
+    * micro-batch reuses the materialized ≤buckets-row artifact) and each
+    * arriving batch of documents is scored against them
+    * ([[graft.operators.Dsir.scoreAgainst]] — broadcast join, exact
+    * integer ratio) and landed via a keyed first-write-wins upsert.
+    * Replay safety is free: scoring is pure in (batch, frozen stats) —
+    * the [[streamingLmScore]] reasoning. A threshold gate (or a
+    * downstream periodic top-N over the sink) turns scores into the
+    * selected corpus.
+    */
+  def streamingDsirScore(stream: DataFrame, raw: DataFrame,
+                         target: DataFrame, checkpointDir: String,
+                         outPath: String, id: String, text: String,
+                         buckets: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val stats = graft.operators.Dsir.bucketStats(raw, target, id, text, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val scored = graft.operators.Dsir.scoreAgainst(
+          batch, stats, id, text, buckets)
+        Merge.upsertParquet(batch.sparkSession, outPath, scored,
+          id, Merge.Ignore, "n_feats")
+        ()
+      }
+      .start()
+  }
+
   /** Streaming BPE segmentation — the tokenizer-ENCODE deployment shape
     * of q106 (verdict r10 item 7): the merge table is trained ONCE (the
     * q105 contract — rules frozen, captured by the closure) and each

@@ -342,6 +342,38 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(streamed.contains((4L, 1L, 0L, 0L, 1L, 26666L))) // unigram backoff
   }
 
+  test("streamingDsirScore stream ≡ batch importanceScores (q110 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-dsir")
+      .toFile.getAbsolutePath
+    val target = Seq((100L, "solar panel efficiency"),
+      (101L, "solar panel report")).toDF("doc_id", "text")
+    val raw = Seq((1L, "solar panel news"), (2L, "cat video"),
+      (3L, "panel report update"), (4L, "weather report"),
+      (5L, "solar farm report")).toDF("doc_id", "text")
+    val b1 = Seq((1L, "solar panel news"), (2L, "cat video"))
+    val b2 = Seq((3L, "panel report update"), (4L, "weather report"))
+    val b3 = Seq((5L, "solar farm report"), (1L, "solar panel news")) // replay
+    val input = MemoryStream[(Long, String)]
+    val query = Incremental.streamingDsirScore(
+      input.toDF().toDF("doc_id", "text"), raw, target,
+      s"$dir/ckpt", s"$dir/out", "doc_id", "text", buckets = 1024)
+    try {
+      Seq(b1, b2, b3).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "n_feats", "score_pm")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Dsir.importanceScores(
+        raw, target, "doc_id", "text", 1024)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size == 5)
+  }
+
   test("streamingBpeSegment stream ≡ batch applyMerges over the full vocabulary (q106 twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
