@@ -73,7 +73,8 @@ object ScaleProbe {
     // typo must not silently measure nothing.
     val sections = Set("session", "termstats", "minhash", "ann", "temporal",
       "packing", "relational", "topk", "kmeans", "sinks", "pq", "sketch",
-      "prune", "sinkbig", "pqtrain", "spandedup", "jsonlines", "tiered", "bpe")
+      "prune", "sinkbig", "pqtrain", "spandedup", "jsonlines", "tiered", "bpe",
+      "dsir", "spancorrupt")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -527,6 +528,48 @@ object ScaleProbe {
       time(s"bpe segment full distinct vocab ${factor}x") {
         graft.operators.Bpe.applyMerges(distinctWords, "w", merges)
           .agg(sum(col("n_pieces"))).head().getLong(0)
+      }
+      graft.Caches.clearAll(spark)
+    }
+    // DSIR selection: the model is bucket-bounded (≤1024 rows however big
+    // the corpus), so train cost tracks the one feature aggregate and
+    // score cost is the broadcast join + doc rollup — both linear, no
+    // knee. Target stays FIXED (the 1× src0-like slice): the deployment
+    // shape is a small quality corpus steering an ever-growing pool.
+    if (want("dsir")) for (factor <- Seq(1, 4, 16, 64)) {
+      val docs = materialize(docsAt(spark, d, factor), s"/tmp/scale/dsird$factor")
+      val target = docs.filter(col("doc_id") % 1000000L < 250)
+      val raw = docs.filter(col("doc_id") % 1000000L >= 250)
+      var stats: DataFrame = null
+      time(s"dsir model fit (bucket stats) ${factor}x corpus") {
+        stats = materialize(
+          graft.operators.Dsir.bucketStats(raw, target, "doc_id", "text", 1024),
+          s"/tmp/scale/dsirstats$factor")
+        stats.count()
+      }
+      time(s"dsir score+select top-100 ${factor}x corpus") {
+        graft.operators.Dsir.resample(
+          graft.operators.Dsir.scoreAgainst(raw, stats, "doc_id", "text", 1024),
+          "doc_id", 100).count()
+      }
+      graft.Caches.clearAll(spark)
+    }
+    // Span corruption + packing: one doc-keyed shuffle for the examples,
+    // one shard-keyed shuffle for the packer — both linear in the corpus.
+    if (want("spancorrupt")) for (factor <- Seq(1, 4, 16, 64)) {
+      val docs = materialize(docsAt(spark, d, factor), s"/tmp/scale/scd$factor")
+      time(s"span-corrupt examples ${factor}x corpus") {
+        graft.operators.SpanCorrupt.examples(docs, "doc_id", "text", 150)
+          .agg(sum(col("n_masked")), sum(length(col("inputs"))))
+          .head(); docs.count()
+      }
+      time(s"span-corrupt -> pack 512 rollup ${factor}x corpus") {
+        val ex = graft.operators.SpanCorrupt.examples(docs, "doc_id", "text", 150)
+          .select(col("doc_id"),
+            (col("n_tokens") + lit(2L) * col("n_spans")).as("cost"))
+        graft.operators.Packing.packByBudget(ex, "doc_id", "cost", 512L, 8, "t5")
+          .groupBy(col("shard"), col("pack"))
+          .agg(count(lit(1)).as("n")).count()
       }
       graft.Caches.clearAll(spark)
     }

@@ -461,6 +461,70 @@ object TextDedup {
         .join(registry.select(col("blk")), Seq("blk"), "left_anti"))
   }
 
+  /** Exact SUBSTRING-level dedup at ≥L-token granularity — the Lee et
+    * al. 2022 objective ("Deduplicating Training Data Makes Language
+    * Models Better": excise every repeated substring of ≥ 50 tokens,
+    * keeping one copy), reached WITHOUT a suffix array: a token position
+    * lies inside a repeated substring of length ≥ L **iff** some
+    * duplicated L-gram covers it, so overlapping L-grams + keyed
+    * counting + a range-frame coverage window decide excision exactly.
+    * (Suffix-array construction is how a single machine enumerates the
+    * repeats; distributed, the gram form is pure keyed aggregation —
+    * no prefix-doubling rounds of global sorts.)
+    *
+    * Keep-one-copy rule, deterministic: an L-gram occurrence KEEPS its
+    * positions iff the gram is unique or this occurrence is the gram's
+    * global first by (doc, pos) — the repo's first-wins idiom at
+    * overlapping-gram granularity. A position survives when ANY covering
+    * occurrence keeps it (or no full gram covers it: docs shorter than
+    * L, and the < L-1 tokens past the last gram start are judged by the
+    * grams that straddle them). The duplicate's interior dies; boundary
+    * tokens survive exactly when a unique straddling gram vouches for
+    * them — the same boundary fuzz the published method has at its
+    * granularity.
+    *
+    * Plan shape: explode → gram build (L−1 `lead`s, ONE doc window) →
+    * gram-keyed stats window (count + first occurrence; one shuffle by
+    * gram — the full token stream, the operator's unavoidable big
+    * exchange, map-side combinable in the agg twin sense) → coverage
+    * max over a ROWS [−(L−1), 0] frame back on the doc clustering →
+    * per-doc rebuild reusing it. Three shuffles total, no all-pairs, no
+    * driver state.
+    */
+  def substringExcise(docs: DataFrame, id: String, text: String,
+                      minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val toks = docs
+      .select(col(id).as("doc"), posexplode(Text.tokens(col(text))).as(Seq("p0", "tok")))
+      .select(col("doc"), (col("p0") + 1).as("pos"), col("tok"))
+    // gram starting at pos (null when fewer than L tokens remain)
+    val gramCols = (0 until minLen).map(k =>
+      if (k == 0) col("tok") else lead(col("tok"), k).over(byPos))
+    val grams = toks.withColumn("gram",
+      when(gramCols.last.isNotNull, concat_ws(" ", gramCols: _*)))
+    val byGram = Window.partitionBy(col("gram"))
+    val byGramOrd = byGram.orderBy(col("doc"), col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val kept = grams.withColumn("keep",
+      when(col("gram").isNotNull,
+        (count(lit(1)).over(byGram) === 1) ||
+          (first(col("doc")).over(byGramOrd) === col("doc") &&
+            first(col("pos")).over(byGramOrd) === col("pos")))
+        .cast("int"))
+    val covered = kept.withColumn("cov",
+      max(col("keep")).over(byPos.rowsBetween(-(minLen - 1), 0)))
+    val survive = coalesce(col("cov"), lit(1)) === 1
+    covered.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(survive, 0L).otherwise(1L)).as("n_removed"),
+        concat_ws(" ", sort_array(collect_list(
+          when(survive, struct(col("pos"), col("tok"))))).getField("tok"))
+          .as("new_text"))
+      .withColumnRenamed("doc", "doc_id")
+  }
+
   def simhash(docs: DataFrame, id: String, text: String): DataFrame = {
     val toks = docs.select(col(id).as("doc"),
         explode(Text.tokens(col(text))).as("t"))

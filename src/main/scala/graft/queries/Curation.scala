@@ -424,7 +424,17 @@ object Curation {
         sum(when(col("n_chunks") > 1, 1L).otherwise(0L)).as("n_straddlers"))
   }
 
+  /** q113: exact substring excision at ≥6-token granularity
+    * ([[TextDedup.substringExcise]], Lee et al. 2022) — every repeated
+    * ≥6-token substring removed except its global first occurrence,
+    * decided by overlapping-gram coverage instead of a suffix array.
+    */
+  def q113SubstringExcise(spark: SparkSession, d: String): DataFrame =
+    TextDedup.substringExcise(Tables.balanced(spark, d, "documents"),
+      "doc_id", "text", minLen = 6)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_substring_excise" -> q113SubstringExcise _,
     "q112_example_prep" -> q112ExamplePrep _,
     "q111_span_corrupt" -> q111SpanCorrupt _,
     "q110_dsir_select" -> q110DsirSelect _,

@@ -139,4 +139,23 @@ class PlanSpec extends AnyFunSuite {
     assert("pq_quantize\\(".r.findAllIn(plan).size <= 2,
       "pq_quantize inlined more than once per projection - CollapseProject guard broken")
   }
+
+  test("q111 span corruption: ONE shuffle after the balance rebalance — windows + rollup share the doc clustering") {
+    // Tables.balanced adds its round-robin exchange; everything the
+    // operator itself does (four windows + the final groupBy) must reuse
+    // the single doc-hash exchange.
+    assert(countShuffles(run("q111_span_corrupt")) == 2)
+  }
+
+  test("q106 BPE segmentation: the kernel path plans no window exchange chain") {
+    val df = run("q106_bpe_segment")
+    // the kernel call collapses into the distinct-aggregate's result
+    // projection (physical toString elides result expressions) — assert
+    // it on the optimized logical plan
+    assert(df.queryExecution.optimizedPlan.toString.contains("bpe_segment"),
+      "segmentation must go through the codegen'd kernel")
+    val plan = planString(df)
+    assert(!plan.toLowerCase.contains("window"),
+      "window operators leaked back into the segmentation path")
+  }
 }

@@ -229,4 +229,39 @@ class TextDedupSpec extends AnyFunSuite {
     val uncapped = TextDedup.contaminationAgainst(probe, train, "doc_id", "text", 3)
     assert(uncapped.count() == 1)
   }
+
+  test("substringExcise: cross-doc repeat loses its tail, full dup dies, short docs untouched") {
+    // Hand-derived under L=6 / first-wins:
+    //  doc 1: the source run a1..a8 — first occurrence everywhere, intact.
+    //  doc 2: unique prefix u1 u2 + the run. Unique straddling grams
+    //    (u1 u2 a1..a4 / u2 a1..a5) vouch for positions 1–7; positions
+    //    8–10 are covered ONLY by duplicated grams → excised.
+    //  doc 3: verbatim copy of doc 1 — every position covered only by
+    //    dup grams whose first occurrence is doc 1 → dies entirely.
+    //  doc 4: shorter than L — no grams, untouched.
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8"),
+      (2L, "u1 u2 a1 a2 a3 a4 a5 a6 a7 a8"),
+      (3L, "a1 a2 a3 a4 a5 a6 a7 a8"),
+      (4L, "s1 s2")).toDF("doc_id", "text")
+    val out = TextDedup.substringExcise(docs, "doc_id", "text", minLen = 6)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 8L, 0L, "a1 a2 a3 a4 a5 a6 a7 a8")))
+    assert(out(2L) == ((2L, 10L, 3L, "u1 u2 a1 a2 a3 a4 a5")))
+    assert(out(3L) == ((3L, 8L, 8L, "")))
+    assert(out(4L) == ((4L, 2L, 0L, "s1 s2")))
+  }
+
+  test("substringExcise: periodic self-repeat keeps boundary-straddling content (granularity fuzz, pinned)") {
+    // "r1..r6 r1..r6": the second copy's interior is vouched for by the
+    // UNIQUE wrap-around grams (r2..r6 r1 etc.), so only the final token
+    // — covered solely by the duplicated r1..r6 gram — dies. This is the
+    // documented L-granularity fuzz on periodic text (why the published
+    // recipe uses L=50, where wrap-around grams are vanishingly rare).
+    val docs = Seq((1L, "r1 r2 r3 r4 r5 r6 r1 r2 r3 r4 r5 r6"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.substringExcise(docs, "doc_id", "text", minLen = 6)
+      .as[(Long, Long, Long, String)].head()
+    assert(out == ((1L, 12L, 1L, "r1 r2 r3 r4 r5 r6 r1 r2 r3 r4 r5")))
+  }
 }
