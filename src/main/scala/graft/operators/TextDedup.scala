@@ -492,7 +492,35 @@ object TextDedup {
     * driver state.
     */
   def substringExcise(docs: DataFrame, id: String, text: String,
-                      minLen: Int): DataFrame = {
+                      minLen: Int): DataFrame =
+    substringExciseImpl(docs, id, text, minLen, None)
+
+  /** [[substringExcise]] under CORPUS GROWTH — the q102/q58 asymmetry at
+    * substring granularity: an incoming batch is excised against the
+    * GRAM REGISTRY of the existing corpus (all distinct L-grams it
+    * contains) without re-scanning the corpus. An incoming occurrence
+    * vouches for its positions iff its gram is ABSENT from the registry
+    * and (unique in the batch OR the batch-internal first by (doc, pos))
+    * — which reproduces the global first-wins rule exactly when corpus
+    * doc ids precede batch ids (the q102 ordering contract; chaining
+    * equivalence test-pinned). Registry chaining: registry' = registry ∪
+    * the batch's distinct grams.
+    *
+    * Scale note: the gram registry carries one row per DISTINCT L-gram —
+    * the substring-level state any exact method must keep (a suffix
+    * array over the corpus is the single-machine equivalent, at
+    * comparable size); the anti-join indicator is keyed on gram text, so
+    * per-batch cost is O(batch + registry shuffle), never O(corpus).
+    */
+  def substringExciseAgainst(incoming: DataFrame, registry: DataFrame,
+                             id: String, text: String,
+                             minLen: Int): DataFrame =
+    substringExciseImpl(incoming, id, text, minLen,
+      Some(registry.select(col("gram")).distinct()))
+
+  private def substringExciseImpl(docs: DataFrame, id: String, text: String,
+                                  minLen: Int,
+                                  registry: Option[DataFrame]): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy(col("doc")).orderBy(col("pos"))
@@ -502,17 +530,25 @@ object TextDedup {
     // gram starting at pos (null when fewer than L tokens remain)
     val gramCols = (0 until minLen).map(k =>
       if (k == 0) col("tok") else lead(col("tok"), k).over(byPos))
-    val grams = toks.withColumn("gram",
+    val grams0 = toks.withColumn("gram",
       when(gramCols.last.isNotNull, concat_ws(" ", gramCols: _*)))
+    // registry indicator (incremental form): a registered gram can never
+    // vouch — its global first occurrence lives in the corpus
+    val grams = registry match {
+      case Some(reg) => grams0.join(
+        reg.withColumn("__inreg", lit(1)), Seq("gram"), "left_outer")
+      case None => grams0.withColumn("__inreg", lit(null).cast("int"))
+    }
     val byGram = Window.partitionBy(col("gram"))
     val byGramOrd = byGram.orderBy(col("doc"), col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val kept = grams.withColumn("keep",
       when(col("gram").isNotNull,
-        (count(lit(1)).over(byGram) === 1) ||
-          (first(col("doc")).over(byGramOrd) === col("doc") &&
-            first(col("pos")).over(byGramOrd) === col("pos")))
-        .cast("int"))
+        (col("__inreg").isNull &&
+          ((count(lit(1)).over(byGram) === 1) ||
+            (first(col("doc")).over(byGramOrd) === col("doc") &&
+              first(col("pos")).over(byGramOrd) === col("pos"))))
+          .cast("int")))
     val covered = kept.withColumn("cov",
       max(col("keep")).over(byPos.rowsBetween(-(minLen - 1), 0)))
     val survive = coalesce(col("cov"), lit(1)) === 1

@@ -433,7 +433,24 @@ object Curation {
     TextDedup.substringExcise(Tables.balanced(spark, d, "documents"),
       "doc_id", "text", minLen = 6)
 
+  /** q114: incremental substring excision — the q113 rule under corpus
+    * growth ([[TextDedup.substringExciseAgainst]]): the doc_id ≥ 250
+    * batch excised against the gram registry of the doc_id < 250 corpus,
+    * which is never re-scanned (the q102/q58 asymmetry at substring
+    * granularity).
+    */
+  def q114SubstringExciseInc(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.Text
+    val docs = Tables.balanced(spark, d, "documents")
+    val registry = docs.filter(col("doc_id") < 250)
+      .select(explode(Text.shingles(Text.tokens(col("text")), 6)).as("gram"))
+      .distinct()
+    TextDedup.substringExciseAgainst(docs.filter(col("doc_id") >= 250),
+      registry, "doc_id", "text", minLen = 6)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_substring_excise_inc" -> q114SubstringExciseInc _,
     "q113_substring_excise" -> q113SubstringExcise _,
     "q112_example_prep" -> q112ExamplePrep _,
     "q111_span_corrupt" -> q111SpanCorrupt _,

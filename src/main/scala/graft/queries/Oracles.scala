@@ -1935,6 +1935,44 @@ object Oracles {
          |    ' ' ORDER BY pos), '') AS new_text
          |FROM c GROUP BY doc_id""".stripMargin,
 
+    // q114: incremental substring excision — the q113 windows over the
+    // BATCH side only, plus the corpus gram registry as a left-join
+    // indicator (a registered gram can never vouch: its global first
+    // occurrence lives in the corpus).
+    "q114_substring_excise_inc" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |e AS (SELECT doc_id, i AS pos, toks[i] AS tok,
+         |        CASE WHEN i + 5 <= len(toks) THEN
+         |          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |          toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]
+         |        END AS gram
+         |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i FROM t)),
+         |reg AS (SELECT DISTINCT gram FROM e
+         |        WHERE doc_id < 250 AND gram IS NOT NULL),
+         |b AS (SELECT e.doc_id, e.pos, e.tok, e.gram,
+         |        CASE WHEN reg.gram IS NOT NULL THEN 1 END AS inreg
+         |      FROM e LEFT JOIN reg ON e.gram = reg.gram
+         |      WHERE e.doc_id >= 250),
+         |k AS (SELECT doc_id, pos, tok,
+         |        CASE WHEN gram IS NOT NULL THEN
+         |          CASE WHEN inreg IS NULL AND (count(*) OVER (PARTITION BY gram) = 1
+         |                 OR (first_value(doc_id) OVER w = doc_id
+         |                     AND first_value(pos) OVER w = pos))
+         |          THEN 1 ELSE 0 END END AS keep
+         |      FROM b
+         |      WINDOW w AS (PARTITION BY gram ORDER BY doc_id, pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+         |c AS (SELECT doc_id, pos, tok,
+         |        max(keep) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS cov
+         |      FROM k)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN coalesce(cov, 1) = 1 THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_removed,
+         |  coalesce(string_agg(CASE WHEN coalesce(cov, 1) = 1 THEN tok END,
+         |    ' ' ORDER BY pos), '') AS new_text
+         |FROM c GROUP BY doc_id""".stripMargin,
+
     // q112: example-prep composition — the q111 mask/span arithmetic
     // reduced to per-doc counts, example cost = n_tokens + 2·n_spans,
     // then the q48 packing arithmetic (salt "t5", 8 shards, budget 512)

@@ -252,6 +252,35 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(4L) == ((4L, 2L, 0L, "s1 s2")))
   }
 
+  test("substringExciseAgainst chains: batch-vs-registry ≡ the global form's batch slice") {
+    // corpus ids < batch ids — the q102 ordering contract
+    val corpus = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8"),
+      (2L, "b1 b2 b3 b4 b5 b6 b7")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "u1 u2 a1 a2 a3 a4 a5 a6 a7 a8"), // repeats corpus run
+      (11L, "n1 n2 n3 n4 n5 n6 n7"),          // all novel
+      (12L, "n1 n2 n3 n4 n5 n6 n7"),          // batch-internal dup of 11
+      (13L, "b1 b2 b3 b4 b5 b6 b7")).toDF("doc_id", "text") // verbatim corpus doc
+    val registry = corpus
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.Text.shingles(
+          graft.functions.Text.tokens($"text"), 6)).as("gram"))
+      .distinct()
+    val incremental = TextDedup.substringExciseAgainst(
+        batch, registry, "doc_id", "text", minLen = 6)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val global = TextDedup.substringExcise(
+        corpus.unionByName(batch), "doc_id", "text", minLen = 6)
+      .filter($"doc_id" >= 10L)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(incremental == global)
+    // sanity on content: novel doc 11 intact, its batch dup 12 dies,
+    // the corpus verbatim copy 13 dies
+    val m = incremental.map(r => r._1 -> r).toMap
+    assert(m(11L)._3 == 0L && m(12L)._4 == "" && m(13L)._4 == "")
+  }
+
   test("substringExcise: periodic self-repeat keeps boundary-straddling content (granularity fuzz, pinned)") {
     // "r1..r6 r1..r6": the second copy's interior is vouched for by the
     // UNIQUE wrap-around grams (r2..r6 r1 etc.), so only the final token
