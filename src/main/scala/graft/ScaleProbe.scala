@@ -74,7 +74,7 @@ object ScaleProbe {
     val sections = Set("session", "termstats", "minhash", "ann", "temporal",
       "packing", "relational", "topk", "kmeans", "sinks", "pq", "sketch",
       "prune", "sinkbig", "pqtrain", "spandedup", "jsonlines", "tiered", "bpe",
-      "dsir", "spancorrupt")
+      "dsir", "spancorrupt", "substr")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -570,6 +570,39 @@ object ScaleProbe {
         graft.operators.Packing.packByBudget(ex, "doc_id", "cost", 512L, 8, "t5")
           .groupBy(col("shard"), col("pack"))
           .agg(count(lit(1)).as("n")).count()
+      }
+      graft.Caches.clearAll(spark)
+    }
+    // Substring excision (q113/q114): the gram-keyed stats window over
+    // the FULL token stream is the big exchange — linear in corpus; the
+    // incremental form pays O(batch + registry shuffle) instead of
+    // re-exchanging the corpus every epoch.
+    if (want("substr")) for (factor <- Seq(1, 4, 16, 64)) {
+      val docs = materialize(docsAt(spark, d, factor), s"/tmp/scale/sub$factor")
+      def force(out: DataFrame): Long =
+        out.agg(sum(col("n_removed")), sum(length(col("new_text"))))
+          .head().getLong(0)
+      time(s"substring-excise global ${factor}x corpus") {
+        force(TextDedup.substringExcise(docs, "doc_id", "text", 6))
+      }
+      val registry = materialize(
+        docs.select(explode(graft.functions.Text.shingles(
+            graft.functions.Text.tokens(col("text")), 6)).as("gram"))
+          .distinct(),
+        s"/tmp/scale/subreg$factor")
+      val batch = materialize(
+        docsAt(spark, d, 1).select((col("doc_id") + 900000000L).as("doc_id"),
+          when(col("doc_id") % 2 === 1,
+            regexp_replace(col("text"), "(\\S+)", "nv_$1"))
+            .otherwise(col("text")).as("text")),
+        s"/tmp/scale/subbatch$factor")
+      time(s"substring-excise incremental batch-vs-registry ${factor}x corpus") {
+        force(TextDedup.substringExciseAgainst(batch, registry,
+          "doc_id", "text", 6))
+      }
+      time(s"substring-excise global re-run ${factor}x corpus + batch") {
+        force(TextDedup.substringExcise(docs.unionByName(batch),
+          "doc_id", "text", 6))
       }
       graft.Caches.clearAll(spark)
     }

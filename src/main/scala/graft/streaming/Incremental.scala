@@ -215,6 +215,53 @@ object Incremental {
       }
       .start()
 
+  /** Streaming substring excision — [[streamingSpanDedup]]'s twin at the
+    * q113/q114 granularity: each micro-batch is excised against the
+    * persistent GRAM registry
+    * ([[graft.operators.TextDedup.substringExciseAgainst]]), excised
+    * docs land via keyed first-write-wins upsert, and the batch's novel
+    * distinct grams append to the registry. Same replay-safe write
+    * order as the span form (documents FIRST, registry second): a
+    * replayed batch re-excises identically — its grams are not yet
+    * registered on the replayed path that matters, and the Ignore
+    * upsert keeps the first write — and the registry delta re-computes
+    * to empty-or-identical rows.
+    */
+  def streamingSubstringExcise(stream: DataFrame, checkpointDir: String,
+                               outPath: String, registryPath: String,
+                               id: String, text: String, minLen: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val reg = readGramRegistry(spark, registryPath)
+        val excised = graft.operators.TextDedup.substringExciseAgainst(
+          batch, reg, id, text, minLen)
+        Merge.upsertParquet(spark, outPath, excised,
+          "doc_id", Merge.Ignore, "n_tokens")
+        batch.select(explode(graft.functions.Text.shingles(
+            graft.functions.Text.tokens(col(text)), minLen)).as("gram"))
+          .distinct()
+          .join(reg, Seq("gram"), "left_anti")
+          .write.mode("append").parquet(registryPath)
+        ()
+      }
+      .start()
+
+  /** The gram registry, empty-safe before the first batch commits. */
+  private def readGramRegistry(spark: SparkSession, registryPath: String): DataFrame = {
+    val p = new Path(registryPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.parquet(registryPath)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("gram",
+          org.apache.spark.sql.types.StringType))))
+  }
+
   /** Streaming LM quality scoring — the CCNet deployment shape of q107:
     * the stupid-backoff count tables are trained ONCE
     * ([[graft.operators.TermStats.lmCounts]], captured by the closure

@@ -342,6 +342,42 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(streamed.contains((4L, 1L, 0L, 0L, 1L, 26666L))) // unigram backoff
   }
 
+  test("streamingSubstringExcise stream ≡ global batch excision (q113/q114 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-substr")
+      .toFile.getAbsolutePath
+    // batch ids ordered (the q102 contract) so the streamed chain must
+    // equal ONE global excision over the concatenation
+    val b1 = Seq((1L, "a1 a2 a3 a4 a5 a6 a7 a8"), (2L, "b1 b2 b3 b4 b5 b6"))
+    val b2 = Seq((10L, "u1 u2 a1 a2 a3 a4 a5 a6 a7 a8"), (11L, "n1 n2 n3 n4 n5 n6 n7"))
+    val b3 = Seq((20L, "n1 n2 n3 n4 n5 n6 n7"), (21L, "b1 b2 b3 b4 b5 b6"))
+    val input = MemoryStream[(Long, String)]
+    val query = Incremental.streamingSubstringExcise(
+      input.toDF().toDF("doc_id", "text"),
+      s"$dir/ckpt", s"$dir/out", s"$dir/registry",
+      id = "doc_id", text = "text", minLen = 6)
+    try {
+      Seq(b1, b2, b3).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "n_tokens", "n_removed", "new_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val global = graft.operators.TextDedup.substringExcise(
+        (b1 ++ b2 ++ b3).toDF("doc_id", "text"), "doc_id", "text", minLen = 6)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed == global)
+    assert(streamed.size == 6)
+    // verbatim repeats of earlier batches die entirely
+    val m = streamed.map(r => r._1 -> r).toMap
+    assert(m(20L)._4 == "" && m(21L)._4 == "")
+    // registry carries each distinct gram exactly once
+    val reg = spark.read.parquet(s"$dir/registry").as[String].collect()
+    assert(reg.length == reg.distinct.length)
+  }
+
   test("streamingDsirScore stream ≡ batch importanceScores (q110 twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
