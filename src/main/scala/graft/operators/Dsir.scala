@@ -104,6 +104,14 @@ object Dsir {
   /** Importance scores for every raw doc: (id, n_feats, score_pm) with
     * `score_pm = (1e6 · Σ_occ (c_target(bucket)+1)) div Σ_occ (c_raw(bucket)+1)`.
     * Higher = more target-like.
+    *
+    * Two-pass note: this all-at-once form scans the raw pool twice —
+    * once to fit the bucket counts, once to score — the inherent
+    * fit-then-apply shape. A deployment fits [[bucketStats]] ONCE
+    * (materialized, ≤`buckets` rows) and pays a single scoring pass per
+    * batch thereafter; [[graft.streaming.Incremental.streamingDsirScore]]
+    * is exactly that form. Caching the exploded feature stream instead
+    * would store strictly more bytes than re-scanning the source reads.
     */
   def importanceScores(raw: DataFrame, target: DataFrame, id: String,
                        text: String, buckets: Int): DataFrame =

@@ -449,7 +449,59 @@ object Curation {
       registry, "doc_id", "text", minLen = 6)
   }
 
+  /** q115: "pipeline v3" — the ROUND-11 operators composed end-to-end
+    * the way a selection-then-example-prep run chains them (q74 is v1,
+    * q109 is v2 over the round-10 pieces):
+    *   1. exact SUBSTRING EXCISION ([[TextDedup.substringExcise]] L=6,
+    *      q113): every repeated ≥6-token substring removed corpus-wide,
+    *      one copy kept; docs reduced below 6 surviving tokens drop out
+    *      (boilerplate shells);
+    *   2. DSIR SELECTION on the EXCISED text
+    *      ([[graft.operators.Dsir.select]], q110): the src0 slice is the
+    *      target model, the rest is the pool, top 150 most target-like
+    *      survive — selecting post-excision is the real ordering
+    *      (repeated boilerplate would otherwise dominate the feature
+    *      counts on both sides of the ratio);
+    *   3. SPAN-CORRUPTION cost + PACKING of the selected docs
+    *      (q111/q112 arithmetic, salt "v3"): denoising-example token
+    *      footprints packed into 512-token budgets, rolled up per pack.
+    * Output: one row per (shard, pack) — n_examples, pack_tokens,
+    * n_straddlers.
+    *
+    * Scale shape: stage 1 is the q113 chain (one gram exchange + doc
+    * windows); stage 2 is bucket-bounded model + broadcast scoring +
+    * TakeOrderedAndProject; stage 3 is two keyed shuffles. The one
+    * shared subtree (the excised+joined corpus feeding target, pool,
+    * and selection) is persisted — caller-owned lifecycle, the
+    * [[TermStats]] convention.
+    */
+  def q115PipelineV3(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Dsir, Packing, SpanCorrupt}
+    val docs = Tables.balanced(spark, d, "documents")
+    val excised = TextDedup.substringExcise(docs, "doc_id", "text", minLen = 6)
+      .filter(col("n_tokens") - col("n_removed") >= 6)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val target = excised.filter(col("source") === "src0")
+      .select(col("doc_id"), col("new_text"))
+    val pool = excised.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("new_text"))
+    val picked = Dsir.select(pool, target, "doc_id", "new_text",
+      buckets = 1024, n = 150)
+    val selected = pool.join(picked.select("doc_id"), Seq("doc_id"))
+    val costs = SpanCorrupt.examples(selected, "doc_id", "new_text", ratePm = 150)
+      .select(col("doc_id"),
+        (col("n_tokens") + lit(2L) * col("n_spans")).as("cost"))
+    Packing.packByBudget(costs, "doc_id", "cost", budget = 512L,
+        shards = 8, salt = "v3")
+      .groupBy(col("shard"), col("pack"))
+      .agg(count(lit(1)).as("n_examples"),
+        sum(col("cost")).as("pack_tokens"),
+        sum(when(col("n_chunks") > 1, 1L).otherwise(0L)).as("n_straddlers"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_pipeline_v3" -> q115PipelineV3 _,
     "q114_substring_excise_inc" -> q114SubstringExciseInc _,
     "q113_substring_excise" -> q113SubstringExcise _,
     "q112_example_prep" -> q112ExamplePrep _,

@@ -1935,6 +1935,90 @@ object Oracles {
          |    ' ' ORDER BY pos), '') AS new_text
          |FROM c GROUP BY doc_id""".stripMargin,
 
+    // q115: pipeline v3 — the q113 excision chain feeding the q110 DSIR
+    // arithmetic on the REBUILT text, top-150 selection, then the
+    // q111/q112 mask-count + packing arithmetic (salt "v3"). Every stage
+    // is the corresponding standalone oracle's CTE re-sourced.
+    "q115_pipeline_v3" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |e AS (SELECT doc_id, i AS pos, toks[i] AS tok,
+         |        CASE WHEN i + 5 <= len(toks) THEN
+         |          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |          toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]
+         |        END AS gram
+         |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i FROM t)),
+         |k AS (SELECT doc_id, pos, tok,
+         |        CASE WHEN gram IS NOT NULL THEN
+         |          CASE WHEN count(*) OVER (PARTITION BY gram) = 1
+         |                 OR (first_value(doc_id) OVER w = doc_id
+         |                     AND first_value(pos) OVER w = pos)
+         |          THEN 1 ELSE 0 END END AS keep
+         |      FROM e
+         |      WINDOW w AS (PARTITION BY gram ORDER BY doc_id, pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+         |cv AS (SELECT doc_id, pos, tok,
+         |        max(keep) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS cov
+         |      FROM k),
+         |ex AS (SELECT doc_id, count(*) AS n_tokens,
+         |        CAST(sum(CASE WHEN coalesce(cov, 1) = 1 THEN 0 ELSE 1 END) AS BIGINT)
+         |          AS n_removed,
+         |        coalesce(string_agg(CASE WHEN coalesce(cov, 1) = 1 THEN tok END,
+         |          ' ' ORDER BY pos), '') AS new_text
+         |      FROM cv GROUP BY doc_id),
+         |surv AS (SELECT ex.doc_id, ex.new_text, d.source,
+         |          string_split_regex(trim(ex.new_text), '\\s+') AS toks2
+         |        FROM ex JOIN documents d USING (doc_id)
+         |        WHERE ex.n_tokens - ex.n_removed >= 6),
+         |feats AS (
+         |  SELECT doc_id, source, f FROM (
+         |    SELECT doc_id, source, unnest(toks2) AS f FROM surv
+         |    UNION ALL
+         |    SELECT doc_id, source, toks2[i] || ' ' || toks2[i+1] AS f
+         |    FROM (SELECT doc_id, source, toks2,
+         |            unnest(range(1, len(toks2))) AS i FROM surv))),
+         |fb AS (SELECT doc_id, source,
+         |         ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS b
+         |       FROM feats),
+         |tc AS (SELECT b, count(*) AS ct FROM fb WHERE source = 'src0' GROUP BY b),
+         |rc AS (SELECT b, count(*) AS cr FROM fb WHERE source <> 'src0' GROUP BY b),
+         |stats AS (SELECT rc.b, coalesce(ct, 0) + 1 AS st, cr + 1 AS sr
+         |          FROM rc LEFT JOIN tc USING (b)),
+         |scored AS (SELECT doc_id,
+         |             CAST((1000000 * sum(st)) // sum(sr) AS BIGINT) AS score_pm
+         |           FROM fb JOIN stats ON fb.b = stats.b
+         |           WHERE source <> 'src0' GROUP BY doc_id),
+         |picked AS (SELECT doc_id FROM scored
+         |           ORDER BY score_pm DESC, md5(doc_id::VARCHAR) ASC LIMIT 150),
+         |sel AS (SELECT surv.doc_id, surv.toks2 FROM surv JOIN picked USING (doc_id)),
+         |m AS (SELECT doc_id, i AS pos,
+         |        (('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT
+         |          % 1000) < 150 AS masked
+         |      FROM (SELECT doc_id, toks2, unnest(range(1, len(toks2)+1)) AS i FROM sel)),
+         |mr AS (SELECT *, sum(CASE WHEN masked THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY doc_id ORDER BY pos) AS mrn FROM m),
+         |mg AS (SELECT doc_id, masked,
+         |        CASE WHEN masked THEN pos - mrn END AS grp FROM mr),
+         |md AS (SELECT doc_id, count(*) AS n_tokens,
+         |        count(DISTINCT grp) AS n_spans FROM mg GROUP BY doc_id),
+         |cost AS (SELECT doc_id, n_tokens + 2 * n_spans AS cost FROM md),
+         |pb AS (SELECT doc_id, cost,
+         |    ('0x' || substr(md5('v3:' || doc_id), 1, 8))::BIGINT % 8 AS shard,
+         |    ('0x' || substr(md5('v3-ord:' || doc_id), 1, 8))::BIGINT AS ord
+         |  FROM cost),
+         |pc AS (SELECT doc_id, shard, cost,
+         |    CAST(sum(cost) OVER (PARTITION BY shard ORDER BY ord, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_after
+         |  FROM pb),
+         |pp AS (SELECT doc_id, shard, cost,
+         |    (cum_after - cost) // 512 AS pack,
+         |    ((cum_after - 1) // 512) - ((cum_after - cost) // 512) + 1 AS n_chunks
+         |  FROM pc)
+         |SELECT shard, pack, count(*) AS n_examples,
+         |  CAST(sum(cost) AS BIGINT) AS pack_tokens,
+         |  CAST(sum(CASE WHEN n_chunks > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+         |FROM pp GROUP BY shard, pack""".stripMargin,
+
     // q114: incremental substring excision — the q113 windows over the
     // BATCH side only, plus the corpus gram registry as a left-join
     // indicator (a registered gram can never vouch: its global first

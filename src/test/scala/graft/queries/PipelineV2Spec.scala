@@ -79,4 +79,23 @@ class PipelineV2Spec extends AnyFunSuite {
     assert(p0 >= p3 && p3 >= p6, s"pieces must be monotone: $p0 >= $p3 >= $p6")
     assert(p6 < p0, "6 trained merges must compress the corpus")
   }
+
+  test("pipeline v3 invariants: selection size, pack conservation, budget fill") {
+    // sf0.01: the pool comfortably exceeds the top-150 selection, so the
+    // example count must be EXACTLY the selection size; pack token totals
+    // conserve example costs; every pack but a shard's last is full to
+    // within one example's straddle.
+    val v3 = Curation.q115PipelineV3(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(v3.map(_._3).sum == 150L, "every selected doc lands in exactly one pack row")
+    assert(v3.forall(_._4 > 0), "no empty packs")
+    // within each shard, packs are contiguous from 0
+    v3.groupBy(_._1).foreach { case (shard, rows) =>
+      val packs = rows.map(_._2).sorted.toSeq
+      assert(packs == (0L until packs.length.toLong).toSeq,
+        s"shard $shard pack ids not contiguous: $packs")
+    }
+    graft.Caches.clearAll(spark)
+  }
 }
