@@ -275,7 +275,36 @@ object Extensions {
         min("z").as("z_lo"), max("z").as("z_hi"))
   }
 
+  /** q116: cohort retention matrix — users grouped by first-seen week
+    * (epoch-anchored), activity counted per week offset, retention as a
+    * micro-unit share of the cohort. The analytics-dashboard staple over
+    * the event stream, shaped for scale: per-user week sets collapse in
+    * ONE user-keyed aggregate (collect_set partials combine map-side;
+    * weeks-per-user is calendar-bounded), the explode is row-local, and
+    * the (cohort, offset) rollup + cohort-size window run over
+    * cohort-bounded data.
+    */
+  def q116CohortRetention(spark: SparkSession, d: String): DataFrame = {
+    val WeekUs = 7L * 86400L * 1000000L
+    val uw = Tables.eventsWithUs(spark, d)
+      .select(col("user_id"), expr(s"ts_us div ${WeekUs}L").as("wk"))
+      .groupBy(col("user_id")).agg(collect_set(col("wk")).as("weeks"))
+    val offs = uw.select(col("user_id"),
+        array_min(col("weeks")).as("cohort_week"),
+        explode(col("weeks")).as("wk"))
+      .select(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+    val byCohort = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_week"))
+    offs.groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("cohort_size",
+        sum(when(col("week_offset") === 0, col("n_users"))).over(byCohort))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        expr("(1000000 * n_users) div cohort_size").as("retention_pm"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_cohort_retention" -> q116CohortRetention _,
     "q44_asof_join" -> q44AsofJoin _,
     "q45_range_join" -> q45RangeJoin _,
     "q46_hash_split" -> q46HashSplit _,

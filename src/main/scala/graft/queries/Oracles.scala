@@ -1587,6 +1587,23 @@ object Oracles {
 
     // The q44 union-window as-of twin with the 1h attribution window
     // (m_t older than t − maxAge ⇒ no conversion), rolled up per user.
+    // q116: cohort retention — identical week bucketing (epoch-anchored
+    // floor division), distinct (user, week), per-user min week as the
+    // cohort, offset rollup, cohort-size window, micro-unit share.
+    "q116_cohort_retention" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+         |uw AS (SELECT DISTINCT user_id, wk FROM ev),
+         |f AS (SELECT user_id, wk,
+         |        min(wk) OVER (PARTITION BY user_id) AS cohort_week FROM uw),
+         |o AS (SELECT cohort_week, wk - cohort_week AS week_offset FROM f),
+         |r AS (SELECT cohort_week, week_offset, count(*) AS n_users
+         |      FROM o GROUP BY cohort_week, week_offset),
+         |s AS (SELECT *, sum(CASE WHEN week_offset = 0 THEN n_users END)
+         |        OVER (PARTITION BY cohort_week) AS cohort_size FROM r)
+         |SELECT cohort_week, week_offset, n_users,
+         |  CAST((1000000 * n_users) // cohort_size AS BIGINT) AS retention_pm
+         |FROM s""".stripMargin,
+
     "q68_funnel" ->
       s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t, event_type
          |  FROM events),
