@@ -15,9 +15,11 @@ class CacheLifecycleSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   // The heaviest cache users: q109 persists three shared subtrees AND
-  // trains BPE (localCheckpoint generations); q106 is the pure
-  // checkpoint-chain segmentation path.
-  private val heavy = Seq("q109_pipeline_v2", "q106_bpe_segment")
+  // trains BPE (localCheckpoint generations); q106 trains (checkpoint
+  // chain) then segments through the kernel; q115 persists the excised
+  // corpus feeding three consumers.
+  private val heavy = Seq("q109_pipeline_v2", "q106_bpe_segment",
+    "q115_pipeline_v3")
 
   test("clearAll leaves no cached datasets and no persisted RDDs after heavy queries") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
