@@ -45,7 +45,13 @@ object Packing {
       s"input already has column(s) ${clash.mkString(", ")} — withColumn would silently overwrite them; alias first")
     val shard: Column = Sampling.hashBucket(col(id), salt, shards)
     val ord: Column = Text.baseHash32(concat(lit(s"$salt-ord:"), col(id)))
-    val w = Window.partitionBy(shard).orderBy(ord, col(id))
+    // Window over the bound ATTRIBUTE, not the raw expression: a
+    // downstream aggregate groups on col("shard"), and Spark only
+    // recognizes the window's exchange as satisfying that grouping when
+    // both sides reference the same attribute — the expression form cost
+    // every (shard, …) rollup an extra exchange (caught by the q112 plan
+    // pin).
+    val w = Window.partitionBy(col("shard")).orderBy(ord, col(id))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard", shard)
       .withColumn("__cum_after", sum(col(cost)).over(w))

@@ -147,6 +147,20 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(run("q111_span_corrupt")) == 2)
   }
 
+  test("q112 example prep: three exchanges (rebalance, doc windows, pack shards); rollups reuse clusterings") {
+    // was 4 before Packing bound the shard ATTRIBUTE into its window —
+    // the (shard, pack) rollup then reuses the packer's exchange
+    assert(countShuffles(run("q112_example_prep")) == 3)
+  }
+
+  test("q113 substring excision: four exchanges (rebalance, doc, gram, doc); rebuild reuses the doc clustering") {
+    assert(countShuffles(run("q113_substring_excise")) == 4)
+  }
+
+  test("q116 cohort retention: user aggregate + cohort rollup only") {
+    assert(countShuffles(run("q116_cohort_retention")) <= 3)
+  }
+
   test("q106 BPE segmentation: the kernel path plans no window exchange chain") {
     val df = run("q106_bpe_segment")
     // the kernel call collapses into the distinct-aggregate's result
