@@ -500,7 +500,32 @@ object Curation {
         sum(when(col("n_chunks") > 1, 1L).otherwise(0L)).as("n_straddlers"))
   }
 
+  /** q117: PRODUCTION DSIR — q110's semantics split into ingest and
+    * serve phases (the q92 materialized-index pattern): the bucket-stats
+    * model is trained once and MATERIALIZED to parquet (the ≤1024-row
+    * artifact a deployment refreshes on model cadence), then the scoring
+    * pass reads the artifact and runs the single-scan broadcast-join
+    * path ([[graft.operators.Dsir.scoreAgainst]] + deterministic
+    * top-150). Same math as q110 at fewer corpus scans — hash-equality
+    * with the q110-family oracle IS the split's correctness proof.
+    */
+  def q117DsirProduction(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.Dsir
+    val docs = Tables.balanced(spark, d, "documents")
+    val raw = docs.filter(col("source") =!= "src0")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dsir_model").toString
+    Dsir.bucketStats(raw, docs.filter(col("source") === "src0"),
+        "doc_id", "text", buckets = 1024)
+      .write.mode("overwrite").parquet(dir)
+    val model = spark.read.parquet(dir)
+    Dsir.resample(
+      Dsir.scoreAgainst(raw, model, "doc_id", "text", buckets = 1024),
+      "doc_id", n = 150)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_dsir_production" -> q117DsirProduction _,
     "q115_pipeline_v3" -> q115PipelineV3 _,
     "q114_substring_excise_inc" -> q114SubstringExciseInc _,
     "q113_substring_excise" -> q113SubstringExcise _,

@@ -2107,6 +2107,32 @@ object Oracles {
          |  CAST(sum(CASE WHEN n_chunks > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
          |FROM p GROUP BY shard, pack""".stripMargin,
 
+    // q117: production DSIR — identical arithmetic to q110 (the
+    // materialized-model split changes the number of corpus scans, not
+    // the math), top-150 selection.
+    "q117_dsir_production" ->
+      s"""WITH t AS (SELECT doc_id, source, $Toks AS toks FROM documents),
+         |feats AS (
+         |  SELECT doc_id, source, f FROM (
+         |    SELECT doc_id, source, unnest(toks) AS f FROM t
+         |    UNION ALL
+         |    SELECT doc_id, source, toks[i] || ' ' || toks[i+1] AS f
+         |    FROM (SELECT doc_id, source, toks,
+         |            unnest(range(1, len(toks))) AS i FROM t))),
+         |fb AS (SELECT doc_id, source,
+         |         ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS b
+         |       FROM feats),
+         |tc AS (SELECT b, count(*) AS ct FROM fb WHERE source = 'src0' GROUP BY b),
+         |rc AS (SELECT b, count(*) AS cr FROM fb WHERE source <> 'src0' GROUP BY b),
+         |stats AS (SELECT rc.b, coalesce(ct, 0) + 1 AS st, cr + 1 AS sr
+         |          FROM rc LEFT JOIN tc USING (b)),
+         |scored AS (SELECT doc_id, count(*) AS n_feats,
+         |             CAST((1000000 * sum(st)) // sum(sr) AS BIGINT) AS score_pm
+         |           FROM fb JOIN stats ON fb.b = stats.b
+         |           WHERE source <> 'src0' GROUP BY doc_id)
+         |SELECT doc_id, n_feats, score_pm FROM scored
+         |ORDER BY score_pm DESC, md5(doc_id::VARCHAR) ASC LIMIT 150""".stripMargin,
+
     // q105: BPE merge training — the unrolled iteration chain; see
     // [[bpeSql]]. 8 merges over the top-500 vocabulary, like the engine.
     "q105_bpe_merges" -> bpeSql(nMerges = 8, topV = 500),
