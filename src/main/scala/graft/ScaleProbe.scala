@@ -90,7 +90,7 @@ object ScaleProbe {
       df.write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     }
-    if (want("session")) for (factor <- Seq(1, 4, 16)) {
+    if (want("session")) for (factor <- Seq(1, 4, 16, 64)) {
       val ev = materialize(eventsAt(spark, d, factor), s"/tmp/scale/sev$factor")
       time(s"sessionize ${factor}x (${100000 * factor} events)") {
         graft.operators.Sessionize.rollup(ev, Seq(col("user_id")),
@@ -101,6 +101,15 @@ object ScaleProbe {
         graft.operators.Rolling.overRange(ev, Seq(col("user_id")),
           col("ts_us"), round(col("value") * 100).cast("long"),
           24L * 3600 * 1000000).count()
+      }
+      time(s"cohort-retention ${factor}x") {
+        val WeekUs = 7L * 86400L * 1000000L
+        val uw = ev.select(col("user_id"), expr(s"ts_us div ${WeekUs}L").as("wk"))
+          .groupBy(col("user_id")).agg(collect_set(col("wk")).as("weeks"))
+        uw.select(col("user_id"), array_min(col("weeks")).as("cw"),
+            explode(col("weeks")).as("wk"))
+          .groupBy(col("cw"), (col("wk") - col("cw")).as("off"))
+          .agg(count(lit(1)).as("n")).count()
       }
       spark.catalog.clearCache()
     }

@@ -323,6 +323,29 @@ object Incremental {
       .start()
   }
 
+  /** Streaming span-corruption example construction — the example-prep
+    * deployment shape of q111: each arriving micro-batch of documents is
+    * rendered to (inputs, targets) denoising examples
+    * ([[graft.operators.SpanCorrupt.examples]] — the mask is a pure
+    * hash of (doc, pos), so no cross-batch state exists at all) and
+    * landed via keyed first-write-wins upsert. Replay-safe for free
+    * (the [[streamingLmScore]] reasoning: pure function + Ignore
+    * upsert).
+    */
+  def streamingSpanCorrupt(stream: DataFrame, checkpointDir: String,
+                           outPath: String, id: String, text: String,
+                           ratePm: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ex = graft.operators.SpanCorrupt.examples(batch, id, text, ratePm)
+        Merge.upsertParquet(batch.sparkSession, outPath, ex,
+          id, Merge.Ignore, "n_tokens")
+        ()
+      }
+      .start()
+
   /** Streaming BPE segmentation — the tokenizer-ENCODE deployment shape
     * of q106 (verdict r10 item 7): the merge table is trained ONCE (the
     * q105 contract — rules frozen, captured by the closure) and each

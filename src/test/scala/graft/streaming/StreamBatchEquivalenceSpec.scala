@@ -378,6 +378,34 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(reg.length == reg.distinct.length)
   }
 
+  test("streamingSpanCorrupt stream ≡ batch examples (q111 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-spancor")
+      .toFile.getAbsolutePath
+    val b1 = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b c d e f g h"))
+    val b2 = Seq((3L, (1 to 40).map(i => s"t$i").mkString(" ")))
+    val b3 = Seq((1L, "the quick brown fox jumps over the lazy dog")) // replay
+    val input = MemoryStream[(Long, String)]
+    val query = Incremental.streamingSpanCorrupt(
+      input.toDF().toDF("doc_id", "text"),
+      s"$dir/ckpt", s"$dir/out", "doc_id", "text", ratePm = 300)
+    try {
+      Seq(b1, b2, b3).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "n_tokens", "n_spans", "n_masked", "inputs", "targets")
+      .as[(Long, Long, Long, Long, String, String)].collect().toSet
+    val batch = graft.operators.SpanCorrupt.examples(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", ratePm = 300)
+      .as[(Long, Long, Long, Long, String, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size == 3)
+  }
+
   test("streamingDsirScore stream ≡ batch importanceScores (q110 twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
