@@ -116,7 +116,7 @@ object ScaleProbe {
     // Term statistics: disjoint-replica docs mean the vocabulary (and the
     // df/first-occurrence tables) grow with the corpus — the honest
     // stress: shuffle volume must track docs × distinct-terms-per-doc.
-    if (want("termstats")) for (factor <- Seq(1, 4, 16)) {
+    if (want("termstats")) for (factor <- Seq(1, 4, 16, 64)) {
       val docs = materialize(docsAt(spark, d, factor), s"/tmp/scale/docs$factor")
       time(s"tfidf-top-term ${factor}x (${5000 * factor} docs)") {
         graft.operators.TermStats.topTermPerDoc(docs, "doc_id", "text").count()
