@@ -103,13 +103,7 @@ object ScaleProbe {
           24L * 3600 * 1000000).count()
       }
       time(s"cohort-retention ${factor}x") {
-        val WeekUs = 7L * 86400L * 1000000L
-        val uw = ev.select(col("user_id"), expr(s"ts_us div ${WeekUs}L").as("wk"))
-          .groupBy(col("user_id")).agg(collect_set(col("wk")).as("weeks"))
-        uw.select(col("user_id"), array_min(col("weeks")).as("cw"),
-            explode(col("weeks")).as("wk"))
-          .groupBy(col("cw"), (col("wk") - col("cw")).as("off"))
-          .agg(count(lit(1)).as("n")).count()
+        graft.operators.Cohorts.retention(ev, "user_id", "ts_us").count()
       }
       spark.catalog.clearCache()
     }
@@ -547,8 +541,11 @@ object ScaleProbe {
     // shape is a small quality corpus steering an ever-growing pool.
     if (want("dsir")) for (factor <- Seq(1, 4, 16, 64)) {
       val docs = materialize(docsAt(spark, d, factor), s"/tmp/scale/dsird$factor")
-      val target = docs.filter(col("doc_id") % 1000000L < 250)
-      val raw = docs.filter(col("doc_id") % 1000000L >= 250)
+      // target = 250 docs of replica 0 ONLY (ids < 250): genuinely fixed
+      // across factors — `% 1000000 < 250` would take 250 docs from EVERY
+      // replica, growing the "fixed" target with the corpus
+      val target = docs.filter(col("doc_id") < 250)
+      val raw = docs.filter(col("doc_id") >= 250)
       var stats: DataFrame = null
       time(s"dsir model fit (bucket stats) ${factor}x corpus") {
         stats = materialize(
@@ -570,7 +567,7 @@ object ScaleProbe {
       time(s"span-corrupt examples ${factor}x corpus") {
         graft.operators.SpanCorrupt.examples(docs, "doc_id", "text", 150)
           .agg(sum(col("n_masked")), sum(length(col("inputs"))))
-          .head(); docs.count()
+          .head().getLong(0) // forced metric (masked tokens), no extra job
       }
       time(s"span-corrupt -> pack 512 rollup ${factor}x corpus") {
         val ex = graft.operators.SpanCorrupt.examples(docs, "doc_id", "text", 150)
@@ -586,7 +583,16 @@ object ScaleProbe {
     // the FULL token stream is the big exchange — linear in corpus; the
     // incremental form pays O(batch + registry shuffle) instead of
     // re-exchanging the corpus every epoch.
-    if (want("substr")) for (factor <- Seq(1, 4, 16, 64)) {
+    if (want("substr")) {
+     // the incoming batch is factor-INDEPENDENT by contract (the fixed
+     // 1×-sized epoch); materialize it once, not per tier
+     val batch = materialize(
+       docsAt(spark, d, 1).select((col("doc_id") + 900000000L).as("doc_id"),
+         when(col("doc_id") % 2 === 1,
+           regexp_replace(col("text"), "(\\S+)", "nv_$1"))
+           .otherwise(col("text")).as("text")),
+       s"/tmp/scale/subbatch")
+     for (factor <- Seq(1, 4, 16, 64)) {
       val docs = materialize(docsAt(spark, d, factor), s"/tmp/scale/sub$factor")
       def force(out: DataFrame): Long =
         out.agg(sum(col("n_removed")), sum(length(col("new_text"))))
@@ -599,12 +605,6 @@ object ScaleProbe {
             graft.functions.Text.tokens(col("text")), 6)).as("gram"))
           .distinct(),
         s"/tmp/scale/subreg$factor")
-      val batch = materialize(
-        docsAt(spark, d, 1).select((col("doc_id") + 900000000L).as("doc_id"),
-          when(col("doc_id") % 2 === 1,
-            regexp_replace(col("text"), "(\\S+)", "nv_$1"))
-            .otherwise(col("text")).as("text")),
-        s"/tmp/scale/subbatch$factor")
       time(s"substring-excise incremental batch-vs-registry ${factor}x corpus") {
         force(TextDedup.substringExciseAgainst(batch, registry,
           "doc_id", "text", 6))
@@ -614,6 +614,7 @@ object ScaleProbe {
           "doc_id", "text", 6))
       }
       graft.Caches.clearAll(spark)
+     }
     }
     if (want("pqtrain")) for (factor <- Seq(1, 4)) {
       val emb = materialize(embAt(spark, d, factor), s"/tmp/scale/emb$factor")

@@ -530,25 +530,46 @@ object TextDedup {
     // gram starting at pos (null when fewer than L tokens remain)
     val gramCols = (0 until minLen).map(k =>
       if (k == 0) col("tok") else lead(col("tok"), k).over(byPos))
-    val grams0 = toks.withColumn("gram",
-      when(gramCols.last.isNotNull, concat_ws(" ", gramCols: _*)))
+    // NULL-gram rows (the last L−1 positions of every doc, and all of a
+    // sub-L doc) carry keep = null by definition — route them AROUND the
+    // gram-keyed stages entirely: hashed into the gram shuffle they all
+    // land in ONE partition (a single-task hotspot of (L−1)·docs rows at
+    // corpus scale — the q113 scale shape depends on this split), and
+    // the registry join's null keys never match anyway. They are rebuilt
+    // ROW-LOCALLY from a second source scan (a slice of each doc's token
+    // tail — no window, no exchange; re-filtering the windowed stream
+    // would compute the lead window twice instead).
+    val withGram = toks
+      .withColumn("gram", concat_ws(" ", gramCols: _*))
+      .withColumn("__last", gramCols.last) // windows can't sit in a WHERE
+      .filter(col("__last").isNotNull).drop("__last")
+    val noGram = docs
+      .select(col(id).as("doc"), Text.tokens(col(text)).as("tk"))
+      .select(col("doc"), greatest(size(col("tk")) - (minLen - 2), lit(1)).as("start"),
+        col("tk"))
+      .select(col("doc"),
+        posexplode(expr(s"slice(tk, start, size(tk) - start + 1)")).as(Seq("o", "tok")),
+        col("start"))
+      .select(col("doc"), (col("start") + col("o")).as("pos"), col("tok"),
+        lit(null).cast("int").as("keep"))
     // registry indicator (incremental form): a registered gram can never
     // vouch — its global first occurrence lives in the corpus
-    val grams = registry match {
-      case Some(reg) => grams0.join(
+    val joined = registry match {
+      case Some(reg) => withGram.join(
         reg.withColumn("__inreg", lit(1)), Seq("gram"), "left_outer")
-      case None => grams0.withColumn("__inreg", lit(null).cast("int"))
+      case None => withGram.withColumn("__inreg", lit(null).cast("int"))
     }
     val byGram = Window.partitionBy(col("gram"))
     val byGramOrd = byGram.orderBy(col("doc"), col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val kept = grams.withColumn("keep",
-      when(col("gram").isNotNull,
-        (col("__inreg").isNull &&
-          ((count(lit(1)).over(byGram) === 1) ||
-            (first(col("doc")).over(byGramOrd) === col("doc") &&
-              first(col("pos")).over(byGramOrd) === col("pos"))))
-          .cast("int")))
+    val kept = joined.withColumn("keep",
+      (col("__inreg").isNull &&
+        ((count(lit(1)).over(byGram) === 1) ||
+          (first(col("doc")).over(byGramOrd) === col("doc") &&
+            first(col("pos")).over(byGramOrd) === col("pos"))))
+        .cast("int"))
+      .select(col("doc"), col("pos"), col("tok"), col("keep"))
+      .unionByName(noGram)
     val covered = kept.withColumn("cov",
       max(col("keep")).over(byPos.rowsBetween(-(minLen - 1), 0)))
     val survive = coalesce(col("cov"), lit(1)) === 1

@@ -513,8 +513,11 @@ object Curation {
     import graft.operators.Dsir
     val docs = Tables.balanced(spark, d, "documents")
     val raw = docs.filter(col("source") =!= "src0")
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_dsir_model").toString
+    // deterministic per-source artifact path, OVERWRITTEN each refresh —
+    // a fresh temp dir per call would leak one directory per invocation
+    // under a resident engine's registry loop (Bench alone runs 4×)
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_dsir_model_" + java.lang.Integer.toHexString(d.hashCode)).toString
     Dsir.bucketStats(raw, docs.filter(col("source") === "src0"),
         "doc_id", "text", buckets = 1024)
       .write.mode("overwrite").parquet(dir)

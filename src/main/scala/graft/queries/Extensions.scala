@@ -284,24 +284,9 @@ object Extensions {
     * the (cohort, offset) rollup + cohort-size window run over
     * cohort-bounded data.
     */
-  def q116CohortRetention(spark: SparkSession, d: String): DataFrame = {
-    val WeekUs = 7L * 86400L * 1000000L
-    val uw = Tables.eventsWithUs(spark, d)
-      .select(col("user_id"), expr(s"ts_us div ${WeekUs}L").as("wk"))
-      .groupBy(col("user_id")).agg(collect_set(col("wk")).as("weeks"))
-    val offs = uw.select(col("user_id"),
-        array_min(col("weeks")).as("cohort_week"),
-        explode(col("weeks")).as("wk"))
-      .select(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
-    val byCohort = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cohort_week"))
-    offs.groupBy(col("cohort_week"), col("week_offset"))
-      .agg(count(lit(1)).as("n_users"))
-      .withColumn("cohort_size",
-        sum(when(col("week_offset") === 0, col("n_users"))).over(byCohort))
-      .select(col("cohort_week"), col("week_offset"), col("n_users"),
-        expr("(1000000 * n_users) div cohort_size").as("retention_pm"))
-  }
+  def q116CohortRetention(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Cohorts.retention(
+      Tables.eventsWithUs(spark, d), "user_id", "ts_us")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_cohort_retention" -> q116CohortRetention _,

@@ -410,8 +410,10 @@ object LlmPipelines {
   def q92IvfPqIndexed(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.balanced(spark, d, "embeddings")
     val cents = emb.filter(col("vec_id") < 8)
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_ivfpq_index").toString
+    // deterministic per-source artifact path, overwritten each refresh
+    // (a fresh temp dir per call leaked one directory per invocation)
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivfpq_index_" + java.lang.Integer.toHexString(d.hashCode)).toString
     Similarity.buildIvfPqIndex(emb, cents, "vec_id", "embedding")
       .write.mode("overwrite").parquet(dir)
     val index = spark.read.parquet(dir)
@@ -467,8 +469,12 @@ object LlmPipelines {
       .select(col("vec_id"), col("embedding"))
     val cb = Similarity.trainPqCodebooks(emb.filter(col("vec_id") < 500),
       "vec_id", "embedding", col("vec_id") < Similarity.PqK, iters = 2)
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_ann_prod").toString
+    // deterministic per-source artifact path, overwritten each refresh
+    // (fresh temp dirs leaked one per invocation; the sink-LIFECYCLE
+    // queries q78/q101/q108 keep theirs — an empty sink per run is their
+    // semantic, and leftover state would change the upsert behavior)
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ann_prod_" + java.lang.Integer.toHexString(d.hashCode)).toString
     Similarity.buildIvfPqIndex(emb, cents, "vec_id", "embedding", cb)
       .write.mode("overwrite").parquet(dir)
     val index = spark.read.parquet(dir)

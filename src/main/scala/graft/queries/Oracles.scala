@@ -1585,8 +1585,6 @@ object Oracles {
          |  CAST(sum(value_c) AS BIGINT) AS sum_value_c
          |FROM g GROUP BY user_id, session_seq""".stripMargin,
 
-    // The q44 union-window as-of twin with the 1h attribution window
-    // (m_t older than t − maxAge ⇒ no conversion), rolled up per user.
     // q116: cohort retention — identical week bucketing (epoch-anchored
     // floor division), distinct (user, week), per-user min week as the
     // cohort, offset rollup, cohort-size window, micro-unit share.
@@ -1604,6 +1602,8 @@ object Oracles {
          |  CAST((1000000 * n_users) // cohort_size AS BIGINT) AS retention_pm
          |FROM s""".stripMargin,
 
+    // The q44 union-window as-of twin with the 1h attribution window
+    // (m_t older than t − maxAge ⇒ no conversion), rolled up per user.
     "q68_funnel" ->
       s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t, event_type
          |  FROM events),

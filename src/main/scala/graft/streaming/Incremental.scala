@@ -249,18 +249,26 @@ object Incremental {
       }
       .start()
 
-  /** The gram registry, empty-safe before the first batch commits. */
-  private def readGramRegistry(spark: SparkSession, registryPath: String): DataFrame = {
-    val p = new Path(registryPath)
+  /** One empty-safe single-string-column parquet reader behind every
+    * streaming registry (blocks, grams, seen words) — one emptiness
+    * check to maintain, not three silently-diverging copies.
+    */
+  private def readStringColOrEmpty(spark: SparkSession, path: String,
+                                   column: String): DataFrame = {
+    val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
-      spark.read.parquet(registryPath)
+      spark.read.parquet(path).select(column)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("gram",
+        org.apache.spark.sql.types.StructField(column,
           org.apache.spark.sql.types.StringType))))
   }
+
+  /** The gram registry, empty-safe before the first batch commits. */
+  private def readGramRegistry(spark: SparkSession, registryPath: String): DataFrame =
+    readStringColOrEmpty(spark, registryPath, "gram")
 
   /** Streaming LM quality scoring — the CCNet deployment shape of q107:
     * the stupid-backoff count tables are trained ONCE
@@ -384,30 +392,12 @@ object Incremental {
   /** The segmented-word sink's key column, empty-safe before the first
     * batch commits.
     */
-  private def readSeenWords(spark: SparkSession, outPath: String): DataFrame = {
-    val p = new Path(outPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
-      spark.read.parquet(outPath).select("w")
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("w",
-          org.apache.spark.sql.types.StringType))))
-  }
+  private def readSeenWords(spark: SparkSession, outPath: String): DataFrame =
+    readStringColOrEmpty(spark, outPath, "w")
 
   /** The block registry, empty-safe before the first batch commits. */
-  private def readRegistry(spark: SparkSession, registryPath: String): DataFrame = {
-    val p = new Path(registryPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
-      spark.read.parquet(registryPath)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("blk",
-          org.apache.spark.sql.types.StringType))))
-  }
+  private def readRegistry(spark: SparkSession, registryPath: String): DataFrame =
+    readStringColOrEmpty(spark, registryPath, "blk")
 
   /** The follower/backfill driver. `source` must yield rows with a
     * monotonically increasing `heightCol`; `currentHeight` is re-read per

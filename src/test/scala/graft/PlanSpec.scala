@@ -153,8 +153,13 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(run("q112_example_prep")) == 3)
   }
 
-  test("q113 substring excision: four exchanges (rebalance, doc, gram, doc); rebuild reuses the doc clustering") {
-    assert(countShuffles(run("q113_substring_excise")) == 4)
+  test("q113 substring excision: five exchanges, none keyed by a null-heavy column") {
+    // rebalance ×2 (the null-gram tail branch re-scans the source — the
+    // price of keeping (L−1)·docs null-keyed rows OUT of the gram
+    // shuffle, where they'd all hash to ONE partition), doc lead-window,
+    // gram stats, doc coverage; the rebuild reuses the coverage
+    // clustering.
+    assert(countShuffles(run("q113_substring_excise")) == 5)
   }
 
   test("q116 cohort retention: user aggregate + cohort rollup only") {
