@@ -57,6 +57,25 @@ object Graphs {
     GraphMetrics.perCityPagerank(edges(spark, d))
       .withColumn("city", col("city").cast("int"))
 
+  /** q118: GLOBAL weakly-connected components over the
+    * distance-thresholded graph — the `connectedComponents` staple every
+    * graph engine ships (GraphX/GraphFrames), which the reference's
+    * per-city decomposition never needed because its city partition IS a
+    * component bound. Thresholding at w ≤ 2000 km fragments each city's
+    * bipartite witness graph into geometric neighborhoods, so the
+    * components are non-trivial. Executed by the SAME adaptive CC
+    * operator the near-dup clusters use ([[TextDedup.dupClusters]]:
+    * union-find in one task when the surviving edge list is small,
+    * iterative min-label propagation past the threshold) — one operator,
+    * two domains. Oracle: the q43 recursive-reach pattern over the
+    * q32-verified edge SQL.
+    */
+  def q118GraphComponents(spark: SparkSession, d: String): DataFrame =
+    graft.operators.TextDedup.dupClusters(
+      edges(spark, d).filter(col("w") <= 2000L)
+        .select(col("src"), col("dst")).distinct(),
+      "src", "dst")
+
   /** q34: G3 per-city betweenness (Brandes, unweighted — the reference's
     * weighted-PR/unweighted-BC asymmetry). Oracle: generated BFS-level +
     * pair-dependency SQL ([[Oracles.graphs]]); golden ScalaTests pin the
@@ -138,5 +157,6 @@ object Graphs {
     "q37_cell_decode" -> q37CellDecode _,
     "q47_city_hits" -> q47CityHits _,
     "q75_icosa_decode" -> q75IcosaDecode _,
+    "q118_graph_components" -> q118GraphComponents _,
   )
 }

@@ -1351,6 +1351,26 @@ object Oracles {
     "q47_city_hits" -> hitsSql(EdgesSql, graft.operators.GraphMetrics.Iterations),
     "q75_icosa_decode" -> icosaSql(res = 6),
     "q37_cell_decode" -> icosa37Sql(res = 6),
+
+    // q118: global weakly-connected components over the w <= 2000 km
+    // thresholded graph — the q43 recursive-reach CC pattern on the
+    // q32-verified edge SQL; min(VARCHAR) label = the engine's
+    // lexicographic union-find representative (ASCII keys, same order
+    // both engines).
+    "q118_graph_components" ->
+      s"""WITH RECURSIVE edges0 AS ($EdgesSql),
+         |f AS (SELECT DISTINCT src, dst FROM edges0 WHERE w <= 2000),
+         |u AS (SELECT src AS a, dst AS b FROM f
+         |      UNION SELECT dst, src FROM f),
+         |n AS (SELECT DISTINCT a AS node FROM u),
+         |reach(s2, r) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT reach.s2, u.b FROM reach JOIN u ON reach.r = u.a),
+         |lab AS (SELECT s2 AS node, min(r) AS cluster FROM reach GROUP BY s2)
+         |SELECT lab.node, lab.cluster, cnt.cluster_size
+         |FROM lab JOIN (SELECT cluster, count(*) AS cluster_size
+         |               FROM lab GROUP BY cluster) cnt USING (cluster)""".stripMargin,
   )
 
   /** Twin of [[Relational.upsertInputs]] + [[graft.operators.Merge.upsert]]:
