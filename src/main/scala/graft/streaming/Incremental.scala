@@ -331,6 +331,45 @@ object Incremental {
       .start()
   }
 
+  /** Streaming cohort retention — the dashboard deployment of q116: each
+    * micro-batch folds into a persistent (user, week) ACTIVITY registry
+    * (keyed first-write-wins upsert on the pair — replay-safe and
+    * idempotent under any chunking), and the retention matrix is served
+    * on demand by [[cohortRetentionFromRegistry]] over the registry
+    * alone. Unlike the pure-function twins, cohort state is genuinely
+    * CROSS-BATCH (a user's first-seen week moves if an earlier week
+    * arrives later) — keeping the registry at (user, week) granularity
+    * (calendar-bounded per user) rather than materializing cohorts makes
+    * the fold order-independent, so stream ≡ batch holds under ANY
+    * arrival order, not just time-ordered chunks.
+    */
+  def streamingCohortActivity(stream: DataFrame, checkpointDir: String,
+                              registryPath: String, user: String,
+                              tsUs: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pairs = batch.select(col(user).as("user_key"),
+            expr(s"$tsUs div ${graft.operators.Cohorts.WeekUs}L").as("wk"))
+          .distinct()
+          .withColumn("_key", concat(col("user_key"), lit(":"), col("wk")))
+        Merge.upsertParquet(batch.sparkSession, registryPath, pairs,
+          "_key", Merge.Ignore, "wk")
+        ()
+      }
+      .start()
+
+  /** The q116 retention matrix served from a
+    * [[streamingCohortActivity]] registry. */
+  def cohortRetentionFromRegistry(spark: SparkSession,
+                                  registryPath: String): DataFrame =
+    graft.operators.Cohorts.retention(
+      spark.read.parquet(registryPath)
+        .select(col("user_key").as("user_id"),
+          (col("wk") * graft.operators.Cohorts.WeekUs).as("ts_us")),
+      "user_id", "ts_us")
+
   /** Streaming span-corruption example construction — the example-prep
     * deployment shape of q111: each arriving micro-batch of documents is
     * rendered to (inputs, targets) denoising examples

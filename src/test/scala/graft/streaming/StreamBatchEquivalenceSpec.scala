@@ -378,6 +378,40 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(reg.length == reg.distinct.length)
   }
 
+  test("streamingCohortActivity stream ≡ batch Cohorts.retention under OUT-OF-ORDER arrival (q116 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-cohort")
+      .toFile.getAbsolutePath
+    val wk = graft.operators.Cohorts.WeekUs
+    // user 1 active weeks 0,1,3; user 2 weeks 1,2; user 3 week 2 only.
+    // Batches arrive OUT of time order and replay rows — the (user, week)
+    // registry fold must converge regardless.
+    val b1 = Seq((1L, 1L * wk + 5), (2L, 2L * wk + 9))
+    val b2 = Seq((1L, 0L * wk + 1), (2L, 1L * wk + 3), (3L, 2L * wk + 7))
+    val b3 = Seq((1L, 3L * wk + 2), (1L, 1L * wk + 5), (1L, 0L * wk + 100))
+    val input = MemoryStream[(Long, Long)]
+    val query = Incremental.streamingCohortActivity(
+      input.toDF().toDF("user_id", "ts_us"),
+      s"$dir/ckpt", s"$dir/registry", "user_id", "ts_us")
+    try {
+      Seq(b1, b2, b3).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = Incremental.cohortRetentionFromRegistry(spark, s"$dir/registry")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Cohorts.retention(
+        (b1 ++ b2 ++ b3).toDF("user_id", "ts_us"), "user_id", "ts_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // cohort 0 = user 1 alone (offsets 0,1,3 at 100%); cohort 1 = user 2;
+    // cohort 2 = user 3
+    assert(streamed.contains((0L, 3L, 1L, 1000000L)))
+    assert(streamed.contains((1L, 1L, 1L, 1000000L)))
+    assert(streamed.size == 6) // 3 offsets (u1) + 2 (u2) + 1 (u3)
+  }
+
   test("streamingSpanCorrupt stream ≡ batch examples (q111 twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
