@@ -79,7 +79,7 @@ object SparkEntry {
     val sinkDir = java.nio.file.Files
       .createTempDirectory("graft_flagship_sink").toString
     graft.operators.BulkSink.write(
-      docs.select(to_json(struct(docs.columns.map(col): _*)).as("doc")),
+      docs.select(to_json(struct(docs.columns.toIndexedSeq.map(col): _*)).as("doc")),
       new graft.operators.BulkSink.JsonLinesWriter(sinkDir), batchSize = 1000)
     spark.read.json(sinkDir)
   }

@@ -129,9 +129,9 @@ object Merge {
   private def commitSwap(fs: org.apache.hadoop.fs.FileSystem,
                          target: org.apache.hadoop.fs.Path,
                          merged: DataFrame): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(target + ".tmp-" + java.util.UUID.randomUUID())
+    val tmp = new org.apache.hadoop.fs.Path(s"$target.tmp-" + java.util.UUID.randomUUID())
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(target + ".old-" + java.util.UUID.randomUUID())
+    val old = new org.apache.hadoop.fs.Path(s"$target.old-" + java.util.UUID.randomUUID())
     if (fs.exists(target)) fs.rename(target, old)
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(s"commitSwap: rename failed for $target")
@@ -217,8 +217,8 @@ object Merge {
           // long at the source: the prune is a bare In on the partition
           // column (pinned in MergeSpec's plan test).
           val existing = spark.read.schema(withB.schema).parquet(path)
-            .filter(col("__hb").isin(touched: _*))
-            .select(withB.columns.map(col): _*) // align column order for union
+            .filter(col("__hb").isin(touched.toIndexedSeq: _*))
+            .select(withB.columns.toIndexedSeq.map(col): _*) // align column order for union
           upsert(existing, withB, key, mode, tiebreak)
         } else Dedup.keepFirst(withB, Seq(col(key)), Seq(col(tiebreak).desc))
       // Write the merged buckets to a sibling temp layout, then swap ONLY
