@@ -281,6 +281,49 @@ class TextDedupSpec extends AnyFunSuite {
     assert(m(11L)._3 == 0L && m(12L)._4 == "" && m(13L)._4 == "")
   }
 
+  test("substringExcise ≡ independent naive reference on randomized corpora") {
+    // The DuckDB oracle mirrors the same relational algebra, so this is
+    // the INDEPENDENT check: a direct Scala-collections transliteration
+    // of the rule (gram occurrences → counts + global first → coverage →
+    // survival), compared on random small-alphabet corpora where repeats
+    // are dense.
+    def naive(docs: Seq[(Long, String)], L: Int): Set[(Long, Long, Long, String)] = {
+      val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+      case class Occ(doc: Long, pos: Int, gram: String)
+      val occs = toks.flatMap { case (id, tk) =>
+        (1 to tk.length - L + 1).map(p =>
+          Occ(id, p, tk.slice(p - 1, p - 1 + L).mkString(" ")))
+      }
+      val byGram = occs.groupBy(_.gram)
+      val keep: Map[(Long, Int), Boolean] = occs.map { o =>
+        val g = byGram(o.gram)
+        val first = g.minBy(x => (x.doc, x.pos))
+        (o.doc, o.pos) -> (g.size == 1 || (first.doc == o.doc && first.pos == o.pos))
+      }.toMap
+      toks.map { case (id, tk) =>
+        val survive = (1 to tk.length).map { p =>
+          val covering = (math.max(1, p - L + 1) to p)
+            .flatMap(s => keep.get((id, s)))
+          covering.isEmpty || covering.exists(identity)
+        }
+        val keptToks = tk.zip(survive).collect { case (t, true) => t }
+        (id, tk.length.toLong, survive.count(!_).toLong, keptToks.mkString(" "))
+      }.toSet
+    }
+    val rnd = new scala.util.Random(97)
+    for (round <- 1 to 4) {
+      val L = 2 + rnd.nextInt(3) // 2..4
+      val docs = (1L to 30L).map { id =>
+        val n = 1 + rnd.nextInt(14)
+        (id, (1 to n).map(_ => ('a' + rnd.nextInt(3)).toChar.toString).mkString(" "))
+      }
+      val got = TextDedup.substringExcise(docs.toDF("doc_id", "text"),
+          "doc_id", "text", minLen = L)
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got == naive(docs, L), s"round $round (L=$L) diverged")
+    }
+  }
+
   test("substringExcise: periodic self-repeat keeps boundary-straddling content (granularity fuzz, pinned)") {
     // "r1..r6 r1..r6": the second copy's interior is vouched for by the
     // UNIQUE wrap-around grams (r2..r6 r1 etc.), so only the final token
