@@ -288,7 +288,44 @@ object Extensions {
     graft.operators.Cohorts.retention(
       Tables.eventsWithUs(spark, d), "user_id", "ts_us")
 
+  /** q119: THREE-step ordered funnel (view → click → purchase, 1h per
+    * hop) — the canonical multi-step event-analytics query, built by
+    * CHAINING the as-of join: stage 1 enriches each click with its
+    * latest prior view (≤24h — the browse-earlier-that-day hop); stage 2
+    * enriches each purchase with its latest prior click (≤1h), CARRYING
+    * the click's view match — the
+    * as-of carry is a struct, so (click, its view) stay an atomic pair
+    * even when the nearest click has no view (a scalar last_value would
+    * reach back to an older click's view and mispair). Two keyed
+    * shuffles (one per as-of), partial-agg rollup, exact micro-unit
+    * rates.
+    */
+  def q119Funnel3(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.eventsWithUs(spark, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("v_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("c_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicksE = AsOf.backward(clicks, views, Seq("user_id"), "ts_us",
+      tiebreak = "v_id", carry = Seq("v_id"), prefix = "s1_",
+      maxAge = Some(OneDayUs))
+    AsOf.backward(purchases,
+        clicksE.select(col("user_id"), col("ts_us"), col("c_id"), col("s1_v_id")),
+        Seq("user_id"), "ts_us", tiebreak = "c_id",
+        carry = Seq("c_id", "s1_v_id"), prefix = "m_",
+        maxAge = Some(OneHourUs))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("m_c_id")).as("n_step2"),
+        count(col("m_s1_v_id")).as("n_full"),
+        expr("(1000000 * count(m_c_id)) div count(1)").as("conv2_pm"),
+        expr("(1000000 * count(m_s1_v_id)) div count(1)").as("conv_full_pm"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_funnel3" -> q119Funnel3 _,
     "q116_cohort_retention" -> q116CohortRetention _,
     "q44_asof_join" -> q44AsofJoin _,
     "q45_range_join" -> q45RangeJoin _,

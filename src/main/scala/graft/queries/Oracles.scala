@@ -1622,6 +1622,58 @@ object Oracles {
          |  CAST((1000000 * n_users) // cohort_size AS BIGINT) AS retention_pm
          |FROM s""".stripMargin,
 
+    // q119: the q68 union-window as-of twin CHAINED — stage 1 (view →
+    // click) with scalar carries (every side-0 row has a non-null v_id,
+    // so pairing is safe), stage 2 (click → purchase) with a STRUCT
+    // carry so (c_id, its view match) stay atomic even when the nearest
+    // click has no view.
+    "q119_funnel3" ->
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t, event_type
+         |  FROM events),
+         |u1 AS (
+         |  SELECT user_id, t, 0 AS side, CAST(NULL AS BIGINT) AS c_id,
+         |    event_id AS rid
+         |  FROM ev WHERE event_type = 'view'
+         |  UNION ALL
+         |  SELECT user_id, t, 1, event_id, CAST(NULL AS BIGINT)
+         |  FROM ev WHERE event_type = 'click'),
+         |w1 AS (SELECT *,
+         |    last_value(CASE WHEN side = 0 THEN rid END IGNORE NULLS) OVER win AS v_id,
+         |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER win AS v_t
+         |  FROM u1
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY t, side, rid
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |ck AS (SELECT user_id, t, c_id,
+         |    CASE WHEN v_t IS NOT NULL AND t - v_t <= ${Extensions.OneDayUs}
+         |      THEN v_id END AS sv
+         |  FROM w1 WHERE side = 1),
+         |u2 AS (
+         |  SELECT user_id, t, 0 AS side, c_id AS tb,
+         |    struct_pack(c := c_id, sv := sv) AS pay,
+         |    CAST(NULL AS BIGINT) AS p_id
+         |  FROM ck
+         |  UNION ALL
+         |  SELECT user_id, t, 1, CAST(NULL AS BIGINT),
+         |    CAST(NULL AS STRUCT(c BIGINT, sv BIGINT)), event_id
+         |  FROM ev WHERE event_type = 'purchase'),
+         |w2 AS (SELECT *,
+         |    last_value(CASE WHEN side = 0 THEN pay END IGNORE NULLS) OVER win AS m,
+         |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER win AS m_t
+         |  FROM u2
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY t, side, tb
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |p AS (SELECT user_id,
+         |    CASE WHEN m_t IS NOT NULL AND t - m_t <= ${Extensions.OneHourUs}
+         |      THEN m.c END AS hit_c,
+         |    CASE WHEN m_t IS NOT NULL AND t - m_t <= ${Extensions.OneHourUs}
+         |      THEN m.sv END AS hit_v
+         |  FROM w2 WHERE side = 1)
+         |SELECT user_id, count(*) AS n_purchases,
+         |  count(hit_c) AS n_step2, count(hit_v) AS n_full,
+         |  CAST((1000000 * count(hit_c)) // count(*) AS BIGINT) AS conv2_pm,
+         |  CAST((1000000 * count(hit_v)) // count(*) AS BIGINT) AS conv_full_pm
+         |FROM p GROUP BY user_id""".stripMargin,
+
     // The q44 union-window as-of twin with the 1h attribution window
     // (m_t older than t − maxAge ⇒ no conversion), rolled up per user.
     "q68_funnel" ->
