@@ -166,6 +166,12 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(run("q116_cohort_retention")) <= 3)
   }
 
+  test("q119 three-step funnel: two as-of union-windows, both keyed on user") {
+    // each chained as-of is one union-window exchange (the q44 shape);
+    // the final rollup groups on the same key
+    assert(countShuffles(run("q119_funnel3")) <= 3)
+  }
+
   test("q106 BPE segmentation: the kernel path plans no window exchange chain") {
     val df = run("q106_bpe_segment")
     // the kernel call collapses into the distinct-aggregate's result
