@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** The ROUND-10 query registry, frozen: `subset_total_prev_round` sums
+  /** The ROUND-11 query registry, frozen: `subset_total_prev_round` sums
     * timings over exactly this set, so cross-round totals compare like
     * with like — round 10's +14% "regression" took a session of forensics
     * to attribute to new queries + driver testdata regeneration (verdict
@@ -22,7 +22,11 @@ object Bench {
       "q100_span_dedup", "q101_jsonlines_roundtrip",
       "q102_span_dedup_incremental", "q103_lm_fluency", "q104_ccnet_gate",
       "q105_bpe_merges", "q106_bpe_segment", "q107_lm_backoff",
-      "q108_tiered_sink", "q109_pipeline_v2", "q10_dedup_newest_wins",
+      "q108_tiered_sink", "q109_pipeline_v2",
+      "q110_dsir_select", "q111_span_corrupt", "q112_example_prep",
+      "q113_substring_excise", "q114_substring_excise_inc",
+      "q115_pipeline_v3", "q116_cohort_retention", "q117_dsir_production",
+      "q118_graph_components", "q119_funnel3", "q10_dedup_newest_wins",
       "q11_dedup_content_hash", "q12_geo_haversine", "q13_vertex_ref_roundtrip",
       "q14_collect_sorted_list", "q15_json_fallback_coalesce",
       "q16_window_rewards_5d", "q17_daily_balances", "q18_upsert_update",

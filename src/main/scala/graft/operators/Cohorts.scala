@@ -19,10 +19,19 @@ object Cohorts {
 
   val WeekUs: Long = 7L * 86400L * 1000000L
 
+  /** Epoch-anchored FLOOR week bucket as a SQL fragment. `div` alone
+    * truncates toward zero (pre-1970 timestamps would round UP into the
+    * wrong week, diverging from the oracle's floor `//`); subtracting the
+    * non-negative `pmod` first makes the dividend exactly divisible, so
+    * the result is true floor division at full long precision.
+    */
+  def weekFloorSql(tsUs: String): String =
+    s"($tsUs - pmod($tsUs, ${WeekUs}L)) div ${WeekUs}L"
+
   /** @param user user id column name; @param tsUs µs-epoch long column. */
   def retention(events: DataFrame, user: String, tsUs: String): DataFrame = {
     val uw = events
-      .select(col(user), expr(s"$tsUs div ${WeekUs}L").as("wk"))
+      .select(col(user), expr(weekFloorSql(tsUs)).as("wk"))
       .groupBy(col(user)).agg(collect_set(col("wk")).as("weeks"))
     val byCohort = Window.partitionBy(col("cohort_week"))
     uw.select(col(user), array_min(col("weeks")).as("cohort_week"),

@@ -69,9 +69,16 @@ object Dsir {
     feats.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
 
   /** The frozen model artifact: (bucket, st, sr) with st = c_target+1,
-    * sr = c_raw+1 over observed raw buckets. ≤ `buckets` rows — the
-    * thing a deployment trains ONCE and broadcasts to every scorer
-    * (the [[graft.streaming.Incremental.streamingDsirScore]] shape).
+    * sr = c_raw+1 over buckets observed in EITHER corpus. ≤ `buckets`
+    * rows — the thing a deployment trains ONCE and broadcasts to every
+    * scorer (the [[graft.streaming.Incremental.streamingDsirScore]]
+    * shape). The join is FULL outer: a bucket seen only in the target
+    * keeps its smoothed target mass (st = c_t+1, sr = 1) instead of
+    * falling to the neutral 1/1 the scorer's coalesce would supply —
+    * in-pool docs never hit such buckets (their buckets have c_raw ≥ 1
+    * by construction, so q110/q117 arithmetic is unchanged), but
+    * OUT-of-pool docs carrying target-distinctive vocabulary now score
+    * the full (c_t+1)/1 DSIR contribution rather than a floor.
     */
   def bucketStats(raw: DataFrame, target: DataFrame, id: String,
                   text: String, buckets: Int): DataFrame = {
@@ -79,9 +86,9 @@ object Dsir {
       .withColumnRenamed("c", "ct")
     val rCounts = bucketCounts(featureBuckets(raw, id, text, buckets))
       .withColumnRenamed("c", "cr")
-    rCounts.join(tCounts, Seq("bucket"), "left_outer")
+    rCounts.join(tCounts, Seq("bucket"), "full_outer")
       .select(col("bucket"), (coalesce(col("ct"), lit(0L)) + 1L).as("st"),
-        (col("cr") + 1L).as("sr"))
+        (coalesce(col("cr"), lit(0L)) + 1L).as("sr"))
   }
 
   /** Score `docs` against a frozen (bucket, st, sr) model: (id, n_feats,

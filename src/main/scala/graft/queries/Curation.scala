@@ -473,7 +473,11 @@ object Curation {
     * TakeOrderedAndProject; stage 3 is two keyed shuffles. The one
     * shared subtree (the excised+joined corpus feeding target, pool,
     * and selection) is persisted — caller-owned lifecycle, the
-    * [[TermStats]] convention.
+    * [[TermStats]] convention: the harness drains it via
+    * [[graft.Caches.clearAll]] after every run (pinned by
+    * CacheLifecycleSpec); an out-of-harness caller must call
+    * `Caches.clearAll(spark)` (or unpersist the returned lineage)
+    * after consuming the result, or one cached frame stays resident.
     */
   def q115PipelineV3(spark: SparkSession, d: String): DataFrame = {
     import graft.operators.{Dsir, Packing, SpanCorrupt}
@@ -513,11 +517,15 @@ object Curation {
     import graft.operators.Dsir
     val docs = Tables.balanced(spark, d, "documents")
     val raw = docs.filter(col("source") =!= "src0")
-    // deterministic per-source artifact path, OVERWRITTEN each refresh —
-    // a fresh temp dir per call would leak one directory per invocation
-    // under a resident engine's registry loop (Bench alone runs 4×)
+    // deterministic per-(session, source) artifact path, OVERWRITTEN each
+    // refresh — a fresh temp dir per call would leak one directory per
+    // invocation under a resident engine's registry loop (Bench alone
+    // runs 4×), while a path shared ACROSS sessions would race
+    // overwrite-vs-read between two engines over the same data dir; the
+    // applicationId component scopes the artifact to this session.
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_dsir_model_" + java.lang.Integer.toHexString(d.hashCode)).toString
+      "graft_dsir_model_" + spark.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(d.hashCode)).toString
     Dsir.bucketStats(raw, docs.filter(col("source") === "src0"),
         "doc_id", "text", buckets = 1024)
       .write.mode("overwrite").parquet(dir)

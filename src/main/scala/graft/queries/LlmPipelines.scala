@@ -410,10 +410,12 @@ object LlmPipelines {
   def q92IvfPqIndexed(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.balanced(spark, d, "embeddings")
     val cents = emb.filter(col("vec_id") < 8)
-    // deterministic per-source artifact path, overwritten each refresh
-    // (a fresh temp dir per call leaked one directory per invocation)
+    // deterministic per-(session, source) artifact path, overwritten each
+    // refresh (a fresh temp dir per call leaked one directory per
+    // invocation; a cross-session shared path raced overwrite-vs-read)
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivfpq_index_" + java.lang.Integer.toHexString(d.hashCode)).toString
+      "graft_ivfpq_index_" + spark.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(d.hashCode)).toString
     Similarity.buildIvfPqIndex(emb, cents, "vec_id", "embedding")
       .write.mode("overwrite").parquet(dir)
     val index = spark.read.parquet(dir)
@@ -474,7 +476,8 @@ object LlmPipelines {
     // queries q78/q101/q108 keep theirs — an empty sink per run is their
     // semantic, and leftover state would change the upsert behavior)
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ann_prod_" + java.lang.Integer.toHexString(d.hashCode)).toString
+      "graft_ann_prod_" + spark.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(d.hashCode)).toString
     Similarity.buildIvfPqIndex(emb, cents, "vec_id", "embedding", cb)
       .write.mode("overwrite").parquet(dir)
     val index = spark.read.parquet(dir)
