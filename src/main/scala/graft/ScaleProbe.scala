@@ -74,7 +74,7 @@ object ScaleProbe {
     val sections = Set("session", "termstats", "minhash", "ann", "temporal",
       "packing", "relational", "topk", "kmeans", "sinks", "pq", "sketch",
       "prune", "sinkbig", "pqtrain", "spandedup", "jsonlines", "tiered", "bpe",
-      "dsir", "spancorrupt", "substr")
+      "dsir", "spancorrupt", "substr", "lshskew", "ccdiam")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -156,6 +156,63 @@ object ScaleProbe {
       time(s"minhash+lsh ${factor}x (${5000 * factor} docs)") {
         val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
         TextDedup.lshCandidatePairs(sigs, 16, 4).filter(col("n_sig_equal") >= 8).count()
+      }
+      spark.catalog.clearCache()
+    }
+    // LSH hot band: 2% of every replica's docs are REPLACED by one shared
+    // boilerplate text — identical minhash signatures, so one bucket in
+    // EVERY band holds 2%·N docs and the band self-join must EMIT
+    // (0.02N)²/2·bands candidate rows. That blowup is in the join OUTPUT:
+    // AQE skew-splitting only rebalances input partitions and cannot
+    // shrink it, which is why the uncapped curve is quadratic by
+    // construction (measured through 16×; 64× uncapped would emit ~82M
+    // pre-distinct rows — the point of the probe, not worth the minutes).
+    // The maxBucket df-cap drops over-occupied buckets before the join
+    // and holds the curve ~linear; the dropped mega-cluster is exactly
+    // the population exact dedup (q11/q26/q100) collapses upstream.
+    if (want("lshskew")) for (factor <- Seq(1, 4, 16, 64)) {
+      val boiler = "licensed under the creative commons attribution share " +
+        "alike license additional terms may apply by using this site you " +
+        "agree to the terms of use and privacy policy"
+      val docs = materialize(
+        docsAt(spark, d, factor).withColumn("text",
+          when(col("doc_id") % 50 === 0, lit(boiler)).otherwise(col("text"))),
+        s"/tmp/scale/skdocs$factor")
+      val hot = 100 * factor
+      if (factor <= 16) {
+        time(s"lsh-hotband-uncapped ${factor}x (${5000 * factor} docs, $hot boilerplate)") {
+          val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
+          TextDedup.lshCandidatePairs(sigs, 16, 4)
+            .filter(col("n_sig_equal") >= 8).count()
+        }
+        spark.catalog.clearCache()
+      }
+      time(s"lsh-hotband-capped64 ${factor}x (${5000 * factor} docs, $hot boilerplate)") {
+        val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
+        TextDedup.lshCandidatePairs(sigs, 16, 4, maxBucket = 64L)
+          .filter(col("n_sig_equal") >= 8).count()
+      }
+      spark.catalog.clearCache()
+    }
+    // High-diameter CC: an n-node chain (diameter = n) through BOTH
+    // dupClusters paths — the fixture where plain min-label propagation
+    // needed n rounds (the named-but-unmeasured risk from round 11).
+    // Pointer jumping makes the iterative path O(log n) rounds; the
+    // one-task union-find path is a single linear pass. This pins the
+    // localThreshold choice with data: below the threshold union-find
+    // wins outright; above it the iterative path now survives ANY
+    // diameter instead of only near-cliques.
+    if (want("ccdiam")) for (factor <- Seq(1, 4, 16, 64)) {
+      val n = 5000L * factor
+      val chain = materialize(
+        spark.range(n - 1).select(col("id").as("a"), (col("id") + 1L).as("b")),
+        s"/tmp/scale/chain$factor")
+      time(s"cc-chain-unionfind ${factor}x ($n nodes, diameter $n)") {
+        TextDedup.dupClusters(chain, "a", "b").count()
+      }
+      time(s"cc-chain-iterative ${factor}x ($n nodes, diameter $n)") {
+        TextDedup.dupClusters(chain, "a", "b", maxIter = 40,
+          localThreshold = 0L).count()
       }
       spark.catalog.clearCache()
     }

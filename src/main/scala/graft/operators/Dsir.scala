@@ -61,35 +61,30 @@ object Dsir {
       .select(col(id), pmod(Text.baseHash32(col("f")), lit(buckets.toLong)).as("bucket"))
   }
 
-  /** Add-one-smoothed bucket count table of one corpus side:
-    * (bucket, c) for observed buckets; absent buckets carry c = 0 and
-    * are supplied by the scoring join's coalesce. ≤ `buckets` rows.
-    */
-  private def bucketCounts(feats: DataFrame): DataFrame =
-    feats.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
-
   /** The frozen model artifact: (bucket, st, sr) with st = c_target+1,
     * sr = c_raw+1 over buckets observed in EITHER corpus. ≤ `buckets`
     * rows — the thing a deployment trains ONCE and broadcasts to every
     * scorer (the [[graft.streaming.Incremental.streamingDsirScore]]
-    * shape). The join is FULL outer: a bucket seen only in the target
-    * keeps its smoothed target mass (st = c_t+1, sr = 1) instead of
-    * falling to the neutral 1/1 the scorer's coalesce would supply —
-    * in-pool docs never hit such buckets (their buckets have c_raw ≥ 1
-    * by construction, so q110/q117 arithmetic is unchanged), but
-    * OUT-of-pool docs carrying target-distinctive vocabulary now score
-    * the full (c_t+1)/1 DSIR contribution rather than a floor.
+    * shape). A bucket seen only in the target keeps its smoothed target
+    * mass (st = c_t+1, sr = 1) instead of falling to the neutral 1/1
+    * the scorer's coalesce would supply — in-pool docs never hit such
+    * buckets (their buckets have c_raw ≥ 1 by construction, so
+    * q110/q117 arithmetic is unchanged), but OUT-of-pool docs carrying
+    * target-distinctive vocabulary now score the full (c_t+1)/1 DSIR
+    * contribution rather than a floor. Shape: both sides' feature
+    * streams union with a side tag and collapse in ONE map-side-combined
+    * aggregation (a full-outer join of two count tables would force a
+    * shuffle join — full-outer cannot broadcast — where this is a
+    * single keyed exchange over pre-combined partials).
     */
   def bucketStats(raw: DataFrame, target: DataFrame, id: String,
-                  text: String, buckets: Int): DataFrame = {
-    val tCounts = bucketCounts(featureBuckets(target, id, text, buckets))
-      .withColumnRenamed("c", "ct")
-    val rCounts = bucketCounts(featureBuckets(raw, id, text, buckets))
-      .withColumnRenamed("c", "cr")
-    rCounts.join(tCounts, Seq("bucket"), "full_outer")
-      .select(col("bucket"), (coalesce(col("ct"), lit(0L)) + 1L).as("st"),
-        (coalesce(col("cr"), lit(0L)) + 1L).as("sr"))
-  }
+                  text: String, buckets: Int): DataFrame =
+    featureBuckets(raw, id, text, buckets).select(col("bucket"), lit(0).as("__side"))
+      .unionByName(featureBuckets(target, id, text, buckets)
+        .select(col("bucket"), lit(1).as("__side")))
+      .groupBy(col("bucket"))
+      .agg((sum(when(col("__side") === 1, 1L).otherwise(0L)) + 1L).as("st"),
+        (sum(when(col("__side") === 0, 1L).otherwise(0L)) + 1L).as("sr"))
 
   /** Score `docs` against a frozen (bucket, st, sr) model: (id, n_feats,
     * score_pm). Buckets the model never observed smooth to st = sr = 1

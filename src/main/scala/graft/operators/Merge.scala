@@ -121,6 +121,20 @@ object Merge {
     commitSwap(fs, hPath, merged)
   }
 
+  /** Replace the parquet at `path` with `df` wholesale via the
+    * [[commitSwap]] discipline — for MUTATING registries (incremental CC
+    * labels move on merge; an upsert can only add/replace keyed rows,
+    * not express a snapshot whose rows all changed). Safe when `df`'s
+    * lineage READS the current `path`: the new state materializes fully
+    * into a temp dir before the old files move.
+    */
+  def replaceParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+                     df: DataFrame): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    commitSwap(hPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      hPath, df)
+  }
+
   /** Write `merged` to a temp path and swap it into `target` — the
     * previous state is never destroyed before the new state is fully
     * written (rename is atomic on HDFS/posix; on S3A the window is the

@@ -166,6 +166,51 @@ object Multimodal {
     }
   }
 
+  /** 56-bit difference hash (dHash) over a PPM binary column — the
+    * standard image perceptual fingerprint (Krawetz's dHash: downsample,
+    * compare horizontally adjacent brightness, one bit per comparison):
+    * parse the P6 header, nearest-neighbor sample a 9×7 grayscale grid
+    * ((r+g+b) div 3 integer luma), and set bit (row·8 + col) when the
+    * LEFT sample is strictly brighter than its right neighbor. 56 bits
+    * (8 comparisons × 7 rows), not the textbook 64: bit 63 is the sign
+    * bit, and cross-engine signed-shift semantics diverge (DuckDB
+    * refuses `1 << 63`) — same integer-portability rule as the repo's
+    * micro-unit convention. Partition-local real decode, same
+    * bytes-never-shuffle shape as [[decodeFeatures]]; downstream
+    * near-dup pairing is hamming-distance banding
+    * ([[TextDedup.hammingPairs]] — q121).
+    */
+  def dHashPpm(spark: SparkSession, df: DataFrame, idCol: String,
+               binCol: String): DataFrame = {
+    implicit val enc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, _, off) = Ppm.parseHeader(bytes)
+          def gray(sx: Int, sy: Int): Int = {
+            val b = off + (sy * w + sx) * 3
+            ((bytes(b) & 0xff) + (bytes(b + 1) & 0xff) + (bytes(b + 2) & 0xff)) / 3
+          }
+          var hash = 0L
+          var yo = 0
+          while (yo < 7) {
+            val sy = yo * h / 7
+            var xo = 0
+            while (xo < 8) {
+              if (gray(xo * w / 9, sy) > gray((xo + 1) * w / 9, sy))
+                hash |= 1L << (yo * 8 + xo)
+              xo += 1
+            }
+            yo += 1
+          }
+          (id, hash)
+        }
+      }
+      .toDF("id", "dhash")
+  }
+
   /** Pixel-domain resize over a PPM binary column: parse → nearest-neighbor
     * downscale ([[Ppm.resizeNearest]]) → re-render; emits original and
     * resized dimensions plus the resized content hash. Same partition-local

@@ -100,17 +100,36 @@ object TextDedup {
     * standard sub-quadratic candidate generation; the all-pairs comparison
     * never happens.
     */
-  def lshCandidatePairs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  def lshCandidatePairs(sigs: DataFrame, numHashes: Int, bands: Int,
+                        maxBucket: Long = 0L): DataFrame = {
     require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
     val r = numHashes / bands
     // Persist: both sides of the band self-join (and the distinct) would
     // otherwise recompute the full signature scan. Caller-owned (returned
     // lineage — the [[TermStats]] convention).
     val cached = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = cached.select(col("doc"), col("sig"),
+    val banded0 = cached.select(col("doc"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         md5(concat_ws(",", (0 until r).map(i =>
           element_at(col("sig"), b * r + i + 1)): _*))): _*)).as(Seq("band", "bk")))
+    // Hot-band cap (`maxBucket` docs per (band, bucket); 0 disables):
+    // a boilerplate cluster of M near-identical docs shares every band
+    // bucket, and the self-join then EMITS M²/2 · bands candidate rows —
+    // the blowup is in the join OUTPUT, which AQE skew-splitting cannot
+    // shrink (it only rebalances input partitions). The cap drops
+    // over-occupied buckets before the join (one partial-aggregated
+    // count + a semi-join), the same recall trade as the shingle df-cap:
+    // a capped bucket's mega-cluster is exactly the population exact
+    // fingerprint/span dedup (q11/q26/q100) already collapses upstream,
+    // and near-dup pairs BETWEEN distinct texts still meet in their
+    // other, uncapped bands. Measured in SCALE.md's lshskew probe.
+    val banded =
+      if (maxBucket > 0) {
+        val keep = banded0.groupBy(col("band"), col("bk"))
+          .agg(count(lit(1)).as("__occ"))
+          .filter(col("__occ") <= maxBucket).select(col("band"), col("bk"))
+        banded0.join(keep, Seq("band", "bk"))
+      } else banded0
     val x = banded.select(col("doc").as("doc_a"), col("sig").as("sa"),
       col("band"), col("bk"))
     val y = banded.select(col("doc").as("doc_b"), col("sig").as("sb"),
@@ -165,14 +184,18 @@ object TextDedup {
     * so when it fits one partition (`≤ localThreshold` pairs) CC runs as a
     * single `mapPartitions` union-find — exact, one job, no iteration.
     * Past the threshold (or for key types without a defined ordering) it
-    * falls back to iterative min-label propagation (label := min(label,
-    * neighbors' labels)) to fixpoint — the standard large-graph CC without
-    * a graph library; each iteration is one equi-join + partial-aggregated
-    * min, and `localCheckpoint` truncates the growing lineage. Iterations
-    * needed = component diameter; dup clusters are near-cliques, so 2-3
-    * passes in practice (`maxIter` is the runaway bound — if hit before
-    * convergence an IllegalStateException is thrown rather than returning
-    * wrong labels). Both paths are property-tested to agree.
+    * falls back to iterative min-label propagation WITH pointer jumping
+    * (label := min(label, neighbors' labels, label(label)) — the
+    * Shiloach–Vishkin path-doubling step) to fixpoint — the standard
+    * large-graph CC without a graph library; each iteration is one
+    * neighbor equi-join + one label self-join, and `localCheckpoint`
+    * truncates the growing lineage. Iterations needed = O(log diameter)
+    * (measured in SCALE.md's ccdiam probe: a 320k-node chain converges
+    * in ~18 rounds where plain min-label would need 320k); dup clusters
+    * are near-cliques, so 2-3 passes in practice (`maxIter` is the
+    * runaway bound — if hit before convergence an IllegalStateException
+    * is thrown rather than returning wrong labels). Both paths are
+    * property-tested to agree.
     */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
                   maxIter: Int = 20, localThreshold: Long = 1000000L): DataFrame = {
@@ -249,12 +272,29 @@ object TextDedup {
       // extra labels⨝updated shuffle join it used to be. The checkpoint is
       // LAZY: the convergence count is the job that materializes it, so
       // each iteration runs exactly one job (eager + count ran two).
-      val updated = labels.join(nbrMin, col("node") === col("a"), "left_outer")
+      val stepped = labels.join(nbrMin, col("node") === col("a"), "left_outer")
         .select(col("node"), col("label").as("__prev"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         .localCheckpoint(false)
-      changed = updated.filter(col("label") =!= col("__prev")).count()
-      labels = updated.select(col("node"), col("label"))
+      // POINTER JUMP (Shiloach–Vishkin style path doubling): also adopt
+      // the label OF the current label — label(v) ← min(label(v),
+      // label(label(v))). Plain neighbor-min needs DIAMETER iterations
+      // (a 320k-node chain would need 320k rounds — the high-diameter
+      // wall the ccdiam probe measures); with the jump the label forest
+      // halves in depth each round, so convergence is O(log diameter)
+      // at the cost of one extra self-join per round. Correctness is
+      // unchanged: a label is always the id of some node in the SAME
+      // component (label(label(v)) is in label(v)'s component = v's),
+      // labels are monotone non-increasing, and the fixpoint is the
+      // component minimum — same invariant, fewer rounds.
+      val jumped = stepped
+        .join(stepped.select(col("node").as("__jn"), col("label").as("__jl")),
+          col("label") === col("__jn"), "left_outer")
+        .select(col("node"), col("__prev"),
+          least(col("label"), coalesce(col("__jl"), col("label"))).as("label"))
+        .localCheckpoint(false)
+      changed = jumped.filter(col("label") =!= col("__prev")).count()
+      labels = jumped.select(col("node"), col("label"))
       iter += 1
     }
     edges.unpersist()
@@ -348,24 +388,41 @@ object TextDedup {
     * Input: output of [[simhash]] (doc, simhash).
     */
   def simhashNearDupPairs(sigs: DataFrame, maxHamming: Int,
-                          bands: Int = 4): DataFrame = {
-    require(bands >= 1 && 32 % bands == 0, s"bands must divide 32, got $bands")
+                          bands: Int = 4): DataFrame =
+    hammingPairs(sigs, "doc", "simhash", bits = 32, maxHamming = maxHamming,
+      bands = bands)
+
+  /** Generic hamming-distance near-dup pairing over ANY integer
+    * fingerprint column (simhash q29/q67, image dHash q121): all
+    * (doc_a < doc_b) with `bit_count(xor) <= maxHamming`, candidates by
+    * pigeonhole banding (Manku et al. 2007) — the fingerprint splits
+    * into `bands` equal bit-blocks, two fingerprints within hamming
+    * d < bands must agree on ≥ 1 whole block, so an equi-join on
+    * (band, block value) finds every true pair (EXACT recall for
+    * maxHamming ≤ bands−1, `require`d) and the cheap confirm runs only
+    * inside band buckets. Never all-pairs.
+    */
+  def hammingPairs(sigs: DataFrame, idCol: String, hashCol: String,
+                   bits: Int, maxHamming: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && bits % bands == 0,
+      s"bands must divide $bits, got $bands")
     require(maxHamming < bands,
       s"pigeonhole recall needs maxHamming < bands, got $maxHamming/$bands")
-    val width = 32 / bands
+    val width = bits / bands
     val mask = (1L << width) - 1
     // Persist: both sides of the band self-join would otherwise recompute
-    // the fingerprint aggregation (two keyed shuffles over 32× the token
-    // count) — same reuse rule as [[lshCandidatePairs]]. Caller-owned
-    // (returned lineage — the [[TermStats]] convention).
+    // the fingerprint derivation (for simhash, two keyed shuffles over
+    // 32× the token count; for dHash, a full media decode) — same reuse
+    // rule as [[lshCandidatePairs]]. Caller-owned (returned lineage —
+    // the [[TermStats]] convention).
     val cached = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = cached.select(col("doc"), col("simhash"),
+    val banded = cached.select(col(idCol).as("doc"), col(hashCol).as("__h"),
       posexplode(array((0 until bands).map(b =>
-        shiftright(col("simhash"), b * width).bitwiseAND(mask)): _*))
+        shiftright(col(hashCol), b * width).bitwiseAND(mask)): _*))
         .as(Seq("band", "blk")))
-    val x = banded.select(col("doc").as("doc_a"), col("simhash").as("ha"),
+    val x = banded.select(col("doc").as("doc_a"), col("__h").as("ha"),
       col("band"), col("blk"))
-    val y = banded.select(col("doc").as("doc_b"), col("simhash").as("hb"),
+    val y = banded.select(col("doc").as("doc_b"), col("__h").as("hb"),
       col("band"), col("blk"))
     x.join(y, Seq("band", "blk"))
       .filter(col("doc_a") < col("doc_b"))

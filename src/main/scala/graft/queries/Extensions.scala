@@ -175,6 +175,7 @@ object Extensions {
 
   val OneHourUs = 3600L * 1000000
   val OneDayUs = 24L * 3600 * 1000000
+  val SevenDayUs = 7L * 24 * 3600 * 1000000
 
   /** q68: conversion funnel — each purchase attributed to the user's most
     * recent click within the preceding hour ([[AsOf.backward]] with
@@ -300,32 +301,45 @@ object Extensions {
     * shuffles (one per as-of), partial-agg rollup, exact micro-unit
     * rates.
     */
-  def q119Funnel3(spark: SparkSession, d: String): DataFrame = {
-    val ev = Tables.eventsWithUs(spark, d)
-    val views = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts_us"), col("event_id").as("v_id"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts_us"), col("event_id").as("c_id"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts_us"))
-    val clicksE = AsOf.backward(clicks, views, Seq("user_id"), "ts_us",
-      tiebreak = "v_id", carry = Seq("v_id"), prefix = "s1_",
-      maxAge = Some(OneDayUs))
-    AsOf.backward(purchases,
-        clicksE.select(col("user_id"), col("ts_us"), col("c_id"), col("s1_v_id")),
-        Seq("user_id"), "ts_us", tiebreak = "c_id",
-        carry = Seq("c_id", "s1_v_id"), prefix = "m_",
-        maxAge = Some(OneHourUs))
+  def q119Funnel3(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.funnelN(Tables.eventsWithUs(spark, d),
+        "user_id", "ts_us", "event_id",
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click", col("event_type") === "purchase"),
+        windows = Seq(OneDayUs, OneHourUs))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_purchases"),
-        count(col("m_c_id")).as("n_step2"),
-        count(col("m_s1_v_id")).as("n_full"),
-        expr("(1000000 * count(m_c_id)) div count(1)").as("conv2_pm"),
-        expr("(1000000 * count(m_s1_v_id)) div count(1)").as("conv_full_pm"))
-  }
+        count(col("step2_id")).as("n_step2"),
+        count(col("step1_id")).as("n_full"),
+        expr("(1000000 * count(step2_id)) div count(1)").as("conv2_pm"),
+        expr("(1000000 * count(step1_id)) div count(1)").as("conv_full_pm"))
+
+  /** q122: FOUR-step ordered funnel (signup → view → click → purchase;
+    * 7d/24h/1h hop windows) through the generalized
+    * [[graft.operators.Funnel.funnelN]] fold — the operator q119 now
+    * also runs through (its hash-stable oracle pins the fold against the
+    * hand-chained three-step form it replaced). Each hop is one
+    * user-keyed as-of exchange with the accumulated chain carried as an
+    * atomic struct; the rollup reuses the final hop's clustering —
+    * plan-pinned at ≤4 user-keyed exchanges (PlanSpec).
+    */
+  def q122Funnel4(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.funnelN(Tables.eventsWithUs(spark, d),
+        "user_id", "ts_us", "event_id",
+        steps = Seq(col("event_type") === "signup",
+          col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windows = Seq(SevenDayUs, OneDayUs, OneHourUs))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("step3_id")).as("n_click"),
+        count(col("step2_id")).as("n_view"),
+        count(col("step1_id")).as("n_full"),
+        expr("(1000000 * count(step1_id)) div count(1)").as("conv_full_pm"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_funnel3" -> q119Funnel3 _,
+    "q122_funnel4" -> q122Funnel4 _,
     "q116_cohort_retention" -> q116CohortRetention _,
     "q44_asof_join" -> q44AsofJoin _,
     "q45_range_join" -> q45RangeJoin _,

@@ -76,6 +76,38 @@ object Graphs {
         .select(col("src"), col("dst")).distinct(),
       "src", "dst")
 
+  /** q120: INCREMENTAL connected components — q118's graph folded in
+    * three deterministic edge batches through the
+    * [[graft.operators.Components]] registry (contract batch edges to
+    * component representatives, CC the batch-bounded contracted graph,
+    * broadcast-relabel the registry) instead of one global CC over the
+    * accumulated edge list. The oracle is EXACTLY q118's global-CC SQL:
+    * hash-equality of the folded registry against the from-scratch
+    * answer is the chaining-equivalence proof, on the same data the
+    * judge reads (ComponentsSpec pins it per-batch on adversarial
+    * fixtures, both CC paths). Streaming twin:
+    * [[graft.streaming.Incremental.streamingComponents]].
+    */
+  def q120ComponentsIncremental(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.Components
+    val ed = edges(spark, d).filter(col("w") <= 2000L)
+      .select(col("src"), col("dst")).distinct()
+      .withColumn("__batch",
+        pmod(crc32(concat_ws("|", col("src"), col("dst"))), lit(3)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var reg = Components.emptyRegistry(spark, ed, "src")
+      (0 until 3).foreach { i =>
+        // eager checkpoint between folds: each fold's relabel work runs
+        // NOW (while ed is cached) and plans stay flat across the chain
+        reg = Components.updateRegistry(reg,
+            ed.filter(col("__batch") === i), "src", "dst")
+          .localCheckpoint(true)
+      }
+      Components.components(reg)
+    } finally { ed.unpersist(); () }
+  }
+
   /** q34: G3 per-city betweenness (Brandes, unweighted — the reference's
     * weighted-PR/unweighted-BC asymmetry). Oracle: generated BFS-level +
     * pair-dependency SQL ([[Oracles.graphs]]); golden ScalaTests pin the
@@ -158,5 +190,6 @@ object Graphs {
     "q47_city_hits" -> q47CityHits _,
     "q75_icosa_decode" -> q75IcosaDecode _,
     "q118_graph_components" -> q118GraphComponents _,
+    "q120_components_incremental" -> q120ComponentsIncremental _,
   )
 }

@@ -357,6 +357,24 @@ object LlmPipelines {
       .select(col("id").as("doc_id"), col("w"), col("h"), col("wo"),
         col("ho"), col("orig_bytes"), col("resized_bytes"), col("resized_sha"))
 
+  /** q121: image perceptual-hash near-dup pairs — the multimodal member
+    * of the dedup family: the rendered P6 blobs are REALLY decoded
+    * ([[graft.operators.Multimodal.dHashPpm]] — header parse, 9×7 luma
+    * grid, 56-bit difference hash), then paired by hamming distance ≤ 2
+    * through the same pigeonhole banding the simhash path uses
+    * ([[graft.operators.TextDedup.hammingPairs]], bands = 8 → exact
+    * recall for hamming ≤ 7; never all-pairs). The oracle recomputes the
+    * identical hash relationally from the rebuilt pixel string and
+    * confirms pairs by brute force — a hash match proves decode, grid
+    * sampling, bit assembly, and banding recall end to end.
+    */
+  def q121ImageNearDup(spark: SparkSession, d: String): DataFrame =
+    graft.operators.TextDedup.hammingPairs(
+      graft.operators.Multimodal.dHashPpm(spark, renderedPpm(spark, d),
+          "doc_id", "ppm")
+        .select(col("id").as("doc"), col("dhash")),
+      "doc", "dhash", bits = 56, maxHamming = 2, bands = 8)
+
   /** q96: the decode member over the same rendered P6 blobs through the
     * REAL [[graft.operators.Multimodal.PpmCodec]] — width/height from the
     * parsed header, byteSum/first/last over the pixel payload only.
@@ -558,6 +576,7 @@ object LlmPipelines {
     "q35_binary_features" -> q35BinaryFeatures _,
     "q36_frame_sample" -> q36FrameSample _,
     "q42_ppm_resize" -> q42PpmResize _,
+    "q121_image_neardup" -> q121ImageNearDup _,
     "q96_ppm_decode" -> q96PpmDecode _,
     "q38_ann_ivf_topk" -> q38AnnIvfTopK _,
     "q39_embedding_neardup" -> q39EmbeddingNearDup _,

@@ -643,6 +643,40 @@ object Oracles {
          |    AS resized_sha
          |FROM s""".stripMargin,
 
+    // q121: the dHash twin — rebuild the pixel string (the q42 CTEs),
+    // sample the 9×7 luma grid relationally, assemble the 56-bit hash,
+    // brute-force the pair confirm (the oracle may be naive; the engine
+    // may not).
+    "q121_image_neardup" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    1 + ascii(substr(text, 1, 1)) % 16 AS w,
+         |    1 + ascii(substr(text, length(text), 1)) % 16 AS h
+         |  FROM documents),
+         |p AS (SELECT doc_id, w, h,
+         |    substr(repeat(text, CAST(w*h*3 // length(text) AS INTEGER) + 1),
+         |      1, w*h*3) AS px
+         |  FROM t),
+         |g AS (SELECT doc_id, w, h, px, unnest(range(0, 7)) AS yo FROM p),
+         |gx AS (SELECT doc_id, w, h, px, yo, (yo*h)//7 AS sy,
+         |    unnest(range(0, 8)) AS xo FROM g),
+         |b AS (SELECT doc_id, yo, xo,
+         |    CASE WHEN
+         |      (ascii(substr(px, CAST((sy*w + (xo*w)//9)*3 + 1 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + (xo*w)//9)*3 + 2 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + (xo*w)//9)*3 + 3 AS INTEGER), 1))) // 3
+         |      >
+         |      (ascii(substr(px, CAST((sy*w + ((xo+1)*w)//9)*3 + 1 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + ((xo+1)*w)//9)*3 + 2 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + ((xo+1)*w)//9)*3 + 3 AS INTEGER), 1))) // 3
+         |    THEN (1::BIGINT << CAST(yo*8 + xo AS INTEGER)) ELSE 0 END AS bit
+         |  FROM gx),
+         |hsh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS dhash
+         |  FROM b GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.dhash, b2.dhash)) AS BIGINT) AS hamming
+         |FROM hsh a JOIN hsh b2 ON a.doc_id < b2.doc_id
+         |WHERE bit_count(xor(a.dhash, b2.dhash)) <= 2""".stripMargin,
+
     "q96_ppm_decode" ->
       s"""WITH t AS (SELECT doc_id, text,
          |    1 + ascii(substr(text, 1, 1)) % 16 AS w,
@@ -1357,21 +1391,29 @@ object Oracles {
     // q32-verified edge SQL; min(VARCHAR) label = the engine's
     // lexicographic union-find representative (ASCII keys, same order
     // both engines).
-    "q118_graph_components" ->
-      s"""WITH RECURSIVE edges0 AS ($EdgesSql),
-         |f AS (SELECT DISTINCT src, dst FROM edges0 WHERE w <= 2000),
-         |u AS (SELECT src AS a, dst AS b FROM f
-         |      UNION SELECT dst, src FROM f),
-         |n AS (SELECT DISTINCT a AS node FROM u),
-         |reach(s2, r) AS (
-         |  SELECT node, node FROM n
-         |  UNION
-         |  SELECT reach.s2, u.b FROM reach JOIN u ON reach.r = u.a),
-         |lab AS (SELECT s2 AS node, min(r) AS cluster FROM reach GROUP BY s2)
-         |SELECT lab.node, lab.cluster, cnt.cluster_size
-         |FROM lab JOIN (SELECT cluster, count(*) AS cluster_size
-         |               FROM lab GROUP BY cluster) cnt USING (cluster)""".stripMargin,
+    "q118_graph_components" -> GlobalCcSql,
+
+    // q120: the SAME global-CC SQL — the engine answers it by folding
+    // three edge batches through the incremental Components registry, so
+    // hash-equality against the from-scratch oracle IS the chaining-
+    // equivalence proof on the driver's own data.
+    "q120_components_incremental" -> GlobalCcSql,
   )
+
+  private lazy val GlobalCcSql: String =
+    s"""WITH RECURSIVE edges0 AS ($EdgesSql),
+       |f AS (SELECT DISTINCT src, dst FROM edges0 WHERE w <= 2000),
+       |u AS (SELECT src AS a, dst AS b FROM f
+       |      UNION SELECT dst, src FROM f),
+       |n AS (SELECT DISTINCT a AS node FROM u),
+       |reach(s2, r) AS (
+       |  SELECT node, node FROM n
+       |  UNION
+       |  SELECT reach.s2, u.b FROM reach JOIN u ON reach.r = u.a),
+       |lab AS (SELECT s2 AS node, min(r) AS cluster FROM reach GROUP BY s2)
+       |SELECT lab.node, lab.cluster, cnt.cluster_size
+       |FROM lab JOIN (SELECT cluster, count(*) AS cluster_size
+       |               FROM lab GROUP BY cluster) cnt USING (cluster)""".stripMargin
 
   /** Twin of [[Relational.upsertInputs]] + [[graft.operators.Merge.upsert]]:
     * union with a precedence column, then keep-first per key. `update` →
@@ -1672,6 +1714,79 @@ object Oracles {
          |  count(hit_c) AS n_step2, count(hit_v) AS n_full,
          |  CAST((1000000 * count(hit_c)) // count(*) AS BIGINT) AS conv2_pm,
          |  CAST((1000000 * count(hit_v)) // count(*) AS BIGINT) AS conv_full_pm
+         |FROM p GROUP BY user_id""".stripMargin,
+
+    // q122: the q119 chained union-window twin extended one hop — signup
+    // → view (7d) → click (24h) → purchase (1h), each hop carrying the
+    // accumulated chain as ONE struct so (event, its upstream chain)
+    // stay atomic exactly like the engine's funnelN fold.
+    "q122_funnel4" ->
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t, event_type
+         |  FROM events),
+         |u1 AS (
+         |  SELECT user_id, t, 0 AS side, CAST(NULL AS BIGINT) AS lid,
+         |    event_id AS rid
+         |  FROM ev WHERE event_type = 'signup'
+         |  UNION ALL
+         |  SELECT user_id, t, 1, event_id, CAST(NULL AS BIGINT)
+         |  FROM ev WHERE event_type = 'view'),
+         |w1 AS (SELECT *,
+         |    last_value(CASE WHEN side = 0 THEN rid END IGNORE NULLS) OVER win AS s_id,
+         |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER win AS s_t
+         |  FROM u1
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY t, side, rid
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |vw AS (SELECT user_id, t, lid AS v_id,
+         |    CASE WHEN s_t IS NOT NULL AND t - s_t <= ${Extensions.SevenDayUs}
+         |      THEN s_id END AS s1
+         |  FROM w1 WHERE side = 1),
+         |u2 AS (
+         |  SELECT user_id, t, 0 AS side, v_id AS tb,
+         |    struct_pack(v := v_id, s := s1) AS pay, CAST(NULL AS BIGINT) AS lid
+         |  FROM vw
+         |  UNION ALL
+         |  SELECT user_id, t, 1, CAST(NULL AS BIGINT),
+         |    CAST(NULL AS STRUCT(v BIGINT, s BIGINT)), event_id
+         |  FROM ev WHERE event_type = 'click'),
+         |w2 AS (SELECT *,
+         |    last_value(CASE WHEN side = 0 THEN pay END IGNORE NULLS) OVER win AS m,
+         |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER win AS m_t
+         |  FROM u2
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY t, side, tb
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |ck AS (SELECT user_id, t, lid AS c_id,
+         |    CASE WHEN m_t IS NOT NULL AND t - m_t <= ${Extensions.OneDayUs}
+         |      THEN m.v END AS v2,
+         |    CASE WHEN m_t IS NOT NULL AND t - m_t <= ${Extensions.OneDayUs}
+         |      THEN m.s END AS s2
+         |  FROM w2 WHERE side = 1),
+         |u3 AS (
+         |  SELECT user_id, t, 0 AS side, c_id AS tb,
+         |    struct_pack(c := c_id, v := v2, s := s2) AS pay,
+         |    CAST(NULL AS BIGINT) AS lid
+         |  FROM ck
+         |  UNION ALL
+         |  SELECT user_id, t, 1, CAST(NULL AS BIGINT),
+         |    CAST(NULL AS STRUCT(c BIGINT, v BIGINT, s BIGINT)), event_id
+         |  FROM ev WHERE event_type = 'purchase'),
+         |w3 AS (SELECT *,
+         |    last_value(CASE WHEN side = 0 THEN pay END IGNORE NULLS) OVER win AS m,
+         |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER win AS m_t
+         |  FROM u3
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY t, side, tb
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |p AS (SELECT user_id,
+         |    CASE WHEN m_t IS NOT NULL AND t - m_t <= ${Extensions.OneHourUs}
+         |      THEN m.c END AS hit_c,
+         |    CASE WHEN m_t IS NOT NULL AND t - m_t <= ${Extensions.OneHourUs}
+         |      THEN m.v END AS hit_v,
+         |    CASE WHEN m_t IS NOT NULL AND t - m_t <= ${Extensions.OneHourUs}
+         |      THEN m.s END AS hit_s
+         |  FROM w3 WHERE side = 1)
+         |SELECT user_id, count(*) AS n_purchases,
+         |  count(hit_c) AS n_click, count(hit_v) AS n_view,
+         |  count(hit_s) AS n_full,
+         |  CAST((1000000 * count(hit_s)) // count(*) AS BIGINT) AS conv_full_pm
          |FROM p GROUP BY user_id""".stripMargin,
 
     // The q44 union-window as-of twin with the 1h attribution window

@@ -311,15 +311,25 @@ object Incremental {
     * the [[streamingLmScore]] reasoning. A threshold gate (or a
     * downstream periodic top-N over the sink) turns scores into the
     * selected corpus.
+    *
+    * Lifecycle: the persisted stats frame is released automatically when
+    * THIS query terminates (a self-removing `StreamingQueryListener` —
+    * callers own nothing). A [[graft.Caches.clearAll]] in the same
+    * session while the query is live drops the cached blocks AND the
+    * cache registration, silently degrading every later micro-batch to a
+    * model refit (correct results, train-once contract lost) — run
+    * long-lived scoring queries in their own session, or re-start them
+    * after a cache sweep.
     */
   def streamingDsirScore(stream: DataFrame, raw: DataFrame,
                          target: DataFrame, checkpointDir: String,
                          outPath: String, id: String, text: String,
                          buckets: Int)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
     val stats = graft.operators.Dsir.bucketStats(raw, target, id, text, buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    stream.writeStream
+    val query = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val scored = graft.operators.Dsir.scoreAgainst(
@@ -329,6 +339,20 @@ object Incremental {
         ()
       }
       .start()
+    val streams = stream.sparkSession.streams
+    streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          stats.unpersist(blocking = false)
+          streams.removeListener(this)
+        }
+    })
+    query
   }
 
   /** Streaming cohort retention — the dashboard deployment of q116: each
@@ -351,7 +375,7 @@ object Incremental {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val pairs = batch.select(col(user).as("user_key"),
-            expr(s"$tsUs div ${graft.operators.Cohorts.WeekUs}L").as("wk"))
+            expr(graft.operators.Cohorts.weekFloorSql(tsUs)).as("wk"))
           .distinct()
           .withColumn("_key", concat(col("user_key"), lit(":"), col("wk")))
         Merge.upsertParquet(batch.sparkSession, registryPath, pairs,
@@ -359,6 +383,44 @@ object Incremental {
         ()
       }
       .start()
+
+  /** Streaming incremental connected components — the deployment shape
+    * of q120: each micro-batch of edges folds into a persistent
+    * (node → label) registry via
+    * [[graft.operators.Components.updateRegistry]] (contract to
+    * component representatives, CC the batch-bounded contracted graph,
+    * broadcast-relabel), and the q118 component view is served on demand
+    * by [[componentsFromRegistry]]. Unlike the append-only gram/block
+    * registries, CC labels MUTATE on merge, so the commit is a snapshot
+    * [[Merge.replaceParquet]] tmp+swap, not an upsert. Replay safety: an
+    * already-folded batch contracts to self-loops and relabels nothing
+    * (the [[graft.operators.Components]] idempotence contract), so a
+    * crash-replayed micro-batch converges to the same registry (T6).
+    */
+  def streamingComponents(stream: DataFrame, checkpointDir: String,
+                          registryPath: String, a: String, b: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val hPath = new org.apache.hadoop.fs.Path(registryPath)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val reg =
+          if (fs.exists(hPath) && fs.listStatus(hPath).nonEmpty)
+            spark.read.parquet(registryPath)
+          else graft.operators.Components.emptyRegistry(spark, batch, a)
+        Merge.replaceParquet(spark, registryPath,
+          graft.operators.Components.updateRegistry(reg, batch, a, b))
+        ()
+      }
+      .start()
+
+  /** The q118/q120 component view served from a [[streamingComponents]]
+    * registry. */
+  def componentsFromRegistry(spark: SparkSession,
+                             registryPath: String): DataFrame =
+    graft.operators.Components.components(spark.read.parquet(registryPath))
 
   /** The q116 retention matrix served from a
     * [[streamingCohortActivity]] registry. */

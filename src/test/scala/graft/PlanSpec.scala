@@ -168,8 +168,37 @@ class PlanSpec extends AnyFunSuite {
 
   test("q119 three-step funnel: two as-of union-windows, both keyed on user") {
     // each chained as-of is one union-window exchange (the q44 shape);
-    // the final rollup groups on the same key
+    // the final rollup groups on the same key. Unchanged by the funnelN
+    // re-expression (q122) — the fold must plan exactly like the
+    // hand-chained form it replaced.
     assert(countShuffles(run("q119_funnel3")) <= 3)
+  }
+
+  test("q122 four-step funnel: at most 4 exchanges, all user-keyed") {
+    val df = run("q122_funnel4")
+    assert(countShuffles(df) <= 4)
+    // every exchange partitions on the user key — the funnelN contract
+    // (no hop introduces a differently-keyed shuffle)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case s: ShuffleExchangeExec => s +: s.children.flatMap(exchanges)
+      case q: QueryStageExec => exchanges(q.plan)
+      case other => other.children.flatMap(exchanges)
+    }
+    val exs = exchanges(executed(df))
+    assert(exs.nonEmpty)
+    exs.foreach { ex =>
+      ex.outputPartitioning match {
+        case hp: HashPartitioning =>
+          assert(hp.expressions.map(_.sql.toLowerCase).exists(_.contains("user")),
+            s"exchange not user-keyed: ${hp.expressions.map(_.sql)}")
+        case other => fail(s"non-hash exchange in the funnel plan: $other")
+      }
+    }
   }
 
   test("q106 BPE segmentation: the kernel path plans no window exchange chain") {

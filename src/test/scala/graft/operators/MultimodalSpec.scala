@@ -85,6 +85,36 @@ class MultimodalSpec extends AnyFunSuite {
       (px3(0, 0) ++ px3(2, 0) ++ px3(0, 2) ++ px3(2, 2)).toSeq)
   }
 
+  test("dHashPpm golden: brightness gradients set exactly the expected bits") {
+    // Horizontal DARKENING gradient (left brighter than right at every
+    // sample): every comparison bit fires → hash = 2^56 − 1.
+    def gradient(desc: Boolean): Array[Byte] = {
+      val w = 16; val h = 16
+      val px = (for (y <- 0 until h; x <- 0 until w) yield {
+        val v = if (desc) (255 - 15 * x) else 15 * x
+        Array(v.toByte, v.toByte, v.toByte)
+      }).flatten.toArray
+      Multimodal.Ppm.render(w, h, 255, px)
+    }
+    val df = Seq((1L, gradient(desc = true)), (2L, gradient(desc = false)),
+      (3L, Multimodal.Ppm.render(4, 4, 255, Array.fill(48)(77.toByte))))
+      .toDF("id", "bytes")
+    val out = Multimodal.dHashPpm(spark, df, "id", "bytes")
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == (1L << 56) - 1) // all 56 bits: left always brighter
+    assert(out(2L) == 0L)             // ascending: never brighter
+    assert(out(3L) == 0L)             // flat: strict > never fires
+    // hammingPairs over these: only (2,3) agree (hamming 0); 1 differs in
+    // all 56 bits from both
+    val pairs = TextDedup.hammingPairs(
+        Multimodal.dHashPpm(spark, df, "id", "bytes")
+          .select(col("id").as("doc"), col("dhash")),
+        "doc", "dhash", bits = 56, maxHamming = 2, bands = 8)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 3L, 0L)))
+  }
+
   test("PpmCodec decodes header dims and payload-only features; resizePpm end-to-end") {
     val df = Seq((7L, ppm3x3)).toDF("id", "bytes")
     val f = Multimodal.decodeFeatures(spark, df, "id", "bytes",

@@ -151,6 +151,38 @@ class TextDedupSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("iterative path with pointer jumping converges on a high-diameter chain within default maxIter") {
+    // A 200-node path has diameter 200: plain min-label propagation would
+    // need 200 rounds and throw at maxIter=20; path doubling converges in
+    // O(log 200) ≈ 8 — the default bound must now suffice.
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = TextDedup.dupClusters(chain, "doc_a", "doc_b",
+        localThreshold = 0L)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 200)
+    assert(out.forall { case (_, c, s) => c == 0L && s == 200L })
+  }
+
+  test("lshCandidatePairs maxBucket drops hot-band buckets, keeps organic near-dup pairs") {
+    // 30 identical boilerplate docs (ids 100-129) + the corpus's organic
+    // dup pair (1, 4). Uncapped: the boilerplate cluster emits 435 pairs.
+    // Capped at 8: every boilerplate band bucket holds 30 > 8 docs and is
+    // dropped; (1, 4) sits in small buckets and must survive untouched.
+    val boiler = (100L until 130L)
+      .map(i => (i, "all rights reserved terms of use apply"))
+      .toDF("doc_id", "text")
+    val docs = corpus.union(boiler)
+    val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
+    val uncapped = TextDedup.lshCandidatePairs(sigs, 16, 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(uncapped.count { case (a, b, _) => a >= 100L && b >= 100L } == 435)
+    val capped = TextDedup.lshCandidatePairs(sigs, 16, 4, maxBucket = 8L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(!capped.exists { case (a, b, _) => a >= 100L && b >= 100L })
+    assert(capped.exists { case (a, b, n) => Set(a, b) == Set(1L, 4L) && n == 16L })
+    assert(capped == uncapped.filterNot { case (a, b, _) => a >= 100L && b >= 100L })
+  }
+
   test("lshCandidatePairsAgainst: cross-corpus pairs only, equal to the filtered self-join") {
     val docs = corpus.union(Seq(
       (5L, "the quick brown fox jumps over the lazy dog"), // dup of 1 and 4

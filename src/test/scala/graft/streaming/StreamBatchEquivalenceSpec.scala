@@ -412,6 +412,41 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(streamed.size == 6) // 3 offsets (u1) + 2 (u2) + 1 (u3)
   }
 
+  test("streamingComponents stream ≡ global dupClusters after every batch (q120 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-cc")
+      .toFile.getAbsolutePath
+    // b1: two components; b2 bridges them + fresh pair; b3 REPLAYS b2
+    // entirely (idempotence) and extends a chain.
+    val b1 = Seq(("a1", "a2"), ("b1", "b2"))
+    val b2 = Seq(("a2", "b1"), ("c1", "c2"))
+    val b3 = b2 ++ Seq(("b2", "d9"))
+    val input = MemoryStream[(String, String)]
+    val query = Incremental.streamingComponents(
+      input.toDF().toDF("src", "dst"),
+      s"$dir/ckpt", s"$dir/registry", "src", "dst")
+    try {
+      var seen = Seq.empty[(String, String)]
+      Seq(b1, b2, b3).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+        seen ++= chunk
+        val streamed = Incremental.componentsFromRegistry(spark, s"$dir/registry")
+          .as[(String, String, Long)].collect().toSet
+        val globalCc = graft.operators.TextDedup.dupClusters(
+            seen.toDF("src", "dst"), "src", "dst")
+          .as[(String, String, Long)].collect().toSet
+        assert(streamed == globalCc)
+      }
+    } finally query.stop()
+    val fin = Incremental.componentsFromRegistry(spark, s"$dir/registry")
+      .as[(String, String, Long)].collect().toSet
+    // a1–a2–b1–b2–d9 is one 5-component labeled "a1"; c1,c2 labeled "c1"
+    assert(fin.contains(("d9", "a1", 5L)))
+    assert(fin.contains(("c2", "c1", 2L)))
+    assert(fin.size == 7)
+  }
+
   test("streamingSpanCorrupt stream ≡ batch examples (q111 twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
