@@ -392,6 +392,39 @@ object TextDedup {
     hammingPairs(sigs, "doc", "simhash", bits = 32, maxHamming = maxHamming,
       bands = bands)
 
+  /** Cross-corpus [[hammingPairs]]: pairs between an INCOMING batch of
+    * fingerprints and an EXISTING corpus only — the incremental-dedup
+    * shape for the hamming domain (simhash text batches, q121-style
+    * image dHashes). Banding both sides and joining incoming×existing
+    * bounds the work to the new batch's bucket neighborhoods;
+    * existing×existing pairs never form (the [[lshCandidatePairsAgainst]]
+    * contract). Returns (doc_a, doc_b, hamming) with doc_a = the
+    * incoming id, doc_b = the existing id.
+    */
+  def hammingPairsAgainst(incoming: DataFrame, existing: DataFrame,
+                          idCol: String, hashCol: String, bits: Int,
+                          maxHamming: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && bits % bands == 0,
+      s"bands must divide $bits, got $bands")
+    require(maxHamming < bands,
+      s"pigeonhole recall needs maxHamming < bands, got $maxHamming/$bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    def banded(sigs: DataFrame, side: String) = sigs.select(
+      col(idCol).as(s"doc_$side"), col(hashCol).as(s"h_$side"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col(hashCol), b * width).bitwiseAND(mask)): _*))
+        .as(Seq("band", "blk")))
+    banded(incoming, "i").join(banded(existing, "e"), Seq("band", "blk"))
+      .filter(col("doc_i") =!= col("doc_e"))
+      .select(col("doc_i").as("doc_a"), col("doc_e").as("doc_b"),
+        col("h_i").as("ha"), col("h_e").as("hb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Generic hamming-distance near-dup pairing over ANY integer
     * fingerprint column (simhash q29/q67, image dHash q121): all
     * (doc_a < doc_b) with `bit_count(xor) <= maxHamming`, candidates by

@@ -202,6 +202,30 @@ class TextDedupSpec extends AnyFunSuite {
     assert(cross.forall { case (a, b, _) => a % 2 != b % 2 })
   }
 
+  test("hammingPairsAgainst: incoming×existing only, equal to the filtered self-join") {
+    // 64-bit-ish fingerprints in the 56-bit domain: clusters at distance
+    // 0/1/2 plus far-away outliers.
+    val sigs = Seq(
+      (1L, 0x00FFAA5500L), (2L, 0x00FFAA5501L), // d=1
+      (3L, 0x00FFAA5500L),                      // d=0 vs 1
+      (4L, 0x123456789AL), (5L, 0x123456789AL ^ 3L), // d=2
+      (6L, 0x0F0F0F0F0FL)                       // far from all
+    ).toDF("doc", "dhash")
+    val incoming = sigs.filter($"doc" % 2 === 1)
+    val existing = sigs.filter($"doc" % 2 === 0)
+    val cross = TextDedup.hammingPairsAgainst(incoming, existing,
+        "doc", "dhash", bits = 56, maxHamming = 2, bands = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    val self = TextDedup.hammingPairs(sigs, "doc", "dhash", 56, 2, 8)
+      .as[(Long, Long, Long)].collect()
+      .filter { case (a, b, _) => a % 2 != b % 2 }
+      .map { case (a, b, h) => if (a % 2 == 1) (a, b, h) else (b, a, h) }.toSet
+    assert(cross == self)
+    assert(cross == Set((1L, 2L, 1L), (3L, 2L, 1L), (5L, 4L, 2L)))
+    // never existing×existing (2,?) as doc_a, never incoming×incoming
+    assert(cross.forall { case (a, b, _) => a % 2 == 1 && b % 2 == 0 })
+  }
+
   test("simhash: identical docs identical, fingerprints fit in 32 bits") {
     val out = TextDedup.simhash(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
