@@ -74,7 +74,8 @@ object ScaleProbe {
     val sections = Set("session", "termstats", "minhash", "ann", "temporal",
       "packing", "relational", "topk", "kmeans", "sinks", "pq", "sketch",
       "prune", "sinkbig", "pqtrain", "spandedup", "jsonlines", "tiered", "bpe",
-      "dsir", "spancorrupt", "substr", "lshskew", "ccdiam")
+      "dsir", "spancorrupt", "substr", "lshskew", "ccdiam", "imagededup",
+      "ccinc")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -213,6 +214,65 @@ object ScaleProbe {
       time(s"cc-chain-iterative ${factor}x ($n nodes, diameter $n)") {
         TextDedup.dupClusters(chain, "a", "b", maxIter = 40,
           localThreshold = 0L).count()
+      }
+      spark.catalog.clearCache()
+    }
+    // Incremental CC (q120): a FIXED 5k-edge batch folds into a
+    // registry built from factor× accumulated edges, vs re-running
+    // global CC over everything — the flat-vs-linear contract every
+    // other incremental family member (q102/q114/q58/q117) records.
+    // Edges are deterministic sparse random (xxhash64 endpoints over a
+    // 2×|edges| id space).
+    if (want("ccinc")) for (factor <- Seq(1, 4, 16, 64)) {
+      val accN = 20000L * factor
+      def edgesOf(n: Long, seed: Long) = spark.range(n).select(
+        pmod(xxhash64(col("id") + lit(seed)), lit(2 * accN)).as("a"),
+        pmod(xxhash64(col("id") + lit(seed + 777L)), lit(2 * accN)).as("b"))
+        .filter(col("a") =!= col("b"))
+      val acc = materialize(edgesOf(accN, 1L), s"/tmp/scale/ccacc$factor")
+      val batch = materialize(edgesOf(5000L, 999999L), s"/tmp/scale/ccb$factor")
+      time(s"cc-global-rerun ${factor}x (${accN} + 5000 edges)") {
+        TextDedup.dupClusters(acc.unionByName(batch), "a", "b").count()
+      }
+      spark.catalog.clearCache()
+      val reg = materialize(
+        TextDedup.dupClusters(acc, "a", "b")
+          .select(col("node"), col("cluster").as("label")),
+        s"/tmp/scale/ccreg$factor")
+      time(s"cc-incremental-fold ${factor}x (5000-edge batch, ${accN}-edge registry)") {
+        graft.operators.Components.updateRegistry(reg, batch, "a", "b").count()
+      }
+      spark.catalog.clearCache()
+    }
+    // Image dHash dedup (q121 chain: render → real P6 decode → 56-bit
+    // dHash → hamming band join). The replica prefixing makes this an
+    // adversarial fixture FOR FREE: every replica's first char is 'r',
+    // so all images share w = 3 and the prefix-dominated pixel grids
+    // collapse into one giant dhash cluster (~20% of the corpus at 1×,
+    // rising with factor) — identical fingerprints occupy every band
+    // bucket and the uncapped self-join output is quadratic in the
+    // cluster (simulated: 1.77M pairs at 1×, 28.3M at 4×). Uncapped is
+    // measured at 1× only — the curve is the finding; capped-64 must
+    // hold ~linear through 64×. Byte-identical images are what the
+    // upstream exact hash dedup removes; the cap is the near-dup
+    // stage's guard against the same population.
+    if (want("imagededup")) for (factor <- Seq(1, 4, 16, 64)) {
+      val docs = materialize(docsAt(spark, d, factor), s"/tmp/scale/imdocs$factor")
+      def hashes = graft.operators.Multimodal.dHashPpm(spark,
+        graft.queries.LlmPipelines.renderedPpmOf(docs), "doc_id", "ppm")
+        .select(col("id").as("doc"), col("dhash"))
+      time(s"dhash ${factor}x (${5000 * factor} images, decode only)") {
+        hashes.count()
+      }
+      if (factor <= 1) {
+        time(s"dhash-pairs-uncapped ${factor}x") {
+          TextDedup.hammingPairs(hashes, "doc", "dhash", 56, 2, 8).count()
+        }
+        spark.catalog.clearCache()
+      }
+      time(s"dhash-pairs-capped64 ${factor}x") {
+        TextDedup.hammingPairs(hashes, "doc", "dhash", 56, 2, 8,
+          maxBucket = 64L).count()
       }
       spark.catalog.clearCache()
     }

@@ -436,7 +436,8 @@ object TextDedup {
     * inside band buckets. Never all-pairs.
     */
   def hammingPairs(sigs: DataFrame, idCol: String, hashCol: String,
-                   bits: Int, maxHamming: Int, bands: Int): DataFrame = {
+                   bits: Int, maxHamming: Int, bands: Int,
+                   maxBucket: Long = 0L): DataFrame = {
     require(bands >= 1 && bits % bands == 0,
       s"bands must divide $bits, got $bands")
     require(maxHamming < bands,
@@ -449,10 +450,23 @@ object TextDedup {
     // rule as [[lshCandidatePairs]]. Caller-owned (returned lineage —
     // the [[TermStats]] convention).
     val cached = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = cached.select(col(idCol).as("doc"), col(hashCol).as("__h"),
+    val banded0 = cached.select(col(idCol).as("doc"), col(hashCol).as("__h"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col(hashCol), b * width).bitwiseAND(mask)): _*))
         .as(Seq("band", "blk")))
+    // Hot-bucket cap, the [[lshCandidatePairs]] maxBucket trade verbatim:
+    // a cluster of IDENTICAL fingerprints (byte-identical images, boiler
+    // simhashes) occupies every band bucket and the self-join emits M²/2
+    // · bands rows — join OUTPUT, beyond AQE's reach. Over-occupied
+    // buckets drop before the join; the dropped mega-cluster is the
+    // population exact (hash-equality) dedup collapses upstream.
+    val banded =
+      if (maxBucket > 0) {
+        val keep = banded0.groupBy(col("band"), col("blk"))
+          .agg(count(lit(1)).as("__occ"))
+          .filter(col("__occ") <= maxBucket).select(col("band"), col("blk"))
+        banded0.join(keep, Seq("band", "blk"))
+      } else banded0
     val x = banded.select(col("doc").as("doc_a"), col("__h").as("ha"),
       col("band"), col("blk"))
     val y = banded.select(col("doc").as("doc_b"), col("__h").as("hb"),

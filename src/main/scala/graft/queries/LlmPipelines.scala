@@ -334,8 +334,15 @@ object LlmPipelines {
     * parser round-trips. ASCII-only, so the DuckDB twin rebuilds the
     * identical bytes as a string.
     */
-  private def renderedPpm(spark: SparkSession, d: String): DataFrame =
-    Tables.balanced(spark, d, "documents")
+  private[graft] def renderedPpm(spark: SparkSession, d: String): DataFrame =
+    renderedPpmOf(Tables.balanced(spark, d, "documents"))
+
+  /** The rendering itself over any (doc_id, text) frame — shared with the
+    * imagededup scale probe so the probe measures the REGISTERED
+    * operator chain on scaled fixtures, not a fork of it.
+    */
+  private[graft] def renderedPpmOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("w", expr("1 + ascii(substring(text, 1, 1)) % 16"))
       .withColumn("h", expr("1 + ascii(substring(text, length(text), 1)) % 16"))
       .select(col("doc_id"), encode(concat(

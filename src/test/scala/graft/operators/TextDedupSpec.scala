@@ -202,6 +202,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(cross.forall { case (a, b, _) => a % 2 != b % 2 })
   }
 
+  test("hammingPairs maxBucket drops identical-fingerprint clusters, keeps near pairs") {
+    // 20 identical fingerprints (ids 100-119) + one near pair (1, 2).
+    val sigs = ((100L until 120L).map(i => (i, 0x0ABCDEF012L)) ++
+      Seq((1L, 0x1111111111L), (2L, 0x1111111113L)))
+      .toDF("doc", "dhash")
+    val uncapped = TextDedup.hammingPairs(sigs, "doc", "dhash", 56, 2, 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(uncapped.count { case (a, b, _) => a >= 100L && b >= 100L } == 190)
+    val capped = TextDedup.hammingPairs(sigs, "doc", "dhash", 56, 2, 8,
+        maxBucket = 8L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L, 1L)))
+  }
+
   test("hammingPairsAgainst: incoming×existing only, equal to the filtered self-join") {
     // 64-bit-ish fingerprints in the 56-bit domain: clusters at distance
     // 0/1/2 plus far-away outliers.
