@@ -100,6 +100,38 @@ object Components {
     updatedExisting.unionByName(newNodes)
   }
 
+  /** One read→fold→commit cycle against a parquet registry path, with
+    * OWNED block lifecycle — the streaming-loop form
+    * ([[graft.streaming.Incremental.streamingComponents]] calls this
+    * per micro-batch). [[updateRegistry]] eagerly checkpoints its
+    * endpoint-lookup frame (small, but one per call): a long-running
+    * stream folding thousands of batches must not accumulate them, so
+    * this records the persistent-RDD ids present before the fold and
+    * releases exactly the ids the fold added once the snapshot commit
+    * has materialized. Assumes no CONCURRENT persist activity in the
+    * same SparkSession during the fold (true inside a foreachBatch,
+    * which Spark serializes per query; run multiple writer streams in
+    * separate sessions).
+    */
+  def foldIntoParquet(spark: SparkSession, registryPath: String,
+                      batch: DataFrame, a: String, b: String): Unit = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      val hPath = new org.apache.hadoop.fs.Path(registryPath)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val reg =
+        if (fs.exists(hPath) && fs.listStatus(hPath).nonEmpty)
+          spark.read.parquet(registryPath)
+        else emptyRegistry(spark, batch, a)
+      Merge.replaceParquet(spark, registryPath,
+        updateRegistry(reg, batch, a, b))
+    } finally {
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   /** Serve the q118 output shape from a registry: (node, cluster,
     * cluster_size). One label-keyed aggregate + a broadcast-size join —
     * sizes are component-bounded, never corpus-bounded rows per group.

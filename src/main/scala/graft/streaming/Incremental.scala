@@ -396,6 +396,10 @@ object Incremental {
     * already-folded batch contracts to self-loops and relabels nothing
     * (the [[graft.operators.Components]] idempotence contract), so a
     * crash-replayed micro-batch converges to the same registry (T6).
+    * Each micro-batch runs through
+    * [[graft.operators.Components.foldIntoParquet]], which releases the
+    * fold's own checkpoint blocks after the commit — a stream folding
+    * thousands of batches holds steady storage memory.
     */
   def streamingComponents(stream: DataFrame, checkpointDir: String,
                           registryPath: String, a: String, b: String)
@@ -403,15 +407,8 @@ object Incremental {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val hPath = new org.apache.hadoop.fs.Path(registryPath)
-        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val reg =
-          if (fs.exists(hPath) && fs.listStatus(hPath).nonEmpty)
-            spark.read.parquet(registryPath)
-          else graft.operators.Components.emptyRegistry(spark, batch, a)
-        Merge.replaceParquet(spark, registryPath,
-          graft.operators.Components.updateRegistry(reg, batch, a, b))
+        graft.operators.Components.foldIntoParquet(
+          batch.sparkSession, registryPath, batch, a, b)
         ()
       }
       .start()

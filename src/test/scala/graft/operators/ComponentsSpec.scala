@@ -84,6 +84,21 @@ class ComponentsSpec extends AnyFunSuite {
         "a", "b"))) == before)
   }
 
+  test("foldIntoParquet releases every block the fold added (steady storage for long streams)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-fold")
+      .toFile.getAbsolutePath + "/registry"
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Components.foldIntoParquet(spark, dir,
+      edgesDf(Seq((1L, 2L), (3L, 4L))), "a", "b")
+    Components.foldIntoParquet(spark, dir,
+      edgesDf(Seq((2L, 3L))), "a", "b")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"fold leaked persistent RDDs: $leaked")
+    val out = canon(Components.components(spark.read.parquet(dir)))
+    assert(out == canon(TextDedup.dupClusters(
+      edgesDf(Seq((1L, 2L), (3L, 4L), (2L, 3L))), "a", "b")))
+  }
+
   test("string node ids label lexicographically (the q118/q120 domain)") {
     val es = Seq(("c9", "s10"), ("s10", "c10"), ("z1", "z2")).toDF("a", "b")
     var reg = Components.emptyRegistry(spark, es, "a")
