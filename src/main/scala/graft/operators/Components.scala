@@ -133,13 +133,14 @@ object Components {
   }
 
   /** Serve the q118 output shape from a registry: (node, cluster,
-    * cluster_size). One label-keyed aggregate + a broadcast-size join —
-    * sizes are component-bounded, never corpus-bounded rows per group.
+    * cluster_size). ONE label-keyed exchange: the size is a whole-
+    * partition window count over the label clustering (an aggregate +
+    * join-back would re-shuffle the registry a second time for the same
+    * key — PlanAudit showed exactly that SMJ + two exchanges). Rows per
+    * label are component-bounded, so the window frame is too.
     */
-  def components(registry: DataFrame): DataFrame = {
-    val sizes = registry.groupBy(col("label"))
-      .agg(count(lit(1)).as("cluster_size"))
-    registry.join(sizes, Seq("label"))
-      .select(col("node"), col("label").as("cluster"), col("cluster_size"))
-  }
+  def components(registry: DataFrame): DataFrame =
+    registry.select(col("node"), col("label").as("cluster"),
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label"))).as("cluster_size"))
 }
