@@ -301,9 +301,13 @@ object TextDedup {
     if (changed > 0)
       throw new IllegalStateException(
         s"dupClusters did not converge in $maxIter iterations")
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .select(col("node"), col("label").as("cluster"), col("cluster_size"))
+    // ONE label-keyed exchange for the size rollup: whole-partition
+    // window count over the label clustering (aggregate + join-back
+    // paid a second exchange plus a join for the same key — the
+    // Components.components fix, applied here too).
+    labels.select(col("node"), col("label").as("cluster"),
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label"))).as("cluster_size"))
   }
 
   /** Train/eval contamination check (decontamination): for every PROBE
