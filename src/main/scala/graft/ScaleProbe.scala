@@ -75,7 +75,7 @@ object ScaleProbe {
       "packing", "relational", "topk", "kmeans", "sinks", "pq", "sketch",
       "prune", "sinkbig", "pqtrain", "spandedup", "jsonlines", "tiered", "bpe",
       "dsir", "spancorrupt", "substr", "lshskew", "ccdiam", "imagededup",
-      "ccinc")
+      "ccinc", "funnel")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -214,6 +214,22 @@ object ScaleProbe {
       time(s"cc-chain-iterative ${factor}x ($n nodes, diameter $n)") {
         TextDedup.dupClusters(chain, "a", "b", maxIter = 40,
           localThreshold = 0L).count()
+      }
+      spark.catalog.clearCache()
+    }
+    // N-step funnel (q122 shape): 4 hops = 4 user-keyed union-window
+    // exchanges, so wall time must track events, never events² — the
+    // disjoint-replica fixture keeps per-user event counts constant
+    // while the user space grows, the 100 TB shape.
+    if (want("funnel")) for (factor <- Seq(1, 4, 16, 64)) {
+      val ev = materialize(eventsAt(spark, d, factor), s"/tmp/scale/fev$factor")
+      time(s"funnel4 ${factor}x (${100000 * factor} events)") {
+        graft.operators.Funnel.funnelN(ev, "user_id", "ts_us", "event_id",
+          steps = Seq(col("event_type") === "signup",
+            col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"),
+          windows = Seq(7L * 86400000000L, 86400000000L, 3600000000L))
+          .count()
       }
       spark.catalog.clearCache()
     }

@@ -16,7 +16,14 @@ import org.apache.spark.sql.functions._
   * single shuffle + partition-local sort; no candidate blowup at any
   * key skew), so an N-step funnel is ≤ N−1 exchanges, all on the user
   * key — and a same-keyed rollup on top reuses the last hop's
-  * clustering. Plan-pinned for N=4 in PlanSpec (q122).
+  * clustering. Plan-pinned for N=4 in PlanSpec (q122); the funnel
+  * scale probe records the linear 1/4/16/64× curve (SCALE.md).
+  *
+  * Streaming path: each hop is exactly the
+  * [[graft.streaming.Streams.asofEnrichState]] contract (newest-wins
+  * right state, event-time-ordered arrival), so a live funnel is that
+  * stage chained N−1 times — the batch fold here is the replay/backfill
+  * twin of that topology, same per-hop windows and tiebreaks.
   */
 object Funnel {
 
