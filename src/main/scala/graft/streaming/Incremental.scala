@@ -419,6 +419,110 @@ object Incremental {
                              registryPath: String): DataFrame =
     graft.operators.Components.components(spark.read.parquet(registryPath))
 
+  /** Streaming N-step funnel — the live deployment of
+    * [[graft.operators.Funnel.funnelN]] (q119/q122). Spark cannot chain
+    * multiple `flatMapGroupsWithState` stages in one query, so the
+    * multi-hop state lives in the registry pattern instead: per funnel
+    * LEVEL i < N, a (user → latest step-i event + its carried chain)
+    * registry, newest-wins per user. Each micro-batch enriches hop by
+    * hop — the hop's right side is `registry ∪ this batch's enriched
+    * step-i rows`, so intra-batch ordering is exact (the as-of handles
+    * it) and cross-batch matches need only the latest prior row per
+    * user, which is precisely what the registry keeps. Final-step rows
+    * land in `outPath` via keyed first-write-wins upsert.
+    *
+    * Arrival contract: event-time-ordered chunks, rights before lefts
+    * at equal timestamps across batch boundaries (the documented
+    * [[Streams.asofEnrichState]] contract) — within it, the sink is
+    * EXACTLY the batch fold's output (stream ≡ batch pinned). Replay
+    * safety: re-running a batch re-reads registries that may already
+    * hold its rows; the union then carries duplicates that resolve to
+    * the same as-of winners (greatest-tiebreak rule), the newest-wins
+    * registry refold is idempotent, and the keyed upsert ignores rows
+    * already landed.
+    *
+    * @param stepValues step i matches `typeCol === stepValues(i)`
+    * @param windows    windows(i) = max age of a step-i+1 match for
+    *                   step i+2 (the funnelN contract)
+    */
+  def streamingFunnel(stream: DataFrame, checkpointDir: String,
+                      statePath: String, outPath: String, user: String,
+                      time: String, id: String, typeCol: String,
+                      stepValues: Seq[String], windows: Seq[Long])
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stepValues.size >= 2, "a funnel needs >= 2 steps")
+    require(windows.size == stepValues.size - 1,
+      s"need one window per hop: ${stepValues.size - 1} hops, ${windows.size} windows")
+    val n = stepValues.size
+    def stepCol(i: Int) = s"step${i + 1}_id"
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val hopPrefix = "__hop_"
+        // owned block lifecycle (the Components.foldIntoParquet rule):
+        // the per-level unions checkpoint eagerly; release exactly what
+        // this batch added once everything has materialized
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        try {
+          var rightRows: DataFrame = null
+          for (i <- 0 until n) {
+            val stepEvents = batch.filter(col(typeCol) === stepValues(i))
+              .select(col(user), col(time).cast("long").as(time),
+                col(id).cast("long").as(stepCol(i)))
+            val enriched =
+              if (i == 0) stepEvents
+              else {
+                val carryCols = (0 until i).map(stepCol)
+                carryCols.foldLeft(
+                  graft.operators.AsOf.backward(stepEvents, rightRows,
+                      Seq(user), time, tiebreak = stepCol(i - 1),
+                      carry = carryCols, prefix = hopPrefix,
+                      maxAge = Some(windows(i - 1)))
+                    .drop(s"${hopPrefix}age"))(
+                  (df, c) => df.withColumnRenamed(hopPrefix + c, c))
+              }
+            if (i < n - 1) {
+              // Next hop's right side = prior registry (latest per user,
+              // enough for cross-batch matches under ordered arrival)
+              // ∪ ALL of this batch's step-i rows (an intra-batch left
+              // may need an OLDER same-batch right — the collapsed
+              // registry alone would lose it). Checkpointed EAGERLY so
+              // its lineage detaches from the parquet files the swap
+              // below replaces; the registry fold then collapses the
+              // same union newest-wins per user (ties to the greatest
+              // id — the as-of's duplicate-right rule).
+              val lvlPath = s"$statePath/level$i"
+              val hPath = new Path(lvlPath)
+              val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              val prior =
+                if (fs.exists(hPath) && fs.listStatus(hPath).nonEmpty)
+                  spark.read.parquet(lvlPath)
+                else spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  enriched.schema)
+              val union = prior.select(enriched.columns.map(col).toIndexedSeq: _*)
+                .unionByName(enriched)
+                .localCheckpoint(true)
+              Merge.replaceParquet(spark, lvlPath,
+                graft.operators.Dedup.newestWins(union, Seq(col(user)),
+                  col(time), col(stepCol(i))))
+              rightRows = union
+            } else {
+              Merge.upsertParquet(spark, outPath, enriched, stepCol(n - 1),
+                Merge.Ignore, stepCol(n - 1))
+            }
+          }
+        } finally {
+          spark.sparkContext.getPersistentRDDs
+            .filterNot { case (rid, _) => before(rid) }
+            .values.foreach(_.unpersist(blocking = false))
+        }
+        ()
+      }
+      .start()
+  }
+
   /** The q116 retention matrix served from a
     * [[streamingCohortActivity]] registry. */
   def cohortRetentionFromRegistry(spark: SparkSession,

@@ -447,6 +447,52 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(fin.size == 7)
   }
 
+  test("streamingFunnel stream ≡ batch funnelN under ordered arrival (q119/q122 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-funnel")
+      .toFile.getAbsolutePath
+    val rnd = new Random(19)
+    // (event_id, user, ts, type): dense random funnels over 6 users with
+    // unique timestamps; hop windows force both matches and misses.
+    val types = Seq("a", "b", "c", "x")
+    val events = (1L to 300L).map { i =>
+      (i, (i % 6) + 1, i * 100 + rnd.nextInt(90), types(rnd.nextInt(4)))
+    }
+    val ordered = events.sortBy(_._3)
+    val chunks = ordered.grouped(100).toSeq
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val query = Incremental.streamingFunnel(
+      input.toDF().toDF("event_id", "user_id", "ts", "event_type"),
+      s"$dir/ckpt", s"$dir/state", s"$dir/out",
+      "user_id", "ts", "event_id", "event_type",
+      stepValues = Seq("a", "b", "c"), windows = Seq(5000L, 800L))
+    try {
+      // feed in order, then REPLAY the middle chunk (registry + upsert
+      // must converge to the same sink)
+      (chunks :+ chunks(1)).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("user_id", "ts", "step3_id", "step1_id", "step2_id")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+    val batch = graft.operators.Funnel.funnelN(
+        events.toDF("event_id", "user_id", "ts", "event_type"),
+        "user_id", "ts", "event_id",
+        steps = Seq(col("event_type") === "a", col("event_type") === "b",
+          col("event_type") === "c"),
+        windows = Seq(5000L, 800L))
+      .select("user_id", "ts", "step3_id", "step1_id", "step2_id")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // the fixture must exercise every chain shape: full, partial, none
+    assert(batch.exists { case (_, _, _, s1, s2) => s1.isDefined && s2.isDefined })
+    assert(batch.exists { case (_, _, _, s1, s2) => s1.isEmpty && s2.isDefined })
+    assert(batch.exists { case (_, _, _, s1, s2) => s1.isEmpty && s2.isEmpty })
+  }
+
   test("streamingSpanCorrupt stream ≡ batch examples (q111 twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
