@@ -111,6 +111,58 @@ object Sampling {
       .drop("__tot")
   }
 
+  /** Temperature-RESAMPLED corpus (α = 0.5): [[mixingWeights]] turned
+    * into an actual selected dataset — the step every mixing recipe ends
+    * with (upsample rare domains, damp dominant ones, draw `total` docs).
+    * Per-group target counts come from integer LARGEST-REMAINDER
+    * apportionment of the micro-unit weights (base = (total·w_pm) div
+    * 1e6; the ± rounding deficit goes to the largest/smallest remainders,
+    * ties by group — all integer arithmetic, so Σ targets = `total`
+    * exactly and every engine agrees bit-for-bit), clamped per group at
+    * the group's population (WITHOUT-replacement semantics: a rare group
+    * whose target exceeds its size contributes all of itself; the
+    * with-replacement upsampling a trainer does via epoch repetition is
+    * out of scope for a corpus SELECTION). Row selection within a group
+    * is the [[capPerGroup]] salted-hash rank — deterministic, sticky per
+    * experiment salt.
+    *
+    * Scale shape: the weight/apportionment table is one row per group
+    * (languages/domains — tiny by construction), so its global windows
+    * are a deliberate single-partition pass over ≤ |groups| rows; the
+    * corpus itself pays ONE shuffle (the per-group rank window) plus a
+    * broadcast of the target table. Cache lifecycle: [[mixingWeights]]
+    * persists the count table — caller-owned (the [[TermStats]]
+    * convention).
+    */
+  def temperatureResample(df: DataFrame, group: String, id: String,
+                          salt: String, total: Long): DataFrame = {
+    require(total > 0, s"total must be positive, got $total")
+    import org.apache.spark.sql.expressions.Window
+    val w = mixingWeights(df, Seq(col(group)))
+    val tiny = Window.partitionBy() // ≤ |groups| rows — deliberate
+    val ordD = Window.orderBy(col("__rem").desc, col(group).asc)
+    val ordA = Window.orderBy(col("__rem").asc, col(group).asc)
+    val targets = w
+      .withColumn("__base", expr(s"(${total}L * weight_pm) div 1000000"))
+      .withColumn("__rem", expr(s"(${total}L * weight_pm) % 1000000"))
+      .withColumn("__deficit", lit(total) - sum(col("__base")).over(tiny))
+      .withColumn("__rd", row_number().over(ordD))
+      .withColumn("__ra", row_number().over(ordA))
+      .select(col(group), greatest(lit(0L), least(col("n_rows"),
+        col("__base")
+          + when(col("__deficit") > 0 && col("__rd") <= col("__deficit"), 1L)
+            .otherwise(0L)
+          - when(col("__deficit") < 0 && col("__ra") <= -col("__deficit"), 1L)
+            .otherwise(0L))).as("__target"))
+    val rn = Cols.freeName(df, "__rn")
+    val sel = Window.partitionBy(col(group))
+      .orderBy(Text.baseHash32(concat(lit(s"$salt:"), col(id))).asc, col(id).asc)
+    df.join(broadcast(targets), group)
+      .withColumn(rn, row_number().over(sel))
+      .filter(col(rn) <= col("__target"))
+      .drop(rn, "__target")
+  }
+
   /** Assign every row a named split by consecutive hash-bucket ranges, e.g.
     * `Seq("train" -> 90, "val" -> 5, "test" -> 5)`. Percents must sum to
     * 100 so the assignment is total (every row gets exactly one split).

@@ -134,6 +134,20 @@ object Extensions {
     * the per-stratum survivors. The domain-balancing step of a corpus
     * mixing pipeline.
     */
+  /** q123: temperature-resampled corpus — q64's α = 0.5 mixing weights
+    * turned into an actual 300-doc selection over the `source` domains
+    * ([[Sampling.temperatureResample]]): integer largest-remainder
+    * apportionment of the micro-unit weights (Σ targets = 300 exactly),
+    * salted-hash rank selection within each source. The oracle
+    * recomputes weights, apportionment, and the per-source hash ranks
+    * relationally; hash equality pins the whole selected SET, not a
+    * rollup.
+    */
+  def q123TemperatureResample(spark: SparkSession, d: String): DataFrame =
+    Sampling.temperatureResample(Tables(spark, d, "documents"),
+        "source", "doc_id", "temp", total = 300L)
+      .select(col("doc_id"), col("source"))
+
   def q54BalancedMix(spark: SparkSession, d: String): DataFrame =
     Sampling.capPerGroup(Tables(spark, d, "documents"),
         Seq(col("lang"), col("source")), "doc_id", "mix1", n = 40)
@@ -357,5 +371,6 @@ object Extensions {
     "q88_time_split" -> q88TimeSplit _,
     "q89_decayed_features" -> q89DecayedFeatures _,
     "q90_stratified_sample" -> q90StratifiedSample _,
+    "q123_temperature_resample" -> q123TemperatureResample _,
   )
 }

@@ -2503,6 +2503,34 @@ object Oracles {
         |  CAST(round(1000000.0 * sqrt(n_rows) / tot) AS BIGINT) AS weight_pm
         |FROM c CROSS JOIN t""".stripMargin,
 
+    // q123: weights (the q64 arithmetic over source) → integer
+    // largest-remainder apportionment → per-source salted-hash rank
+    // selection (the q54 idiom). The selected SET hash-compares.
+    "q123_temperature_resample" ->
+      """WITH c AS (SELECT source, count(*) AS n_rows FROM documents GROUP BY source),
+        |t AS (SELECT list_reduce([0.0] || list_sort(list(sqrt(n_rows))),
+        |    (a, b) -> a + b) AS tot FROM c),
+        |wt AS (SELECT source, n_rows,
+        |    CAST(round(1000000.0 * sqrt(n_rows) / tot) AS BIGINT) AS weight_pm
+        |  FROM c CROSS JOIN t),
+        |ap AS (SELECT *, (300 * weight_pm) // 1000000 AS base,
+        |    (300 * weight_pm) % 1000000 AS rem FROM wt),
+        |d AS (SELECT *, 300 - sum(base) OVER () AS deficit,
+        |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rd,
+        |    row_number() OVER (ORDER BY rem ASC, source ASC) AS ra
+        |  FROM ap),
+        |tg AS (SELECT source, greatest(0, least(n_rows, base
+        |    + CASE WHEN deficit > 0 AND rd <= deficit THEN 1 ELSE 0 END
+        |    - CASE WHEN deficit < 0 AND ra <= -deficit THEN 1 ELSE 0 END))
+        |    AS target
+        |  FROM d),
+        |r AS (SELECT doc_id, documents.source AS source, target,
+        |    row_number() OVER (PARTITION BY documents.source
+        |      ORDER BY ('0x' || substr(md5('temp:' || doc_id), 1, 8))::BIGINT ASC,
+        |               doc_id ASC) AS rn
+        |  FROM documents JOIN tg ON documents.source = tg.source)
+        |SELECT doc_id, source FROM r WHERE rn <= target""".stripMargin,
+
     "q65_boilerplate" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
          |s AS (SELECT doc_id, unnest(${shingleList("toks")}) AS sh FROM t),

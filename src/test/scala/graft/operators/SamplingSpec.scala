@@ -149,6 +149,41 @@ class SamplingSpec extends AnyFunSuite {
     assert(byG(None) == 4 && byG(Some("en")) == 6)
   }
 
+  test("temperatureResample: exactly `total` rows, rare groups upsampled vs proportional") {
+    // group sizes 900/90/10: proportional shares 90%/9%/1%; α=0.5 shares
+    // ∝ 30/9.49/3.16 ≈ 70%/22%/7% — the rare group must land far above
+    // its proportional share.
+    val docs = ((1L to 900L).map((_, "big")) ++ (1001L to 1090L).map((_, "mid")) ++
+      (2001L to 2010L).map((_, "small"))).toDF("doc_id", "src")
+    val out = Sampling.temperatureResample(docs, "src", "doc_id", "t1", 200L)
+    val counts = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    // α=0.5 targets ≈ 141/44/15; small clamps at its population of 10,
+    // so the selected total is 200 − 5 (±1 weight rounding)
+    assert(counts.values.sum >= 194L && counts.values.sum <= 196L,
+      s"apportionment must hit total minus the clamp loss: $counts")
+    assert(counts("small") == 10L,
+      s"rare group's α=0.5 share (≈15) clamps at its population: $counts")
+    assert(counts("small") > 200L * 10L / 1000L, s"must exceed proportional 2: $counts")
+    assert(counts("big") >= 120L && counts("big") < 160L,
+      s"dominant group damped from 90% toward its 70% share: $counts")
+    // determinism + stickiness: same salt → same set; different salt → different set
+    val again = Sampling.temperatureResample(docs, "src", "doc_id", "t1", 200L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+    val other = Sampling.temperatureResample(docs, "src", "doc_id", "t2", 200L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(other != again)
+  }
+
+  test("temperatureResample: clamped groups keep Σ = min(total, feasible)") {
+    // two tiny groups: targets clamp at population; the selection can
+    // then deliver fewer than `total` — never more, never negative.
+    val docs = ((1L to 5L).map((_, "a")) ++ (11L to 13L).map((_, "b")))
+      .toDF("doc_id", "src")
+    val out = Sampling.temperatureResample(docs, "src", "doc_id", "t", 100L)
+    assert(out.count() == 8L) // everything selected, nothing duplicated
+  }
+
   test("timeSplit: strict band edges, embargo excluded from both sides") {
     val b = 1000L
     val df = Seq(899L, 900L, 901L, 999L, 1000L, 1001L).toDF("t")
