@@ -163,6 +163,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.forall { case (_, c, s) => c == 0L && s == 200L })
   }
 
+  test("2k-node chain: union-find and pointer-jump paths agree label-for-label") {
+    // the ccdiam probe verifies ROW COUNTS at 320k; this pins exact label
+    // equality at a size where the iterative path needs ~11 jump rounds
+    val chain = spark.range(1999L)
+      .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+    val fast = TextDedup.dupClusters(chain, "doc_a", "doc_b")
+      .as[(Long, Long, Long)].collect().toSet
+    val iter = TextDedup.dupClusters(chain, "doc_a", "doc_b",
+        localThreshold = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fast == iter)
+    assert(fast.size == 2000 && fast.forall { case (_, c, s) => c == 0L && s == 2000L })
+  }
+
   test("lshCandidatePairs maxBucket drops hot-band buckets, keeps organic near-dup pairs") {
     // 30 identical boilerplate docs (ids 100-129) + the corpus's organic
     // dup pair (1, 4). Uncapped: the boilerplate cluster emits 435 pairs.
