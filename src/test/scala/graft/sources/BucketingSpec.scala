@@ -36,4 +36,41 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bkt_dims")
     }
   }
+
+  test("CC registry as a bucketed table: the endpoint lookup shuffles only the batch side") {
+    // the q120/q114 scale claim made executable: a (node → label)
+    // registry bucketed on node serves the batch-endpoint lookup through
+    // its bucketed layout — the registry side scans in place, only the
+    // (small) batch side exchanges.
+    val registry = (0L until 500L).map(i => (i, i / 5 * 5)).toDF("node", "label")
+    Bucketing.writeBucketed(registry, "bkt_cc_registry", 8, "node")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val reg = spark.table("bkt_cc_registry")
+      val batchNodes = (480L until 520L).map(Tuple1(_)).toDF("n")
+      val lookup = batchNodes.join(reg, col("n") === col("node"), "left_outer")
+        .select(col("n"), coalesce(col("label"), col("n")).as("lab"))
+      assert(Bucketing.usedBucketedScan(lookup))
+      // exactly one exchange: the batch side repartitioning to the
+      // registry's bucketing; the 500-row registry never shuffles
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      def shuffles(p: SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+        case s: ShuffleExchangeLike => 1 + s.children.map(shuffles).sum
+        case q: QueryStageExec => shuffles(q.plan)
+        case other => other.children.map(shuffles).sum
+      }
+      lookup.foreach(_ => ())
+      assert(shuffles(lookup.queryExecution.executedPlan) == 1)
+      // and the lookup is correct: known nodes take their label, fresh
+      // nodes fall back to themselves
+      val m = lookup.as[(Long, Long)].collect().toMap
+      assert(m(480L) == 480L && m(499L) == 495L && m(519L) == 519L)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bkt_cc_registry")
+    }
+  }
 }
