@@ -382,6 +382,29 @@ object LlmPipelines {
         .select(col("id").as("doc"), col("dhash")),
       "doc", "dhash", bits = 56, maxHamming = 2, bands = 8)
 
+  /** q124: PIPELINE v4 — the multimodal curation composition of this
+    * round's operators: render → REAL P6 decode → 56-bit dHash →
+    * perceptual EXACT dedup (first-wins per fingerprint: identical
+    * dHash ⇒ visually identical under the hash's resolution — the
+    * byte-level exact-dedup rule lifted to the pixel domain) →
+    * temperature-resampled selection (α = 0.5 over `source`, 200 docs)
+    * of the surviving corpus. Scale shape: decode row-local, dedup one
+    * fingerprint-keyed window, resample one group window + broadcast
+    * targets — no all-pairs anywhere. Output: the selected (doc_id,
+    * source) set, hash-compared.
+    */
+  def q124PipelineV4(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    val reps = graft.operators.Dedup.keepFirst(
+      graft.operators.Multimodal.dHashPpm(spark, renderedPpmOf(docs),
+        "doc_id", "ppm"),
+      Seq(col("dhash")), Seq(col("id").asc))
+    val survivors = docs.join(reps.select(col("id").as("doc_id")), Seq("doc_id"))
+    graft.operators.Sampling.temperatureResample(survivors,
+        "source", "doc_id", "v4", total = 200L)
+      .select(col("doc_id"), col("source"))
+  }
+
   /** q96: the decode member over the same rendered P6 blobs through the
     * REAL [[graft.operators.Multimodal.PpmCodec]] — width/height from the
     * parsed header, byteSum/first/last over the pixel payload only.
@@ -584,6 +607,7 @@ object LlmPipelines {
     "q36_frame_sample" -> q36FrameSample _,
     "q42_ppm_resize" -> q42PpmResize _,
     "q121_image_neardup" -> q121ImageNearDup _,
+    "q124_pipeline_v4" -> q124PipelineV4 _,
     "q96_ppm_decode" -> q96PpmDecode _,
     "q38_ann_ivf_topk" -> q38AnnIvfTopK _,
     "q39_embedding_neardup" -> q39EmbeddingNearDup _,

@@ -677,6 +677,63 @@ object Oracles {
          |FROM hsh a JOIN hsh b2 ON a.doc_id < b2.doc_id
          |WHERE bit_count(xor(a.dhash, b2.dhash)) <= 2""".stripMargin,
 
+    // q124: pipeline v4 — the q121 dhash CTEs → first-wins per
+    // fingerprint → the q123 weights/apportionment/rank arithmetic over
+    // the SURVIVING corpus (salt v4, total 200).
+    "q124_pipeline_v4" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    1 + ascii(substr(text, 1, 1)) % 16 AS w,
+         |    1 + ascii(substr(text, length(text), 1)) % 16 AS h
+         |  FROM documents),
+         |p AS (SELECT doc_id, w, h,
+         |    substr(repeat(text, CAST(w*h*3 // length(text) AS INTEGER) + 1),
+         |      1, w*h*3) AS px
+         |  FROM t),
+         |g AS (SELECT doc_id, w, h, px, unnest(range(0, 7)) AS yo FROM p),
+         |gx AS (SELECT doc_id, w, h, px, yo, (yo*h)//7 AS sy,
+         |    unnest(range(0, 8)) AS xo FROM g),
+         |b AS (SELECT doc_id, yo, xo,
+         |    CASE WHEN
+         |      (ascii(substr(px, CAST((sy*w + (xo*w)//9)*3 + 1 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + (xo*w)//9)*3 + 2 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + (xo*w)//9)*3 + 3 AS INTEGER), 1))) // 3
+         |      >
+         |      (ascii(substr(px, CAST((sy*w + ((xo+1)*w)//9)*3 + 1 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + ((xo+1)*w)//9)*3 + 2 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + ((xo+1)*w)//9)*3 + 3 AS INTEGER), 1))) // 3
+         |    THEN (1::BIGINT << CAST(yo*8 + xo AS INTEGER)) ELSE 0 END AS bit
+         |  FROM gx),
+         |hsh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS dhash
+         |  FROM b GROUP BY doc_id),
+         |rep AS (SELECT doc_id FROM (SELECT doc_id,
+         |    row_number() OVER (PARTITION BY dhash ORDER BY doc_id ASC) AS rn
+         |  FROM hsh) WHERE rn = 1),
+         |sv AS (SELECT dd.doc_id, dd.source FROM documents dd
+         |  JOIN rep ON dd.doc_id = rep.doc_id),
+         |c AS (SELECT source, count(*) AS n_rows FROM sv GROUP BY source),
+         |tt AS (SELECT list_reduce([0.0] || list_sort(list(sqrt(n_rows))),
+         |    (a, b) -> a + b) AS tot FROM c),
+         |wt AS (SELECT source, n_rows,
+         |    CAST(round(1000000.0 * sqrt(n_rows) / tot) AS BIGINT) AS weight_pm
+         |  FROM c CROSS JOIN tt),
+         |ap AS (SELECT *, (200 * weight_pm) // 1000000 AS base,
+         |    (200 * weight_pm) % 1000000 AS rem FROM wt),
+         |df2 AS (SELECT *, 200 - sum(base) OVER () AS deficit,
+         |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rd,
+         |    row_number() OVER (ORDER BY rem ASC, source ASC) AS ra
+         |  FROM ap),
+         |tg AS (SELECT source, greatest(0, least(n_rows, base
+         |    + CASE WHEN deficit > 0 AND rd <= deficit THEN 1 ELSE 0 END
+         |    - CASE WHEN deficit < 0 AND ra <= -deficit THEN 1 ELSE 0 END))
+         |    AS target
+         |  FROM df2),
+         |r AS (SELECT sv.doc_id, sv.source AS source, target,
+         |    row_number() OVER (PARTITION BY sv.source
+         |      ORDER BY ('0x' || substr(md5('v4:' || sv.doc_id), 1, 8))::BIGINT ASC,
+         |               sv.doc_id ASC) AS rn
+         |  FROM sv JOIN tg ON sv.source = tg.source)
+         |SELECT doc_id, source FROM r WHERE rn <= target""".stripMargin,
+
     "q96_ppm_decode" ->
       s"""WITH t AS (SELECT doc_id, text,
          |    1 + ascii(substr(text, 1, 1)) % 16 AS w,
