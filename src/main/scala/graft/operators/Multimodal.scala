@@ -211,6 +211,21 @@ object Multimodal {
       .toDF("id", "dhash")
   }
 
+  /** Batch-vs-registry perceptual dedup: of an incoming batch of
+    * (id, dhash) fingerprints, keep one representative per NEW
+    * fingerprint (first-wins, min id — [[Dedup.keepFirst]] semantics)
+    * and drop everything whose fingerprint the registry has already
+    * seen. The exact-dedup registry pattern (spans q102, grams q114,
+    * near-dup q58) applied to the image domain: the corpus is never
+    * re-scanned, the anti-join is fingerprint-keyed, and the caller
+    * appends `newFingerprints` (= the kept rows' dhashes) to the
+    * registry afterward. Streaming wrapper:
+    * [[graft.streaming.Incremental.streamingImageDedup]].
+    */
+  def dHashDedupAgainst(hashes: DataFrame, seen: DataFrame): DataFrame =
+    Dedup.keepFirst(hashes, Seq(col("dhash")), Seq(col("id").asc))
+      .join(seen.select(col("dhash")), Seq("dhash"), "left_anti")
+
   /** Pixel-domain resize over a PPM binary column: parse → nearest-neighbor
     * downscale ([[Ppm.resizeNearest]]) → re-render; emits original and
     * resized dimensions plus the resized content hash. Same partition-local

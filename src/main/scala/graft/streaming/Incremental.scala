@@ -249,6 +249,50 @@ object Incremental {
       }
       .start()
 
+  /** Streaming perceptual image dedup — [[streamingSpanDedup]]'s twin in
+    * the multimodal domain: each micro-batch of (id, ppm-binary) rows is
+    * dHashed (REAL decode,
+    * [[graft.operators.Multimodal.dHashPpm]]), deduped against the
+    * persistent FINGERPRINT registry
+    * ([[graft.operators.Multimodal.dHashDedupAgainst]] — batch-keyed
+    * anti-join, corpus never re-scanned), surviving representatives land
+    * via keyed first-write-wins upsert, and the batch's novel distinct
+    * fingerprints append to the registry. Same replay-safe write order
+    * (documents FIRST, registry second).
+    */
+  def streamingImageDedup(stream: DataFrame, checkpointDir: String,
+                          outPath: String, registryPath: String,
+                          id: String, bin: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val reg = readDhashRegistry(spark, registryPath)
+        val hashes = graft.operators.Multimodal.dHashPpm(spark, batch, id, bin)
+        val kept = graft.operators.Multimodal.dHashDedupAgainst(hashes, reg)
+        Merge.upsertParquet(spark, outPath, kept, "id", Merge.Ignore, "dhash")
+        hashes.select(col("dhash")).distinct()
+          .join(reg, Seq("dhash"), "left_anti")
+          .write.mode("append").parquet(registryPath)
+        ()
+      }
+      .start()
+
+  /** The fingerprint registry, empty-safe before the first batch commits. */
+  private def readDhashRegistry(spark: SparkSession,
+                                registryPath: String): DataFrame = {
+    val p = new Path(registryPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.parquet(registryPath).select("dhash")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dhash",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   /** One empty-safe single-string-column parquet reader behind every
     * streaming registry (blocks, grams, seen words) — one emptiness
     * check to maintain, not three silently-diverging copies.

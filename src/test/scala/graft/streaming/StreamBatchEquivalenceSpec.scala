@@ -493,6 +493,53 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(batch.exists { case (_, _, _, s1, s2) => s1.isEmpty && s2.isEmpty })
   }
 
+  test("streamingImageDedup stream ≡ batch first-wins per fingerprint (q121-family twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-imgdedup")
+      .toFile.getAbsolutePath
+    import graft.operators.Multimodal.Ppm
+    // gradient image per "scene" id: same scene → identical bytes →
+    // identical dHash; different scenes → different fingerprints
+    def img(scene: Int): Array[Byte] = {
+      val w = 12; val h = 8
+      // slope varies per scene so the mod-256 wrap positions (and hence
+      // the comparison bits) differ — distinctness asserted below
+      Ppm.render(w, h, 255, (for (y <- 0 until h; x <- 0 until w) yield {
+        val v = (x * (scene * 2 + 3) * 7) % 256
+        Array(v.toByte, v.toByte, v.toByte)
+      }).flatten.toArray)
+    }
+    val sceneHashes = graft.operators.Multimodal.dHashPpm(spark,
+        (0 to 3).map(s => (s.toLong, img(s))).toDF("id", "ppm"), "id", "ppm")
+      .select("dhash").as[Long].collect().toSet
+    assert(sceneHashes.size == 4, "fixture degenerate: scene hashes collide")
+    val b1 = Seq((1L, img(0)), (2L, img(1)), (3L, img(0)))   // 3 dups 1
+    val b2 = Seq((4L, img(1)), (5L, img(2)))                 // 4 dups 2
+    val b3 = Seq((4L, img(1)), (6L, img(0)), (7L, img(3)))   // replay 4 + dup + new
+    val input = MemoryStream[(Long, Array[Byte])]
+    val query = Incremental.streamingImageDedup(
+      input.toDF().toDF("id", "ppm"),
+      s"$dir/ckpt", s"$dir/out", s"$dir/registry", "id", "ppm")
+    try {
+      Seq(b1, b2, b3).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("id").as[Long].collect().toSet
+    // ordered arrival (ids ascend with time) → first-arrival = global min
+    // per fingerprint = the batch keepFirst
+    val all = (b1 ++ b2 ++ b3).toDF("id", "ppm")
+    val batchKept = graft.operators.Multimodal.dHashDedupAgainst(
+        graft.operators.Multimodal.dHashPpm(spark,
+          all.dropDuplicates("id"), "id", "ppm"),
+        Seq.empty[Long].toDF("dhash")) // empty seen = pure batch dedup
+      .select("id").as[Long].collect().toSet
+    assert(streamed == batchKept)
+    assert(streamed == Set(1L, 2L, 5L, 7L)) // one per distinct scene, min id
+  }
+
   test("streamingSpanCorrupt stream ≡ batch examples (q111 twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
