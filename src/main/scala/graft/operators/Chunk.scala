@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Overlapping token-window document chunking — the retrieval/long-context
+  * example-prep step that cuts each document into fixed-size token windows
+  * with a configured overlap (the standard RAG / FiD / long-context
+  * pretraining chunker: window `size`, stride `size − overlap`, last window
+  * may be short, a document shorter than one window yields exactly one
+  * chunk).
+  *
+  * Contrast with [[Packing.packByBudget]]: packing concatenates MANY
+  * documents into budget-sized sequences (zero waste, docs straddle
+  * boundaries); chunking splits ONE document into windows (overlap wastes
+  * budget deliberately so no boundary-adjacent context is ever lost to a
+  * retriever). A pipeline typically chunks for the retrieval index and
+  * packs for the trainer.
+  *
+  * Scale shape: stateless per-row arithmetic — tokenize, generate the
+  * window starts with `sequence`, `posexplode` — no shuffle, no window
+  * function, no driver state; fan-out is bounded by ceil(n_tok/stride) per
+  * document, so output size is ~(1 + overlap/stride)× the corpus, and the
+  * whole operator lives inside one WholeStageCodegen span (pinned in
+  * PlanSpec). Composes with the dedup family downstream via the md5
+  * `chunk_hash` (chunk-level exact dedup is [[Dedup]] on that key).
+  */
+object Chunk {
+
+  /** One row per (document, window): `(id, chunk_idx, start_tok, n_tok,
+    * chunk_text, chunk_hash)`. Documents whose text tokenizes to an empty
+    * list produce no rows (`posexplode` drops empty arrays). Deterministic:
+    * pure arithmetic over token positions.
+    *
+    * @param id      stable document id column name
+    * @param text    document text column name (whitespace-tokenized)
+    * @param size    window size in tokens; positive
+    * @param overlap tokens shared by consecutive windows; `0 ≤ overlap <
+    *                size` (stride = size − overlap)
+    */
+  def tokenWindows(df: DataFrame, id: String, text: String,
+                   size: Int, overlap: Int): DataFrame = {
+    require(size > 0, s"chunk size must be positive, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size), got $overlap for size $size")
+    val stride = size - overlap
+    val toks: Column = Text.tokens(col(text))
+    val n: Column = org.apache.spark.sql.functions.size(toks)
+    // Standard cut rule: emit windows at starts 0, stride, 2·stride, …;
+    // stop once a window reaches the end — 1 + ceil((n − size)/stride)
+    // windows for n > size, exactly 1 otherwise. Integer `div` keeps the
+    // count exact; the `sequence` is guarded non-descending by the
+    // greatest(…, 0).
+    df.select(col(id), toks.as("__toks"), n.as("__n"))
+      .where(col("__n") > 0)
+      .select(col(id), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0L),
+          expr(s"(greatest(cast(__n as bigint) - ${size}L, 0L) + ${stride - 1}L) div ${stride}L"))))
+      .select(col(id), col("pos").cast("int").as("chunk_idx"),
+        (col("pos") * stride).cast("long").as("start_tok"),
+        least(lit(size.toLong), col("__n") - col("pos") * stride)
+          .cast("long").as("n_tok"),
+        concat_ws(" ",
+          slice(col("__toks"), (col("pos") * stride + 1).cast("int"), lit(size)))
+          .as("chunk_text"))
+      .withColumn("chunk_hash", md5(col("chunk_text")))
+  }
+}

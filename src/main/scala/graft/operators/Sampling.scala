@@ -253,4 +253,67 @@ object Sampling {
         .when(ts >= boundary, "test")
         .otherwise("embargo"))
   }
+
+  /** Data-constrained epoch allocation (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"): given a token `budget` and the
+    * per-domain unique-token supply, decide how many EPOCHS of each domain
+    * a training run should take. Target tokens per domain come from the
+    * same α=0.5 temperature weights as [[mixingWeights]] (upsample rare
+    * domains) apportioned by integer largest remainder (Σ targets =
+    * `budget` exactly); a domain whose target exceeds `maxEpochsMicro`
+    * (micro-epochs, default 4.0 — the paper's "repeating beyond ~4 epochs
+    * is worth almost nothing" knee) passes of its supply is CAPPED there,
+    * and the shortfall is reported as `starved_tokens` (the tokens the
+    * mix wanted but useful repetition cannot supply — the signal to go
+    * collect more of that domain, not to repeat harder).
+    *
+    * One row per domain: `(group, u_tokens, weight_pm, target_tokens,
+    * epochs_micro, served_tokens, starved_tokens)`. All-integer outside
+    * the portable sqrt-weight fold (the [[mixingWeights]] rule).
+    *
+    * Scale shape: ONE corpus aggregate (map-side combined) to the
+    * per-domain supply table; everything after runs on ≤ |domains| rows
+    * (the deliberate single-partition windows of
+    * [[temperatureResample]]). The supply table is persisted
+    * (caller-owned, [[graft.operators.TermStats]] convention) because the
+    * weight normalizer and the allocation both read it.
+    */
+  def epochAllocation(df: DataFrame, group: String, cost: Column,
+                      budget: Long, maxEpochsMicro: Long = 4000000L): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(maxEpochsMicro > 0,
+      s"maxEpochsMicro must be positive, got $maxEpochsMicro")
+    import org.apache.spark.sql.expressions.Window
+    val supply = df.groupBy(col(group)).agg(sum(cost).as("u_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = broadcast(supply.select(
+      aggregate(array_sort(collect_list(sqrt(col("u_tokens")))), lit(0.0),
+        (acc, x) => acc + x).as("__tot")))
+    val tiny = Window.partitionBy() // ≤ |domains| rows — deliberate
+    val ordD = Window.orderBy(col("__rem").desc, col(group).asc)
+    val ordA = Window.orderBy(col("__rem").asc, col(group).asc)
+    supply.crossJoin(total)
+      .withColumn("weight_pm",
+        round(lit(1000000.0) * sqrt(col("u_tokens")) / col("__tot")).cast("long"))
+      .drop("__tot")
+      .withColumn("__base", expr(s"(${budget}L * weight_pm) div 1000000"))
+      .withColumn("__rem", expr(s"(${budget}L * weight_pm) % 1000000"))
+      .withColumn("__deficit", lit(budget) - sum(col("__base")).over(tiny))
+      .withColumn("__rd", row_number().over(ordD))
+      .withColumn("__ra", row_number().over(ordA))
+      .withColumn("target_tokens", greatest(lit(0L), col("__base")
+        + when(col("__deficit") > 0 && col("__rd") <= col("__deficit"), 1L)
+          .otherwise(0L)
+        - when(col("__deficit") < 0 && col("__ra") <= -col("__deficit"), 1L)
+          .otherwise(0L)))
+      .withColumn("epochs_micro", least(lit(maxEpochsMicro),
+        expr("(1000000 * target_tokens) div u_tokens")))
+      .withColumn("served_tokens", least(col("target_tokens"),
+        expr(s"(${maxEpochsMicro}L * u_tokens) div 1000000")))
+      .withColumn("starved_tokens",
+        col("target_tokens") - col("served_tokens"))
+      .select(col(group), col("u_tokens"), col("weight_pm"),
+        col("target_tokens"), col("epochs_micro"), col("served_tokens"),
+        col("starved_tokens"))
+  }
 }

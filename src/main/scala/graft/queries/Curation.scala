@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Quantiles, Sampling, Similarity, TermStats, TextDedup}
+import graft.operators.{Chunk, Quantiles, Sampling, Similarity, TermStats, TextDedup}
 import graft.sources.Tables
 
 /** Corpus-curation operators over the `documents` table — the statistics,
@@ -535,7 +535,32 @@ object Curation {
       "doc_id", n = 150)
   }
 
+  /** q125: overlapping token-window chunking ([[Chunk.tokenWindows]],
+    * window 24 / overlap 8) — the retrieval-index / long-context cut of
+    * every document into stride-16 windows with chunk-level md5
+    * fingerprints. Stateless row-local fan-out, zero shuffle
+    * (plan-pinned); the hash compares the full chunk SET, offsets and
+    * text included.
+    */
+  def q125ChunkWindows(spark: SparkSession, d: String): DataFrame =
+    Chunk.tokenWindows(Tables.balanced(spark, d, "documents"),
+      "doc_id", "text", size = 24, overlap = 8)
+
+  /** q126: data-constrained epoch allocation
+    * ([[Sampling.epochAllocation]], Muennighoff 2023) — a 100k-token
+    * budget split over the `source` domains by the α=0.5 temperature
+    * weights, each domain capped at 4.0 epochs of its unique-token
+    * supply, the unservable remainder reported as `starved_tokens`. One
+    * corpus aggregate; the allocation itself runs on ≤ |domains| rows.
+    */
+  def q126EpochAllocation(spark: SparkSession, d: String): DataFrame =
+    Sampling.epochAllocation(Tables.balanced(spark, d, "documents"),
+      "source", size(graft.functions.Text.tokens(col("text"))).cast("long"),
+      budget = 100000L)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_chunk_windows" -> q125ChunkWindows _,
+    "q126_epoch_allocation" -> q126EpochAllocation _,
     "q117_dsir_production" -> q117DsirProduction _,
     "q115_pipeline_v3" -> q115PipelineV3 _,
     "q114_substring_excise_inc" -> q114SubstringExciseInc _,

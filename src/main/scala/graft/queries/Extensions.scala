@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Layout, Packing, RangeJoin, Rolling, Sampling, Sessionize, Skew}
+import graft.operators.{AsOf, Layout, Packing, RangeJoin, Rolling, Sampling, Sessionize, Sft, Skew}
 import graft.sources.Tables
 
 /** Beyond-reference temporal/sampling operators (the build brief's as-of
@@ -351,7 +351,32 @@ object Extensions {
         count(col("step1_id")).as("n_full"),
         expr("(1000000 * count(step1_id)) div count(1)").as("conv_full_pm"))
 
+  /** q127: SFT chat-template rendering with loss-mask spans
+    * ([[Sft.renderChat]] over [[Sessionize.assign]] sessions) — each
+    * user's 24-hour-gap session (~8 turns at sf0.01 — multi-turn on
+    * purpose, a 30-min gap gave 91% singleton conversations and never
+    * exercised the offset arithmetic) becomes one training conversation:
+    * click/view/signup turns are the "user" side, purchase/error the
+    * "assistant" side, and every assistant turn's content span lands in
+    * `mask_starts`/`mask_ends` (0-based character offsets into
+    * `rendered`). ONE user-keyed exchange serves the sessionizer, the
+    * offset windows, and the per-session rollup (plan-pinned).
+    */
+  def q127SftRender(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.eventsWithUs(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"), cents(col("value")).as("value_c"))
+    val sess = Sessionize.assign(ev, Seq(col("user_id")), col("ts_us"),
+      col("event_id"), maxGap = OneDayUs)
+    Sft.renderChat(sess, Seq(col("user_id"), col("session_seq")),
+      col("ts_us"), col("event_id"),
+      role = when(col("event_type").isin("click", "view", "signup"), "user")
+        .otherwise("assistant"),
+      content = concat(col("event_type"), lit("="), col("value_c")))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_sft_render" -> q127SftRender _,
     "q119_funnel3" -> q119Funnel3 _,
     "q122_funnel4" -> q122Funnel4 _,
     "q116_cohort_retention" -> q116CohortRetention _,

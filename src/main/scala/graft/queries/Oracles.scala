@@ -1499,6 +1499,47 @@ object Oracles {
     * cannot change the carried last-non-null right value.
     */
   val extensions: Map[String, String] = Map(
+    // q127: SFT chat-template rendering — q59's session assignment, the
+    // '<|role|>content\n' template, cumulative-length offset windows,
+    // ordered string_agg/list rebuilds. Mask spans cover assistant
+    // CONTENT only: start = cum + len(role) + 4 ('<|' + '|>'), end = cum
+    // + len(segment) − 1 (trailing newline excluded); empty (not NULL)
+    // lists when a session has no assistant turn.
+    "q127_sft_render" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |    event_type, $CentsValue AS value_c FROM events),
+         |s AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER
+         |      (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |      > ${Extensions.OneDayUs} THEN 1 ELSE 0 END AS brk
+         |  FROM e),
+         |g AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT)
+         |    AS session_seq
+         |  FROM s),
+         |seg AS (SELECT user_id, session_seq, ts_us, event_id,
+         |    CASE WHEN event_type IN ('click', 'view', 'signup')
+         |      THEN 'user' ELSE 'assistant' END AS role,
+         |    event_type || '=' || value_c::VARCHAR AS content
+         |  FROM g),
+         |sg AS (SELECT *, '<|' || role || '|>' || content || chr(10) AS segment
+         |  FROM seg),
+         |o AS (SELECT *, COALESCE(sum(len(segment)) OVER
+         |      (PARTITION BY user_id, session_seq ORDER BY ts_us, event_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM sg)
+         |SELECT user_id, session_seq, count(*) AS n_turns,
+         |  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_assistant,
+         |  string_agg(segment, '' ORDER BY ts_us, event_id) AS rendered,
+         |  COALESCE(list(CAST(cum + len(role) + 4 AS BIGINT)
+         |      ORDER BY ts_us, event_id)
+         |    FILTER (WHERE role = 'assistant'), []::BIGINT[]) AS mask_starts,
+         |  COALESCE(list(CAST(cum + len(segment) - 1 AS BIGINT)
+         |      ORDER BY ts_us, event_id)
+         |    FILTER (WHERE role = 'assistant'), []::BIGINT[]) AS mask_ends
+         |FROM o GROUP BY user_id, session_seq""".stripMargin,
+
     // Morton spread: the standard mask cascade, identical longs on both
     // engines (pure BIGINT shifts/masks); bucket = top 4 z bits.
     "q90_stratified_sample" ->
@@ -2098,6 +2139,55 @@ object Oracles {
   }
 
   val curation: Map[String, String] = Map(
+    // q125: overlapping token-window chunking — window 24, stride 16;
+    // window count = 1 + ceil((n-24)/16) (integer //), list slicing is
+    // 1-based inclusive on both engines via slice/toks[a:b].
+    "q125_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, toks, n,
+         |        unnest(range(0, ((greatest(n - 24, 0) + 15) // 16) + 1)) AS i
+         |      FROM n)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  CAST(i*16 AS BIGINT) AS start_tok,
+         |  CAST(least(24, n - i*16) AS BIGINT) AS n_tok,
+         |  array_to_string(toks[(i*16+1):(i*16+24)], ' ') AS chunk_text,
+         |  md5(array_to_string(toks[(i*16+1):(i*16+24)], ' ')) AS chunk_hash
+         |FROM c""".stripMargin,
+
+    // q126: data-constrained epoch allocation — q64's sqrt-weight fold
+    // over per-source token supply, q123's largest-remainder
+    // apportionment of the 100k budget, 4.0-epoch (micro) cap, shortfall
+    // as starved_tokens. All-integer beyond the sorted sqrt fold.
+    "q126_epoch_allocation" ->
+      s"""WITH c AS (SELECT source,
+         |    CAST(sum(len($Toks)) AS BIGINT) AS u_tokens
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT list_reduce([0.0] || list_sort(list(sqrt(u_tokens))),
+         |    (a, b) -> a + b) AS tot FROM c),
+         |wt AS (SELECT source, u_tokens,
+         |    CAST(round(1000000.0 * sqrt(u_tokens) / tot) AS BIGINT) AS weight_pm
+         |  FROM c CROSS JOIN t),
+         |ap AS (SELECT *, (100000 * weight_pm) // 1000000 AS base,
+         |    (100000 * weight_pm) % 1000000 AS rem FROM wt),
+         |d AS (SELECT *, 100000 - sum(base) OVER () AS deficit,
+         |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rd,
+         |    row_number() OVER (ORDER BY rem ASC, source ASC) AS ra
+         |  FROM ap),
+         |tg AS (SELECT source, u_tokens, weight_pm, greatest(0, base
+         |    + CASE WHEN deficit > 0 AND rd <= deficit THEN 1 ELSE 0 END
+         |    - CASE WHEN deficit < 0 AND ra <= -deficit THEN 1 ELSE 0 END)
+         |    AS target FROM d)
+         |SELECT source, u_tokens, weight_pm,
+         |  CAST(target AS BIGINT) AS target_tokens,
+         |  CAST(least(4000000, (1000000 * target) // u_tokens) AS BIGINT)
+         |    AS epochs_micro,
+         |  CAST(least(target, (4000000 * u_tokens) // 1000000) AS BIGINT)
+         |    AS served_tokens,
+         |  CAST(target - least(target, (4000000 * u_tokens) // 1000000) AS BIGINT)
+         |    AS starved_tokens
+         |FROM tg""".stripMargin,
+
     // q110: DSIR importance resampling — unigram+bigram OCCURRENCES
     // hashed with the portable md5 base hash into 1024 buckets; raw-side
     // (source != src0) docs scored by the exact integer arithmetic

