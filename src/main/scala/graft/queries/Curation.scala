@@ -558,7 +558,32 @@ object Curation {
       "source", size(graft.functions.Text.tokens(col("text"))).cast("long"),
       budget = 100000L)
 
+  /** q128: unigram-LM subword segmentation ([[Unigram]], Kudo 2018's
+    * family with the integer-exact objective — fewest pieces, then
+    * highest corpus support, then lexicographic): vocabulary = top-40
+    * multi-char substrings by support + the full alphabet, trained in one
+    * distinct-word aggregate; segmentation = Viterbi DP as a pure
+    * `aggregate` fold per word against the broadcast literal vocabulary
+    * (bounded collect, [[graft.operators.Bpe]] merge-table scale). The
+    * oracle segments by EXHAUSTIVE path enumeration (recursive CTE) —
+    * hash equality is the proof that per-position DP finds the global
+    * optimum under the lexicographic objective.
+    */
+  def q128UnigramSegment(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.Unigram
+    val words = Tables.balanced(spark, d, "documents")
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val vocab = Unigram.trainVocab(words, "w", "f", maxLen = 4, topK = 40)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    Unigram.segment(words, "w", vocab, maxLen = 4)
+      .join(words, "w") // word-keyed corpus re-join: attach frequency
+      .select(col("w"), col("f"), col("n_pieces"), col("score"),
+        col("pieces"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_unigram_segment" -> q128UnigramSegment _,
     "q125_chunk_windows" -> q125ChunkWindows _,
     "q126_epoch_allocation" -> q126EpochAllocation _,
     "q117_dsir_production" -> q117DsirProduction _,

@@ -2188,6 +2188,45 @@ object Oracles {
          |    AS starved_tokens
          |FROM tg""".stripMargin,
 
+    // q128: unigram segmentation — same substring-support vocabulary
+    // (top-40 multi + alphabet), segmentation by EXHAUSTIVE enumeration
+    // of piece tilings (recursive CTE; words are ≤8 chars so the path
+    // count is tetranacci-bounded) ranked by the engine's exact
+    // objective. The engine runs per-position Viterbi DP; hash equality
+    // proves DP ≡ global enumeration under (np, −score, lex).
+    "q128_unigram_segment" ->
+      s"""WITH RECURSIVE
+         |wf AS (SELECT w, count(*) AS f FROM
+         |  (SELECT unnest($Toks) AS w FROM documents) GROUP BY w),
+         |sub AS (SELECT piece, CAST(sum(f) AS BIGINT) AS score FROM (
+         |    SELECT substr(w, CAST(i AS INT), CAST(j AS INT)) AS piece, f
+         |    FROM wf, unnest(range(1, len(w)+1)) AS t1(i),
+         |         unnest(range(1, 5)) AS t2(j)
+         |    WHERE i + j - 1 <= len(w)) GROUP BY piece),
+         |multi AS (SELECT piece, score FROM sub WHERE len(piece) >= 2
+         |          ORDER BY score DESC, piece ASC LIMIT 40),
+         |vocab AS (SELECT piece, score FROM sub WHERE len(piece) = 1
+         |          UNION ALL SELECT piece, score FROM multi),
+         |paths(w, pos, np, sc, seg) AS (
+         |  SELECT w, 0, 0, 0::BIGINT, '' FROM wf
+         |  UNION ALL
+         |  SELECT p.w, p.pos + CAST(tj.j AS INT), p.np + 1,
+         |         p.sc + COALESCE(v.score, 0),
+         |         p.seg || ' ' || substr(p.w, p.pos + 1, CAST(tj.j AS INT))
+         |  FROM paths p
+         |  CROSS JOIN unnest(range(1, 5)) AS tj(j)
+         |  LEFT JOIN vocab v
+         |    ON v.piece = substr(p.w, p.pos + 1, CAST(tj.j AS INT))
+         |  WHERE p.pos + tj.j <= len(p.w) AND (tj.j = 1 OR v.piece IS NOT NULL)
+         |),
+         |done AS (SELECT w, np, sc, ltrim(seg) AS pieces
+         |         FROM paths WHERE pos = len(w)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY w
+         |        ORDER BY np ASC, sc DESC, pieces ASC) AS rn FROM done)
+         |SELECT r.w, CAST(wf.f AS BIGINT) AS f, CAST(np AS BIGINT) AS n_pieces,
+         |  sc AS score, pieces
+         |FROM r JOIN wf ON r.w = wf.w WHERE rn = 1""".stripMargin,
+
     // q110: DSIR importance resampling — unigram+bigram OCCURRENCES
     // hashed with the portable md5 base hash into 1024 buckets; raw-side
     // (source != src0) docs scored by the exact integer arithmetic
