@@ -75,7 +75,7 @@ object ScaleProbe {
       "packing", "relational", "topk", "kmeans", "sinks", "pq", "sketch",
       "prune", "sinkbig", "pqtrain", "spandedup", "jsonlines", "tiered", "bpe",
       "dsir", "spancorrupt", "substr", "lshskew", "ccdiam", "imagededup",
-      "ccinc", "funnel")
+      "ccinc", "funnel", "prep")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -230,6 +230,47 @@ object ScaleProbe {
             col("event_type") === "purchase"),
           windows = Seq(7L * 86400000000L, 86400000000L, 3600000000L))
           .count()
+      }
+      spark.catalog.clearCache()
+    }
+    // Example-prep family (q125/q127/q128): chunking is stateless
+    // fan-out (must be linear with zero shuffle), SFT rendering is one
+    // conversation-keyed exchange, and unigram train+segment is bounded
+    // by the DISTINCT-word table — the disjoint-replica prefixing grows
+    // the vocabulary linearly with the corpus, the honest stress (a
+    // Zipf corpus would grow it sublinearly).
+    if (want("prep")) for (factor <- Seq(1, 4, 16, 64)) {
+      val docs = materialize(docsAt(spark, d, factor), s"/tmp/scale/prepdocs$factor")
+      time(s"chunk-windows ${factor}x (${5000 * factor} docs)") {
+        graft.operators.Chunk.tokenWindows(docs, "doc_id", "text", 24, 8).count()
+      }
+      time(s"unigram-train+segment ${factor}x (~${31 * factor} distinct words)") {
+        val words = docs
+          .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("f"))
+        val vocab = graft.operators.Unigram.trainVocab(words, "w", "f", 4, 40)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        graft.operators.Unigram.segment(words, "w", vocab, 4).count()
+      }
+      time(s"epoch-allocation ${factor}x (20 domains)") {
+        graft.operators.Sampling.epochAllocation(
+          docs.withColumn("src", (col("doc_id") % 20).cast("string")),
+          "src", size(graft.functions.Text.tokens(col("text"))).cast("long"),
+          budget = 100000L).count()
+      }
+      val ev = materialize(eventsAt(spark, d, factor), s"/tmp/scale/prepev$factor")
+      time(s"sft-render ${factor}x (${100000 * factor} events)") {
+        val sess = graft.operators.Sessionize.assign(
+          ev.select(col("user_id"), col("event_id"), col("ts_us"),
+            col("event_type"),
+            round(col("value") * 100).cast("long").as("value_c")),
+          Seq(col("user_id")), col("ts_us"), col("event_id"), 86400000000L)
+        graft.operators.Sft.renderChat(sess,
+          Seq(col("user_id"), col("session_seq")), col("ts_us"),
+          col("event_id"),
+          when(col("event_type").isin("click", "view", "signup"), "user")
+            .otherwise("assistant"),
+          concat(col("event_type"), lit("="), col("value_c"))).count()
       }
       spark.catalog.clearCache()
     }

@@ -86,9 +86,18 @@ object Unigram {
     val vmap: Column = map_from_arrays(
       typedLit(vocab.map(_._1)), typedLit(vocab.map(_._2)))
     val w = col("w")
+    // DP state is struct(np, nsc = −score, seg): the struct's NATURAL
+    // ordering (field by field) is then exactly the objective
+    // (np asc, score desc, seg asc), so "best candidate" is ONE
+    // `array_min` over the ≤ maxLen extensions. The first cut used a
+    // reduced when-chain comparator; every reduce level re-embedded both
+    // operand trees several times, and the tree grew ~6^maxLen — 9 s of
+    // analysis + interpreted evaluation PER QUERY for a 31-word corpus.
+    // With array_min each candidate subtree appears once and the whole
+    // segmentation is ~100 ms (the prep probe pins the gap).
     val dp: Column = aggregate(
       sequence(lit(1), length(w)),
-      array(struct(lit(0).as("np"), lit(0L).as("sc"), lit("").as("seg"))),
+      array(struct(lit(0).as("np"), lit(0L).as("nsc"), lit("").as("seg"))),
       (acc, i) => {
         val cands: Seq[Column] = (1 to maxLen).map { j =>
           val piece = w.substr(i - lit(j) + lit(1), lit(j))
@@ -99,19 +108,11 @@ object Unigram {
           lazy val prev = element_at(acc, (i - lit(j) + lit(1)).cast("int"))
           when(i >= lit(j) && admissible,
             struct((prev("np") + lit(1)).as("np"),
-              (prev("sc") + coalesce(element_at(vmap, piece), lit(0L))).as("sc"),
+              (prev("nsc") - coalesce(element_at(vmap, piece), lit(0L))).as("nsc"),
               concat(prev("seg"), lit(" "), piece).as("seg")))
             .otherwise(lit(null))
         }
-        val best = cands.reduce { (a, b) =>
-          when(b.isNull, a).when(a.isNull, b)
-            .when(b("np") < a("np"), b)
-            .when(b("np") === a("np") && b("sc") > a("sc"), b)
-            .when(b("np") === a("np") && b("sc") === a("sc")
-              && b("seg") < a("seg"), b)
-            .otherwise(a)
-        }
-        concat(acc, array(best))
+        concat(acc, array(array_min(array(cands: _*))))
       },
       acc => element_at(acc, -1))
     val in = words.select(col(word).as("w")).distinct()
@@ -125,6 +126,6 @@ object Unigram {
           substring(col("w"), 1, 40)))))
     in.select(w, dp.as("__dp"))
       .select(w, col("__dp.np").cast("long").as("n_pieces"),
-        col("__dp.sc").as("score"), ltrim(col("__dp.seg")).as("pieces"))
+        (-col("__dp.nsc")).as("score"), ltrim(col("__dp.seg")).as("pieces"))
   }
 }
