@@ -635,6 +635,61 @@ object Incremental {
       }
       .start()
 
+  /** Streaming chunker — q125's deployment shape: each micro-batch of
+    * documents fans out to its token windows
+    * ([[graft.operators.Chunk.tokenWindows]], stateless — the one
+    * pipeline stage that needs NO registry) and upserts the sink on the
+    * composite (doc, chunk_idx) key with first-wins semantics, so a
+    * replayed batch (T6) rewrites identical rows instead of duplicating
+    * them. A re-ingested doc whose text CHANGED keeps its old chunks
+    * under Ignore — matching the exactly-once contract of the other
+    * twins, where a key's first landing is authoritative.
+    */
+  def streamingChunk(stream: DataFrame, checkpointDir: String,
+                     outPath: String, id: String, text: String,
+                     size: Int, overlap: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ch = graft.operators.Chunk.tokenWindows(batch, id, text, size, overlap)
+          .withColumn("chunk_id",
+            concat(col(id), lit(":"), col("chunk_idx")))
+        Merge.upsertParquet(batch.sparkSession, outPath, ch,
+          "chunk_id", Merge.Ignore, "n_tok")
+        ()
+      }
+      .start()
+
+  /** Streaming unigram segmentation — [[streamingBpeSegment]]'s twin for
+    * the OTHER tokenizer family (q128): the scored vocabulary is trained
+    * once ([[graft.operators.Unigram.trainVocab]], frozen in the
+    * closure) and each micro-batch Viterbi-segments only its
+    * previously-unseen words (sink anti-join), appending
+    * (w, n_pieces, score, pieces). Same deployment economics: per-batch
+    * cost ∝ new vocabulary (the Zipf tail), not the token stream; same
+    * T6 replay safety (segmentation is a pure function of (word, vocab),
+    * a replayed batch appends nothing; StreamBatchEquivalenceSpec pins
+    * stream ≡ [[graft.operators.Unigram.segment]] over the full distinct
+    * vocabulary).
+    */
+  def streamingUnigramSegment(stream: DataFrame, checkpointDir: String,
+                              outPath: String, word: String,
+                              vocab: Seq[(String, Long)], maxLen: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val seen = readSeenWords(spark, outPath)
+        val fresh = batch.select(col(word).as("w")).distinct()
+          .join(seen, Seq("w"), "left_anti")
+        graft.operators.Unigram.segment(fresh, "w", vocab, maxLen)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+
   /** The segmented-word sink's key column, empty-safe before the first
     * batch commits.
     */

@@ -638,4 +638,71 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     // trained words segment to their trained form (merges actually fired)
     assert(streamed.exists { case (w, p, n) => w == "low" && n < w.length })
   }
+
+  test("streamingUnigramSegment stream ≡ batch segment over the full vocabulary (q128 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-uni")
+      .toFile.getAbsolutePath
+    // Train once (the q128 contract), freeze the scored vocabulary.
+    val train = Seq(("lowest", 5L), ("newest", 6L), ("low", 4L))
+      .toDF("w", "f")
+    val vocab = graft.operators.Unigram
+      .trainVocab(train, "w", "f", maxLen = 4, topK = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // Overlapping chunks + a full replay: the anti-join must land each
+    // distinct word exactly once.
+    val b1 = Seq("low", "newest", "slow")
+    val b2 = Seq("newest", "widest", "low", "glowing")
+    val b3 = Seq("low", "slow", "newest")
+    val input = MemoryStream[String]
+    val query = Incremental.streamingUnigramSegment(
+      input.toDF().toDF("w"), s"$dir/ckpt", s"$dir/out", "w", vocab,
+      maxLen = 4)
+    try {
+      Seq(b1, b2, b3).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("w", "n_pieces", "score", "pieces")
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(streamed.map(_._1).sorted == streamed.map(_._1).distinct.sorted)
+    val batch = graft.operators.Unigram.segment(
+        (b1 ++ b2 ++ b3).toDF("w"), "w", vocab, maxLen = 4)
+      .select("w", "n_pieces", "score", "pieces")
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(streamed.toSet == batch.toSet)
+    assert(streamed.size == 5) // low, newest, slow, widest, glowing
+    // a trained word actually uses a multi-char piece
+    assert(streamed.exists { case (w, n, _, _) => w == "newest" && n < w.length })
+  }
+
+  test("streamingChunk stream ≡ batch tokenWindows; replay rewrites, never duplicates (q125 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-chunk")
+      .toFile.getAbsolutePath
+    val d1 = (1L, (1 to 10).map(i => s"a$i").mkString(" "))
+    val d2 = (2L, (1 to 3).map(i => s"b$i").mkString(" "))
+    val d3 = (3L, (1 to 7).map(i => s"c$i").mkString(" "))
+    val input = MemoryStream[(Long, String)]
+    val query = Incremental.streamingChunk(
+      input.toDF().toDF("doc_id", "text"), s"$dir/ckpt", s"$dir/out",
+      "doc_id", "text", size = 4, overlap = 1)
+    try {
+      Seq(Seq(d1, d2), Seq(d3, d1), Seq(d1)).foreach { chunk => // d1 replays twice
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "chunk_idx", "start_tok", "n_tok", "chunk_text")
+      .as[(Long, Int, Long, Long, String)].collect().toSet
+    val batch = graft.operators.Chunk.tokenWindows(
+        Seq(d1, d2, d3).toDF("doc_id", "text"), "doc_id", "text", 4, 1)
+      .select("doc_id", "chunk_idx", "start_tok", "n_tok", "chunk_text")
+      .as[(Long, Int, Long, Long, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.count(_._1 == 1L) == 3) // 10 toks, size 4 stride 3 → 3 chunks
+  }
 }
