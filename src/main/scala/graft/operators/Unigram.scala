@@ -77,10 +77,17 @@ object Unigram {
     * `maxLen` candidate extensions with the lexicographic
     * (np asc, score desc, seg asc) comparator. All codegen'd built-ins
     * and higher-order functions — no UDF, no shuffle.
+    *
+    * `carry` names columns to pass through unchanged (the word's corpus
+    * frequency, typically): distinctness is then over (word, carry) —
+    * for a well-formed one-row-per-word table a no-op — and the caller
+    * avoids re-joining segmentation back onto its own input, which
+    * would re-scan and re-aggregate the corpus subtree a second time
+    * (the q128 plan paid exactly that before this parameter existed).
     */
   def segment(words: DataFrame, word: String,
               vocab: Seq[(String, Long)], maxLen: Int,
-              maxWordLen: Int = 64): DataFrame = {
+              maxWordLen: Int = 64, carry: Seq[String] = Nil): DataFrame = {
     require(maxLen >= 2, s"maxLen must be >= 2, got $maxLen")
     require(vocab.nonEmpty, "empty vocabulary")
     val vmap: Column = map_from_arrays(
@@ -115,7 +122,8 @@ object Unigram {
         concat(acc, array(array_min(array(cands: _*))))
       },
       acc => element_at(acc, -1))
-    val in = words.select(col(word).as("w")).distinct()
+    val in = words
+      .select(col(word).as("w") +: carry.map(col): _*).distinct()
       .filter(length(col("w")) >= 1)
       // In-plan guard, not a driver-side pre-scan (that would run the
       // distinct twice): DP row memory is O(len²) per word, so an
@@ -124,8 +132,10 @@ object Unigram {
         .otherwise(raise_error(concat(
           lit(s"Unigram.segment: word longer than maxWordLen=$maxWordLen: "),
           substring(col("w"), 1, 40)))))
-    in.select(w, dp.as("__dp"))
-      .select(w, col("__dp.np").cast("long").as("n_pieces"),
-        (-col("__dp.nsc")).as("score"), ltrim(col("__dp.seg")).as("pieces"))
+    in.select(w +: carry.map(col) :+ dp.as("__dp"): _*)
+      .select(w +: carry.map(col) :+
+        col("__dp.np").cast("long").as("n_pieces") :+
+        (-col("__dp.nsc")).as("score") :+
+        ltrim(col("__dp.seg")).as("pieces"): _*)
   }
 }

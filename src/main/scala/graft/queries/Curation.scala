@@ -576,8 +576,7 @@ object Curation {
       .groupBy("w").agg(count(lit(1)).as("f"))
     val vocab = Unigram.trainVocab(words, "w", "f", maxLen = 4, topK = 40)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    Unigram.segment(words, "w", vocab, maxLen = 4)
-      .join(words, "w") // word-keyed corpus re-join: attach frequency
+    Unigram.segment(words, "w", vocab, maxLen = 4, carry = Seq("f"))
       .select(col("w"), col("f"), col("n_pieces"), col("score"),
         col("pieces"))
   }
