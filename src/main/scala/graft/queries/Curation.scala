@@ -581,7 +581,38 @@ object Curation {
         col("pieces"))
   }
 
+  /** q129: pipeline v5 — the RETRIEVAL-INDEX build, this round's
+    * operators composed end to end: [[Chunk.tokenWindows]] cuts every
+    * document into 24/8 windows, chunk-level EXACT dedup drops repeated
+    * windows on the md5 fingerprint (first occurrence in (doc,
+    * chunk_idx) order wins — boilerplate that substring excision would
+    * remove from the TRAINING corpus must also not be indexed twice for
+    * RETRIEVAL), and the surviving chunks are
+    * [[graft.operators.Packing.packByBudget]]-assigned to 256-token
+    * index shards (8 deterministic streams, salt "ridx"), rolled up per
+    * shard. Chunking is row-local; the pipeline pays exactly two keyed
+    * shuffles (fingerprint window, shard window) — the q112 shape with a
+    * dedup stage in the middle.
+    */
+  def q129RetrievalIndex(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Dedup, Packing}
+    val chunks = Chunk.tokenWindows(Tables.balanced(spark, d, "documents"),
+      "doc_id", "text", size = 24, overlap = 8)
+    val deduped = Dedup.keepFirst(chunks, Seq(col("chunk_hash")),
+        Seq(col("doc_id").asc, col("chunk_idx").asc))
+      .withColumn("chunk_id",
+        concat(col("doc_id"), lit(":"), col("chunk_idx")))
+      .select(col("chunk_id"), col("n_tok").as("cost"))
+    Packing.packByBudget(deduped, "chunk_id", "cost", budget = 256L,
+        shards = 8, salt = "ridx")
+      .groupBy(col("shard"), col("pack"))
+      .agg(count(lit(1)).as("n_chunks_packed"),
+        sum(col("cost")).as("shard_tokens"),
+        sum(when(col("n_chunks") > 1, 1L).otherwise(0L)).as("n_straddlers"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_retrieval_index" -> q129RetrievalIndex _,
     "q128_unigram_segment" -> q128UnigramSegment _,
     "q125_chunk_windows" -> q125ChunkWindows _,
     "q126_epoch_allocation" -> q126EpochAllocation _,

@@ -2188,6 +2188,41 @@ object Oracles {
          |    AS starved_tokens
          |FROM tg""".stripMargin,
 
+    // q129: pipeline v5 — q125's chunk CTE → first-wins fingerprint
+    // dedup → the q112 packing twin (salt "ridx", budget 256) → per-
+    // shard rollup.
+    "q129_retrieval_index" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         |ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |    CAST(least(24, n - i*16) AS BIGINT) AS cost,
+         |    md5(array_to_string(toks[(i*16+1):(i*16+24)], ' ')) AS chunk_hash
+         |  FROM (SELECT doc_id, toks, n,
+         |          unnest(range(0, ((greatest(n - 24, 0) + 15) // 16) + 1)) AS i
+         |        FROM n)),
+         |dd AS (SELECT doc_id || ':' || chunk_idx::VARCHAR AS chunk_id, cost
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY chunk_hash
+         |          ORDER BY doc_id ASC, chunk_idx ASC) AS rn FROM ch)
+         |  WHERE rn = 1),
+         |b AS (SELECT chunk_id, cost,
+         |    ('0x' || substr(md5('ridx:' || chunk_id), 1, 8))::BIGINT % 8 AS shard,
+         |    ('0x' || substr(md5('ridx-ord:' || chunk_id), 1, 8))::BIGINT AS ord
+         |  FROM dd),
+         |c AS (SELECT chunk_id, shard, cost,
+         |    CAST(sum(cost) OVER (PARTITION BY shard ORDER BY ord, chunk_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_after
+         |  FROM b),
+         |p AS (SELECT chunk_id, shard, cost,
+         |    (cum_after - cost) // 256 AS pack,
+         |    ((cum_after - 1) // 256) - ((cum_after - cost) // 256) + 1 AS n_chunks
+         |  FROM c)
+         |SELECT shard, pack, count(*) AS n_chunks_packed,
+         |  CAST(sum(cost) AS BIGINT) AS shard_tokens,
+         |  CAST(sum(CASE WHEN n_chunks > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_straddlers
+         |FROM p GROUP BY shard, pack""".stripMargin,
+
     // q128: unigram segmentation — same substring-support vocabulary
     // (top-40 multi + alphabet), segmentation by EXHAUSTIVE enumeration
     // of piece tilings (recursive CTE; words are ≤8 chars so the path

@@ -153,6 +153,14 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(run("q112_example_prep")) == 3)
   }
 
+  test("q129 retrieval index: three exchanges (rebalance, fingerprint window, pack shards)") {
+    // chunking itself is row-local (ChunkSpec pins zero exchanges); the
+    // pipeline pays the chunk_hash dedup window and the packer's shard
+    // window, and the (shard, pack) rollup reuses the packer's exchange
+    // (the q112 contract).
+    assert(countShuffles(run("q129_retrieval_index")) == 3)
+  }
+
   test("q113 substring excision: five exchanges, none keyed by a null-heavy column") {
     // rebalance ×2 (the null-gram tail branch re-scans the source — the
     // price of keeping (L−1)·docs null-keyed rows OUT of the gram
