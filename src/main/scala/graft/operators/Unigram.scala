@@ -52,11 +52,17 @@ object Unigram {
       .select(col(word).as("w"), col(freq).cast("long").as("f"))
       .filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(sum(col("f")).as("f"))
+    // Persisted: the piece table feeds BOTH the alphabet filter and the
+    // multi-char top-K — without it each union branch re-scans the word
+    // table and re-runs the substring aggregate (vocabulary-sized data,
+    // corpus-sized lineage). Caller-owned lifecycle (the TermStats
+    // convention — Verify/Bench drain via Caches.clearAll).
     val subs = vocab.select(col("f"), explode(expr(
       s"""flatten(transform(sequence(1, length(w)),
          |  i -> transform(sequence(1, least($maxLen, length(w) - i + 1)),
          |    j -> substring(w, i, j))))""".stripMargin)).as("piece"))
       .groupBy(col("piece")).agg(sum(col("f")).as("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val multi = subs.filter(length(col("piece")) >= 2)
       .orderBy(col("score").desc, col("piece").asc)
       .limit(topK)

@@ -17,9 +17,11 @@ class CacheLifecycleSpec extends AnyFunSuite {
   // The heaviest cache users: q109 persists three shared subtrees AND
   // trains BPE (localCheckpoint generations); q106 trains (checkpoint
   // chain) then segments through the kernel; q115 persists the excised
-  // corpus feeding three consumers.
+  // corpus feeding three consumers; q128 persists the unigram piece
+  // table (both vocab union branches read it); q126 persists the
+  // per-domain supply table.
   private val heavy = Seq("q109_pipeline_v2", "q106_bpe_segment",
-    "q115_pipeline_v3")
+    "q115_pipeline_v3", "q128_unigram_segment", "q126_epoch_allocation")
 
   test("clearAll leaves no cached datasets and no persisted RDDs after heavy queries") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
