@@ -244,6 +244,9 @@ object ScaleProbe {
       time(s"chunk-windows ${factor}x (${5000 * factor} docs)") {
         graft.operators.Chunk.tokenWindows(docs, "doc_id", "text", 24, 8).count()
       }
+      time(s"cdc-chunks ${factor}x (${5000 * factor} docs)") {
+        graft.operators.Chunk.contentDefined(docs, "doc_id", "text", 8).count()
+      }
       time(s"unigram-train+segment ${factor}x (~${31 * factor} distinct words)") {
         val words = docs
           .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))

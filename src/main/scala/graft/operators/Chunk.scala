@@ -67,4 +67,55 @@ object Chunk {
           .as("chunk_text"))
       .withColumn("chunk_hash", md5(col("chunk_text")))
   }
+
+  /** Content-defined chunking (the Rabin/rolling-hash boundary rule of
+    * dedup storage systems, applied at token granularity): a chunk ends
+    * after token i whenever the hash of the CONTENT-ONLY 2-gram ending at
+    * i lands in the boundary residue class (`hash % divisor == 0`,
+    * expected chunk length = `divisor` tokens). Because boundaries
+    * depend on local content, not positions, an insertion near the
+    * document head re-chunks only up to the first boundary after the
+    * edit — every later chunk is byte-identical and its `chunk_hash`
+    * still hits the dedup registry (the SHIFT-INVARIANCE fixed windows
+    * fundamentally lack: one leading token moves EVERY [[tokenWindows]]
+    * boundary). That makes this the chunker for incremental near-exact
+    * dedup over edited/recrawled corpora; [[tokenWindows]] remains the
+    * chunker for retrieval windows of a fixed token budget.
+    *
+    * No min/max clamp: the unclamped gear rule keeps the operator pure
+    * window algebra (a clamp makes each boundary depend on the previous
+    * accepted boundary — a sequential per-doc fold); chunk length is
+    * geometric with mean `divisor`, which downstream budget packing
+    * absorbs.
+    *
+    * One doc-keyed exchange: the boundary-marker window, the offset
+    * window, and the chunk rebuild aggregate all reuse the same
+    * clustering ([[graft.operators.Sft.renderChat]]'s plan rule).
+    * Returns (id, chunk_seq, n_tok, chunk_text, chunk_hash).
+    */
+  def contentDefined(df: DataFrame, id: String, text: String,
+                     divisor: Int, seed: Int = 7): DataFrame = {
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    import org.apache.spark.sql.expressions.Window
+    val toks: Column = Text.tokens(col(text))
+    val exploded = df
+      .select(col(id), posexplode(toks).as(Seq("__p", "__tok")))
+      .select(col(id), (col("__p") + 1).as("__pos"), col("__tok"))
+    val w = Window.partitionBy(col(id)).orderBy(col("__pos"))
+    val gram = when(col("__pos") === 1, col("__tok"))
+      .otherwise(concat(lag(col("__tok"), 1).over(w), lit(" "), col("__tok")))
+    val marked = exploded
+      .withColumn("__marker",
+        when(Text.hash32(gram, seed) % divisor === 0, 1L).otherwise(0L))
+      .withColumn("__chunk_seq", lit(1L) + coalesce(
+        sum(col("__marker")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    marked
+      .groupBy(col(id), col("__chunk_seq").as("chunk_seq"))
+      .agg(count(lit(1)).as("n_tok"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          x => x("__tok")), " ").as("chunk_text"))
+      .withColumn("chunk_hash", md5(col("chunk_text")))
+  }
 }

@@ -611,7 +611,20 @@ object Curation {
         sum(when(col("n_chunks") > 1, 1L).otherwise(0L)).as("n_straddlers"))
   }
 
+  /** q130: content-defined chunking ([[Chunk.contentDefined]], the
+    * Rabin-boundary rule at token granularity, divisor 8) — boundaries
+    * from content-only 2-gram hashes, so edits re-chunk only to the next
+    * boundary and downstream `chunk_hash`es keep hitting the dedup
+    * registry (shift invariance pinned in ChunkSpec against the fixed
+    * windows that lose every hash). One doc-keyed exchange for markers,
+    * offsets, and rebuild.
+    */
+  def q130CdcChunks(spark: SparkSession, d: String): DataFrame =
+    Chunk.contentDefined(Tables.balanced(spark, d, "documents"),
+      "doc_id", "text", divisor = 8)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_cdc_chunks" -> q130CdcChunks _,
     "q129_retrieval_index" -> q129RetrievalIndex _,
     "q128_unigram_segment" -> q128UnigramSegment _,
     "q125_chunk_windows" -> q125ChunkWindows _,

@@ -2188,6 +2188,33 @@ object Oracles {
          |    AS starved_tokens
          |FROM tg""".stripMargin,
 
+    // q130: content-defined chunking — boundary when the 2-gram hash
+    // (seed 7, the engine's md5-prefix hash32) lands in residue class 0
+    // mod 8; chunk ids by prefix-sum of markers, ordered rebuild.
+    "q130_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |e AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS tok,
+         |    CASE WHEN i = 1 THEN toks[1]
+         |         ELSE toks[i-1] || ' ' || toks[i] END AS gram
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i
+         |        FROM t)),
+         |m AS (SELECT doc_id, pos, tok,
+         |    CASE WHEN ${hash32("'7'", "gram")} % 8 = 0 THEN 1 ELSE 0 END
+         |      AS marker
+         |  FROM e),
+         |c AS (SELECT doc_id, pos, tok,
+         |    1 + COALESCE(sum(marker) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS chunk_seq
+         |  FROM m),
+         |g AS (SELECT doc_id, CAST(chunk_seq AS BIGINT) AS chunk_seq,
+         |    count(*) AS n_tok,
+         |    string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+         |  FROM c GROUP BY doc_id, chunk_seq)
+         |SELECT doc_id, chunk_seq, n_tok, chunk_text,
+         |  md5(chunk_text) AS chunk_hash
+         |FROM g""".stripMargin,
+
     // q129: pipeline v5 — q125's chunk CTE → first-wins fingerprint
     // dedup → the q112 packing twin (salt "ridx", budget 256) → per-
     // shard rollup.

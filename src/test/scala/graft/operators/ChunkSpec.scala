@@ -70,6 +70,54 @@ class ChunkSpec extends AnyFunSuite {
         "doc_id", "text", size = 0, overlap = 0))
   }
 
+  private def cdc(texts: Seq[(String, String)], divisor: Int = 8) =
+    Chunk.contentDefined(texts.toDF("doc_id", "text"), "doc_id", "text",
+        divisor)
+      .select("doc_id", "chunk_seq", "n_tok", "chunk_text", "chunk_hash")
+      .as[(String, Long, Long, String, String)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+
+  test("contentDefined: chunks tile the document exactly, in order") {
+    val text = (1 to 80).map(i => s"w${i % 13}").mkString(" ")
+    val out = cdc(Seq(("a", text)))
+    assert(out.map(_._2) == (1L to out.size))
+    assert(out.map(_._3).sum == 80L)
+    assert(out.map(_._4).mkString(" ") == text, "concatenation rebuilds the doc")
+    // mean chunk length is geometric-ish around the divisor: just pin
+    // that boundaries actually fire (more than one chunk) and chunks
+    // aren't all singletons
+    assert(out.size > 1 && out.exists(_._3 > 1))
+  }
+
+  test("contentDefined boundaries are SHIFT-INVARIANT; fixed windows are not") {
+    val base = (1 to 60).map(i => s"t${i * 7 % 17}x$i")
+    val shifted = Seq("zzz", "yyy", "xxx") ++ base
+    val a = cdc(Seq(("a", base.mkString(" "))))
+    val b = cdc(Seq(("b", shifted.mkString(" "))))
+    // boundaries at original positions >= 2 coincide (grams are pure
+    // content), so every original chunk from seq 3 on lands unchanged
+    val stable = a.filter(_._2 >= 3).map(_._5).toSet
+    assert(stable.nonEmpty)
+    assert(stable.subsetOf(b.map(_._5).toSet),
+      "downstream chunks must survive a head insertion")
+    // the fixed-window chunker loses EVERY hash under the same 3-token
+    // shift (stride 16, shift 3 — no alignment)
+    val fa = chunk(Seq(("a", base.mkString(" "))), 24, 8).map(_._5).toSet
+    val fb = chunk(Seq(("b", shifted.mkString(" "))), 24, 8).map(_._5).toSet
+    assert(fa.intersect(fb).forall(t => t.split(" ").length < 24)
+      || fa.intersect(fb).isEmpty)
+  }
+
+  test("contentDefined: one doc-keyed exchange serves markers, offsets, and rebuild") {
+    val plan = Chunk.contentDefined(
+        Seq(("a", "x y z w")).toDF("doc_id", "text"), "doc_id", "text", 4)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1, s"expected ≤1 exchange:\n$plan")
+  }
+
   test("zero-shuffle plan: no Exchange below the chunker") {
     val plan = Chunk.tokenWindows(Seq(("a", "x y")).toDF("doc_id", "text"),
       "doc_id", "text", 4, 1).queryExecution.executedPlan
