@@ -635,6 +635,55 @@ object Incremental {
       }
       .start()
 
+  /** Streaming IVF-PQ index ingest — the missing ONLINE half of the
+    * q92/q97 production ANN stack: coarse centroids and codebooks are
+    * trained once (frozen in the closure, the q97 fixed-sample
+    * contract), and each arriving vector micro-batch is cell-assigned +
+    * PQ-encoded against them and APPENDED to the materialized (cell,
+    * code) index — previously-indexed ids are dropped by an index
+    * anti-join, so replays (T6) and re-crawled vectors land exactly
+    * once. Per-batch cost ∝ batch size (assignment is |batch|·|cells|
+    * dots, encoding |batch|·PqSub·PqK); the index grows append-only and
+    * [[graft.operators.Similarity.ivfPqTopKIndexed]] serves searches
+    * against any committed prefix — ingest never blocks search, the
+    * standard ANN-serving split.
+    */
+  def streamingIndexIngest(stream: DataFrame, checkpointDir: String,
+                           indexPath: String, centroids: DataFrame,
+                           id: String, vec: String,
+                           codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+                             graft.operators.Similarity.pqCodebook)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val seen = readIndexedIds(spark, indexPath)
+        val fresh = batch
+          .join(seen.withColumnRenamed("cid", id), Seq(id), "left_anti")
+        graft.operators.Similarity
+          .buildIvfPqIndex(fresh, centroids, id, vec, codebook)
+          .write.mode("append").parquet(indexPath)
+        ()
+      }
+      .start()
+
+  /** The index's id column, empty-safe before the first batch commits.
+    * Long-typed (vector ids), so it gets its own reader rather than
+    * widening [[readStringColOrEmpty]].
+    */
+  private def readIndexedIds(spark: SparkSession, indexPath: String): DataFrame = {
+    val p = new Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.parquet(indexPath).select("cid")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   /** Streaming chunker — q125's deployment shape: each micro-batch of
     * documents fans out to its token windows
     * ([[graft.operators.Chunk.tokenWindows]], stateless — the one

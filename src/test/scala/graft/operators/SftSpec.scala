@@ -64,6 +64,26 @@ class SftSpec extends AnyFunSuite {
     assert(out.map(r => r._6.head - r._5.head) == Seq(2L, 3L))
   }
 
+  test("randomized conversations: every mask span extracts exactly its assistant content") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 30).flatMap { c =>
+      (1 to 1 + rnd.nextInt(8)).map { t =>
+        (s"c$c", rnd.nextInt(5).toLong, t.toLong,
+          if (rnd.nextBoolean()) "assistant" else "user",
+          (1 to 1 + rnd.nextInt(9)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      }
+    }
+    val expected = rows.groupBy(_._1).map { case (c, rs) =>
+      c -> rs.sortBy(r => (r._2, r._3)).filter(_._4 == "assistant").map(_._5)
+    }
+    render(rows).foreach { case (c, _, nAsst, rendered, starts, ends) =>
+      val spans = starts.zip(ends).map { case (s, e) =>
+        rendered.substring(s.toInt, e.toInt) }
+      assert(spans == expected(c), s"conversation $c")
+      assert(nAsst == expected(c).size)
+    }
+  }
+
   test("one exchange serves offsets and rollup (window keys prefix the grouping)") {
     val df = Seq(("c", 1L, 0L, "user", "x")).toDF("conv", "ts", "tb", "role", "content")
     val plan = Sft.renderChat(df, Seq(col("conv")), col("ts"), col("tb"),

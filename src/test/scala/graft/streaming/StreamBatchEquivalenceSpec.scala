@@ -705,4 +705,51 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.count(_._1 == 1L) == 3) // 10 toks, size 4 stride 3 → 3 chunks
   }
+
+  test("streamingIndexIngest stream ≡ batch buildIvfPqIndex; search serves the grown index (q92 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-idx")
+      .toFile.getAbsolutePath
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val cents = emb.filter(col("vec_id") < 8)
+    val all = emb.filter(col("vec_id") < 60)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (b1, rest) = all.splitAt(20)
+    val (b2, b3tail) = rest.splitAt(20)
+    val b3 = b3tail ++ b1.take(5) // replayed vectors must not re-index
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = graft.streaming.Incremental.streamingIndexIngest(
+      input.toDF().toDF("vec_id", "embedding"), s"$dir/ckpt", s"$dir/index",
+      cents, "vec_id", "embedding")
+    try {
+      Seq(b1, b2, b3).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = spark.read.parquet(s"$dir/index")
+    val batch = graft.operators.Similarity.buildIvfPqIndex(
+      all.toDF("vec_id", "embedding"), cents, "vec_id", "embedding")
+    val cols = batch.columns.sorted
+    assert(streamed.select(cols.head, cols.tail: _*).collect().toSet ==
+      batch.select(cols.head, cols.tail: _*).collect().toSet)
+    assert(streamed.count() == 60)
+    // the grown index actually serves: indexed search ≡ the end-to-end
+    // form over the same corpus
+    val qp = col("vec_id") >= 20 && col("vec_id") < 25
+    val corpus = all.toDF("vec_id", "embedding")
+    val qAssigned = graft.operators.Similarity.ivfAssign(
+        corpus.filter(qp), cents, "vec_id", "embedding")
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"))
+    val viaStream = graft.operators.Similarity.ivfPqTopKIndexed(
+        streamed, qAssigned, k = 3)
+      .select("qid", "cid", "adc_pm", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val direct = graft.operators.Similarity.ivfPqTopK(
+        corpus, cents, "vec_id", "embedding", qp, k = 3)
+      .select("qid", "cid", "adc_pm", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaStream == direct && direct.nonEmpty)
+  }
 }
