@@ -118,4 +118,42 @@ object Chunk {
           x => x("__tok")), " ").as("chunk_text"))
       .withColumn("chunk_hash", md5(col("chunk_text")))
   }
+
+  /** Incremental near-exact dedup of re-crawled/edited documents — the
+    * payoff of [[contentDefined]]'s shift invariance: each incoming
+    * document's CDC chunks check into a chunk-hash REGISTRY (the
+    * distinct `chunk_hash`es already in the corpus), and only chunks the
+    * registry has never seen count as new content. An edited re-crawl
+    * therefore reports (and contributes) exactly its edited
+    * neighborhood — one or two chunks — while under fixed windows the
+    * same edit would shift every boundary and make the whole document
+    * look new. Returns one row per incoming doc: `(id, n_chunks, n_tok,
+    * new_chunks, new_tok, new_text)` with `new_text` the fresh chunks in
+    * document order (the batch's contribution to corpus AND registry:
+    * registries chain like [[graft.operators.TextDedup.spanDedupAgainst]]).
+    *
+    * ONE pass: the seen-flag comes from a left join against the registry
+    * (at real scale the registry is the big side — the one unavoidable
+    * hash-keyed shuffle, replacing a full corpus re-chunk), and a single
+    * doc-keyed aggregate computes totals, fresh counts, and the ordered
+    * fresh rebuild together (conditional aggregation, not a second
+    * chunking subtree).
+    */
+  def cdcDedupAgainst(incoming: DataFrame, registry: DataFrame, id: String,
+                      text: String, divisor: Int, seed: Int = 7): DataFrame = {
+    val chunks = contentDefined(incoming, id, text, divisor, seed)
+    val seen = registry.select(col("chunk_hash")).distinct()
+      .withColumn("__seen", lit(true))
+    chunks.join(seen, Seq("chunk_hash"), "left")
+      .withColumn("__new", col("__seen").isNull)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tok")).as("n_tok"),
+        sum(when(col("__new"), 1L).otherwise(0L)).as("new_chunks"),
+        sum(when(col("__new"), col("n_tok")).otherwise(0L)).as("new_tok"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__new"),
+            struct(col("chunk_seq"), col("chunk_text"))))),
+          x => x("chunk_text")), " ").as("new_text"))
+  }
 }

@@ -623,7 +623,24 @@ object Curation {
     Chunk.contentDefined(Tables.balanced(spark, d, "documents"),
       "doc_id", "text", divisor = 8)
 
+  /** q131: CDC registry dedup ([[Chunk.cdcDedupAgainst]]) — incoming
+    * docs (doc_id % 3 = 0) chunked at content-defined boundaries and
+    * checked against the chunk-hash registry of the rest of the corpus;
+    * only never-seen chunks count as new content (per-doc totals + the
+    * ordered fresh rebuild). The incremental-dedup member of the CDC
+    * family: registries chain exactly like q102/q114's.
+    */
+  def q131CdcDedupInc(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    val inc = docs.filter(col("doc_id").cast("long") % 3 === 0)
+    val ex = docs.filter(col("doc_id").cast("long") % 3 =!= 0)
+    val registry = Chunk.contentDefined(ex, "doc_id", "text", divisor = 8)
+      .select(col("chunk_hash"))
+    Chunk.cdcDedupAgainst(inc, registry, "doc_id", "text", divisor = 8)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_cdc_dedup_inc" -> q131CdcDedupInc _,
     "q130_cdc_chunks" -> q130CdcChunks _,
     "q129_retrieval_index" -> q129RetrievalIndex _,
     "q128_unigram_segment" -> q128UnigramSegment _,

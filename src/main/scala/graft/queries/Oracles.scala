@@ -267,6 +267,31 @@ object Oracles {
   // twin of Text.hash32(x, seed column j)
   private def hash32(seedExpr: String, v: String) =
     s"('0x' || substr(md5($seedExpr || ':' || $v), 1, 8))::BIGINT"
+  // The CDC chain (q130/q131, twin of Chunk.contentDefined divisor=8
+  // seed=7): from a docs relation `src(doc_id, text)` to
+  // `${p}g(doc_id, chunk_seq, n_tok, chunk_text, chunk_hash)`.
+  // NOT pre-stripMargin'd (the MinhashPairsCtes rule).
+  private def cdcCtes(src: String, p: String): String =
+    s"""${p}t AS (SELECT doc_id, $Toks AS toks FROM $src),
+       |${p}e AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS tok,
+       |    CASE WHEN i = 1 THEN toks[1]
+       |         ELSE toks[i-1] || ' ' || toks[i] END AS gram
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i
+       |        FROM ${p}t)),
+       |${p}m AS (SELECT doc_id, pos, tok,
+       |    CASE WHEN ${hash32("'7'", "gram")} % 8 = 0 THEN 1 ELSE 0 END
+       |      AS marker
+       |  FROM ${p}e),
+       |${p}c AS (SELECT doc_id, pos, tok,
+       |    1 + COALESCE(sum(marker) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS chunk_seq
+       |  FROM ${p}m),
+       |${p}g AS (SELECT doc_id, CAST(chunk_seq AS BIGINT) AS chunk_seq,
+       |    count(*) AS n_tok,
+       |    string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+       |  FROM ${p}c GROUP BY doc_id, chunk_seq)"""
   // twin of Similarity.cosineScaledPm over `dims`-dim float vectors
   private def cosPmD(a: String, b: String, dims: Int) = {
     def dot(x: String, y: String) =
@@ -2192,28 +2217,33 @@ object Oracles {
     // (seed 7, the engine's md5-prefix hash32) lands in residue class 0
     // mod 8; chunk ids by prefix-sum of markers, ordered rebuild.
     "q130_cdc_chunks" ->
-      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
-         |e AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS tok,
-         |    CASE WHEN i = 1 THEN toks[1]
-         |         ELSE toks[i-1] || ' ' || toks[i] END AS gram
-         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i
-         |        FROM t)),
-         |m AS (SELECT doc_id, pos, tok,
-         |    CASE WHEN ${hash32("'7'", "gram")} % 8 = 0 THEN 1 ELSE 0 END
-         |      AS marker
-         |  FROM e),
-         |c AS (SELECT doc_id, pos, tok,
-         |    1 + COALESCE(sum(marker) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      AS chunk_seq
-         |  FROM m),
-         |g AS (SELECT doc_id, CAST(chunk_seq AS BIGINT) AS chunk_seq,
-         |    count(*) AS n_tok,
-         |    string_agg(tok, ' ' ORDER BY pos) AS chunk_text
-         |  FROM c GROUP BY doc_id, chunk_seq)
-         |SELECT doc_id, chunk_seq, n_tok, chunk_text,
-         |  md5(chunk_text) AS chunk_hash
+      s"""WITH ${cdcCtes("documents", "")}
+         |SELECT doc_id, chunk_seq, n_tok, chunk_text, chunk_hash
          |FROM g""".stripMargin,
+
+    // q131: CDC registry dedup — the shift-invariance payoff: incoming
+    // docs (doc_id % 3 = 0) CDC-chunked and checked against the hash
+    // registry of the rest of the corpus; only never-seen chunks count
+    // as new content, rolled up per doc with the ordered fresh rebuild.
+    "q131_cdc_dedup_inc" ->
+      s"""WITH inc AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id::BIGINT % 3 = 0),
+         |ex AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id::BIGINT % 3 <> 0),
+         |${cdcCtes("inc", "i")},
+         |${cdcCtes("ex", "x")},
+         |reg AS (SELECT DISTINCT chunk_hash FROM xg),
+         |f AS (SELECT ig.*, CASE WHEN reg.chunk_hash IS NULL THEN 1 ELSE 0 END
+         |        AS isnew
+         |      FROM ig LEFT JOIN reg ON ig.chunk_hash = reg.chunk_hash)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+         |  CAST(sum(isnew) AS BIGINT) AS new_chunks,
+         |  CAST(sum(CASE WHEN isnew = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS new_tok,
+         |  COALESCE(string_agg(chunk_text, ' ' ORDER BY chunk_seq)
+         |    FILTER (WHERE isnew = 1), '') AS new_text
+         |FROM f GROUP BY doc_id""".stripMargin,
 
     // q129: pipeline v5 — q125's chunk CTE → first-wins fingerprint
     // dedup → the q112 packing twin (salt "ridx", budget 256) → per-

@@ -108,6 +108,31 @@ class ChunkSpec extends AnyFunSuite {
       || fa.intersect(fb).isEmpty)
   }
 
+  test("cdcDedupAgainst: an edited re-crawl contributes only its edited neighborhood") {
+    val base = (1 to 60).map(i => s"t${i * 7 % 17}x$i")
+    val edited = base.updated(30, "EDITED")
+    val registry = Chunk.contentDefined(
+      Seq(("orig", base.mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", 8).select(col("chunk_hash"))
+    val out = Chunk.cdcDedupAgainst(
+        Seq(("recrawl", edited.mkString(" "))).toDF("doc_id", "text"),
+        registry, "doc_id", "text", 8)
+      .select("doc_id", "n_chunks", "new_chunks", "new_text")
+      .as[(String, Long, Long, String)].collect().head
+    assert(out._2 > 4, "doc chunks into several pieces")
+    // the edit can dirty at most the chunk containing it plus one
+    // neighbor (a boundary may appear/vanish inside the edited grams)
+    assert(out._3 >= 1 && out._3 <= 2,
+      s"one mid-doc edit must not re-contribute the document (got ${out._3} of ${out._2})")
+    assert(out._4.contains("EDITED"))
+    // an unchanged re-crawl contributes nothing
+    val clean = Chunk.cdcDedupAgainst(
+        Seq(("again", base.mkString(" "))).toDF("doc_id", "text"),
+        registry, "doc_id", "text", 8)
+      .select("new_chunks", "new_text").as[(Long, String)].collect().head
+    assert(clean == ((0L, "")))
+  }
+
   test("contentDefined: one doc-keyed exchange serves markers, offsets, and rebuild") {
     val plan = Chunk.contentDefined(
         Seq(("a", "x y z w")).toDF("doc_id", "text"), "doc_id", "text", 4)
