@@ -635,6 +635,38 @@ object Incremental {
       }
       .start()
 
+  /** Streaming CDC dedup — [[streamingSpanDedup]]'s twin at
+    * content-defined granularity (q131): each micro-batch of documents
+    * is CDC-chunked and checked against the persistent chunk-hash
+    * registry ([[graft.operators.Chunk.cdcDedupAgainst]]), per-doc
+    * contributions land via keyed first-write-wins upsert, and the
+    * batch's novel distinct chunk hashes append to the registry. Same
+    * replay-safe write order (documents FIRST, registry second). The
+    * shift-invariant boundaries are what make this the RE-CRAWL dedup:
+    * an edited document re-contributes only its edited chunks, where
+    * the fixed-block registry would see every block as new.
+    */
+  def streamingCdcDedup(stream: DataFrame, checkpointDir: String,
+                        outPath: String, registryPath: String,
+                        id: String, text: String, divisor: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val reg = readStringColOrEmpty(spark, registryPath, "chunk_hash")
+        val fresh = graft.operators.Chunk.cdcDedupAgainst(
+          batch, reg, id, text, divisor)
+        Merge.upsertParquet(spark, outPath, fresh,
+          id, Merge.Ignore, "n_chunks")
+        graft.operators.Chunk.contentDefined(batch, id, text, divisor)
+          .select(col("chunk_hash")).distinct()
+          .join(reg, Seq("chunk_hash"), "left_anti")
+          .write.mode("append").parquet(registryPath)
+        ()
+      }
+      .start()
+
   /** Streaming IVF-PQ index ingest — the missing ONLINE half of the
     * q92/q97 production ANN stack: coarse centroids and codebooks are
     * trained once (frozen in the closure, the q97 fixed-sample

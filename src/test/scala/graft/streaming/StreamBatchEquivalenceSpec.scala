@@ -706,6 +706,45 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(streamed.count(_._1 == 1L) == 3) // 10 toks, size 4 stride 3 → 3 chunks
   }
 
+  test("streamingCdcDedup: edited re-crawl contributes its edit; chunks chain through the registry (q131 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-cdc")
+      .toFile.getAbsolutePath
+    val base = (1 to 60).map(i => s"t${i * 7 % 17}x$i")
+    val edited = base.updated(30, "EDITED")
+    val b1 = Seq(("d1", base.mkString(" ")))
+    val b2 = Seq(("d2", edited.mkString(" ")),  // re-crawl of d1, edited
+      ("d3", (1 to 9).map(i => s"q$i").mkString(" ")))
+    val b3 = b1 // full replay
+    val input = MemoryStream[(String, String)]
+    val query = Incremental.streamingCdcDedup(
+      input.toDF().toDF("doc_id", "text"), s"$dir/ckpt", s"$dir/out",
+      s"$dir/reg", "doc_id", "text", divisor = 8)
+    try {
+      Seq(b1, b2, b3).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "n_chunks", "new_chunks", "new_text")
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("d1")._3 == out("d1")._2, "first crawl: everything is new")
+    assert(out("d2")._3 <= 2 && out("d2")._4.contains("EDITED"),
+      "edited re-crawl contributes only the edited neighborhood")
+    assert(out.size == 3)
+    // the replayed d1 kept its FIRST landing (everything-new), not a
+    // post-registry rerun's zero
+    assert(out("d1")._3 > 0)
+    // registry holds exactly the distinct chunk hashes of all three docs
+    val reg = spark.read.parquet(s"$dir/reg").as[String].collect().toSet
+    val all = graft.operators.Chunk.contentDefined(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", 8)
+      .select("chunk_hash").as[String].collect().toSet
+    assert(reg == all)
+  }
+
   test("streamingIndexIngest stream ≡ batch buildIvfPqIndex; search serves the grown index (q92 twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
