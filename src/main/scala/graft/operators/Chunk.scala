@@ -30,9 +30,11 @@ import graft.functions.Text
 object Chunk {
 
   /** One row per (document, window): `(id, chunk_idx, start_tok, n_tok,
-    * chunk_text, chunk_hash)`. Documents whose text tokenizes to an empty
-    * list produce no rows (`posexplode` drops empty arrays). Deterministic:
-    * pure arithmetic over token positions.
+    * chunk_text, chunk_hash)`. An empty/whitespace-only text still
+    * tokenizes to one empty token (the `split(trim(…))` contract both
+    * engines share) and yields one empty-text chunk — the oracle emits
+    * the same row, so the behavior is pinned rather than special-cased.
+    * Deterministic: pure arithmetic over token positions.
     *
     * @param id      stable document id column name
     * @param text    document text column name (whitespace-tokenized)
