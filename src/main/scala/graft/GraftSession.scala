@@ -25,12 +25,16 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // The generated-class cache defaults to 100 entries; a resident
-      // engine serving this registry's ~40 query shapes (several with
-      // large codegen'd expression trees — minhash signatures, banding)
-      // evicts and re-Janino-compiles hot plans on every execution.
-      // 1000 entries keeps every shape resident; memory cost is a few
-      // hundred KB of bytecode.
-      .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // engine serving this registry's 130+ query shapes (several with
+      // large codegen'd expression trees — minhash signatures, banding,
+      // the q113 lead-chain) evicts and re-Janino-compiles hot plans on
+      // every execution. 1000 was enough through ~119 shapes; the r12
+      // registry crossed it and the bench showed the signature — a
+      // broad +30% drift with the biggest-codegen queries hit hardest
+      // (q113 0.7 → 7.3 s, all three min-of-3 runs paying a fresh
+      // Janino pass). 10000 keeps every span resident; bytecode cost is
+      // a few MB.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests and benches. */

@@ -639,7 +639,43 @@ object Curation {
     Chunk.cdcDedupAgainst(inc, registry, "doc_id", "text", divisor = 8)
   }
 
+  /** q132: the DATASET CARD — per-source corpus accounting (Gebru 2018's
+    * datasheet numbers, computed rather than hand-written): document and
+    * token counts, mean length, exact-duplicate rate (normalized-text
+    * fingerprint, global first-wins — the q26 key), language-label
+    * agreement with the q25 heuristic, and mean stopword ratio. All
+    * scaled-integer arithmetic; one fingerprint window + one source
+    * rollup.
+    */
+  def q132DatasetCard(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.Text
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.balanced(spark, d, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        Text.tokens(col("text")).as("toks"),
+        md5(Text.normalized(col("text"))).as("fp"))
+      .select(col("doc_id"), col("source"), col("lang"), col("fp"),
+        size(col("toks")).cast("long").as("n_tok"),
+        Text.stopwordCount(col("toks")).as("n_stop"),
+        Text.langGuess(col("toks")).as("lang_guess"))
+    base
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        expr("(1000 * sum(n_tok)) div count(1)").as("mean_tokens_milli"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        expr("(1000000 * sum(case when __rn > 1 then 1 else 0 end)) div count(1)")
+          .as("dup_pm"),
+        expr("(1000000 * sum(case when lang_guess = lang then 1 else 0 end)) div count(1)")
+          .as("lang_match_pm"),
+        expr("sum((1000000 * n_stop) div n_tok) div count(1)")
+          .as("stop_pm_mean"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_dataset_card" -> q132DatasetCard _,
     "q131_cdc_dedup_inc" -> q131CdcDedupInc _,
     "q130_cdc_chunks" -> q130CdcChunks _,
     "q129_retrieval_index" -> q129RetrievalIndex _,

@@ -2213,6 +2213,45 @@ object Oracles {
          |    AS starved_tokens
          |FROM tg""".stripMargin,
 
+    // q132: dataset card — q26's normalized fingerprint (global
+    // first-wins rn), q25's marker-word language guess, q24's stopword
+    // list, rolled up per source in integer micro/milli units.
+    "q132_dataset_card" ->
+      s"""WITH t AS (SELECT doc_id, source, lang, $Toks AS toks,
+         |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |s AS (SELECT doc_id, source, lang, fp,
+         |    CAST(len(toks) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(toks,
+         |      x -> x IN ('the','a','of','to','in','is','and'))) AS BIGINT)
+         |      AS n_stop,
+         |    len(list_filter(toks, x -> x IN ('the','a','is'))) AS s_en,
+         |    len(list_filter(toks, x -> x IN ('der','die','das'))) AS s_de,
+         |    len(list_filter(toks, x -> x IN ('le','la','les'))) AS s_fr,
+         |    len(list_filter(toks, x -> x IN ('el','los','las'))) AS s_es
+         |  FROM t),
+         |g AS (SELECT *, CASE
+         |    WHEN s_en = greatest(s_en,s_de,s_fr,s_es) AND s_en > 0 THEN 'en'
+         |    WHEN s_de = greatest(s_en,s_de,s_fr,s_es) AND s_de > 0 THEN 'de'
+         |    WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) AND s_fr > 0 THEN 'fr'
+         |    WHEN s_es = greatest(s_en,s_de,s_fr,s_es) AND s_es > 0 THEN 'es'
+         |    ELSE 'und' END AS lang_guess,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+         |  FROM s)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST((1000 * sum(n_tok)) // count(*) AS BIGINT)
+         |    AS mean_tokens_milli,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_docs,
+         |  CAST((1000000 * sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END))
+         |    // count(*) AS BIGINT) AS dup_pm,
+         |  CAST((1000000 * sum(CASE WHEN lang_guess = lang THEN 1 ELSE 0 END))
+         |    // count(*) AS BIGINT) AS lang_match_pm,
+         |  CAST(sum((1000000 * n_stop) // n_tok) // count(*) AS BIGINT)
+         |    AS stop_pm_mean
+         |FROM g GROUP BY source""".stripMargin,
+
     // q130: content-defined chunking — boundary when the 2-gram hash
     // (seed 7, the engine's md5-prefix hash32) lands in residue class 0
     // mod 8; chunk ids by prefix-sum of markers, ordered rebuild.

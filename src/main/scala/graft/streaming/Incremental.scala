@@ -314,6 +314,31 @@ object Incremental {
   private def readGramRegistry(spark: SparkSession, registryPath: String): DataFrame =
     readStringColOrEmpty(spark, registryPath, "gram")
 
+  /** Compact an append-only streaming registry in place. Every
+    * [[streamingSpanDedup]]-family micro-batch appends one small parquet
+    * file of novel keys; a long-running stream accumulates tens of
+    * thousands of KB-sized files and registry SCAN cost starts tracking
+    * file count, not data (the small-file problem the tiered sink solves
+    * for documents — registries need the same maintenance). One
+    * distinct + coalesce snapshot through the [[Merge.replaceParquet]]
+    * commitSwap discipline (the new state materializes fully before the
+    * old files move — safe even though the lineage reads the current
+    * dir). Call it from the owning stream's own foreachBatch cadence
+    * (every N batches): batches are serial, so the compaction can never
+    * race an append from the same query. No-op if the registry doesn't
+    * exist yet.
+    */
+  def compactRegistry(spark: SparkSession, registryPath: String,
+                      partitions: Int = 1): Unit = {
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    val p = new Path(registryPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      Merge.replaceParquet(spark, registryPath,
+        spark.read.parquet(registryPath).distinct().coalesce(partitions))
+  }
+
   /** Streaming LM quality scoring — the CCNet deployment shape of q107:
     * the stupid-backoff count tables are trained ONCE
     * ([[graft.operators.TermStats.lmCounts]], captured by the closure

@@ -47,6 +47,30 @@ class IncrementalSpec extends AnyFunSuite {
       dynamics = Seq(payments), snapshots = Seq(balances))
   }
 
+  test("compactRegistry: many small appends collapse to one file, same distinct keys, appends continue") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+      .toFile.getAbsolutePath + "/reg"
+    // simulate a stream's per-batch appends: overlapping key sets
+    Seq("a", "b").toDF("blk").write.mode("append").parquet(dir)
+    Seq("b", "c").toDF("blk").write.mode("append").parquet(dir)
+    Seq("c", "d", "a").toDF("blk").write.mode("append").parquet(dir)
+    def files() = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() >= 3, "each append lands its own file(s)")
+    Incremental.compactRegistry(spark, dir)
+    assert(files() == 1, "compaction snapshots to one file")
+    assert(spark.read.parquet(dir).as[String].collect().sorted.toSeq ==
+      Seq("a", "b", "c", "d"), "distinct keys survive exactly")
+    // the stream keeps appending afterwards — compaction is maintenance,
+    // not a format change
+    Seq("e").toDF("blk").write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).as[String].collect().sorted.toSeq ==
+      Seq("a", "b", "c", "d", "e"))
+    // compacting a non-existent registry is a no-op, not an error
+    Incremental.compactRegistry(spark, dir + "-missing")
+  }
+
   test("chunkRanges covers [lo,hi) exactly with bounded steps") {
     assert(chunkRanges(0, 10, 4) == Seq((0L, 4L), (4L, 8L), (8L, 10L)))
     assert(chunkRanges(5, 5, 4).isEmpty)
