@@ -674,7 +674,46 @@ object Curation {
           .as("stop_pm_mean"))
   }
 
+  /** q133: tokenizer comparison — the engine's two tokenizer families
+    * (q105/q106 BPE merge-replay, q128 unigram Viterbi) trained and
+    * applied over the SAME corpus vocabulary, joined per word, rolled
+    * up to frequency-weighted fertility (milli tokens-per-word — THE
+    * number a tokenizer choice is made on) plus who-segments-shorter
+    * counts. The word table is persisted (four consumers: BPE train
+    * sample, BPE apply, unigram train, the final join — caller-owned
+    * lifecycle, the [[TermStats]] convention).
+    */
+  def q133TokenizerCompare(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Bpe, Unigram}
+    val words = Tables.balanced(spark, d, "documents")
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trainV = words.orderBy(col("f").desc, col("w").asc).limit(500)
+    val merges = Bpe.trainMerges(trainV, "w", "f", nMerges = 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val bpe = Bpe.applyMerges(words, "w", merges)
+      .select(col("w"), col("n_pieces").as("bpe_pieces"))
+    val uvocab = Unigram.trainVocab(words, "w", "f", maxLen = 4, topK = 40)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val uni = Unigram.segment(words, "w", uvocab, maxLen = 4)
+      .select(col("w"), col("n_pieces").as("uni_pieces"))
+    words.join(bpe, "w").join(uni, "w")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("f")).as("total_tokens"),
+        expr("(1000 * sum(f * bpe_pieces)) div sum(f)")
+          .as("bpe_fertility_milli"),
+        expr("(1000 * sum(f * uni_pieces)) div sum(f)")
+          .as("uni_fertility_milli"),
+        sum(when(col("uni_pieces") < col("bpe_pieces"), 1L).otherwise(0L))
+          .as("uni_shorter"),
+        sum(when(col("bpe_pieces") < col("uni_pieces"), 1L).otherwise(0L))
+          .as("bpe_shorter"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_tokenizer_compare" -> q133TokenizerCompare _,
     "q132_dataset_card" -> q132DatasetCard _,
     "q131_cdc_dedup_inc" -> q131CdcDedupInc _,
     "q130_cdc_chunks" -> q130CdcChunks _,

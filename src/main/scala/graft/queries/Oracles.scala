@@ -267,6 +267,42 @@ object Oracles {
   // twin of Text.hash32(x, seed column j)
   private def hash32(seedExpr: String, v: String) =
     s"('0x' || substr(md5($seedExpr || ':' || $v), 1, 8))::BIGINT"
+  // The unigram-segmentation chain (q128/q133, twin of Unigram.trainVocab
+  // maxLen=4 + Unigram.segment by EXHAUSTIVE enumeration): from a docs
+  // relation `src(text)` to `wf(w, f)` and `useg(w, np, sc, pieces)`.
+  // Requires WITH RECURSIVE at the head of the enclosing query.
+  // NOT pre-stripMargin'd (the MinhashPairsCtes rule).
+  private def unigramSegCtes(src: String, topK: Int): String =
+    s"""wf AS (SELECT w, count(*) AS f FROM
+       |  (SELECT unnest($Toks) AS w FROM $src) GROUP BY w),
+       |sub AS (SELECT piece, CAST(sum(f) AS BIGINT) AS score FROM (
+       |    SELECT substr(w, CAST(i AS INT), CAST(j AS INT)) AS piece, f
+       |    FROM wf, unnest(range(1, len(w)+1)) AS t1(i),
+       |         unnest(range(1, 5)) AS t2(j)
+       |    WHERE i + j - 1 <= len(w)) GROUP BY piece),
+       |multi AS (SELECT piece, score FROM sub WHERE len(piece) >= 2
+       |          ORDER BY score DESC, piece ASC LIMIT $topK),
+       |uvocab AS (SELECT piece, score FROM sub WHERE len(piece) = 1
+       |          UNION ALL SELECT piece, score FROM multi),
+       |paths(w, pos, np, sc, seg) AS (
+       |  SELECT w, 0, 0, 0::BIGINT, '' FROM wf
+       |  UNION ALL
+       |  SELECT p.w, p.pos + CAST(tj.j AS INT), p.np + 1,
+       |         p.sc + COALESCE(v.score, 0),
+       |         p.seg || ' ' || substr(p.w, p.pos + 1, CAST(tj.j AS INT))
+       |  FROM paths p
+       |  CROSS JOIN unnest(range(1, 5)) AS tj(j)
+       |  LEFT JOIN uvocab v
+       |    ON v.piece = substr(p.w, p.pos + 1, CAST(tj.j AS INT))
+       |  WHERE p.pos + tj.j <= len(p.w) AND (tj.j = 1 OR v.piece IS NOT NULL)
+       |),
+       |udone AS (SELECT w, np, sc, ltrim(seg) AS pieces
+       |         FROM paths WHERE pos = len(w)),
+       |useg AS (SELECT w, np, sc, pieces FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY w
+       |     ORDER BY np ASC, sc DESC, pieces ASC) AS rn FROM udone)
+       |  WHERE rn = 1)"""
+
   // The CDC chain (q130/q131, twin of Chunk.contentDefined divisor=8
   // seed=7): from a docs relation `src(doc_id, text)` to
   // `${p}g(doc_id, chunk_seq, n_tok, chunk_text, chunk_hash)`.
@@ -2326,37 +2362,41 @@ object Oracles {
     // objective. The engine runs per-position Viterbi DP; hash equality
     // proves DP ≡ global enumeration under (np, −score, lex).
     "q128_unigram_segment" ->
-      s"""WITH RECURSIVE
-         |wf AS (SELECT w, count(*) AS f FROM
-         |  (SELECT unnest($Toks) AS w FROM documents) GROUP BY w),
-         |sub AS (SELECT piece, CAST(sum(f) AS BIGINT) AS score FROM (
-         |    SELECT substr(w, CAST(i AS INT), CAST(j AS INT)) AS piece, f
-         |    FROM wf, unnest(range(1, len(w)+1)) AS t1(i),
-         |         unnest(range(1, 5)) AS t2(j)
-         |    WHERE i + j - 1 <= len(w)) GROUP BY piece),
-         |multi AS (SELECT piece, score FROM sub WHERE len(piece) >= 2
-         |          ORDER BY score DESC, piece ASC LIMIT 40),
-         |vocab AS (SELECT piece, score FROM sub WHERE len(piece) = 1
-         |          UNION ALL SELECT piece, score FROM multi),
-         |paths(w, pos, np, sc, seg) AS (
-         |  SELECT w, 0, 0, 0::BIGINT, '' FROM wf
-         |  UNION ALL
-         |  SELECT p.w, p.pos + CAST(tj.j AS INT), p.np + 1,
-         |         p.sc + COALESCE(v.score, 0),
-         |         p.seg || ' ' || substr(p.w, p.pos + 1, CAST(tj.j AS INT))
-         |  FROM paths p
-         |  CROSS JOIN unnest(range(1, 5)) AS tj(j)
-         |  LEFT JOIN vocab v
-         |    ON v.piece = substr(p.w, p.pos + 1, CAST(tj.j AS INT))
-         |  WHERE p.pos + tj.j <= len(p.w) AND (tj.j = 1 OR v.piece IS NOT NULL)
-         |),
-         |done AS (SELECT w, np, sc, ltrim(seg) AS pieces
-         |         FROM paths WHERE pos = len(w)),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY w
-         |        ORDER BY np ASC, sc DESC, pieces ASC) AS rn FROM done)
-         |SELECT r.w, CAST(wf.f AS BIGINT) AS f, CAST(np AS BIGINT) AS n_pieces,
-         |  sc AS score, pieces
-         |FROM r JOIN wf ON r.w = wf.w WHERE rn = 1""".stripMargin,
+      s"""WITH RECURSIVE ${unigramSegCtes("documents", 40)}
+         |SELECT useg.w, CAST(wf.f AS BIGINT) AS f,
+         |  CAST(np AS BIGINT) AS n_pieces, sc AS score, pieces
+         |FROM useg JOIN wf ON useg.w = wf.w""".stripMargin,
+
+    // q133: tokenizer comparison — the q105/q106 BPE train+apply chain
+    // and the q128 unigram chain over the SAME corpus vocabulary,
+    // joined per word and rolled up to frequency-weighted fertility
+    // (milli tokens-per-word) plus who-segments-shorter counts.
+    "q133_tokenizer_compare" -> {
+      // bpe chains arrive pre-stripped (they stripMargin internally);
+      // only the body literal (which embeds the NOT-pre-stripped
+      // unigram chain) is stripped here — stripping the bpe chains
+      // again would eat the first bar of line-leading '||' concats.
+      val bpe = bpeTrainCtes(8, 500) +
+        bpeApplyCtes(8, s"SELECT unnest($Toks) AS w FROM documents")
+      val body =
+        s"""seg AS (SELECT w, CAST(count(*) AS BIGINT) AS bpe_pieces
+           |  FROM a8 GROUP BY w),
+           |${unigramSegCtes("documents", 40)},
+           |j AS (SELECT wf.w, wf.f, seg.bpe_pieces,
+           |    CAST(useg.np AS BIGINT) AS uni_pieces
+           |  FROM wf JOIN seg ON wf.w = seg.w JOIN useg ON wf.w = useg.w)
+           |SELECT count(*) AS n_words, CAST(sum(f) AS BIGINT) AS total_tokens,
+           |  CAST((1000 * sum(f * bpe_pieces)) // sum(f) AS BIGINT)
+           |    AS bpe_fertility_milli,
+           |  CAST((1000 * sum(f * uni_pieces)) // sum(f) AS BIGINT)
+           |    AS uni_fertility_milli,
+           |  CAST(sum(CASE WHEN uni_pieces < bpe_pieces THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS uni_shorter,
+           |  CAST(sum(CASE WHEN bpe_pieces < uni_pieces THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS bpe_shorter
+           |FROM j""".stripMargin
+      s"WITH RECURSIVE $bpe$body"
+    },
 
     // q110: DSIR importance resampling — unigram+bigram OCCURRENCES
     // hashed with the portable md5 base hash into 1024 buckets; raw-side

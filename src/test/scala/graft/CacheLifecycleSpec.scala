@@ -21,7 +21,8 @@ class CacheLifecycleSpec extends AnyFunSuite {
   // table (both vocab union branches read it); q126 persists the
   // per-domain supply table.
   private val heavy = Seq("q109_pipeline_v2", "q106_bpe_segment",
-    "q115_pipeline_v3", "q128_unigram_segment", "q126_epoch_allocation")
+    "q115_pipeline_v3", "q128_unigram_segment", "q126_epoch_allocation",
+    "q133_tokenizer_compare")
 
   test("clearAll leaves no cached datasets and no persisted RDDs after heavy queries") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
