@@ -647,10 +647,33 @@ object Curation {
     * scaled-integer arithmetic; one fingerprint window + one source
     * rollup.
     */
-  def q132DatasetCard(spark: SparkSession, d: String): DataFrame = {
-    import graft.functions.Text
+  def q132DatasetCard(spark: SparkSession, d: String): DataFrame =
+    datasetCardOf(Tables.balanced(spark, d, "documents"))
+
+  /** The card computation behind q132, reusable over any
+    * (doc_id, source, lang, text) frame — the streaming form
+    * ([[graft.streaming.Incremental.streamingDatasetCard]]) folds the
+    * same per-doc signals into (source, batch) PARTIALS and serves the
+    * identical ratios from their sums.
+    */
+  def datasetCardOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = Tables.balanced(spark, d, "documents")
+    cardSignals(docs)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)))
+      .withColumn("__dup", col("__rn") > 1)
+      .groupBy(col("source"))
+      .agg(cardCounters.head, cardCounters.tail: _*)
+      .select(col("source") +: cardRatios: _*)
+  }
+
+  /** Per-doc card signals: `(doc_id, source, lang, fp, n_tok, n_stop,
+    * lang_guess)` — shared by the batch card (global first-wins window
+    * over `fp`) and the streaming card (registry lookup over `fp`).
+    */
+  def cardSignals(docs: DataFrame): DataFrame = {
+    import graft.functions.Text
+    docs
       .select(col("doc_id"), col("source"), col("lang"),
         Text.tokens(col("text")).as("toks"),
         md5(Text.normalized(col("text"))).as("fp"))
@@ -658,21 +681,31 @@ object Curation {
         size(col("toks")).cast("long").as("n_tok"),
         Text.stopwordCount(col("toks")).as("n_stop"),
         Text.langGuess(col("toks")).as("lang_guess"))
-    base
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tok")).as("n_tokens"),
-        expr("(1000 * sum(n_tok)) div count(1)").as("mean_tokens_milli"),
-        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
-        expr("(1000000 * sum(case when __rn > 1 then 1 else 0 end)) div count(1)")
-          .as("dup_pm"),
-        expr("(1000000 * sum(case when lang_guess = lang then 1 else 0 end)) div count(1)")
-          .as("lang_match_pm"),
-        expr("sum((1000000 * n_stop) div n_tok) div count(1)")
-          .as("stop_pm_mean"))
   }
+
+  /** The card's ADDITIVE counters over flagged signals (needs a boolean
+    * `__dup` column): everything downstream is a ratio of these sums,
+    * which is what makes the streaming card's (source, batch)-partial
+    * exactly-once fold possible.
+    */
+  def cardCounters: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_docs"),
+    sum(col("n_tok")).as("n_tokens"),
+    sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+    sum(when(col("lang_guess") === col("lang"), 1L).otherwise(0L))
+      .as("n_lang_match"),
+    sum(expr("(1000000 * n_stop) div n_tok")).as("stop_pm_sum"))
+
+  /** Derived ratio columns over summed counters — identical whether the
+    * counters came from one batch aggregate or a sum of partials.
+    */
+  def cardRatios: Seq[org.apache.spark.sql.Column] = Seq(
+    col("n_docs"), col("n_tokens"),
+    expr("(1000 * n_tokens) div n_docs").as("mean_tokens_milli"),
+    col("n_dup_docs"),
+    expr("(1000000 * n_dup_docs) div n_docs").as("dup_pm"),
+    expr("(1000000 * n_lang_match) div n_docs").as("lang_match_pm"),
+    expr("stop_pm_sum div n_docs").as("stop_pm_mean"))
 
   /** q133: tokenizer comparison — the engine's two tokenizer families
     * (q105/q106 BPE merge-replay, q128 unigram Viterbi) trained and

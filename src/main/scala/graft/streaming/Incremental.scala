@@ -314,6 +314,69 @@ object Incremental {
   private def readGramRegistry(spark: SparkSession, registryPath: String): DataFrame =
     readStringColOrEmpty(spark, registryPath, "gram")
 
+  /** Streaming dataset card — q132 maintained LIVE over an arriving
+    * corpus, and the repo's third state idiom. The first two:
+    * keyed first-write-wins upsert (idempotent per-ROW results —
+    * [[streamingSpanDedup]] and family) and tmp+swap snapshot (MUTATING
+    * state — [[streamingComponents]]). Additive counters fit neither: a
+    * replayed batch must not double-count, but its rows carry no
+    * identity of their own. The exactly-once-ADDITIVE pattern: write
+    * per-(source, batchId) PARTIALS under first-wins on that composite
+    * key — `batchId` is deterministic on replay, so the recomputed
+    * partial (whose dup flags WOULD differ, the registry having already
+    * absorbed the batch) is dropped and the first landing stays
+    * authoritative — and serve the card by SUMMING partials
+    * ([[datasetCardFromPartials]]), every ratio derived from summed
+    * counters exactly as the batch card derives them from one
+    * aggregate's.
+    *
+    * Dup accounting matches the batch card's global first-wins when
+    * batches arrive in `doc_id` order (the chaining convention all
+    * registry twins share): a doc is a duplicate iff its normalized
+    * fingerprint was seen in an earlier batch (registry hit) or earlier
+    * in its own batch (batch-internal window).
+    */
+  def streamingDatasetCard(stream: DataFrame, checkpointDir: String,
+                           partialsPath: String, registryPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val reg = readStringColOrEmpty(spark, registryPath, "fp")
+        val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
+        val flagged = graft.queries.Curation.cardSignals(batch)
+          .join(reg.withColumn("__seen", lit(true)), Seq("fp"), "left")
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("__dup", col("__seen").isNotNull || col("__rn") > 1)
+        val partial = flagged.groupBy(col("source"))
+          .agg(graft.queries.Curation.cardCounters.head, graft.queries.Curation.cardCounters.tail: _*)
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("__pk", concat(col("source"), lit(":"), col("batch_id")))
+        Merge.upsertParquet(spark, partialsPath, partial,
+          "__pk", Merge.Ignore, "n_docs")
+        flagged.filter(col("__rn") === 1 && col("__seen").isNull)
+          .select(col("fp"))
+          .write.mode("append").parquet(registryPath)
+        ()
+      }
+      .start()
+
+  /** Serve the live card: sum the partials per source, derive the same
+    * ratios the batch card derives — identical output schema to q132.
+    */
+  def datasetCardFromPartials(spark: SparkSession,
+                              partialsPath: String): DataFrame =
+    spark.read.parquet(partialsPath)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_dup_docs")).as("n_dup_docs"),
+        sum(col("n_lang_match")).as("n_lang_match"),
+        sum(col("stop_pm_sum")).as("stop_pm_sum"))
+      .select(col("source") +: graft.queries.Curation.cardRatios: _*)
+
   /** Compact an append-only streaming registry in place. Every
     * [[streamingSpanDedup]]-family micro-batch appends one small parquet
     * file of novel keys; a long-running stream accumulates tens of

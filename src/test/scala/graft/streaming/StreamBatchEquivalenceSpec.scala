@@ -745,6 +745,68 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(reg == all)
   }
 
+  test("streamingDatasetCard: summed batchId-partials ≡ the batch card; replay cannot double-count (q132 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-card")
+      .toFile.getAbsolutePath
+    // (doc_id, source, lang, text) — doc 4 is an exact dup of doc 1's
+    // normalized text in a LATER batch (registry-hit dup), doc 3 an
+    // in-batch dup of doc 2
+    val docs = Seq(
+      ("d1", "sA", "en", "the quick fox"),
+      ("d2", "sA", "en", "la le les bla"),
+      ("d3", "sB", "fr", "la  le LES bla"), // normalizes ≡ d2 (lowercased)
+      ("d4", "sB", "de", "The  Quick   Fox"), // normalizes ≡ d1
+      ("d5", "sB", "fr", "le la les encore"))
+    val b1 = docs.take(2)
+    val b2 = docs.drop(2)
+    val b3 = docs.take(2) // full replay of b1
+    val input = MemoryStream[(String, String, String, String)]
+    val query = Incremental.streamingDatasetCard(
+      input.toDF().toDF("doc_id", "source", "lang", "text"),
+      s"$dir/ckpt", s"$dir/partials", s"$dir/reg")
+    try {
+      Seq(b1, b2, b3).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val cols = Seq("source", "n_docs", "n_tokens", "mean_tokens_milli",
+      "n_dup_docs", "dup_pm", "lang_match_pm", "stop_pm_mean")
+    val streamed = Incremental.datasetCardFromPartials(spark, s"$dir/partials")
+      .select(cols.head, cols.tail: _*).collect().toSet
+    // b3 re-SENDS b1's documents as new data (MemoryStream assigns a new
+    // batchId — this is re-ingestion, not an engine replay): they must
+    // COUNT, as registry-hit duplicates — so the batch reference is the
+    // card over everything that arrived.
+    val batch = graft.queries.Curation.datasetCardOf(
+        (docs ++ b3).toDF("doc_id", "source", "lang", "text"))
+      .select(cols.head, cols.tail: _*).collect().toSet
+    assert(streamed == batch)
+    // dup accounting fired both ways: d3 and d4 (cross-source content
+    // dups of d2/d1) are sB's 2 dups of 3 docs; sA's re-sent pair are
+    // both dups
+    val card = Incremental.datasetCardFromPartials(spark, s"$dir/partials")
+      .select("source", "n_docs", "n_dup_docs")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(card("sB") == ((3L, 2L)) && card("sA") == ((4L, 2L)))
+    // an ENGINE replay re-runs foreachBatch with the SAME batchId; the
+    // partial it recomputes (dup flags now differ — the registry has
+    // absorbed the batch) is dropped by first-wins on (source, batchId).
+    // Pin that directly: a conflicting partial under an existing key
+    // must not change the card.
+    val poison = spark.sql(
+      """SELECT 'sA' AS source, 999L AS n_docs, 999L AS n_tokens,
+        |  999L AS n_dup_docs, 999L AS n_lang_match, 999L AS stop_pm_sum,
+        |  0L AS batch_id, 'sA:0' AS __pk""".stripMargin)
+    graft.operators.Merge.upsertParquet(spark, s"$dir/partials", poison,
+      "__pk", graft.operators.Merge.Ignore, "n_docs")
+    val after = Incremental.datasetCardFromPartials(spark, s"$dir/partials")
+      .select(cols.head, cols.tail: _*).collect().toSet
+    assert(after == batch, "a same-batchId partial must be dropped, not summed")
+  }
+
   test("streamingIndexIngest stream ≡ batch buildIvfPqIndex; search serves the grown index (q92 twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
