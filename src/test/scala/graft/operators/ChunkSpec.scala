@@ -133,6 +133,45 @@ class ChunkSpec extends AnyFunSuite {
     assert(clean == ((0L, "")))
   }
 
+  /** Independent in-JVM reference for contentDefined: sequential scan,
+    * same 2-gram md5 boundary rule — a different algorithm shape (linear
+    * scan vs window algebra), the substringExcise cross-check convention.
+    */
+  private def naiveCdc(text: String, divisor: Int): Seq[(Long, Long, String)] = {
+    val toks = text.trim.split("\\s+").toSeq
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(("7:" + s).getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val chunks = scala.collection.mutable.Buffer.empty[Seq[String]]
+    var cur = scala.collection.mutable.Buffer.empty[String]
+    toks.zipWithIndex.foreach { case (t, i) =>
+      cur += t
+      val gram = if (i == 0) t else s"${toks(i - 1)} $t"
+      if (h32(gram) % divisor == 0) { chunks += cur.toSeq; cur = scala.collection.mutable.Buffer.empty }
+    }
+    if (cur.nonEmpty) chunks += cur.toSeq
+    chunks.toSeq.zipWithIndex.map { case (c, k) =>
+      (k + 1L, c.size.toLong, c.mkString(" "))
+    }
+  }
+
+  test("contentDefined ≡ an independent sequential reference on randomized docs") {
+    val rnd = new scala.util.Random(13)
+    val texts = (1 to 25).map { d =>
+      (s"d$d", (1 to 1 + rnd.nextInt(90))
+        .map(_ => s"w${rnd.nextInt(30)}").mkString(" "))
+    }
+    val got = cdc(texts, divisor = 6).groupBy(_._1)
+    texts.foreach { case (id, text) =>
+      val expected = naiveCdc(text, 6)
+      val actual = got(id).map(r => (r._2, r._3, r._4))
+      assert(actual == expected, s"doc $id")
+    }
+  }
+
   test("contentDefined: one doc-keyed exchange serves markers, offsets, and rebuild") {
     val plan = Chunk.contentDefined(
         Seq(("a", "x y z w")).toDF("doc_id", "text"), "doc_id", "text", 4)
