@@ -314,6 +314,48 @@ object Incremental {
   private def readGramRegistry(spark: SparkSession, registryPath: String): DataFrame =
     readStringColOrEmpty(spark, registryPath, "gram")
 
+  /** Streaming SFT rendering — q127's deployment shape. A conversation
+    * MUTATES as turns arrive (every new turn changes its `rendered`
+    * string and can shift nothing before it but extends the masks), so
+    * the twin keeps a TURN REGISTRY (append-only, first-wins per
+    * (conversation, turn id) — replays land nothing) and re-renders
+    * ONLY the conversations the batch touched, upserting their rows
+    * UPDATE-mode (newest render wins — the one twin family where the
+    * sink row legitimately changes; `n_turns` is the monotone tiebreak,
+    * so even a reordered refresh converges to the fullest render).
+    * Per-batch cost ∝ touched conversations' history, never the corpus.
+    *
+    * `keyCols`/`turnCols` contract: `turns` carries
+    * (convKey, turnId, ts, role, content); re-rendering is a pure
+    * function of the registry, so stream ≡ batch over any chunking
+    * (StreamBatchEquivalenceSpec, including a replayed chunk).
+    */
+  def streamingSftRender(stream: DataFrame, checkpointDir: String,
+                         outPath: String, registryPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // 1. land the batch's turns (first-wins on the composite key —
+        //    a replayed or duplicated turn cannot double-render)
+        val keyed = batch.withColumn("__tk",
+          concat(col("conv"), lit(":"), col("turn_id")))
+        Merge.upsertParquet(spark, registryPath, keyed,
+          "__tk", Merge.Ignore, "ts")
+        // 2. re-render the touched conversations from the registry
+        val touched = batch.select(col("conv")).distinct()
+        val history = spark.read.parquet(registryPath)
+          .join(touched, Seq("conv"))
+        val rendered = graft.operators.Sft.renderChat(history,
+          Seq(col("conv")), col("ts"), col("turn_id"),
+          col("role"), col("content"))
+        Merge.upsertParquet(spark, outPath, rendered,
+          "conv", Merge.Update, "n_turns")
+        ()
+      }
+      .start()
+
   /** Streaming dataset card — q132 maintained LIVE over an arriving
     * corpus, and the repo's third state idiom. The first two:
     * keyed first-write-wins upsert (idempotent per-ROW results —

@@ -745,6 +745,50 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(reg == all)
   }
 
+  test("streamingSftRender: conversations re-render as turns arrive; stream ≡ batch (q127 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sft")
+      .toFile.getAbsolutePath
+    // (conv, turn_id, ts, role, content)
+    val turns = Seq(
+      ("c1", 1L, 10L, "user", "hi"),
+      ("c1", 2L, 20L, "assistant", "hello there"),
+      ("c2", 1L, 5L, "assistant", "monologue"),
+      ("c1", 3L, 30L, "assistant", "more"))
+    val b1 = turns.take(3)
+    val b2 = Seq(turns(3), turns(0)) // extends c1 + re-sends its turn 1
+    val b3 = b1 // full replay
+    val input = MemoryStream[(String, Long, Long, String, String)]
+    val query = Incremental.streamingSftRender(
+      input.toDF().toDF("conv", "turn_id", "ts", "role", "content"),
+      s"$dir/ckpt", s"$dir/out", s"$dir/reg")
+    try {
+      Seq(b1, b2, b3).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val cols = Seq("conv", "n_turns", "n_assistant", "rendered",
+      "mask_starts", "mask_ends")
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select(cols.head, cols.tail: _*)
+      .as[(String, Long, Long, String, Seq[Long], Seq[Long])]
+      .collect().toSet
+    val batch = graft.operators.Sft.renderChat(
+        turns.toDF("conv", "turn_id", "ts", "role", "content"),
+        Seq(col("conv")), col("ts"), col("turn_id"),
+        col("role"), col("content"))
+      .select(cols.head, cols.tail: _*)
+      .as[(String, Long, Long, String, Seq[Long], Seq[Long])]
+      .collect().toSet
+    assert(streamed == batch)
+    // c1 converged to its FULL three-turn render with both masks live
+    val c1 = streamed.find(_._1 == "c1").get
+    assert(c1._2 == 3L && c1._5.size == 2)
+    assert(c1._5.zip(c1._6).map { case (s, e) =>
+      c1._4.substring(s.toInt, e.toInt) } == Seq("hello there", "more"))
+  }
+
   test("streamingDatasetCard: summed batchId-partials ≡ the batch card; replay cannot double-count (q132 twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
