@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * The decode seam is [[MediaCodec]]. For PPM (Netpbm P6) the decode is
   * REAL — [[Ppm]] parses the public header+raw-pixels format and
   * [[Ppm.resizeNearest]] downsamples in the pixel domain, no libraries
-  * needed (q42/q96 are oracle-checked over it). Formats whose codecs the
-  * container can't ship (JPEG/PNG/audio) remain behind
+  * needed (q42/q96 are oracle-checked over it) — and so is WAV audio:
+  * [[Wav]] walks genuine RIFF chunks to PCM16 samples (q134). Only
+  * formats needing an entropy codec (JPEG/PNG/MP3) remain behind
   * [[DeterministicStubCodec]], which derives features from the raw bytes
   * so the pipeline shape (schema, partitioning, batch flow, feature
   * fan-out) stays real and testable; a production codec (javacv/ffmpeg)
@@ -35,6 +36,11 @@ object Multimodal {
   /** One [[resizePpm]] output row. */
   case class PpmResized(id: Long, w: Int, h: Int, wo: Int, ho: Int,
     origBytes: Long, resizedBytes: Long, resizedSha: String)
+
+  /** One [[pcmWindowStats]] output row. */
+  case class PcmStats(id: Long, sample_rate: Int, n_samples: Long,
+    sample_sum: Long, sample_sqsum: Long, peak_abs: Long,
+    n_windows: Long, active_windows: Long)
 
   private implicit val inEnc: Encoder[(Long, Array[Byte])] =
     Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
@@ -323,5 +329,139 @@ object Multimodal {
         }
       }
       .toDF("id", "frame", "frame_sha", "frame_bytes")
+  }
+
+  /** REAL RIFF/WAVE (PCM16 mono) codec — the audio analog of [[Ppm]]:
+    * the container format is public and byte-exact, so the decode needs
+    * no library. [[Wav.parse]] is a genuine chunk WALKER (reads RIFF +
+    * WAVE, iterates `fmt `/`data`/unknown chunks by their declared
+    * little-endian sizes, skipping what it doesn't know — real-world
+    * WAVs carry LIST/INFO chunks, and [[Wav.render]] deliberately emits
+    * one so the walker's skip path is always exercised), validating PCM
+    * format 1, mono, 16-bit. Audio thereby leaves the
+    * [[DeterministicStubCodec]] list; only formats needing an entropy
+    * codec (JPEG/PNG/MP3) remain stubbed.
+    */
+  object Wav {
+    private def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def rdLe32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def rdLe16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+    /** Render a spec-conformant mono PCM16 WAV, including a LIST(INFO)
+      * chunk between `fmt ` and `data` (the walker-skip fixture).
+      */
+    def render(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        data(2 * i) = (samples(i) & 0xff).toByte
+        data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      // conformant LIST-INFO: 'INFO' type + one ISFT sub-chunk ("graft\0")
+      val info = "INFO".getBytes("US-ASCII") ++
+        "ISFT".getBytes("US-ASCII") ++ le32(6) ++
+        "graft ".getBytes("US-ASCII")
+      val fmt = le16(1) ++ le16(1) ++ le32(sampleRate) ++
+        le32(sampleRate * 2) ++ le16(2) ++ le16(16)
+      val body = "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++ fmt ++
+        "LIST".getBytes("US-ASCII") ++ le32(info.length) ++ info ++
+        "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+
+    /** Parse a RIFF/WAVE blob to (sampleRate, samples). Throws on
+      * non-RIFF, non-WAVE, missing chunks, or any format other than
+      * uncompressed mono PCM16 — a corrupt blob must fail loudly, never
+      * yield silent garbage samples.
+      */
+    def parse(bytes: Array[Byte]): (Int, Array[Short]) = {
+      require(bytes.length >= 12 &&
+        new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "WAVE",
+        "not a RIFF/WAVE blob")
+      val riffEnd = math.min(bytes.length, 8 + rdLe32(bytes, 4))
+      var o = 12
+      var rate = -1
+      var samples: Array[Short] = null
+      while (o + 8 <= riffEnd) {
+        val cid = new String(bytes, o, 4, "US-ASCII")
+        val sz = rdLe32(bytes, o + 4)
+        val payload = o + 8
+        cid match {
+          case "fmt " =>
+            require(sz >= 16, s"fmt chunk too small: $sz")
+            require(rdLe16(bytes, payload) == 1, "not PCM")
+            require(rdLe16(bytes, payload + 2) == 1, "not mono")
+            require(rdLe16(bytes, payload + 14) == 16, "not 16-bit")
+            rate = rdLe32(bytes, payload + 4)
+          case "data" =>
+            require(rate > 0, "data chunk before fmt")
+            val n = sz / 2
+            samples = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              samples(i) = rdLe16(bytes, payload + 2 * i).toShort
+              i += 1
+            }
+          case _ => () // LIST/INFO/junk: skip by declared size
+        }
+        o = payload + sz + (sz & 1) // chunks are word-aligned
+      }
+      require(samples != null, "no data chunk")
+      (rate, samples)
+    }
+  }
+
+  /** Windowed PCM energy/activity over (id, wav) rows — the VAD-lite
+    * every audio-training pipeline runs before segmentation: per
+    * `window` samples, mean |amplitude| decides an active (speech-ish)
+    * vs silent window; per-clip output carries the sample-level
+    * checksums that pin the decode round trip. Partition-local like
+    * every codec ([[decodeFeatures]]); only small stat rows shuffle.
+    * All-integer: mean-abs per window by integer division — portable to
+    * the oracle's arithmetic, where float RMS would not be.
+    */
+  def pcmWindowStats(spark: SparkSession, df: DataFrame, idCol: String,
+                     binCol: String, window: Int,
+                     activeMeanAbs: Long): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    implicit val enc: Encoder[PcmStats] = Encoders.product[PcmStats]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (rate, s) = Wav.parse(bytes)
+          var sum = 0L; var sq = 0L; var peak = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            sum += v; sq += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          val nw = (s.length + window - 1) / window
+          var active = 0L
+          var w0 = 0
+          while (w0 < s.length) {
+            val end = math.min(w0 + window, s.length)
+            var absSum = 0L
+            var j = w0
+            while (j < end) { absSum += math.abs(s(j).toLong); j += 1 }
+            if (absSum / (end - w0) >= activeMeanAbs) active += 1
+            w0 = end
+          }
+          PcmStats(id, rate, s.length.toLong, sum, sq, peak, nw.toLong, active)
+        }
+      }
+      .toDF()
   }
 }

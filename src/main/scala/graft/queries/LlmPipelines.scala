@@ -405,6 +405,44 @@ object LlmPipelines {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Deterministic WAV rendering over any (doc_id, text) frame: sample_i
+    * = (byte_i − 96)·256 (letters land at ±small amplitudes, spaces at
+    * −16384 — the "loud" events), mono PCM16 at 8 kHz through the REAL
+    * RIFF writer ([[graft.operators.Multimodal.Wav.render]], LIST-INFO
+    * chunk included so decode always exercises the walker's skip path).
+    */
+  private[graft] def renderedWavOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val inEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    implicit val outEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val samples = text.getBytes("US-ASCII")
+          .map(b => (((b & 0xff) - 96) * 256).toShort)
+        (id, graft.operators.Multimodal.Wav.render(8000, samples))
+      })
+      .toDF("doc_id", "wav")
+  }
+
+  /** q134: REAL audio decode + windowed activity — the rendered WAVs
+    * parsed back by the genuine RIFF chunk walker and reduced to
+    * per-clip integer stats plus a 100-sample-window mean-|amplitude|
+    * activity gate (the VAD-lite segmentation precursor). The oracle
+    * recomputes every stat from the sample DEFINITION — hash equality
+    * proves the JVM render → walk → parse round trip preserved every
+    * sample, the q42 epistemics in the audio domain.
+    */
+  def q134AudioStats(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.pcmWindowStats(spark,
+        renderedWavOf(Tables.balanced(spark, d, "documents")),
+        "doc_id", "wav", window = 100, activeMeanAbs = 5600L)
+      .select(col("id").as("doc_id"), col("sample_rate"), col("n_samples"),
+        col("sample_sum"), col("sample_sqsum"), col("peak_abs"),
+        col("n_windows"), col("active_windows"))
+
   /** q96: the decode member over the same rendered P6 blobs through the
     * REAL [[graft.operators.Multimodal.PpmCodec]] — width/height from the
     * parsed header, byteSum/first/last over the pixel payload only.
@@ -609,6 +647,7 @@ object LlmPipelines {
     "q121_image_neardup" -> q121ImageNearDup _,
     "q124_pipeline_v4" -> q124PipelineV4 _,
     "q96_ppm_decode" -> q96PpmDecode _,
+    "q134_audio_stats" -> q134AudioStats _,
     "q38_ann_ivf_topk" -> q38AnnIvfTopK _,
     "q39_embedding_neardup" -> q39EmbeddingNearDup _,
     "q24_text_stats" -> q24TextStats _,

@@ -817,6 +817,33 @@ object Oracles {
          |  CAST(ascii(substr(px, length(px), 1)) AS INTEGER) AS last_byte
          |FROM f""".stripMargin,
 
+    // q134: audio stats from the sample DEFINITION — (ascii−96)·256 per
+    // text byte — never from the blob; equality with the engine's
+    // render→walk→parse path proves the RIFF round trip sample-exact.
+    "q134_audio_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+         |  FROM documents),
+         |s AS (SELECT doc_id, n, i,
+         |    CAST((ascii(substr(text, CAST(i AS INT), 1)) - 96) * 256 AS BIGINT)
+         |      AS v
+         |  FROM (SELECT doc_id, text, n, unnest(range(1, n+1)) AS i FROM t)),
+         |w AS (SELECT doc_id, (i-1)//100 AS wi,
+         |    CAST(sum(abs(v)) AS BIGINT) AS asum, count(*) AS wn
+         |  FROM s GROUP BY doc_id, (i-1)//100),
+         |act AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |    CAST(sum(CASE WHEN asum // wn >= 5600 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS active_windows
+         |  FROM w GROUP BY doc_id),
+         |agg AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS sample_sum,
+         |    CAST(sum(v*v) AS BIGINT) AS sample_sqsum,
+         |    CAST(max(abs(v)) AS BIGINT) AS peak_abs
+         |  FROM s GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(8000 AS INT) AS sample_rate,
+         |  t.n AS n_samples, agg.sample_sum, agg.sample_sqsum, agg.peak_abs,
+         |  act.n_windows, act.active_windows
+         |FROM t JOIN agg ON t.doc_id = agg.doc_id
+         |JOIN act ON t.doc_id = act.doc_id""".stripMargin,
+
     "q36_frame_sample" ->
       s"""WITH f AS (SELECT doc_id, text, length(text) AS len,
          |    greatest(1, length(text) // 4) AS n, unnest(range(0, 4)) AS frame

@@ -131,4 +131,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r._5 == org.apache.commons.codec.digest.DigestUtils
       .md5Hex(Multimodal.Ppm.resizeNearest(ppm3x3, 2)))
   }
+
+  test("Wav: render → parse round-trips every sample; the walker skips LIST") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -4242)
+    val bytes = Multimodal.Wav.render(8000, samples)
+    // withMeta's sniffer recognizes the container
+    assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    // the LIST-INFO chunk is physically present between fmt and data —
+    // parse succeeding AT ALL exercises the unknown-chunk skip path
+    assert(new String(bytes).contains("LIST"))
+    val (rate, back) = Multimodal.Wav.parse(bytes)
+    assert(rate == 8000)
+    assert(back.toSeq == samples.toSeq)
+  }
+
+  test("Wav: odd-sized unknown chunks are word-aligned past; corrupt blobs fail loudly") {
+    // splice an ODD-sized junk chunk before data: the walker must pad
+    val good = Multimodal.Wav.render(16000, Array[Short](7, -7))
+    val dataIdx = {
+      var i = 12
+      while (new String(good, i, 4, "US-ASCII") != "data") i += 1
+      i
+    }
+    val junk = "junk".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0) // size 3 + pad
+    val spliced = good.take(dataIdx) ++ junk ++ good.drop(dataIdx)
+    // patch the RIFF size for the inserted bytes
+    val riffSz = (spliced.length - 8)
+    spliced(4) = (riffSz & 0xff).toByte
+    spliced(5) = ((riffSz >> 8) & 0xff).toByte
+    val (rate, back) = Multimodal.Wav.parse(spliced)
+    assert(rate == 16000 && back.toSeq == Seq[Short](7, -7))
+    // corrupt: not RIFF / stereo fmt must throw, never garbage-decode
+    assertThrows[IllegalArgumentException](
+      Multimodal.Wav.parse("nope".getBytes("US-ASCII")))
+    val stereo = Multimodal.Wav.render(8000, Array[Short](1)).clone()
+    val fmtIdx = {
+      var i = 12
+      while (new String(stereo, i, 4, "US-ASCII") != "fmt ") i += 1
+      i
+    }
+    stereo(fmtIdx + 10) = 2 // channels LE16 -> 2
+    assertThrows[IllegalArgumentException](Multimodal.Wav.parse(stereo))
+  }
+
+  test("pcmWindowStats: integer stats and the activity gate match a by-hand clip") {
+    import spark.implicits._
+    // 5 samples, window 2: |v| means per window = (3+5)/2=4, (0+8)/2=4, 2/1=2
+    val s = Array[Short](3, -5, 0, 8, -2)
+    val df = Seq((9L, Multimodal.Wav.render(8000, s))).toDF("id", "wav")
+    val out = Multimodal.pcmWindowStats(spark, df, "id", "wav",
+        window = 2, activeMeanAbs = 4L)
+      .as[Multimodal.PcmStats].head()
+    assert(out == Multimodal.PcmStats(9L, 8000, 5L,
+      sample_sum = 4L, sample_sqsum = 9 + 25 + 0 + 64 + 4,
+      peak_abs = 8L, n_windows = 3L, active_windows = 2L))
+  }
 }
