@@ -421,6 +421,47 @@ object Multimodal {
     }
   }
 
+  /** 56-bit acoustic fingerprint — the audio member of the perceptual
+    * dedup family (dHash's construction transplanted to the energy
+    * envelope, the no-FFT core of the classic audio-fingerprint
+    * recipes): mean-|amplitude| per `window` samples, bit i set iff
+    * energy RISES from window i to i+1 (strict), first 56 deltas, short
+    * clips leave trailing bits 0. Same width and banding as the image
+    * dHash, so [[graft.operators.TextDedup.hammingPairs]] /
+    * `hammingPairsAgainst` serve audio near-dup unchanged — a
+    * re-encoded or slightly-edited clip keeps its envelope SHAPE (and
+    * its fingerprint) while byte hashes all differ.
+    */
+  def audioFingerprint(spark: SparkSession, df: DataFrame, idCol: String,
+                       binCol: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    implicit val enc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (_, s) = Wav.parse(bytes)
+          val nw = (s.length + window - 1) / window
+          val es = new Array[Long](nw)
+          var w0 = 0; var k = 0
+          while (w0 < s.length) {
+            val end = math.min(w0 + window, s.length)
+            var a = 0L; var j = w0
+            while (j < end) { a += math.abs(s(j).toLong); j += 1 }
+            es(k) = a / (end - w0); k += 1; w0 = end
+          }
+          var fp = 0L; var i = 0
+          while (i < math.min(56, nw - 1)) {
+            if (es(i + 1) > es(i)) fp |= 1L << (55 - i)
+            i += 1
+          }
+          (id, fp)
+        }
+      }
+      .toDF("id", "afp")
+  }
+
   /** Windowed PCM energy/activity over (id, wav) rows — the VAD-lite
     * every audio-training pipeline runs before segmentation: per
     * `window` samples, mean |amplitude| decides an active (speech-ish)

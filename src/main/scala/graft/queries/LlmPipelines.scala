@@ -443,6 +443,22 @@ object LlmPipelines {
         col("sample_sum"), col("sample_sqsum"), col("peak_abs"),
         col("n_windows"), col("active_windows"))
 
+  /** q135: acoustic-fingerprint near-dup — the audio member of the
+    * perceptual dedup family (q121's image dHash, q67's text SimHash):
+    * the rendered clips' energy envelopes become 56-bit rise/fall
+    * fingerprints ([[graft.operators.Multimodal.audioFingerprint]],
+    * 8-sample windows) paired by the SAME hamming pigeonhole banding
+    * the image path uses — dedup × {text, image, audio}, one pairing
+    * machine.
+    */
+  def q135AudioNearDup(spark: SparkSession, d: String): DataFrame =
+    graft.operators.TextDedup.hammingPairs(
+      graft.operators.Multimodal.audioFingerprint(spark,
+          renderedWavOf(Tables.balanced(spark, d, "documents")),
+          "doc_id", "wav", window = 8)
+        .select(col("id").as("doc"), col("afp")),
+      "doc", "afp", bits = 56, maxHamming = 4, bands = 8)
+
   /** q96: the decode member over the same rendered P6 blobs through the
     * REAL [[graft.operators.Multimodal.PpmCodec]] — width/height from the
     * parsed header, byteSum/first/last over the pixel payload only.
@@ -648,6 +664,7 @@ object LlmPipelines {
     "q124_pipeline_v4" -> q124PipelineV4 _,
     "q96_ppm_decode" -> q96PpmDecode _,
     "q134_audio_stats" -> q134AudioStats _,
+    "q135_audio_neardup" -> q135AudioNearDup _,
     "q38_ann_ivf_topk" -> q38AnnIvfTopK _,
     "q39_embedding_neardup" -> q39EmbeddingNearDup _,
     "q24_text_stats" -> q24TextStats _,

@@ -844,6 +844,35 @@ object Oracles {
          |FROM t JOIN agg ON t.doc_id = agg.doc_id
          |JOIN act ON t.doc_id = act.doc_id""".stripMargin,
 
+    // q135: acoustic-fingerprint near-dup — 8-sample energy windows from
+    // the sample definition, rise/fall bits packed high-to-low (bit
+    // 55−i set iff window i+1 is louder than window i), brute-force
+    // hamming confirm at ≤ 4 (the banding is recall-exact there, so the
+    // pair SETS match).
+    "q135_audio_neardup" ->
+      s"""WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+         |  FROM documents),
+         |s AS (SELECT doc_id, i,
+         |    CAST(abs((ascii(substr(text, CAST(i AS INT), 1)) - 96) * 256)
+         |      AS BIGINT) AS av
+         |  FROM (SELECT doc_id, text, n, unnest(range(1, n+1)) AS i FROM t)),
+         |w AS (SELECT doc_id, (i-1)//8 AS wi,
+         |    CAST(sum(av) AS BIGINT) // count(*) AS e
+         |  FROM s GROUP BY doc_id, (i-1)//8),
+         |wl AS (SELECT doc_id, list(e ORDER BY wi) AS es FROM w GROUP BY doc_id),
+         |fp AS (SELECT doc_id,
+         |    CAST(list_reduce([0::BIGINT] ||
+         |      list_transform(range(1, least(57, len(es))),
+         |        i -> CASE WHEN es[CAST(i+1 AS INT)] > es[CAST(i AS INT)]
+         |             THEN (1::BIGINT << CAST(56 - i AS INT))
+         |             ELSE 0::BIGINT END),
+         |      (a, b) -> a + b) AS BIGINT) AS afp
+         |  FROM wl)
+         |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.afp, b2.afp)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b2 ON a.doc_id < b2.doc_id
+         |WHERE bit_count(xor(a.afp, b2.afp)) <= 4""".stripMargin,
+
     "q36_frame_sample" ->
       s"""WITH f AS (SELECT doc_id, text, length(text) AS len,
          |    greatest(1, length(text) // 4) AS n, unnest(range(0, 4)) AS frame

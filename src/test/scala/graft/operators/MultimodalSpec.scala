@@ -176,6 +176,32 @@ class MultimodalSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Multimodal.Wav.parse(stereo))
   }
 
+  test("audioFingerprint: rise/fall bits by hand; an edited clip stays a near-dup while its byte hash moves") {
+    import spark.implicits._
+    // window=2 energies: (4,4)->4, (8,8)->8, (2,2)->2, (6,6)->6 →
+    // deltas rise, fall, rise → bits 55 and 53
+    val s = Array[Short](4, -4, 8, 8, -2, 2, 6, -6)
+    val df = Seq((1L, Multimodal.Wav.render(8000, s))).toDF("id", "wav")
+    val fp = Multimodal.audioFingerprint(spark, df, "id", "wav", window = 2)
+      .as[(Long, Long)].head()._2
+    assert(fp == ((1L << 55) | (1L << 53)))
+    // a lightly edited long clip: one sample nudged — envelope shape
+    // (and fingerprint) barely moves, the byte hash completely does
+    val rnd = new scala.util.Random(5)
+    val long1 = Array.fill(400)((rnd.nextInt(8000) - 4000).toShort)
+    val long2 = long1.clone(); long2(200) = (long2(200) + 300).toShort
+    val two = Seq((1L, Multimodal.Wav.render(8000, long1)),
+      (2L, Multimodal.Wav.render(8000, long2))).toDF("id", "wav")
+    val pairs = graft.operators.TextDedup.hammingPairs(
+        Multimodal.audioFingerprint(spark, two, "id", "wav", window = 8)
+          .select(col("id").as("doc"), col("afp")),
+        "doc", "afp", bits = 56, maxHamming = 4, bands = 8)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.length == 1 && pairs.head._3 <= 4)
+    assert(!java.util.Arrays.equals(Multimodal.Wav.render(8000, long1),
+      Multimodal.Wav.render(8000, long2)))
+  }
+
   test("pcmWindowStats: integer stats and the activity gate match a by-hand clip") {
     import spark.implicits._
     // 5 samples, window 2: |v| means per window = (3+5)/2=4, (0+8)/2=4, 2/1=2
