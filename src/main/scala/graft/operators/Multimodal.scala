@@ -395,6 +395,10 @@ object Multimodal {
       while (o + 8 <= riffEnd) {
         val cid = new String(bytes, o, 4, "US-ASCII")
         val sz = rdLe32(bytes, o + 4)
+        // a corrupt negative size would walk o BACKWARDS — an infinite
+        // loop on attacker-shaped bytes, the worst failure mode a
+        // decoder can have; reject before using it
+        require(sz >= 0, s"negative chunk size $sz at offset $o")
         val payload = o + 8
         cid match {
           case "fmt " =>

@@ -329,6 +329,13 @@ object Incremental {
     * (convKey, turnId, ts, role, content); re-rendering is a pure
     * function of the registry, so stream ≡ batch over any chunking
     * (StreamBatchEquivalenceSpec, including a replayed chunk).
+    *
+    * Scan cost note: the registry READ here is a full-file scan per
+    * batch (the join prunes rows, not files). At production registry
+    * sizes, write the registry bucketed/partitioned by a conv-hash so
+    * the touched-conversation lookup prunes partitions — the
+    * bucketed-registry pattern SCALE.md records for the block registry;
+    * the operator shape is unchanged.
     */
   def streamingSftRender(stream: DataFrame, checkpointDir: String,
                          outPath: String, registryPath: String)
@@ -377,6 +384,14 @@ object Incremental {
     * registry twins share): a doc is a duplicate iff its normalized
     * fingerprint was seen in an earlier batch (registry hit) or earlier
     * in its own batch (batch-internal window).
+    *
+    * Maintenance notes: the partials store grows one row per (source,
+    * batch) — [[compactRegistry]]-style folding of partials older than
+    * the stream's replayable horizon (sum them into a base row) bounds
+    * it; compacting batches the checkpoint can still replay would
+    * un-dedupe them, so fold strictly behind the committed offset. The
+    * fingerprint registry read is a full scan per batch (bucket it by
+    * fp-hash at production sizes, as above).
     */
   def streamingDatasetCard(stream: DataFrame, checkpointDir: String,
                            partialsPath: String, registryPath: String)

@@ -174,6 +174,16 @@ class MultimodalSpec extends AnyFunSuite {
     }
     stereo(fmtIdx + 10) = 2 // channels LE16 -> 2
     assertThrows[IllegalArgumentException](Multimodal.Wav.parse(stereo))
+    // a NEGATIVE chunk size must throw, not walk the offset backwards
+    // into an infinite loop
+    val neg = Multimodal.Wav.render(8000, Array[Short](1)).clone()
+    val listIdx = {
+      var i = 12
+      while (new String(neg, i, 4, "US-ASCII") != "LIST") i += 1
+      i
+    }
+    neg(listIdx + 7) = 0x80.toByte // size high byte -> negative int32
+    assertThrows[IllegalArgumentException](Multimodal.Wav.parse(neg))
   }
 
   test("audioFingerprint: rise/fall bits by hand; an edited clip stays a near-dup while its byte hash moves") {
