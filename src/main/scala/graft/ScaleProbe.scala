@@ -261,6 +261,13 @@ object ScaleProbe {
           "src", size(graft.functions.Text.tokens(col("text"))).cast("long"),
           budget = 100000L).count()
       }
+      time(s"audio-fp+pairs ${factor}x (${5000 * factor} clips)") {
+        val fps = graft.operators.Multimodal.audioFingerprint(spark,
+          graft.queries.LlmPipelines.renderedWavOf(docs), "doc_id", "wav",
+          window = 8).select(col("id").as("doc"), col("afp"))
+        graft.operators.TextDedup.hammingPairs(fps, "doc", "afp", 56, 4, 8,
+          maxBucket = 64L).count()
+      }
       val ev = materialize(eventsAt(spark, d, factor), s"/tmp/scale/prepev$factor")
       time(s"sft-render ${factor}x (${100000 * factor} events)") {
         val sess = graft.operators.Sessionize.assign(
