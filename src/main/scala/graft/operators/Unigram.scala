@@ -144,4 +144,34 @@ object Unigram {
         (-col("__dp.nsc")).as("score") :+
         ltrim(col("__dp.seg")).as("pieces"): _*)
   }
+
+  /** One hard-EM (Viterbi-EM) refinement of the vocabulary — the
+    * re-estimate + prune step of the Kudo training loop, in its
+    * hard-assignment form: segment the corpus under the CURRENT scores
+    * (the Viterbi E-step), re-score every piece by its frequency-weighted
+    * USAGE in those segmentations (the count M-step), and DROP
+    * multi-char pieces the optimal segmentations never used (the
+    * pruning that shrinks a seeded vocabulary toward pieces that earn
+    * their place) — single characters are always retained (usage score,
+    * possibly 0: the alphabet is the fallback and must never vanish).
+    * Returns the refined (piece, score) vocabulary, bounded by
+    * |vocab| + |alphabet| like the input.
+    *
+    * Scale shape: one [[segment]] pass over the distinct-word table +
+    * one explode/aggregate over its (short) piece strings; the refined
+    * vocabulary is collected at the same bounded driver scale the
+    * caller already collected `vocab` at.
+    */
+  def refineVocab(words: DataFrame, word: String, freq: String,
+                  vocab: Seq[(String, Long)], maxLen: Int): Seq[(String, Long)] = {
+    val usage = segment(
+        words.select(col(word).as("w"), col(freq).cast("long").as("__f")),
+        "w", vocab, maxLen, carry = Seq("__f"))
+      .select(col("__f"), explode(split(col("pieces"), " ")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("__f")).as("score"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val singles = vocab.filter(_._1.length == 1).map(_._1)
+    singles.map(c => c -> usage.getOrElse(c, 0L)) ++
+      usage.toSeq.filter(_._1.length >= 2).sortBy(_._1)
+  }
 }

@@ -745,7 +745,32 @@ object Curation {
           .as("bpe_shorter"))
   }
 
+  /** q136: unigram hard-EM refinement ([[graft.operators.Unigram
+    * .refineVocab]]) — the Kudo re-estimate+prune step in Viterbi-EM
+    * form: segment under the seed substring-support scores (E), re-score
+    * pieces by frequency-weighted usage and drop unused multi-char
+    * pieces (M + prune), segment again. Output = the refined
+    * segmentation; the oracle runs BOTH enumeration stages, so hash
+    * equality pins the full E→M→E pipeline (including which pieces
+    * survived pruning). The word table is persisted for its three
+    * consumers.
+    */
+  def q136UnigramEm(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.Unigram
+    val words = Tables.balanced(spark, d, "documents")
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v1 = Unigram.trainVocab(words, "w", "f", maxLen = 4, topK = 40)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val v2 = Unigram.refineVocab(words, "w", "f", v1, maxLen = 4)
+    Unigram.segment(words, "w", v2, maxLen = 4, carry = Seq("f"))
+      .select(col("w"), col("f"), col("n_pieces"), col("score"),
+        col("pieces"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_unigram_em" -> q136UnigramEm _,
     "q133_tokenizer_compare" -> q133TokenizerCompare _,
     "q132_dataset_card" -> q132DatasetCard _,
     "q131_cdc_dedup_inc" -> q131CdcDedupInc _,

@@ -2454,6 +2454,43 @@ object Oracles {
       s"WITH RECURSIVE $bpe$body"
     },
 
+    // q136: unigram hard-EM — stage 1 is the q128 chain (seed scores =
+    // substring support); stage 2 re-scores pieces by usage under the
+    // stage-1 segmentation (multis not used are PRUNED, singles always
+    // survive with their usage), then enumerates again under the
+    // refined vocabulary. Hash equality pins E→M→E end to end.
+    "q136_unigram_em" ->
+      s"""WITH RECURSIVE ${unigramSegCtes("documents", 40)},
+         |u2 AS (SELECT piece, CAST(sum(f) AS BIGINT) AS score FROM (
+         |    SELECT wf.f, unnest(string_split(useg.pieces, ' ')) AS piece
+         |    FROM useg JOIN wf ON useg.w = wf.w) GROUP BY piece),
+         |v2 AS (SELECT s.piece, CAST(COALESCE(u2.score, 0) AS BIGINT) AS score
+         |       FROM (SELECT piece FROM sub WHERE len(piece) = 1) s
+         |       LEFT JOIN u2 ON s.piece = u2.piece
+         |       UNION ALL
+         |       SELECT piece, score FROM u2 WHERE len(piece) >= 2),
+         |paths2(w, pos, np, sc, seg) AS (
+         |  SELECT w, 0, 0, 0::BIGINT, '' FROM wf
+         |  UNION ALL
+         |  SELECT p.w, p.pos + CAST(tj.j AS INT), p.np + 1,
+         |         p.sc + COALESCE(v.score, 0),
+         |         p.seg || ' ' || substr(p.w, p.pos + 1, CAST(tj.j AS INT))
+         |  FROM paths2 p
+         |  CROSS JOIN unnest(range(1, 5)) AS tj(j)
+         |  LEFT JOIN v2 v
+         |    ON v.piece = substr(p.w, p.pos + 1, CAST(tj.j AS INT))
+         |  WHERE p.pos + tj.j <= len(p.w) AND (tj.j = 1 OR v.piece IS NOT NULL)
+         |),
+         |udone2 AS (SELECT w, np, sc, ltrim(seg) AS pieces
+         |           FROM paths2 WHERE pos = len(w)),
+         |useg2 AS (SELECT w, np, sc, pieces FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY w
+         |     ORDER BY np ASC, sc DESC, pieces ASC) AS rn FROM udone2)
+         |  WHERE rn = 1)
+         |SELECT useg2.w, CAST(wf.f AS BIGINT) AS f,
+         |  CAST(np AS BIGINT) AS n_pieces, sc AS score, pieces
+         |FROM useg2 JOIN wf ON useg2.w = wf.w""".stripMargin,
+
     // q110: DSIR importance resampling — unigram+bigram OCCURRENCES
     // hashed with the portable md5 base hash into 1024 buckets; raw-side
     // (source != src0) docs scored by the exact integer arithmetic

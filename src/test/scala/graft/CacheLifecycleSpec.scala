@@ -22,7 +22,7 @@ class CacheLifecycleSpec extends AnyFunSuite {
   // per-domain supply table.
   private val heavy = Seq("q109_pipeline_v2", "q106_bpe_segment",
     "q115_pipeline_v3", "q128_unigram_segment", "q126_epoch_allocation",
-    "q133_tokenizer_compare")
+    "q133_tokenizer_compare", "q136_unigram_em")
 
   test("clearAll leaves no cached datasets and no persisted RDDs after heavy queries") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")

@@ -95,6 +95,26 @@ class UnigramSpec extends AnyFunSuite {
     assert(v("ab") == 7L && v("a") == 7L)
   }
 
+  test("refineVocab: unused multi-char pieces are pruned, singles survive with usage") {
+    // seed vocab makes "ab"+"cd" optimal for "abcd"; "bc" never wins
+    val vocab = Seq("ab" -> 9L, "cd" -> 9L, "bc" -> 1L,
+      "a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L)
+    val words = Seq(("abcd", 5L), ("ab", 2L)).toDF("w", "f")
+    val v2 = Unigram.refineVocab(words, "w", "f", vocab, maxLen = 4).toMap
+    assert(v2("ab") == 7L, "usage = 5 (in abcd) + 2 (alone)")
+    assert(v2("cd") == 5L)
+    assert(!v2.contains("bc"), "never-used piece pruned")
+    assert(v2("a") == 0L && v2("b") == 0L, "unused singles kept at usage 0")
+    // re-segmentation under the refined vocab is still the enumeration
+    // optimum for that vocab
+    val got = segment(Seq("abcd", "abab"), v2.toSeq)
+    val vm = v2
+    Seq("abcd", "abab").foreach { w =>
+      val (np, sc, seg) = bruteBest(w, vm)
+      assert(got(w) == ((np.toLong, sc, seg)), s"word '$w'")
+    }
+  }
+
   test("oversized word fails loudly instead of building an O(len²) DP row") {
     val e = intercept[Exception] {
       segment(Seq("x" * 65), Seq("x" -> 1L))
