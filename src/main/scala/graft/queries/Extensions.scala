@@ -361,6 +361,13 @@ object Extensions {
     * `mask_starts`/`mask_ends` (0-based character offsets into
     * `rendered`). ONE user-keyed exchange serves the sessionizer, the
     * offset windows, and the per-session rollup (plan-pinned).
+    *
+    * PUBLIC projection emits the mask arrays as canonical JSON strings
+    * (`to_json` — `[5,17]`, `[]` when empty): the driver's oracle
+    * harness sorts result rows with pandas, which cannot factorize
+    * array cells, so every registered query's output must be scalar-only
+    * (pinned repo-wide in ContractSpec). [[Sft.renderChat]] keeps the
+    * typed `array<long>` API for library users (SftSpec pins it).
     */
   def q127SftRender(spark: SparkSession, d: String): DataFrame = {
     val ev = Tables.eventsWithUs(spark, d)
@@ -373,6 +380,8 @@ object Extensions {
       role = when(col("event_type").isin("click", "view", "signup"), "user")
         .otherwise("assistant"),
       content = concat(col("event_type"), lit("="), col("value_c")))
+      .withColumn("mask_starts", to_json(col("mask_starts")))
+      .withColumn("mask_ends", to_json(col("mask_ends")))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

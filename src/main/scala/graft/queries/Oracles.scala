@@ -1621,7 +1621,11 @@ object Oracles {
     // ordered string_agg/list rebuilds. Mask spans cover assistant
     // CONTENT only: start = cum + len(role) + 4 ('<|' + '|>'), end = cum
     // + len(segment) − 1 (trailing newline excluded); empty (not NULL)
-    // lists when a session has no assistant turn.
+    // lists when a session has no assistant turn. Mask lists are emitted
+    // as canonical JSON strings (to_json, '[5,17]' / '[]') matching the
+    // engine's public projection — the driver's pandas-based row sort
+    // cannot factorize array cells (ContractSpec pins scalar-only
+    // outputs repo-wide).
     "q127_sft_render" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
          |    event_type, $CentsValue AS value_c FROM events),
@@ -1649,12 +1653,14 @@ object Oracles {
          |  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_assistant,
          |  string_agg(segment, '' ORDER BY ts_us, event_id) AS rendered,
-         |  COALESCE(list(CAST(cum + len(role) + 4 AS BIGINT)
+         |  to_json(COALESCE(list(CAST(cum + len(role) + 4 AS BIGINT)
          |      ORDER BY ts_us, event_id)
-         |    FILTER (WHERE role = 'assistant'), []::BIGINT[]) AS mask_starts,
-         |  COALESCE(list(CAST(cum + len(segment) - 1 AS BIGINT)
+         |    FILTER (WHERE role = 'assistant'), []::BIGINT[]))::VARCHAR
+         |    AS mask_starts,
+         |  to_json(COALESCE(list(CAST(cum + len(segment) - 1 AS BIGINT)
          |      ORDER BY ts_us, event_id)
-         |    FILTER (WHERE role = 'assistant'), []::BIGINT[]) AS mask_ends
+         |    FILTER (WHERE role = 'assistant'), []::BIGINT[]))::VARCHAR
+         |    AS mask_ends
          |FROM o GROUP BY user_id, session_seq""".stripMargin,
 
     // Morton spread: the standard mask cascade, identical longs on both

@@ -28,6 +28,31 @@ class ContractSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("every registered query's PUBLIC output schema is scalar-only") {
+    // The driver's correctness gate sorts result rows with pandas
+    // sort_values, which throws on array/struct/map cells (unhashable
+    // ndarray in factorize) — round 12's q127 was green in the dev
+    // harness and red in the driver for exactly this. Operators may
+    // return typed arrays (Sft.renderChat does, SftSpec pins it); the
+    // REGISTERED projection must canonicalize them (to_json) first.
+    import org.apache.spark.sql.types._
+    val spark = TestSpark.spark
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val schema = fn(spark, "/root/testdata/sf0.001").schema
+        schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+                    f.dataType.isInstanceOf[StructType] ||
+                    f.dataType.isInstanceOf[MapType] ||
+                    f.dataType.isInstanceOf[BinaryType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar public output columns (driver cannot sort these):\n" +
+        offenders.mkString("\n"))
+  }
+
   test("query names are unique across the contributing registries") {
     import graft.queries._
     val maps = Seq(Relational.all, JsonPipelines.all, LlmPipelines.all,

@@ -44,6 +44,26 @@ for name in sorted(oracle):
         print(f"FAIL {name}: columns {list(s.columns)} vs {list(d.columns)}"); fail += 1; continue
     if len(s) != len(d):
         print(f"FAIL {name}: rows {len(s)} vs {len(d)}"); fail += 1; continue
+    # The DRIVER's gate sorts with pandas sort_values, which throws on
+    # array/struct cells (unhashable ndarray in factorize). astype(str)
+    # below would mask exactly that (the round-12 q127 dev-green /
+    # driver-red gap), so fail loudly on any non-scalar cell first.
+    def nonscalar_cols(df):
+        import numpy as np
+        bad = []
+        for c in df.columns:
+            col = df[c]
+            if col.dtype == object and len(col) > 0:
+                v = col.iloc[0]
+                if isinstance(v, (list, dict, tuple, np.ndarray)):
+                    bad.append(c)
+        return bad
+    ns = nonscalar_cols(spark_df) + nonscalar_cols(duck_df)
+    if ns:
+        print(f"FAIL {name}: non-scalar columns {sorted(set(ns))} — the "
+              f"driver's pandas sort cannot factorize these; emit JSON "
+              f"strings (to_json) in the public projection")
+        fail += 1; continue
     sv = sorted(map(tuple, s.astype(str).values.tolist()))
     dv = sorted(map(tuple, d.astype(str).values.tolist()))
     if sv != dv:
