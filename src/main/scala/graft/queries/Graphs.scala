@@ -98,8 +98,21 @@ object Graphs {
     try {
       var reg = Components.emptyRegistry(spark, ed, "src")
       (0 until 3).foreach { i =>
-        // eager checkpoint between folds: each fold's relabel work runs
-        // NOW (while ed is cached) and plans stay flat across the chain
+        // EAGER checkpoint between folds — measured, not assumed (r13):
+        // the lazy form is 0.6-0.8 s SLOWER here (4.2-4.5 s vs 3.6 s
+        // min-of-2 A/B at sf0.1), because the next fold reads the
+        // registry from two stages of one job (endpoint lookup +
+        // relabel scan) and an unmaterialized lazy checkpoint gets
+        // computed by both before its cache populates. Eager pays one
+        // scheduling round to make every later read a cache hit.
+        // batchDistinct stays FALSE although ed is globally distinct:
+        // the per-fold dedup shuffle doubles as AQE compaction (the
+        // filtered batch inherits ed's 32 cached partitions; post-
+        // shuffle it coalesces to match its few-KB volume), and the
+        // interleaved A/B measured the "optimized" skip 0.6 s SLOWER
+        // (3.9-4.3 s vs 3.3-3.5 s) — every downstream tiny stage paid
+        // 32 tasks instead of 1. At cluster scale AQE sizes the same
+        // shuffle by data, so this is not a local-only hack.
         reg = Components.updateRegistry(reg,
             ed.filter(col("__batch") === i), "src", "dst")
           .localCheckpoint(true)
