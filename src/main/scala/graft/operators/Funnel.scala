@@ -31,8 +31,9 @@ object Funnel {
     * the chain.
     *
     * @param events  one event frame; `user`/`time`/`id` name its columns
-    *                (`id` must cast to long — it is each hop's
-    *                deterministic tiebreak at duplicate timestamps)
+    *                (`id` must be an INTEGRAL type, enforced — it is
+    *                each hop's long tiebreak at duplicate timestamps,
+    *                and a non-integral id would cast to null silently)
     * @param steps   one predicate per funnel step, in order (size ≥ 2)
     * @param windows windows(i) = max age (in `time` units) of a step-i+1
     *                match when enriching step i+2 — the per-hop window,
@@ -48,6 +49,19 @@ object Funnel {
     require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
     require(windows.size == steps.size - 1,
       s"need one window per hop: ${steps.size - 1} hops, ${windows.size} windows")
+    // the id is each hop's deterministic tiebreak, compared AS A LONG
+    // inside AsOf.backward — a non-integral id would silently cast to
+    // null there and collapse the tiebreak order, so reject it by type
+    // here where the caller can see it
+    events.schema(id).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"funnel id column '$id' must be an integral type (it is the " +
+          s"per-hop long tiebreak); got ${other.simpleString}")
+    }
     def stepCol(i: Int) = s"step${i + 1}_id"
     def stepDf(i: Int) = events.filter(steps(i))
       .select(col(user), col(time), col(id).as(stepCol(i)))

@@ -368,7 +368,7 @@ object Multimodal {
       // conformant LIST-INFO: 'INFO' type + one ISFT sub-chunk ("graft\0")
       val info = "INFO".getBytes("US-ASCII") ++
         "ISFT".getBytes("US-ASCII") ++ le32(6) ++
-        "graft ".getBytes("US-ASCII")
+        "graft\u0000".getBytes("US-ASCII")
       val fmt = le16(1) ++ le16(1) ++ le32(sampleRate) ++
         le32(sampleRate * 2) ++ le16(2) ++ le16(16)
       val body = "WAVE".getBytes("US-ASCII") ++
@@ -388,7 +388,11 @@ object Multimodal {
         new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
         new String(bytes, 8, 4, "US-ASCII") == "WAVE",
         "not a RIFF/WAVE blob")
-      val riffEnd = math.min(bytes.length, 8 + rdLe32(bytes, 4))
+      // declared RIFF size is UNSIGNED 32-bit: read through a long so a
+      // >2 GiB declaration clamps to the buffer instead of overflowing
+      // Int into a negative riffEnd (which would skip the walk entirely)
+      val riffEnd =
+        math.min(bytes.length.toLong, 8L + (rdLe32(bytes, 4) & 0xffffffffL)).toInt
       var o = 12
       var rate = -1
       var samples: Array[Short] = null
@@ -400,6 +404,14 @@ object Multimodal {
         // decoder can have; reject before using it
         require(sz >= 0, s"negative chunk size $sz at offset $o")
         val payload = o + 8
+        // the declared size must FIT what remains: a huge positive sz
+        // (e.g. 2^31−8) would overflow payload+sz negative and re-enter
+        // the loop at a negative offset, and a truncated blob whose data
+        // chunk over-declares would AIOOBE from a raw byte read — both
+        // fail here by contract instead
+        require(sz <= riffEnd - payload,
+          s"chunk $cid at offset $o declares $sz bytes but only " +
+            s"${riffEnd - payload} remain")
         cid match {
           case "fmt " =>
             require(sz >= 16, s"fmt chunk too small: $sz")

@@ -259,8 +259,14 @@ object Sampling {
     * per-domain unique-token supply, decide how many EPOCHS of each domain
     * a training run should take. Target tokens per domain come from the
     * same α=0.5 temperature weights as [[mixingWeights]] (upsample rare
-    * domains) apportioned by integer largest remainder (Σ targets =
-    * `budget` exactly); a domain whose target exceeds `maxEpochsMicro`
+    * domains) apportioned by cumulative-share differencing — target_g =
+    * floor(B·C_g/W) − floor(B·C_{g−1}/W) over the group-ordered
+    * cumulative weight C — so Σ targets = `budget` EXACTLY by
+    * telescoping, for any budget and any weight rounding (the
+    * largest-remainder form this replaced was only exact while the
+    * ppm-rounding drift stayed under the domain count — r13 advice);
+    * the B·C products run in DECIMAL(38,0), so budgets past 2^63/10^6
+    * do not overflow. A domain whose target exceeds `maxEpochsMicro`
     * (micro-epochs, default 4.0 — the paper's "repeating beyond ~4 epochs
     * is worth almost nothing" knee) passes of its supply is CAPPED there,
     * and the shortfall is reported as `starved_tokens` (the tokens the
@@ -290,26 +296,27 @@ object Sampling {
       aggregate(array_sort(collect_list(sqrt(col("u_tokens")))), lit(0.0),
         (acc, x) => acc + x).as("__tot")))
     val tiny = Window.partitionBy() // ≤ |domains| rows — deliberate
-    val ordD = Window.orderBy(col("__rem").desc, col(group).asc)
-    val ordA = Window.orderBy(col("__rem").asc, col(group).asc)
+    val ordG = Window.orderBy(col(group).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     supply.crossJoin(total)
       .withColumn("weight_pm",
         round(lit(1000000.0) * sqrt(col("u_tokens")) / col("__tot")).cast("long"))
       .drop("__tot")
-      .withColumn("__base", expr(s"(${budget}L * weight_pm) div 1000000"))
-      .withColumn("__rem", expr(s"(${budget}L * weight_pm) % 1000000"))
-      .withColumn("__deficit", lit(budget) - sum(col("__base")).over(tiny))
-      .withColumn("__rd", row_number().over(ordD))
-      .withColumn("__ra", row_number().over(ordA))
-      .withColumn("target_tokens", greatest(lit(0L), col("__base")
-        + when(col("__deficit") > 0 && col("__rd") <= col("__deficit"), 1L)
-          .otherwise(0L)
-        - when(col("__deficit") < 0 && col("__ra") <= -col("__deficit"), 1L)
-          .otherwise(0L)))
+      // cumulative-share differencing: floor(B·C/W) is nondecreasing in
+      // the cumulative weight C, its per-domain difference is ≥ 0 and
+      // within 1 of the proportional share, and the sum telescopes to
+      // floor(B·W/W) = B — exact with no deficit pass. DECIMAL(38,0)
+      // holds B·C (≤ ~10^25 for a Long budget and ppm weights) where the
+      // Long product overflowed past budget ≈ 9.2e12.
+      .withColumn("__w", sum(col("weight_pm")).over(tiny))
+      .withColumn("__cum", sum(col("weight_pm")).over(ordG))
+      .withColumn("target_tokens",
+        expr(s"(CAST($budget AS DECIMAL(38,0)) * __cum) div __w" +
+          s" - (CAST($budget AS DECIMAL(38,0)) * (__cum - weight_pm)) div __w"))
       .withColumn("epochs_micro", least(lit(maxEpochsMicro),
-        expr("(1000000 * target_tokens) div u_tokens")))
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * target_tokens) div u_tokens")))
       .withColumn("served_tokens", least(col("target_tokens"),
-        expr(s"(${maxEpochsMicro}L * u_tokens) div 1000000")))
+        expr(s"(CAST($maxEpochsMicro AS DECIMAL(38,0)) * u_tokens) div 1000000")))
       .withColumn("starved_tokens",
         col("target_tokens") - col("served_tokens"))
       .select(col(group), col("u_tokens"), col("weight_pm"),

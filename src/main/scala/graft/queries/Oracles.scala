@@ -839,10 +839,14 @@ object Oracles {
          |    CAST(max(abs(v)) AS BIGINT) AS peak_abs
          |  FROM s GROUP BY doc_id)
          |SELECT t.doc_id, CAST(8000 AS INT) AS sample_rate,
-         |  t.n AS n_samples, agg.sample_sum, agg.sample_sqsum, agg.peak_abs,
-         |  act.n_windows, act.active_windows
-         |FROM t JOIN agg ON t.doc_id = agg.doc_id
-         |JOIN act ON t.doc_id = act.doc_id""".stripMargin,
+         |  t.n AS n_samples,
+         |  COALESCE(agg.sample_sum, 0) AS sample_sum,
+         |  COALESCE(agg.sample_sqsum, 0) AS sample_sqsum,
+         |  COALESCE(agg.peak_abs, 0) AS peak_abs,
+         |  COALESCE(act.n_windows, 0) AS n_windows,
+         |  COALESCE(act.active_windows, 0) AS active_windows
+         |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+         |LEFT JOIN act ON t.doc_id = act.doc_id""".stripMargin,
 
     // q135: acoustic-fingerprint near-dup — 8-sample energy windows from
     // the sample definition, rise/fall bits packed high-to-low (bit
@@ -2279,9 +2283,12 @@ object Oracles {
          |FROM c""".stripMargin,
 
     // q126: data-constrained epoch allocation — q64's sqrt-weight fold
-    // over per-source token supply, q123's largest-remainder
-    // apportionment of the 100k budget, 4.0-epoch (micro) cap, shortfall
-    // as starved_tokens. All-integer beyond the sorted sqrt fold.
+    // over per-source token supply, the 100k budget apportioned by
+    // cumulative-share differencing (floor(B·cum/W) diffed per source —
+    // telescopes to B exactly for any weight rounding; HUGEINT products
+    // mirror the engine's DECIMAL(38,0)), 4.0-epoch (micro) cap,
+    // shortfall as starved_tokens. All-integer beyond the sorted sqrt
+    // fold.
     "q126_epoch_allocation" ->
       s"""WITH c AS (SELECT source,
          |    CAST(sum(len($Toks)) AS BIGINT) AS u_tokens
@@ -2291,24 +2298,22 @@ object Oracles {
          |wt AS (SELECT source, u_tokens,
          |    CAST(round(1000000.0 * sqrt(u_tokens) / tot) AS BIGINT) AS weight_pm
          |  FROM c CROSS JOIN t),
-         |ap AS (SELECT *, (100000 * weight_pm) // 1000000 AS base,
-         |    (100000 * weight_pm) % 1000000 AS rem FROM wt),
-         |d AS (SELECT *, 100000 - sum(base) OVER () AS deficit,
-         |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rd,
-         |    row_number() OVER (ORDER BY rem ASC, source ASC) AS ra
-         |  FROM ap),
-         |tg AS (SELECT source, u_tokens, weight_pm, greatest(0, base
-         |    + CASE WHEN deficit > 0 AND rd <= deficit THEN 1 ELSE 0 END
-         |    - CASE WHEN deficit < 0 AND ra <= -deficit THEN 1 ELSE 0 END)
-         |    AS target FROM d)
+         |ap AS (SELECT *, sum(weight_pm) OVER () AS w,
+         |    sum(weight_pm) OVER (ORDER BY source ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM wt),
+         |tg AS (SELECT source, u_tokens, weight_pm,
+         |    (100000::HUGEINT * cum) // w
+         |      - (100000::HUGEINT * (cum - weight_pm)) // w AS target
+         |  FROM ap)
          |SELECT source, u_tokens, weight_pm,
          |  CAST(target AS BIGINT) AS target_tokens,
-         |  CAST(least(4000000, (1000000 * target) // u_tokens) AS BIGINT)
-         |    AS epochs_micro,
-         |  CAST(least(target, (4000000 * u_tokens) // 1000000) AS BIGINT)
-         |    AS served_tokens,
-         |  CAST(target - least(target, (4000000 * u_tokens) // 1000000) AS BIGINT)
-         |    AS starved_tokens
+         |  CAST(least(4000000, (1000000::HUGEINT * target) // u_tokens)
+         |    AS BIGINT) AS epochs_micro,
+         |  CAST(least(target, (4000000::HUGEINT * u_tokens) // 1000000)
+         |    AS BIGINT) AS served_tokens,
+         |  CAST(target - least(target, (4000000::HUGEINT * u_tokens) // 1000000)
+         |    AS BIGINT) AS starved_tokens
          |FROM tg""".stripMargin,
 
     // q132: dataset card — q26's normalized fingerprint (global

@@ -115,5 +115,13 @@ class FunnelSpec extends AnyFunSuite {
         Seq(col("event_type") === "a", col("event_type") === "b"),
         Seq(1L, 2L))
     }
+    // a non-integral id must be rejected by type, not silently cast to
+    // null inside the hop tiebreak (the as-of compares it as a long)
+    val strId = df.withColumn("event_id", col("event_id").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      Funnel.funnelN(strId, "user_id", "ts", "event_id",
+        Seq(col("event_type") === "a", col("event_type") === "b"), Seq(1L))
+    }
+    assert(e.getMessage.contains("integral"))
   }
 }

@@ -184,6 +184,39 @@ class MultimodalSpec extends AnyFunSuite {
     }
     neg(listIdx + 7) = 0x80.toByte // size high byte -> negative int32
     assertThrows[IllegalArgumentException](Multimodal.Wav.parse(neg))
+    // a HUGE positive chunk size (2^31−8: payload+sz overflows Int
+    // negative) must fail by contract, not re-enter the walk at a
+    // negative offset / AIOOBE from a raw read
+    val huge = Multimodal.Wav.render(8000, Array[Short](1)).clone()
+    val hugeListIdx = {
+      var i = 12
+      while (new String(huge, i, 4, "US-ASCII") != "LIST") i += 1
+      i
+    }
+    huge(hugeListIdx + 4) = 0xf8.toByte // size LE32 = 0x7ffffff8
+    huge(hugeListIdx + 5) = 0xff.toByte
+    huge(hugeListIdx + 6) = 0xff.toByte
+    huge(hugeListIdx + 7) = 0x7f.toByte
+    val hugeErr = intercept[IllegalArgumentException](Multimodal.Wav.parse(huge))
+    assert(hugeErr.getMessage.contains("declares"))
+    // a TRUNCATED blob whose data chunk over-declares must throw the
+    // documented IllegalArgumentException, not a raw
+    // ArrayIndexOutOfBoundsException from rdLe16
+    val whole = Multimodal.Wav.render(8000, Array[Short](5, 6, 7, 8))
+    val truncated = whole.take(whole.length - 4)
+    // keep the declared RIFF size honest about the truncation being
+    // inside the data chunk (riffEnd clamps to bytes.length anyway)
+    val truncErr =
+      intercept[IllegalArgumentException](Multimodal.Wav.parse(truncated))
+    assert(truncErr.getMessage.contains("declares"))
+    // a >2 GiB DECLARED RIFF SIZE (unsigned 32-bit) must clamp to the
+    // buffer, not overflow Int into a negative riffEnd that skips the
+    // walk and reports "no data chunk" for a perfectly valid body
+    val bigRiff = Multimodal.Wav.render(8000, Array[Short](9, -9)).clone()
+    bigRiff(4) = 0xff.toByte; bigRiff(5) = 0xff.toByte
+    bigRiff(6) = 0xff.toByte; bigRiff(7) = 0xff.toByte
+    val (bigRate, bigBack) = Multimodal.Wav.parse(bigRiff)
+    assert(bigRate == 8000 && bigBack.toSeq == Seq[Short](9, -9))
   }
 
   test("audioFingerprint: rise/fall bits by hand; an edited clip stays a near-dup while its byte hash moves") {
@@ -223,5 +256,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out == Multimodal.PcmStats(9L, 8000, 5L,
       sample_sum = 4L, sample_sqsum = 9 + 25 + 0 + 64 + 4,
       peak_abs = 8L, n_windows = 3L, active_windows = 2L))
+  }
+
+  test("pcmWindowStats: a zero-sample clip emits a zero row, never drops (r13 advice)") {
+    import spark.implicits._
+    // the q134 oracle used to INNER-join its per-sample CTEs back to the
+    // doc table, silently dropping a clip the engine keeps — pin the
+    // engine's side of the contract: one row, all stats zero
+    val df = Seq((3L, Multimodal.Wav.render(8000, Array.empty[Short])))
+      .toDF("id", "wav")
+    val out = Multimodal.pcmWindowStats(spark, df, "id", "wav",
+        window = 2, activeMeanAbs = 4L)
+      .as[Multimodal.PcmStats].collect()
+    assert(out.toSeq == Seq(Multimodal.PcmStats(3L, 8000, 0L,
+      sample_sum = 0L, sample_sqsum = 0L, peak_abs = 0L,
+      n_windows = 0L, active_windows = 0L)))
   }
 }

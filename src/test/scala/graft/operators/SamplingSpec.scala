@@ -229,6 +229,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(big._5 == big._3)
   }
 
+  test("epochAllocation: exact at huge budgets and under ppm-rounding drift (r13 advice)") {
+    // budget ≫ 9.2e12: the old `1000000 * target` Long product overflowed
+    // here, and the old largest-remainder pass could miss the budget by
+    // budget·|Σweight_pm − 10^6|/10^6 — far beyond its ±1-per-domain
+    // correction. The telescoping form must hit the budget exactly.
+    val hugeBudget = 5000000000000000L // 5e15 tokens
+    val domains = (1 to 37).map(i => (f"d$i%02d", (i * i * 1000L + i)))
+    val out = alloc(domains, hugeBudget)
+    assert(out.map(_._3).sum == hugeBudget, "Σ target_tokens = budget (5e15)")
+    assert(out.forall(_._3 >= 0L), "telescoped targets are non-negative")
+    // epochs_micro stays sane (no overflow wraparound negatives)
+    assert(out.forall(r => r._4 >= 0L && r._4 <= 4000000L))
+  }
+
   test("epochAllocation: served ≤ target, epochs consistent with served") {
     val out = alloc(Seq("a" -> 777L, "b" -> 10L, "c" -> 123456L), 54321L)
     out.foreach { case (_, u, target, em, served, starved) =>
