@@ -8,55 +8,61 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** The ROUND-11 query registry, frozen: `subset_total_prev_round` sums
+  /** The ROUND-12 query registry, frozen: `subset_total_prev_round` sums
     * timings over exactly this set, so cross-round totals compare like
     * with like — round 10's +14% "regression" took a session of forensics
     * to attribute to new queries + driver testdata regeneration (verdict
     * r10 item 5); this field makes the split arithmetic. Append-only per
-    * round: refresh to the PREVIOUS round's registry when adding queries.
+    * round: refresh to the PREVIOUS round's registry when adding queries
+    * (r13 refresh: the 136-query r12 set, was the 119-query r11 set).
     */
   val prevRoundQueries: Set[String] = Set(
       "q01_agg_sum_groupby", "q02_filter_time_range", "q03_filter_in_projection",
       "q04_join_left_enrich", "q05_join_inner_agg", "q06_argmax_per_day",
       "q07_distinct_content_key", "q08_agg_min_max", "q09_json_extract",
-      "q100_span_dedup", "q101_jsonlines_roundtrip",
-      "q102_span_dedup_incremental", "q103_lm_fluency", "q104_ccnet_gate",
-      "q105_bpe_merges", "q106_bpe_segment", "q107_lm_backoff",
-      "q108_tiered_sink", "q109_pipeline_v2",
-      "q110_dsir_select", "q111_span_corrupt", "q112_example_prep",
-      "q113_substring_excise", "q114_substring_excise_inc",
-      "q115_pipeline_v3", "q116_cohort_retention", "q117_dsir_production",
-      "q118_graph_components", "q119_funnel3", "q10_dedup_newest_wins",
-      "q11_dedup_content_hash", "q12_geo_haversine", "q13_vertex_ref_roundtrip",
-      "q14_collect_sorted_list", "q15_json_fallback_coalesce",
-      "q16_window_rewards_5d", "q17_daily_balances", "q18_upsert_update",
-      "q19_upsert_ignore", "q20_retention_filter", "q21_payment_json_pipeline",
-      "q22_witness_explode_pipeline", "q23_payment_v2_explode_all",
+      "q100_span_dedup", "q101_jsonlines_roundtrip", "q102_span_dedup_incremental",
+      "q103_lm_fluency", "q104_ccnet_gate", "q105_bpe_merges",
+      "q106_bpe_segment", "q107_lm_backoff", "q108_tiered_sink",
+      "q109_pipeline_v2", "q10_dedup_newest_wins", "q110_dsir_select",
+      "q111_span_corrupt", "q112_example_prep", "q113_substring_excise",
+      "q114_substring_excise_inc", "q115_pipeline_v3", "q116_cohort_retention",
+      "q117_dsir_production", "q118_graph_components", "q119_funnel3",
+      "q11_dedup_content_hash", "q120_components_incremental", "q121_image_neardup",
+      "q122_funnel4", "q123_temperature_resample", "q124_pipeline_v4",
+      "q125_chunk_windows", "q126_epoch_allocation", "q127_sft_render",
+      "q128_unigram_segment", "q129_retrieval_index", "q12_geo_haversine",
+      "q130_cdc_chunks", "q131_cdc_dedup_inc", "q132_dataset_card",
+      "q133_tokenizer_compare", "q134_audio_stats", "q135_audio_neardup",
+      "q136_unigram_em", "q13_vertex_ref_roundtrip", "q14_collect_sorted_list",
+      "q15_json_fallback_coalesce", "q16_window_rewards_5d", "q17_daily_balances",
+      "q18_upsert_update", "q19_upsert_ignore", "q20_retention_filter",
+      "q21_payment_json_pipeline", "q22_witness_explode_pipeline", "q23_payment_v2_explode_all",
       "q24_text_stats", "q25_lang_id", "q26_fingerprint_dedup",
       "q27_ngram_jaccard_pairs", "q28_minhash_lsh_pairs", "q29_simhash",
       "q30_cosine_topk", "q31_ann_lsh_topk", "q32_graph_edges",
       "q33_city_pagerank", "q34_city_betweenness", "q35_binary_features",
       "q36_frame_sample", "q37_cell_decode", "q38_ann_ivf_topk",
       "q39_embedding_neardup", "q40_bpe_token_count", "q41_ann_adaptive_topk",
-      "q42_ppm_resize", "q43_dup_clusters", "q44_asof_join", "q45_range_join",
-      "q46_hash_split", "q47_city_hits", "q48_sequence_packing",
-      "q49_quality_gate", "q50_kmeans_refine", "q51_ann_multiprobe",
-      "q52_asof_nearest", "q53_topk_agg", "q54_balanced_mix",
-      "q55_ann_multitable", "q56_interval_overlap", "q57_dedup_corpus",
-      "q58_incremental_neardup", "q59_sessionize", "q60_tfidf_top_term",
-      "q61_contamination", "q62_repetition_signals", "q63_length_quantiles",
-      "q64_mix_weights", "q65_boilerplate", "q66_salted_join",
-      "q67_simhash_pairs", "q68_funnel", "q69_rolling_window", "q70_novelty",
-      "q71_hard_negatives", "q72_novelty_against", "q73_oov_rate",
-      "q74_curation_pipeline", "q75_icosa_decode", "q76_append_series",
-      "q77_merge_metrics", "q78_incremental_driver", "q79_pq_encode",
-      "q80_pq_adc_topk", "q81_ivf_pq_topk", "q82_cms_heavy_hitters",
-      "q83_kmv_distinct", "q84_hist_quantiles", "q85_bloom_contamination",
-      "q86_zorder_layout", "q87_pii_redaction", "q88_time_split",
-      "q89_decayed_features", "q90_stratified_sample", "q91_partitioned_driver",
-      "q92_ivf_pq_indexed", "q93_pq_trained", "q94_balances_rebuild",
-      "q95_nan_scrub", "q96_ppm_decode", "q97_ann_production",
-      "q98_semantic_dedup", "q99_split_leakage")
+      "q42_ppm_resize", "q43_dup_clusters", "q44_asof_join",
+      "q45_range_join", "q46_hash_split", "q47_city_hits",
+      "q48_sequence_packing", "q49_quality_gate", "q50_kmeans_refine",
+      "q51_ann_multiprobe", "q52_asof_nearest", "q53_topk_agg",
+      "q54_balanced_mix", "q55_ann_multitable", "q56_interval_overlap",
+      "q57_dedup_corpus", "q58_incremental_neardup", "q59_sessionize",
+      "q60_tfidf_top_term", "q61_contamination", "q62_repetition_signals",
+      "q63_length_quantiles", "q64_mix_weights", "q65_boilerplate",
+      "q66_salted_join", "q67_simhash_pairs", "q68_funnel",
+      "q69_rolling_window", "q70_novelty", "q71_hard_negatives",
+      "q72_novelty_against", "q73_oov_rate", "q74_curation_pipeline",
+      "q75_icosa_decode", "q76_append_series", "q77_merge_metrics",
+      "q78_incremental_driver", "q79_pq_encode", "q80_pq_adc_topk",
+      "q81_ivf_pq_topk", "q82_cms_heavy_hitters", "q83_kmv_distinct",
+      "q84_hist_quantiles", "q85_bloom_contamination", "q86_zorder_layout",
+      "q87_pii_redaction", "q88_time_split", "q89_decayed_features",
+      "q90_stratified_sample", "q91_partitioned_driver", "q92_ivf_pq_indexed",
+      "q93_pq_trained", "q94_balances_rebuild", "q95_nan_scrub",
+      "q96_ppm_decode", "q97_ann_production", "q98_semantic_dedup",
+      "q99_split_leakage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -75,6 +75,7 @@ object ScaleProbe {
       "packing", "relational", "topk", "kmeans", "sinks", "pq", "sketch",
       "prune", "sinkbig", "pqtrain", "spandedup", "jsonlines", "tiered", "bpe",
       "dsir", "spancorrupt", "substr", "lshskew", "ccdiam", "imagededup",
+      "videodedup",
       "ccinc", "funnel", "prep")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
@@ -340,6 +341,38 @@ object ScaleProbe {
       time(s"dhash-pairs-capped64 ${factor}x") {
         TextDedup.hammingPairs(hashes, "doc", "dhash", 56, 2, 8,
           maxBucket = 64L).count()
+      }
+      spark.catalog.clearCache()
+    }
+    // Video near-dup (q138 chain: render P6 streams → walk frames →
+    // per-frame dHash → frame-packed hamming pairing → per-pair rollup).
+    // Same adversarial population as imagededup (replica-prefixed texts
+    // collapse small frames into giant identical-fingerprint clusters),
+    // multiplied by up to 4 frames per video — uncapped at 1× only, the
+    // capped curve must track the corpus ~linearly.
+    if (want("videodedup")) for (factor <- Seq(1, 4, 16, 64)) {
+      val docs = materialize(docsAt(spark, d, factor), s"/tmp/scale/viddocs$factor")
+      def fps = graft.operators.Multimodal.videoDHash(spark,
+        graft.queries.LlmPipelines.renderedP6StreamOf(docs), "doc_id", "video")
+        .select((col("id") * 4 + col("frame")).as("doc"), col("dhash"))
+      time(s"video-dhash ${factor}x (${5000 * factor} videos, walk+decode only)") {
+        fps.count()
+      }
+      def rollup(pairs: org.apache.spark.sql.DataFrame) = pairs
+        .filter(pmod(col("doc_a"), lit(4)) === pmod(col("doc_b"), lit(4)))
+        .select(expr("doc_a div 4").as("doc_a"), expr("doc_b div 4").as("doc_b"),
+          col("hamming"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n"), min(col("hamming")).as("mh"))
+      if (factor <= 1) {
+        time(s"video-pairs-uncapped ${factor}x") {
+          rollup(TextDedup.hammingPairs(fps, "doc", "dhash", 56, 2, 8)).count()
+        }
+        spark.catalog.clearCache()
+      }
+      time(s"video-pairs-capped64 ${factor}x") {
+        rollup(TextDedup.hammingPairs(fps, "doc", "dhash", 56, 2, 8,
+          maxBucket = 64L)).count()
       }
       spark.catalog.clearCache()
     }

@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * REAL — [[Ppm]] parses the public header+raw-pixels format and
   * [[Ppm.resizeNearest]] downsamples in the pixel domain, no libraries
   * needed (q42/q96 are oracle-checked over it) — and so is WAV audio:
-  * [[Wav]] walks genuine RIFF chunks to PCM16 samples (q134). Only
-  * formats needing an entropy codec (JPEG/PNG/MP3) remain behind
+  * [[Wav]] walks genuine RIFF chunks to PCM16 samples (q134) — and so
+  * is video: [[P6Stream]] walks concatenated P6 frames by their own
+  * parsed extents (q137/q138). Only formats needing an entropy codec
+  * (JPEG/PNG/MP3, mp4/mkv) remain behind
   * [[DeterministicStubCodec]], which derives features from the raw bytes
   * so the pipeline shape (schema, partitioning, batch flow, feature
   * fan-out) stays real and testable; a production codec (javacv/ffmpeg)
@@ -80,12 +82,15 @@ object Multimodal {
     private def isWs(b: Byte): Boolean =
       b == ' ' || b == '\n' || b == '\r' || b == '\t'
 
-    /** Parse the P6 header → (width, height, maxval, payload offset).
-      * Fails loudly on anything that is not a well-formed P6 — a silent
-      * fallback would turn corrupt media into plausible features.
+    /** Parse the P6 header at `start` → (width, height, maxval, payload
+      * offset — ABSOLUTE into `bytes`). Fails loudly on anything that is
+      * not a well-formed P6 — a silent fallback would turn corrupt media
+      * into plausible features. The `start` offset is what lets
+      * [[P6Stream]] walk concatenated frames without slicing (a
+      * per-frame copy would make an F-frame walk O(F·size)).
       */
-    def parseHeader(bytes: Array[Byte]): (Int, Int, Int, Int) = {
-      var i = 0
+    def parseHeader(bytes: Array[Byte], start: Int = 0): (Int, Int, Int, Int) = {
+      var i = start
       def skipWsAndComments(): Unit = {
         var moved = true
         while (moved) {
@@ -154,6 +159,142 @@ object Multimodal {
     }
   }
 
+  /** "P6 stream" video container — concatenated binary P6 frames, the
+    * trivial PUBLIC container that makes video decode REAL in this
+    * sandbox (the [[Wav]] playbook in the video domain): each frame
+    * declares its own extent (header + 3·w·h payload bytes), so
+    * splitting the stream is a genuine container walk — every frame
+    * boundary comes from PARSING the previous frame, never from byte
+    * arithmetic over the whole blob — and each frame is a standalone
+    * [[Ppm]] image every image operator already handles. A production
+    * build swaps this walker for a demuxer (mp4/mkv need entropy
+    * codecs this container cannot ship); per-frame stats, dHash, and
+    * hamming near-dup downstream are container-agnostic.
+    */
+  object P6Stream {
+
+    /** One walked frame: index, header start, parsed dims, absolute
+      * payload offset, and the frame's end offset (= next header).
+      */
+    case class FrameRef(index: Int, start: Int, w: Int, h: Int,
+                        payload: Int, end: Int)
+
+    /** Walk the stream — lazily, in place (no per-frame slice). A
+      * corrupt frame (bad magic, truncated payload) fails loudly
+      * mid-walk, the [[Wav.parse]] contract. An empty stream yields no
+      * frames.
+      */
+    def frames(bytes: Array[Byte]): Iterator[FrameRef] =
+      new Iterator[FrameRef] {
+        private var off = 0
+        private var idx = 0
+        def hasNext: Boolean = off < bytes.length
+        def next(): FrameRef = {
+          val (w, h, _, payload) = Ppm.parseHeader(bytes, off)
+          val end = payload + 3 * w * h
+          val f = FrameRef(idx, off, w, h, payload, end)
+          off = end; idx += 1
+          f
+        }
+      }
+
+    /** Concatenate standalone P6 frames into a stream (the fixture
+      * renderer's other half; `frames(render(fs))` walks back exactly
+      * the inputs).
+      */
+    def render(fs: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new Array[Byte](fs.map(_.length).sum)
+      var o = 0
+      fs.foreach { f => System.arraycopy(f, 0, out, o, f.length); o += f.length }
+      out
+    }
+  }
+
+  /** The 56-bit dHash core over an in-place P6 payload (9×7 luma grid,
+    * bit yo·8+xo set when the left sample is strictly brighter) — shared
+    * verbatim by the single-image path ([[dHashPpm]]) and the per-frame
+    * video path ([[videoDHash]]), so "video near-dup" is BY CONSTRUCTION
+    * the image fingerprint applied per frame, not a third hash to
+    * cross-verify.
+    */
+  private def dHash56(bytes: Array[Byte], off: Int, w: Int, h: Int): Long = {
+    def gray(sx: Int, sy: Int): Int = {
+      val b = off + (sy * w + sx) * 3
+      ((bytes(b) & 0xff) + (bytes(b + 1) & 0xff) + (bytes(b + 2) & 0xff)) / 3
+    }
+    var hash = 0L
+    var yo = 0
+    while (yo < 7) {
+      val sy = yo * h / 7
+      var xo = 0
+      while (xo < 8) {
+        if (gray(xo * w / 9, sy) > gray((xo + 1) * w / 9, sy))
+          hash |= 1L << (yo * 8 + xo)
+        xo += 1
+      }
+      yo += 1
+    }
+    hash
+  }
+
+  /** One [[videoFrameStats]] output row. */
+  case class FrameStats(id: Long, frame: Int, width: Int, height: Int,
+    frame_bytes: Long, byte_sum: Long, frame_sha: String)
+
+  /** REAL frame sampling over a P6-stream binary column: walk the
+    * container ([[P6Stream.frames]]), keep every `stride`-th frame, and
+    * reduce each kept frame to integer stats + the frame's content hash
+    * — the decode→sample→featurize front of a video curation pipeline.
+    * Row-local like every codec (bytes never shuffle; only small stat
+    * rows leave the scan); the walk is sequential by construction
+    * (frame N's offset comes from parsing frame N−1), which is the
+    * container's nature, not a Spark limitation — parallelism comes
+    * from rows, exactly like production demuxing.
+    */
+  def videoFrameStats(spark: SparkSession, df: DataFrame, idCol: String,
+                      binCol: String, stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    implicit val enc: Encoder[FrameStats] = Encoders.product[FrameStats]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        P6Stream.frames(bytes)
+          .filter(_.index % stride == 0)
+          .map { f =>
+            var sum = 0L
+            var i = f.payload
+            while (i < f.end) { sum += bytes(i) & 0xff; i += 1 }
+            val frame = java.util.Arrays.copyOfRange(bytes, f.start, f.end)
+            FrameStats(id, f.index, f.w, f.h, (f.end - f.start).toLong, sum,
+              org.apache.commons.codec.digest.DigestUtils.md5Hex(frame))
+          }
+      }
+      .toDF()
+  }
+
+  /** Per-frame 56-bit dHash over a P6-stream binary column — the video
+    * member of the perceptual-fingerprint family: every `stride`-th
+    * frame hashed by the SAME [[dHash56]] the image path uses, emitted
+    * as (id, frame, dhash). Downstream near-dup is the one hamming
+    * pairing machine ([[graft.operators.TextDedup.hammingPairs]]),
+    * frame-aligned by the caller (q138 packs (id, frame) into the
+    * pairing key and rolls matched frames up per video pair).
+    */
+  def videoDHash(spark: SparkSession, df: DataFrame, idCol: String,
+                 binCol: String, stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    implicit val enc: Encoder[(Long, Int, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaLong)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        P6Stream.frames(bytes)
+          .filter(_.index % stride == 0)
+          .map(f => (id, f.index, dHash56(bytes, f.payload, f.w, f.h)))
+      }
+      .toDF("id", "frame", "dhash")
+  }
+
   /** [[MediaCodec]] over real P6 bytes: width/height come from the PARSED
     * header (not byte heuristics), byteSum/first/last from the pixel
     * payload only.
@@ -195,23 +336,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val (w, h, _, off) = Ppm.parseHeader(bytes)
-          def gray(sx: Int, sy: Int): Int = {
-            val b = off + (sy * w + sx) * 3
-            ((bytes(b) & 0xff) + (bytes(b + 1) & 0xff) + (bytes(b + 2) & 0xff)) / 3
-          }
-          var hash = 0L
-          var yo = 0
-          while (yo < 7) {
-            val sy = yo * h / 7
-            var xo = 0
-            while (xo < 8) {
-              if (gray(xo * w / 9, sy) > gray((xo + 1) * w / 9, sy))
-                hash |= 1L << (yo * 8 + xo)
-              xo += 1
-            }
-            yo += 1
-          }
-          (id, hash)
+          (id, dHash56(bytes, off, w, h))
         }
       }
       .toDF("id", "dhash")
@@ -309,9 +434,12 @@ object Multimodal {
       .toDF("id", "orig_bytes", "resized_bytes", "resized_sha")
   }
 
-  /** Frame sampling stub for "video" bytes: split into `frames` equal
-    * byte-ranges and hash each — the partition-local fan-out shape of real
-    * frame extraction (explode of per-frame rows, bytes stay local).
+  /** Byte-range fan-out for OPAQUE blobs (q36): split into `frames`
+    * equal ranges and hash each — the explode shape over a format the
+    * sandbox cannot decode. NOT the video path: real frame extraction
+    * is [[videoFrameStats]]/[[videoDHash]] over the [[P6Stream]]
+    * container, which walk genuine per-frame headers (r13 — video left
+    * the stub list).
     */
   def sampleFrames(spark: SparkSession, df: DataFrame, idCol: String,
                    binCol: String, frames: Int): DataFrame = {

@@ -459,6 +459,83 @@ object LlmPipelines {
         .select(col("id").as("doc"), col("afp")),
       "doc", "afp", bits = 56, maxHamming = 4, bands = 8)
 
+  /** Deterministic P6-STREAM "videos" rendered from the ASCII corpus —
+    * the video fixture completing the media trio (q121 images, q134
+    * audio): each document becomes 1–4 concatenated P6 frames (count
+    * from the first character), frame f sized (1 + (a1 + 3f) % 12) ×
+    * (1 + (aN + 5f) % 12) with its pixel payload the text cycled FROM
+    * OFFSET f — consecutive frames are the same text shifted one byte,
+    * a camera pan's statistical shape, so near-identical documents
+    * yield near-identical frame SEQUENCES. ASCII-only; the DuckDB twin
+    * rebuilds every frame's bytes as a string.
+    */
+  private[graft] def renderedP6StreamOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val inEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    implicit val outEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val t = text.getBytes("US-ASCII")
+        val n = t.length
+        val a1 = t(0) & 0xff
+        val aN = t(n - 1) & 0xff
+        val nFrames = 1 + a1 % 4
+        val frames = (0 until nFrames).map { f =>
+          val w = 1 + (a1 + 3 * f) % 12
+          val h = 1 + (aN + 5 * f) % 12
+          val px = new Array[Byte](3 * w * h)
+          var i = 0
+          while (i < px.length) { px(i) = t((f + i) % n); i += 1 }
+          graft.operators.Multimodal.Ppm.render(w, h, 255, px)
+        }
+        (id, graft.operators.Multimodal.P6Stream.render(frames))
+      })
+      .toDF("doc_id", "video")
+  }
+
+  /** q137: REAL video frame sampling — the rendered P6 streams walked
+    * back by [[graft.operators.Multimodal.videoFrameStats]] (every
+    * frame boundary from the previous frame's PARSED header, stride-2
+    * sampling: frames 0 and 2) and reduced to per-frame dims, byte sum,
+    * and content hash. The oracle recomputes every stat from the frame
+    * DEFINITION — hash equality proves render → concatenate → walk →
+    * parse preserved every frame byte (q134's epistemics in the video
+    * domain).
+    */
+  def q137VideoFrames(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.videoFrameStats(spark,
+        renderedP6StreamOf(Tables.balanced(spark, d, "documents")),
+        "doc_id", "video", stride = 2)
+      .select(col("id").as("doc_id"), col("frame"), col("width"),
+        col("height"), col("frame_bytes"), col("byte_sum"), col("frame_sha"))
+
+  /** q138: video near-dup — the video member of the perceptual dedup
+    * family, built from parts that already exist: per-frame 56-bit
+    * dHash ([[graft.operators.Multimodal.videoDHash]] — the image hash
+    * applied to walked frames), the SAME hamming pigeonhole banding as
+    * q121/q135 with (video, frame) packed into the pairing key (frame <
+    * 4, so key = doc·4 + frame), pairs filtered to frame-ALIGNED
+    * cross-video matches, and a per-video-pair rollup (matched-frame
+    * count + closest distance). Scale shape: decode row-local, banding
+    * never all-pairs, rollup one pair-keyed aggregate.
+    */
+  def q138VideoNearDup(spark: SparkSession, d: String): DataFrame =
+    graft.operators.TextDedup.hammingPairs(
+        graft.operators.Multimodal.videoDHash(spark,
+            renderedP6StreamOf(Tables.balanced(spark, d, "documents")),
+            "doc_id", "video")
+          .select((col("id") * 4 + col("frame")).as("doc"), col("dhash")),
+        "doc", "dhash", bits = 56, maxHamming = 2, bands = 8)
+      .filter(pmod(col("doc_a"), lit(4)) === pmod(col("doc_b"), lit(4)))
+      .select(expr("doc_a div 4").as("doc_a"),
+        expr("doc_b div 4").as("doc_b"), col("hamming"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_frames_matched"),
+        min(col("hamming")).as("min_hamming"))
+
   /** q96: the decode member over the same rendered P6 blobs through the
     * REAL [[graft.operators.Multimodal.PpmCodec]] — width/height from the
     * parsed header, byteSum/first/last over the pixel payload only.
@@ -665,6 +742,8 @@ object LlmPipelines {
     "q96_ppm_decode" -> q96PpmDecode _,
     "q134_audio_stats" -> q134AudioStats _,
     "q135_audio_neardup" -> q135AudioNearDup _,
+    "q137_video_frames" -> q137VideoFrames _,
+    "q138_video_neardup" -> q138VideoNearDup _,
     "q38_ann_ivf_topk" -> q38AnnIvfTopK _,
     "q39_embedding_neardup" -> q39EmbeddingNearDup _,
     "q24_text_stats" -> q24TextStats _,

@@ -848,6 +848,80 @@ object Oracles {
          |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
          |LEFT JOIN act ON t.doc_id = act.doc_id""".stripMargin,
 
+    // q137: video frame sampling — frames from the DEFINITION (count =
+    // 1 + ascii(first) % 4; frame f dims (1+(a1+3f)%12)×(1+(aN+5f)%12);
+    // pixels = text cycled from offset f), stride-2 sample, per-frame
+    // dims/byte-sum/md5 of the full frame bytes (header included).
+    // Equality with the engine's render→concat→walk→parse chain proves
+    // the P6-stream container round trip frame-byte-exact.
+    "q137_video_frames" ->
+      s"""WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+         |    ascii(substr(text, 1, 1)) AS a1,
+         |    ascii(substr(text, length(text), 1)) AS an
+         |  FROM documents),
+         |fr AS (SELECT doc_id, text, n, a1, an,
+         |    unnest(range(0, 1 + a1 % 4)) AS f FROM t),
+         |d AS (SELECT doc_id, text, n, f,
+         |    1 + (a1 + 3*f) % 12 AS w, 1 + (an + 5*f) % 12 AS h
+         |  FROM fr WHERE f % 2 = 0),
+         |p AS (SELECT doc_id, f, w, h,
+         |    substr(repeat(text, CAST((3*w*h + f) // n AS INT) + 1),
+         |      CAST(f + 1 AS INT), CAST(3*w*h AS INT)) AS px
+         |  FROM d),
+         |hd AS (SELECT doc_id, f, w, h, px,
+         |    'P6' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
+         |      || chr(10) || '255' || chr(10) || px AS frm
+         |  FROM p)
+         |SELECT doc_id, CAST(f AS INT) AS frame,
+         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  CAST(length(frm) AS BIGINT) AS frame_bytes,
+         |  CAST(list_reduce([0::BIGINT] || list_transform(range(1, length(px)+1),
+         |    i -> ascii(substr(px, CAST(i AS INTEGER), 1))::BIGINT), (a,b) -> a+b)
+         |    AS BIGINT) AS byte_sum,
+         |  md5(frm) AS frame_sha
+         |FROM hd""".stripMargin,
+
+    // q138: video near-dup — the q121 relational dHash per (doc, frame)
+    // over the frame definition, brute-force frame-ALIGNED pairs at
+    // hamming ≤ 2 (the banding is recall-exact there), rolled up per
+    // video pair.
+    "q138_video_neardup" ->
+      s"""WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+         |    ascii(substr(text, 1, 1)) AS a1,
+         |    ascii(substr(text, length(text), 1)) AS an
+         |  FROM documents),
+         |fr AS (SELECT doc_id, text, n, a1, an,
+         |    unnest(range(0, 1 + a1 % 4)) AS f FROM t),
+         |d AS (SELECT doc_id, text, n, f,
+         |    1 + (a1 + 3*f) % 12 AS w, 1 + (an + 5*f) % 12 AS h
+         |  FROM fr),
+         |p AS (SELECT doc_id, f, w, h,
+         |    substr(repeat(text, CAST((3*w*h + f) // n AS INT) + 1),
+         |      CAST(f + 1 AS INT), CAST(3*w*h AS INT)) AS px
+         |  FROM d),
+         |g AS (SELECT doc_id, f, w, h, px, unnest(range(0, 7)) AS yo FROM p),
+         |gx AS (SELECT doc_id, f, w, h, px, yo, (yo*h)//7 AS sy,
+         |    unnest(range(0, 8)) AS xo FROM g),
+         |b AS (SELECT doc_id, f, yo, xo,
+         |    CASE WHEN
+         |      (ascii(substr(px, CAST((sy*w + (xo*w)//9)*3 + 1 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + (xo*w)//9)*3 + 2 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + (xo*w)//9)*3 + 3 AS INTEGER), 1))) // 3
+         |      >
+         |      (ascii(substr(px, CAST((sy*w + ((xo+1)*w)//9)*3 + 1 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + ((xo+1)*w)//9)*3 + 2 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + ((xo+1)*w)//9)*3 + 3 AS INTEGER), 1))) // 3
+         |    THEN (1::BIGINT << CAST(yo*8 + xo AS INTEGER)) ELSE 0 END AS bit
+         |  FROM gx),
+         |hsh AS (SELECT doc_id, f, CAST(sum(bit) AS BIGINT) AS dhash
+         |  FROM b GROUP BY doc_id, f)
+         |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_frames_matched,
+         |  CAST(min(bit_count(xor(a.dhash, b2.dhash))) AS BIGINT) AS min_hamming
+         |FROM hsh a JOIN hsh b2 ON a.doc_id < b2.doc_id AND a.f = b2.f
+         |WHERE bit_count(xor(a.dhash, b2.dhash)) <= 2
+         |GROUP BY a.doc_id, b2.doc_id""".stripMargin,
+
     // q135: acoustic-fingerprint near-dup — 8-sample energy windows from
     // the sample definition, rise/fall bits packed high-to-low (bit
     // 55−i set iff window i+1 is louder than window i), brute-force

@@ -258,6 +258,59 @@ class MultimodalSpec extends AnyFunSuite {
       peak_abs = 8L, n_windows = 3L, active_windows = 2L))
   }
 
+  test("P6Stream: render → walk round-trips frames of different sizes; corrupt mid-stream fails loudly") {
+    val f0 = Multimodal.Ppm.render(2, 3, 255, Array.fill(18)(7.toByte))
+    val f1 = Multimodal.Ppm.render(4, 1, 255, Array.fill(12)(9.toByte))
+    val f2 = Multimodal.Ppm.render(1, 1, 255, Array[Byte](1, 2, 3))
+    val stream = Multimodal.P6Stream.render(Seq(f0, f1, f2))
+    val refs = Multimodal.P6Stream.frames(stream).toSeq
+    assert(refs.map(r => (r.index, r.w, r.h)) == Seq((0, 2, 3), (1, 4, 1), (2, 1, 1)))
+    // each frame's extent comes from ITS OWN parsed header
+    assert(refs.map(r => java.util.Arrays.copyOfRange(stream, r.start, r.end).toSeq)
+      == Seq(f0.toSeq, f1.toSeq, f2.toSeq))
+    // an empty stream yields no frames; trailing garbage fails loudly
+    assert(Multimodal.P6Stream.frames(Array.empty[Byte]).isEmpty)
+    val corrupt = stream ++ "junk".getBytes("US-ASCII")
+    assertThrows[IllegalArgumentException](
+      Multimodal.P6Stream.frames(corrupt).toSeq)
+    // a truncated final frame fails loudly too (the Wav.parse contract)
+    assertThrows[IllegalArgumentException](
+      Multimodal.P6Stream.frames(stream.take(stream.length - 1)).toSeq)
+  }
+
+  test("videoFrameStats: by-hand stats per kept frame; stride sampling keeps 0, 2") {
+    import spark.implicits._
+    val f0 = Multimodal.Ppm.render(1, 2, 255, Array[Byte](1, 2, 3, 4, 5, 6))
+    val f1 = Multimodal.Ppm.render(1, 1, 255, Array[Byte](9, 9, 9))
+    val f2 = Multimodal.Ppm.render(2, 1, 255, Array[Byte](10, 20, 30, 40, 50, 60))
+    val df = Seq((5L, Multimodal.P6Stream.render(Seq(f0, f1, f2))))
+      .toDF("id", "video")
+    val out = Multimodal.videoFrameStats(spark, df, "id", "video", stride = 2)
+      .as[Multimodal.FrameStats].collect().sortBy(_.frame)
+    assert(out.map(_.frame).toSeq == Seq(0, 2), "stride 2 keeps frames 0 and 2")
+    assert(out(0) == Multimodal.FrameStats(5L, 0, 1, 2, f0.length.toLong,
+      21L, org.apache.commons.codec.digest.DigestUtils.md5Hex(f0)))
+    assert(out(1) == Multimodal.FrameStats(5L, 2, 2, 1, f2.length.toLong,
+      210L, org.apache.commons.codec.digest.DigestUtils.md5Hex(f2)))
+  }
+
+  test("videoDHash: frame hashes equal the image dHash of each standalone frame") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val mk = (w: Int, h: Int) => Multimodal.Ppm.render(w, h, 255,
+      Array.fill(3 * w * h)((rnd.nextInt(256) - 128).toByte))
+    val frames = Seq(mk(10, 8), mk(9, 7), mk(12, 12))
+    val vid = Seq((1L, Multimodal.P6Stream.render(frames))).toDF("id", "video")
+    val perFrame = Multimodal.videoDHash(spark, vid, "id", "video")
+      .as[(Long, Int, Long)].collect().sortBy(_._2).map(_._3).toSeq
+    val standalone = frames.zipWithIndex.map { case (f, i) => (i.toLong, f) }
+      .toDF("id", "ppm")
+    val imageHashes = Multimodal.dHashPpm(spark, standalone, "id", "ppm")
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(perFrame == imageHashes,
+      "video near-dup is the image fingerprint per frame BY CONSTRUCTION")
+  }
+
   test("pcmWindowStats: a zero-sample clip emits a zero row, never drops (r13 advice)") {
     import spark.implicits._
     // the q134 oracle used to INNER-join its per-sample CTEs back to the
