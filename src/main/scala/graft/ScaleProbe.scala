@@ -75,7 +75,7 @@ object ScaleProbe {
       "packing", "relational", "topk", "kmeans", "sinks", "pq", "sketch",
       "prune", "sinkbig", "pqtrain", "spandedup", "jsonlines", "tiered", "bpe",
       "dsir", "spancorrupt", "substr", "lshskew", "ccdiam", "imagededup",
-      "videodedup",
+      "videodedup", "bucketreg",
       "ccinc", "funnel", "prep")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
@@ -375,6 +375,98 @@ object ScaleProbe {
           maxBucket = 64L)).count()
       }
       spark.catalog.clearCache()
+    }
+    // Bucketed vs flat registry lookup (the streamingImageDedupBucketed
+    // read path): a fixed 500-fingerprint batch probed against a
+    // factor-scaled dhash registry. The flat path is what every flat
+    // streaming twin does per batch — scan the WHOLE registry and join;
+    // the bucketed path pushes the batch's values into the scan as
+    // literals and bucket pruning reads only the touched buckets. The
+    // metric that matters is scanned FILES/BYTES: flat grows with the
+    // corpus, pruned is bounded by min(buckets, batch distinct values).
+    if (want("bucketreg")) {
+      // Ground-truth I/O per lookup: task-level input metrics (the scan
+      // exec's numFiles/filesSize accumulators only post to the UI
+      // store, not to the plan's local accumulator objects — measured).
+      val ioBytes = new java.util.concurrent.atomic.AtomicLong
+      val ioRecords = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (t.taskMetrics != null) {
+            ioBytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+            ioRecords.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+            ()
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def measured(f: => Long): (Long, Long, Long) = {
+        Thread.sleep(300) // drain stragglers from the previous block
+        ioBytes.set(0L); ioRecords.set(0L)
+        val n = f
+        Thread.sleep(500) // listener bus is async; let task-ends land
+        (n, ioBytes.get(), ioRecords.get())
+      }
+      // Synthetic registry of DISTINCT fingerprints (Knuth-hash spread):
+      // this probe measures the REGISTRY READ, so the registry must grow
+      // with the factor — the replica-image fixture's fingerprints
+      // collapse into a few thousand distinct values and would make
+      // every factor the same lookup.
+      // Bucket count 1024, batches of 32 and 500 distinct values: the
+      // pruning factor is selectedBuckets/totalBuckets ≈ min(1,
+      // |batch|/buckets), so the BUCKETS ≫ BATCH sizing rule is the
+      // finding this probe demonstrates (the first cut used 64 buckets
+      // against a 500-value batch — every bucket was touched and the
+      // "pruned" path read MORE than flat).
+      val BKTS = 1024
+      for (factor <- Seq(1, 4, 16, 64)) {
+        val regRows = 200000L * factor
+        val flatPath = s"/tmp/scale/bktflat$factor"
+        spark.range(regRows)
+          .select((col("id") * 2654435761L + 12345L).as("dhash"))
+          .repartition(64).write.mode("overwrite").parquet(flatPath)
+        val tbl = s"scale_bkt_reg_$factor"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        val loc = new java.io.File(new java.net.URI(
+          spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+        }
+        if (loc.exists()) rm(loc)
+        graft.sources.Bucketing.writeBucketed(
+          spark.read.parquet(flatPath), tbl, BKTS, "dhash")
+        for (batchN <- Seq(32, 500)) {
+          val batchValues = (0 until batchN)
+            .map(i => i.toLong * 397 * 2654435761L + 12345L).toArray
+          val batchDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              batchValues.toIndexedSeq.map(org.apache.spark.sql.Row(_)), 4),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("dhash",
+                org.apache.spark.sql.types.LongType))))
+          val t0 = System.nanoTime()
+          val (n1, b1, r1) = measured {
+            spark.read.parquet(flatPath)
+              .join(batchDf, Seq("dhash"), "left_semi").count()
+          }
+          val tFlat = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val (n2, b2, r2) = measured {
+            graft.sources.Bucketing.withForcedBucketedScan(spark) {
+              graft.streaming.Incremental.bucketedDhashLookup(
+                spark, tbl, batchValues).count()
+            }
+          }
+          val tBkt = (System.nanoTime() - t1) / 1e9
+          println(f"[scale] bucketreg ${factor}x ($regRows-row registry, $batchN-value batch, $BKTS buckets): " +
+            f"flat $n1 hits, $b1 bytes / $r1 records, $tFlat%.2f s; " +
+            f"pruned $n2 hits, $b2 bytes / $r2 records, $tBkt%.2f s")
+        }
+        spark.sql(s"DROP TABLE $tbl")
+        spark.catalog.clearCache()
+      }
+      spark.sparkContext.removeSparkListener(listener)
     }
     // Fixed plane count: bucket occupancy (and thus the candidate count)
     // grows linearly with the corpus while queries also grow — quadratic

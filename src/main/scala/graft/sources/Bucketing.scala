@@ -28,6 +28,45 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Append to an existing bucketed table with the SAME bucket spec
+    * (Spark rejects a mismatched spec — the layout contract is
+    * catalog-enforced, not convention). Each append adds one file per
+    * touched bucket; a long-running registry stream compacts on its
+    * own cadence ([[graft.streaming.Incremental.compactRegistry]]'s
+    * discipline applied to tables).
+    */
+  def appendBucketed(df: DataFrame, table: String, buckets: Int,
+                     key: String, moreKeys: String*): Unit =
+    df.write
+      .mode(SaveMode.Append)
+      .bucketBy(buckets, key, moreKeys: _*)
+      .sortBy(key, moreKeys: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Run `f` with Spark's auto-bucketed-scan heuristic OFF (conf
+    * restored after). The `DisableUnnecessaryBucketedScan` planner rule
+    * disables bucketed reads whenever no operator NEEDS the bucketing's
+    * output partitioning — but it does not account for bucket PRUNING,
+    * so a literal-valued lookup on the bucket key (the registry-probe
+    * shape: `WHERE dhash IN (<batch values>)`) gets planned as a full
+    * flat scan by default (measured r13: `Bucketed: false (disabled by
+    * query planner)` vs `SelectedBucketsCount: 3 out of 16` with the
+    * rule off). The conf is read at PLANNING time, i.e. at the first
+    * action — so the flip must stay open across the action, which is
+    * why this is a scope, not a builder option. Session-level conf:
+    * callers must not run CONCURRENT queries in the same session that
+    * would suffer forced bucketed scans (true inside a `foreachBatch`,
+    * which Spark serializes per query — the
+    * [[graft.operators.Components.foldIntoParquet]] caveat).
+    */
+  def withForcedBucketedScan[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** True when the executed plan of `df` contains no SHUFFLE exchange —
     * the assertion that a bucketed join was in fact co-located. Broadcast
     * and reused exchanges don't count: a broadcast dim join is co-located

@@ -279,6 +279,88 @@ object Incremental {
       }
       .start()
 
+  /** [[streamingImageDedup]] with a BUCKETED registry — the scale form
+    * of the per-batch registry read. The flat twin re-scans the WHOLE
+    * fingerprint registry every micro-batch (at 100 TB the registry is
+    * billions of rows and the scan dwarfs the batch); here the registry
+    * is a catalog table bucketed by `dhash`, and each batch's lookup
+    * pushes its OWN fingerprint values into the scan as literals
+    * ([[bucketedDhashLookup]]), so Spark's bucket pruning reads only
+    * the ≤ |batch-distinct| buckets the batch can possibly touch —
+    * per-batch scan cost tracks the BATCH, not the corpus. Measured
+    * (SCALE.md bucketreg probe): a 32-value batch against a 12.8M-row
+    * registry reads 136k records where the flat scan reads all 12.8M
+    * (94×), and the fraction tracks |batch|/buckets at every factor —
+    * which is also the SIZING RULE: pruning only prunes when buckets ≫
+    * per-batch distinct values (the probe's first cut, 500 values on
+    * 64 buckets, touched every bucket and pruned nothing). Default 64
+    * suits small batches; size buckets to ≥ 10× the expected per-batch
+    * distinct fingerprint count at deployment.
+    *
+    * The driver-side collect of the batch's distinct fingerprints is
+    * bounded by the micro-batch size (the bounded-collect rule) — that
+    * bound is what BUYS the pruning: values must be literals to reach
+    * the scan. Lookup equivalence is exact, not approximate: both the
+    * dedup anti-join and the novelty anti-join compare on `dhash`
+    * membership, and pruning keeps precisely the registry rows whose
+    * `dhash` is in the batch — rows outside the batch's value set
+    * cannot influence either join (StreamBatchEquivalenceSpec pins
+    * stream ≡ batch ≡ the flat twin, bucketed scan asserted).
+    * Same replay-safe write order (documents FIRST, registry second).
+    */
+  def streamingImageDedupBucketed(stream: DataFrame, checkpointDir: String,
+                                  outPath: String, registryTable: String,
+                                  id: String, bin: String, buckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val hashes = graft.operators.Multimodal.dHashPpm(spark, batch, id, bin)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the forced-bucketed-scan scope must span the ACTIONS (planning
+        // reads the conf then); foreachBatch serializes batches, so the
+        // session-level flip cannot race this stream's own queries
+        try graft.sources.Bucketing.withForcedBucketedScan(spark) {
+          val batchValues = hashes.select(col("dhash")).distinct()
+            .collect().map(_.getLong(0)) // bounded by the micro-batch
+          val reg = bucketedDhashLookup(spark, registryTable, batchValues)
+          val kept = graft.operators.Multimodal.dHashDedupAgainst(hashes, reg)
+          Merge.upsertParquet(spark, outPath, kept, "id", Merge.Ignore, "dhash")
+          val novel = hashes.select(col("dhash")).distinct()
+            .join(reg.select(col("dhash")), Seq("dhash"), "left_anti")
+          if (spark.catalog.tableExists(registryTable))
+            graft.sources.Bucketing.appendBucketed(novel, registryTable,
+              buckets, "dhash")
+          else
+            graft.sources.Bucketing.writeBucketed(novel, registryTable,
+              buckets, "dhash")
+          ()
+        } finally { hashes.unpersist(); () }
+      }
+      .start()
+
+  /** The batch-valued registry lookup behind
+    * [[streamingImageDedupBucketed]]: registry rows whose `dhash` is in
+    * `values`, as a bucket-PRUNED scan (the values arrive as literals,
+    * so the bucketed file source skips every bucket no value hashes
+    * into). Empty-safe before the table exists. Public at test scope so
+    * the spec can assert `usedBucketedScan` on the exact frame the
+    * twin runs.
+    */
+  private[graft] def bucketedDhashLookup(spark: SparkSession,
+                                         registryTable: String,
+                                         values: Array[Long]): DataFrame =
+    if (spark.catalog.tableExists(registryTable))
+      spark.table(registryTable)
+        .filter(col("dhash").isin(values.map(Long.box).toIndexedSeq: _*))
+        .select(col("dhash"))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dhash",
+          org.apache.spark.sql.types.LongType))))
+
   /** The fingerprint registry, empty-safe before the first batch commits. */
   private def readDhashRegistry(spark: SparkSession,
                                 registryPath: String): DataFrame = {

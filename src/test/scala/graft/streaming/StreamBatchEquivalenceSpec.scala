@@ -540,6 +540,65 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(streamed == Set(1L, 2L, 5L, 7L)) // one per distinct scene, min id
   }
 
+  test("streamingImageDedupBucketed ≡ the flat twin; the lookup is a bucket-PRUNED scan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-imgbkt")
+      .toFile.getAbsolutePath
+    import graft.operators.Multimodal.Ppm
+    def img(scene: Int): Array[Byte] = {
+      val w = 12; val h = 8
+      Ppm.render(w, h, 255, (for (y <- 0 until h; x <- 0 until w) yield {
+        val v = (x * (scene * 2 + 3) * 7) % 256
+        Array(v.toByte, v.toByte, v.toByte)
+      }).flatten.toArray)
+    }
+    val table = "graft_test_dhash_registry"
+    // drop catalog entry AND the managed location: the in-memory catalog
+    // resets per JVM but the warehouse dir persists, and saveAsTable
+    // refuses a name whose location lingers from a dead run
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    def rmAll(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmAll)
+      f.delete(); ()
+    }
+    if (warehouse.exists()) rmAll(warehouse)
+    val b1 = Seq((1L, img(0)), (2L, img(1)), (3L, img(0)))
+    val b2 = Seq((4L, img(1)), (5L, img(2)))
+    val b3 = Seq((4L, img(1)), (6L, img(0)), (7L, img(3)))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val query = Incremental.streamingImageDedupBucketed(
+      input.toDF().toDF("id", "ppm"),
+      s"$dir/ckpt", s"$dir/out", table, "id", "ppm", buckets = 16)
+    try {
+      Seq(b1, b2, b3).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("id").as[Long].collect().toSet
+    assert(streamed == Set(1L, 2L, 5L, 7L),
+      "bucketed twin ≡ flat twin ≡ batch first-wins per fingerprint")
+    // the registry holds exactly the distinct fingerprints, bucketed
+    val regHashes = spark.table(table).select("dhash").as[Long].collect()
+    assert(regHashes.length == 4 && regHashes.toSet.size == 4)
+    // the lookup the twin runs is a bucket-pruned bucketed scan: probing
+    // ONE fingerprint must read through the bucketed layout, not a full
+    // flat scan (scan-byte pruning is the whole point of the variant)
+    graft.sources.Bucketing.withForcedBucketedScan(spark) {
+      val probe = Incremental.bucketedDhashLookup(spark, table,
+        Array(regHashes.head))
+      assert(graft.sources.Bucketing.usedBucketedScan(probe),
+        "registry lookup did not go through the bucketed scan")
+      assert(probe.as[Long].collect().toSeq == Seq(regHashes.head))
+    }
+    // empty-safe before the table exists
+    spark.sql(s"DROP TABLE $table")
+    assert(Incremental.bucketedDhashLookup(spark, table, Array(1L)).count() == 0)
+  }
+
   test("streamingSpanCorrupt stream ≡ batch examples (q111 twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
