@@ -295,6 +295,40 @@ object Multimodal {
       .toDF("id", "frame", "dhash")
   }
 
+  /** Scene-cut detection over a P6-stream video column — the shot
+    * segmentation every video curation pipeline runs before sampling
+    * (cut-aware frame selection, per-shot dedup, shot-level captioning):
+    * a CUT is declared between consecutive frames whose perceptual
+    * fingerprints ([[videoDHash]]'s 56-bit dHash — the same core as
+    * image/video dedup, so "how different is the next frame" and "is
+    * this a near-dup" are the SAME metric) differ by more than
+    * `minHamming` bits. Per video: frame count, cut count, scene count
+    * (cuts + 1; 0 for an empty stream), and the hamming sum over
+    * consecutive pairs (the stream's total visual motion — a cheap
+    * static-vs-dynamic content signal).
+    *
+    * Scale shape: decode row-local; ONE video-keyed exchange serves
+    * both the consecutive-frame window and the per-video rollup (the
+    * grouping key prefixes the window's partition key — the
+    * [[Sft.renderChat]] reuse rule).
+    */
+  def sceneCuts(spark: SparkSession, df: DataFrame, idCol: String,
+                binCol: String, minHamming: Int): DataFrame = {
+    require(minHamming >= 1, s"minHamming must be >= 1, got $minHamming")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("frame").asc)
+    videoDHash(spark, df, idCol, binCol)
+      .withColumn("__prev", lag(col("dhash"), 1).over(w))
+      .withColumn("__ham", when(col("__prev").isNotNull,
+        bit_count(col("__prev").bitwiseXOR(col("dhash"))).cast("long")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("__ham") > minHamming, 1L).otherwise(0L)).as("n_cuts"),
+        (sum(when(col("__ham") > minHamming, 1L).otherwise(0L)) + 1L)
+          .as("n_scenes"),
+        coalesce(sum(col("__ham")), lit(0L)).as("motion_hamming"))
+  }
+
   /** [[MediaCodec]] over real P6 bytes: width/height come from the PARSED
     * header (not byte heuristics), byteSum/first/last from the pixel
     * payload only.

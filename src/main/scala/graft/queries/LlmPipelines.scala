@@ -536,6 +536,22 @@ object LlmPipelines {
       .agg(count(lit(1)).as("n_frames_matched"),
         min(col("hamming")).as("min_hamming"))
 
+  /** q139: scene-cut detection ([[graft.operators.Multimodal.sceneCuts]])
+    * over the rendered P6 streams — consecutive frames' dHash hamming
+    * distance against a cut threshold of 8 bits, per-video frame/cut/
+    * scene counts plus the motion-hamming sum. The fixture's per-frame
+    * dimension changes + one-byte pixel pan make inter-frame distances
+    * genuinely varied (some streams read "static", others all-cuts), so
+    * the threshold does real work; the oracle recomputes every hash and
+    * lag relationally.
+    */
+  def q139VideoScenes(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.sceneCuts(spark,
+        renderedP6StreamOf(Tables.balanced(spark, d, "documents")),
+        "doc_id", "video", minHamming = 8)
+      .select(col("id").as("doc_id"), col("n_frames"), col("n_cuts"),
+        col("n_scenes"), col("motion_hamming"))
+
   /** q96: the decode member over the same rendered P6 blobs through the
     * REAL [[graft.operators.Multimodal.PpmCodec]] — width/height from the
     * parsed header, byteSum/first/last over the pixel payload only.
@@ -744,6 +760,7 @@ object LlmPipelines {
     "q135_audio_neardup" -> q135AudioNearDup _,
     "q137_video_frames" -> q137VideoFrames _,
     "q138_video_neardup" -> q138VideoNearDup _,
+    "q139_video_scenes" -> q139VideoScenes _,
     "q38_ann_ivf_topk" -> q38AnnIvfTopK _,
     "q39_embedding_neardup" -> q39EmbeddingNearDup _,
     "q24_text_stats" -> q24TextStats _,

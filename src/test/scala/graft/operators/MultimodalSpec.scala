@@ -311,6 +311,28 @@ class MultimodalSpec extends AnyFunSuite {
       "video near-dup is the image fingerprint per frame BY CONSTRUCTION")
   }
 
+  test("sceneCuts: cuts where consecutive frame hashes diverge; singletons are one scene") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def noisy(): Array[Byte] = Multimodal.Ppm.render(10, 8, 255,
+      Array.fill(240)((rnd.nextInt(256) - 128).toByte))
+    val a = noisy(); val c = noisy()
+    // stream: a, a, c — one cut iff hamming(a,c) clears the threshold
+    val st = Seq(
+      (1L, Multimodal.P6Stream.render(Seq(a, a, c))),
+      (2L, Multimodal.P6Stream.render(Seq(a)))).toDF("id", "video")
+    val hashes = Multimodal.dHashPpm(spark,
+        Seq((0L, a), (1L, c)).toDF("id", "ppm"), "id", "ppm")
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    val hamAC = java.lang.Long.bitCount(hashes(0) ^ hashes(1)).toLong
+    assert(hamAC > 8, s"fixture degenerate: hamming(a,c) = $hamAC")
+    val out = Multimodal.sceneCuts(spark, st, "id", "video", minHamming = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 3L, 1L, 2L, hamAC), // a→a no cut (hamming 0), a→c cuts
+      (2L, 1L, 0L, 1L, 0L)))   // single frame: one scene, no motion
+  }
+
   test("pcmWindowStats: a zero-sample clip emits a zero row, never drops (r13 advice)") {
     import spark.implicits._
     // the q134 oracle used to INNER-join its per-sample CTEs back to the
