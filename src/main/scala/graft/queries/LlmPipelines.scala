@@ -536,6 +536,34 @@ object LlmPipelines {
       .agg(count(lit(1)).as("n_frames_matched"),
         min(col("hamming")).as("min_hamming"))
 
+  /** q140: SHIFT-TOLERANT video near-dup — q138's frame-ALIGNED pairing
+    * misses the most common real-world video duplicate, the TRIMMED
+    * re-upload: drop one leading frame and every index shifts, so no
+    * aligned pair survives (the exact failure fixed windows have
+    * against a 3-token edit, q130's chunking lesson in the video
+    * domain — pinned in MultimodalSpec with a trimmed fixture q138
+    * scores ZERO on). This form pairs frames by fingerprint alone
+    * (same banding machine, no frame-index condition), drops same-video
+    * pairs, and rolls up matched frame-pair count + closest distance
+    * per video pair — a trimmed/re-cut video keeps its per-frame
+    * fingerprints and still matches. Cost: identical banding shuffle;
+    * the rollup output grows with cross-video frame matches (capped by
+    * `maxBucket` at production scale like every hamming family).
+    */
+  def q140VideoNearDupShifted(spark: SparkSession, d: String): DataFrame =
+    graft.operators.TextDedup.hammingPairs(
+        graft.operators.Multimodal.videoDHash(spark,
+            renderedP6StreamOf(Tables.balanced(spark, d, "documents")),
+            "doc_id", "video")
+          .select((col("id") * 4 + col("frame")).as("doc"), col("dhash")),
+        "doc", "dhash", bits = 56, maxHamming = 2, bands = 8)
+      .filter(expr("doc_a div 4") =!= expr("doc_b div 4"))
+      .select(expr("doc_a div 4").as("doc_a"),
+        expr("doc_b div 4").as("doc_b"), col("hamming"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_frame_pairs"),
+        min(col("hamming")).as("min_hamming"))
+
   /** q139: scene-cut detection ([[graft.operators.Multimodal.sceneCuts]])
     * over the rendered P6 streams — consecutive frames' dHash hamming
     * distance against a cut threshold of 8 bits, per-video frame/cut/
@@ -761,6 +789,7 @@ object LlmPipelines {
     "q137_video_frames" -> q137VideoFrames _,
     "q138_video_neardup" -> q138VideoNearDup _,
     "q139_video_scenes" -> q139VideoScenes _,
+    "q140_video_neardup_shifted" -> q140VideoNearDupShifted _,
     "q38_ann_ivf_topk" -> q38AnnIvfTopK _,
     "q39_embedding_neardup" -> q39EmbeddingNearDup _,
     "q24_text_stats" -> q24TextStats _,

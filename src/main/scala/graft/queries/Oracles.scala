@@ -969,6 +969,47 @@ object Oracles {
          |  COALESCE(CAST(sum(ham) AS BIGINT), 0) AS motion_hamming
          |FROM hm GROUP BY doc_id""".stripMargin,
 
+    // q140: shift-tolerant video near-dup — the q138 per-(doc, frame)
+    // dHash, brute-force CROSS-video pairs with NO frame-index
+    // condition (a trimmed re-upload's shifted frames still match),
+    // rolled up per video pair.
+    "q140_video_neardup_shifted" ->
+      s"""WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+         |    ascii(substr(text, 1, 1)) AS a1,
+         |    ascii(substr(text, length(text), 1)) AS an
+         |  FROM documents),
+         |fr AS (SELECT doc_id, text, n, a1, an,
+         |    unnest(range(0, 1 + a1 % 4)) AS f FROM t),
+         |d AS (SELECT doc_id, text, n, f,
+         |    1 + (a1 + 3*f) % 12 AS w, 1 + (an + 5*f) % 12 AS h
+         |  FROM fr),
+         |p AS (SELECT doc_id, f, w, h,
+         |    substr(repeat(text, CAST((3*w*h + f) // n AS INT) + 1),
+         |      CAST(f + 1 AS INT), CAST(3*w*h AS INT)) AS px
+         |  FROM d),
+         |g AS (SELECT doc_id, f, w, h, px, unnest(range(0, 7)) AS yo FROM p),
+         |gx AS (SELECT doc_id, f, w, h, px, yo, (yo*h)//7 AS sy,
+         |    unnest(range(0, 8)) AS xo FROM g),
+         |b AS (SELECT doc_id, f, yo, xo,
+         |    CASE WHEN
+         |      (ascii(substr(px, CAST((sy*w + (xo*w)//9)*3 + 1 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + (xo*w)//9)*3 + 2 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + (xo*w)//9)*3 + 3 AS INTEGER), 1))) // 3
+         |      >
+         |      (ascii(substr(px, CAST((sy*w + ((xo+1)*w)//9)*3 + 1 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + ((xo+1)*w)//9)*3 + 2 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + ((xo+1)*w)//9)*3 + 3 AS INTEGER), 1))) // 3
+         |    THEN (1::BIGINT << CAST(yo*8 + xo AS INTEGER)) ELSE 0 END AS bit
+         |  FROM gx),
+         |hsh AS (SELECT doc_id, f, CAST(sum(bit) AS BIGINT) AS dhash
+         |  FROM b GROUP BY doc_id, f)
+         |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_frame_pairs,
+         |  CAST(min(bit_count(xor(a.dhash, b2.dhash))) AS BIGINT) AS min_hamming
+         |FROM hsh a JOIN hsh b2 ON a.doc_id < b2.doc_id
+         |WHERE bit_count(xor(a.dhash, b2.dhash)) <= 2
+         |GROUP BY a.doc_id, b2.doc_id""".stripMargin,
+
     // q135: acoustic-fingerprint near-dup — 8-sample energy windows from
     // the sample definition, rise/fall bits packed high-to-low (bit
     // 55−i set iff window i+1 is louder than window i), brute-force

@@ -311,6 +311,40 @@ class MultimodalSpec extends AnyFunSuite {
       "video near-dup is the image fingerprint per frame BY CONSTRUCTION")
   }
 
+  test("shift-tolerance: a one-frame-trimmed video matches UNALIGNED pairing, never aligned (the q130 lesson for video)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def noisy(): Array[Byte] = Multimodal.Ppm.render(10, 8, 255,
+      Array.fill(240)((rnd.nextInt(256) - 128).toByte))
+    val f0 = noisy(); val f1 = noisy(); val f2 = noisy()
+    // mutual distances must clear the threshold or the fixture is vacuous
+    val hs = Multimodal.dHashPpm(spark,
+        Seq((0L, f0), (1L, f1), (2L, f2)).toDF("id", "ppm"), "id", "ppm")
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    for (i <- 0 until 3; j <- i + 1 until 3)
+      assert(java.lang.Long.bitCount(hs(i) ^ hs(j)) > 2,
+        s"fixture degenerate: frames $i/$j collide")
+    // video 1 = (f0, f1, f2); video 2 = the TRIMMED re-upload (f1, f2)
+    val vids = Seq(
+      (1L, Multimodal.P6Stream.render(Seq(f0, f1, f2))),
+      (2L, Multimodal.P6Stream.render(Seq(f1, f2)))).toDF("id", "video")
+    val packed = Multimodal.videoDHash(spark, vids, "id", "video")
+      .select((col("id") * 4 + col("frame")).as("doc"), col("dhash"))
+    val pairs = graft.operators.TextDedup.hammingPairs(
+        packed, "doc", "dhash", bits = 56, maxHamming = 2, bands = 8)
+      .filter(expr("doc_a div 4") =!= expr("doc_b div 4"))
+    // q138's frame-ALIGNED form: every index shifted, zero matches
+    assert(pairs
+      .filter(pmod(col("doc_a"), lit(4)) === pmod(col("doc_b"), lit(4)))
+      .count() == 0, "aligned pairing must MISS the trimmed re-upload")
+    // q140's shift-tolerant form: both surviving frames match exactly
+    val shifted = pairs.select(expr("doc_a div 4").as("a"),
+        expr("doc_b div 4").as("b"), col("hamming"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(shifted.size == 2 && shifted.forall(p => p._1 == 1L && p._2 == 2L
+      && p._3 == 0L), s"expected the two trimmed frames to match: $shifted")
+  }
+
   test("sceneCuts: cuts where consecutive frame hashes diverge; singletons are one scene") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
