@@ -329,8 +329,41 @@ object Multimodal {
         coalesce(sum(col("__ham")), lit(0L)).as("motion_hamming"))
   }
 
+  /** Keyframe selection — the step after [[sceneCuts]] in a video
+    * curation pipeline: frames are assigned to scenes (scene id = running
+    * count of cuts before them, so a cut STARTS a new scene) and each
+    * scene's FIRST frame is its keyframe — the frame captioning/dedup/
+    * embedding stages run on, shrinking per-video work from frames to
+    * scenes. Output one row per scene: (id, scene, keyframe,
+    * scene_frames, keyframe_dhash) — the dhash rides along so a
+    * downstream cross-video keyframe dedup ([[TextDedup.hammingPairs]])
+    * needs no second decode.
+    *
+    * Same single-exchange shape as [[sceneCuts]]: the lag window, the
+    * running cut count, and the per-(id, scene) rollup all share the
+    * video-keyed clustering.
+    */
+  def keyframes(spark: SparkSession, df: DataFrame, idCol: String,
+                binCol: String, minHamming: Int): DataFrame = {
+    require(minHamming >= 1, s"minHamming must be >= 1, got $minHamming")
+    val byFrame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("frame").asc)
+    val runningCuts = byFrame
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    videoDHash(spark, df, idCol, binCol)
+      .withColumn("__prev", lag(col("dhash"), 1).over(byFrame))
+      .withColumn("__cut", when(col("__prev").isNotNull &&
+        bit_count(col("__prev").bitwiseXOR(col("dhash"))) > minHamming, 1L)
+        .otherwise(0L))
+      .withColumn("scene", sum(col("__cut")).over(runningCuts))
+      .groupBy(col("id"), col("scene"))
+      .agg(min(col("frame")).as("keyframe"),
+        count(lit(1)).as("scene_frames"),
+        min_by(col("dhash"), col("frame")).as("keyframe_dhash"))
+  }
+
   /** [[MediaCodec]] over real P6 bytes: width/height come from the PARSED
-    * header (not byte heuristics), byteSum/first/last from the pixel
+    * header (not byte heuristics), byteSum/first/last over the pixel
     * payload only.
     */
   object PpmCodec extends MediaCodec {

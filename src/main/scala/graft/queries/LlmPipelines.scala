@@ -564,6 +564,20 @@ object LlmPipelines {
       .agg(count(lit(1)).as("n_frame_pairs"),
         min(col("hamming")).as("min_hamming"))
 
+  /** q141: keyframe selection ([[graft.operators.Multimodal.keyframes]])
+    * — the scene assignment (running cut count, q139's 8-bit threshold)
+    * rolled to one row per scene with its first frame as the keyframe
+    * and the keyframe's dHash riding along for downstream cross-video
+    * dedup. The frames-to-scenes contraction is the point: captioning/
+    * embedding cost drops from Σ frames to Σ scenes.
+    */
+  def q141VideoKeyframes(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.keyframes(spark,
+        renderedP6StreamOf(Tables.balanced(spark, d, "documents")),
+        "doc_id", "video", minHamming = 8)
+      .select(col("id").as("doc_id"), col("scene"), col("keyframe"),
+        col("scene_frames"), col("keyframe_dhash"))
+
   /** q139: scene-cut detection ([[graft.operators.Multimodal.sceneCuts]])
     * over the rendered P6 streams — consecutive frames' dHash hamming
     * distance against a cut threshold of 8 bits, per-video frame/cut/
@@ -790,6 +804,7 @@ object LlmPipelines {
     "q138_video_neardup" -> q138VideoNearDup _,
     "q139_video_scenes" -> q139VideoScenes _,
     "q140_video_neardup_shifted" -> q140VideoNearDupShifted _,
+    "q141_video_keyframes" -> q141VideoKeyframes _,
     "q38_ann_ivf_topk" -> q38AnnIvfTopK _,
     "q39_embedding_neardup" -> q39EmbeddingNearDup _,
     "q24_text_stats" -> q24TextStats _,

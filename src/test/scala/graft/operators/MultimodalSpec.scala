@@ -367,6 +367,26 @@ class MultimodalSpec extends AnyFunSuite {
       (2L, 1L, 0L, 1L, 0L)))   // single frame: one scene, no motion
   }
 
+  test("keyframes: scene assignment by running cuts; each scene keeps its first frame + dhash") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    def noisy(): Array[Byte] = Multimodal.Ppm.render(10, 8, 255,
+      Array.fill(240)((rnd.nextInt(256) - 128).toByte))
+    val a = noisy(); val c = noisy()
+    val hs = Multimodal.dHashPpm(spark,
+        Seq((0L, a), (1L, c)).toDF("id", "ppm"), "id", "ppm")
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    assert(java.lang.Long.bitCount(hs(0) ^ hs(1)) > 8, "fixture degenerate")
+    // stream a, a, c, c: one cut at frame 2 → scenes {0,1}×{2,3}
+    val st = Seq((7L, Multimodal.P6Stream.render(Seq(a, a, c, c))))
+      .toDF("id", "video")
+    val out = Multimodal.keyframes(spark, st, "id", "video", minHamming = 8)
+      .as[(Long, Long, Int, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(out == Seq(
+      (7L, 0L, 0, 2L, hs(0)),   // scene 0: frames 0-1, keyframe 0 = a
+      (7L, 1L, 2, 2L, hs(1))))  // scene 1: frames 2-3, keyframe 2 = c
+  }
+
   test("pcmWindowStats: a zero-sample clip emits a zero row, never drops (r13 advice)") {
     import spark.implicits._
     // the q134 oracle used to INNER-join its per-sample CTEs back to the
