@@ -578,6 +578,34 @@ object LlmPipelines {
       .select(col("id").as("doc_id"), col("scene"), col("keyframe"),
         col("scene_frames"), col("keyframe_dhash"))
 
+  /** q142: PIPELINE v6 — the video curation composition: walk → per-frame
+    * dHash → scene assignment → keyframes (q141) → corpus-wide keyframe
+    * exact dedup (global first-wins per fingerprint, the q124 rule at
+    * scene granularity) → per-video VISUAL NOVELTY rollup: how many of a
+    * video's scenes carry a keyframe no earlier (video, scene) already
+    * showed. The dedup-aware selection signal a video corpus is actually
+    * curated on — a re-upload scores ~0, fresh footage ~10^6. Scale
+    * shape: decode row-local, one video-keyed exchange for scenes, one
+    * fingerprint-keyed window for the global first-wins, one video
+    * rollup; no all-pairs anywhere.
+    */
+  def q142VideoPipelineV6(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("keyframe_dhash"))
+      .orderBy(col("id").asc, col("scene").asc)
+    graft.operators.Multimodal.keyframes(spark,
+        renderedP6StreamOf(Tables.balanced(spark, d, "documents")),
+        "doc_id", "video", minHamming = 8)
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_scenes"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("novel_scenes"),
+        expr("(1000000 * sum(CASE WHEN __rn = 1 THEN 1 ELSE 0 END))" +
+          " div count(1)").as("novelty_pm"))
+      .select(col("id").as("doc_id"), col("n_scenes"), col("novel_scenes"),
+        col("novelty_pm"))
+  }
+
   /** q139: scene-cut detection ([[graft.operators.Multimodal.sceneCuts]])
     * over the rendered P6 streams — consecutive frames' dHash hamming
     * distance against a cut threshold of 8 bits, per-video frame/cut/
@@ -805,6 +833,7 @@ object LlmPipelines {
     "q139_video_scenes" -> q139VideoScenes _,
     "q140_video_neardup_shifted" -> q140VideoNearDupShifted _,
     "q141_video_keyframes" -> q141VideoKeyframes _,
+    "q142_video_pipeline_v6" -> q142VideoPipelineV6 _,
     "q38_ann_ivf_topk" -> q38AnnIvfTopK _,
     "q39_embedding_neardup" -> q39EmbeddingNearDup _,
     "q24_text_stats" -> q24TextStats _,

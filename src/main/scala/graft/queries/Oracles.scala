@@ -1060,6 +1060,62 @@ object Oracles {
          |  CAST(arg_min(dhash, f) AS BIGINT) AS keyframe_dhash
          |FROM sc GROUP BY doc_id, scene""".stripMargin,
 
+    // q142: video pipeline v6 — the q141 keyframe chain → global
+    // first-wins per keyframe fingerprint (ordered by (doc, scene)) →
+    // per-video novelty rollup in parts-per-million.
+    "q142_video_pipeline_v6" ->
+      s"""WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+         |    ascii(substr(text, 1, 1)) AS a1,
+         |    ascii(substr(text, length(text), 1)) AS an
+         |  FROM documents),
+         |fr AS (SELECT doc_id, text, n, a1, an,
+         |    unnest(range(0, 1 + a1 % 4)) AS f FROM t),
+         |d AS (SELECT doc_id, text, n, f,
+         |    1 + (a1 + 3*f) % 12 AS w, 1 + (an + 5*f) % 12 AS h
+         |  FROM fr),
+         |p AS (SELECT doc_id, f, w, h,
+         |    substr(repeat(text, CAST((3*w*h + f) // n AS INT) + 1),
+         |      CAST(f + 1 AS INT), CAST(3*w*h AS INT)) AS px
+         |  FROM d),
+         |g AS (SELECT doc_id, f, w, h, px, unnest(range(0, 7)) AS yo FROM p),
+         |gx AS (SELECT doc_id, f, w, h, px, yo, (yo*h)//7 AS sy,
+         |    unnest(range(0, 8)) AS xo FROM g),
+         |b AS (SELECT doc_id, f, yo, xo,
+         |    CASE WHEN
+         |      (ascii(substr(px, CAST((sy*w + (xo*w)//9)*3 + 1 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + (xo*w)//9)*3 + 2 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + (xo*w)//9)*3 + 3 AS INTEGER), 1))) // 3
+         |      >
+         |      (ascii(substr(px, CAST((sy*w + ((xo+1)*w)//9)*3 + 1 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + ((xo+1)*w)//9)*3 + 2 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + ((xo+1)*w)//9)*3 + 3 AS INTEGER), 1))) // 3
+         |    THEN (1::BIGINT << CAST(yo*8 + xo AS INTEGER)) ELSE 0 END AS bit
+         |  FROM gx),
+         |hsh AS (SELECT doc_id, f, CAST(sum(bit) AS BIGINT) AS dhash
+         |  FROM b GROUP BY doc_id, f),
+         |lg AS (SELECT doc_id, f, dhash,
+         |    lag(dhash) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+         |  FROM hsh),
+         |cu AS (SELECT doc_id, f, dhash,
+         |    CASE WHEN prev IS NOT NULL AND bit_count(xor(prev, dhash)) > 8
+         |      THEN 1 ELSE 0 END AS cut
+         |  FROM lg),
+         |sc AS (SELECT doc_id, f, dhash,
+         |    sum(cut) OVER (PARTITION BY doc_id ORDER BY f
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene
+         |  FROM cu),
+         |kf AS (SELECT doc_id, scene, arg_min(dhash, f) AS kd
+         |  FROM sc GROUP BY doc_id, scene),
+         |rn AS (SELECT doc_id, scene, kd,
+         |    row_number() OVER (PARTITION BY kd ORDER BY doc_id, scene) AS rn
+         |  FROM kf)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scenes,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS novel_scenes,
+         |  CAST((1000000 * sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END))
+         |    // count(*) AS BIGINT) AS novelty_pm
+         |FROM rn GROUP BY doc_id""".stripMargin,
+
     // q135: acoustic-fingerprint near-dup — 8-sample energy windows from
     // the sample definition, rise/fall bits packed high-to-low (bit
     // 55−i set iff window i+1 is louder than window i), brute-force
