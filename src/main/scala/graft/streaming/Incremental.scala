@@ -361,6 +361,60 @@ object Incremental {
         org.apache.spark.sql.types.StructField("dhash",
           org.apache.spark.sql.types.LongType))))
 
+  /** Streaming video novelty — q142's deployment shape: each micro-batch
+    * of (id, P6-stream) videos is walked → per-frame dHashed → scene-
+    * contracted to keyframes ([[graft.operators.Multimodal.keyframes]]),
+    * each keyframe is tested for visual novelty against the persistent
+    * FINGERPRINT registry (the same `dhash` registry schema the image
+    * twin uses — fingerprints are fingerprints) AND against earlier
+    * keyframes of the same batch (first-wins by (id, scene), q142's
+    * global window restricted to the batch), the per-video novelty row
+    * lands via keyed first-write-wins upsert, and the batch's novel
+    * fingerprints append to the registry. Replay-safe by the standard
+    * write order: a replayed batch recomputes novelty 0 (its
+    * fingerprints are registered) but the Ignore upsert keeps the first
+    * row.
+    *
+    * Stream ≡ batch: over ordered arrival the chained first-wins equals
+    * q142's one global (id, scene)-ordered window
+    * (StreamBatchEquivalenceSpec).
+    */
+  def streamingVideoNovelty(stream: DataFrame, checkpointDir: String,
+                            outPath: String, registryPath: String,
+                            id: String, bin: String, minHamming: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val kf = graft.operators.Multimodal.keyframes(spark, batch, id, bin,
+            minHamming)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val reg = readDhashRegistry(spark, registryPath)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("keyframe_dhash"))
+            .orderBy(col("id").asc, col("scene").asc)
+          val flagged = kf
+            .withColumn("__rn", row_number().over(w))
+            .join(reg.select(col("dhash").as("keyframe_dhash"),
+              lit(true).as("__seen")), Seq("keyframe_dhash"), "left_outer")
+          val novelty = flagged.groupBy(col("id"))
+            .agg(count(lit(1)).as("n_scenes"),
+              sum(when(col("__rn") === 1 && col("__seen").isNull, 1L)
+                .otherwise(0L)).as("novel_scenes"),
+              expr("(1000000 * sum(CASE WHEN __rn = 1 AND __seen IS NULL" +
+                " THEN 1 ELSE 0 END)) div count(1)").as("novelty_pm"))
+          Merge.upsertParquet(spark, outPath, novelty, "id", Merge.Ignore,
+            "n_scenes")
+          kf.select(col("keyframe_dhash").as("dhash")).distinct()
+            .join(reg, Seq("dhash"), "left_anti")
+            .write.mode("append").parquet(registryPath)
+          ()
+        } finally { kf.unpersist(); () }
+      }
+      .start()
+
   /** The fingerprint registry, empty-safe before the first batch commits. */
   private def readDhashRegistry(spark: SparkSession,
                                 registryPath: String): DataFrame = {

@@ -599,6 +599,66 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(Incremental.bucketedDhashLookup(spark, table, Array(1L)).count() == 0)
   }
 
+  test("streamingVideoNovelty stream ≡ the q142 global first-wins; replays land nothing (q142 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-vidnov")
+      .toFile.getAbsolutePath
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(47)
+    def noisy(): Array[Byte] = Multimodal.Ppm.render(10, 8, 255,
+      Array.fill(240)((rnd.nextInt(256) - 128).toByte))
+    val a = noisy(); val b = noisy(); val c = noisy(); val d = noisy()
+    val hs = Multimodal.dHashPpm(spark,
+        Seq((0L, a), (1L, b), (2L, c), (3L, d)).toDF("id", "ppm"), "id", "ppm")
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    for (i <- 0 until 4; j <- i + 1 until 4)
+      assert(java.lang.Long.bitCount(hs(i) ^ hs(j)) > 8,
+        s"fixture degenerate: frames $i/$j too close")
+    def vid(fs: Array[Byte]*) = Multimodal.P6Stream.render(fs)
+    val b1 = Seq((1L, vid(a, b)), (2L, vid(a, c)))
+    val b2 = Seq((3L, vid(a, b)), (4L, vid(d)))
+    val b3 = b2 // full replay: upserts must keep the first rows
+    val input = MemoryStream[(Long, Array[Byte])]
+    val query = Incremental.streamingVideoNovelty(
+      input.toDF().toDF("id", "video"),
+      s"$dir/ckpt", s"$dir/out", s"$dir/registry", "id", "video",
+      minHamming = 8)
+    try {
+      Seq(b1, b2, b3).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("id", "n_scenes", "novel_scenes", "novelty_pm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // each frame here is its own scene (all mutual hammings clear 8);
+    // first-wins across arrival order: video 1 all novel, video 2 shares
+    // keyframe a, video 3 is a visual re-upload (both seen), video 4 new
+    assert(streamed == Seq(
+      (1L, 2L, 2L, 1000000L), (2L, 2L, 1L, 500000L),
+      (3L, 2L, 0L, 0L), (4L, 1L, 1L, 1000000L)))
+    // ≡ the q142-style batch computation over everything that arrived
+    // (ordered arrival: ids ascend with time, so the chained per-batch
+    // first-wins equals ONE global (id, scene)-ordered window)
+    val all = (b1 ++ b2).toDF("id", "video")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("keyframe_dhash"))
+      .orderBy(col("id").asc, col("scene").asc)
+    val batchTwin = Multimodal.keyframes(spark, all, "id", "video", 8)
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_scenes"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("novel_scenes"),
+        expr("(1000000 * sum(CASE WHEN __rn = 1 THEN 1 ELSE 0 END))" +
+          " div count(1)").as("novelty_pm"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == batchTwin)
+    // registry = the distinct fingerprints, appended exactly once
+    assert(spark.read.parquet(s"$dir/registry").select("dhash")
+      .as[Long].collect().toSet == hs.toSet)
+  }
+
   test("streamingSpanCorrupt stream ≡ batch examples (q111 twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
