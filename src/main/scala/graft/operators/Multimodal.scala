@@ -673,6 +673,58 @@ object Multimodal {
       .toDF("id", "afp")
   }
 
+  /** VAD segmentation — the step AFTER the activity gate: contiguous
+    * runs of active windows become speech-ish SEGMENTS (the audio
+    * "sessionize"; what an ASR-training pipeline actually clips on —
+    * gaps-and-islands over the [[pcmWindowStats]] activity signal). Per
+    * segment: (id, seg, start_window, end_window, n_windows,
+    * mean_abs_sum), seg numbered 0..k−1 in time order. Decode
+    * row-local; the islands arithmetic (difference-of-ranks grouping,
+    * the [[Sessionize]] family's idiom) and the rollup share ONE
+    * clip-keyed exchange.
+    */
+  def audioSegments(spark: SparkSession, df: DataFrame, idCol: String,
+                    binCol: String, window: Int,
+                    activeMeanAbs: Long): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    implicit val enc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    val perWindow = df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val (_, s) = Wav.parse(bytes)
+        new Iterator[(Long, Long, Long)] {
+          private var w0 = 0
+          private var wi = 0L
+          def hasNext: Boolean = w0 < s.length
+          def next(): (Long, Long, Long) = {
+            val end = math.min(w0 + window, s.length)
+            var a = 0L; var j = w0
+            while (j < end) { a += math.abs(s(j).toLong); j += 1 }
+            val r = (id, wi, a / (end - w0))
+            w0 = end; wi += 1
+            r
+          }
+        }
+      }
+      .toDF("id", "wi", "mean_abs")
+    val byWi = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("wi").asc)
+    val bySeg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("start_window").asc)
+    perWindow
+      .filter(col("mean_abs") >= activeMeanAbs)
+      .withColumn("__grp", col("wi") - row_number().over(byWi))
+      .groupBy(col("id"), col("__grp"))
+      .agg(min(col("wi")).as("start_window"),
+        max(col("wi")).as("end_window"),
+        count(lit(1)).as("n_windows"),
+        sum(col("mean_abs")).as("mean_abs_sum"))
+      .withColumn("seg", row_number().over(bySeg).cast("long") - 1L)
+      .select(col("id"), col("seg"), col("start_window"), col("end_window"),
+        col("n_windows"), col("mean_abs_sum"))
+  }
+
   /** Windowed PCM energy/activity over (id, wav) rows — the VAD-lite
     * every audio-training pipeline runs before segmentation: per
     * `window` samples, mean |amplitude| decides an active (speech-ish)

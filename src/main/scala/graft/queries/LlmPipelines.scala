@@ -622,6 +622,20 @@ object LlmPipelines {
       .select(col("id").as("doc_id"), col("n_frames"), col("n_cuts"),
         col("n_scenes"), col("motion_hamming"))
 
+  /** q143: VAD segmentation ([[graft.operators.Multimodal.audioSegments]])
+    * — q134's activity gate turned into SEGMENTS: contiguous runs of
+    * active 100-sample windows become the speech-ish clips an ASR
+    * pipeline extracts (gaps-and-islands over the decoded envelope, the
+    * audio sessionize). The oracle rebuilds windows, islands, and
+    * numbering from the sample definition.
+    */
+  def q143AudioSegments(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.audioSegments(spark,
+        renderedWavOf(Tables.balanced(spark, d, "documents")),
+        "doc_id", "wav", window = 100, activeMeanAbs = 5600L)
+      .select(col("id").as("doc_id"), col("seg"), col("start_window"),
+        col("end_window"), col("n_windows"), col("mean_abs_sum"))
+
   /** q96: the decode member over the same rendered P6 blobs through the
     * REAL [[graft.operators.Multimodal.PpmCodec]] — width/height from the
     * parsed header, byteSum/first/last over the pixel payload only.
@@ -834,6 +848,7 @@ object LlmPipelines {
     "q140_video_neardup_shifted" -> q140VideoNearDupShifted _,
     "q141_video_keyframes" -> q141VideoKeyframes _,
     "q142_video_pipeline_v6" -> q142VideoPipelineV6 _,
+    "q143_audio_segments" -> q143AudioSegments _,
     "q38_ann_ivf_topk" -> q38AnnIvfTopK _,
     "q39_embedding_neardup" -> q39EmbeddingNearDup _,
     "q24_text_stats" -> q24TextStats _,

@@ -1116,6 +1116,35 @@ object Oracles {
          |    // count(*) AS BIGINT) AS novelty_pm
          |FROM rn GROUP BY doc_id""".stripMargin,
 
+    // q143: VAD segmentation — q134's per-window means from the sample
+    // definition, active windows filtered, gaps-and-islands
+    // (difference-of-ranks) into segments numbered in time order.
+    "q143_audio_segments" ->
+      s"""WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+         |  FROM documents),
+         |s AS (SELECT doc_id, n, i,
+         |    CAST((ascii(substr(text, CAST(i AS INT), 1)) - 96) * 256 AS BIGINT)
+         |      AS v
+         |  FROM (SELECT doc_id, text, n, unnest(range(1, n+1)) AS i FROM t)),
+         |w AS (SELECT doc_id, (i-1)//100 AS wi,
+         |    CAST(sum(abs(v)) AS BIGINT) // count(*) AS ma
+         |  FROM s GROUP BY doc_id, (i-1)//100),
+         |act AS (SELECT doc_id, wi, ma FROM w WHERE ma >= 5600),
+         |grp AS (SELECT doc_id, wi, ma,
+         |    wi - row_number() OVER (PARTITION BY doc_id ORDER BY wi) AS g
+         |  FROM act),
+         |segs AS (SELECT doc_id, g,
+         |    CAST(min(wi) AS BIGINT) AS start_window,
+         |    CAST(max(wi) AS BIGINT) AS end_window,
+         |    CAST(count(*) AS BIGINT) AS n_windows,
+         |    CAST(sum(ma) AS BIGINT) AS mean_abs_sum
+         |  FROM grp GROUP BY doc_id, g)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_window)
+         |    - 1 AS BIGINT) AS seg,
+         |  start_window, end_window, n_windows, mean_abs_sum
+         |FROM segs""".stripMargin,
+
     // q135: acoustic-fingerprint near-dup — 8-sample energy windows from
     // the sample definition, rise/fall bits packed high-to-low (bit
     // 55−i set iff window i+1 is louder than window i), brute-force

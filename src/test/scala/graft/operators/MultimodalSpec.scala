@@ -387,6 +387,26 @@ class MultimodalSpec extends AnyFunSuite {
       (7L, 1L, 2, 2L, hs(1))))  // scene 1: frames 2-3, keyframe 2 = c
   }
 
+  test("audioSegments: islands of active windows, numbered in time order; silence splits") {
+    import spark.implicits._
+    // window=2, threshold 4: loud pairs (|8|,|8|) → mean 8 active; quiet
+    // (1,1) → 1 silent. Pattern L L q L q q L → segments {0,1}, {3}, {6}
+    val loud = Array[Short](8, -8); val quiet = Array[Short](1, -1)
+    val samples = (loud ++ loud ++ quiet ++ loud ++ quiet ++ quiet ++ loud)
+    val df = Seq((4L, Multimodal.Wav.render(8000, samples))).toDF("id", "wav")
+    val out = Multimodal.audioSegments(spark, df, "id", "wav",
+        window = 2, activeMeanAbs = 4L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(out == Seq(
+      (4L, 0L, 0L, 1L, 2L, 16L),  // windows 0-1, mean 8 each
+      (4L, 1L, 3L, 3L, 1L, 8L),   // window 3
+      (4L, 2L, 6L, 6L, 1L, 8L)))  // window 6
+    // an all-silent clip has no segments (and no crash)
+    val silent = Seq((5L, Multimodal.Wav.render(8000, quiet))).toDF("id", "wav")
+    assert(Multimodal.audioSegments(spark, silent, "id", "wav", 2, 4L)
+      .count() == 0)
+  }
+
   test("pcmWindowStats: a zero-sample clip emits a zero row, never drops (r13 advice)") {
     import spark.implicits._
     // the q134 oracle used to INNER-join its per-sample CTEs back to the
