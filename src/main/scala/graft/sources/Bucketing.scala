@@ -44,6 +44,32 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Compact a bucketed table in place: every [[appendBucketed]] adds
+    * one file per touched bucket, so a long-running registry stream
+    * accumulates files until bucket-pruned lookups pay per-file open
+    * cost again — the same decay [[graft.streaming.Incremental
+    * .compactRegistry]] fixes for flat registries. Reads the whole
+    * table through an EAGER local checkpoint (Spark refuses to
+    * overwrite a table it is still reading from — the checkpoint cuts
+    * that dependency), then rewrites it with the same bucket spec. Run
+    * from the owning stream's serial `foreachBatch` cadence, like every
+    * registry maintenance op (no concurrent readers of the half-written
+    * table).
+    */
+  def compactBucketed(spark: SparkSession, table: String, buckets: Int,
+                      key: String, moreKeys: String*): Unit = {
+    if (spark.catalog.tableExists(table)) {
+      val snap = spark.table(table).localCheckpoint(true)
+      // bucketBy writes one file per (task × bucket); repartitioning on
+      // the bucket keys first (same Murmur3 hash family as the bucket
+      // assignment) lands each bucket's rows in ONE task, so the
+      // rewrite leaves exactly one file per non-empty bucket
+      val oneTaskPerBucket = snap.repartition(buckets,
+        (key +: moreKeys).map(org.apache.spark.sql.functions.col): _*)
+      writeBucketed(oneTaskPerBucket, table, buckets, key, moreKeys: _*)
+    }
+  }
+
   /** Run `f` with Spark's auto-bucketed-scan heuristic OFF (conf
     * restored after). The `DisableUnnecessaryBucketedScan` planner rule
     * disables bucketed reads whenever no operator NEEDS the bucketing's

@@ -37,6 +37,40 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("compactBucketed: appends collapse to one file per touched bucket; layout and rows survive") {
+    val table = "bkt_compact_t"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    def rmAll(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmAll); f.delete(); ()
+    }
+    if (loc.exists()) rmAll(loc)
+    try {
+      Bucketing.writeBucketed((1L to 100L).toDF("k"), table, 4, "k")
+      Bucketing.appendBucketed((101L to 200L).toDF("k"), table, 4, "k")
+      Bucketing.appendBucketed((201L to 300L).toDF("k"), table, 4, "k")
+      def files() = loc.listFiles().count(_.getName.endsWith(".parquet"))
+      // bucketBy writes one file per (task × bucket), so three multi-
+      // partition writes leave far more than 4 files — the decay
+      // compaction exists for
+      val before = files()
+      assert(before > 4, s"expected file accumulation, got $before")
+      Bucketing.compactBucketed(spark, table, 4, "k")
+      assert(files() == 4, s"compaction must leave 1 file/bucket, got ${files()}")
+      assert(spark.table(table).as[Long].collect().toSet == (1L to 300L).toSet)
+      // still a genuine bucketed layout after the rewrite
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val agg = spark.table(table).groupBy("k").agg(count(lit(1)).as("n"))
+      assert(Bucketing.isExchangeFree(agg) && Bucketing.usedBucketedScan(agg))
+      // compacting a missing table is a no-op, not a crash
+      Bucketing.compactBucketed(spark, "bkt_compact_missing", 4, "k")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("CC registry as a bucketed table: the endpoint lookup shuffles only the batch side") {
     // the q120/q114 scale claim made executable: a (node → label)
     // registry bucketed on node serves the batch-endpoint lookup through
