@@ -64,6 +64,27 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(run("q59_sessionize")) == 1)
   }
 
+  test("q139/q141 video scenes/keyframes: 2 shuffles (rebalance + video key); lag, cumsum, rollup share one clustering") {
+    assert(countShuffles(run("q139_video_scenes")) == 2)
+    assert(countShuffles(run("q141_video_keyframes")) == 2)
+  }
+
+  test("q142 video pipeline v6: 4 shuffles (rebalance, video key, fingerprint window, rollup)") {
+    assert(countShuffles(run("q142_video_pipeline_v6")) == 4)
+  }
+
+  test("q143 audio segments: 2 shuffles (rebalance + clip key); islands and rollup share one clustering") {
+    assert(countShuffles(run("q143_audio_segments")) == 2)
+  }
+
+  test("q138/q140 video near-dup: banded equi-join, never all-pairs") {
+    Seq("q138_video_neardup", "q140_video_neardup_shifted").foreach { q =>
+      val plan = planString(run(q))
+      assert(!plan.contains("CartesianProduct"), q)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
   test("q63 quantiles: one data shuffle (rank/count windows share the group key)") {
     // the second exchange is the 5-row post-window rollup — constant-size
     assert(countShuffles(run("q63_length_quantiles")) <= 2)
