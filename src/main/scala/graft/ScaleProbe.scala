@@ -75,7 +75,7 @@ object ScaleProbe {
       "packing", "relational", "topk", "kmeans", "sinks", "pq", "sketch",
       "prune", "sinkbig", "pqtrain", "spandedup", "jsonlines", "tiered", "bpe",
       "dsir", "spancorrupt", "substr", "lshskew", "ccdiam", "imagededup",
-      "videodedup", "bucketreg",
+      "videodedup", "bucketreg", "audioprep",
       "ccinc", "funnel", "prep")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
@@ -373,6 +373,24 @@ object ScaleProbe {
       time(s"video-pairs-capped64 ${factor}x") {
         rollup(TextDedup.hammingPairs(fps, "doc", "dhash", 56, 2, 8,
           maxBucket = 64L)).count()
+      }
+      spark.catalog.clearCache()
+    }
+    // Audio prep (q134/q143 chain: render WAV → RIFF walk → windowed
+    // activity → VAD islands). Decode is row-local and the islands
+    // arithmetic is one clip-keyed exchange, so wall time must track
+    // corpus size ~linearly; replica prefixing grows clip LENGTH too
+    // (longer texts → more windows per clip).
+    if (want("audioprep")) for (factor <- Seq(1, 4, 16, 64)) {
+      val docs = materialize(docsAt(spark, d, factor), s"/tmp/scale/audocs$factor")
+      def wavs = graft.queries.LlmPipelines.renderedWavOf(docs)
+      time(s"audio-stats ${factor}x (${5000 * factor} clips)") {
+        graft.operators.Multimodal.pcmWindowStats(spark, wavs,
+          "doc_id", "wav", window = 100, activeMeanAbs = 5600L).count()
+      }
+      time(s"audio-segments ${factor}x (${5000 * factor} clips)") {
+        graft.operators.Multimodal.audioSegments(spark, wavs,
+          "doc_id", "wav", window = 100, activeMeanAbs = 5600L).count()
       }
       spark.catalog.clearCache()
     }
