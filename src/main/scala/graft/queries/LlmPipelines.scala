@@ -636,6 +636,63 @@ object LlmPipelines {
       .select(col("id").as("doc_id"), col("seg"), col("start_window"),
         col("end_window"), col("n_windows"), col("mean_abs_sum"))
 
+  /** q144: MULTIMODAL dataset card — q132's datasheet idea (Gebru 2018)
+    * extended across modalities, per source: audio activity (active /
+    * total VAD windows, ppm — how much of the audio is speech-ish),
+    * video density (frames and scenes per video, milli — static clips
+    * vs cut-heavy footage), and mean visual novelty after corpus-wide
+    * keyframe dedup (q142's signal rolled to the source grain — which
+    * sources bring NEW footage vs re-uploads). ONE audio decode and ONE
+    * video decode serve everything: the per-frame fingerprints feed the
+    * scene lag, the keyframe arg_min, and the novelty window from a
+    * single pass (the operators' internals are the same window algebra,
+    * re-clustered here so the card never decodes twice).
+    */
+  def q144MultimodalCard(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    val srcOf = docs.select(col("doc_id"), col("source"))
+    // audio side: one WAV decode → per-clip window totals
+    val audio = graft.operators.Multimodal.pcmWindowStats(spark,
+        renderedWavOf(docs), "doc_id", "wav", window = 100,
+        activeMeanAbs = 5600L)
+      .select(col("id").as("doc_id"), col("n_windows"), col("active_windows"))
+    // video side: one walk+decode → scenes AND keyframe novelty
+    val byFrame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("frame").asc)
+    val runningCuts = byFrame
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val fp = graft.operators.Multimodal.videoDHash(spark,
+        renderedP6StreamOf(docs), "doc_id", "video")
+      .withColumn("__prev", lag(col("dhash"), 1).over(byFrame))
+      .withColumn("__cut", when(col("__prev").isNotNull &&
+        bit_count(col("__prev").bitwiseXOR(col("dhash"))) > 8, 1L)
+        .otherwise(0L))
+      .withColumn("scene", sum(col("__cut")).over(runningCuts))
+    val keyframes = fp.groupBy(col("id"), col("scene"))
+      .agg(min_by(col("dhash"), col("frame")).as("kd"),
+        count(lit(1)).as("scene_frames"))
+    val novelty = keyframes
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("kd"))
+          .orderBy(col("id").asc, col("scene").asc)))
+      .groupBy(col("id"))
+      .agg(sum(col("scene_frames")).as("n_frames"),
+        count(lit(1)).as("n_scenes"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("novel_scenes"))
+    srcOf
+      .join(audio, Seq("doc_id"))
+      .join(novelty.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_windows")).as("audio_windows"),
+        expr("(1000000 * sum(active_windows)) div sum(n_windows)")
+          .as("audio_active_pm"),
+        expr("(1000 * sum(n_frames)) div count(1)").as("frames_per_video_milli"),
+        expr("(1000 * sum(n_scenes)) div count(1)").as("scenes_per_video_milli"),
+        expr("(1000000 * sum(novel_scenes)) div sum(n_scenes)")
+          .as("visual_novelty_pm"))
+  }
+
   /** q96: the decode member over the same rendered P6 blobs through the
     * REAL [[graft.operators.Multimodal.PpmCodec]] — width/height from the
     * parsed header, byteSum/first/last over the pixel payload only.
@@ -849,6 +906,7 @@ object LlmPipelines {
     "q141_video_keyframes" -> q141VideoKeyframes _,
     "q142_video_pipeline_v6" -> q142VideoPipelineV6 _,
     "q143_audio_segments" -> q143AudioSegments _,
+    "q144_multimodal_card" -> q144MultimodalCard _,
     "q38_ann_ivf_topk" -> q38AnnIvfTopK _,
     "q39_embedding_neardup" -> q39EmbeddingNearDup _,
     "q24_text_stats" -> q24TextStats _,

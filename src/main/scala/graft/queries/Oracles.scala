@@ -1145,6 +1145,89 @@ object Oracles {
          |  start_window, end_window, n_windows, mean_abs_sum
          |FROM segs""".stripMargin,
 
+    // q144: multimodal dataset card — the q134 activity windows and the
+    // q142 scene/novelty chain rolled to the SOURCE grain: audio
+    // activity ppm, frames/scenes per video (milli), mean visual
+    // novelty after global keyframe dedup.
+    "q144_multimodal_card" ->
+      s"""WITH t AS (SELECT doc_id, source, text,
+         |    CAST(length(text) AS BIGINT) AS n,
+         |    ascii(substr(text, 1, 1)) AS a1,
+         |    ascii(substr(text, length(text), 1)) AS an
+         |  FROM documents),
+         |s AS (SELECT doc_id, n, i,
+         |    CAST((ascii(substr(text, CAST(i AS INT), 1)) - 96) * 256 AS BIGINT)
+         |      AS v
+         |  FROM (SELECT doc_id, text, n, unnest(range(1, n+1)) AS i FROM t)),
+         |aw AS (SELECT doc_id, (i-1)//100 AS wi,
+         |    CAST(sum(abs(v)) AS BIGINT) // count(*) AS ma
+         |  FROM s GROUP BY doc_id, (i-1)//100),
+         |aa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |    CAST(sum(CASE WHEN ma >= 5600 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS active_windows
+         |  FROM aw GROUP BY doc_id),
+         |fr AS (SELECT doc_id, text, n, a1, an,
+         |    unnest(range(0, 1 + a1 % 4)) AS f FROM t),
+         |d AS (SELECT doc_id, text, n, f,
+         |    1 + (a1 + 3*f) % 12 AS w, 1 + (an + 5*f) % 12 AS h
+         |  FROM fr),
+         |p AS (SELECT doc_id, f, w, h,
+         |    substr(repeat(text, CAST((3*w*h + f) // n AS INT) + 1),
+         |      CAST(f + 1 AS INT), CAST(3*w*h AS INT)) AS px
+         |  FROM d),
+         |g AS (SELECT doc_id, f, w, h, px, unnest(range(0, 7)) AS yo FROM p),
+         |gx AS (SELECT doc_id, f, w, h, px, yo, (yo*h)//7 AS sy,
+         |    unnest(range(0, 8)) AS xo FROM g),
+         |b AS (SELECT doc_id, f, yo, xo,
+         |    CASE WHEN
+         |      (ascii(substr(px, CAST((sy*w + (xo*w)//9)*3 + 1 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + (xo*w)//9)*3 + 2 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + (xo*w)//9)*3 + 3 AS INTEGER), 1))) // 3
+         |      >
+         |      (ascii(substr(px, CAST((sy*w + ((xo+1)*w)//9)*3 + 1 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + ((xo+1)*w)//9)*3 + 2 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + ((xo+1)*w)//9)*3 + 3 AS INTEGER), 1))) // 3
+         |    THEN (1::BIGINT << CAST(yo*8 + xo AS INTEGER)) ELSE 0 END AS bit
+         |  FROM gx),
+         |hsh AS (SELECT doc_id, f, CAST(sum(bit) AS BIGINT) AS dhash
+         |  FROM b GROUP BY doc_id, f),
+         |lg AS (SELECT doc_id, f, dhash,
+         |    lag(dhash) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+         |  FROM hsh),
+         |cu AS (SELECT doc_id, f, dhash,
+         |    CASE WHEN prev IS NOT NULL AND bit_count(xor(prev, dhash)) > 8
+         |      THEN 1 ELSE 0 END AS cut
+         |  FROM lg),
+         |sc AS (SELECT doc_id, f, dhash,
+         |    sum(cut) OVER (PARTITION BY doc_id ORDER BY f
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene
+         |  FROM cu),
+         |kf AS (SELECT doc_id, scene, arg_min(dhash, f) AS kd,
+         |    count(*) AS scene_frames
+         |  FROM sc GROUP BY doc_id, scene),
+         |rn AS (SELECT doc_id, scene, kd, scene_frames,
+         |    row_number() OVER (PARTITION BY kd ORDER BY doc_id, scene) AS rn
+         |  FROM kf),
+         |nv AS (SELECT doc_id,
+         |    CAST(sum(scene_frames) AS BIGINT) AS n_frames,
+         |    CAST(count(*) AS BIGINT) AS n_scenes,
+         |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS novel_scenes
+         |  FROM rn GROUP BY doc_id)
+         |SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(aa.n_windows) AS BIGINT) AS audio_windows,
+         |  CAST((1000000 * sum(aa.active_windows)) // sum(aa.n_windows)
+         |    AS BIGINT) AS audio_active_pm,
+         |  CAST((1000 * sum(nv.n_frames)) // count(*) AS BIGINT)
+         |    AS frames_per_video_milli,
+         |  CAST((1000 * sum(nv.n_scenes)) // count(*) AS BIGINT)
+         |    AS scenes_per_video_milli,
+         |  CAST((1000000 * sum(nv.novel_scenes)) // sum(nv.n_scenes)
+         |    AS BIGINT) AS visual_novelty_pm
+         |FROM t JOIN aa ON t.doc_id = aa.doc_id
+         |JOIN nv ON t.doc_id = nv.doc_id
+         |GROUP BY t.source""".stripMargin,
+
     // q135: acoustic-fingerprint near-dup — 8-sample energy windows from
     // the sample definition, rise/fall bits packed high-to-low (bit
     // 55−i set iff window i+1 is louder than window i), brute-force
