@@ -117,8 +117,13 @@ object Multimodal {
         s"bad PPM dimensions/maxval: $w x $h maxval $mx")
       require(mx < 256, "16-bit PPM (maxval >= 256) not supported")
       i += 1 // exactly ONE whitespace separates maxval from the payload
-      require(bytes.length >= i + 3 * w * h,
-        s"truncated PPM: need ${3 * w * h} payload bytes, have ${bytes.length - i}")
+      // payload size in LONG: a crafted header declaring e.g.
+      // 100000×100000 overflows 3*w*h in Int, the truncation require
+      // passes spuriously, and the P6Stream walker would loop forever
+      // re-parsing garbage — the same attacker-shaped-bytes failure
+      // Wav.parse guards its chunk sizes against
+      require(i + 3L * w * h <= bytes.length,
+        s"truncated PPM: need ${3L * w * h} payload bytes, have ${bytes.length - i}")
       (w, h, mx, i)
     }
 
@@ -191,7 +196,14 @@ object Multimodal {
         def hasNext: Boolean = off < bytes.length
         def next(): FrameRef = {
           val (w, h, _, payload) = Ppm.parseHeader(bytes, off)
+          // parseHeader's Long-domain truncation check already proves
+          // payload + 3·w·h fits the buffer (hence Int); the strict
+          // forward-progress require is the walker's own belt — every
+          // step MUST advance, or a parser regression becomes an
+          // infinite loop instead of an exception
           val end = payload + 3 * w * h
+          require(end > off && end <= bytes.length,
+            s"P6 stream walker stalled at offset $off (frame end $end)")
           val f = FrameRef(idx, off, w, h, payload, end)
           off = end; idx += 1
           f
@@ -303,9 +315,11 @@ object Multimodal {
     * image/video dedup, so "how different is the next frame" and "is
     * this a near-dup" are the SAME metric) differ by more than
     * `minHamming` bits. Per video: frame count, cut count, scene count
-    * (cuts + 1; 0 for an empty stream), and the hamming sum over
-    * consecutive pairs (the stream's total visual motion — a cheap
-    * static-vs-dynamic content signal).
+    * (cuts + 1), and the hamming sum over consecutive pairs (the
+    * stream's total visual motion — a cheap static-vs-dynamic content
+    * signal). An EMPTY stream walks to zero frames and is therefore
+    * ABSENT from the output (no row, not n_scenes = 0) — the contract
+    * every per-frame rollup here shares (MultimodalSpec pins it).
     *
     * Scale shape: decode row-local; ONE video-keyed exchange serves
     * both the consecutive-frame window and the per-video rollup (the

@@ -925,6 +925,13 @@ object Oracles {
     // q139: scene-cut detection — the q138 per-(doc, frame) relational
     // dHash, consecutive-frame hamming by lag, cut when > 8 bits,
     // per-video rollup (frames, cuts, scenes = cuts+1, motion sum).
+    // Empty-video audit (r13 verdict #8): the q139/q141/q142 oracles
+    // build their frame CTEs by generate_series over a per-doc frame
+    // count that is ≥ 1 by the FIXTURE's definition (1 + a1 % 4), so a
+    // zero-frame stream cannot enter this corpus; if one ever could,
+    // BOTH sides agree by shape — the engine's walk yields no rows and
+    // the oracle's series generates none, so the video is absent from
+    // both (MultimodalSpec "empty-video contract" pins the engine side).
     "q139_video_scenes" ->
       s"""WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
          |    ascii(substr(text, 1, 1)) AS a1,

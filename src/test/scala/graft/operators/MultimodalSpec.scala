@@ -421,4 +421,45 @@ class MultimodalSpec extends AnyFunSuite {
       sample_sum = 0L, sample_sqsum = 0L, peak_abs = 0L,
       n_windows = 0L, active_windows = 0L)))
   }
+
+  test("Ppm/P6Stream: a crafted huge-dimension header fails loudly, never loops (r13 advice)") {
+    // 100000×100000 overflows 3*w*h in Int (3e10 wraps); before the
+    // Long-domain guard the truncation require passed spuriously and the
+    // walker could stall or re-parse garbage forever on attacker-shaped
+    // bytes — the exact failure mode Wav.parse already rejects
+    val crafted = "P6\n100000 100000\n255\n".getBytes("US-ASCII") ++
+      Array.fill(64)(1.toByte)
+    assertThrows[IllegalArgumentException](Multimodal.Ppm.parseHeader(crafted))
+    assertThrows[IllegalArgumentException](
+      Multimodal.P6Stream.frames(crafted).toSeq)
+    // and a stream whose SECOND frame carries the crafted header fails
+    // mid-walk after yielding the good first frame
+    val good = Multimodal.Ppm.render(1, 1, 255, Array[Byte](1, 2, 3))
+    val it = Multimodal.P6Stream.frames(good ++ crafted)
+    assert(it.next().index == 0)
+    assertThrows[IllegalArgumentException](it.next())
+  }
+
+  test("empty-video contract: a zero-frame stream is ABSENT from every per-frame rollup (r13 verdict #8)") {
+    import spark.implicits._
+    // P6Stream.frames(empty) = no frames, so sceneCuts/keyframes emit NO
+    // row for the video (not n_scenes = 0) — and the q139/q141/q142
+    // oracles share the shape: their per-frame CTEs generate no rows for
+    // an empty stream either, so both sides of the gate agree by
+    // construction. Pinned here so a contract change (emitting explicit
+    // zero rows) must consciously touch oracle and engine together.
+    val f0 = Multimodal.Ppm.render(2, 2, 255, Array.fill(12)(5.toByte))
+    val f1 = Multimodal.Ppm.render(2, 2, 255, Array.fill(12)(200.toByte))
+    val df = Seq(
+      (1L, Multimodal.P6Stream.render(Seq(f0, f1))),
+      (2L, Array.empty[Byte])).toDF("id", "video")
+    val scenes = Multimodal.sceneCuts(spark, df, "id", "video", 8)
+      .select("id").as[Long].collect().toSet
+    val kf = Multimodal.keyframes(spark, df, "id", "video", 8)
+      .select("id").as[Long].collect().toSet
+    val stats = Multimodal.videoFrameStats(spark, df, "id", "video")
+      .select("id").as[Long].collect().toSet
+    assert(scenes == Set(1L) && kf == Set(1L) && stats == Set(1L),
+      "empty stream must be absent, populated stream present")
+  }
 }

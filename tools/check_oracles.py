@@ -53,10 +53,14 @@ for name in sorted(oracle):
         bad = []
         for c in df.columns:
             col = df[c]
-            if col.dtype == object and len(col) > 0:
-                v = col.iloc[0]
-                if isinstance(v, (list, dict, tuple, np.ndarray)):
-                    bad.append(c)
+            # scan EVERY value, not just row 0: a column whose first row
+            # is None/scalar but whose later rows hold lists would slip
+            # a first-row-only check and hit the same driver failure
+            # (result frames are small, the full scan is cheap)
+            if col.dtype == object and len(col) > 0 and col.map(
+                    lambda v: isinstance(v, (list, dict, tuple, np.ndarray))
+                ).any():
+                bad.append(c)
         return bad
     ns = nonscalar_cols(spark_df) + nonscalar_cols(duck_df)
     if ns:
