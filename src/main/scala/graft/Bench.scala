@@ -5,16 +5,41 @@ import org.apache.spark.sql.SparkSession
   * prints exactly one JSON line. Failures are reported per-query in an
   * `errors` map — never silently folded into a timing (a crashing query
   * must not look like a fast one).
+  *
+  * SELF-ATTRIBUTION against driver-host contention (r13 verdict #1 — two
+  * consecutive rounds burned judge/builder cycles adjudicating phantom
+  * regressions that idle-host re-runs fully reverted):
+  *
+  *  1. The three timing passes run INTERLEAVED over the whole registry
+  *     (pass 1: q01…qN, pass 2: q01…qN, pass 3: q01…qN), not
+  *     back-to-back per query. A sustained host-load window used to
+  *     poison ALL three runs of several consecutive queries (r13:
+  *     q63–q68 and q111–q113, adjacent in registry order, up 3–11× with
+  *     untouched code); with passes a full registry-duration apart,
+  *     min-of-passes actually cancels contention windows shorter than a
+  *     pass (~90 s at sf0.1).
+  *  2. Every run records process CPU time and a /proc/loadavg sample
+  *     alongside wall time. The reading rule (SCALE.md): a CONTENDED run
+  *     shows wall ≫ cpu (threads runnable but descheduled — on an idle
+  *     host the driver thread alone keeps wall/cpu ≤ ~1); a real
+  *     regression inflates wall AND cpu together. Discard any run with
+  *     wall/cpu > 1.5 before reading a cross-round delta as real.
+  *  3. The compact stdout line carries a `contended` list (queries whose
+  *     BEST run still has wall/cpu > 1.5 — i.e. even the minimum is
+  *     polluted) and `load1_max`; the full per-run wall/cpu/load matrix
+  *     is written to BENCH_DETAIL.json (env SPARK_GRAFT_BENCH_DETAIL)
+  *     because the driver records only the final ~2000 chars of stdout
+  *     and 144 queries × 3 runs × 3 metrics cannot fit that window.
   */
 object Bench {
 
-  /** The ROUND-12 query registry, frozen: `subset_total_prev_round` sums
+  /** The ROUND-13 query registry, frozen: `subset_total_prev_round` sums
     * timings over exactly this set, so cross-round totals compare like
     * with like — round 10's +14% "regression" took a session of forensics
     * to attribute to new queries + driver testdata regeneration (verdict
     * r10 item 5); this field makes the split arithmetic. Append-only per
     * round: refresh to the PREVIOUS round's registry when adding queries
-    * (r13 refresh: the 136-query r12 set, was the 119-query r11 set).
+    * (r14 refresh: the 144-query r13 set, was the 136-query r12 set).
     */
   val prevRoundQueries: Set[String] = Set(
       "q01_agg_sum_groupby", "q02_filter_time_range", "q03_filter_in_projection",
@@ -33,7 +58,11 @@ object Bench {
       "q128_unigram_segment", "q129_retrieval_index", "q12_geo_haversine",
       "q130_cdc_chunks", "q131_cdc_dedup_inc", "q132_dataset_card",
       "q133_tokenizer_compare", "q134_audio_stats", "q135_audio_neardup",
-      "q136_unigram_em", "q13_vertex_ref_roundtrip", "q14_collect_sorted_list",
+      "q136_unigram_em", "q137_video_frames", "q138_video_neardup",
+      "q139_video_scenes", "q13_vertex_ref_roundtrip",
+      "q140_video_neardup_shifted", "q141_video_keyframes",
+      "q142_video_pipeline_v6", "q143_audio_segments", "q144_multimodal_card",
+      "q14_collect_sorted_list",
       "q15_json_fallback_coalesce", "q16_window_rewards_5d", "q17_daily_balances",
       "q18_upsert_update", "q19_upsert_ignore", "q20_retention_filter",
       "q21_payment_json_pipeline", "q22_witness_explode_pipeline", "q23_payment_v2_explode_all",
@@ -64,6 +93,22 @@ object Bench {
       "q96_ppm_decode", "q97_ann_production", "q98_semantic_dedup",
       "q99_split_leakage")
 
+  /** One timed execution: wall seconds, process-CPU seconds consumed by
+    * this JVM during the run, 1-min loadavg sampled at run START, error.
+    */
+  final case class Run(wall: Double, cpu: Double, load: Double,
+                       err: Option[String])
+
+  private val osBean = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean
+    .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+  private def load1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => osBean.getSystemLoadAverage }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -81,53 +126,82 @@ object Bench {
         Caches.clearAll(spark)
       }
     }
-    // Steady-state timing: each query runs three times at the target SF
-    // and reports the fastest run. The first execution of a plan pays
-    // one-time JVM costs (whole-stage codegen compile, C2 JIT of the
-    // generated loops) that the sf0.001 warmup can't fully absorb — its
-    // tables are too small to drive the hot loops to compilation
-    // thresholds — and later runs still see multi-second GC/scheduling
-    // jitter on a busy host. Min-of-N measures the throughput a resident
-    // engine delivers, the quantity comparable to the reference's
-    // long-running daemon.
-    val results = names.map { name =>
+    // Steady-state timing: three INTERLEAVED passes over the registry at
+    // the target SF; each query reports its fastest run. The first
+    // execution of a plan pays one-time JVM costs (whole-stage codegen
+    // compile, C2 JIT of the generated loops) that the sf0.001 warmup
+    // can't fully absorb, and a busy host adds multi-second scheduling
+    // jitter — min-of-passes measures resident-engine throughput, and
+    // the interleaving puts a full registry-duration between a query's
+    // runs so one contention window can no longer poison all of them.
+    val passes = 3
+    val runs = scala.collection.mutable.Map.empty[String, Vector[Run]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to passes; name <- names) {
       val fn = SparkEntry.queries(name)
-      val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val outcome =
-          try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
-        Caches.clearAll(spark) // persists + localCheckpoints; don't let them creep
-        ((System.nanoTime() - t0) / 1e9, outcome)
-      }
-      val best = runs.minBy { case (t, out) => (out.isDefined, t) }
-      (name, best._1, best._2)
+      val ld = load1()
+      val cpu0 = osBean.getProcessCpuTime
+      val t0 = System.nanoTime()
+      val outcome =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = (osBean.getProcessCpuTime - cpu0) / 1e9
+      Caches.clearAll(spark) // persists + localCheckpoints; don't let them creep
+      runs(name) = runs(name) :+ Run(wall, cpu, ld, outcome)
+    }
+    val results = names.map { name =>
+      val best = runs(name).minBy(r => (r.err.isDefined, r.wall))
+      (name, best, runs(name))
     }
     def jstr(s: String) = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val ok = results.filter(_._3.isEmpty)
-    val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e.take(200))}" }
-      .mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
+    def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val ok = results.filter(_._2.err.isEmpty)
+    val errs = results.collect { case (k, Run(_, _, _, Some(e)), _) =>
+      s"${jstr(k)}:${jstr(e.take(200))}" }.mkString("{", ",", "}")
+    val total = ok.map(_._2.wall).sum
+    // Full per-run attribution matrix → a FILE (the driver's stdout tail
+    // is ~2000 chars; this doesn't fit). One object per query: all runs'
+    // wall/cpu/load plus which run won.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    val detail = results.map { case (k, best, rs) =>
+      def arr(f: Run => Double) = rs.map(r => r3(f(r))).mkString("[", ",", "]")
+      s"${jstr(k)}:{" +
+        s""""wall":${arr(_.wall)},"cpu":${arr(_.cpu)},"load":${arr(_.load)},""" +
+        s""""best_wall":${r3(best.wall)},"best_cpu":${r3(best.cpu)},""" +
+        s""""best_wall_cpu_ratio":${r3(if (best.cpu > 0) best.wall / best.cpu else -1.0)}}"""
+    }.mkString("{", ",", "}")
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(s"""{"sf":${jstr(sfDir)},"passes":$passes,"queries":$detail}""")
+      finally w.close()
+    } catch { case _: Throwable => () } // attribution is best-effort, never fails the bench
     // Full-precision, full-name detail line first (for humans and the git
     // log), COMPACT canonical line LAST: the driver records only the final
     // ~2000 chars of stdout, and 74+ full query names with nanosecond
     // precision overflow that window — the round-5 bench tail started
     // mid-JSON. Short keys ("q01", the unique prefix before the first '_')
     // and millisecond rounding keep the whole line inside the tail.
-    val fullQs = ok.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val fullQs = ok.map { case (k, b, _) => s"${jstr(k)}:${b.wall}" }.mkString("{", ",", "}")
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$fullQs,"errors":$errs,"sf":${jstr(sfDir)}}""")
     def short(name: String) = name.takeWhile(_ != '_')
     val shorts = ok.map(r => short(r._1))
     val keyOf: String => String = // fall back to full names on prefix clash
       if (shorts.distinct.size == shorts.size) short else identity
-    def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
-    val qs = ok.map { case (k, v, _) => s"${jstr(keyOf(k))}:${r3(v)}" }
+    val qs = ok.map { case (k, b, _) => s"${jstr(keyOf(k))}:${r3(b.wall)}" }
       .mkString("{", ",", "}")
     val subset = ok.filter(r => prevRoundQueries(r._1))
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","subset_total_prev_round":${r3(subset.map(_._2).sum)},"subset_n":${subset.size},"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
+    // contended = even the BEST run shows wall ≫ cpu (descheduled while
+    // runnable): its timing is a host artifact, not this code's cost.
+    val contended = ok.filter { case (_, b, _) =>
+      b.cpu > 0 && b.wall / b.cpu > 1.5 && b.wall > 0.5 }
+      .map(r => jstr(keyOf(r._1))).mkString("[", ",", "]")
+    val loadMax = results.flatMap(_._3.map(_.load)).foldLeft(0.0)(math.max)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","subset_total_prev_round":${r3(subset.map(_._2.wall).sum)},"subset_n":${subset.size},"contended":$contended,"load1_max":${r3(loadMax)},"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
