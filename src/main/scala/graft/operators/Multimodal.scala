@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * needed (q42/q96 are oracle-checked over it) — and so is WAV audio:
   * [[Wav]] walks genuine RIFF chunks to PCM16 samples (q134) — and so
   * is video: [[P6Stream]] walks concatenated P6 frames by their own
-  * parsed extents (q137/q138). Only formats needing an entropy codec
-  * (JPEG/PNG/MP3, mp4/mkv) remain behind
+  * parsed extents (q137/q138) — and, since r14, so is PNG: [[Png]]
+  * walks CRC-checked chunks, inflates the zlib stream through the JDK,
+  * and reconstructs all five scanline filters (q145/q146). Only formats
+  * whose entropy codecs aren't shippable here (JPEG/MP3, mp4/mkv)
+  * remain behind
   * [[DeterministicStubCodec]], which derives features from the raw bytes
   * so the pipeline shape (schema, partitioning, batch flow, feature
   * fan-out) stays real and testable; a production codec (javacv/ffmpeg)
@@ -374,6 +377,59 @@ object Multimodal {
       .agg(min(col("frame")).as("keyframe"),
         count(lit(1)).as("scene_frames"),
         min_by(col("dhash"), col("frame")).as("keyframe_dhash"))
+  }
+
+  /** One [[pngPixelStats]] output row. */
+  case class PngStats(id: Long, width: Int, height: Int, px_sum: Long,
+    px_first: Int, px_last: Int, px_md5: String)
+
+  /** REAL PNG decode over a binary column, reduced to pixel-domain
+    * stats + the pixel buffer's content hash — the decode-proof query
+    * surface for the [[Png]] codec (chunk walk → CRC → inflate → the
+    * five filter reconstructions). A hash match against an oracle that
+    * rebuilds the pixels from their DEFINITION proves the whole
+    * entropy-coded round trip byte-exact (the q137 epistemics for the
+    * compressed-image domain). Row-local like every codec.
+    */
+  def pngPixelStats(spark: SparkSession, df: DataFrame, idCol: String,
+                    binCol: String): DataFrame = {
+    implicit val enc: Encoder[PngStats] = Encoders.product[PngStats]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = Png.decode(bytes)
+          var sum = 0L
+          var i = 0
+          while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 1 }
+          PngStats(id, img.w, img.h, sum,
+            img.pixels(0) & 0xff, img.pixels(img.pixels.length - 1) & 0xff,
+            org.apache.commons.codec.digest.DigestUtils.md5Hex(img.pixels))
+        }
+      }
+      .toDF()
+  }
+
+  /** 56-bit dHash over a PNG binary column — the SAME [[dHash56]] core
+    * as the PPM/video paths applied to [[Png.decode]]'s pixel buffer,
+    * so a PNG and a P6 of the same pixels carry the same fingerprint
+    * and the whole hamming dedup machine
+    * ([[graft.operators.TextDedup.hammingPairs]], registries, streams)
+    * serves compressed images unchanged.
+    */
+  def dHashPng(spark: SparkSession, df: DataFrame, idCol: String,
+               binCol: String): DataFrame = {
+    implicit val enc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = Png.decode(bytes)
+          (id, dHash56(img.pixels, 0, img.w, img.h))
+        }
+      }
+      .toDF("id", "dhash")
   }
 
   /** [[MediaCodec]] over real P6 bytes: width/height come from the PARSED

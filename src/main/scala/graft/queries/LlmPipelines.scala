@@ -382,6 +382,69 @@ object LlmPipelines {
         .select(col("id").as("doc"), col("dhash")),
       "doc", "dhash", bits = 56, maxHamming = 2, bands = 8)
 
+  /** Deterministic PNGs rendered from the ASCII corpus — the SAME pixel
+    * definition as [[renderedPpmOf]] (dims from first/last char, text
+    * cycled to 3·w·h bytes) but serialized through the REAL
+    * entropy-coded [[graft.operators.Png]] encoder with the scanline
+    * filter cycling row % 5, so every decode exercises all five filter
+    * reconstructions AND the zlib inflate. Sharing the pixel definition
+    * is the point: the q121 oracle CTEs apply verbatim, and a hash
+    * match proves filter → deflate → inflate → unfilter pixel-exact.
+    */
+  private[graft] def renderedPngOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val inEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    implicit val outEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val t = text.getBytes("US-ASCII")
+        val n = t.length
+        val w = 1 + (t(0) & 0xff) % 16
+        val h = 1 + (t(n - 1) & 0xff) % 16
+        val px = new Array[Byte](3 * w * h)
+        var i = 0
+        while (i < px.length) { px(i) = t(i % n); i += 1 }
+        (id, graft.operators.Png.encode(w, h, px))
+      })
+      .toDF("doc_id", "png")
+  }
+
+  /** q145: REAL PNG decode — the fourth real codec and the first
+    * entropy-coded one ([[graft.operators.Png]]: CRC-checked chunk
+    * walk, JDK zlib inflate, all five scanline-filter reconstructions).
+    * The oracle rebuilds the pixels from their DEFINITION (the q42/q121
+    * CTEs) and compares dims, byte sum, endpoints, and the pixel
+    * buffer's md5 — hash equality proves the whole compressed round
+    * trip byte-exact, the q137 epistemics for a format with an entropy
+    * codec in the middle.
+    */
+  def q145PngStats(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.pngPixelStats(spark,
+        renderedPngOf(Tables.balanced(spark, d, "documents")),
+        "doc_id", "png")
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        col("px_sum"), col("px_first"), col("px_last"), col("px_md5"))
+
+  /** q146: PNG near-dup — the compressed-image member of the perceptual
+    * dedup family, and the proof the EXISTING machine serves it
+    * unchanged: [[graft.operators.Multimodal.dHashPng]] is the same
+    * 56-bit dHash core over [[graft.operators.Png.decode]]'s pixels, so
+    * the fingerprints (and therefore the pairs) are IDENTICAL to what
+    * the uncompressed P6 path produces on the same pixel definition —
+    * the oracle is q121's SQL verbatim. Same banding, same registries,
+    * same streams; only the codec seam changed.
+    */
+  def q146PngNearDup(spark: SparkSession, d: String): DataFrame =
+    graft.operators.TextDedup.hammingPairs(
+      graft.operators.Multimodal.dHashPng(spark,
+          renderedPngOf(Tables.balanced(spark, d, "documents")),
+          "doc_id", "png")
+        .select(col("id").as("doc"), col("dhash")),
+      "doc", "dhash", bits = 56, maxHamming = 2, bands = 8)
+
   /** q124: PIPELINE v4 — the multimodal curation composition of this
     * round's operators: render → REAL P6 decode → 56-bit dHash →
     * perceptual EXACT dedup (first-wins per fingerprint: identical
@@ -907,6 +970,8 @@ object LlmPipelines {
     "q142_video_pipeline_v6" -> q142VideoPipelineV6 _,
     "q143_audio_segments" -> q143AudioSegments _,
     "q144_multimodal_card" -> q144MultimodalCard _,
+    "q145_png_stats" -> q145PngStats _,
+    "q146_png_neardup" -> q146PngNearDup _,
     "q38_ann_ivf_topk" -> q38AnnIvfTopK _,
     "q39_embedding_neardup" -> q39EmbeddingNearDup _,
     "q24_text_stats" -> q24TextStats _,

@@ -738,6 +738,63 @@ object Oracles {
          |FROM hsh a JOIN hsh b2 ON a.doc_id < b2.doc_id
          |WHERE bit_count(xor(a.dhash, b2.dhash)) <= 2""".stripMargin,
 
+    // q145: PNG decode stats — pixels rebuilt from their DEFINITION
+    // (the q42/q121 CTEs: dims from first/last char, text cycled to
+    // 3·w·h), never from the blob; the engine side ran chunk-walk →
+    // CRC → inflate → the five filter reconstructions, so md5 equality
+    // proves the entropy-coded round trip byte-exact.
+    "q145_png_stats" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    1 + ascii(substr(text, 1, 1)) % 16 AS w,
+         |    1 + ascii(substr(text, length(text), 1)) % 16 AS h
+         |  FROM documents),
+         |p AS (SELECT doc_id, w, h,
+         |    substr(repeat(text, CAST(w*h*3 // length(text) AS INTEGER) + 1),
+         |      1, w*h*3) AS px
+         |  FROM t)
+         |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(list_reduce([0::BIGINT] || list_transform(range(1, length(px)+1),
+         |    i -> ascii(substr(px, CAST(i AS INTEGER), 1))::BIGINT), (a,b) -> a+b)
+         |    AS BIGINT) AS px_sum,
+         |  CAST(ascii(substr(px, 1, 1)) AS INTEGER) AS px_first,
+         |  CAST(ascii(substr(px, length(px), 1)) AS INTEGER) AS px_last,
+         |  md5(px) AS px_md5
+         |FROM p""".stripMargin,
+
+    // q146: PNG near-dup — the q121 oracle VERBATIM: the PNG fixture
+    // shares the PPM fixture's pixel definition and dHashPng is the
+    // same 56-bit core over the decoded pixels, so fingerprints and
+    // pairs must be identical. Engine-side only the codec seam differs.
+    "q146_png_neardup" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    1 + ascii(substr(text, 1, 1)) % 16 AS w,
+         |    1 + ascii(substr(text, length(text), 1)) % 16 AS h
+         |  FROM documents),
+         |p AS (SELECT doc_id, w, h,
+         |    substr(repeat(text, CAST(w*h*3 // length(text) AS INTEGER) + 1),
+         |      1, w*h*3) AS px
+         |  FROM t),
+         |g AS (SELECT doc_id, w, h, px, unnest(range(0, 7)) AS yo FROM p),
+         |gx AS (SELECT doc_id, w, h, px, yo, (yo*h)//7 AS sy,
+         |    unnest(range(0, 8)) AS xo FROM g),
+         |b AS (SELECT doc_id, yo, xo,
+         |    CASE WHEN
+         |      (ascii(substr(px, CAST((sy*w + (xo*w)//9)*3 + 1 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + (xo*w)//9)*3 + 2 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + (xo*w)//9)*3 + 3 AS INTEGER), 1))) // 3
+         |      >
+         |      (ascii(substr(px, CAST((sy*w + ((xo+1)*w)//9)*3 + 1 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + ((xo+1)*w)//9)*3 + 2 AS INTEGER), 1)) +
+         |       ascii(substr(px, CAST((sy*w + ((xo+1)*w)//9)*3 + 3 AS INTEGER), 1))) // 3
+         |    THEN (1::BIGINT << CAST(yo*8 + xo AS INTEGER)) ELSE 0 END AS bit
+         |  FROM gx),
+         |hsh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS dhash
+         |  FROM b GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.dhash, b2.dhash)) AS BIGINT) AS hamming
+         |FROM hsh a JOIN hsh b2 ON a.doc_id < b2.doc_id
+         |WHERE bit_count(xor(a.dhash, b2.dhash)) <= 2""".stripMargin,
+
     // q124: pipeline v4 — the q121 dhash CTEs → first-wins per
     // fingerprint → the q123 weights/apportionment/rank arithmetic over
     // the SURVIVING corpus (salt v4, total 200).
