@@ -75,7 +75,7 @@ object ScaleProbe {
       "packing", "relational", "topk", "kmeans", "sinks", "pq", "sketch",
       "prune", "sinkbig", "pqtrain", "spandedup", "jsonlines", "tiered", "bpe",
       "dsir", "spancorrupt", "substr", "lshskew", "ccdiam", "imagededup",
-      "videodedup", "bucketreg", "audioprep",
+      "videodedup", "bucketreg", "audioprep", "gramreg",
       "ccinc", "funnel", "prep")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
@@ -942,6 +942,104 @@ object ScaleProbe {
       }
       graft.Caches.clearAll(spark)
      }
+    }
+    // gramreg: the LARGE-batch registry read (r13 verdict #3). The
+    // literal-pushdown path (bucketreg) dies when per-batch distinct
+    // values ≫ buckets — and the gram registry's batches carry roughly
+    // per-token distinct grams, far past any IN-list. The scale form is
+    // the storage-partitioned JOIN: registry bucketed by `gram`, the
+    // excision's registry join + novel-gram anti-join satisfy their
+    // clustering straight off the bucketed scan. Metric: total shuffle
+    // WRITE records per excision — the flat registry is re-SHUFFLED in
+    // full every batch (grows ∝ corpus), the bucketed one contributes
+    // zero shuffle rows (per-batch shuffle tracks the BATCH).
+    if (want("gramreg")) {
+      val shufRecords = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (t.taskMetrics != null) {
+            shufRecords.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+            ()
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def measured(f: => Long): (Long, Long) = {
+        Thread.sleep(300) // drain stragglers from the previous block
+        shufRecords.set(0L)
+        val n = f
+        Thread.sleep(500) // listener bus is async; let task-ends land
+        (n, shufRecords.get())
+      }
+      val batch = materialize(
+        docsAt(spark, d, 1).select((col("doc_id") + 900000000L).as("doc_id"),
+          when(col("doc_id") % 2 === 1,
+            regexp_replace(col("text"), "(\\S+)", "nv_$1"))
+            .otherwise(col("text")).as("text")),
+        s"/tmp/scale/gramregbatch")
+      def force(out: DataFrame): Long =
+        out.agg(sum(col("n_removed")), sum(length(col("new_text"))))
+          .head().getLong(0)
+      // broadcast pinned OFF: at probe sizes AQE would broadcast the
+      // registry and hide the exchange under test; at the 100 TB
+      // registry size broadcast is not on the table
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        for (factor <- Seq(1, 4, 16, 64)) {
+          val docs = materialize(docsAt(spark, d, factor), s"/tmp/scale/gr$factor")
+          val regDf = docs.select(explode(graft.functions.Text.shingles(
+              graft.functions.Text.tokens(col("text")), 6)).as("gram"))
+            .distinct()
+          val flatPath = s"/tmp/scale/grflat$factor"
+          regDf.write.mode("overwrite").parquet(flatPath)
+          val tbl = s"scale_gram_reg_$factor"
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          val loc = new java.io.File(new java.net.URI(
+            spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+          }
+          if (loc.exists()) rm(loc)
+          graft.sources.Bucketing.writeBucketed(
+            spark.read.parquet(flatPath), tbl, 64, "gram")
+          val regRows = spark.read.parquet(flatPath).count()
+          val t0 = System.nanoTime()
+          val (n1, s1) = measured {
+            force(TextDedup.substringExciseAgainst(batch,
+              spark.read.parquet(flatPath), "doc_id", "text", 6))
+          }
+          val tFlat = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val (n2, s2) = graft.sources.Bucketing.withForcedBucketedScan(spark) {
+            measured {
+              force(TextDedup.substringExciseAgainst(batch,
+                spark.table(tbl).select(col("gram")), "doc_id", "text", 6))
+            }
+          }
+          val tBkt = (System.nanoTime() - t1) / 1e9
+          require(n1 == n2, s"flat/bucketed excision disagree: $n1 vs $n2")
+          // plan-asserted once per factor: exactly the registry-side
+          // exchange is gone
+          val (sF, sB) = graft.sources.Bucketing.withForcedBucketedScan(spark) {
+            (graft.sources.Bucketing.countShuffles(
+              TextDedup.substringExciseAgainst(batch,
+                spark.read.parquet(flatPath), "doc_id", "text", 6)),
+             graft.sources.Bucketing.countShuffles(
+              TextDedup.substringExciseAgainst(batch,
+                spark.table(tbl).select(col("gram")), "doc_id", "text", 6)))
+          }
+          println(f"[scale] gramreg ${factor}x ($regRows-gram registry): " +
+            f"flat $s1 shuffle records, $tFlat%.2f s ($sF exchanges); " +
+            f"bucketed $s2 shuffle records, $tBkt%.2f s ($sB exchanges)")
+          spark.sql(s"DROP TABLE $tbl")
+          graft.Caches.clearAll(spark)
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        spark.sparkContext.removeSparkListener(listener)
+      }
     }
     if (want("pqtrain")) for (factor <- Seq(1, 4)) {
       val emb = materialize(embAt(spark, d, factor), s"/tmp/scale/emb$factor")

@@ -115,6 +115,26 @@ object Bucketing {
     !hasShuffle(df.queryExecution.executedPlan)
   }
 
+  /** Count SHUFFLE exchanges in the executed plan (AQE wrappers and
+    * materialized stages descended like [[isExchangeFree]]). The
+    * assertion currency for "the bucketed layout removed exchange N":
+    * specs compare flat-vs-bucketed counts instead of eyeballing
+    * explain output.
+    */
+  def countShuffles(df: DataFrame): Int = {
+    df.foreach(_ => ())
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: ShuffleExchangeLike => 1 + s.children.map(walk).sum
+      case q: QueryStageExec => walk(q.plan)
+      case other => other.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   /** True when the executed plan actually read through a bucketed file
     * scan. [[isExchangeFree]] alone is also satisfied by a broadcast
     * fallback (co-located, but not via bucketing); call sites that want to

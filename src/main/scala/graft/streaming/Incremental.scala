@@ -249,6 +249,67 @@ object Incremental {
       }
       .start()
 
+  /** [[streamingSubstringExcise]] with a BUCKETED gram registry — the
+    * scale form for the registry that actually gets huge at 100 TB. The
+    * image twin's literal-pushdown trick ([[bucketedDhashLookup]]) dies
+    * here: a batch's distinct L-grams track its TOKEN count (far past
+    * any IN-list), so bucket PRUNING cannot apply — the right tool is
+    * the storage-partitioned JOIN. The registry lives as a catalog
+    * table bucketed by `gram`; the excision's registry join and the
+    * novel-gram anti-join then satisfy their ClusteredDistribution
+    * straight off the bucketed scan, so per batch the registry
+    * contributes ZERO shuffle rows — only the batch side exchanges
+    * (plan-asserted in StreamBatchEquivalenceSpec, gramreg probe in
+    * SCALE.md). The flat twin shuffles the ENTIRE registry every
+    * micro-batch; at a billions-of-grams registry that exchange IS the
+    * batch cost.
+    *
+    * `withForcedBucketedScan` spans the actions because Spark's
+    * `DisableUnnecessaryBucketedScan` rule does not credit one-side
+    * bucketed joins whose other side it plans to shuffle anyway —
+    * measured, same as the image twin; foreachBatch serializes batches,
+    * so the session-level flip cannot race this stream's own queries.
+    * Same replay-safe write order (documents FIRST, registry second);
+    * results ≡ the flat twin ≡ the batch q114 rule over ordered arrival
+    * (StreamBatchEquivalenceSpec).
+    */
+  def streamingSubstringExciseBucketed(stream: DataFrame, checkpointDir: String,
+                                       outPath: String, registryTable: String,
+                                       id: String, text: String, minLen: Int,
+                                       buckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.sources.Bucketing.withForcedBucketedScan(spark) {
+          val reg =
+            if (spark.catalog.tableExists(registryTable))
+              spark.table(registryTable).select(col("gram"))
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("gram",
+                  org.apache.spark.sql.types.StringType))))
+          val excised = graft.operators.TextDedup.substringExciseAgainst(
+            batch, reg, id, text, minLen)
+          Merge.upsertParquet(spark, outPath, excised,
+            "doc_id", Merge.Ignore, "n_tokens")
+          val novel = batch.select(explode(graft.functions.Text.shingles(
+              graft.functions.Text.tokens(col(text)), minLen)).as("gram"))
+            .distinct()
+            .join(reg, Seq("gram"), "left_anti")
+          if (spark.catalog.tableExists(registryTable))
+            graft.sources.Bucketing.appendBucketed(novel, registryTable,
+              buckets, "gram")
+          else
+            graft.sources.Bucketing.writeBucketed(novel, registryTable,
+              buckets, "gram")
+          ()
+        }
+      }
+      .start()
+
   /** Streaming perceptual image dedup — [[streamingSpanDedup]]'s twin in
     * the multimodal domain: each micro-batch of (id, ppm-binary) rows is
     * dHashed (REAL decode,

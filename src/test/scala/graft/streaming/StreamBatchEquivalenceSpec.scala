@@ -540,6 +540,75 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(streamed == Set(1L, 2L, 5L, 7L)) // one per distinct scene, min id
   }
 
+  test("streamingSubstringExciseBucketed ≡ the flat twin; the registry side joins WITHOUT an exchange") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-substrbkt")
+      .toFile.getAbsolutePath
+    val table = "graft_test_gram_registry"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    def rmAll(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmAll)
+      f.delete(); ()
+    }
+    if (warehouse.exists()) rmAll(warehouse)
+    // the flat twin's fixture verbatim — the equivalence target is the
+    // same ONE global excision over the concatenation
+    val b1 = Seq((1L, "a1 a2 a3 a4 a5 a6 a7 a8"), (2L, "b1 b2 b3 b4 b5 b6"))
+    val b2 = Seq((10L, "u1 u2 a1 a2 a3 a4 a5 a6 a7 a8"), (11L, "n1 n2 n3 n4 n5 n6 n7"))
+    val b3 = Seq((20L, "n1 n2 n3 n4 n5 n6 n7"), (21L, "b1 b2 b3 b4 b5 b6"))
+    val input = MemoryStream[(Long, String)]
+    val query = Incremental.streamingSubstringExciseBucketed(
+      input.toDF().toDF("doc_id", "text"),
+      s"$dir/ckpt", s"$dir/out", table,
+      id = "doc_id", text = "text", minLen = 6, buckets = 16)
+    try {
+      Seq(b1, b2, b3).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "n_tokens", "n_removed", "new_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val global = graft.operators.TextDedup.substringExcise(
+        (b1 ++ b2 ++ b3).toDF("doc_id", "text"), "doc_id", "text", minLen = 6)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed == global, "bucketed twin ≡ flat twin ≡ global excision")
+    // registry table: each distinct gram exactly once, bucketed layout
+    val regGrams = spark.table(table).select("gram").as[String].collect()
+    assert(regGrams.length == regGrams.distinct.length)
+    // THE SCALE CLAIM, plan-asserted: with the registry as a bucketed
+    // table, the excision join and the novel-gram anti-join satisfy
+    // their gram-clustering straight off the scan — the registry
+    // contributes ZERO shuffles, so the whole plan carries exactly one
+    // FEWER exchange than the identical query against a flat registry.
+    // Broadcast is pinned off inside the scope: at test size AQE would
+    // broadcast the registry and hide the exchange being measured (at
+    // the 100 TB registry size broadcast is not on the table).
+    val batchDf = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+    val flatPath = s"$dir/flat_registry"
+    spark.table(table).select("gram").write.parquet(flatPath)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try graft.sources.Bucketing.withForcedBucketedScan(spark) {
+      val viaBucketed = graft.operators.TextDedup.substringExciseAgainst(
+        batchDf, spark.table(table).select("gram"), "doc_id", "text", 6)
+      val viaFlat = graft.operators.TextDedup.substringExciseAgainst(
+        batchDf, spark.read.parquet(flatPath), "doc_id", "text", 6)
+      assert(viaBucketed.collect().toSet == viaFlat.collect().toSet)
+      assert(graft.sources.Bucketing.usedBucketedScan(viaBucketed),
+        "registry must be read through the bucketed scan")
+      val sB = graft.sources.Bucketing.countShuffles(viaBucketed)
+      val sF = graft.sources.Bucketing.countShuffles(viaFlat)
+      assert(sB == sF - 1,
+        s"bucketed registry must eliminate exactly the registry-side " +
+          s"exchange (bucketed $sB vs flat $sF shuffles)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    spark.sql(s"DROP TABLE $table")
+  }
+
   test("streamingImageDedupBucketed ≡ the flat twin; the lookup is a bucket-PRUNED scan") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
