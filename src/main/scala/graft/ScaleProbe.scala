@@ -75,7 +75,7 @@ object ScaleProbe {
       "packing", "relational", "topk", "kmeans", "sinks", "pq", "sketch",
       "prune", "sinkbig", "pqtrain", "spandedup", "jsonlines", "tiered", "bpe",
       "dsir", "spancorrupt", "substr", "lshskew", "ccdiam", "imagededup",
-      "videodedup", "bucketreg", "audioprep", "gramreg",
+      "videodedup", "bucketreg", "audioprep", "gramreg", "kfnovel",
       "ccinc", "funnel", "prep")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
@@ -374,6 +374,51 @@ object ScaleProbe {
         rollup(TextDedup.hammingPairs(fps, "doc", "dhash", 56, 2, 8,
           maxBucket = 64L)).count()
       }
+      spark.catalog.clearCache()
+    }
+    // q142/q144 first-wins A/B (r13 verdict #4): the registered form is
+    // a rank window over partitionBy(keyframe_dhash) feeding
+    // sum(rn = 1) — InferWindowGroupLimit cannot prune it, so an
+    // identical-fingerprint mega-cluster sorts in ONE window partition.
+    // The candidate is the q100 agg-twin shape: map-side-combinable
+    // groupBy(kd).agg(min(struct(id, scene))) for the owners + a count
+    // rollup + join-back. Keyframes are MATERIALIZED first so the A/B
+    // measures the rollup, not the decode. Measure before switching —
+    // two r13 "obvious" fixes benched slower.
+    if (want("kfnovel")) for (factor <- Seq(1, 4, 16, 64)) {
+      val docs = materialize(docsAt(spark, d, factor), s"/tmp/scale/kfn$factor")
+      val kf = materialize(graft.operators.Multimodal.keyframes(spark,
+          graft.queries.LlmPipelines.renderedP6StreamOf(docs),
+          "doc_id", "video", minHamming = 8),
+        s"/tmp/scale/kfnkf$factor")
+      import org.apache.spark.sql.expressions.Window
+      def formW = kf
+        .withColumn("__rn", row_number().over(Window
+          .partitionBy(col("keyframe_dhash"))
+          .orderBy(col("id").asc, col("scene").asc)))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_scenes"),
+          sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("novel_scenes"))
+      def formA = {
+        val owners = kf
+          .groupBy(col("keyframe_dhash"))
+          .agg(min(struct(col("id"), col("scene"))).as("f"))
+          .groupBy(col("f.id").as("id"))
+          .agg(count(lit(1)).as("novel_scenes"))
+        kf.groupBy(col("id")).agg(count(lit(1)).as("n_scenes"))
+          .join(owners, Seq("id"), "left_outer")
+          .select(col("id"), col("n_scenes"),
+            coalesce(col("novel_scenes"), lit(0L)).as("novel_scenes"))
+      }
+      def force(df: DataFrame): Long =
+        df.agg(sum(col("n_scenes") * 7 + col("novel_scenes")))
+          .head().getLong(0)
+      val (a, b) = (force(formW), force(formA))
+      require(a == b, s"window/agg novelty forms disagree: $a vs $b")
+      time(s"kfnovel-window ${factor}x (${kf.count()} keyframes)") {
+        force(formW)
+      }
+      time(s"kfnovel-aggjoin ${factor}x") { force(formA) }
       spark.catalog.clearCache()
     }
     // Audio prep (q134/q143 chain: render WAV → RIFF walk → windowed

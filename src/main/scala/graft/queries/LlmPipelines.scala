@@ -653,20 +653,29 @@ object LlmPipelines {
     * rollup; no all-pairs anywhere.
     */
   def q142VideoPipelineV6(spark: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("keyframe_dhash"))
-      .orderBy(col("id").asc, col("scene").asc)
-    graft.operators.Multimodal.keyframes(spark,
-        renderedP6StreamOf(Tables.balanced(spark, d, "documents")),
-        "doc_id", "video", minHamming = 8)
-      .withColumn("__rn", row_number().over(w))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_scenes"),
-        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("novel_scenes"),
-        expr("(1000000 * sum(CASE WHEN __rn = 1 THEN 1 ELSE 0 END))" +
-          " div count(1)").as("novelty_pm"))
-      .select(col("id").as("doc_id"), col("n_scenes"), col("novel_scenes"),
-        col("novelty_pm"))
+    // Global first-wins as the AGG TWIN (r14, kfnovel probe): the rank
+    // window over partitionBy(keyframe_dhash) cannot be group-limit
+    // pruned, so an identical-fingerprint mega-cluster (the videodedup
+    // fixture's ~20% single-value population) sorts in ONE window
+    // partition; min(struct(id, scene)) per fingerprint is map-side
+    // combinable — the cluster collapses before the exchange (q100's
+    // agg-twin rule). Equal output at every probed factor, faster at
+    // 64× (0.51 vs 0.71 s), and the gap is structural: window cost
+    // tracks the biggest cluster, agg cost tracks distinct fingerprints.
+    val kf = graft.operators.Multimodal.keyframes(spark,
+      renderedP6StreamOf(Tables.balanced(spark, d, "documents")),
+      "doc_id", "video", minHamming = 8)
+    val owners = kf
+      .groupBy(col("keyframe_dhash"))
+      .agg(min(struct(col("id"), col("scene"))).as("f"))
+      .groupBy(col("f.id").as("id"))
+      .agg(count(lit(1)).as("novel_scenes"))
+    kf.groupBy(col("id")).agg(count(lit(1)).as("n_scenes"))
+      .join(owners, Seq("id"), "left_outer")
+      .select(col("id").as("doc_id"), col("n_scenes"),
+        coalesce(col("novel_scenes"), lit(0L)).as("novel_scenes"),
+        expr("(1000000 * coalesce(novel_scenes, 0)) div n_scenes")
+          .as("novelty_pm"))
   }
 
   /** q139: scene-cut detection ([[graft.operators.Multimodal.sceneCuts]])
@@ -734,14 +743,21 @@ object LlmPipelines {
     val keyframes = fp.groupBy(col("id"), col("scene"))
       .agg(min_by(col("dhash"), col("frame")).as("kd"),
         count(lit(1)).as("scene_frames"))
+    // first-wins as the map-side-combinable agg twin — q142's r14 form
+    // (kfnovel probe); the rank-window original skews on fingerprint
+    // mega-clusters
+    val owners = keyframes
+      .groupBy(col("kd"))
+      .agg(min(struct(col("id"), col("scene"))).as("f"))
+      .groupBy(col("f.id").as("id"))
+      .agg(count(lit(1)).as("novel_scenes"))
     val novelty = keyframes
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("kd"))
-          .orderBy(col("id").asc, col("scene").asc)))
       .groupBy(col("id"))
       .agg(sum(col("scene_frames")).as("n_frames"),
-        count(lit(1)).as("n_scenes"),
-        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("novel_scenes"))
+        count(lit(1)).as("n_scenes"))
+      .join(owners, Seq("id"), "left_outer")
+      .select(col("id"), col("n_frames"), col("n_scenes"),
+        coalesce(col("novel_scenes"), lit(0L)).as("novel_scenes"))
     srcOf
       .join(audio, Seq("doc_id"))
       .join(novelty.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
