@@ -200,6 +200,117 @@ object GraphMetrics {
       }
       .toDF("city", "node", "pr_pm", "pr_norm_pm")
 
+  /** DISTRIBUTED weighted PageRank — [[perCityPagerank]]'s scale twin,
+    * and the close of the graph family's one single-partition
+    * assumption: the per-group form materializes a whole city's edge
+    * list on one executor thread (fine at city scale; a 100× merged
+    * graph or one mega-city must not OOM an executor). This form is an
+    * aggregate-messages power iteration over the edge DataFrame — the
+    * q118 machinery's shape: per iteration, contributions flow by an
+    * edge⨝rank join on (city, src), collapse by `groupBy(city, dst)`
+    * (map-side combinable), per-city dangling mass is a tiny per-city
+    * aggregate joined back broadcast, and the rank frame is eagerly
+    * localCheckpoint'ed (the q120 rule: every iteration's frame is read
+    * twice — lazy checkpoints would recompute it) so lineage stays one
+    * iteration deep. Heap per task is O(edges/partition), never
+    * O(edges-in-city); rounds' cost tracks total edges, not the biggest
+    * city (prdist probe).
+    *
+    * Numerics: the SAME fixed-iteration trajectory as [[pagerank]] —
+    * identical per-term arithmetic ((x·w)/outw, 0.15/n + 0.85·(c + d/n))
+    * in the same dependency order; only SUMMATION order differs
+    * (distributed aggregation is order-free), which ppm rounding
+    * absorbs — hash-equality with the per-group form on every city is
+    * spec-pinned, and the q33 oracle passes unchanged (q147).
+    */
+  def pagerankDistributed(edges: DataFrame, minEdges: Int = 0,
+                          iterations: Int = Iterations): DataFrame = {
+    val e0 = edges.select(col("city").cast("string"), col("src"),
+      col("dst"), col("w").cast("long"))
+    // the reference's MIN_CITY_SIZE gate: compare EDGE-ROW count (the
+    // perCityPagerank quirk, preserved)
+    val gated = e0.groupBy(col("city"))
+      .agg(count(lit(1)).as("__m")).filter(col("__m") >= minEdges)
+      .select(col("city"))
+    // Loop partitioning is sized to the GRAPH, not the session default:
+    // an iterative job's floor on small inputs is stage scheduling (the
+    // q120 finding — 30 rounds × k stages × 32 near-empty tasks), so
+    // the loop runs on ⌈edges / 64k⌉ partitions capped at the cluster's
+    // parallelism — one partition per real chunk of work locally, full
+    // fan-out on a billion-edge graph. The static sides (e, base) are
+    // pre-partitioned on their join keys ONCE so iterations shuffle
+    // only the rank frame.
+    val eAll = e0.join(broadcast(gated), Seq("city"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parts = math.max(1, math.min(
+      edges.sparkSession.sparkContext.defaultParallelism,
+      (eAll.count() / 64000L).toInt + 1))
+    val e = eAll.repartition(parts, col("city"), col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("city"), col("src").as("node"))
+        .unionByName(e.select(col("city"), col("dst").as("node")))
+        .distinct()
+      val outW = e.groupBy(col("city"), col("src").as("node"))
+        .agg(sum(col("w")).as("outw"))
+      val nPerCity = nodes.groupBy(col("city"))
+        .agg(count(lit(1)).as("n"))
+      // base: one row per (city, node) with its out-weight and city
+      // size. Computed ONCE into the initial rank frame — the loop
+      // self-joins x⨝contrib (x carries outw/n along), so no separate
+      // static frame re-enters every round.
+      val base = nodes.join(outW, Seq("city", "node"), "left_outer")
+        .na.fill(0L, Seq("outw"))
+        .join(broadcast(nPerCity), Seq("city"))
+        .repartition(parts, col("city"), col("node"))
+      locally {
+        // every loop shuffle (contrib agg, dangling agg) sized like the
+        // static sides: conf is read at planning time, i.e. at each
+        // iteration's checkpoint action, so the scope must span the
+        // loop (restored in finally). Iterative jobs are run serially
+        // by every caller here (Bench, Verify, the probe).
+        val spark = edges.sparkSession
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        try {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        var x = base.select(col("city"), col("node"), col("outw"), col("n"),
+            (lit(1.0) / col("n")).as("x"))
+          .localCheckpoint(true)
+        for (_ <- 0 until iterations) {
+          val dang = x.filter(col("outw") === 0)
+            .groupBy(col("city")).agg(sum(col("x")).as("dang"))
+          val contrib = e
+            .join(x.select(col("city"), col("node").as("src"),
+              col("outw"), col("x")), Seq("city", "src"))
+            .groupBy(col("city"), col("dst").as("node"))
+            .agg(sum(col("x") * col("w") / col("outw")).as("contrib"))
+          val next = x
+            .join(contrib, Seq("city", "node"), "left_outer")
+            .join(broadcast(dang), Seq("city"), "left_outer")
+            .select(col("city"), col("node"), col("outw"), col("n"),
+              (lit(0.15) / col("n") + lit(0.85) *
+                (coalesce(col("contrib"), lit(0.0)) +
+                  coalesce(col("dang"), lit(0.0)) / col("n"))).as("x"))
+          val prev = x
+          x = next.localCheckpoint(true)
+          prev.unpersist()
+        }
+        val mean = x.groupBy(col("city"))
+          .agg((sum(col("x")) / count(lit(1))).as("mean"))
+        x.join(broadcast(mean), Seq("city"))
+          .select(col("city"), col("node"),
+            round(col("x") * 1e6).cast("long").as("pr_pm"),
+            when(col("mean") === 0.0, 0L)
+              .otherwise(round(col("x") / col("mean") * 1e6).cast("long"))
+              .as("pr_norm_pm"))
+          .localCheckpoint(true) // sever from the persisted inputs before unpersist
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        }
+      }
+    } finally { e.unpersist(); eAll.unpersist(); () }
+  }
+
   /** G3 per-city betweenness (unweighted, normalized + mean-normalized);
     * same `minEdges` gate as [[perCityPagerank]].
     */

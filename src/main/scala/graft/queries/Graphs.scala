@@ -195,9 +195,22 @@ object Graphs {
           .cast("long").as("lng_micro"))
   }
 
+  /** q147: DISTRIBUTED weighted PageRank — q33's scale twin
+    * ([[GraphMetrics.pagerankDistributed]]): the same fixed-30-iteration
+    * trajectory run as an aggregate-messages power iteration over the
+    * edge DataFrame instead of per-group in one executor thread —
+    * per-task heap is O(edges/partition), never O(edges-in-city), so a
+    * mega-city cannot OOM an executor (prdist probe). Same oracle as
+    * q33: the generated 30-step chained-CTE power iteration.
+    */
+  def q147PagerankDistributed(spark: SparkSession, d: String): DataFrame =
+    GraphMetrics.pagerankDistributed(edges(spark, d))
+      .withColumn("city", col("city").cast("int"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_graph_edges" -> q32GraphEdges _,
     "q33_city_pagerank" -> q33CityPagerank _,
+    "q147_pagerank_distributed" -> q147PagerankDistributed _,
     "q34_city_betweenness" -> q34CityBetweenness _,
     "q37_cell_decode" -> q37CellDecode _,
     "q47_city_hits" -> q47CityHits _,

@@ -2003,6 +2003,9 @@ object Oracles {
   val graphs: Map[String, String] = Map(
     "q32_graph_edges" -> EdgesSql,
     "q33_city_pagerank" -> pagerankSql(EdgesSql, graft.operators.GraphMetrics.Iterations),
+    // q147: the distributed twin runs the SAME trajectory — same oracle
+    "q147_pagerank_distributed" ->
+      pagerankSql(EdgesSql, graft.operators.GraphMetrics.Iterations),
     "q34_city_betweenness" -> betweennessSql(EdgesSql, levels = 6),
     "q47_city_hits" -> hitsSql(EdgesSql, graft.operators.GraphMetrics.Iterations),
     "q75_icosa_decode" -> icosaSql(res = 6),

@@ -107,4 +107,41 @@ class GraphMetricsSpec extends AnyFunSuite {
     val c2 = out("2").map(r => r._2 -> r._3).toMap
     assert(c2.size == 2 && c2("y") > c2("x"))
   }
+
+  test("pagerankDistributed ≡ perCityPagerank on every city of the real sf0.001 graph (hash-equal)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // the REAL query graph, not a toy: same edges q33 runs on — dangling
+    // nodes, weighted multi-edges, several cities, minEdges gate
+    val edges = graft.queries.Graphs.edges(spark, "/root/testdata/sf0.001")
+      .withColumn("city",
+        org.apache.spark.sql.functions.col("city").cast("string"))
+    val local = GraphMetrics.perCityPagerank(edges, minEdges = 2)
+      .as[(String, String, Long, Long)].collect().toSet
+    val dist = GraphMetrics.pagerankDistributed(edges, minEdges = 2)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(local.nonEmpty, "fixture graph must be non-trivial")
+    assert(dist == local,
+      s"distributed PageRank diverged on ${(dist diff local).take(3)} vs ${(local diff dist).take(3)}")
+    // and the gate behaves identically (a sub-threshold city is absent
+    // from both)
+    val localAll = GraphMetrics.perCityPagerank(edges)
+      .as[(String, String, Long, Long)].collect().toSet
+    val distAll = GraphMetrics.pagerankDistributed(edges)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(distAll == localAll)
+  }
+
+  test("pagerankDistributed: dangling mass and weights match the per-group trajectory on a by-hand graph") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // c is dangling (no out-edges); weighted split a→{b 3, c 1}
+    val edges = Seq((1, "a", "b", 3L), (1, "a", "c", 1L), (1, "b", "c", 2L))
+      .toDF("city", "src", "dst", "w")
+    val local = GraphMetrics.perCityPagerank(edges)
+      .as[(String, String, Long, Long)].collect().toSet
+    val dist = GraphMetrics.pagerankDistributed(edges)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(dist == local)
+  }
 }
