@@ -439,14 +439,21 @@ object Incremental {
     * Stream ≡ batch: over ordered arrival the chained first-wins equals
     * q142's one global (id, scene)-ordered window
     * (StreamBatchEquivalenceSpec).
+    *
+    * Registry maintenance is wired to the stream's OWN cadence: every
+    * `compactEvery` batches the append-only registry is folded to one
+    * file ([[compactRegistry]] — serial with the appends by foreachBatch
+    * construction, idempotent on replay). IncrementalSpec pins that
+    * appends continue across a compaction with no key lost or duplicated.
     */
   def streamingVideoNovelty(stream: DataFrame, checkpointDir: String,
                             outPath: String, registryPath: String,
-                            id: String, bin: String, minHamming: Int)
+                            id: String, bin: String, minHamming: Int,
+                            compactEvery: Int = 32)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val kf = graft.operators.Multimodal.keyframes(spark, batch, id, bin,
             minHamming)
@@ -471,6 +478,14 @@ object Incremental {
           kf.select(col("keyframe_dhash").as("dhash")).distinct()
             .join(reg, Seq("dhash"), "left_anti")
             .write.mode("append").parquet(registryPath)
+          // registry maintenance on the owning stream's own cadence
+          // (batches are serial, so compaction can never race an
+          // append; batchId is deterministic on replay and compaction
+          // is a distinct+rewrite — idempotent). Without this a
+          // long-running stream accumulates one KB-sized file per
+          // batch and registry scan cost starts tracking FILE COUNT.
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+            compactRegistry(spark, registryPath)
           ()
         } finally { kf.unpersist(); () }
       }

@@ -71,6 +71,60 @@ class IncrementalSpec extends AnyFunSuite {
     Incremental.compactRegistry(spark, dir + "-missing")
   }
 
+  test("streamingVideoNovelty compacts its registry on its own cadence; appends continue across it (r13 verdict #6)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Multimodal.{P6Stream, Ppm}
+    val dir = java.nio.file.Files.createTempDirectory("graft-vidcompact")
+      .toFile.getAbsolutePath
+    def frame(seed: Int): Array[Byte] = {
+      val w = 9; val h = 7
+      Ppm.render(w, h, 255, Array.tabulate(3 * w * h)(i =>
+        ((i * (2 * seed + 3) * 31) % 256).toByte))
+    }
+    def vid(seeds: Int*): Array[Byte] = P6Stream.render(seeds.map(frame))
+    // four batches; compactEvery = 2 → compactions after batches 1 and 3
+    val batches = Seq(
+      Seq((1L, vid(0, 1))), Seq((2L, vid(1, 2))),
+      Seq((3L, vid(2, 3))), Seq((4L, vid(0, 4))))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val query = Incremental.streamingVideoNovelty(
+      input.toDF().toDF("id", "video"),
+      s"$dir/ckpt", s"$dir/out", s"$dir/registry",
+      "id", "video", minHamming = 8, compactEvery = 2)
+    def regFiles() = new java.io.File(s"$dir/registry").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    try {
+      batches.take(2).foreach { b =>
+        input.addData(b: _*); query.processAllAvailable()
+      }
+      val afterFirstCompaction = regFiles()
+      assert(afterFirstCompaction == 1,
+        s"batch 1 (0-indexed) must compact the registry to one file, saw $afterFirstCompaction")
+      val keysAfter2 = spark.read.parquet(s"$dir/registry")
+        .as[Long].collect().sorted.toSeq
+      batches.drop(2).foreach { b =>
+        input.addData(b: _*); query.processAllAvailable()
+      }
+      // appends CONTINUED across the compaction: batches 2 and 3 landed
+      // their novel fingerprints, then batch 3's cadence compacted again
+      val keysAfter4 = spark.read.parquet(s"$dir/registry")
+        .as[Long].collect().sorted.toSeq
+      assert(keysAfter4.size > keysAfter2.size,
+        "post-compaction batches must keep landing novel fingerprints")
+      assert(keysAfter4 == keysAfter4.distinct,
+        "compaction must not duplicate keys")
+      assert(keysAfter2.toSet.subsetOf(keysAfter4.toSet),
+        "compaction must not lose keys")
+      assert(regFiles() == 1, "batch 3's cadence compacts again")
+      // and the per-video novelty rows are untouched by maintenance
+      val out = spark.read.parquet(s"$dir/out")
+        .select("id").as[Long].collect().toSet
+      assert(out == Set(1L, 2L, 3L, 4L))
+    } finally query.stop()
+  }
+
   test("chunkRanges covers [lo,hi) exactly with bounded steps") {
     assert(chunkRanges(0, 10, 4) == Seq((0L, 4L), (4L, 8L), (8L, 10L)))
     assert(chunkRanges(5, 5, 4).isEmpty)
