@@ -325,6 +325,106 @@ object GraphMetrics {
       }
       .toDF("city", "node", "bc_pm", "bc_norm_pm")
 
+  /** DISTRIBUTED weighted HITS — [[perCityHits]]'s scale twin, the
+    * same aggregate-messages machinery as [[pagerankDistributed]] (the
+    * power-iteration shape is identical; only the messages differ):
+    * per iteration a = Aᵀh by an edge⨝h join on (city, src) collapsed
+    * by (city, dst), then h' = A·a by the mirror join on (city, dst)
+    * collapsed by (city, src), max-normalized per city (the overflow
+    * guard the local form documents) via a tiny broadcast-joined
+    * aggregate. Hub/authority normalization and the final sums match
+    * the local trajectory term for term; only summation order differs,
+    * absorbed by ppm rounding — hash-equality with [[perCityHits]] on
+    * the real graph is spec-pinned, which chains it to q47's oracle.
+    *
+    * NOT separately registered as a query: it would re-run q47's exact
+    * oracle at ~1.5× q147's iteration cost for no new semantics — the
+    * oracle-vs-distributed-loop proof already stands on q147; this twin
+    * is pinned by equivalence instead (the bench-lean choice,
+    * documented in COVERAGE.md). Use it when one city's edge list
+    * outgrows an executor — per-task heap is O(edges/partition).
+    */
+  def hitsDistributed(edges: DataFrame, minEdges: Int = 0,
+                      iterations: Int = Iterations): DataFrame = {
+    val e0 = edges.select(col("city").cast("string"), col("src"),
+      col("dst"), col("w").cast("long"))
+    val gated = e0.groupBy(col("city"))
+      .agg(count(lit(1)).as("__m")).filter(col("__m") >= minEdges)
+      .select(col("city"))
+    val eAll = e0.join(broadcast(gated), Seq("city"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = edges.sparkSession
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism,
+      (eAll.count() / 64000L).toInt + 1))
+    // both message directions are joins against the edge frame; one
+    // copy per join key keeps every iteration shuffle on the h/a side
+    val eBySrc = eAll.repartition(parts, col("city"), col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eByDst = eAll.repartition(parts, col("city"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = eAll.select(col("city"), col("src").as("node"))
+        .unionByName(eAll.select(col("city"), col("dst").as("node")))
+        .distinct()
+      val nPerCity = nodes.groupBy(col("city")).agg(count(lit(1)).as("n"))
+      val base = nodes.join(broadcast(nPerCity), Seq("city"))
+        .repartition(parts, col("city"), col("node"))
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        var h = base.select(col("city"), col("node"),
+            (lit(1.0) / col("n")).as("h"))
+          .localCheckpoint(true)
+        var a: DataFrame = null
+        for (_ <- 0 until iterations) {
+          // a = Aᵀh (RAW, the local trajectory): per dst, Σ h(src)·w
+          val aNext = eBySrc
+            .join(h.select(col("city"), col("node").as("src"), col("h")),
+              Seq("city", "src"))
+            .groupBy(col("city"), col("dst").as("node"))
+            .agg(sum(col("h") * col("w")).as("a"))
+            .localCheckpoint(true)
+          // h' = A·a, max-normalized per city (overflow guard)
+          val hRaw = eByDst
+            .join(aNext.select(col("city"), col("node").as("dst"), col("a")),
+              Seq("city", "dst"))
+            .groupBy(col("city"), col("src").as("node"))
+            .agg(sum(col("a") * col("w")).as("hr"))
+          val hMax = hRaw.groupBy(col("city")).agg(max(col("hr")).as("hmax"))
+          val prevH = h
+          val prevA = a
+          h = h.select(col("city"), col("node"))
+            .join(hRaw, Seq("city", "node"), "left_outer")
+            .join(broadcast(hMax), Seq("city"))
+            .select(col("city"), col("node"),
+              (coalesce(col("hr"), lit(0.0)) / col("hmax")).as("h"))
+            .localCheckpoint(true)
+          a = aNext
+          prevH.unpersist()
+          if (prevA != null) { prevA.unpersist(); () }
+        }
+        // final normalization: h by its city sum, a by its city sum;
+        // nodes with no in-edges carry authority 0 (absent from a)
+        val hs = h.groupBy(col("city")).agg(sum(col("h")).as("hs"))
+        val as_ = a.groupBy(col("city")).agg(sum(col("a")).as("as"))
+        base.select(col("city"), col("node"))
+          .join(h, Seq("city", "node"), "left_outer")
+          .join(a, Seq("city", "node"), "left_outer")
+          .join(broadcast(hs), Seq("city"))
+          .join(broadcast(as_), Seq("city"))
+          .select(col("city"), col("node"),
+            round(coalesce(col("h"), lit(0.0)) / col("hs") * 1e6)
+              .cast("long").as("hub_pm"),
+            round(coalesce(col("a"), lit(0.0)) / col("as") * 1e6)
+              .cast("long").as("auth_pm"))
+          .localCheckpoint(true) // sever from persisted inputs
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+    } finally { eBySrc.unpersist(); eByDst.unpersist(); eAll.unpersist(); () }
+  }
+
   /** G4 per-city weighted HITS (hub_pm, auth_pm as parts-per-million);
     * same shuffle-once-by-city execution and `minEdges` gate as
     * [[perCityPagerank]].

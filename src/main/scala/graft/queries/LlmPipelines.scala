@@ -662,9 +662,15 @@ object LlmPipelines {
     // agg-twin rule). Equal output at every probed factor, faster at
     // 64× (0.51 vs 0.71 s), and the gap is structural: window cost
     // tracks the biggest cluster, agg cost tracks distinct fingerprints.
+    // Persist: the owners agg and the per-video scene count both read
+    // the keyframe frame, and its lineage is the render→walk→decode
+    // chain — without the cache the agg twin would DECODE TWICE.
+    // Caller-owned (the q58/TermStats convention; Bench/Verify
+    // clearAll() per query).
     val kf = graft.operators.Multimodal.keyframes(spark,
-      renderedP6StreamOf(Tables.balanced(spark, d, "documents")),
-      "doc_id", "video", minHamming = 8)
+        renderedP6StreamOf(Tables.balanced(spark, d, "documents")),
+        "doc_id", "video", minHamming = 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val owners = kf
       .groupBy(col("keyframe_dhash"))
       .agg(min(struct(col("id"), col("scene"))).as("f"))
@@ -743,6 +749,9 @@ object LlmPipelines {
     val keyframes = fp.groupBy(col("id"), col("scene"))
       .agg(min_by(col("dhash"), col("frame")).as("kd"),
         count(lit(1)).as("scene_frames"))
+      // caller-owned persist: owners + novelty both read this frame and
+      // its lineage is the video decode (same rule as q142)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // first-wins as the map-side-combinable agg twin — q142's r14 form
     // (kfnovel probe); the rank-window original skews on fingerprint
     // mega-clusters

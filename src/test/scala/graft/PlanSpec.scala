@@ -69,8 +69,23 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(run("q141_video_keyframes")) == 2)
   }
 
-  test("q142 video pipeline v6: 4 shuffles (rebalance, video key, fingerprint window, rollup)") {
-    assert(countShuffles(run("q142_video_pipeline_v6")) == 4)
+  test("q142 video pipeline v6: agg-twin form — keyframes cached once (no double decode), 2 post-cache exchanges, no rank window") {
+    // r14: the global first-wins became the map-side-combinable agg twin
+    // (kfnovel probe). Structure pinned: (a) the keyframe subtree is
+    // CACHED — owners and the scene rollup both read it, and without the
+    // cache the twin would decode every video twice; (b) only the two
+    // partial-agg exchanges remain visible past the cache (the rebalance
+    // + video-key exchanges live inside the cached subtree); (c) the
+    // fingerprint rank WINDOW — single-partition on a mega-cluster — is
+    // gone from the plan entirely.
+    val df = run("q142_video_pipeline_v6")
+    val n = countShuffles(df)
+    val plan = planString(df)
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      "keyframes must be read from cache, not decoded per consumer")
+    assert(n == 2, s"expected 2 post-cache exchanges, got $n")
+    assert(!plan.contains("row_number"),
+      "the fingerprint rank window must stay gone")
   }
 
   test("q143 audio segments: 2 shuffles (rebalance + clip key); islands and rollup share one clustering") {
