@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   * needed (q42/q96 are oracle-checked over it) — and so is WAV audio:
   * [[Wav]] walks genuine RIFF chunks to PCM16 samples (q134) — and so
   * is video: [[P6Stream]] walks concatenated P6 frames by their own
-  * parsed extents (q137/q138) — and, since r14, so is PNG: [[Png]]
-  * walks CRC-checked chunks, inflates the zlib stream through the JDK,
-  * and reconstructs all five scanline filters (q145/q146). Only formats
-  * whose entropy codecs aren't shippable here (JPEG/MP3, mp4/mkv)
-  * remain behind
+  * parsed extents (q137/q138) — and, since r14, so are PNG and JPEG:
+  * [[Png]] walks CRC-checked chunks, inflates the zlib stream through
+  * the JDK, and reconstructs all five scanline filters (q145/q146);
+  * [[Jpeg]] is a full baseline decoder with its own entropy stack —
+  * Huffman tables, marker-unstuffing bit reader, zigzag, dequant, IDCT
+  * (q148/q149). Only perceptual-audio codecs (MP3) and av containers
+  * (mp4/mkv) remain behind
   * [[DeterministicStubCodec]], which derives features from the raw bytes
   * so the pipeline shape (schema, partitioning, batch flow, feature
   * fan-out) stays real and testable; a production codec (javacv/ffmpeg)
@@ -427,6 +429,67 @@ object Multimodal {
         it.map { case (id, bytes) =>
           val img = Png.decode(bytes)
           (id, dHash56(img.pixels, 0, img.w, img.h))
+        }
+      }
+      .toDF("id", "dhash")
+  }
+
+  /** One [[jpegLumaStats]] output row. */
+  case class JpegStats(id: Long, width: Int, height: Int, luma_sum: Long,
+    luma_first: Int, luma_last: Int, luma_md5: String)
+
+  /** REAL baseline-JPEG decode over a binary column, reduced to
+    * luma-domain stats + the sample buffer's content hash — the
+    * decode-proof surface for [[Jpeg]] (marker walk → Huffman →
+    * dequant → IDCT). The q148 oracle recomputes the samples from the
+    * constant-block fixture DEFINITION — such images are a fixed point
+    * of the quant-1 pipeline (JpegSpec), so hash equality proves the
+    * full entropy-coded chain byte-exact. Row-local like every codec.
+    */
+  def jpegLumaStats(spark: SparkSession, df: DataFrame, idCol: String,
+                    binCol: String): DataFrame = {
+    implicit val enc: Encoder[JpegStats] = Encoders.product[JpegStats]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = Jpeg.decode(bytes)
+          var sum = 0L
+          var i = 0
+          while (i < img.samples.length) { sum += img.samples(i) & 0xff; i += 1 }
+          JpegStats(id, img.w, img.h, sum,
+            img.samples(0) & 0xff, img.samples(img.samples.length - 1) & 0xff,
+            org.apache.commons.codec.digest.DigestUtils.md5Hex(img.samples))
+        }
+      }
+      .toDF()
+  }
+
+  /** 56-bit dHash over a grayscale-JPEG binary column — the same
+    * [[dHash56]] core as the PPM/PNG/video paths, fed by expanding each
+    * decoded luma sample to an (s, s, s) triplet (whose integer luma is
+    * s again), so a JPEG, a PNG, and a P6 of the same pixels carry the
+    * same fingerprint and the hamming dedup machine serves all of them
+    * unchanged.
+    */
+  def dHashJpeg(spark: SparkSession, df: DataFrame, idCol: String,
+                binCol: String): DataFrame = {
+    implicit val enc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = Jpeg.decode(bytes)
+          val rgb = new Array[Byte](3 * img.samples.length)
+          var i = 0
+          while (i < img.samples.length) {
+            rgb(3 * i) = img.samples(i)
+            rgb(3 * i + 1) = img.samples(i)
+            rgb(3 * i + 2) = img.samples(i)
+            i += 1
+          }
+          (id, dHash56(rgb, 0, img.w, img.h))
         }
       }
       .toDF("id", "dhash")

@@ -445,6 +445,73 @@ object LlmPipelines {
         .select(col("id").as("doc"), col("dhash")),
       "doc", "dhash", bits = 56, maxHamming = 2, bands = 8)
 
+  /** Deterministic grayscale JPEGs rendered from the ASCII corpus —
+    * the entropy-coded fixture with an EXACTNESS guarantee: every 8×8
+    * block is CONSTANT (its value one text character), and
+    * constant-block images are a fixed point of the quant-1 baseline
+    * pipeline ([[graft.operators.Jpeg]] scaladoc + JpegSpec), so the
+    * decode is byte-exact and a DuckDB oracle can rebuild the decoded
+    * samples from this definition. Dims 8·(1 + a1 % 4) × 8·(1 + aN % 4);
+    * block (bx, by) carries text((by·wb + bx) mod n).
+    */
+  private[graft] def renderedJpegOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val inEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    implicit val outEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val t = text.getBytes("US-ASCII")
+        val n = t.length
+        val wb = 1 + (t(0) & 0xff) % 4
+        val hb = 1 + (t(n - 1) & 0xff) % 4
+        val w = 8 * wb; val h = 8 * hb
+        val s = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            s(y * w + x) = t(((y / 8) * wb + (x / 8)) % n)
+            x += 1
+          }
+          y += 1
+        }
+        (id, graft.operators.Jpeg.encode(w, h, s))
+      })
+      .toDF("doc_id", "jpeg")
+  }
+
+  /** q148: REAL baseline-JPEG decode — the fifth real codec, with its
+    * own full entropy stack (Huffman tables, bit reader with marker
+    * unstuffing, zigzag, dequant, IDCT). The oracle recomputes the
+    * decoded samples from the constant-block DEFINITION — hash equality
+    * proves marker walk → Huffman → DCT chain byte-exact (the q145
+    * epistemics, now for a LOSSY format pinned at its fixed point).
+    */
+  def q148JpegStats(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.jpegLumaStats(spark,
+        renderedJpegOf(Tables.balanced(spark, d, "documents")),
+        "doc_id", "jpeg")
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        col("luma_sum"), col("luma_first"), col("luma_last"), col("luma_md5"))
+
+  /** q149: JPEG near-dup — the entropy-coded member of the perceptual
+    * dedup family: [[graft.operators.Multimodal.dHashJpeg]] is the same
+    * 56-bit core over the decoded luma (expanded to (s,s,s) triplets),
+    * paired by the SAME hamming banding as q121/q135/q138/q146. The
+    * oracle recomputes the dHash relationally from the block definition
+    * and confirms pairs by brute force.
+    */
+  def q149JpegNearDup(spark: SparkSession, d: String): DataFrame =
+    graft.operators.TextDedup.hammingPairs(
+      graft.operators.Multimodal.dHashJpeg(spark,
+          renderedJpegOf(Tables.balanced(spark, d, "documents")),
+          "doc_id", "jpeg")
+        .select(col("id").as("doc"), col("dhash")),
+      "doc", "dhash", bits = 56, maxHamming = 2, bands = 8)
+
   /** q124: PIPELINE v4 — the multimodal curation composition of this
     * round's operators: render → REAL P6 decode → 56-bit dHash →
     * perceptual EXACT dedup (first-wins per fingerprint: identical
@@ -997,6 +1064,8 @@ object LlmPipelines {
     "q144_multimodal_card" -> q144MultimodalCard _,
     "q145_png_stats" -> q145PngStats _,
     "q146_png_neardup" -> q146PngNearDup _,
+    "q148_jpeg_stats" -> q148JpegStats _,
+    "q149_jpeg_neardup" -> q149JpegNearDup _,
     "q38_ann_ivf_topk" -> q38AnnIvfTopK _,
     "q39_embedding_neardup" -> q39EmbeddingNearDup _,
     "q24_text_stats" -> q24TextStats _,

@@ -795,6 +795,59 @@ object Oracles {
          |FROM hsh a JOIN hsh b2 ON a.doc_id < b2.doc_id
          |WHERE bit_count(xor(a.dhash, b2.dhash)) <= 2""".stripMargin,
 
+    // q148: JPEG decode stats — samples rebuilt from the constant-block
+    // DEFINITION (block (bx, by) = text((by·wb + bx) mod n), dims
+    // 8·(1 + a1 % 4) × 8·(1 + aN % 4)); such images are a fixed point
+    // of the quant-1 baseline pipeline (JpegSpec), so the engine's
+    // Huffman+DCT decode must reproduce them byte-exactly.
+    "q148_jpeg_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+         |    1 + ascii(substr(text, 1, 1)) % 4 AS wb,
+         |    1 + ascii(substr(text, length(text), 1)) % 4 AS hb
+         |  FROM documents),
+         |p AS (SELECT doc_id, 8*wb AS w, 8*hb AS h,
+         |    list_aggregate(list_transform(range(0, 64*wb*hb), i ->
+         |      substr(text, CAST(((i // (8*wb)) // 8) * wb
+         |        + ((i % (8*wb)) // 8) AS INTEGER) % CAST(n AS INTEGER) + 1, 1)),
+         |      'string_agg', '') AS px
+         |  FROM t)
+         |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(list_reduce([0::BIGINT] || list_transform(range(1, length(px)+1),
+         |    i -> ascii(substr(px, CAST(i AS INTEGER), 1))::BIGINT), (a,b) -> a+b)
+         |    AS BIGINT) AS luma_sum,
+         |  CAST(ascii(substr(px, 1, 1)) AS INTEGER) AS luma_first,
+         |  CAST(ascii(substr(px, length(px), 1)) AS INTEGER) AS luma_last,
+         |  md5(px) AS luma_md5
+         |FROM p""".stripMargin,
+
+    // q149: JPEG near-dup — the q121/q146 dHash machinery over the
+    // constant-block luma definition (single channel: the engine's
+    // (s,s,s) expansion has integer luma s again), brute-force pair
+    // confirm.
+    "q149_jpeg_neardup" ->
+      s"""WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+         |    1 + ascii(substr(text, 1, 1)) % 4 AS wb,
+         |    1 + ascii(substr(text, length(text), 1)) % 4 AS hb
+         |  FROM documents),
+         |p AS (SELECT doc_id, 8*wb AS w, 8*hb AS h, wb, hb, n FROM t),
+         |g AS (SELECT doc_id, w, h, wb, n, doc_id AS d2, unnest(range(0, 7)) AS yo FROM p),
+         |gx AS (SELECT doc_id, w, h, wb, n, yo, (yo*h)//7 AS sy,
+         |    unnest(range(0, 8)) AS xo FROM g),
+         |-- sample at (gx, sy): block value = text(((sy//8)*wb + gx//8) mod n)
+         |b AS (SELECT gx.doc_id, yo, xo,
+         |    CASE WHEN
+         |      ascii(substr(t2.text, CAST(((sy // 8) * wb + ((xo*w)//9) // 8) % n + 1 AS INTEGER), 1))
+         |      >
+         |      ascii(substr(t2.text, CAST(((sy // 8) * wb + (((xo+1)*w)//9) // 8) % n + 1 AS INTEGER), 1))
+         |    THEN (1::BIGINT << CAST(yo*8 + xo AS INTEGER)) ELSE 0 END AS bit
+         |  FROM gx JOIN documents t2 ON gx.doc_id = t2.doc_id),
+         |hsh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS dhash
+         |  FROM b GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.dhash, b2.dhash)) AS BIGINT) AS hamming
+         |FROM hsh a JOIN hsh b2 ON a.doc_id < b2.doc_id
+         |WHERE bit_count(xor(a.dhash, b2.dhash)) <= 2""".stripMargin,
+
     // q124: pipeline v4 — the q121 dhash CTEs → first-wins per
     // fingerprint → the q123 weights/apportionment/rank arithmetic over
     // the SURVIVING corpus (salt v4, total 200).
