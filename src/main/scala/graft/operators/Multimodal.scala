@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   * the JDK, and reconstructs all five scanline filters (q145/q146);
   * [[Jpeg]] is a full baseline decoder with its own entropy stack —
   * Huffman tables, marker-unstuffing bit reader, zigzag, dequant, IDCT
-  * (q148/q149). Only perceptual-audio codecs (MP3) and av containers
-  * (mp4/mkv) remain behind
+  * (q148/q149) — and so is CONTAINER structure for av formats:
+  * [[Mp4]] walks nested ISO BMFF boxes to per-track metadata (q150)
+  * and [[Mp3]] walks Layer-III frame headers by their slot arithmetic
+  * (q151). Every container is now parsed for real; only perceptual
+  * PAYLOAD codecs (MP3 subband synthesis, H.264/AAC sample data)
+  * remain behind
   * [[DeterministicStubCodec]], which derives features from the raw bytes
   * so the pipeline shape (schema, partitioning, batch flow, feature
   * fan-out) stays real and testable; a production codec (javacv/ffmpeg)
@@ -493,6 +497,63 @@ object Multimodal {
         }
       }
       .toDF("id", "dhash")
+  }
+
+  /** One [[mp4TrackStats]] output row. */
+  case class Mp4TrackRow(id: Long, brand: String, movie_timescale: Long,
+    movie_duration: Long, track_id: Long, handler: String,
+    track_timescale: Long, track_duration: Long, sample_count: Long,
+    sample_bytes: Long)
+
+  /** REAL ISO BMFF (MP4) box walk over a binary column — one row per
+    * TRACK with its codec-agnostic metadata ([[Mp4.parse]]: nested
+    * length-typed boxes, mvhd/tkhd/mdhd/hdlr/stsz). The structural
+    * metadata an av-ingest pipeline routes on (which tracks exist, at
+    * what timescales, how many samples, how many bytes) without
+    * touching a codec. Row-local like every walker.
+    */
+  def mp4TrackStats(spark: SparkSession, df: DataFrame, idCol: String,
+                    binCol: String): DataFrame = {
+    implicit val enc: Encoder[Mp4TrackRow] = Encoders.product[Mp4TrackRow]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val m = Mp4.parse(bytes)
+        m.tracks.iterator.map(t => Mp4TrackRow(id, m.brand, m.timescale,
+          m.duration, t.id, t.handler, t.timescale, t.duration,
+          t.sampleCount, t.sampleBytes))
+      }
+      .toDF()
+  }
+
+  /** One [[mp3FrameStats]] output row. */
+  case class Mp3FrameRow(id: Long, frame: Int, bitrate_kbps: Int,
+    sample_rate: Int, frame_bytes: Long, payload_sum: Long,
+    payload_md5: String)
+
+  /** REAL MP3 frame walk over a binary column — one row per frame with
+    * its header-declared parameters and payload stats ([[Mp3.frames]]:
+    * sync + table-validated header, length from the spec's slot
+    * arithmetic). The framing an audio pipeline routes on; only the
+    * psychoacoustic payload decode stays stubbed. Row-local.
+    */
+  def mp3FrameStats(spark: SparkSession, df: DataFrame, idCol: String,
+                    binCol: String): DataFrame = {
+    implicit val enc: Encoder[Mp3FrameRow] = Encoders.product[Mp3FrameRow]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        Mp3.frames(bytes).map { f =>
+          var sum = 0L
+          var i = f.start + 4
+          while (i < f.end) { sum += bytes(i) & 0xff; i += 1 }
+          val payload = java.util.Arrays.copyOfRange(bytes, f.start + 4, f.end)
+          Mp3FrameRow(id, f.index, f.bitrateKbps, f.sampleRate,
+            (f.end - f.start).toLong, sum,
+            org.apache.commons.codec.digest.DigestUtils.md5Hex(payload))
+        }
+      }
+      .toDF()
   }
 
   /** [[MediaCodec]] over real P6 bytes: width/height come from the PARSED

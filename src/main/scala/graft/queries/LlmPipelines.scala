@@ -512,6 +512,110 @@ object LlmPipelines {
         .select(col("id").as("doc"), col("dhash")),
       "doc", "dhash", bits = 56, maxHamming = 2, bands = 8)
 
+  /** Deterministic minimal MP4s rendered from the ASCII corpus — the
+    * av-container fixture: 1 + a1 % 3 tracks alternating video/audio
+    * handlers, every numeric field a pure integer function of the text
+    * (the DuckDB twin recomputes them all), mdat carrying the text
+    * bytes (skipped by the walker, as in production).
+    */
+  private[graft] def renderedMp4Of(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val inEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    implicit val outEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val t = text.getBytes("US-ASCII")
+        val n = t.length
+        val a1 = t(0) & 0xff
+        val aN = t(n - 1) & 0xff
+        val nt = 1 + a1 % 3
+        val tracks = (0 until nt).map { k =>
+          val vide = k % 2 == 0
+          val sc = 1 + (a1 + 3 * k) % 50
+          graft.operators.Mp4.Track(
+            id = k + 1L,
+            handler = if (vide) "vide" else "soun",
+            timescale = if (vide) 90000L else 48000L,
+            duration = (n + 7L * k) * 100L,
+            sampleCount = sc.toLong,
+            sampleBytes = sc.toLong * (10L + (aN + 5 * k) % 90) + k % 3)
+        }
+        val movie = graft.operators.Mp4.Movie("isom", 1000L, n * 40L,
+          tracks.toVector)
+        (id, graft.operators.Mp4.render(movie, t))
+      })
+      .toDF("doc_id", "mp4")
+  }
+
+  /** q150: REAL ISO BMFF box walk — per-track codec-agnostic metadata
+    * (handlers, timescales, durations, sample counts/bytes) recovered
+    * from nested length-typed boxes
+    * ([[graft.operators.Multimodal.mp4TrackStats]]). The oracle
+    * recomputes every field from the fixture DEFINITION — equality
+    * proves the render → box walk → stsz summation loop exact. The av
+    * container leaves the stub list; only the sample-data codecs stay
+    * behind the seam.
+    */
+  def q150Mp4Tracks(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.mp4TrackStats(spark,
+        renderedMp4Of(Tables.balanced(spark, d, "documents")),
+        "doc_id", "mp4")
+      .select(col("id").as("doc_id"), col("brand"), col("movie_timescale"),
+        col("movie_duration"), col("track_id"), col("handler"),
+        col("track_timescale"), col("track_duration"), col("sample_count"),
+        col("sample_bytes"))
+
+  /** Deterministic MP3 streams rendered from the ASCII corpus: 1 + a1 % 4
+    * frames, frame f with bitrate index 1 + (a1 + 3f) % 14, sample-rate
+    * index (aN + f) % 3, padding (a1 + aN + f) % 2 — so frame lengths
+    * exercise the whole Layer-III table — payload the text cycled from
+    * offset f.
+    */
+  private[graft] def renderedMp3Of(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val inEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    implicit val outEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val t = text.getBytes("US-ASCII")
+        val n = t.length
+        val a1 = t(0) & 0xff
+        val aN = t(n - 1) & 0xff
+        val frames = (0 until 1 + a1 % 4).map { f =>
+          graft.operators.Mp3.renderFrame(
+            bitrateIdx = 1 + (a1 + 3 * f) % 14,
+            sampleRateIdx = (aN + f) % 3,
+            padded = (a1 + aN + f) % 2 == 1,
+            payload = len => Array.tabulate(len)(i => t((f + i) % n)))
+        }
+        (id, graft.operators.Mp3.render(frames))
+      })
+      .toDF("doc_id", "mp3")
+  }
+
+  /** q151: REAL MP3 frame walk — every frame boundary from its OWN
+    * header's table-validated slot arithmetic
+    * ([[graft.operators.Multimodal.mp3FrameStats]]); per frame the
+    * declared bitrate/sample-rate, computed length, and payload
+    * sum + hash. The oracle recomputes lengths from the same public
+    * Layer-III tables and rebuilds each payload from the cycled-text
+    * definition — hash equality proves the framing byte-exact. Only
+    * the psychoacoustic payload decode remains stubbed.
+    */
+  def q151Mp3Frames(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.mp3FrameStats(spark,
+        renderedMp3Of(Tables.balanced(spark, d, "documents")),
+        "doc_id", "mp3")
+      .select(col("id").as("doc_id"), col("frame"), col("bitrate_kbps"),
+        col("sample_rate"), col("frame_bytes"), col("payload_sum"),
+        col("payload_md5"))
+
   /** q124: PIPELINE v4 — the multimodal curation composition of this
     * round's operators: render → REAL P6 decode → 56-bit dHash →
     * perceptual EXACT dedup (first-wins per fingerprint: identical
@@ -1066,6 +1170,8 @@ object LlmPipelines {
     "q146_png_neardup" -> q146PngNearDup _,
     "q148_jpeg_stats" -> q148JpegStats _,
     "q149_jpeg_neardup" -> q149JpegNearDup _,
+    "q150_mp4_tracks" -> q150Mp4Tracks _,
+    "q151_mp3_frames" -> q151Mp3Frames _,
     "q38_ann_ivf_topk" -> q38AnnIvfTopK _,
     "q39_embedding_neardup" -> q39EmbeddingNearDup _,
     "q24_text_stats" -> q24TextStats _,

@@ -848,6 +848,67 @@ object Oracles {
          |FROM hsh a JOIN hsh b2 ON a.doc_id < b2.doc_id
          |WHERE bit_count(xor(a.dhash, b2.dhash)) <= 2""".stripMargin,
 
+    // q150: MP4 track metadata — every field recomputed from the
+    // fixture definition (tracks 0..a1%3, alternating handlers, pure
+    // integer formulas); equality proves the nested box walk + stsz
+    // summation exact.
+    "q150_mp4_tracks" ->
+      s"""WITH t AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+         |    ascii(substr(text, 1, 1)) AS a1,
+         |    ascii(substr(text, length(text), 1)) AS aN
+         |  FROM documents),
+         |k AS (SELECT doc_id, n, a1, aN, unnest(range(0, 1 + a1 % 3)) AS k
+         |  FROM t)
+         |SELECT doc_id, 'isom' AS brand,
+         |  CAST(1000 AS BIGINT) AS movie_timescale,
+         |  CAST(n*40 AS BIGINT) AS movie_duration,
+         |  CAST(k+1 AS BIGINT) AS track_id,
+         |  CASE WHEN k % 2 = 0 THEN 'vide' ELSE 'soun' END AS handler,
+         |  CAST(CASE WHEN k % 2 = 0 THEN 90000 ELSE 48000 END AS BIGINT)
+         |    AS track_timescale,
+         |  CAST((n + 7*k)*100 AS BIGINT) AS track_duration,
+         |  CAST(1 + (a1 + 3*k) % 50 AS BIGINT) AS sample_count,
+         |  CAST((1 + (a1 + 3*k) % 50) * (10 + (aN + 5*k) % 90) + k % 3
+         |    AS BIGINT) AS sample_bytes
+         |FROM k""".stripMargin,
+
+    // q151: MP3 frame walk — lengths from the SAME public Layer-III
+    // tables (bitrate by index, sample rate by index, slot arithmetic
+    // 144·br/sr + padding), payloads rebuilt from the cycled-text
+    // definition; md5 equality proves the framing byte-exact.
+    "q151_mp3_frames" ->
+      s"""WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+         |    ascii(substr(text, 1, 1)) AS a1,
+         |    ascii(substr(text, length(text), 1)) AS aN
+         |  FROM documents),
+         |fr AS (SELECT doc_id, text, n, a1, aN,
+         |    unnest(range(0, 1 + a1 % 4)) AS f
+         |  FROM t),
+         |p AS (SELECT doc_id, text, n, f,
+         |    list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+         |      CAST(1 + (a1 + 3*f) % 14 AS INTEGER)) AS br,
+         |    list_extract([44100,48000,32000],
+         |      CAST((aN + f) % 3 + 1 AS INTEGER)) AS sr,
+         |    (a1 + aN + f) % 2 AS pad
+         |  FROM fr),
+         |q AS (SELECT doc_id, f, br, sr,
+         |    144000*br // sr + pad AS flen,
+         |    substr(repeat(text, CAST((f + 144000*br // sr + pad) // n
+         |        AS INTEGER) + 2),
+         |      CAST(f + 1 AS INTEGER),
+         |      CAST(144000*br // sr + pad - 4 AS INTEGER)) AS payload
+         |  FROM p)
+         |SELECT doc_id, CAST(f AS INTEGER) AS frame,
+         |  CAST(br AS INTEGER) AS bitrate_kbps,
+         |  CAST(sr AS INTEGER) AS sample_rate,
+         |  CAST(flen AS BIGINT) AS frame_bytes,
+         |  CAST(list_reduce([0::BIGINT] ||
+         |    list_transform(range(1, length(payload)+1),
+         |      i -> ascii(substr(payload, CAST(i AS INTEGER), 1))::BIGINT),
+         |    (a,b) -> a+b) AS BIGINT) AS payload_sum,
+         |  md5(payload) AS payload_md5
+         |FROM q""".stripMargin,
+
     // q124: pipeline v4 — the q121 dhash CTEs → first-wins per
     // fingerprint → the q123 weights/apportionment/rank arithmetic over
     // the SURVIVING corpus (salt v4, total 200).
