@@ -616,6 +616,46 @@ object LlmPipelines {
         col("sample_rate"), col("frame_bytes"), col("payload_sum"),
         col("payload_md5"))
 
+  /** q152: AV-INGEST CARD — the q144 datasheet idea over the av
+    * CONTAINER walkers: per source, what the routing layer knows before
+    * any codec runs — track mix (video vs audio tracks per MP4), sample
+    * volume (counts and bytes from stsz), and MP3 stream shape (frames,
+    * payload bytes, bitrate mass). ONE box walk and ONE frame walk
+    * serve everything; rollups are doc-keyed then source-keyed
+    * aggregates, no windows, no all-pairs — the shape of a petabyte
+    * ingest inventory job.
+    */
+  def q152AvIngestCard(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    val srcOf = docs.select(col("doc_id"), col("source"))
+    val mp4 = graft.operators.Multimodal.mp4TrackStats(spark,
+        renderedMp4Of(docs), "doc_id", "mp4")
+      .groupBy(col("id").as("doc_id"))
+      .agg(sum(when(col("handler") === "vide", 1L).otherwise(0L))
+          .as("video_tracks"),
+        sum(when(col("handler") === "soun", 1L).otherwise(0L))
+          .as("audio_tracks"),
+        sum(col("sample_count")).as("mp4_samples"),
+        sum(col("sample_bytes")).as("mp4_sample_bytes"))
+    val mp3 = graft.operators.Multimodal.mp3FrameStats(spark,
+        renderedMp3Of(docs), "doc_id", "mp3")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("mp3_frames"),
+        sum(col("frame_bytes") - 4L).as("mp3_payload_bytes"),
+        sum(col("bitrate_kbps").cast("long")).as("mp3_kbps_sum"))
+    srcOf.join(mp4, Seq("doc_id")).join(mp3, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("video_tracks")).as("video_tracks"),
+        sum(col("audio_tracks")).as("audio_tracks"),
+        sum(col("mp4_samples")).as("mp4_samples"),
+        sum(col("mp4_sample_bytes")).as("mp4_sample_bytes"),
+        sum(col("mp3_frames")).as("mp3_frames"),
+        sum(col("mp3_payload_bytes")).as("mp3_payload_bytes"),
+        expr("(1000 * sum(mp3_kbps_sum)) div sum(mp3_frames)")
+          .as("mp3_mean_kbps_milli"))
+  }
+
   /** q124: PIPELINE v4 — the multimodal curation composition of this
     * round's operators: render → REAL P6 decode → 56-bit dHash →
     * perceptual EXACT dedup (first-wins per fingerprint: identical
@@ -1172,6 +1212,7 @@ object LlmPipelines {
     "q149_jpeg_neardup" -> q149JpegNearDup _,
     "q150_mp4_tracks" -> q150Mp4Tracks _,
     "q151_mp3_frames" -> q151Mp3Frames _,
+    "q152_av_ingest_card" -> q152AvIngestCard _,
     "q38_ann_ivf_topk" -> q38AnnIvfTopK _,
     "q39_embedding_neardup" -> q39EmbeddingNearDup _,
     "q24_text_stats" -> q24TextStats _,

@@ -909,6 +909,54 @@ object Oracles {
          |  md5(payload) AS payload_md5
          |FROM q""".stripMargin,
 
+    // q152: av-ingest card — the q150/q151 definitional CTEs rolled to
+    // the source grain (track mix, stsz volume, MP3 stream shape).
+    "q152_av_ingest_card" ->
+      s"""WITH t AS (SELECT doc_id, source, text,
+         |    CAST(length(text) AS BIGINT) AS n,
+         |    ascii(substr(text, 1, 1)) AS a1,
+         |    ascii(substr(text, length(text), 1)) AS aN
+         |  FROM documents),
+         |k AS (SELECT doc_id, n, a1, aN, unnest(range(0, 1 + a1 % 3)) AS k
+         |  FROM t),
+         |mp4 AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS video_tracks,
+         |    CAST(sum(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS audio_tracks,
+         |    CAST(sum(1 + (a1 + 3*k) % 50) AS BIGINT) AS mp4_samples,
+         |    CAST(sum((1 + (a1 + 3*k) % 50) * (10 + (aN + 5*k) % 90) + k % 3)
+         |      AS BIGINT) AS mp4_sample_bytes
+         |  FROM k GROUP BY doc_id),
+         |fr AS (SELECT doc_id, n, a1, aN, unnest(range(0, 1 + a1 % 4)) AS f
+         |  FROM t),
+         |p3 AS (SELECT doc_id,
+         |    list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+         |      CAST(1 + (a1 + 3*f) % 14 AS INTEGER)) AS br,
+         |    list_extract([44100,48000,32000],
+         |      CAST((aN + f) % 3 + 1 AS INTEGER)) AS sr,
+         |    (a1 + aN + f) % 2 AS pad
+         |  FROM fr),
+         |mp3 AS (SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS mp3_frames,
+         |    CAST(sum(144000*br // sr + pad - 4) AS BIGINT)
+         |      AS mp3_payload_bytes,
+         |    CAST(sum(br) AS BIGINT) AS mp3_kbps_sum
+         |  FROM p3 GROUP BY doc_id)
+         |SELECT t.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(mp4.video_tracks) AS BIGINT) AS video_tracks,
+         |  CAST(sum(mp4.audio_tracks) AS BIGINT) AS audio_tracks,
+         |  CAST(sum(mp4.mp4_samples) AS BIGINT) AS mp4_samples,
+         |  CAST(sum(mp4.mp4_sample_bytes) AS BIGINT) AS mp4_sample_bytes,
+         |  CAST(sum(mp3.mp3_frames) AS BIGINT) AS mp3_frames,
+         |  CAST(sum(mp3.mp3_payload_bytes) AS BIGINT) AS mp3_payload_bytes,
+         |  CAST((1000 * sum(mp3.mp3_kbps_sum)) // sum(mp3.mp3_frames)
+         |    AS BIGINT) AS mp3_mean_kbps_milli
+         |FROM t JOIN mp4 ON t.doc_id = mp4.doc_id
+         |JOIN mp3 ON t.doc_id = mp3.doc_id
+         |GROUP BY t.source""".stripMargin,
+
     // q124: pipeline v4 — the q121 dhash CTEs → first-wins per
     // fingerprint → the q123 weights/apportionment/rank arithmetic over
     // the SURVIVING corpus (salt v4, total 200).
