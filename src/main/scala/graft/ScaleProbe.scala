@@ -76,6 +76,7 @@ object ScaleProbe {
       "prune", "sinkbig", "pqtrain", "spandedup", "jsonlines", "tiered", "bpe",
       "dsir", "spancorrupt", "substr", "lshskew", "ccdiam", "imagededup",
       "videodedup", "bucketreg", "audioprep", "gramreg", "kfnovel", "prdist",
+      "codecprep",
       "ccinc", "funnel", "prep")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
@@ -447,6 +448,35 @@ object ScaleProbe {
       }
       time(s"prdist-distributed ${factor}x ($m edges, one city)") {
         graft.operators.GraphMetrics.pagerankDistributed(mega).count()
+      }
+      spark.catalog.clearCache()
+    }
+    // r14 codec family (PNG inflate+unfilter, JPEG Huffman+IDCT, MP4
+    // box walk, MP3 frame walk): all row-local decodes, so wall time
+    // must track corpus size ~linearly — the same claim audioprep pins
+    // for WAV. Render is measured WITH decode (the fixture pipeline),
+    // as in every media probe.
+    if (want("codecprep")) for (factor <- Seq(1, 4, 16, 64)) {
+      val docs = materialize(docsAt(spark, d, factor), s"/tmp/scale/cp$factor")
+      time(s"png-decode ${factor}x (${5000 * factor} images)") {
+        graft.operators.Multimodal.pngPixelStats(spark,
+          graft.queries.LlmPipelines.renderedPngOf(docs), "doc_id", "png")
+          .count()
+      }
+      time(s"jpeg-decode ${factor}x (${5000 * factor} images)") {
+        graft.operators.Multimodal.jpegLumaStats(spark,
+          graft.queries.LlmPipelines.renderedJpegOf(docs), "doc_id", "jpeg")
+          .count()
+      }
+      time(s"mp4-walk ${factor}x (${5000 * factor} files)") {
+        graft.operators.Multimodal.mp4TrackStats(spark,
+          graft.queries.LlmPipelines.renderedMp4Of(docs), "doc_id", "mp4")
+          .count()
+      }
+      time(s"mp3-walk ${factor}x (${5000 * factor} streams)") {
+        graft.operators.Multimodal.mp3FrameStats(spark,
+          graft.queries.LlmPipelines.renderedMp3Of(docs), "doc_id", "mp3")
+          .count()
       }
       spark.catalog.clearCache()
     }

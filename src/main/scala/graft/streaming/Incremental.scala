@@ -323,14 +323,21 @@ object Incremental {
     */
   def streamingImageDedup(stream: DataFrame, checkpointDir: String,
                           outPath: String, registryPath: String,
-                          id: String, bin: String)
+                          id: String, bin: String,
+                          hasher: (SparkSession, DataFrame, String, String) => DataFrame =
+                            graft.operators.Multimodal.dHashPpm)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val reg = readDhashRegistry(spark, registryPath)
-        val hashes = graft.operators.Multimodal.dHashPpm(spark, batch, id, bin)
+        // the codec is a SEAM, not a fork: dHashPpm / dHashPng /
+        // dHashJpeg all emit the same 56-bit fingerprint schema, so a
+        // compressed-image stream runs this twin unchanged (pinned in
+        // StreamBatchEquivalenceSpec — PNG batches reproduce the PPM
+        // path's kept set on the same pixel definitions)
+        val hashes = hasher(spark, batch, id, bin)
         val kept = graft.operators.Multimodal.dHashDedupAgainst(hashes, reg)
         Merge.upsertParquet(spark, outPath, kept, "id", Merge.Ignore, "dhash")
         hashes.select(col("dhash")).distinct()

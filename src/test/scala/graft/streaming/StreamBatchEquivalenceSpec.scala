@@ -540,6 +540,51 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(streamed == Set(1L, 2L, 5L, 7L)) // one per distinct scene, min id
   }
 
+  test("streamingImageDedup over PNG: the codec seam swaps in, kept set identical to the PPM path (r14)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-pngdedup")
+      .toFile.getAbsolutePath
+    // the SAME pixel definitions as the PPM twin above, serialized
+    // through the entropy-coded Png encoder — fingerprints must match,
+    // so the stream keeps the identical id set
+    def px(scene: Int): Array[Byte] = {
+      val w = 12; val h = 8
+      (for (y <- 0 until h; x <- 0 until w) yield {
+        val v = (x * (scene * 2 + 3) * 7) % 256
+        Array(v.toByte, v.toByte, v.toByte)
+      }).flatten.toArray
+    }
+    def img(scene: Int): Array[Byte] =
+      graft.operators.Png.encode(12, 8, px(scene))
+    val b1 = Seq((1L, img(0)), (2L, img(1)), (3L, img(0)))
+    val b2 = Seq((4L, img(1)), (5L, img(2)))
+    val b3 = Seq((4L, img(1)), (6L, img(0)), (7L, img(3)))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val query = Incremental.streamingImageDedup(
+      input.toDF().toDF("id", "png"),
+      s"$dir/ckpt", s"$dir/out", s"$dir/registry", "id", "png",
+      hasher = graft.operators.Multimodal.dHashPng)
+    try {
+      Seq(b1, b2, b3).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("id").as[Long].collect().toSet
+    assert(streamed == Set(1L, 2L, 5L, 7L),
+      "PNG stream must keep the same set as the PPM twin on the same pixels")
+    // and the registry fingerprints EQUAL the PPM path's on the same pixels
+    val viaPng = spark.read.parquet(s"$dir/registry")
+      .as[Long].collect().toSet
+    val viaPpm = graft.operators.Multimodal.dHashPpm(spark,
+        (0 to 3).map(s => (s.toLong,
+          graft.operators.Multimodal.Ppm.render(12, 8, 255, px(s))))
+          .toDF("id", "ppm"), "id", "ppm")
+      .select("dhash").as[Long].collect().toSet
+    assert(viaPng == viaPpm, "one fingerprint machine across codecs")
+  }
+
   test("streamingSubstringExciseBucketed ≡ the flat twin; the registry side joins WITHOUT an exchange") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
