@@ -76,7 +76,7 @@ object ScaleProbe {
       "prune", "sinkbig", "pqtrain", "spandedup", "jsonlines", "tiered", "bpe",
       "dsir", "spancorrupt", "substr", "lshskew", "ccdiam", "imagededup",
       "videodedup", "bucketreg", "audioprep", "gramreg", "kfnovel", "prdist",
-      "codecprep",
+      "codecprep", "bwdist",
       "ccinc", "funnel", "prep")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
@@ -448,6 +448,37 @@ object ScaleProbe {
       }
       time(s"prdist-distributed ${factor}x ($m edges, one city)") {
         graft.operators.GraphMetrics.pagerankDistributed(mega).count()
+      }
+      spark.catalog.clearCache()
+    }
+    // Distributed betweenness on the merged mega-city: per-group binds
+    // the whole O(n·m) source loop to ONE thread; the source-parallel
+    // form fans the same passes across every core against a broadcast
+    // CSR. Brandes is quadratic-ish, so the per-group side is probed
+    // only at 1× (already minutes-scale beyond it) while the
+    // distributed side also runs 4× to show its own scaling.
+    if (want("bwdist")) {
+      val base = graft.queries.Graphs.edges(spark, d)
+        .withColumn("city", col("city").cast("string"))
+      def mega(factor: Int) = materialize(
+        (0 until factor).map { i =>
+          base.select(lit("mega").as("city"),
+            concat(col("src"), lit("#" + i)).as("src"),
+            concat(col("dst"), lit("#" + i)).as("dst"), col("w"))
+        }.reduce(_ unionByName _),
+        s"/tmp/scale/bwdist$factor")
+      val g1 = mega(1)
+      val m1 = g1.count()
+      time(s"bwdist-pergroup 1x ($m1 edges, one city)") {
+        graft.operators.GraphMetrics.perCityBetweenness(g1).count()
+      }
+      time(s"bwdist-distributed 1x ($m1 edges, one city)") {
+        graft.operators.GraphMetrics.betweennessDistributed(g1).count()
+      }
+      val g4 = mega(4)
+      val m4 = g4.count()
+      time(s"bwdist-distributed 4x ($m4 edges, one city)") {
+        graft.operators.GraphMetrics.betweennessDistributed(g4).count()
       }
       spark.catalog.clearCache()
     }

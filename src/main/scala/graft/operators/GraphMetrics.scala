@@ -60,22 +60,21 @@ object GraphMetrics {
     nodes.zip(x).toMap
   }
 
-  /** Betweenness centrality, Brandes' algorithm, directed UNWEIGHTED (the
-    * reference's asymmetry: PageRank is weighted, betweenness is not —
-    * networkx defaults, `src/arango_queries.py:162-167`). Normalized by
-    * 1/((n-1)(n-2)) (networkx `normalized=True` on a digraph).
+  /** One city's graph in CSR form — flat int arrays, serializable so
+    * the source-parallel distributed form can broadcast it.
     */
-  def betweenness(edges: Seq[(String, String)]): Map[String, Double] = {
+  private[operators] final class Csr(val nodes: Array[String],
+      val adjStart: Array[Int], val adj: Array[Int],
+      val inStart: Array[Int], val inAdj: Array[Int]) extends Serializable {
+    def n: Int = nodes.length
+  }
+
+  private[operators] def buildCsr(edges: Seq[(String, String)]): Csr = {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted.toArray
     val idx = nodes.zipWithIndex.toMap
     val n = nodes.length
     val es = edges.distinct.map { case (s, d) => (idx(s), idx(d)) }
     val m = es.length
-    // Forward and reverse adjacency in CSR form (flat int arrays): the
-    // n-source loop below visits every edge O(n) times, so per-visit
-    // allocation (the ArrayBuffer-per-node form of this) dominates runtime
-    // long before the arithmetic does. With CSR + reused buffers the whole
-    // per-source pass allocates nothing.
     def csr(endpoints: Seq[(Int, Int)]): (Array[Int], Array[Int]) = {
       val start = new Array[Int](n + 1)
       endpoints.foreach { case (s, _) => start(s + 1) += 1 }
@@ -88,50 +87,77 @@ object GraphMetrics {
     }
     val (adjStart, adj) = csr(es)
     val (inStart, inAdj) = csr(es.map(_.swap))
-    val bc = new Array[Double](n)
+    new Csr(nodes, adjStart, adj, inStart, inAdj)
+  }
+
+  /** Reusable scratch for one Brandes source pass (the per-visit
+    * allocation-free discipline; one instance per task/loop).
+    */
+  private[operators] final class BrandesScratch(n: Int) {
     val stack = new Array[Int](n)
     val queue = new Array[Int](n)
     val dist = new Array[Int](n)
     val sigma = new Array[Double](n)
     val delta = new Array[Double](n)
-    var s = 0
-    while (s < n) {
-      java.util.Arrays.fill(dist, -1)
-      java.util.Arrays.fill(sigma, 0.0)
-      java.util.Arrays.fill(delta, 0.0)
-      sigma(s) = 1.0; dist(s) = 0
-      queue(0) = s
-      var qHead = 0; var qTail = 1; var top = 0
-      while (qHead < qTail) {
-        val v = queue(qHead); qHead += 1
-        stack(top) = v; top += 1
-        var e = adjStart(v)
-        while (e < adjStart(v + 1)) {
-          val w = adj(e)
-          if (dist(w) < 0) { dist(w) = dist(v) + 1; queue(qTail) = w; qTail += 1 }
-          if (dist(w) == dist(v) + 1) sigma(w) += sigma(v)
-          e += 1
-        }
+  }
+
+  /** ONE source's Brandes pass: BFS + dependency accumulation, deltas
+    * ADDED into `bc`. Shared verbatim by the per-group and the
+    * source-parallel distributed forms — their equivalence is by
+    * construction, up to cross-source summation order (ppm-rounded
+    * away; spec-pinned).
+    */
+  private[operators] def brandesSource(g: Csr, s: Int, bc: Array[Double],
+                                       sc: BrandesScratch): Unit = {
+    import sc._
+    java.util.Arrays.fill(dist, -1)
+    java.util.Arrays.fill(sigma, 0.0)
+    java.util.Arrays.fill(delta, 0.0)
+    sigma(s) = 1.0; dist(s) = 0
+    queue(0) = s
+    var qHead = 0; var qTail = 1; var top = 0
+    while (qHead < qTail) {
+      val v = queue(qHead); qHead += 1
+      stack(top) = v; top += 1
+      var e = g.adjStart(v)
+      while (e < g.adjStart(v + 1)) {
+        val w = g.adj(e)
+        if (dist(w) < 0) { dist(w) = dist(v) + 1; queue(qTail) = w; qTail += 1 }
+        if (dist(w) == dist(v) + 1) sigma(w) += sigma(v)
+        e += 1
       }
-      // Dependency accumulation: a predecessor of w on a shortest path is
-      // any in-neighbor v with dist(v) = dist(w) − 1 — recovered from the
-      // reverse CSR instead of materializing per-source pred lists.
-      while (top > 0) {
-        top -= 1
-        val w = stack(top)
-        val coef = (1.0 + delta(w)) / sigma(w)
-        var e = inStart(w)
-        while (e < inStart(w + 1)) {
-          val v = inAdj(e)
-          if (dist(v) == dist(w) - 1) delta(v) += sigma(v) * coef
-          e += 1
-        }
-        if (w != s) bc(w) += delta(w)
-      }
-      s += 1
     }
+    // Dependency accumulation: a predecessor of w on a shortest path is
+    // any in-neighbor v with dist(v) = dist(w) − 1 — recovered from the
+    // reverse CSR instead of materializing per-source pred lists.
+    while (top > 0) {
+      top -= 1
+      val w = stack(top)
+      val coef = (1.0 + delta(w)) / sigma(w)
+      var e = g.inStart(w)
+      while (e < g.inStart(w + 1)) {
+        val v = g.inAdj(e)
+        if (dist(v) == dist(w) - 1) delta(v) += sigma(v) * coef
+        e += 1
+      }
+      if (w != s) bc(w) += delta(w)
+    }
+  }
+
+  /** Betweenness centrality, Brandes' algorithm, directed UNWEIGHTED (the
+    * reference's asymmetry: PageRank is weighted, betweenness is not —
+    * networkx defaults, `src/arango_queries.py:162-167`). Normalized by
+    * 1/((n-1)(n-2)) (networkx `normalized=True` on a digraph).
+    */
+  def betweenness(edges: Seq[(String, String)]): Map[String, Double] = {
+    val g = buildCsr(edges)
+    val n = g.n
+    val bc = new Array[Double](n)
+    val scratch = new BrandesScratch(n)
+    var s = 0
+    while (s < n) { brandesSource(g, s, bc, scratch); s += 1 }
     val scale = if (n > 2) 1.0 / ((n - 1.0) * (n - 2.0)) else 0.0
-    nodes.zipWithIndex.map { case (name, i) => name -> bc(i) * scale }.toMap
+    g.nodes.zipWithIndex.map { case (name, i) => name -> bc(i) * scale }.toMap
   }
 
   /** Weighted HITS hubs/authorities — the reference's G4, which it left as
@@ -309,6 +335,96 @@ object GraphMetrics {
         }
       }
     } finally { e.unpersist(); eAll.unpersist(); () }
+  }
+
+  /** DISTRIBUTED betweenness — [[perCityBetweenness]]'s scale twin on
+    * the COMPUTE axis: exact Brandes needs per-source BFS state that
+    * aggregate-messages cannot carry, so the distributable unit is the
+    * SOURCE, not the edge — the graph is broadcast in CSR form and the
+    * n source passes fan out over the cluster, each task accumulating a
+    * per-city partial `bc` array it emits as sparse rows, summed by one
+    * keyed aggregate. Each pass is [[brandesSource]] VERBATIM (the same
+    * code the per-group form runs), so equivalence is by construction
+    * up to cross-source summation order — ppm-rounded away and
+    * spec-pinned on the real graph (GraphMetricsSpec), and q153 passes
+    * q34's generated oracle unchanged.
+    *
+    * The honest tradeoff this form buys and costs: the per-group twin
+    * binds a city's WHOLE O(n·m) source loop to one thread (the
+    * mega-city wall-clock killer) while this one spreads it across
+    * every core in the cluster; the price is the graph REPLICATED per
+    * executor (CSR ints, ~16 B/edge — a 100M-edge graph is ~1.6 GB,
+    * broadcastable; beyond that, exact betweenness itself is the wrong
+    * ask and sampled-source approximation — run the same machinery on
+    * a source subset — is the standard escape). The driver-side gather
+    * is the broadcast's input and is bounded by the same graph size.
+    */
+  def betweennessDistributed(edges: DataFrame, minEdges: Int = 0): DataFrame = {
+    val session = edges.sparkSession
+    import session.implicits._
+    val rows = edges.select(col("city").cast("string"), col("src"), col("dst"))
+      .as[(String, String, String)].collect()
+    val byCity = rows.groupBy(_._1)
+    // the reference's gate quirk preserved: EDGE-ROW count, dups included
+    val graphs: Map[String, Csr] = byCity
+      .filter { case (_, es) => es.length >= minEdges }
+      .map { case (c, es) => c -> buildCsr(es.toIndexedSeq.map(e => (e._2, e._3))) }
+    val bcast = session.sparkContext.broadcast(graphs)
+    val sources: Seq[(String, Int)] = graphs.toSeq.sortBy(_._1)
+      .flatMap { case (c, g) => (0 until g.n).map(c -> _) }
+    if (sources.isEmpty) {
+      return session.createDataFrame(
+        session.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("city",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("bc_pm",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("bc_norm_pm",
+            org.apache.spark.sql.types.LongType))))
+    }
+    val slices = math.max(1, math.min(
+      session.sparkContext.defaultParallelism * 2, sources.size))
+    val partials = session.sparkContext.parallelize(sources, slices)
+      .mapPartitions { it =>
+        val gs = bcast.value
+        val acc = scala.collection.mutable.Map.empty[String, Array[Double]]
+        val scratch = scala.collection.mutable.Map.empty[String, BrandesScratch]
+        it.foreach { case (c, s) =>
+          val g = gs(c)
+          brandesSource(g, s,
+            acc.getOrElseUpdate(c, new Array[Double](g.n)),
+            scratch.getOrElseUpdate(c, new BrandesScratch(g.n)))
+        }
+        acc.iterator.flatMap { case (c, bc) =>
+          bc.iterator.zipWithIndex.collect {
+            case (v, i) if v != 0.0 => (c, i, v)
+          }
+        }
+      }
+      .toDF("city", "nidx", "partial")
+    val summed = partials.groupBy(col("city"), col("nidx"))
+      .agg(sum(col("partial")).as("bc"))
+    val nodesDf = graphs.toSeq.flatMap { case (c, g) =>
+      g.nodes.zipWithIndex.map { case (nm, i) => (c, i, nm, g.n) }
+    }.toDF("city", "nidx", "node", "n")
+    val scaled = nodesDf
+      .join(summed, Seq("city", "nidx"), "left_outer")
+      .select(col("city"), col("node"),
+        (coalesce(col("bc"), lit(0.0)) *
+          when(col("n") > 2,
+            lit(1.0) / ((col("n") - 1.0) * (col("n") - 2.0)))
+            .otherwise(lit(0.0))).as("v"))
+    val means = scaled.groupBy(col("city"))
+      .agg((sum(col("v")) / count(lit(1))).as("mean"))
+    scaled.join(broadcast(means), Seq("city"))
+      .select(col("city"), col("node"),
+        round(col("v") * 1e6).cast("long").as("bc_pm"),
+        when(col("mean") === 0.0, 0L)
+          .otherwise(round(col("v") / col("mean") * 1e6).cast("long"))
+          .as("bc_norm_pm"))
   }
 
   /** G3 per-city betweenness (unweighted, normalized + mean-normalized);

@@ -207,10 +207,22 @@ object Graphs {
     GraphMetrics.pagerankDistributed(edges(spark, d))
       .withColumn("city", col("city").cast("int"))
 
+  /** q153: DISTRIBUTED betweenness — q34's scale twin
+    * ([[GraphMetrics.betweennessDistributed]]): exact Brandes fanned out
+    * over SOURCES against a broadcast CSR graph (the compute axis — a
+    * mega-city's O(n·m) loop no longer binds to one thread; the price,
+    * documented, is the graph replicated per executor). Same oracle as
+    * q34: the generated BFS-level + pair-dependency SQL.
+    */
+  def q153BetweennessDistributed(spark: SparkSession, d: String): DataFrame =
+    GraphMetrics.betweennessDistributed(edges(spark, d))
+      .withColumn("city", col("city").cast("int"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_graph_edges" -> q32GraphEdges _,
     "q33_city_pagerank" -> q33CityPagerank _,
     "q147_pagerank_distributed" -> q147PagerankDistributed _,
+    "q153_betweenness_distributed" -> q153BetweennessDistributed _,
     "q34_city_betweenness" -> q34CityBetweenness _,
     "q37_cell_decode" -> q37CellDecode _,
     "q47_city_hits" -> q47CityHits _,

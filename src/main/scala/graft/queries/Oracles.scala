@@ -2169,6 +2169,8 @@ object Oracles {
     "q147_pagerank_distributed" ->
       pagerankSql(EdgesSql, graft.operators.GraphMetrics.Iterations),
     "q34_city_betweenness" -> betweennessSql(EdgesSql, levels = 6),
+    // q153: the distributed twin runs the SAME Brandes passes — same oracle
+    "q153_betweenness_distributed" -> betweennessSql(EdgesSql, levels = 6),
     "q47_city_hits" -> hitsSql(EdgesSql, graft.operators.GraphMetrics.Iterations),
     "q75_icosa_decode" -> icosaSql(res = 6),
     "q37_cell_decode" -> icosa37Sql(res = 6),

@@ -147,6 +147,27 @@ class GraphMetricsSpec extends AnyFunSuite {
       s"distributed HITS diverged on ${(dist diff local).take(3)} vs ${(local diff dist).take(3)}")
   }
 
+  test("betweennessDistributed ≡ perCityBetweenness on every city of the real sf0.001 graph (hash-equal)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val edges = graft.queries.Graphs.edges(spark, "/root/testdata/sf0.001")
+      .withColumn("city",
+        org.apache.spark.sql.functions.col("city").cast("string"))
+    val local = GraphMetrics.perCityBetweenness(edges, minEdges = 2)
+      .as[(String, String, Long, Long)].collect().toSet
+    val dist = GraphMetrics.betweennessDistributed(edges, minEdges = 2)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(local.nonEmpty, "fixture graph must be non-trivial")
+    assert(dist == local,
+      s"distributed betweenness diverged on ${(dist diff local).take(3)} vs ${(local diff dist).take(3)}")
+    // the gate behaves identically ungated too
+    val localAll = GraphMetrics.perCityBetweenness(edges)
+      .as[(String, String, Long, Long)].collect().toSet
+    val distAll = GraphMetrics.betweennessDistributed(edges)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(distAll == localAll)
+  }
+
   test("pagerankDistributed: dangling mass and weights match the per-group trajectory on a by-hand graph") {
     val spark = TestSpark.spark
     import spark.implicits._
