@@ -33,13 +33,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** The ROUND-13 query registry, frozen: `subset_total_prev_round` sums
+  /** The ROUND-14 query registry, frozen: `subset_total_prev_round` sums
     * timings over exactly this set, so cross-round totals compare like
     * with like — round 10's +14% "regression" took a session of forensics
     * to attribute to new queries + driver testdata regeneration (verdict
     * r10 item 5); this field makes the split arithmetic. Append-only per
     * round: refresh to the PREVIOUS round's registry when adding queries
-    * (r14 refresh: the 144-query r13 set, was the 136-query r12 set).
+    * (r15 refresh: the 153-query r14 set, was the 144-query r13 set).
     */
   val prevRoundQueries: Set[String] = Set(
       "q01_agg_sum_groupby", "q02_filter_time_range", "q03_filter_in_projection",
@@ -91,7 +91,11 @@ object Bench {
       "q90_stratified_sample", "q91_partitioned_driver", "q92_ivf_pq_indexed",
       "q93_pq_trained", "q94_balances_rebuild", "q95_nan_scrub",
       "q96_ppm_decode", "q97_ann_production", "q98_semantic_dedup",
-      "q99_split_leakage")
+      "q99_split_leakage",
+      "q145_png_stats", "q146_png_neardup", "q147_pagerank_distributed",
+      "q148_jpeg_stats", "q149_jpeg_neardup", "q150_mp4_tracks",
+      "q151_mp3_frames", "q152_av_ingest_card",
+      "q153_betweenness_distributed")
 
   /** One timed execution: wall seconds, process-CPU seconds consumed by
     * this JVM during the run, 1-min loadavg sampled at run START, error.
@@ -182,18 +186,18 @@ object Bench {
     } catch { case _: Throwable => () } // attribution is best-effort, never fails the bench
     // Full-precision, full-name detail line first (for humans and the git
     // log), COMPACT canonical line LAST: the driver records only the final
-    // ~2000 chars of stdout, and 74+ full query names with nanosecond
-    // precision overflow that window — the round-5 bench tail started
-    // mid-JSON. Short keys ("q01", the unique prefix before the first '_')
-    // and millisecond rounding keep the whole line inside the tail.
+    // ~2000 chars of stdout. Per-query timings live in the detail line
+    // above and in BENCH_DETAIL.json; the final line carries ONLY the
+    // scalar summary — at 153 queries even millisecond-rounded short-key
+    // per-query maps overflowed the tail window (r14: the driver read
+    // `parsed: null` because the tail started mid-token). Keep this line
+    // short and LAST so truncation can only ever clip the redundant copy.
     val fullQs = ok.map { case (k, b, _) => s"${jstr(k)}:${b.wall}" }.mkString("{", ",", "}")
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$fullQs,"errors":$errs,"sf":${jstr(sfDir)}}""")
     def short(name: String) = name.takeWhile(_ != '_')
     val shorts = ok.map(r => short(r._1))
     val keyOf: String => String = // fall back to full names on prefix clash
       if (shorts.distinct.size == shorts.size) short else identity
-    val qs = ok.map { case (k, b, _) => s"${jstr(keyOf(k))}:${r3(b.wall)}" }
-      .mkString("{", ",", "}")
     val subset = ok.filter(r => prevRoundQueries(r._1))
     // contended = even the BEST run shows wall ≫ cpu (descheduled while
     // runnable): its timing is a host artifact, not this code's cost.
@@ -201,7 +205,7 @@ object Bench {
       b.cpu > 0 && b.wall / b.cpu > 1.5 && b.wall > 0.5 }
       .map(r => jstr(keyOf(r._1))).mkString("[", ",", "]")
     val loadMax = results.flatMap(_._3.map(_.load)).foldLeft(0.0)(math.max)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","subset_total_prev_round":${r3(subset.map(_._2.wall).sum)},"subset_n":${subset.size},"contended":$contended,"load1_max":${r3(loadMax)},"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${ok.size},"subset_total_prev_round":${r3(subset.map(_._2.wall).sum)},"subset_n":${subset.size},"contended":$contended,"load1_max":${r3(loadMax)},"errors":$errs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -337,94 +337,192 @@ object GraphMetrics {
     } finally { e.unpersist(); eAll.unpersist(); () }
   }
 
+  /** One city's CSR as an encodable row, for the distributed
+    * betweenness form: the per-city graph built ONCE by a keyed
+    * aggregation, then fanned out to source-slice tasks as data — the
+    * driver never touches an edge.
+    */
+  private[operators] case class CityCsr(city: String, nodes: Array[String],
+      adjStart: Array[Int], adj: Array[Int],
+      inStart: Array[Int], inAdj: Array[Int]) {
+    def n: Int = nodes.length
+    def toCsr: Csr = new Csr(nodes, adjStart, adj, inStart, inAdj)
+  }
+  private[operators] case class CsrSlice(g: CityCsr, start: Int, end: Int)
+  private implicit val cityCsrEnc: Encoder[CityCsr] = Encoders.product[CityCsr]
+  private implicit val csrSliceEnc: Encoder[CsrSlice] = Encoders.product[CsrSlice]
+
   /** DISTRIBUTED betweenness — [[perCityBetweenness]]'s scale twin on
     * the COMPUTE axis: exact Brandes needs per-source BFS state that
     * aggregate-messages cannot carry, so the distributable unit is the
-    * SOURCE, not the edge — the graph is broadcast in CSR form and the
-    * n source passes fan out over the cluster, each task accumulating a
-    * per-city partial `bc` array it emits as sparse rows, summed by one
-    * keyed aggregate. Each pass is [[brandesSource]] VERBATIM (the same
-    * code the per-group form runs), so equivalence is by construction
+    * SOURCE, not the edge. Fully distributed, no driver gather and no
+    * whole-graph broadcast: (1) per-city CSRs are built by a
+    * `groupByKey(city)` aggregation — per-task heap is ONE city's
+    * graph, the same bound the per-group twin already accepts; (2)
+    * each CSR row fans itself out into source-range slices
+    * (≤ `sourcesPerSlice` sources each, slice count per city capped at
+    * `defaultParallelism` so blob replication stays bounded), which a
+    * round-robin repartition spreads across the cluster — a
+    * plain city-keyed join would hash every slice of a mega-city onto
+    * one partition and serialize exactly the work this form exists to
+    * spread; (3) each task runs [[brandesSource]] VERBATIM over its
+    * slice and emits sparse per-city partials, summed by one keyed
+    * aggregate. Equivalence with the per-group form is by construction
     * up to cross-source summation order — ppm-rounded away and
     * spec-pinned on the real graph (GraphMetricsSpec), and q153 passes
     * q34's generated oracle unchanged.
     *
-    * The honest tradeoff this form buys and costs: the per-group twin
-    * binds a city's WHOLE O(n·m) source loop to one thread (the
-    * mega-city wall-clock killer) while this one spreads it across
-    * every core in the cluster; the price is the graph REPLICATED per
-    * executor (CSR ints, ~16 B/edge — a 100M-edge graph is ~1.6 GB,
-    * broadcastable; beyond that, exact betweenness itself is the wrong
-    * ask and sampled-source approximation — run the same machinery on
-    * a source subset — is the standard escape). The driver-side gather
-    * is the broadcast's input and is bounded by the same graph size.
+    * Cost model at 100×: shuffle volume is CSR-bytes × slices-per-city
+    * (~16 B/edge × ≤defaultParallelism for the biggest city) — executor
+    * and driver heap stay flat where the old broadcast form's driver
+    * gather of string edge rows fell over first. Past the point where
+    * even one city's CSR slice rows are too heavy to ship, exact
+    * betweenness itself is the wrong ask and [[betweennessSampled]] —
+    * the same machinery on a deterministic source subset — is the
+    * standard escape.
     */
-  def betweennessDistributed(edges: DataFrame, minEdges: Int = 0): DataFrame = {
+  def betweennessDistributed(edges: DataFrame, minEdges: Int = 0,
+                             sourcesPerSlice: Int = 64): DataFrame =
+    brandesDistributed(edges, minEdges, sourcesPerSlice, sampleNibbleMax = 16)
+
+  /** First hex nibble of md5(node-name): the deterministic source-sample
+    * selector shared bit-for-bit with the DuckDB oracle's
+    * `substr(md5(node),1,1)` predicate — a pure function of the name, so
+    * the sampled source SET is identical across runs, partitionings, and
+    * engines (spec-pinned).
+    */
+  private[operators] def md5Nibble(name: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (d(0) & 0xF0) >>> 4
+  }
+
+  /** SAMPLED-source approximate betweenness — the documented escape past
+    * graphs where even exact source-parallel Brandes is the wrong ask:
+    * run [[brandesSource]] only from sources whose name's md5 first
+    * nibble is < `nibbleMax` (expected nibbleMax/16 of the nodes), and
+    * rescale each node's accumulated dependency by n/|S| per city — the
+    * Brandes–Pich unbiased estimator. Everything else (CSR build, slice
+    * fan-out, normalization, ppm rounding) is [[betweennessDistributed]]
+    * VERBATIM via the shared core, so the oracle is the q34 generator
+    * restricted to the same md5 predicate — exact on the sample, hence
+    * hash-checkable, not a tolerance test. Cost: |S|/n of the exact
+    * form's source passes; at 100× run this, not the exact form.
+    */
+  def betweennessSampled(edges: DataFrame, minEdges: Int = 0,
+                         sourcesPerSlice: Int = 64,
+                         nibbleMax: Int = 4): DataFrame = {
+    require(nibbleMax >= 1 && nibbleMax <= 16,
+      s"nibbleMax must be in [1,16], got $nibbleMax")
+    brandesDistributed(edges, minEdges, sourcesPerSlice, nibbleMax)
+  }
+
+  private def brandesDistributed(edges: DataFrame, minEdges: Int,
+                                 sourcesPerSlice: Int,
+                                 sampleNibbleMax: Int): DataFrame = {
     val session = edges.sparkSession
-    import session.implicits._
-    val rows = edges.select(col("city").cast("string"), col("src"), col("dst"))
-      .as[(String, String, String)].collect()
-    val byCity = rows.groupBy(_._1)
-    // the reference's gate quirk preserved: EDGE-ROW count, dups included
-    val graphs: Map[String, Csr] = byCity
-      .filter { case (_, es) => es.length >= minEdges }
-      .map { case (c, es) => c -> buildCsr(es.toIndexedSeq.map(e => (e._2, e._3))) }
-    val bcast = session.sparkContext.broadcast(graphs)
-    val sources: Seq[(String, Int)] = graphs.toSeq.sortBy(_._1)
-      .flatMap { case (c, g) => (0 until g.n).map(c -> _) }
-    if (sources.isEmpty) {
-      return session.createDataFrame(
-        session.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("city",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("node",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("bc_pm",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("bc_norm_pm",
-            org.apache.spark.sql.types.LongType))))
-    }
-    val slices = math.max(1, math.min(
-      session.sparkContext.defaultParallelism * 2, sources.size))
-    val partials = session.sparkContext.parallelize(sources, slices)
-      .mapPartitions { it =>
-        val gs = bcast.value
-        val acc = scala.collection.mutable.Map.empty[String, Array[Double]]
-        val scratch = scala.collection.mutable.Map.empty[String, BrandesScratch]
-        it.foreach { case (c, s) =>
-          val g = gs(c)
-          brandesSource(g, s,
-            acc.getOrElseUpdate(c, new Array[Double](g.n)),
-            scratch.getOrElseUpdate(c, new BrandesScratch(g.n)))
+    // no session.implicits._ here: it would ambiguate the object-level
+    // string encoder groupByKey resolves against
+    implicit val t3Enc: Encoder[(String, String, String)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING)
+    implicit val partEnc: Encoder[(String, Int, Double)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaInt, Encoders.scalaDouble)
+    implicit val nodeEnc: Encoder[(String, Int, String, Int, Int)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaInt, Encoders.STRING,
+        Encoders.scalaInt, Encoders.scalaInt)
+    val sliceCap = math.max(1, session.sparkContext.defaultParallelism)
+    def sampledSources(g: CityCsr): Array[Int] =
+      if (sampleNibbleMax >= 16) Array.range(0, g.n)
+      else (0 until g.n).filter(i => md5Nibble(g.nodes(i)) < sampleNibbleMax)
+        .toArray
+    val csrs = edges.select(col("city").cast("string"), col("src"), col("dst"))
+      .as[(String, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (c, it) =>
+        val es = it.map(e => (e._2, e._3)).toIndexedSeq
+        // the reference's gate quirk preserved: EDGE-ROW count, dups included
+        if (es.length < minEdges) Iterator.empty
+        else {
+          val g = buildCsr(es)
+          Iterator.single(CityCsr(c, g.nodes, g.adjStart, g.adj,
+            g.inStart, g.inAdj))
         }
-        acc.iterator.flatMap { case (c, bc) =>
+      }
+      .persist() // feeds slices AND the node frame; lineage holds the build
+    // slice bounds index into the SAMPLED source array (the identity
+    // range when unsampled), recomputed pure-functionally inside each
+    // task — cheaper than shipping the index list once per slice copy
+    val sliced = csrs.flatMap { g =>
+      val sn = sampledSources(g).length
+      val nSlices = math.max(1, math.min(sliceCap,
+        (sn + sourcesPerSlice - 1) / math.max(1, sourcesPerSlice)))
+      (0 until nSlices).iterator.map { i =>
+        CsrSlice(g, (sn.toLong * i / nSlices).toInt,
+          (sn.toLong * (i + 1) / nSlices).toInt)
+      }
+    }
+    val partials = sliced
+      .repartition(session.sparkContext.defaultParallelism * 2)
+      .mapPartitions { it =>
+        it.flatMap { sl =>
+          val g = sl.g.toCsr
+          val srcIdx = sampledSources(sl.g)
+          val bc = new Array[Double](g.n)
+          val scratch = new BrandesScratch(g.n)
+          var s = sl.start
+          while (s < sl.end) { brandesSource(g, srcIdx(s), bc, scratch); s += 1 }
           bc.iterator.zipWithIndex.collect {
-            case (v, i) if v != 0.0 => (c, i, v)
+            case (v, i) if v != 0.0 => (sl.g.city, i, v)
           }
         }
       }
       .toDF("city", "nidx", "partial")
     val summed = partials.groupBy(col("city"), col("nidx"))
       .agg(sum(col("partial")).as("bc"))
-    val nodesDf = graphs.toSeq.flatMap { case (c, g) =>
-      g.nodes.zipWithIndex.map { case (nm, i) => (c, i, nm, g.n) }
-    }.toDF("city", "nidx", "node", "n")
-    val scaled = nodesDf
+    val nodesDf = csrs.flatMap { g =>
+      val sn = sampledSources(g).length
+      g.nodes.iterator.zipWithIndex.map { case (nm, i) =>
+        (g.city, i, nm, g.n, sn)
+      }
+    }.toDF("city", "nidx", "node", "n", "s_cnt")
+    try {
+    val v1 = nodesDf
       .join(summed, Seq("city", "nidx"), "left_outer")
-      .select(col("city"), col("node"),
+      .select(col("city"), col("node"), col("n"), col("s_cnt"),
         (coalesce(col("bc"), lit(0.0)) *
           when(col("n") > 2,
             lit(1.0) / ((col("n") - 1.0) * (col("n") - 2.0)))
-            .otherwise(lit(0.0))).as("v"))
+            .otherwise(lit(0.0))).as("v1"))
+    // Sampled path: the Brandes–Pich rescale n/|S| must not ride on the
+    // raw double — engine (recursive deltas) and oracle (closed-form
+    // pair sums) agree only up to summation order, and multiplying that
+    // noise by n/|S| pushed three sf0.01 values across a pm rounding
+    // boundary. So quantize the RESTRICTED sum to pm first (the exact
+    // form's machinery, proven hash-stable on q34/q153), then rescale
+    // the rounded integer: round(p1·n/|S|) is a pure function of
+    // (int, int, int) — bit-identical across engines by construction.
+    val scaled =
+      if (sampleNibbleMax >= 16)
+        v1.select(col("city"), col("node"), col("v1").as("v"))
+      else
+        v1.select(col("city"), col("node"),
+          when(col("s_cnt") > 0,
+            round(col("v1") * 1e6).cast("long").cast("double") *
+              col("n").cast("double") / col("s_cnt").cast("double"))
+            .otherwise(lit(0.0)).as("v"))
     val means = scaled.groupBy(col("city"))
       .agg((sum(col("v")) / count(lit(1))).as("mean"))
+    val pmCol =
+      if (sampleNibbleMax >= 16) round(col("v") * 1e6).cast("long")
+      else round(col("v")).cast("long")
     scaled.join(broadcast(means), Seq("city"))
       .select(col("city"), col("node"),
-        round(col("v") * 1e6).cast("long").as("bc_pm"),
+        pmCol.as("bc_pm"),
         when(col("mean") === 0.0, 0L)
           .otherwise(round(col("v") / col("mean") * 1e6).cast("long"))
           .as("bc_norm_pm"))
+      .localCheckpoint(true) // sever from the persisted CSR frame before unpersist
+    } finally { csrs.unpersist(); () }
   }
 
   /** G3 per-city betweenness (unweighted, normalized + mean-normalized);
@@ -462,6 +560,9 @@ object GraphMetrics {
     */
   def hitsDistributed(edges: DataFrame, minEdges: Int = 0,
                       iterations: Int = Iterations): DataFrame = {
+    // a itself is only assigned inside the loop; 0 iterations would NPE
+    // at the final normalization instead of failing loudly
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e0 = edges.select(col("city").cast("string"), col("src"),
       col("dst"), col("w").cast("long"))
     val gated = e0.groupBy(col("city"))

@@ -348,6 +348,10 @@ object Jpeg {
           require((bytes(payload + 7) & 0xff) == 0x11, "only 1x1 sampling supported")
           require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
             s"dimensions must be positive multiples of 8 (profile), got $w x $h")
+          // Long arithmetic: 65528×65528 passes the per-axis bounds yet
+          // overflows Int at the sample-buffer alloc — fail HERE, named
+          require(1L * w * h <= Int.MaxValue - 64,
+            s"image too large: $w x $h")
           sawSof = true
         case 0xc2 => throw new IllegalArgumentException(
           "progressive JPEG (SOF2) not supported")
@@ -437,11 +441,17 @@ object Jpeg {
       }
       by += 1
     }
-    // past the last MCU: only pad bits, optional stuffing, then EOI
-    var p = br.pos
-    while (p + 1 < bytes.length &&
-      !((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xff) == 0xd9)) p += 1
-    require(p + 1 < bytes.length, "missing EOI after scan")
+    // past the last MCU the reader has already consumed every entropy
+    // byte (pad bits live INSIDE the final consumed byte; stuffing is
+    // eaten with its 0xFF) — so the buffer must continue with EOI and
+    // END there, the Png 'trailing bytes after IEND' contract: scanning
+    // forward for any 0xFFD9 would silently bless garbage between the
+    // scan and EOI and arbitrary trailing bytes after it
+    val p = br.pos
+    require(p + 1 < bytes.length &&
+      (bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xff) == 0xd9,
+      "missing EOI after scan")
+    require(p + 2 == bytes.length, s"trailing bytes after EOI at ${p + 2}")
     Gray(w, h, samples)
   }
 }

@@ -98,6 +98,7 @@ object Mp4 {
             var mdDuration = -1L
             var nSamples = 0L
             var sampleBytes = 0L
+            var sawStsz = false
             walk(bytes, tp, te) {
               case ("tkhd", p2, e2) =>
                 val ver = bytes(p2) & 0xff
@@ -129,6 +130,11 @@ object Mp4 {
                       case ("stbl", p4, e4) =>
                         walk(bytes, p4, e4) {
                           case ("stsz", p5, e5) =>
+                            // a second stsz would overwrite nSamples but
+                            // ACCUMULATE sampleBytes — an inconsistent
+                            // Track row; fail loudly (walker contract)
+                            require(!sawStsz, "multiple stsz boxes in one trak")
+                            sawStsz = true
                             require(e5 - p5 >= 12, "truncated stsz")
                             val defaultSize = be32(bytes, p5 + 4)
                             val n = be32(bytes, p5 + 8)

@@ -94,7 +94,12 @@ object Png {
           require(!sawIhdr, "duplicate IHDR")
           require(len == 13, s"IHDR must be 13 bytes, got $len")
           w = be32(bytes, payload); h = be32(bytes, payload + 4)
-          require(w > 0 && h > 0 && 3L * w * h <= Int.MaxValue - 64,
+          // bound the RAW buffer h·(3w+1) in Long arithmetic: a 1×7e8
+          // image passes a 3wh-only check yet overflows Int at the
+          // per-scanline filter byte, escaping as NegativeArraySize
+          // instead of this named failure
+          require(w > 0 && h > 0 &&
+            h.toLong * (3L * w + 1) <= Int.MaxValue - 64,
             s"bad PNG dimensions: $w x $h")
           val bitDepth = bytes(payload + 8) & 0xff
           val colorType = bytes(payload + 9) & 0xff

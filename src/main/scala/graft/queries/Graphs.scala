@@ -209,13 +209,27 @@ object Graphs {
 
   /** q153: DISTRIBUTED betweenness — q34's scale twin
     * ([[GraphMetrics.betweennessDistributed]]): exact Brandes fanned out
-    * over SOURCES against a broadcast CSR graph (the compute axis — a
-    * mega-city's O(n·m) loop no longer binds to one thread; the price,
-    * documented, is the graph replicated per executor). Same oracle as
-    * q34: the generated BFS-level + pair-dependency SQL.
+    * over SOURCES, fully distributed — per-city CSRs built by a keyed
+    * aggregation and shipped as slice rows, so a mega-city's O(n·m)
+    * loop no longer binds to one thread, the driver never touches an
+    * edge, and no whole-graph broadcast exists. Same oracle as q34: the
+    * generated BFS-level + pair-dependency SQL.
     */
   def q153BetweennessDistributed(spark: SparkSession, d: String): DataFrame =
     GraphMetrics.betweennessDistributed(edges(spark, d))
+      .withColumn("city", col("city").cast("int"))
+
+  /** q154: SAMPLED-source approximate betweenness
+    * ([[GraphMetrics.betweennessSampled]]) — the documented escape past
+    * graphs where even exact source-parallel Brandes is the wrong ask:
+    * sources whose name's md5 first nibble is < 4 (deterministic, ~1/4
+    * of the nodes), dependencies rescaled n/|S| per city (Brandes–Pich
+    * unbiased estimator). Oracle: the q34 generator restricted to the
+    * same md5 predicate — exact on the sample, hence hash-checked, not
+    * a tolerance test.
+    */
+  def q154BetweennessSampled(spark: SparkSession, d: String): DataFrame =
+    GraphMetrics.betweennessSampled(edges(spark, d))
       .withColumn("city", col("city").cast("int"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -223,6 +237,7 @@ object Graphs {
     "q33_city_pagerank" -> q33CityPagerank _,
     "q147_pagerank_distributed" -> q147PagerankDistributed _,
     "q153_betweenness_distributed" -> q153BetweennessDistributed _,
+    "q154_betweenness_sampled" -> q154BetweennessSampled _,
     "q34_city_betweenness" -> q34CityBetweenness _,
     "q37_cell_decode" -> q37CellDecode _,
     "q47_city_hits" -> q47CityHits _,

@@ -1933,7 +1933,15 @@ object Oracles {
     * (the driver gates at sf0.01, ≤ ~70 nodes/city); the engine side stays
     * linear-memory Brandes.
     */
-  private def betweennessSql(edgesSql: String, levels: Int): String = {
+  private def betweennessSql(edgesSql: String, levels: Int,
+                             sampleNibbleMax: Int = 16): String = {
+    val sampled = sampleNibbleMax < 16
+    // engine selector: first md5 nibble < sampleNibbleMax — as a char
+    // range over DuckDB's lowercase-hex md5() (digits sort before
+    // letters in ASCII, so BETWEEN works across the 9/a boundary)
+    val maxChar =
+      if (sampleNibbleMax <= 10) ('0' + (sampleNibbleMax - 1)).toChar
+      else ('a' + (sampleNibbleMax - 11)).toChar
     val sb = new StringBuilder
     sb ++= s"WITH e0 AS MATERIALIZED (\n$edgesSql\n),\n"
     sb ++= """e AS MATERIALIZED (SELECT DISTINCT city, src, dst FROM e0),
@@ -1944,6 +1952,12 @@ object Oracles {
              |  CAST(1 AS BIGINT) AS sig FROM nodes),
              |l0 AS MATERIALIZED (SELECT * FROM r0),
              |""".stripMargin
+    if (sampled)
+      sb ++= s"""smp AS MATERIALIZED (SELECT city, node FROM nodes
+                |  WHERE substr(md5(node), 1, 1) BETWEEN '0' AND '$maxChar'),
+                |scnt AS MATERIALIZED (SELECT city, CAST(count(*) AS DOUBLE) AS s
+                |  FROM smp GROUP BY city),
+                |""".stripMargin
     for (k <- 1 to levels) {
       sb ++= s"""l$k AS MATERIALIZED (
                 |  SELECT p.city, p.s, e.dst AS t, $k AS d, sum(p.sig) AS sig
@@ -1954,20 +1968,38 @@ object Oracles {
                 |r$k AS MATERIALIZED (SELECT * FROM r${k - 1} UNION ALL SELECT * FROM l$k),
                 |""".stripMargin
     }
+    val srcGate = if (sampled)
+      "\n  JOIN smp ON smp.city = sv.city AND smp.node = sv.s" else ""
+    val scntJoin = if (sampled) "\n  LEFT JOIN scnt sc ON sc.city = n.city" else ""
+    // Sampled: pm-quantize the RESTRICTED sum first (the exact form's
+    // hash-stable machinery), THEN apply the Brandes–Pich n/|S| rescale
+    // to the rounded integer — round(p1·n/|S|) is a pure function of
+    // ints, bit-identical to the engine by construction; rescaling the
+    // raw double instead pushed boundary values across pm rounding.
+    val vExpr = if (sampled)
+      """CASE WHEN coalesce(sc.s, 0.0) > 0 THEN
+        |      CAST(CAST(round(1000000.0 * (coalesce(d.bc, 0.0)
+        |        * CASE WHEN c.n > 2 THEN 1.0/((c.n-1.0)*(c.n-2.0)) ELSE 0.0 END)) AS BIGINT) AS DOUBLE)
+        |        * c.n / sc.s
+        |    ELSE 0.0 END AS v""".stripMargin
+    else
+      """coalesce(d.bc, 0.0)
+        |      * CASE WHEN c.n > 2 THEN 1.0/((c.n-1.0)*(c.n-2.0)) ELSE 0.0 END AS v""".stripMargin
+    val pmExpr = if (sampled) "CAST(round(v) AS BIGINT)"
+    else "CAST(round(1000000.0 * v) AS BIGINT)"
     sb ++= s"""p AS MATERIALIZED (SELECT * FROM r$levels WHERE d > 0),
               |dep AS (SELECT sv.city, sv.t AS node,
               |    sum(CAST(sv.sig AS DOUBLE) * vt.sig / st.sig) AS bc
-              |  FROM p sv
+              |  FROM p sv$srcGate
               |  JOIN p vt ON sv.city = vt.city AND vt.s = sv.t
               |  JOIN p st ON sv.city = st.city AND st.s = sv.s AND st.t = vt.t
               |    AND st.d = sv.d + vt.d
               |  GROUP BY sv.city, sv.t),
               |scored AS (SELECT n.city, n.node,
-              |    coalesce(d.bc, 0.0)
-              |      * CASE WHEN c.n > 2 THEN 1.0/((c.n-1.0)*(c.n-2.0)) ELSE 0.0 END AS v
-              |  FROM nodes n JOIN cnt c USING (city)
+              |    $vExpr
+              |  FROM nodes n JOIN cnt c USING (city)$scntJoin
               |  LEFT JOIN dep d ON d.city = n.city AND d.node = n.node)
-              |SELECT city, node, CAST(round(1000000.0 * v) AS BIGINT) AS bc_pm,
+              |SELECT city, node, $pmExpr AS bc_pm,
               |  CAST(round(1000000.0 * CASE WHEN avg(v) OVER (PARTITION BY city) = 0.0
               |    THEN 0.0 ELSE v / avg(v) OVER (PARTITION BY city) END) AS BIGINT)
               |    AS bc_norm_pm
@@ -2171,6 +2203,10 @@ object Oracles {
     "q34_city_betweenness" -> betweennessSql(EdgesSql, levels = 6),
     // q153: the distributed twin runs the SAME Brandes passes — same oracle
     "q153_betweenness_distributed" -> betweennessSql(EdgesSql, levels = 6),
+    // q154: the q34 generator restricted to the md5-sampled source set +
+    // the n/|S| rescale — exact on the sample, so hash-checkable
+    "q154_betweenness_sampled" ->
+      betweennessSql(EdgesSql, levels = 6, sampleNibbleMax = 4),
     "q47_city_hits" -> hitsSql(EdgesSql, graft.operators.GraphMetrics.Iterations),
     "q75_icosa_decode" -> icosaSql(res = 6),
     "q37_cell_decode" -> icosa37Sql(res = 6),
