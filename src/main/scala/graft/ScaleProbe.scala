@@ -480,6 +480,12 @@ object ScaleProbe {
       time(s"bwdist-distributed 4x ($m4 edges, one city)") {
         graft.operators.GraphMetrics.betweennessDistributed(g4).count()
       }
+      // the documented escape past exact betweenness: ~1/4 of the
+      // source passes through the identical machinery — wall should
+      // track the sample fraction at the same graph size
+      time(s"bwdist-sampled(1/4) 4x ($m4 edges, one city)") {
+        graft.operators.GraphMetrics.betweennessSampled(g4).count()
+      }
       spark.catalog.clearCache()
     }
     // r14 codec family (PNG inflate+unfilter, JPEG Huffman+IDCT, MP4

@@ -70,23 +70,50 @@ object GraphMetrics {
   }
 
   private[operators] def buildCsr(edges: Seq[(String, String)]): Csr = {
-    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted.toArray
-    val idx = nodes.zipWithIndex.toMap
-    val n = nodes.length
-    val es = edges.distinct.map { case (s, d) => (idx(s), idx(d)) }
-    val m = es.length
-    def csr(endpoints: Seq[(Int, Int)]): (Array[Int], Array[Int]) = {
-      val start = new Array[Int](n + 1)
-      endpoints.foreach { case (s, _) => start(s + 1) += 1 }
-      var i = 0
-      while (i < n) { start(i + 1) += start(i); i += 1 }
-      val out = new Array[Int](m)
-      val fill = java.util.Arrays.copyOf(start, n)
-      endpoints.foreach { case (s, d) => out(fill(s)) = d; fill(s) += 1 }
-      (start, out)
+    // Int-domain build: one hash pass for the name universe, then the
+    // edge set as packed longs — sort + adjacent-dedup replaces the
+    // old Seq.distinct on string tuples (the boxing-heavy step the
+    // bwphase probe showed dominating the distributed form's CSR
+    // stage). Side effect worth having: adjacency buckets come out
+    // dst-SORTED, so BFS visit order — and with it the (ppm-absorbed)
+    // FP summation order — is a pure function of the graph, not of
+    // shuffle arrival order.
+    val seen = new java.util.HashMap[String, Integer]()
+    edges.foreach { case (s, d) =>
+      seen.putIfAbsent(s, 0); seen.putIfAbsent(d, 0)
     }
-    val (adjStart, adj) = csr(es)
-    val (inStart, inAdj) = csr(es.map(_.swap))
+    val nodes = new Array[String](seen.size())
+    val kit = seen.keySet().iterator()
+    var i = 0
+    while (kit.hasNext) { nodes(i) = kit.next(); i += 1 }
+    java.util.Arrays.sort(nodes, Ordering.String)
+    val n = nodes.length
+    val idx = new java.util.HashMap[String, Integer](n * 2)
+    i = 0
+    while (i < n) { idx.put(nodes(i), i); i += 1 }
+    val enc = new Array[Long](edges.size)
+    i = 0
+    edges.foreach { case (s, d) =>
+      enc(i) = (idx.get(s).toLong << 32) | (idx.get(d).toLong & 0xffffffffL)
+      i += 1
+    }
+    java.util.Arrays.sort(enc)
+    var m = 0
+    var j = 0
+    while (j < enc.length) {
+      if (m == 0 || enc(m - 1) != enc(j)) { enc(m) = enc(j); m += 1 }
+      j += 1
+    }
+    val adjStart = new Array[Int](n + 1)
+    j = 0
+    while (j < m) { adjStart((enc(j) >>> 32).toInt + 1) += 1; j += 1 }
+    i = 0
+    while (i < n) { adjStart(i + 1) += adjStart(i); i += 1 }
+    // sorted by (src, dst): the low words in order ARE the adj array
+    val adj = new Array[Int](m)
+    j = 0
+    while (j < m) { adj(j) = enc(j).toInt; j += 1 }
+    val (inStart, inAdj) = reverseCsr(n, adjStart, adj)
     new Csr(nodes, adjStart, adj, inStart, inAdj)
   }
 
@@ -348,9 +375,40 @@ object GraphMetrics {
     def n: Int = nodes.length
     def toCsr: Csr = new Csr(nodes, adjStart, adj, inStart, inAdj)
   }
-  private[operators] case class CsrSlice(g: CityCsr, start: Int, end: Int)
+  /** One source-range slice of one city's work, trimmed to what a
+    * Brandes task actually touches: the forward CSR and ITS OWN source
+    * indices. Node strings never ride a slice (only the node frame
+    * ships them, once per city), and the reverse CSR is rebuilt
+    * per-task — an O(m) int counting sort is far cheaper than shipping
+    * m+n more ints per slice copy (it halves the replicated bytes,
+    * which the bwdist probe showed dominate this operator's wall).
+    */
+  private[operators] case class CsrSlice(city: String, n: Int,
+      adjStart: Array[Int], adj: Array[Int], srcs: Array[Int])
   private implicit val cityCsrEnc: Encoder[CityCsr] = Encoders.product[CityCsr]
   private implicit val csrSliceEnc: Encoder[CsrSlice] = Encoders.product[CsrSlice]
+
+  /** Reverse CSR from a forward CSR: counting sort over edge targets. */
+  private[operators] def reverseCsr(n: Int, adjStart: Array[Int],
+      adj: Array[Int]): (Array[Int], Array[Int]) = {
+    val m = adj.length
+    val inStart = new Array[Int](n + 1)
+    var e = 0
+    while (e < m) { inStart(adj(e) + 1) += 1; e += 1 }
+    var i = 0
+    while (i < n) { inStart(i + 1) += inStart(i); i += 1 }
+    val inAdj = new Array[Int](m)
+    val fill = java.util.Arrays.copyOf(inStart, n)
+    var v = 0
+    while (v < n) {
+      e = adjStart(v)
+      while (e < adjStart(v + 1)) {
+        inAdj(fill(adj(e))) = v; fill(adj(e)) += 1; e += 1
+      }
+      v += 1
+    }
+    (inStart, inAdj)
+  }
 
   /** DISTRIBUTED betweenness — [[perCityBetweenness]]'s scale twin on
     * the COMPUTE axis: exact Brandes needs per-source BFS state that
@@ -382,7 +440,7 @@ object GraphMetrics {
     * standard escape.
     */
   def betweennessDistributed(edges: DataFrame, minEdges: Int = 0,
-                             sourcesPerSlice: Int = 64): DataFrame =
+                             sourcesPerSlice: Int = 256): DataFrame =
     brandesDistributed(edges, minEdges, sourcesPerSlice, sampleNibbleMax = 16)
 
   /** First hex nibble of md5(node-name): the deterministic source-sample
@@ -410,7 +468,7 @@ object GraphMetrics {
     * form's source passes; at 100× run this, not the exact form.
     */
   def betweennessSampled(edges: DataFrame, minEdges: Int = 0,
-                         sourcesPerSlice: Int = 64,
+                         sourcesPerSlice: Int = 256,
                          nibbleMax: Int = 4): DataFrame = {
     require(nibbleMax >= 1 && nibbleMax <= 16,
       s"nibbleMax must be in [1,16], got $nibbleMax")
@@ -449,30 +507,31 @@ object GraphMetrics {
         }
       }
       .persist() // feeds slices AND the node frame; lineage holds the build
-    // slice bounds index into the SAMPLED source array (the identity
-    // range when unsampled), recomputed pure-functionally inside each
-    // task — cheaper than shipping the index list once per slice copy
     val sliced = csrs.flatMap { g =>
-      val sn = sampledSources(g).length
+      val src = sampledSources(g)
+      val sn = src.length
       val nSlices = math.max(1, math.min(sliceCap,
         (sn + sourcesPerSlice - 1) / math.max(1, sourcesPerSlice)))
       (0 until nSlices).iterator.map { i =>
-        CsrSlice(g, (sn.toLong * i / nSlices).toInt,
+        src.slice((sn.toLong * i / nSlices).toInt,
           (sn.toLong * (i + 1) / nSlices).toInt)
-      }
+      }.filter(_.nonEmpty)
+        .map(mySrcs => CsrSlice(g.city, g.n, g.adjStart, g.adj, mySrcs))
     }
     val partials = sliced
       .repartition(session.sparkContext.defaultParallelism * 2)
       .mapPartitions { it =>
         it.flatMap { sl =>
-          val g = sl.g.toCsr
-          val srcIdx = sampledSources(sl.g)
-          val bc = new Array[Double](g.n)
-          val scratch = new BrandesScratch(g.n)
-          var s = sl.start
-          while (s < sl.end) { brandesSource(g, srcIdx(s), bc, scratch); s += 1 }
+          val (inStart, inAdj) = reverseCsr(sl.n, sl.adjStart, sl.adj)
+          // node names deliberately absent from slices; Brandes only
+          // walks the int arrays (the node frame carries the names)
+          val g = new Csr(new Array[String](0), sl.adjStart, sl.adj,
+            inStart, inAdj)
+          val bc = new Array[Double](sl.n)
+          val scratch = new BrandesScratch(sl.n)
+          sl.srcs.foreach(s => brandesSource(g, s, bc, scratch))
           bc.iterator.zipWithIndex.collect {
-            case (v, i) if v != 0.0 => (sl.g.city, i, v)
+            case (v, i) if v != 0.0 => (sl.city, i, v)
           }
         }
       }
