@@ -277,7 +277,10 @@ object GraphMetrics {
     * spec-pinned, and the q33 oracle passes unchanged (q147).
     */
   def pagerankDistributed(edges: DataFrame, minEdges: Int = 0,
-                          iterations: Int = Iterations): DataFrame = {
+                          iterations: Int = Iterations,
+                          checkpointEvery: Int = 1): DataFrame = {
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
     val e0 = edges.select(col("city").cast("string"), col("src"),
       col("dst"), col("w").cast("long"))
     // the reference's MIN_CITY_SIZE gate: compare EDGE-ROW count (the
@@ -324,12 +327,26 @@ object GraphMetrics {
         // by every caller here (Bench, Verify, the probe).
         val spark = edges.sparkSession
         val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
         try {
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        // AQE off for the loop: every shuffle is already hand-sized to
+        // `parts`, so per-round adaptive re-planning is pure overhead —
+        // measured 11.6-12.3 s → 8.6-9.1 s steady at sf0.1 (prab A/B,
+        // 3 interleaved passes; 240 jobs → 73), values oracle-pinned
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         var x = base.select(col("city"), col("node"), col("outw"), col("n"),
             (lit(1.0) / col("n")).as("x"))
           .localCheckpoint(true)
-        for (_ <- 0 until iterations) {
+        var lastCkpt = x
+        for (i <- 0 until iterations) {
+          // NOTE (r15 A/B): folding the dangling mass into the contrib
+          // exchange as marker-keyed rows read by both a broadcast-dang
+          // branch and the contrib branch DEADLOCKS with AQE off — the
+          // broadcast side reuses the main plan's exchange and waits on
+          // the job that itself waits on the broadcast (reuse-deadlock;
+          // the run hung at load 1.0 past 10 min where this loop takes
+          // ~9 s). The separate tiny dang aggregate stays.
           val dang = x.filter(col("outw") === 0)
             .groupBy(col("city")).agg(sum(col("x")).as("dang"))
           val contrib = e
@@ -344,9 +361,18 @@ object GraphMetrics {
               (lit(0.15) / col("n") + lit(0.85) *
                 (coalesce(col("contrib"), lit(0.0)) +
                   coalesce(col("dang"), lit(0.0)) / col("n"))).as("x"))
-          val prev = x
-          x = next.localCheckpoint(true)
-          prev.unpersist()
+          // checkpoint cadence: every round (depth 1, the q120 default)
+          // or every k-th (lineage depth k; the un-checkpointed rounds'
+          // triple read — dang, contrib, next-join — is deduped by
+          // ReuseExchange within the one checkpoint action)
+          if (i % checkpointEvery == checkpointEvery - 1 ||
+              i == iterations - 1) {
+            x = next.localCheckpoint(true)
+            lastCkpt.unpersist()
+            lastCkpt = x
+          } else {
+            x = next
+          }
         }
         val mean = x.groupBy(col("city"))
           .agg((sum(col("x")) / count(lit(1))).as("mean"))
@@ -359,6 +385,7 @@ object GraphMetrics {
           .localCheckpoint(true) // sever from the persisted inputs before unpersist
         } finally {
           spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
         }
       }
     } finally { e.unpersist(); eAll.unpersist(); () }
@@ -647,8 +674,12 @@ object GraphMetrics {
       val base = nodes.join(broadcast(nPerCity), Seq("city"))
         .repartition(parts, col("city"), col("node"))
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
       try {
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        // AQE off for the loop — shuffles are hand-sized to `parts`;
+        // per-round adaptive re-planning is overhead (the prab finding)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         var h = base.select(col("city"), col("node"),
             (lit(1.0) / col("n")).as("h"))
           .localCheckpoint(true)
@@ -697,6 +728,7 @@ object GraphMetrics {
           .localCheckpoint(true) // sever from persisted inputs
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       }
     } finally { eBySrc.unpersist(); eByDst.unpersist(); eAll.unpersist(); () }
   }
