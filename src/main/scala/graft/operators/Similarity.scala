@@ -662,6 +662,29 @@ object Similarity {
       Seq(col("cos_pm").desc, col("cid").asc), k, "rank")
   }
 
+  /** Index-quality audit: per-probe recall@k of an approximate result
+    * against the exact top-k on the same (qid, cid) grain — the metric a
+    * production vector index monitors continuously (an LSH/IVF index
+    * whose recall drifts as the corpus distribution shifts is silently
+    * degrading retrieval; this is the query that catches it). Both
+    * inputs are probe-sized (|Q|·k rows — the corpus never enters), so
+    * the audit costs the two searches it compares, nothing more, at any
+    * corpus scale. Integer-exact output: hits·1e6 div k, no FP anywhere
+    * — cross-engine hash-stable by construction.
+    */
+  def recallAudit(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val probes = exact.select(col("qid")).distinct()
+    val hits = exact.select(col("qid"), col("cid"))
+      .join(approx.select(col("qid"), col("cid")), Seq("qid", "cid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    probes.join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+      // `div`, not `/`: Spark's Divide returns DOUBLE even on longs;
+      // integer division keeps the whole audit FP-free
+      .withColumn("recall_pm", expr(s"(hits * CAST(1000000 AS BIGINT)) div $k"))
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor
     * (query) vector, the top-k most similar corpus vectors with a
     * DIFFERENT label — near the anchor in embedding space but semantically

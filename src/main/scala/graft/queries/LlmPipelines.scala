@@ -196,6 +196,35 @@ object LlmPipelines {
     Similarity.annTopK(Tables.balanced(spark, d, "embeddings"), "vec_id", "embedding",
       col("vec_id") < 20, Planes, Dims, k = 3)
 
+  /** q155: ANN recall audit — per-probe recall@3 of LSH indexes at THREE
+    * bucket widths (2/3/8 planes) against the exact top-3
+    * ([[Similarity.recallAudit]]): the recall-vs-cost curve a production
+    * vector store tunes against, and the monitor that catches silent
+    * retrieval degradation — on this corpus it shows exactly that story
+    * (q31's 8-plane index over-shards random embeddings to ~0 recall;
+    * 2 planes recovers most of it at 4× the candidate cost).
+    * Integer-exact audit arithmetic (hits·1e6 div 3, Spark `div` not
+    * `/`); both sides are the proven q30/q31 machinery, so the oracle
+    * composes their SQL and the only FP lives inside the search twins.
+    */
+  def q155AnnRecallAudit(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.balanced(spark, d, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", k = 3)
+    // exact side feeds all three audits; its lineage holds the
+    // brute-force scoring — persist caller-owned (the q58 convention)
+    val exactP = exact.persist()
+    try {
+      Seq(2, 3, 8).map { planes =>
+        Similarity.recallAudit(exactP,
+            Similarity.annTopK(emb, "vec_id", "embedding",
+              col("vec_id") < 20, planes, Dims, k = 3), k = 3)
+          .withColumn("planes", lit(planes))
+      }.reduce(_ unionByName _)
+        .localCheckpoint(true)
+    } finally { exactP.unpersist(); () }
+  }
+
   /** q38: IVF ANN — vectors assigned to the nearest of 8 seed centroids
     * (vec_id < 8), queries (vec_id in [20,30)) search their own cell only
     * (nprobe=1). The data-adaptive bucketed scale path next to q31's
@@ -1227,6 +1256,7 @@ object LlmPipelines {
     "q29_simhash" -> q29Simhash _,
     "q30_cosine_topk" -> q30CosineTopK _,
     "q31_ann_lsh_topk" -> q31AnnLshTopK _,
+    "q155_ann_recall_audit" -> q155AnnRecallAudit _,
     "q41_ann_adaptive_topk" -> q41AnnAdaptiveTopK _,
     "q50_kmeans_refine" -> q50KmeansRefine _,
     "q51_ann_multiprobe" -> q51AnnMultiprobe _,

@@ -466,6 +466,43 @@ object Oracles {
        |  FROM sc)
        |SELECT qid, cid, cell, adc_pm, "rank" FROM r2 WHERE "rank" <= 3""".stripMargin
 
+  /** q155's generator: per-probe recall@3 of the rpBucket LSH index at
+    * each plane count vs the exact top-3 — one exact CTE chain shared,
+    * one ann chain per width, integer-exact audit columns.
+    */
+  private def recallAuditSql(planesList: Seq[Int]): String = {
+    val ann = planesList.map { p =>
+      s"""emb$p AS (SELECT vec_id, embedding, ${rpBucket("embedding", p)} AS bucket FROM embeddings),
+         |aq$p AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM emb$p WHERE vec_id < 20),
+         |ac$p AS (SELECT vec_id AS cid, embedding AS cv, bucket FROM emb$p),
+         |sc$p AS (SELECT qid, cid, ${cosPm("qv", "cv")} AS cos_pm
+         |        FROM aq$p JOIN ac$p USING (bucket) WHERE cid <> qid),
+         |rk$p AS (SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos_pm DESC, cid ASC) AS rk
+         |       FROM sc$p),
+         |hits$p AS (SELECT e.qid, count(*) AS h
+         |         FROM exact e JOIN rk$p a ON a.qid = e.qid AND a.cid = e.cid AND a.rk <= 3
+         |         GROUP BY e.qid)""".stripMargin
+    }.mkString(",\n")
+    val selects = planesList.map { p =>
+      s"""SELECT p.qid, coalesce(h.h, 0) AS hits,
+         |  CAST(coalesce(h.h, 0) * 1000000 // 3 AS BIGINT) AS recall_pm,
+         |  $p AS planes
+         |FROM probes p LEFT JOIN hits$p h ON h.qid = p.qid""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH xq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+       |xc AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+       |xs AS (SELECT qid, cid, ${cosPm("qv", "cv")} AS cos_pm
+       |       FROM xc, xq WHERE cid <> qid),
+       |xr AS (SELECT qid, cid,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos_pm DESC, cid ASC) AS rk
+       |       FROM xs),
+       |exact AS (SELECT qid, cid FROM xr WHERE rk <= 3),
+       |probes AS (SELECT DISTINCT qid FROM exact),
+       |$ann
+       |$selects""".stripMargin
+  }
+
   private lazy val BruteForceTop5Sql =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
        |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
@@ -1573,6 +1610,12 @@ object Oracles {
          |        row_number() OVER (PARTITION BY qid ORDER BY cos_pm DESC, cid ASC) AS "rank"
          |      FROM s)
          |SELECT * FROM r WHERE "rank" <= 3""".stripMargin,
+
+    // q155: recall-vs-index-width audit — the q30 (at k=3) and q31 CTE
+    // machinery composed per plane count; the audit arithmetic is pure
+    // integers (hits·1e6 div 3), so the only FP lives inside the two
+    // proven search twins
+    "q155_ann_recall_audit" -> recallAuditSql(Seq(2, 3, 8)),
 
     // adaptive twin: 2 coarse planes, cap 64, 4 extra planes →
     // shift 2^(4+1)=32, split flag 2^4=16 (disjoint id spaces)

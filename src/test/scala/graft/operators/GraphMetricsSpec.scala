@@ -168,6 +168,38 @@ class GraphMetricsSpec extends AnyFunSuite {
     assert(distAll == localAll)
   }
 
+  test("buildCsr: property — CSR ≡ naive distinct-edge adjacency, nodes sorted, reverse consistent") {
+    // The r15 int-domain rewrite (packed-long sort + adjacent dedup) is
+    // load-bearing for q34/q153/q154; pin it against the obvious naive
+    // construction on random multigraphs (dup edges, self-loops, skewed
+    // fan-out all included).
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val nameGen = Gen.oneOf((0 until 12).map(i => s"n$i"))
+    val edgesGen = Gen.listOfN(40, Gen.zip(nameGen, nameGen))
+    val prop = Prop.forAll(edgesGen) { edges =>
+      val g = GraphMetrics.buildCsr(edges)
+      val names = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val idx = names.zipWithIndex.toMap
+      val want = edges.distinct.map { case (s, d) => (idx(s), idx(d)) }.toSet
+      val fwd = (0 until g.n).flatMap { v =>
+        (g.adjStart(v) until g.adjStart(v + 1)).map(e => (v, g.adj(e)))
+      }
+      val rev = (0 until g.n).flatMap { v =>
+        (g.inStart(v) until g.inStart(v + 1)).map(e => (g.inAdj(e), v))
+      }
+      g.nodes.toSeq == names &&
+        fwd.toSet == want && fwd.size == want.size &&
+        rev.toSet == want && rev.size == want.size &&
+        // dst-sorted buckets: the determinism the rewrite bought
+        (0 until g.n).forall { v =>
+          val b = (g.adjStart(v) until g.adjStart(v + 1)).map(g.adj)
+          b == b.sorted
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("betweennessDistributed: no driver-side edge gather and no graph broadcast (code pin)") {
     // The r14 verdict's one scale-killer was a .collect() of the whole
     // edge frame inside this method; the rewrite builds per-city CSRs

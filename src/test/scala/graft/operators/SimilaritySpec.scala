@@ -363,4 +363,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(indexed == direct)
     assert(direct.nonEmpty)
   }
+
+  test("recallAudit: integer-exact per-probe recall, missing probes get 0, div not divide") {
+    import org.apache.spark.sql.functions.col
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+                    (2L, 20L), (2L, 21L), (2L, 22L),
+                    (3L, 30L), (3L, 31L), (3L, 32L)).toDF("qid", "cid")
+    // probe 1: 2/3 hits; probe 2: 0 hits; probe 3: all 3
+    val ann = Seq((1L, 10L), (1L, 11L), (1L, 99L),
+                  (2L, 98L), (2L, 97L), (2L, 96L),
+                  (3L, 30L), (3L, 31L), (3L, 32L)).toDF("qid", "cid")
+    val out = Similarity.recallAudit(exact, ann, k = 3)
+      .select(col("qid"), col("hits"), col("recall_pm"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 666666L), (2L, 0L, 0L), (3L, 3L, 1000000L)))
+    // the column must be integral — a Divide would make it double and
+    // break the oracle's BIGINT contract
+    val schema = Similarity.recallAudit(exact, ann, k = 3).schema
+    assert(schema("recall_pm").dataType ==
+      org.apache.spark.sql.types.LongType)
+    intercept[IllegalArgumentException] {
+      Similarity.recallAudit(exact, ann, k = 0)
+    }
+  }
 }
