@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Layout, Packing, RangeJoin, Rolling, Sampling, Sessionize, Sft, Skew}
+import graft.operators.{AsOf, Drift, Layout, Packing, RangeJoin, Rolling, Sampling, Sessionize, Sft, Skew}
+import graft.functions.Text
 import graft.sources.Tables
 
 /** Beyond-reference temporal/sampling operators (the build brief's as-of
@@ -88,6 +89,41 @@ object Extensions {
     * ([[Packing.packByBudget]]: one shuffle by shard, window arithmetic
     * over longs, documents may straddle pack boundaries).
     */
+  /** q156: corpus drift monitor ([[graft.operators.Drift.tvd]]) —
+    * total-variation distance between two snapshots over binned text
+    * features (n_chars div 64, token count div 8), exact-integer
+    * arithmetic end to end (the scaladoc explains why TVD and not
+    * PSI/KL: no logs, no FP, defined on empty bins). Two comparisons in
+    * one query: `null_pair` (the corpus hash-split in half — the
+    * monitor's steady-state, near-zero drift) and `len_biased` (half A
+    * vs the ≤-median-length subset of half B — a simulated
+    * truncation-bug snapshot, large drift on BOTH features since length
+    * and token count move together). The production shape at corpus
+    * scale is this exact query over [[Sampling.sampleByHash]] samples
+    * of each snapshot (Drift.MaxCrossProduct guard).
+    */
+  def q156DriftTvd(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.balanced(spark, d, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+        Sampling.hashBucket(col("doc_id"), "drift", 2).as("half"))
+    val longForm = base.select(col("half"), col("n_chars"),
+        lit("n_chars").as("feature"), expr("n_chars div 64").as("bin"))
+      .unionByName(base.select(col("half"), col("n_chars"),
+        lit("n_tokens").as("feature"), expr("n_tokens div 8").as("bin")))
+    val nullRows = longForm.select(lit("null_pair").as("comparison"),
+      col("feature"), col("bin"),
+      when(col("half") === 0, "a").otherwise("b").as("split"))
+    val biasedRows = longForm.filter(col("half") === 0)
+      .select(lit("len_biased").as("comparison"), col("feature"),
+        col("bin"), lit("a").as("split"))
+      .unionByName(longForm.filter(col("half") === 1 && col("n_chars") <= 306)
+        .select(lit("len_biased").as("comparison"), col("feature"),
+          col("bin"), lit("b").as("split")))
+    Drift.tvd(nullRows.unionByName(biasedRows),
+      Seq("comparison", "feature"), "bin", "split", "a", "b")
+  }
+
   def q48SequencePacking(spark: SparkSession, d: String): DataFrame =
     Packing.packByBudget(
         Tables(spark, d, "documents").select(col("doc_id"), col("n_chars")),
@@ -392,6 +428,7 @@ object Extensions {
     "q44_asof_join" -> q44AsofJoin _,
     "q45_range_join" -> q45RangeJoin _,
     "q46_hash_split" -> q46HashSplit _,
+    "q156_drift_tvd" -> q156DriftTvd _,
     "q48_sequence_packing" -> q48SequencePacking _,
     "q49_quality_gate" -> q49QualityGate _,
     "q52_asof_nearest" -> q52AsofNearest _,

@@ -2310,6 +2310,36 @@ object Oracles {
     * cannot change the carried last-non-null right value.
     */
   val extensions: Map[String, String] = Map(
+    // q156: TVD drift monitor — exact-integer cross-multiplied form
+    // (Σ|ca·nb − cb·na|·1e6 // (2·na·nb)); the md5 half-split is q46's
+    // bucket formula with the 'drift' salt, token count is q24's twin
+    "q156_drift_tvd" ->
+      s"""WITH base AS (SELECT doc_id, n_chars,
+         |    CAST(len($Toks) AS BIGINT) AS n_tokens,
+         |    ('0x' || substr(md5('drift:' || doc_id), 1, 8))::BIGINT % 2 AS half
+         |  FROM documents),
+         |lf AS (SELECT half, n_chars, 'n_chars' AS feature, n_chars // 64 AS bin FROM base
+         |       UNION ALL
+         |       SELECT half, n_chars, 'n_tokens' AS feature, n_tokens // 8 AS bin FROM base),
+         |rows_ AS (
+         |  SELECT 'null_pair' AS comparison, feature, bin,
+         |         CASE WHEN half = 0 THEN 'a' ELSE 'b' END AS split FROM lf
+         |  UNION ALL
+         |  SELECT 'len_biased', feature, bin, 'a' FROM lf WHERE half = 0
+         |  UNION ALL
+         |  SELECT 'len_biased', feature, bin, 'b' FROM lf
+         |  WHERE half = 1 AND n_chars <= 306),
+         |counts AS (SELECT comparison, feature, bin,
+         |    CAST(sum(CASE WHEN split = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN split = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM rows_ GROUP BY 1, 2, 3),
+         |tot AS (SELECT comparison, feature,
+         |    CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+         |  FROM counts GROUP BY 1, 2)
+         |SELECT c.comparison, c.feature, t.na, t.nb,
+         |  CAST(sum(abs(c.ca * t.nb - c.cb * t.na)) * 1000000 // (2 * t.na * t.nb) AS BIGINT) AS tvd_pm
+         |FROM counts c JOIN tot t USING (comparison, feature)
+         |GROUP BY c.comparison, c.feature, t.na, t.nb""".stripMargin,
     // q127: SFT chat-template rendering — q59's session assignment, the
     // '<|role|>content\n' template, cumulative-length offset windows,
     // ordered string_agg/list rebuilds. Mask spans cover assistant
