@@ -381,6 +381,63 @@ object TermStats {
         expr("sp div n_trigrams").as("fluency_pm"))
   }
 
+  /** BM25 ranked retrieval (Robertson's Okapi weighting; Robertson &
+    * Zaragoza 2009 §3.3), exact-integer form with k1 = 6/5, b = 3/4:
+    * score every (query, doc) candidate produced by an inverted-index
+    * equi-join and keep the top `k` docs per query (score desc, doc asc
+    * — deterministic). Returns (q, doc, n_terms, score_pm, rank) where
+    * n_terms counts the query's distinct terms matched in the doc.
+    *
+    * Every published BM25 is FP (idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    * — a hash-compare death sentence across engines). With k1 = 6/5,
+    * b = 3/4 and avgdl = A/N (A = corpus tokens, N = docs) the term
+    * weight cross-multiplies to the all-integer
+    *
+    *   s_pm(t,d) = (idf_pm · tf · 44 · A) div (20·A·tf + 6·A + 18·N·dl)
+    *
+    * with idf_pm = (1e6·N) div df ([[tfidf]]'s portable idf). Products
+    * run in DECIMAL(38,0) (HUGEINT in the oracle): at a web-corpus
+    * A ≈ 1e13 the Long numerator overflows, and 38-digit integer
+    * arithmetic is exact and identical in both engines.
+    *
+    * Scale shape: the postings aggregate (doc, term, tf) is built once
+    * and persisted — it feeds the df rollup, the doc-length rollup, AND
+    * the candidate join (dl/A derive from it, so the corpus is tokenized
+    * exactly once). Query terms join postings on the term key — candidate
+    * volume is the sum of the query terms' posting lists, never
+    * |queries|×|docs| — and (N, A) ride a broadcast 1-row aggregate. The
+    * final per-query top-k is a rank window with `rank <= k`, which
+    * Spark's WindowGroupLimit prunes map-side before the exchange.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, id: String, text: String,
+               qId: String, qTerms: String, k: Int,
+               minTermLen: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = docs.select(col(id).as("doc"),
+        explode(Text.tokens(col(text))).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = broadcast(dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("a_tok")))
+    val qt = queries
+      .select(col(qId).as("q"), explode(col(qTerms)).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+      .distinct()
+    val scored = qt.join(tf, "term").join(dfreq, "term").join(dl, "doc")
+      .crossJoin(corpus)
+      .withColumn("s_pm", expr(
+        """(CAST((1000000 * n_docs) div df AS DECIMAL(38,0)) * tf * 44 * a_tok)
+          |  div (20 * CAST(a_tok AS DECIMAL(38,0)) * tf + 6 * a_tok
+          |       + 18 * n_docs * dl)""".stripMargin))
+      .groupBy(col("q"), col("doc"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("s_pm")).as("score_pm"))
+    Dedup.keepFirstK(scored, Seq(col("q")),
+      Seq(col("score_pm").desc, col("doc").asc), k, "rank")
+  }
+
   def boilerplateFraction(docs: DataFrame, id: String, text: String, k: Int,
                           maxDf: Long): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")

@@ -611,6 +611,27 @@ object Curation {
         sum(when(col("n_chunks") > 1, 1L).otherwise(0L)).as("n_straddlers"))
   }
 
+  /** q157: BM25 ranked retrieval ([[TermStats.bm25TopK]]) — the query
+    * half of the q129 retrieval-index story, and the ranked companion to
+    * q60's TF-IDF weighting. Queries derive deterministically from the
+    * corpus itself (every doc_id % 25 == 0 document contributes its
+    * first 4 tokens as a query, q_id = doc_id); each returns its top-5
+    * documents under the exact-integer Okapi score (k1 = 6/5, b = 3/4,
+    * DECIMAL(38)/HUGEINT cross-multiplied — the operator scaladoc
+    * derives the formula). Self-retrieval is allowed and expected: the
+    * source doc ranking first for its own prefix is the retrieval
+    * sanity check a production index build runs.
+    */
+  def q157Bm25TopK(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    val qs = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("q_id"),
+        slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
+    TermStats.bm25TopK(docs, qs, "doc_id", "text", "q_id", "qt", k = 5)
+      .select(col("q").as("q_id"), col("rank"), col("doc").as("doc_id"),
+        col("n_terms"), col("score_pm"))
+  }
+
   /** q130: content-defined chunking ([[Chunk.contentDefined]], the
     * Rabin-boundary rule at token granularity, divisor 8) — boundaries
     * from content-only 2-gram hashes, so edits re-chunk only to the next
@@ -776,6 +797,7 @@ object Curation {
     "q131_cdc_dedup_inc" -> q131CdcDedupInc _,
     "q130_cdc_chunks" -> q130CdcChunks _,
     "q129_retrieval_index" -> q129RetrievalIndex _,
+    "q157_bm25_topk" -> q157Bm25TopK _,
     "q128_unigram_segment" -> q128UnigramSegment _,
     "q125_chunk_windows" -> q125ChunkWindows _,
     "q126_epoch_allocation" -> q126EpochAllocation _,

@@ -2986,6 +2986,31 @@ object Oracles {
   }
 
   val curation: Map[String, String] = Map(
+    // q157: exact-integer Okapi BM25 (k1=6/5, b=3/4 cross-multiplied;
+    // TermStats.bm25TopK derives the formula). HUGEINT mirrors Spark's
+    // DECIMAL(38,0) products; all operands positive, so // and div agree.
+    "q157_bm25_topk" ->
+      s"""WITH tf AS (SELECT doc_id AS doc, term, count(*) AS tf FROM
+         |    (SELECT doc_id, unnest($Toks) AS term FROM documents)
+         |  WHERE length(term) >= 1 GROUP BY 1, 2),
+         |dl AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS a_tok FROM dl),
+         |qt AS (SELECT DISTINCT q_id, term FROM
+         |    (SELECT doc_id AS q_id, unnest(($Toks)[1:4]) AS term
+         |     FROM documents WHERE doc_id % 25 = 0)
+         |  WHERE length(term) >= 1),
+         |sc AS (SELECT q_id, doc,
+         |    (CAST((1000000 * n_docs) // df AS HUGEINT) * tf * 44 * a_tok) //
+         |    (20 * CAST(a_tok AS HUGEINT) * tf + 6 * a_tok + 18 * n_docs * dl) AS s_pm
+         |  FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+         |       JOIN dl USING (doc) CROSS JOIN corpus),
+         |agg AS (SELECT q_id, doc, CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(sum(s_pm) AS BIGINT) AS score_pm FROM sc GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score_pm DESC, doc ASC) AS rk FROM agg)
+         |SELECT q_id, CAST(rk AS BIGINT) AS "rank", doc AS doc_id, n_terms, score_pm
+         |FROM r WHERE rk <= 5""".stripMargin,
     // q125: overlapping token-window chunking — window 24, stride 16;
     // window count = 1 + ceil((n-24)/16) (integer //), list slicing is
     // 1-based inclusive on both engines via slice/toks[a:b].

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class Bm25Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)], qs: Seq[(Long, Seq[String])],
+                  k: Int = 5) =
+    TermStats.bm25TopK(docs.toDF("doc_id", "text"),
+        qs.toDF("q_id", "qt"), "doc_id", "text", "q_id", "qt", k)
+      .select($"q", $"doc", $"n_terms", $"score_pm", $"rank")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._5))
+
+  test("hand-computed corpus: exact integer scores and ranking") {
+    // N=3 docs, A=5 tokens; df(a)=2 so idf_pm = 3e6 div 2 = 1500000.
+    // d2 (tf=2): (1500000*2*44*5) div (20*5*2 + 6*5 + 18*3*2) = 1952662
+    // d1 (tf=1): (1500000*1*44*5) div (20*5*1 + 6*5 + 18*3*2) = 1386554
+    val out = run(Seq(1L -> "a b", 2L -> "a a", 3L -> "c"),
+      Seq(10L -> Seq("a")))
+    assert(out.toSeq === Seq((10L, 2L, 1L, 1952662L, 1L),
+      (10L, 1L, 1L, 1386554L, 2L)))
+  }
+
+  test("score ties rank by doc id ascending") {
+    val out = run(Seq(1L -> "x", 2L -> "c", 3L -> "c"), Seq(10L -> Seq("c")))
+    assert(out.map(r => (r._2, r._5)).toSeq === Seq((2L, 1L), (3L, 2L)))
+  }
+
+  test("query-term multiplicity is ignored; multi-term scores add") {
+    val once = run(Seq(1L -> "a b c", 2L -> "a x y"), Seq(10L -> Seq("a", "b")))
+    val twice = run(Seq(1L -> "a b c", 2L -> "a x y"),
+      Seq(10L -> Seq("a", "a", "b", "b")))
+    assert(once.toSeq === twice.toSeq)
+    assert(once.find(_._2 == 1L).get._3 === 2L) // doc 1 matches both terms
+    assert(once.find(_._2 == 2L).get._3 === 1L)
+  }
+
+  test("k truncates per query and must be positive") {
+    val out = run(Seq(1L -> "a", 2L -> "a", 3L -> "a"), Seq(10L -> Seq("a")), k = 2)
+    assert(out.length === 2)
+    intercept[IllegalArgumentException] {
+      TermStats.bm25TopK(Seq((1L, "a")).toDF("doc_id", "text"),
+        Seq((1L, Seq("a"))).toDF("q_id", "qt"), "doc_id", "text", "q_id",
+        "qt", k = 0)
+    }
+  }
+
+  test("the rank filter plans as a WindowGroupLimit (map-side top-k)") {
+    val df = TermStats.bm25TopK(Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text"),
+      Seq((1L, Seq("a"))).toDF("q_id", "qt"), "doc_id", "text", "q_id", "qt", 5)
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "expected the rank<=k filter to trigger WindowGroupLimit pruning")
+  }
+}
