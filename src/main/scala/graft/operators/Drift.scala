@@ -43,13 +43,55 @@ object Drift {
   def tvd(binned: DataFrame, groupCols: Seq[String], binCol: String,
           splitCol: String, splitA: String, splitB: String): DataFrame = {
     require(groupCols.nonEmpty, "tvd needs at least one group column")
-    val g = groupCols.map(col)
     val counts = binned
       .filter(col(splitCol) === splitA || col(splitCol) === splitB)
-      .groupBy(g :+ col(binCol): _*)
+      .groupBy(groupCols.map(col) :+ col(binCol): _*)
       .agg(
         sum(when(col(splitCol) === splitA, 1L).otherwise(0L)).as("ca"),
         sum(when(col(splitCol) === splitB, 1L).otherwise(0L)).as("cb"))
+    tvdFromCounts(counts, groupCols)
+  }
+
+  /** Reference-histogram registry of a snapshot: per-(groupCols…, bin)
+    * counts — the artifact a monitoring pipeline materializes ONCE from
+    * the reference corpus and scores every later batch against
+    * ([[tvdAgainstRegistry]]). |bins| rows per group, corpus-independent
+    * size — the lmCounts/gram-registry pattern: what persists is the
+    * aggregate, never the rows that produced it.
+    */
+  def binnedCounts(binned: DataFrame, groupCols: Seq[String],
+                   binCol: String): DataFrame =
+    binned.groupBy(groupCols.map(col) :+ col(binCol): _*)
+      .agg(count(lit(1)).as("c"))
+
+  /** Per-group TVD of an incoming batch against a frozen
+    * [[binnedCounts]] registry — the incremental form of [[tvd]]: the
+    * reference side costs nothing per batch (its rows were aggregated
+    * away at registry-build time), the batch side is one keyed count,
+    * and the join is |bins|-sized. Group columns present only on one
+    * side read as full drift against an empty opposite histogram, same
+    * as [[tvd]]'s empty-side rule. Equivalence to the two-split batch
+    * form is spec-pinned.
+    */
+  def tvdAgainstRegistry(registry: DataFrame, batch: DataFrame,
+                         groupCols: Seq[String], binCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "tvd needs at least one group column")
+    val gb = groupCols :+ binCol
+    val counts = registry
+      .select(gb.map(col) :+ col("c").as("ca") :+ lit(0L).as("cb"): _*)
+      .unionByName(binnedCounts(batch, groupCols, binCol)
+        .select(gb.map(col) :+ lit(0L).as("ca") :+ col("c").as("cb"): _*))
+      .groupBy(gb.map(col): _*)
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    tvdFromCounts(counts, groupCols)
+  }
+
+  /** The shared arithmetic: (groupCols…, bin, ca, cb) → one row per
+    * group with (na, nb, tvd_pm). Exact-integer end to end.
+    */
+  private def tvdFromCounts(counts: DataFrame,
+                            groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
     val tot = counts.groupBy(g: _*)
       .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     counts.join(tot, groupCols)

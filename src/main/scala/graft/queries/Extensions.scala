@@ -124,6 +124,38 @@ object Extensions {
       Seq("comparison", "feature"), "bin", "split", "a", "b")
   }
 
+  /** q158: the drift family's REGISTRY form
+    * ([[graft.operators.Drift.tvdAgainstRegistry]]) — q156's monitor
+    * restructured the way a production pipeline actually runs it: the
+    * reference snapshot (hash-half 0) is aggregated ONCE into a
+    * [[graft.operators.Drift.binnedCounts]] histogram registry (|bins|
+    * rows — the lmCounts/gram-registry pattern), and each arriving batch
+    * (hash-half 1, split into three batches by doc_id mod 3) is scored
+    * against that frozen artifact with one keyed count + a |bins|-sized
+    * join. Per-batch cost is the batch's own rows; the reference corpus
+    * is never re-scanned. The registry is replicated per batch id via a
+    * broadcast cross join (3 × |bins| rows — the constant-side artifact
+    * shape). Registry-vs-split equivalence is DriftSpec-pinned.
+    */
+  def q158DriftRegistry(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.balanced(spark, d, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+        Sampling.hashBucket(col("doc_id"), "drift", 2).as("half"))
+    def longForm(df: DataFrame) = df
+      .select(col("doc_id"), lit("n_chars").as("feature"),
+        expr("n_chars div 64").as("bin"))
+      .unionByName(df.select(col("doc_id"), lit("n_tokens").as("feature"),
+        expr("n_tokens div 8").as("bin")))
+    val registry = Drift.binnedCounts(longForm(base.filter(col("half") === 0)),
+      Seq("feature"), "bin")
+    val batches = longForm(base.filter(col("half") === 1))
+      .withColumn("batch_id", col("doc_id") % 3)
+    val batchIds = batches.select(col("batch_id")).distinct()
+    Drift.tvdAgainstRegistry(broadcast(batchIds).crossJoin(registry),
+      batches, Seq("batch_id", "feature"), "bin")
+  }
+
   def q48SequencePacking(spark: SparkSession, d: String): DataFrame =
     Packing.packByBudget(
         Tables(spark, d, "documents").select(col("doc_id"), col("n_chars")),
@@ -429,6 +461,7 @@ object Extensions {
     "q45_range_join" -> q45RangeJoin _,
     "q46_hash_split" -> q46HashSplit _,
     "q156_drift_tvd" -> q156DriftTvd _,
+    "q158_drift_registry" -> q158DriftRegistry _,
     "q48_sequence_packing" -> q48SequencePacking _,
     "q49_quality_gate" -> q49QualityGate _,
     "q52_asof_nearest" -> q52AsofNearest _,

@@ -2340,6 +2340,37 @@ object Oracles {
          |  CAST(sum(abs(c.ca * t.nb - c.cb * t.na)) * 1000000 // (2 * t.na * t.nb) AS BIGINT) AS tvd_pm
          |FROM counts c JOIN tot t USING (comparison, feature)
          |GROUP BY c.comparison, c.feature, t.na, t.nb""".stripMargin,
+    // q158: drift registry form — reference histogram (half 0) scored by
+    // three arriving batches (half 1, doc_id % 3); same exact-integer
+    // TVD arithmetic as q156, reference side pre-aggregated
+    "q158_drift_registry" ->
+      s"""WITH base AS (SELECT doc_id, n_chars,
+         |    CAST(len($Toks) AS BIGINT) AS n_tokens,
+         |    ('0x' || substr(md5('drift:' || doc_id), 1, 8))::BIGINT % 2 AS half
+         |  FROM documents),
+         |lf AS (SELECT doc_id, half, 'n_chars' AS feature, n_chars // 64 AS bin FROM base
+         |       UNION ALL
+         |       SELECT doc_id, half, 'n_tokens' AS feature, n_tokens // 8 AS bin FROM base),
+         |reg AS (SELECT feature, bin, CAST(count(*) AS BIGINT) AS ca
+         |  FROM lf WHERE half = 0 GROUP BY 1, 2),
+         |bat AS (SELECT doc_id % 3 AS batch_id, feature, bin,
+         |    CAST(count(*) AS BIGINT) AS cb
+         |  FROM lf WHERE half = 1 GROUP BY 1, 2, 3),
+         |ids AS (SELECT DISTINCT batch_id FROM bat),
+         |counts AS (SELECT batch_id, feature, bin,
+         |    CAST(sum(ca) AS BIGINT) AS ca, CAST(sum(cb) AS BIGINT) AS cb FROM (
+         |    SELECT ids.batch_id, reg.feature, reg.bin, ca, 0 AS cb
+         |    FROM ids CROSS JOIN reg
+         |    UNION ALL
+         |    SELECT batch_id, feature, bin, 0, cb FROM bat)
+         |  GROUP BY 1, 2, 3),
+         |tot AS (SELECT batch_id, feature,
+         |    CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+         |  FROM counts GROUP BY 1, 2)
+         |SELECT c.batch_id, c.feature, t.na, t.nb,
+         |  CAST(sum(abs(c.ca * t.nb - c.cb * t.na)) * 1000000 // (2 * t.na * t.nb) AS BIGINT) AS tvd_pm
+         |FROM counts c JOIN tot t USING (batch_id, feature)
+         |GROUP BY c.batch_id, c.feature, t.na, t.nb""".stripMargin,
     // q127: SFT chat-template rendering — q59's session assignment, the
     // '<|role|>content\n' template, cumulative-length offset windows,
     // ordered string_agg/list rebuilds. Mask spans cover assistant

@@ -45,6 +45,30 @@ class DriftSpec extends AnyFunSuite {
     assert(tvdOf(rows)("g") == 0L)
   }
 
+  test("registry form is equivalent to the two-split batch form") {
+    val ref = Seq(("g", 1L), ("g", 1L), ("g", 2L)).toDF("g", "bin")
+    val bat = Seq(("g", 1L), ("g", 2L), ("g", 2L), ("g", 3L)).toDF("g", "bin")
+    val viaSplit = Drift.tvd(
+      ref.withColumn("split", lit("a"))
+        .unionByName(bat.withColumn("split", lit("b"))),
+      Seq("g"), "bin", "split", "a", "b")
+    val viaReg = Drift.tvdAgainstRegistry(
+      Drift.binnedCounts(ref, Seq("g"), "bin"), bat, Seq("g"), "bin")
+    assert(viaReg.columns.toSeq === viaSplit.columns.toSeq)
+    assert(viaReg.collect().map(_.toSeq).toSeq ===
+      viaSplit.collect().map(_.toSeq).toSeq)
+  }
+
+  test("registry groups absent from the batch read as full drift") {
+    val reg = Drift.binnedCounts(
+      Seq(("g1", 1L), ("g2", 2L)).toDF("g", "bin"), Seq("g"), "bin")
+    val out = Drift.tvdAgainstRegistry(reg,
+        Seq(("g1", 1L)).toDF("g", "bin"), Seq("g"), "bin")
+      .select($"g", $"tvd_pm").as[(String, Long)].collect().toMap
+    assert(out("g1") == 0L)
+    assert(out("g2") == 1000000L)
+  }
+
   test("overflow guard fails loudly past MaxCrossProduct instead of wrapping") {
     // Force the guard branch with literal giant sides: n·n > Long.Max/2e6.
     val big = spark.range(4).select(lit("g").as("g"),
