@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Drift, Layout, Packing, RangeJoin, Rolling, Sampling, Sessionize, Sft, Skew}
+import graft.operators.{AsOf, Drift, Layout, Packing, RangeJoin, Rolling, Sampling, Sessionize, Sft, Skew, SnapshotDiff}
 import graft.functions.Text
 import graft.sources.Tables
 
@@ -154,6 +154,33 @@ object Extensions {
     val batchIds = batches.select(col("batch_id")).distinct()
     Drift.tvdAgainstRegistry(broadcast(batchIds).crossJoin(registry),
       batches, Seq("batch_id", "feature"), "bin")
+  }
+
+  /** q159: row-level snapshot diff
+    * ([[graft.operators.SnapshotDiff.diffCounts]]) — the ETL regression
+    * report completing the monitoring family (q156/q158 watch the
+    * DISTRIBUTION; this watches the ROWS): per-source counts of keys
+    * added, removed, changed, and unchanged between snapshot N and N+1.
+    * Snapshot N+1 is simulated deterministically from the corpus: every
+    * doc_id % 7 == 0 row vanishes, every doc_id % 5 == 0 row's text is
+    * rewritten, and every doc_id % 11 == 0 row re-appears under a new
+    * id (an id-space migration leak). Content identity is the md5 text
+    * hash; one full-outer key join + one source rollup.
+    */
+  def q159SnapshotDiff(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    val prev = docs.select(col("doc_id"), md5(col("text")).as("content"),
+      col("source"))
+    val kept = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("content"),
+        col("source"))
+    val added = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        md5(col("text")).as("content"), col("source"))
+    SnapshotDiff.diffCounts(prev, kept.unionByName(added), "doc_id",
+      "content", "source")
   }
 
   def q48SequencePacking(spark: SparkSession, d: String): DataFrame =
@@ -462,6 +489,7 @@ object Extensions {
     "q46_hash_split" -> q46HashSplit _,
     "q156_drift_tvd" -> q156DriftTvd _,
     "q158_drift_registry" -> q158DriftRegistry _,
+    "q159_snapshot_diff" -> q159SnapshotDiff _,
     "q48_sequence_packing" -> q48SequencePacking _,
     "q49_quality_gate" -> q49QualityGate _,
     "q52_asof_nearest" -> q52AsofNearest _,

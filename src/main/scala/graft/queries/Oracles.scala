@@ -2371,6 +2371,31 @@ object Oracles {
          |  CAST(sum(abs(c.ca * t.nb - c.cb * t.na)) * 1000000 // (2 * t.na * t.nb) AS BIGINT) AS tvd_pm
          |FROM counts c JOIN tot t USING (batch_id, feature)
          |GROUP BY c.batch_id, c.feature, t.na, t.nb""".stripMargin,
+    // q159: snapshot differ — the same simulated N+1 snapshot on both
+    // sides (drop %7, rewrite %5, re-id %11); md5(text) is the content
+    // identity, counts roll up per source
+    "q159_snapshot_diff" ->
+      s"""WITH prev AS (SELECT doc_id, md5(text) AS content, source FROM documents),
+         |cur AS (
+         |  SELECT doc_id,
+         |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS content,
+         |    source
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, md5(text), source
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |j AS (SELECT coalesce(c.source, p.source) AS source,
+         |    CASE WHEN p.doc_id IS NULL THEN 'added'
+         |         WHEN c.doc_id IS NULL THEN 'removed'
+         |         WHEN p.content <> c.content THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id)
+         |SELECT source,
+         |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+         |FROM j GROUP BY source""".stripMargin,
     // q127: SFT chat-template rendering — q59's session assignment, the
     // '<|role|>content\n' template, cumulative-length offset windows,
     // ordered string_agg/list rebuilds. Mask spans cover assistant
