@@ -74,12 +74,24 @@ object Drift {
     * form is spec-pinned.
     */
   def tvdAgainstRegistry(registry: DataFrame, batch: DataFrame,
-                         groupCols: Seq[String], binCol: String): DataFrame = {
+                         groupCols: Seq[String], binCol: String): DataFrame =
+    tvdBetweenCounts(registry, binnedCounts(batch, groupCols, binCol),
+      groupCols, binCol)
+
+  /** TVD between two [[binnedCounts]]-shaped frames (reference side `ref`
+    * as p, current side `cur` as q) — the counts-level core behind
+    * [[tvdAgainstRegistry]], exposed for consumers that already HOLD
+    * aggregated counts (the streaming monitor sums its per-batch
+    * partials into exactly this shape; counts are associative, so
+    * partial sums ≡ a global count).
+    */
+  def tvdBetweenCounts(ref: DataFrame, cur: DataFrame,
+                       groupCols: Seq[String], binCol: String): DataFrame = {
     require(groupCols.nonEmpty, "tvd needs at least one group column")
     val gb = groupCols :+ binCol
-    val counts = registry
+    val counts = ref
       .select(gb.map(col) :+ col("c").as("ca") :+ lit(0L).as("cb"): _*)
-      .unionByName(binnedCounts(batch, groupCols, binCol)
+      .unionByName(cur
         .select(gb.map(col) :+ lit(0L).as("ca") :+ col("c").as("cb"): _*))
       .groupBy(gb.map(col): _*)
       .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))

@@ -653,6 +653,53 @@ object Incremental {
         sum(col("stop_pm_sum")).as("stop_pm_sum"))
       .select(col("source") +: graft.queries.Curation.cardRatios: _*)
 
+  /** Streaming drift-monitor partials ([[graft.operators.Drift]] family
+    * — the q158 registry form run continuously): each micro-batch folds
+    * its binned-feature counts into an upserted partials table keyed
+    * (groupCols…, bin, batch_id), idempotent under checkpoint replay
+    * (Ignore mode — a replayed batch's partial already holds the same
+    * counts). Counts are associative, so summing partials reproduces
+    * the global histogram exactly; [[driftFromPartials]] serves the
+    * live TVD against a frozen reference registry from those sums.
+    * Per-batch cost is the batch's own rows plus a |bins|-sized upsert;
+    * neither the reference corpus nor earlier batches are ever re-read.
+    */
+  def streamingDriftPartials(stream: DataFrame, checkpointDir: String,
+                             partialsPath: String, groupCols: Seq[String],
+                             binCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val partial = graft.operators.Drift
+          .binnedCounts(batch, groupCols, binCol)
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("__pk", concat_ws(":",
+            (groupCols :+ binCol :+ "batch_id").map(col): _*))
+        Merge.upsertParquet(spark, partialsPath, partial, "__pk",
+          Merge.Ignore, "c")
+        ()
+      }
+      .start()
+
+  /** Serve the live drift: sum partials into the global per-(group, bin)
+    * histogram and TVD it against the frozen reference registry —
+    * identical output schema and values to the batch
+    * [[graft.operators.Drift.tvdAgainstRegistry]] over the union of all
+    * streamed rows (stream ≡ batch pinned in
+    * StreamBatchEquivalenceSpec).
+    */
+  def driftFromPartials(spark: SparkSession, partialsPath: String,
+                        registry: DataFrame, groupCols: Seq[String],
+                        binCol: String): DataFrame = {
+    val counts = spark.read.parquet(partialsPath)
+      .groupBy((groupCols :+ binCol).map(col): _*)
+      .agg(sum(col("c")).as("c"))
+    graft.operators.Drift.tvdBetweenCounts(registry, counts, groupCols,
+      binCol)
+  }
+
   /** Compact an append-only streaming registry in place. Every
     * [[streamingSpanDedup]]-family micro-batch appends one small parquet
     * file of novel keys; a long-running stream accumulates tens of

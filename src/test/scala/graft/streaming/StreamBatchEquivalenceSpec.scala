@@ -1130,4 +1130,38 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(viaStream == direct && direct.nonEmpty)
   }
+
+  test("streamingDriftPartials ≡ batch tvdAgainstRegistry over all streamed rows (q158 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-drift")
+      .toFile.getAbsolutePath
+    // Reference histogram: bins 1..4 uniform per feature.
+    val ref = graft.operators.Drift.binnedCounts(
+      (1L to 4L).flatMap(b => Seq(("f1", b), ("f2", b)))
+        .toDF("feature", "bin"), Seq("feature"), "bin")
+    // Three micro-batches whose union skews f1 toward bin 1.
+    val b1 = Seq(("f1", 1L), ("f1", 1L), ("f2", 1L))
+    val b2 = Seq(("f1", 1L), ("f2", 2L), ("f2", 3L))
+    val b3 = Seq(("f1", 2L), ("f2", 4L))
+    val input = MemoryStream[(String, Long)]
+    val query = Incremental.streamingDriftPartials(
+      input.toDF().toDF("feature", "bin"),
+      s"$dir/ckpt", s"$dir/partials", Seq("feature"), "bin")
+    try {
+      Seq(b1, b2, b3).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val served = Incremental.driftFromPartials(spark, s"$dir/partials",
+        ref, Seq("feature"), "bin")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Drift.tvdAgainstRegistry(ref,
+        (b1 ++ b2 ++ b3).toDF("feature", "bin"), Seq("feature"), "bin")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(served == batch && batch.nonEmpty)
+    // partials carry one row per (feature, bin, batch) — replay-safe keys
+    val parts = spark.read.parquet(s"$dir/partials")
+    assert(parts.select("__pk").distinct().count() == parts.count())
+  }
 }
