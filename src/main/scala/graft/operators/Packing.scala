@@ -62,4 +62,48 @@ object Packing {
         expr(s"(__cum_after - 1) div ${budget}L") - col("pack") + 1)
       .drop("__cum_after", "__cum_before")
   }
+
+  /** Fixed-count PADDED batch assembly — the SFT/seq2seq counterpart to
+    * [[packByBudget]]'s concat packing: sequences form batches of
+    * `batchSize` rows (the last batch per group may run short), every
+    * sequence pads to its batch's max length, and the output is the
+    * per-batch padding bill. Length BUCKETING (`bucketWidth` > 0) is the
+    * standard mitigation (batches form within (shard, len div width)
+    * groups, so members have near-equal lengths and the pad waste
+    * collapses); `bucketWidth = 0` is the unbucketed arrival-order
+    * baseline the audit compares against.
+    *
+    * Returns one row per batch: (shard, bucket, batch, n_rows,
+    * batch_max, n_tokens, n_pad).
+    *
+    * Same scale shape as [[packByBudget]]: shard by salted hash, order
+    * within (shard, bucket) by a second salted hash then id — one
+    * shuffle, per-group windows, no global ordering anywhere (a global
+    * batch numbering would serialize on one partition; per-shard
+    * assembly is also what training workers actually do).
+    */
+  def paddedBatches(df: DataFrame, id: String, len: String, batchSize: Int,
+                    shards: Int, salt: String, bucketWidth: Long): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(shards > 0, s"shards must be positive, got $shards")
+    require(bucketWidth >= 0, s"bucketWidth must be >= 0, got $bucketWidth")
+    val reserved = Seq("shard", "bucket", "batch", "n_rows", "batch_max",
+      "n_tokens", "n_pad", "__rn")
+    val clash = reserved.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.mkString(", ")} — withColumn would silently overwrite them; alias first")
+    val bucket: Column =
+      if (bucketWidth > 0) expr(s"$len div ${bucketWidth}L") else lit(0L)
+    val ord: Column = Text.baseHash32(concat(lit(s"$salt-ord:"), col(id)))
+    val w = Window.partitionBy(col("shard"), col("bucket"))
+      .orderBy(ord, col(id))
+    df.withColumn("shard", Sampling.hashBucket(col(id), salt, shards))
+      .withColumn("bucket", bucket)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("batch", expr(s"(__rn - 1) div ${batchSize}L"))
+      .groupBy(col("shard"), col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("n_rows"), max(col(len)).as("batch_max"),
+        sum(col(len)).as("n_tokens"))
+      .withColumn("n_pad", col("n_rows") * col("batch_max") - col("n_tokens"))
+  }
 }

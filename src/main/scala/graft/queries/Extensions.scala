@@ -183,6 +183,32 @@ object Extensions {
       "content", "source")
   }
 
+  /** q160: the padding-waste audit
+    * ([[graft.operators.Packing.paddedBatches]]) — q48 packs by
+    * concatenation (zero waste, causal-LM style); this measures the
+    * OTHER batching regime, padded fixed-count batches (SFT/seq2seq),
+    * under the two standard strategies on identical shards/order:
+    * `arrival` (no bucketing — every batch pads to its longest straggler)
+    * vs `bucketed32` (length buckets of 32 tokens — near-equal members,
+    * waste collapses). One summary row per strategy with the exact
+    * padding bill; the pm ratio is the number a pipeline owner tunes
+    * bucket width against.
+    */
+  def q160PaddedBatches(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("len"))
+    def audit(width: Long, name: String) =
+      Packing.paddedBatches(docs, "doc_id", "len", batchSize = 16,
+          shards = 8, salt = "pb", bucketWidth = width)
+        .agg(count(lit(1)).as("n_batches"), sum(col("n_rows")).as("n_rows"),
+          sum(col("n_tokens")).as("n_tokens"), sum(col("n_pad")).as("n_pad"))
+        .select(lit(name).as("strategy"), col("n_batches"), col("n_rows"),
+          col("n_tokens"), col("n_pad"),
+          expr("(1000000 * n_pad) div (n_tokens + n_pad)").as("pad_pm"))
+    audit(0L, "arrival").unionByName(audit(32L, "bucketed32"))
+  }
+
   def q48SequencePacking(spark: SparkSession, d: String): DataFrame =
     Packing.packByBudget(
         Tables(spark, d, "documents").select(col("doc_id"), col("n_chars")),
@@ -490,6 +516,7 @@ object Extensions {
     "q156_drift_tvd" -> q156DriftTvd _,
     "q158_drift_registry" -> q158DriftRegistry _,
     "q159_snapshot_diff" -> q159SnapshotDiff _,
+    "q160_padded_batches" -> q160PaddedBatches _,
     "q48_sequence_packing" -> q48SequencePacking _,
     "q49_quality_gate" -> q49QualityGate _,
     "q52_asof_nearest" -> q52AsofNearest _,

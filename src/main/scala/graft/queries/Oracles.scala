@@ -2371,6 +2371,31 @@ object Oracles {
          |  CAST(sum(abs(c.ca * t.nb - c.cb * t.na)) * 1000000 // (2 * t.na * t.nb) AS BIGINT) AS tvd_pm
          |FROM counts c JOIN tot t USING (batch_id, feature)
          |GROUP BY c.batch_id, c.feature, t.na, t.nb""".stripMargin,
+    // q160: padded-batch waste audit — same shard/order hashes as the
+    // engine (md5 'pb:'/'pb-ord:'), batches of 16 within (shard, bucket),
+    // pad = n_rows*batch_max - n_tokens, rolled up per strategy
+    "q160_padded_batches" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens,
+         |    ('0x' || substr(md5('pb:' || doc_id), 1, 8))::BIGINT % 8 AS shard,
+         |    ('0x' || substr(md5('pb-ord:' || doc_id), 1, 8))::BIGINT AS ord
+         |  FROM documents),
+         |rows_ AS (
+         |  SELECT 'arrival' AS strategy, shard, 0 AS bucket, n_tokens, ord, doc_id FROM t
+         |  UNION ALL
+         |  SELECT 'bucketed32', shard, n_tokens // 32, n_tokens, ord, doc_id FROM t),
+         |rn AS (SELECT *, row_number() OVER (PARTITION BY strategy, shard, bucket
+         |    ORDER BY ord, doc_id) AS r FROM rows_),
+         |b AS (SELECT strategy, shard, bucket, (r - 1) // 16 AS batch,
+         |    count(*) AS n_rows, max(n_tokens) AS batch_max,
+         |    sum(n_tokens) AS n_tokens
+         |  FROM rn GROUP BY 1, 2, 3, 4)
+         |SELECT strategy, CAST(count(*) AS BIGINT) AS n_batches,
+         |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_rows * batch_max - n_tokens) AS BIGINT) AS n_pad,
+         |  CAST((1000000 * sum(n_rows * batch_max - n_tokens)) //
+         |       (sum(n_tokens) + sum(n_rows * batch_max - n_tokens)) AS BIGINT) AS pad_pm
+         |FROM b GROUP BY strategy""".stripMargin,
     // q159: snapshot differ — the same simulated N+1 snapshot on both
     // sides (drop %7, rewrite %5, re-id %11); md5(text) is the content
     // identity, counts roll up per source

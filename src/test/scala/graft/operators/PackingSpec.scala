@@ -53,4 +53,38 @@ class PackingSpec extends AnyFunSuite {
     // 350 over budget 100 starting at offset 0 → packs 0..3 → 4 chunks
     assert(r._5 == 0L && r._6 == 4L)
   }
+
+  private def padded(rows: Seq[(Long, Long)], width: Long, batch: Int = 4) =
+    Packing.paddedBatches(rows.toDF("id", "len"), "id", "len", batch,
+        shards = 2, salt = "t", bucketWidth = width)
+      .select("shard", "bucket", "batch", "n_rows", "batch_max", "n_tokens",
+        "n_pad")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+
+  test("paddedBatches: batches hold batchSize rows except the last per group") {
+    val out = padded(corpus, width = 0L)
+    out.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.init.forall(_._4 == 4L))
+      assert(sorted.last._4 >= 1L && sorted.last._4 <= 4L)
+      assert(sorted.map(_._3) == sorted.indices.map(_.toLong))
+    }
+    assert(out.map(_._4).sum == corpus.size.toLong)
+  }
+
+  test("paddedBatches: pad accounting is exact (n_rows*max - sum)") {
+    val out = padded(Seq((1L, 10L), (2L, 7L), (3L, 10L), (4L, 2L)), 0L, 4)
+    // all four land in deterministic shards; check the invariant per batch
+    out.foreach { r => assert(r._7 == r._4 * r._5 - r._6 && r._7 >= 0L) }
+  }
+
+  test("paddedBatches: bucketing by width 1 makes every batch pad-free") {
+    assert(padded(corpus, width = 1L).forall(_._7 == 0L))
+  }
+
+  test("paddedBatches: bucketing never increases total padding on this corpus") {
+    val waste0 = padded(corpus, 0L).map(_._7).sum
+    val waste8 = padded(corpus, 8L).map(_._7).sum
+    assert(waste8 <= waste0)
+  }
 }
