@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Dedup, Packing, RangeJoin, Similarity, TextDedup, TopK}
+import graft.operators.{AsOf, Dedup, Packing, RangeJoin, Sampling, Similarity, TermStats, TextDedup, TopK}
 import graft.sources.Tables
 
 /** Scale-up probe for the LLM-pipeline operators: replicates the sf0.1
@@ -77,7 +77,7 @@ object ScaleProbe {
       "dsir", "spancorrupt", "substr", "lshskew", "ccdiam", "imagededup",
       "videodedup", "bucketreg", "audioprep", "gramreg", "kfnovel", "prdist",
       "codecprep", "bwdist",
-      "ccinc", "funnel", "prep")
+      "ccinc", "funnel", "prep", "monitor")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -1429,6 +1429,58 @@ object ScaleProbe {
       }
       time(s"topk-agg ${factor}x (${fanIn} candidates/query)") {
         TopK.topKByScore(scored, col("qid"), col("cid"), col("cos_pm"), 5).count()
+      }
+      spark.catalog.clearCache()
+    }
+    // Monitoring + retrieval family (r15: q156–q160). docsAt replicas have
+    // DISJOINT vocabularies (every token is r{i}_-prefixed), so the two
+    // bm25 probes split the cost honestly: fixed queries from replica 0
+    // only ever touch replica-0 posting lists (score side bounded; what
+    // grows is the index build — tokenize + tf/df/dl aggregates), while
+    // queries sampled across every replica grow the candidate set
+    // linearly with the corpus. Drift is two keyed aggs over bounded
+    // bins; the differ is one co-partitioned full-outer join; padded
+    // batching is one window shuffle — all expected ~linear.
+    if (want("monitor")) for (factor <- Seq(1, 4, 16, 64)) {
+      val docs = materialize(docsAt(spark, d, factor), s"/tmp/scale/docs$factor")
+      val nd = 5000L * factor
+      val qFixed = docs.filter(col("doc_id") < 200)
+        .select(col("doc_id").as("q_id"),
+          slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
+      time(s"bm25 fixed-200-queries ${factor}x (${nd} docs)") {
+        TermStats.bm25TopK(docs, qFixed, "doc_id", "text", "q_id", "qt", 5)
+          .count()
+      }
+      val qGrow = docs.filter(col("doc_id") % 1000L === 0)
+        .select(col("doc_id").as("q_id"),
+          slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
+      time(s"bm25 growing-queries ${factor}x (${5 * factor} q/replica)") {
+        TermStats.bm25TopK(docs, qGrow, "doc_id", "text", "q_id", "qt", 5)
+          .count()
+      }
+      val binned = docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          Sampling.hashBucket(col("doc_id"), "drift", 2).as("half"))
+        .select(col("half"), lit("n_chars").as("feature"),
+          expr("n_chars div 64").as("bin"))
+      time(s"drift-tvd ${factor}x") {
+        graft.operators.Drift.tvd(
+          binned.select(col("feature"), col("bin"),
+            when(col("half") === 0, "a").otherwise("b").as("split")),
+          Seq("feature"), "bin", "split", "a", "b").count()
+      }
+      val prevSnap = docs.select(col("doc_id"), md5(col("text")).as("content"),
+        (col("doc_id") % 20).as("source"))
+      val curSnap = prevSnap.filter(col("doc_id") % 7 =!= 0)
+      time(s"snapshot-diff ${factor}x") {
+        graft.operators.SnapshotDiff.diffCounts(prevSnap, curSnap,
+          "doc_id", "content", "source").count()
+      }
+      val lens = docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("len"))
+      time(s"padded-batches ${factor}x") {
+        Packing.paddedBatches(lens, "doc_id", "len", 16, 8, "pb", 32L)
+          .agg(sum(col("n_pad"))).head().getLong(0)
       }
       spark.catalog.clearCache()
     }
