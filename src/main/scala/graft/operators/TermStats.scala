@@ -411,12 +411,37 @@ object TermStats {
     */
   def bm25TopK(docs: DataFrame, queries: DataFrame, id: String, text: String,
                qId: String, qTerms: String, k: Int,
-               minTermLen: Int = 1): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    val tf = docs.select(col(id).as("doc"),
+               minTermLen: Int = 1, excludeSelf: Boolean = false): DataFrame =
+    bm25TopKFromPostings(bm25Postings(docs, id, text, minTermLen), queries,
+      qId, qTerms, k, minTermLen, excludeSelf)
+
+  /** The BM25 INDEX build: tokenize once into the postings aggregate
+    * `(doc, term, tf)` — the materialization seam. Everything BM25 needs
+    * (df, dl, N, A) derives from this frame by additive rollups, so a
+    * postings registry persisted as a term-bucketed catalog table serves
+    * queries without ever re-tokenizing the corpus, and a NEW batch of
+    * docs extends the index by a plain union (doc ids are fresh, every
+    * stat is additive — [[bm25TopKFromPostings]] on the union is
+    * bit-identical to a full rebuild, the q162 pin).
+    */
+  def bm25Postings(docs: DataFrame, id: String, text: String,
+                   minTermLen: Int = 1): DataFrame =
+    docs.select(col(id).as("doc"),
         explode(Text.tokens(col(text))).as("term"))
       .filter(length(col("term")) >= minTermLen)
       .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** The BM25 SERVE path: score query terms against a prebuilt postings
+    * frame ([[bm25Postings]] lineage or a materialized registry read).
+    * Corpus stats (df, dl, N, A) roll up from the postings — one scan,
+    * persisted here because three consumers read it (df, dl, candidates).
+    */
+  def bm25TopKFromPostings(postings: DataFrame, queries: DataFrame,
+                           qId: String, qTerms: String, k: Int,
+                           minTermLen: Int = 1,
+                           excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = postings
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -434,8 +459,41 @@ object TermStats {
           |       + 18 * n_docs * dl)""".stripMargin))
       .groupBy(col("q"), col("doc"))
       .agg(count(lit(1)).as("n_terms"), sum(col("s_pm")).as("score_pm"))
-    Dedup.keepFirstK(scored, Seq(col("q")),
+    // Self-retrieval exclusion happens BEFORE ranking (an after-the-fact
+    // filter would leave short lists); only meaningful when queries and
+    // docs share an id space (the retrieval-eval convention).
+    val eligible =
+      if (excludeSelf) scored.filter(col("q") =!= col("doc")) else scored
+    Dedup.keepFirstK(eligible, Seq(col("q")),
       Seq(col("score_pm").desc, col("doc").asc), k, "rank")
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * merge any number of ranked retrieval legs — lexical BM25, dense ANN,
+    * anything emitting `(q, doc, rank)` — into one list per query. A doc
+    * at rank r in a leg contributes `1e6 div (kRrf + r)`, exact integer
+    * arithmetic (the published 1/(60+r) scaled by 1e6 and floored — no FP
+    * anywhere, so the fusion hash-matches any engine), summed across legs
+    * and re-ranked (sum desc, doc asc — deterministic). `n_legs` counts
+    * the legs that retrieved the doc — the agreement signal hybrid
+    * search exists for.
+    *
+    * Scale shape: each leg is already a top-k list (|Q|·k rows), so the
+    * fusion's union + groupBy + rank shuffles only |Q|·k·legs rows —
+    * negligible next to the legs themselves, and independent of corpus
+    * size. The legs run over the full corpus; fusion never touches it.
+    */
+  def rrfFuse(legs: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one leg")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kRrf >= 0, s"kRrf must be >= 0, got $kRrf")
+    val contrib = legs.map(_.select(col("q"), col("doc"),
+        expr(s"1000000 div ($kRrf + rank)").as("rrf_pm")))
+      .reduce(_ unionByName _)
+    val fused = contrib.groupBy(col("q"), col("doc"))
+      .agg(sum(col("rrf_pm")).as("rrf_pm"), count(lit(1)).as("n_legs"))
+    Dedup.keepFirstK(fused, Seq(col("q")),
+      Seq(col("rrf_pm").desc, col("doc").asc), k, "rank")
   }
 
   def boilerplateFraction(docs: DataFrame, id: String, text: String, k: Int,

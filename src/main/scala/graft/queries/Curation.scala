@@ -632,6 +632,78 @@ object Curation {
         col("n_terms"), col("score_pm"))
   }
 
+  /** q162: BM25 served from a MATERIALIZED postings registry
+    * ([[TermStats.bm25Postings]] / [[TermStats.bm25TopKFromPostings]] —
+    * the index/serve split): the even-id half of the corpus plays the
+    * standing index (in production a term-bucketed catalog table the
+    * serve path reads WITHOUT re-tokenizing), the odd-id half the
+    * arriving batch, and the batch extends the index by a plain union —
+    * every BM25 stat (tf, df, dl, N, A) is additive over disjoint doc
+    * ids, so serving the union is bit-identical to q157's full rebuild.
+    * That equivalence IS the check: the oracle is the full-corpus BM25
+    * SQL, so any drift between registry-served and rebuilt scores fails
+    * the hash. The q58/q102/q114 incremental convention, landed for the
+    * lexical index family.
+    *
+    * Scale shape: batch-side tokenization touches only the batch; the
+    * standing index is a registry read (here its build lineage), and the
+    * stats rollups are one scan of the postings — corpus growth costs
+    * per-batch work plus one additive rollup, never a re-tokenize.
+    */
+  def q162Bm25Registry(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    val standing = TermStats.bm25Postings(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val batch = TermStats.bm25Postings(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    val qs = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("q_id"),
+        slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
+    TermStats.bm25TopKFromPostings(standing.unionByName(batch), qs,
+        "q_id", "qt", k = 5)
+      .select(col("q").as("q_id"), col("rank"), col("doc").as("doc_id"),
+        col("n_terms"), col("score_pm"))
+  }
+
+  /** q161: hybrid retrieval — reciprocal-rank fusion
+    * ([[TermStats.rrfFuse]], 1e6 div (60 + rank)) of the engine's two
+    * retrieval legs over the corpus slice present in BOTH modalities
+    * (doc_id = vec_id — at sf0.1 that is 2000 of 5000 documents, so the
+    * intersection join is load-bearing, not an identity): q157's
+    * exact-integer BM25 (self-retrieval excluded here, the retrieval-eval
+    * convention) and q30's exact-cosine dense leg (self-excluded by
+    * construction). Each query fuses its two top-5 lists into a top-3;
+    * `n_legs` = 2 marks docs both legs agree on — the agreement signal
+    * hybrid search exists for. Every stage integer-exact, so the fused
+    * ranking hash-matches DuckDB end to end.
+    *
+    * Scale shape: the legs carry all the corpus-sized work (BM25's
+    * posting join, the dense scan) and both are the proven q157/q30
+    * machinery; the modality-intersection joins are id-projection
+    * equi-joins, and the fusion itself shuffles only |Q|·k·2 rows.
+    */
+  def q161HybridRrf(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    val emb = Tables.balanced(spark, d, "embeddings")
+    val corpusDocs = docs.join(
+      emb.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+    val corpusEmb = emb.join(
+      docs.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    val qs = corpusDocs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("q_id"),
+        slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
+    val lex = TermStats.bm25TopK(corpusDocs, qs, "doc_id", "text",
+        "q_id", "qt", k = 5, excludeSelf = true)
+      .select(col("q"), col("doc"), col("rank"))
+    val den = Similarity.bruteForceTopK(corpusEmb,
+        corpusEmb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        k = 5)
+      .select(col("qid").as("q"), col("cid").as("doc"), col("rank"))
+    TermStats.rrfFuse(Seq(lex, den), k = 3)
+      .select(col("q").as("q_id"), col("rank"), col("doc").as("doc_id"),
+        col("rrf_pm"), col("n_legs"))
+  }
+
   /** q130: content-defined chunking ([[Chunk.contentDefined]], the
     * Rabin-boundary rule at token granularity, divisor 8) — boundaries
     * from content-only 2-gram hashes, so edits re-chunk only to the next
@@ -798,6 +870,8 @@ object Curation {
     "q130_cdc_chunks" -> q130CdcChunks _,
     "q129_retrieval_index" -> q129RetrievalIndex _,
     "q157_bm25_topk" -> q157Bm25TopK _,
+    "q161_hybrid_rrf" -> q161HybridRrf _,
+    "q162_bm25_registry" -> q162Bm25Registry _,
     "q128_unigram_segment" -> q128UnigramSegment _,
     "q125_chunk_windows" -> q125ChunkWindows _,
     "q126_epoch_allocation" -> q126EpochAllocation _,

@@ -3066,12 +3066,13 @@ object Oracles {
          |FROM agg1 JOIN agg2 USING (lang)""".stripMargin
   }
 
-  val curation: Map[String, String] = Map(
-    // q157: exact-integer Okapi BM25 (k1=6/5, b=3/4 cross-multiplied;
-    // TermStats.bm25TopK derives the formula). HUGEINT mirrors Spark's
-    // DECIMAL(38,0) products; all operands positive, so // and div agree.
-    "q157_bm25_topk" ->
-      s"""WITH tf AS (SELECT doc_id AS doc, term, count(*) AS tf FROM
+  // q157: exact-integer Okapi BM25 (k1=6/5, b=3/4 cross-multiplied;
+  // TermStats.bm25TopK derives the formula). HUGEINT mirrors Spark's
+  // DECIMAL(38,0) products; all operands positive, so // and div agree.
+  // Shared with q162: registry-served BM25 must be bit-identical to the
+  // full rebuild, so the FULL-corpus SQL is its oracle by design.
+  private lazy val Bm25Top5Sql =
+    s"""WITH tf AS (SELECT doc_id AS doc, term, count(*) AS tf FROM
          |    (SELECT doc_id, unnest($Toks) AS term FROM documents)
          |  WHERE length(term) >= 1 GROUP BY 1, 2),
          |dl AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
@@ -3091,7 +3092,56 @@ object Oracles {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY score_pm DESC, doc ASC) AS rk FROM agg)
          |SELECT q_id, CAST(rk AS BIGINT) AS "rank", doc AS doc_id, n_terms, score_pm
-         |FROM r WHERE rk <= 5""".stripMargin,
+         |FROM r WHERE rk <= 5""".stripMargin
+
+  val curation: Map[String, String] = Map(
+    "q157_bm25_topk" -> Bm25Top5Sql,
+    "q162_bm25_registry" -> Bm25Top5Sql,
+    // q161: hybrid RRF — q157's BM25 stack (corpus restricted to docs
+    // with an embedding twin, self-retrieval excluded pre-rank) + q30's
+    // exact-cosine leg, fused by 1e6 // (60 + rank) and re-ranked. All
+    // integer beyond the dense leg's pinned cosine formula.
+    "q161_hybrid_rrf" ->
+      s"""WITH cd AS (SELECT d.* FROM documents d
+         |    JOIN embeddings e ON d.doc_id = e.vec_id),
+         |ce AS (SELECT e.* FROM embeddings e
+         |    JOIN documents d ON e.vec_id = d.doc_id),
+         |tf AS (SELECT doc_id AS doc, term, count(*) AS tf FROM
+         |    (SELECT doc_id, unnest($Toks) AS term FROM cd)
+         |  WHERE length(term) >= 1 GROUP BY 1, 2),
+         |dl AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS a_tok FROM dl),
+         |qt AS (SELECT DISTINCT q_id, term FROM
+         |    (SELECT doc_id AS q_id, unnest(($Toks)[1:4]) AS term
+         |     FROM cd WHERE doc_id % 25 = 0)
+         |  WHERE length(term) >= 1),
+         |sc AS (SELECT q_id, doc,
+         |    (CAST((1000000 * n_docs) // df AS HUGEINT) * tf * 44 * a_tok) //
+         |    (20 * CAST(a_tok AS HUGEINT) * tf + 6 * a_tok + 18 * n_docs * dl) AS s_pm
+         |  FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+         |       JOIN dl USING (doc) CROSS JOIN corpus),
+         |agg AS (SELECT q_id, doc, CAST(sum(s_pm) AS BIGINT) AS score_pm
+         |  FROM sc WHERE q_id <> doc GROUP BY 1, 2),
+         |lex AS (SELECT q_id AS q, doc, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score_pm DESC, doc ASC) AS rk FROM agg),
+         |dq AS (SELECT vec_id AS qid, embedding AS qv FROM ce WHERE vec_id % 25 = 0),
+         |ds AS (SELECT qid, cid, ${cosPm("qv", "cv")} AS cos_pm
+         |  FROM (SELECT vec_id AS cid, embedding AS cv FROM ce) c, dq
+         |  WHERE cid <> qid),
+         |den AS (SELECT qid AS q, cid AS doc, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos_pm DESC, cid ASC) AS rk FROM ds),
+         |contrib AS (
+         |  SELECT q, doc, 1000000 // (60 + rk) AS rrf_pm FROM lex WHERE rk <= 5
+         |  UNION ALL
+         |  SELECT q, doc, 1000000 // (60 + rk) FROM den WHERE rk <= 5),
+         |fused AS (SELECT q, doc, CAST(sum(rrf_pm) AS BIGINT) AS rrf_pm,
+         |    CAST(count(*) AS BIGINT) AS n_legs FROM contrib GROUP BY 1, 2),
+         |fr AS (SELECT *, row_number() OVER (PARTITION BY q
+         |    ORDER BY rrf_pm DESC, doc ASC) AS rnk FROM fused)
+         |SELECT q AS q_id, CAST(rnk AS BIGINT) AS "rank", doc AS doc_id,
+         |  rrf_pm, n_legs
+         |FROM fr WHERE rnk <= 3""".stripMargin,
     // q125: overlapping token-window chunking — window 24, stride 16;
     // window count = 1 + ceil((n-24)/16) (integer //), list slicing is
     // 1-based inclusive on both engines via slice/toks[a:b].

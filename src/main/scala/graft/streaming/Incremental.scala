@@ -1111,19 +1111,57 @@ object Incremental {
       }
       .start()
 
+  /** Streaming lexical-index ingest — [[streamingIndexIngest]]'s twin
+    * for the BM25 postings registry (the q157/q162 serve family): each
+    * arriving doc micro-batch is tokenized ONCE into its postings
+    * aggregate ([[graft.operators.TermStats.bm25Postings]]) and appended
+    * to the materialized (doc, term, tf) registry; already-indexed doc
+    * ids are dropped by a registry anti-join, so replays (T6) land
+    * exactly once. Every BM25 statistic is additive over the registry,
+    * so [[graft.operators.TermStats.bm25TopKFromPostings]] serves ranked
+    * retrieval against any committed prefix without re-tokenizing a
+    * single standing doc — ingest cost ∝ batch tokens, and ingest never
+    * blocks serve (the same split the dense twin makes).
+    */
+  def streamingPostingsIngest(stream: DataFrame, checkpointDir: String,
+                              registryPath: String, id: String, text: String,
+                              minTermLen: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val seen = readLongColOrEmpty(spark, registryPath, "doc")
+          .withColumnRenamed("doc", id).distinct()
+        graft.operators.TermStats
+          .bm25Postings(batch.join(seen, Seq(id), "left_anti"),
+            id, text, minTermLen)
+          .write.mode("append").parquet(registryPath)
+        ()
+      }
+      .start()
+
   /** The index's id column, empty-safe before the first batch commits.
     * Long-typed (vector ids), so it gets its own reader rather than
     * widening [[readStringColOrEmpty]].
     */
-  private def readIndexedIds(spark: SparkSession, indexPath: String): DataFrame = {
-    val p = new Path(indexPath)
+  private def readIndexedIds(spark: SparkSession, indexPath: String): DataFrame =
+    readLongColOrEmpty(spark, indexPath, "cid")
+
+  /** One long-typed column of a registry/index table, empty-safe before
+    * the first batch commits (shared by the dense `cid` and lexical
+    * `doc` ingest twins).
+    */
+  private def readLongColOrEmpty(spark: SparkSession, path: String,
+                                 colName: String): DataFrame = {
+    val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
-      spark.read.parquet(indexPath).select("cid")
+      spark.read.parquet(path).select(colName)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.StructField(colName,
           org.apache.spark.sql.types.LongType))))
   }
 

@@ -50,6 +50,21 @@ class Bm25Spec extends AnyFunSuite {
     }
   }
 
+  test("postings-registry union serves identically to a full rebuild") {
+    val docs = Seq(1L -> "a b a", 2L -> "a a", 3L -> "c b", 4L -> "b a c")
+    val qs = Seq(10L -> Seq("a", "c"))
+    val full = run(docs, qs)
+    val served = TermStats.bm25TopKFromPostings(
+        TermStats.bm25Postings(
+            docs.filter(_._1 % 2 == 0).toDF("doc_id", "text"), "doc_id", "text")
+          .unionByName(TermStats.bm25Postings(
+            docs.filter(_._1 % 2 == 1).toDF("doc_id", "text"), "doc_id", "text")),
+        qs.toDF("q_id", "qt"), "q_id", "qt", k = 5)
+      .select($"q", $"doc", $"n_terms", $"score_pm", $"rank")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._5))
+    assert(served.toSeq === full.toSeq)
+  }
+
   test("the rank filter plans as a WindowGroupLimit (map-side top-k)") {
     val df = TermStats.bm25TopK(Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text"),
       Seq((1L, Seq("a"))).toDF("q_id", "qt"), "doc_id", "text", "q_id", "qt", 5)

@@ -1131,6 +1131,46 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(viaStream == direct && direct.nonEmpty)
   }
 
+  test("streamingPostingsIngest stream ≡ batch bm25Postings; serve ≡ full-rebuild BM25 (q157/q162 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-postings")
+      .toFile.getAbsolutePath
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 60).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val (b1, rest) = docs.splitAt(20)
+    val (b2, b3tail) = rest.splitAt(20)
+    val b3 = b3tail ++ b1.take(5) // replayed docs must not re-index
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.Incremental.streamingPostingsIngest(
+      input.toDF().toDF("doc_id", "text"), s"$dir/ckpt", s"$dir/postings",
+      "doc_id", "text")
+    try {
+      Seq(b1, b2, b3).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = spark.read.parquet(s"$dir/postings")
+    val batch = graft.operators.TermStats.bm25Postings(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+    assert(streamed.collect().toSet == batch.collect().toSet)
+    // the grown registry actually serves: ranked retrieval over it is
+    // bit-identical to a full rebuild over the same corpus
+    val qs = docs.filter(_._1 % 25 == 0)
+      .map { case (i, t) => (i, t.trim.split("\\s+").take(4).toSeq) }
+    val served = graft.operators.TermStats.bm25TopKFromPostings(
+        streamed, qs.toDF("q_id", "qt"), "q_id", "qt", k = 5)
+      .select("q", "doc", "n_terms", "score_pm", "rank")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val rebuilt = graft.operators.TermStats.bm25TopK(
+        docs.toDF("doc_id", "text"), qs.toDF("q_id", "qt"),
+        "doc_id", "text", "q_id", "qt", k = 5)
+      .select("q", "doc", "n_terms", "score_pm", "rank")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(served == rebuilt && rebuilt.nonEmpty)
+  }
+
   test("streamingDriftPartials ≡ batch tvdAgainstRegistry over all streamed rows (q158 twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
