@@ -119,7 +119,14 @@ object Bench {
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional subset (dev A/Bs: `runMain graft.Bench q105_… q109_…`);
+    // the driver invokes with no args → full registry, contract unchanged.
+    // Unknown names fail loudly (the Verify convention).
+    val only = args.toSet
+    val unknownQ = only -- SparkEntry.queries.keySet
+    require(unknownQ.isEmpty, s"unknown queries: ${unknownQ.mkString(", ")}")
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     // JIT/codegen warmup at the smallest scale factor so timings reflect
     // steady state, not first-query classloading.
     val warmDir = "/root/testdata/sf0.001"

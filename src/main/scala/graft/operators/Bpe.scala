@@ -139,23 +139,41 @@ object Bpe {
     val gens = mutable.Buffer(syms)
     val merges = mutable.Buffer.empty[(Int, String, String, String, Long)]
     var exhausted = false
-    for (k <- 1 to nMerges if !exhausted) {
-      val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(byW))
-      val best = withNext.filter(col("nxt").isNotNull)
-        .groupBy(col("sym").as("l"), col("nxt").as("r"))
-        .agg(sum(col("f")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect() // ONE row — the kmeans-centroid scale of collect
-      if (best.isEmpty) exhausted = true
-      else {
-        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((k, l, r, l + r, cnt))
-        // Lazy checkpoint: the NEXT iteration's argmax (or nothing, on
-        // the last pass) is the job that materializes this generation —
-        // one extra job total, not one per iteration.
-        syms = mergePass(withNext, l, r, Seq("f")).localCheckpoint(false)
-        gens += syms
+    // Loop sizing (the q147/q153 convention, with a twist the A/B
+    // exposed): the symbol table lives on ONE partition (charSyms
+    // singlePartition), so every per-iteration shuffle is hand-sized to
+    // 1 AND adaptive re-planning is disabled together. AQE off ALONE is
+    // SLOWER (+10% — with the session's 32 shuffle partitions, AQE's
+    // post-shuffle coalesce was doing real work); the win only appears
+    // once the partition count states the truth AQE had to discover
+    // per-round. Family A/B at sf0.1 (SCALE.md r15 bpeaqe): 14.0 →
+    // 11.7 s over q105/q106/q109/q133, reproduced.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      for (k <- 1 to nMerges if !exhausted) {
+        val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(byW))
+        val best = withNext.filter(col("nxt").isNotNull)
+          .groupBy(col("sym").as("l"), col("nxt").as("r"))
+          .agg(sum(col("f")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(1).collect() // ONE row — the kmeans-centroid scale of collect
+        if (best.isEmpty) exhausted = true
+        else {
+          val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((k, l, r, l + r, cnt))
+          // Lazy checkpoint: the NEXT iteration's argmax (or nothing, on
+          // the last pass) is the job that materializes this generation —
+          // one extra job total, not one per iteration.
+          syms = mergePass(withNext, l, r, Seq("f")).localCheckpoint(false)
+          gens += syms
+        }
       }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
     gens.foreach(freeCheckpoint)
     import spark.implicits._
