@@ -77,7 +77,7 @@ object ScaleProbe {
       "dsir", "spancorrupt", "substr", "lshskew", "ccdiam", "imagededup",
       "videodedup", "bucketreg", "audioprep", "gramreg", "kfnovel", "prdist",
       "codecprep", "bwdist",
-      "ccinc", "funnel", "prep", "monitor")
+      "ccinc", "funnel", "prep", "monitor", "bm25reg")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -1441,6 +1441,53 @@ object ScaleProbe {
     // linearly with the corpus. Drift is two keyed aggs over bounded
     // bins; the differ is one co-partitioned full-outer join; padded
     // batching is one window shuffle — all expected ~linear.
+    // q162's economics, measured: with the postings registry
+    // MATERIALIZED once, serving a fixed query set must cost far less
+    // than the rebuild that re-tokenizes the corpus per query batch —
+    // and the gap must WIDEN with corpus growth (tokenization is the
+    // corpus-proportional term the registry amortizes away; the serve
+    // path still pays the df/dl rollup scan, its honest floor).
+    if (want("bm25reg")) for (factor <- Seq(1, 4, 16, 64)) {
+      val docs = materialize(docsAt(spark, d, factor), s"/tmp/scale/docs$factor")
+      val qFixed = docs.filter(col("doc_id") < 200)
+        .select(col("doc_id").as("q_id"),
+          slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
+      time(s"bm25 postings build+materialize ${factor}x (${5000L * factor} docs)") {
+        TermStats.bm25Postings(docs, "doc_id", "text")
+          .write.mode("overwrite").parquet(s"/tmp/scale/bmpost$factor")
+        spark.read.parquet(s"/tmp/scale/bmpost$factor").count()
+      }
+      time(s"bm25 serve-from-registry fixed-200-queries ${factor}x") {
+        TermStats.bm25TopKFromPostings(
+          spark.read.parquet(s"/tmp/scale/bmpost$factor"), qFixed,
+          "q_id", "qt", 5).count()
+      }
+      graft.Caches.clearAll(spark)
+      time(s"bm25 full-rebuild fixed-200-queries ${factor}x") {
+        TermStats.bm25TopK(docs, qFixed, "doc_id", "text", "q_id", "qt", 5)
+          .count()
+      }
+      graft.Caches.clearAll(spark)
+      // the fully-materialized form: stats prebuilt at ingest, serve
+      // pays query-footprint joins only
+      time(s"bm25 stats build+materialize ${factor}x") {
+        val (dfq, dls, corp) = TermStats.bm25Stats(
+          spark.read.parquet(s"/tmp/scale/bmpost$factor"))
+        dfq.write.mode("overwrite").parquet(s"/tmp/scale/bmdf$factor")
+        dls.write.mode("overwrite").parquet(s"/tmp/scale/bmdl$factor")
+        corp.write.mode("overwrite").parquet(s"/tmp/scale/bmcorp$factor")
+        spark.read.parquet(s"/tmp/scale/bmdf$factor").count()
+      }
+      time(s"bm25 serve-from-index fixed-200-queries ${factor}x") {
+        TermStats.bm25TopKFromIndex(
+          spark.read.parquet(s"/tmp/scale/bmpost$factor"),
+          spark.read.parquet(s"/tmp/scale/bmdf$factor"),
+          spark.read.parquet(s"/tmp/scale/bmdl$factor"),
+          spark.read.parquet(s"/tmp/scale/bmcorp$factor"),
+          qFixed, "q_id", "qt", 5).count()
+      }
+      graft.Caches.clearAll(spark)
+    }
     if (want("monitor")) for (factor <- Seq(1, 4, 16, 64)) {
       val docs = materialize(docsAt(spark, d, factor), s"/tmp/scale/docs$factor")
       val nd = 5000L * factor

@@ -431,28 +431,64 @@ object TermStats {
       .filter(length(col("term")) >= minTermLen)
       .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
 
-  /** The BM25 SERVE path: score query terms against a prebuilt postings
-    * frame ([[bm25Postings]] lineage or a materialized registry read).
-    * Corpus stats (df, dl, N, A) roll up from the postings — one scan,
-    * persisted here because three consumers read it (df, dl, candidates).
+  /** The BM25 SERVE path when only the postings are materialized: roll
+    * up corpus stats (df, dl, N, A) from one persisted postings scan
+    * (three consumers — df, dl, candidates) and serve through
+    * [[bm25TopKFromIndex]]. The stats rollup is the corpus-proportional
+    * term this path still pays per call (bm25reg probe: it makes
+    * serve-from-postings cost ≈ a full rebuild at probe scale); a
+    * standing deployment materializes the stats too —
+    * [[bm25Stats]] + [[bm25TopKFromIndex]] — and pays only
+    * query-footprint work.
     */
   def bm25TopKFromPostings(postings: DataFrame, queries: DataFrame,
                            qId: String, qTerms: String, k: Int,
                            minTermLen: Int = 1,
                            excludeSelf: Boolean = false): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
     val tf = postings
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val corpus = broadcast(dl.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("a_tok")))
+    val (dfreq, dl, corpus) = bm25Stats(tf)
+    bm25TopKFromIndex(tf, dfreq, dl, corpus, queries, qId, qTerms, k,
+      minTermLen, excludeSelf)
+  }
+
+  /** Corpus statistics rollup over a postings frame: `(dfreq(term, df),
+    * dl(doc, dl), corpus(n_docs, a_tok))`. Each is additive over
+    * disjoint doc ids (df sums by term, dl and the corpus row append/
+    * sum), so an ingest pipeline maintains all three incrementally
+    * alongside the postings registry — the serve side then never scans
+    * the corpus at all ([[bm25TopKFromIndex]]).
+    */
+  def bm25Stats(postings: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val dl = postings.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("a_tok"))
+    (dfreq, dl, corpus)
+  }
+
+  /** The fully-materialized BM25 serve path — the production search
+    * shape: postings, df, dl, and the corpus row all come PREBUILT
+    * (registry reads maintained at ingest), so a query batch pays only
+    * its own footprint: the term joins touch the query terms' posting
+    * lists (with postings and dfreq as term-bucketed catalog tables the
+    * registry sides contribute zero shuffle — the gramreg layout), the
+    * dl join keys the candidate set by doc (dl doc-bucketed likewise),
+    * and the 1-row corpus frame rides a broadcast. Nothing in the plan
+    * scans corpus-proportional data outside the bucketed lookups.
+    */
+  def bm25TopKFromIndex(postings: DataFrame, dfreq: DataFrame,
+                        dl: DataFrame, corpus: DataFrame,
+                        queries: DataFrame, qId: String, qTerms: String,
+                        k: Int, minTermLen: Int = 1,
+                        excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val qt = queries
       .select(col(qId).as("q"), explode(col(qTerms)).as("term"))
       .filter(length(col("term")) >= minTermLen)
       .distinct()
-    val scored = qt.join(tf, "term").join(dfreq, "term").join(dl, "doc")
-      .crossJoin(corpus)
+    val scored = qt.join(postings, "term").join(dfreq, "term").join(dl, "doc")
+      .crossJoin(broadcast(corpus))
       .withColumn("s_pm", expr(
         """(CAST((1000000 * n_docs) div df AS DECIMAL(38,0)) * tf * 44 * a_tok)
           |  div (20 * CAST(a_tok AS DECIMAL(38,0)) * tf + 6 * a_tok

@@ -65,6 +65,19 @@ class Bm25Spec extends AnyFunSuite {
     assert(served.toSeq === full.toSeq)
   }
 
+  test("fully-materialized index (postings + stats) serves identically to a rebuild") {
+    val docs = Seq(1L -> "a b a", 2L -> "a a", 3L -> "c b", 4L -> "b a c")
+    val qs = Seq(10L -> Seq("a", "c"))
+    val postings = TermStats.bm25Postings(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+    val (dfq, dl, corp) = TermStats.bm25Stats(postings)
+    val served = TermStats.bm25TopKFromIndex(postings, dfq, dl, corp,
+        qs.toDF("q_id", "qt"), "q_id", "qt", k = 5)
+      .select($"q", $"doc", $"n_terms", $"score_pm", $"rank")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._5))
+    assert(served.toSeq === run(docs, qs).toSeq)
+  }
+
   test("the rank filter plans as a WindowGroupLimit (map-side top-k)") {
     val df = TermStats.bm25TopK(Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text"),
       Seq((1L, Seq("a"))).toDF("q_id", "qt"), "doc_id", "text", "q_id", "qt", 5)
