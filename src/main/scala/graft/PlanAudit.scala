@@ -14,7 +14,8 @@ object PlanAudit {
       "q120_components_incremental", "q121_image_neardup", "q122_funnel4",
       "q125_chunk_windows", "q127_sft_render", "q128_unigram_segment",
       "q129_retrieval_index", "q130_cdc_chunks", "q132_dataset_card",
-      "q135_audio_neardup", "q137_video_frames", "q138_video_neardup", "q139_video_scenes")
+      "q135_audio_neardup", "q137_video_frames", "q138_video_neardup", "q139_video_scenes",
+      "q157_bm25_topk", "q161_hybrid_rrf", "q162_bm25_registry")
     for (name <- interesting) {
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
