@@ -1210,7 +1210,46 @@ object LlmPipelines {
       .filter(col("n_sig_equal") >= 8)
   }
 
+  /** q163: CLUSTER-SAFE train/val/test split — the constructive fix for
+    * the leakage q99 detects: split assignment hashes the near-dup
+    * CLUSTER representative (q43's component min, singletons their own
+    * doc id), so every near-dup cluster lands wholly in one split and
+    * cross-split near-dup pairs cannot exist by construction. Because a
+    * singleton's cluster key IS its doc id, unclustered docs keep
+    * exactly their q46 assignment — adopting the safe split moves ONLY
+    * docs whose cluster spans a naive boundary. The audit columns bill
+    * that adoption: `n_docs_moved` (docs whose naive doc-level split
+    * differs) and `n_clusters_healed` (clusters in this split the naive
+    * rule would have torn across splits).
+    *
+    * Scale shape: clustering is the q43 machinery (banded LSH + CC —
+    * never all-pairs); the split itself is row-local hash arithmetic on
+    * the cluster key; the only added corpus-sized step is the doc⨝label
+    * left join, keyed and broadcastable at the drop-list's size (the
+    * q57 observation: clustered docs are orders fewer than the corpus).
+    */
+  def q163ClusterSafeSplit(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    val labels = q43DupClusters(spark, d)
+      .select(col("doc_id"), col("cluster"))
+    val keyed = docs.join(broadcast(labels), Seq("doc_id"), "left_outer")
+      .withColumn("ckey", coalesce(col("cluster"), col("doc_id")))
+    val splits = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val assigned = graft.operators.Sampling.hashSplit(
+      graft.operators.Sampling.hashSplit(keyed, "ckey", "exp1", splits),
+      "doc_id", "exp1", splits, splitCol = "naive_split")
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("ckey")).as("n_clusters"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("naive_split") =!= col("split"), 1L).otherwise(0L))
+          .as("n_docs_moved"),
+        countDistinct(when(col("naive_split") =!= col("split"), col("ckey")))
+          .as("n_clusters_healed"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_cluster_safe_split" -> q163ClusterSafeSplit _,
     "q79_pq_encode" -> q79PqEncode _,
     "q80_pq_adc_topk" -> q80PqAdcTopk _,
     "q81_ivf_pq_topk" -> q81IvfPqTopk _,

@@ -663,6 +663,42 @@ object Oracles {
          |SELECT lab.doc_id, lab.cluster, cnt.cluster_size
          |FROM lab JOIN (SELECT cluster, count(*) AS cluster_size
          |               FROM lab GROUP BY cluster) cnt USING (cluster)""".stripMargin,
+    // q163: cluster-safe split — q43's component labels re-key the q46
+    // hash split (singletons fall back to their own doc id, so only
+    // clustered docs can move vs the naive split); audit columns bill
+    // the moved docs and healed clusters per split.
+    "q163_cluster_safe_split" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |f AS (SELECT doc_a, doc_b FROM e WHERE n_sig_equal >= 8),
+         |u AS (SELECT doc_a AS a, doc_b AS b FROM f
+         |      UNION SELECT doc_b, doc_a FROM f),
+         |n AS (SELECT DISTINCT a AS node FROM u),
+         |reach(s2, r) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT reach.s2, u.b FROM reach JOIN u ON reach.r = u.a),
+         |lab AS (SELECT s2 AS doc_id, min(r) AS cluster FROM reach GROUP BY s2),
+         |ckd AS (SELECT d.doc_id, d.n_chars,
+         |    coalesce(lab.cluster, d.doc_id) AS ckey
+         |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+         |bk AS (SELECT doc_id, n_chars, ckey,
+         |    ('0x' || substr(md5('exp1:' || ckey), 1, 8))::BIGINT % 100 AS ckb,
+         |    ('0x' || substr(md5('exp1:' || doc_id), 1, 8))::BIGINT % 100 AS db
+         |  FROM ckd),
+         |sp AS (SELECT doc_id, n_chars, ckey,
+         |    CASE WHEN ckb < 90 THEN 'train'
+         |         WHEN ckb < 95 THEN 'val' ELSE 'test' END AS split,
+         |    CASE WHEN db < 90 THEN 'train'
+         |         WHEN db < 95 THEN 'val' ELSE 'test' END AS naive
+         |  FROM bk)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(count(DISTINCT ckey) AS BIGINT) AS n_clusters,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(CASE WHEN naive <> split THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_moved,
+         |  CAST(count(DISTINCT CASE WHEN naive <> split THEN ckey END) AS BIGINT)
+         |    AS n_clusters_healed
+         |FROM sp GROUP BY 1""".stripMargin,
 
     // The cleaned corpus: q43's cluster labels decide who survives
     // (representatives + never-candidates).

@@ -251,4 +251,23 @@ class SamplingSpec extends AnyFunSuite {
       assert(served <= 4L * u)
     }
   }
+
+  test("cluster-keyed hashSplit never tears a cluster; singletons keep the naive assignment (q163 pin)") {
+    // 12 docs, two clusters {1,7,13} (rep 1) and {4,10} (rep 4), rest singletons
+    val label = Map(7L -> 1L, 13L -> 1L, 10L -> 4L, 1L -> 1L, 4L -> 4L)
+    val docs = (1L to 12L).map(i => (i, label.getOrElse(i, i))).toDF("doc_id", "ckey")
+    val splits = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val out = Sampling.hashSplit(
+        Sampling.hashSplit(docs, "ckey", "exp1", splits),
+        "doc_id", "exp1", splits, splitCol = "naive_split")
+      .select($"doc_id", $"ckey", $"split", $"naive_split")
+      .as[(Long, Long, String, String)].collect()
+    // no cluster straddles: every member shares its representative's split
+    val byCluster = out.groupBy(_._2).values
+    assert(byCluster.forall(ms => ms.map(_._3).toSet.size == 1))
+    // a cluster's split IS the naive split of its representative
+    out.filter(r => r._1 == r._2).foreach(r => assert(r._3 == r._4))
+    // singletons (ckey == doc_id) are untouched vs the naive rule
+    assert(out.filter(r => r._1 == r._2).forall(r => r._3 == r._4))
+  }
 }
