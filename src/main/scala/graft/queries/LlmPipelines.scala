@@ -1248,8 +1248,74 @@ object LlmPipelines {
           .as("n_clusters_healed"))
   }
 
+  /** q164: INCREMENTAL split assignment — the q163 contract held as the
+    * corpus grows (the q58/q102 registry convention for the split
+    * family): the even-id half is the standing corpus whose splits are
+    * frozen (a registry never re-litigates existing assignments — the
+    * production constraint), the odd-id half the arriving batch. Each
+    * batch doc is LSH-checked against the standing side only
+    * ([[TextDedup.lshCandidatePairsAgainst]] — standing×standing pairs
+    * never form, so per-batch cost tracks the batch); a match INHERITS
+    * the split of its matched doc's cluster key (min across matches,
+    * deterministic — an arriving near-dup of a test doc goes to test,
+    * never to train), an unmatched doc hash-assigns by its own id,
+    * bitwise the q46/q163 singleton rule. `n_inherited` bills the
+    * inheritance per split. Note the honest scope: inheritance prevents
+    * an arriving doc landing OPPOSITE an existing near-dup; it does not
+    * merge standing clusters the batch newly bridges (that is the batch
+    * q163's job on the next full rebuild — same batch-vs-incremental
+    * tension every registry family documents).
+    */
+  def q164SplitAssignIncremental(spark: SparkSession, d: String): DataFrame =
+    splitAssignIncremental(Tables.balanced(spark, d, "documents"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("inherited"), 1L).otherwise(0L)).as("n_inherited"),
+        sum(col("n_chars")).as("sum_chars"))
+
+  /** q164's core, per-doc grain (doc_id, …, inherited, skey, split) —
+    * exposed at this grain so the inheritance invariant (a batch doc
+    * near-dupping a standing doc lands in that doc's cluster-keyed
+    * split) is spec-pinned on a constructed corpus, not just
+    * aggregate-checked by the oracle.
+    */
+  private[graft] def splitAssignIncremental(docs: DataFrame): DataFrame = {
+    // Persist: standing sigs feed both the standing-side CC and the
+    // batch join (the q58 convention; caller-owned lineage).
+    val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text",
+        ShingleK, NumHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val standing = sigs.filter(col("doc") % 2 === 0)
+    val batch = sigs.filter(col("doc") % 2 === 1)
+    val labels = TextDedup.dupClusters(
+        TextDedup.lshCandidatePairs(standing, NumHashes, Bands)
+          .filter(col("n_sig_equal") >= 8), "doc_a", "doc_b")
+      .select(col("node").as("edoc"), col("cluster"))
+    // lshCandidatePairsAgainst canonicalizes (min, max); parity recovers
+    // the sides (standing even, batch odd)
+    val matches = TextDedup.lshCandidatePairsAgainst(batch, standing,
+        NumHashes, Bands)
+      .filter(col("n_sig_equal") >= 8)
+      .select(
+        when(col("doc_a") % 2 === 1, col("doc_a")).otherwise(col("doc_b"))
+          .as("bdoc"),
+        when(col("doc_a") % 2 === 0, col("doc_a")).otherwise(col("doc_b"))
+          .as("edoc"))
+    val inherit = matches.join(labels, Seq("edoc"), "left_outer")
+      .withColumn("ekey", coalesce(col("cluster"), col("edoc")))
+      .groupBy(col("bdoc")).agg(min(col("ekey")).as("ckey"))
+      .withColumnRenamed("bdoc", "doc_id")
+    val assigned = docs.filter(col("doc_id") % 2 === 1)
+      .join(inherit, Seq("doc_id"), "left_outer")
+      .withColumn("inherited", col("ckey").isNotNull)
+      .withColumn("skey", coalesce(col("ckey"), col("doc_id")))
+    graft.operators.Sampling.hashSplit(assigned, "skey", "exp1",
+      Seq("train" -> 90, "val" -> 5, "test" -> 5))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q163_cluster_safe_split" -> q163ClusterSafeSplit _,
+    "q164_split_assign_inc" -> q164SplitAssignIncremental _,
     "q79_pq_encode" -> q79PqEncode _,
     "q80_pq_adc_topk" -> q80PqAdcTopk _,
     "q81_ivf_pq_topk" -> q81IvfPqTopk _,

@@ -699,6 +699,46 @@ object Oracles {
          |  CAST(count(DISTINCT CASE WHEN naive <> split THEN ckey END) AS BIGINT)
          |    AS n_clusters_healed
          |FROM sp GROUP BY 1""".stripMargin,
+    // q164: incremental split assignment — standing-side (even ids) CC
+    // labels + parity-recovered batch→standing matches; a matched batch
+    // doc inherits min cluster key, unmatched hash-assigns by own id.
+    // Band-restriction equivalence (standing-only pairs = full pairs
+    // filtered by parity) is the same argument q99 rests on.
+    "q164_split_assign_inc" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |f AS (SELECT doc_a, doc_b FROM e WHERE n_sig_equal >= 8),
+         |fe AS (SELECT doc_a, doc_b FROM f
+         |       WHERE doc_a % 2 = 0 AND doc_b % 2 = 0),
+         |u AS (SELECT doc_a AS a, doc_b AS b FROM fe
+         |      UNION SELECT doc_b, doc_a FROM fe),
+         |n AS (SELECT DISTINCT a AS node FROM u),
+         |reach(s2, r) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT reach.s2, u.b FROM reach JOIN u ON reach.r = u.a),
+         |lab AS (SELECT s2 AS edoc, min(r) AS cluster FROM reach GROUP BY s2),
+         |m AS (SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS bdoc,
+         |             CASE WHEN doc_a % 2 = 0 THEN doc_a ELSE doc_b END AS edoc
+         |      FROM f WHERE (doc_a % 2) <> (doc_b % 2)),
+         |inh AS (SELECT bdoc, min(coalesce(lab.cluster, m.edoc)) AS ckey
+         |        FROM m LEFT JOIN lab ON m.edoc = lab.edoc GROUP BY bdoc),
+         |bd AS (SELECT d.doc_id, d.n_chars,
+         |    inh.ckey IS NOT NULL AS inherited,
+         |    coalesce(inh.ckey, d.doc_id) AS skey
+         |  FROM documents d LEFT JOIN inh ON d.doc_id = inh.bdoc
+         |  WHERE d.doc_id % 2 = 1),
+         |bk2 AS (SELECT *,
+         |    ('0x' || substr(md5('exp1:' || skey), 1, 8))::BIGINT % 100 AS kb
+         |  FROM bd),
+         |sp2 AS (SELECT doc_id, n_chars, inherited,
+         |    CASE WHEN kb < 90 THEN 'train'
+         |         WHEN kb < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM bk2)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN inherited THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_inherited,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM sp2 GROUP BY 1""".stripMargin,
 
     // The cleaned corpus: q43's cluster labels decide who survives
     // (representatives + never-candidates).
