@@ -1141,6 +1141,73 @@ object Incremental {
       }
       .start()
 
+  /** Streaming split assignment — q164's deployment shape with a GROWING
+    * registry: the registry directories hold minhash signatures
+    * (`sigsPath`: doc, sig) and split keys (`labelsPath`: edoc, cluster)
+    * — seed them from the standing corpus (its sigs + its q43 cluster
+    * labels). Each arriving doc micro-batch is signature-matched against
+    * the registry ([[graft.operators.TextDedup.lshCandidatePairsAgainst]]
+    * — registry×registry pairs never form); a match INHERITS the min
+    * matched split key, an unmatched doc hash-assigns by its own id, and
+    * the batch then JOINS the registry (its sigs appended, each doc's
+    * final `skey` its label) so a later arrival that near-dups it
+    * inherits too — the property the frozen-standing batch form (q164)
+    * cannot give. Replays (T6) are dropped by the assignment anti-join
+    * before any registry write. Honest scope, matching q164's scaladoc:
+    * near-dups WITHIN one micro-batch assign independently (incoming
+    * pairs never form), and inheritance never merges registry clusters a
+    * new doc bridges.
+    */
+  def streamingSplitAssign(stream: DataFrame, checkpointDir: String,
+                           outPath: String, sigsPath: String,
+                           labelsPath: String, id: String, text: String,
+                           shingleK: Int, numHashes: Int, bands: Int,
+                           minSigEqual: Int,
+                           splits: Seq[(String, Int)], salt: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val assigned = readLongColOrEmpty(spark, outPath, id).distinct()
+        val fresh = batch.join(assigned, Seq(id), "left_anti")
+          .localCheckpoint(true) // two registry writes + the assignment read it
+        val bSigs = graft.operators.TextDedup.minhashSignatures(
+            fresh, id, text, shingleK, numHashes)
+          .localCheckpoint(true)
+        val standing = spark.read.parquet(sigsPath)
+        val labels = spark.read.parquet(labelsPath)
+        val pairs = graft.operators.TextDedup.lshCandidatePairsAgainst(
+            bSigs, standing, numHashes, bands)
+          .filter(col("n_sig_equal") >= minSigEqual)
+        // the Against form canonicalizes (min, max); batch membership
+        // recovers the sides
+        val sided = pairs
+          .join(bSigs.select(col("doc").as("doc_a"), lit(true).as("a_is_batch")),
+            Seq("doc_a"), "left_outer")
+          .select(
+            when(col("a_is_batch"), col("doc_a")).otherwise(col("doc_b")).as(id),
+            when(col("a_is_batch"), col("doc_b")).otherwise(col("doc_a")).as("edoc"))
+        val inherit = sided
+          .join(labels, Seq("edoc"), "left_outer")
+          .withColumn("ekey", coalesce(col("cluster"), col("edoc")))
+          .groupBy(col(id)).agg(min(col("ekey")).as("ckey"))
+        val out = graft.operators.Sampling.hashSplit(
+            fresh.join(inherit, Seq(id), "left_outer")
+              .withColumn("inherited", col("ckey").isNotNull)
+              .withColumn("skey", coalesce(col("ckey"), col(id))),
+            "skey", salt, splits)
+          .localCheckpoint(true) // two sink writes read it; don't re-run the LSH join
+        out.select(col(id), col("inherited"), col("skey"), col("split"))
+          .write.mode("append").parquet(outPath)
+        // the batch joins the registry: future arrivals inherit from it
+        bSigs.write.mode("append").parquet(sigsPath)
+        out.select(col(id).as("edoc"), col("skey").as("cluster"))
+          .write.mode("append").parquet(labelsPath)
+        ()
+      }
+      .start()
+
   /** The index's id column, empty-safe before the first batch commits.
     * Long-typed (vector ids), so it gets its own reader rather than
     * widening [[readStringColOrEmpty]].

@@ -1204,4 +1204,62 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     val parts = spark.read.parquet(s"$dir/partials")
     assert(parts.select("__pk").distinct().count() == parts.count())
   }
+
+  test("streamingSplitAssign ≡ q164 on registry-only matches; a later arrival inherits from an EARLIER batch (growth)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-split")
+      .toFile.getAbsolutePath
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 80).select("doc_id", "text", "n_chars")
+      .as[(Long, String, Long)].collect().toSeq
+    val standing = docs.filter(_._1 % 2 == 0)
+    val arriving = docs.filter(_._1 % 2 == 1)
+    // seed the registry from the standing corpus: its sigs + q43 labels
+    val k = graft.queries.LlmPipelines.ShingleK
+    val nh = graft.queries.LlmPipelines.NumHashes
+    val bands = graft.queries.LlmPipelines.Bands
+    val sSigs = graft.operators.TextDedup.minhashSignatures(
+      standing.toDF("doc_id", "text", "n_chars"), "doc_id", "text", k, nh)
+    sSigs.write.parquet(s"$dir/sigs")
+    graft.operators.TextDedup.dupClusters(
+        graft.operators.TextDedup.lshCandidatePairs(sSigs, nh, bands)
+          .filter(col("n_sig_equal") >= 8), "doc_a", "doc_b")
+      .select(col("node").as("edoc"), col("cluster"))
+      .write.parquet(s"$dir/labels")
+    // inject a designed near-dup pair ACROSS arriving batches: doc 9001
+    // (batch 1) and doc 9003 (batch 2) share text that matches nothing else
+    val dupText = "omega sigma lambda kappa iota upsilon phi chi psi rho"
+    val (b1, b2x) = arriving.splitAt(20)
+    val b1x = b1 :+ ((9001L, dupText, 10L))
+    val b2 = b2x :+ ((9003L, dupText, 10L))
+    val b3 = b2.take(5) // pure replay: must append nothing
+    val splits = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val input = MemoryStream[(Long, String, Long)]
+    val query = graft.streaming.Incremental.streamingSplitAssign(
+      input.toDF().toDF("doc_id", "text", "n_chars"), s"$dir/ckpt",
+      s"$dir/out", s"$dir/sigs", s"$dir/labels", "doc_id", "text",
+      k, nh, bands, minSigEqual = 8, splits, salt = "exp1")
+    try {
+      Seq(b1x, b2, b3).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .select($"doc_id", $"inherited", $"skey", $"split")
+      .as[(Long, Boolean, Long, String)].collect().map(r => r._1 -> r).toMap
+    // exactly-once: each arriving doc assigned once, replays appended nothing
+    assert(out.size == arriving.size + 2)
+    // growth: the batch-2 near-dup inherited the batch-1 doc's key
+    assert(out(9003L)._2 && out(9003L)._3 == 9001L)
+    assert(out(9003L)._4 == out(9001L)._4)
+    // registry-only matches agree with the batch q164 form per doc
+    val batchForm = graft.queries.LlmPipelines.splitAssignIncremental(
+        docs.toDF("doc_id", "text", "n_chars"))
+      .select($"doc_id", $"inherited", $"skey", $"split")
+      .as[(Long, Boolean, Long, String)].collect().map(r => r._1 -> r).toMap
+    arriving.map(_._1).foreach { id =>
+      assert(out(id) == batchForm(id), s"doc $id diverged from the batch form")
+    }
+  }
 }
