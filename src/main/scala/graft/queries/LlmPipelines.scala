@@ -1313,9 +1313,42 @@ object LlmPipelines {
       Seq("train" -> 90, "val" -> 5, "test" -> 5))
   }
 
+  /** q165: QUALITY-AWARE canonical selection — q57's keep-one-per-cluster
+    * with the representative a production pipeline actually keeps: the
+    * highest-quality member (q24's quality_milli, ties broken min doc
+    * id), not the arbitrary min-id. Composition of three green pieces —
+    * q43 clusters ⨝ q24 quality, one window argmax per cluster
+    * ([[graft.operators.Dedup.keepFirst]]), then q57's broadcastable
+    * anti-join. The per-lang rollup adds `n_upgraded`: kept
+    * representatives that are NOT their cluster's min id — exactly the
+    * docs where the quality rule beat the arbitrary one (the delta a
+    * team weighs before swapping dedup policies).
+    */
+  def q165QualityDedup(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    val quality = q24TextStats(spark, d)
+      .select(col("doc_id"), col("quality_milli"))
+    val clusters = q43DupClusters(spark, d)
+      .select(col("doc_id"), col("cluster"))
+    val members = clusters.join(quality, Seq("doc_id"))
+    val winners = graft.operators.Dedup.keepFirst(members,
+        Seq(col("cluster")),
+        Seq(col("quality_milli").desc, col("doc_id").asc))
+      .select(col("doc_id"), (col("doc_id") =!= col("cluster")).as("upgraded"))
+    val losers = clusters.join(winners.select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .join(broadcast(winners), Seq("doc_id"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        sum(when(col("upgraded"), 1L).otherwise(0L)).as("n_upgraded"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q163_cluster_safe_split" -> q163ClusterSafeSplit _,
     "q164_split_assign_inc" -> q164SplitAssignIncremental _,
+    "q165_quality_dedup" -> q165QualityDedup _,
     "q79_pq_encode" -> q79PqEncode _,
     "q80_pq_adc_topk" -> q80PqAdcTopk _,
     "q81_ivf_pq_topk" -> q81IvfPqTopk _,

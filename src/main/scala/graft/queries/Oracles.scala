@@ -699,6 +699,46 @@ object Oracles {
          |  CAST(count(DISTINCT CASE WHEN naive <> split THEN ckey END) AS BIGINT)
          |    AS n_clusters_healed
          |FROM sp GROUP BY 1""".stripMargin,
+    // q165: quality-aware canonical selection — q43 clusters ⨝ q24's
+    // quality formula, per-cluster argmax (quality desc, doc asc), q57's
+    // anti-join rollup + the n_upgraded contrast column.
+    "q165_quality_dedup" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |f AS (SELECT doc_a, doc_b FROM e WHERE n_sig_equal >= 8),
+         |u AS (SELECT doc_a AS a, doc_b AS b FROM f
+         |      UNION SELECT doc_b, doc_a FROM f),
+         |n AS (SELECT DISTINCT a AS node FROM u),
+         |reach(s2, r) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT reach.s2, u.b FROM reach JOIN u ON reach.r = u.a),
+         |lab AS (SELECT s2 AS doc_id, min(r) AS cluster FROM reach GROUP BY s2),
+         |tq AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |qual AS (SELECT doc_id,
+         |    CAST(round(1000.0 * (0.5 *
+         |        (CAST(len(list_filter(toks,
+         |           x -> x IN ('the','a','of','to','in','is','and'))) AS BIGINT)
+         |         / CAST(len(toks) AS BIGINT))
+         |      + 0.5 * least(1.0, CAST(len(toks) AS BIGINT) / 100.0)))
+         |      AS BIGINT) AS quality_milli
+         |  FROM tq),
+         |mem AS (SELECT lab.doc_id, lab.cluster, qual.quality_milli
+         |        FROM lab JOIN qual USING (doc_id)),
+         |win AS (SELECT doc_id, cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cluster
+         |      ORDER BY quality_milli DESC, doc_id ASC) AS rk FROM mem)
+         |  WHERE rk = 1),
+         |keep AS (SELECT d.lang, d.n_chars, d.doc_id, win.cluster AS wcluster
+         |  FROM documents d
+         |  LEFT JOIN lab ON d.doc_id = lab.doc_id
+         |  LEFT JOIN win ON d.doc_id = win.doc_id
+         |  WHERE lab.doc_id IS NULL OR win.doc_id IS NOT NULL)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+         |  CAST(sum(CASE WHEN wcluster IS NOT NULL AND doc_id <> wcluster
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_upgraded
+         |FROM keep GROUP BY 1""".stripMargin,
     // q164: incremental split assignment — standing-side (even ids) CC
     // labels + parity-recovered batch→standing matches; a matched batch
     // doc inherits min cluster key, unmatched hash-assigns by own id.
