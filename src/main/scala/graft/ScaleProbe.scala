@@ -77,7 +77,7 @@ object ScaleProbe {
       "dsir", "spancorrupt", "substr", "lshskew", "ccdiam", "imagededup",
       "videodedup", "bucketreg", "audioprep", "gramreg", "kfnovel", "prdist",
       "codecprep", "bwdist",
-      "ccinc", "funnel", "prep", "monitor", "bm25reg")
+      "ccinc", "funnel", "prep", "monitor", "bm25reg", "splitreg")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -1441,6 +1441,42 @@ object ScaleProbe {
     // linearly with the corpus. Drift is two keyed aggs over bounded
     // bins; the differ is one co-partitioned full-outer join; padded
     // batching is one window shuffle — all expected ~linear.
+    // The split family's registry economics (q164/streamingSplitAssign):
+    // with signatures + split keys MATERIALIZED, assigning a FIXED-size
+    // arriving batch must cost per-batch work as the standing corpus
+    // grows — the banded candidate join only forms batch×standing pairs
+    // (never standing×standing), so candidate volume tracks the batch's
+    // band buckets. Batch = the 1× corpus re-ingested under fresh ids
+    // (every doc an exact near-dup of its standing origin — maximal
+    // honest match volume).
+    if (want("splitreg")) for (factor <- Seq(1, 4, 16, 64)) {
+      val docs = materialize(docsAt(spark, d, factor), s"/tmp/scale/docs$factor")
+      time(s"split registry build (sigs+labels) ${factor}x (${5000L * factor} docs)") {
+        TextDedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
+          .write.mode("overwrite").parquet(s"/tmp/scale/spsig$factor")
+        val sigsR = spark.read.parquet(s"/tmp/scale/spsig$factor")
+        TextDedup.dupClusters(
+            TextDedup.lshCandidatePairs(sigsR, 16, 4)
+              .filter(col("n_sig_equal") >= 8), "doc_a", "doc_b")
+          .select(col("node").as("edoc"), col("cluster"))
+          .write.mode("overwrite").parquet(s"/tmp/scale/splab$factor")
+        graft.Caches.clearAll(spark) // lshCandidatePairs persists its input
+        spark.read.parquet(s"/tmp/scale/splab$factor").count()
+      }
+      val batch = materialize(
+        docs.filter(col("doc_id") < 1000000L)
+          .select((col("doc_id") + 900000000L).as("doc_id"), col("text")),
+        s"/tmp/scale/spbatch$factor")
+      time(s"split-assign fixed-5000-batch vs ${factor}x registry") {
+        val bSigs = TextDedup.minhashSignatures(batch, "doc_id", "text", 3, 16)
+        graft.streaming.Incremental.splitAssignAgainst(batch, bSigs,
+          spark.read.parquet(s"/tmp/scale/spsig$factor"),
+          spark.read.parquet(s"/tmp/scale/splab$factor"),
+          "doc_id", 16, 4, 8,
+          Seq("train" -> 90, "val" -> 5, "test" -> 5), "exp1").count()
+      }
+      graft.Caches.clearAll(spark)
+    }
     // q162's economics, measured: with the postings registry
     // MATERIALIZED once, serving a fixed query set must cost far less
     // than the rebuild that re-tokenizes the corpus per query batch —

@@ -1175,28 +1175,9 @@ object Incremental {
         val bSigs = graft.operators.TextDedup.minhashSignatures(
             fresh, id, text, shingleK, numHashes)
           .localCheckpoint(true)
-        val standing = spark.read.parquet(sigsPath)
-        val labels = spark.read.parquet(labelsPath)
-        val pairs = graft.operators.TextDedup.lshCandidatePairsAgainst(
-            bSigs, standing, numHashes, bands)
-          .filter(col("n_sig_equal") >= minSigEqual)
-        // the Against form canonicalizes (min, max); batch membership
-        // recovers the sides
-        val sided = pairs
-          .join(bSigs.select(col("doc").as("doc_a"), lit(true).as("a_is_batch")),
-            Seq("doc_a"), "left_outer")
-          .select(
-            when(col("a_is_batch"), col("doc_a")).otherwise(col("doc_b")).as(id),
-            when(col("a_is_batch"), col("doc_b")).otherwise(col("doc_a")).as("edoc"))
-        val inherit = sided
-          .join(labels, Seq("edoc"), "left_outer")
-          .withColumn("ekey", coalesce(col("cluster"), col("edoc")))
-          .groupBy(col(id)).agg(min(col("ekey")).as("ckey"))
-        val out = graft.operators.Sampling.hashSplit(
-            fresh.join(inherit, Seq(id), "left_outer")
-              .withColumn("inherited", col("ckey").isNotNull)
-              .withColumn("skey", coalesce(col("ckey"), col(id))),
-            "skey", salt, splits)
+        val out = splitAssignAgainst(fresh, bSigs,
+            spark.read.parquet(sigsPath), spark.read.parquet(labelsPath),
+            id, numHashes, bands, minSigEqual, splits, salt)
           .localCheckpoint(true) // two sink writes read it; don't re-run the LSH join
         out.select(col(id), col("inherited"), col("skey"), col("split"))
           .write.mode("append").parquet(outPath)
@@ -1207,6 +1188,40 @@ object Incremental {
         ()
       }
       .start()
+
+  /** [[streamingSplitAssign]]'s per-batch core, shared with the splitreg
+    * scale probe: match a batch (rows + precomputed signatures) against
+    * the registry's signature and split-key tables and assign every
+    * batch row a split (inherit min matched key, else own-id hash).
+    */
+  private[graft] def splitAssignAgainst(fresh: DataFrame, bSigs: DataFrame,
+                                        standingSigs: DataFrame,
+                                        labels: DataFrame, id: String,
+                                        numHashes: Int, bands: Int,
+                                        minSigEqual: Int,
+                                        splits: Seq[(String, Int)],
+                                        salt: String): DataFrame = {
+    val pairs = graft.operators.TextDedup.lshCandidatePairsAgainst(
+        bSigs, standingSigs, numHashes, bands)
+      .filter(col("n_sig_equal") >= minSigEqual)
+    // the Against form canonicalizes (min, max); batch membership
+    // recovers the sides
+    val sided = pairs
+      .join(bSigs.select(col("doc").as("doc_a"), lit(true).as("a_is_batch")),
+        Seq("doc_a"), "left_outer")
+      .select(
+        when(col("a_is_batch"), col("doc_a")).otherwise(col("doc_b")).as(id),
+        when(col("a_is_batch"), col("doc_b")).otherwise(col("doc_a")).as("edoc"))
+    val inherit = sided
+      .join(labels, Seq("edoc"), "left_outer")
+      .withColumn("ekey", coalesce(col("cluster"), col("edoc")))
+      .groupBy(col(id)).agg(min(col("ekey")).as("ckey"))
+    graft.operators.Sampling.hashSplit(
+      fresh.join(inherit, Seq(id), "left_outer")
+        .withColumn("inherited", col("ckey").isNotNull)
+        .withColumn("skey", coalesce(col("ckey"), col(id))),
+      "skey", salt, splits)
+  }
 
   /** The index's id column, empty-safe before the first batch commits.
     * Long-typed (vector ids), so it gets its own reader rather than
