@@ -632,6 +632,37 @@ object Curation {
         col("n_terms"), col("score_pm"))
   }
 
+  /** q166: known-item retrieval eval card — the index sanity eval a
+    * production search build runs on every refresh: each q157 query is
+    * derived from a known source doc (its first-4-token prefix, q_id =
+    * doc_id), so the source doc IS the gold answer and self-retrieval
+    * rank measures real ranking quality with no human labels. One row:
+    * n_queries, hit@1, hit@3, and the integer MRR over the top-5 lists
+    * (Σ 1e6 div rank_of_source, misses contribute 0, div by n_queries —
+    * exact arithmetic end to end, composed on q157's green machinery).
+    * The monitor catches silent index degradation (a tokenizer change,
+    * a stats bug) as a falling MRR — the retrieval family's q155.
+    */
+  def q166RetrievalEval(spark: SparkSession, d: String): DataFrame = {
+    val hits = q157Bm25TopK(spark, d)
+      .filter(col("doc_id") === col("q_id"))
+      .select(col("q_id"), col("rank"))
+    val docs = Tables.balanced(spark, d, "documents")
+    val nq = docs.filter(col("doc_id") % 25 === 0)
+      .agg(count(lit(1)).as("n_queries"))
+    // coalesce: a (hypothetical) zero-hit index must report zeros, not a
+    // null row — the monitor's worst reading is still a well-typed row
+    hits.agg(
+        coalesce(sum(when(col("rank") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_hit1"),
+        coalesce(sum(when(col("rank") <= 3, 1L).otherwise(0L)), lit(0L))
+          .as("n_hit3"),
+        coalesce(sum(expr("1000000 div rank")), lit(0L)).as("rr_sum"))
+      .crossJoin(broadcast(nq))
+      .select(col("n_queries"), col("n_hit1"), col("n_hit3"),
+        expr("rr_sum div n_queries").as("mrr_pm"))
+  }
+
   /** q162: BM25 served from a MATERIALIZED postings registry
     * ([[TermStats.bm25Postings]] / [[TermStats.bm25TopKFromPostings]] —
     * the index/serve split): the even-id half of the corpus plays the
@@ -872,6 +903,7 @@ object Curation {
     "q157_bm25_topk" -> q157Bm25TopK _,
     "q161_hybrid_rrf" -> q161HybridRrf _,
     "q162_bm25_registry" -> q162Bm25Registry _,
+    "q166_retrieval_eval" -> q166RetrievalEval _,
     "q128_unigram_segment" -> q128UnigramSegment _,
     "q125_chunk_windows" -> q125ChunkWindows _,
     "q126_epoch_allocation" -> q126EpochAllocation _,

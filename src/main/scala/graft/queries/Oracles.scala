@@ -3213,6 +3213,24 @@ object Oracles {
   val curation: Map[String, String] = Map(
     "q157_bm25_topk" -> Bm25Top5Sql,
     "q162_bm25_registry" -> Bm25Top5Sql,
+    // q166: known-item eval card over the q157 machinery — the source
+    // doc is the gold answer; hit@1/hit@3/integer MRR. Aggregates
+    // without GROUP BY so a zero-hit index still yields one zero row.
+    "q166_retrieval_eval" ->
+      s"""WITH base AS ($Bm25Top5Sql),
+         |hits AS (SELECT q_id, "rank" FROM base WHERE doc_id = q_id),
+         |nq AS (SELECT count(*) AS n_queries FROM documents
+         |       WHERE doc_id % 25 = 0),
+         |agg AS (SELECT
+         |    CAST(coalesce(sum(CASE WHEN "rank" = 1 THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_hit1,
+         |    CAST(coalesce(sum(CASE WHEN "rank" <= 3 THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_hit3,
+         |    CAST(coalesce(sum(1000000 // "rank"), 0) AS BIGINT) AS rr_sum
+         |  FROM hits)
+         |SELECT nq.n_queries, agg.n_hit1, agg.n_hit3,
+         |  CAST(agg.rr_sum // nq.n_queries AS BIGINT) AS mrr_pm
+         |FROM agg CROSS JOIN nq""".stripMargin,
     // q161: hybrid RRF — q157's BM25 stack (corpus restricted to docs
     // with an embedding twin, self-retrieval excluded pre-rank) + q30's
     // exact-cosine leg, fused by 1e6 // (60 + rank) and re-ranked. All
