@@ -256,4 +256,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("window"),
       "window operators leaked back into the segmentation path")
   }
+
+  test("q161 hybrid RRF: fused top-k WindowGroupLimit-pruned; the only nested loops are 1-row/constant broadcasts") {
+    val plan = planString(run("q161_hybrid_rrf"))
+    assert(plan.contains("WindowGroupLimit"),
+      "fused rank<=k must prune map-side")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q162 registry-served BM25: same plan class as the rebuild (WindowGroupLimit, no cartesian)") {
+    val plan = planString(run("q162_bm25_registry"))
+    assert(plan.contains("WindowGroupLimit"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q163 cluster-safe split: label and loser joins broadcast; no cartesian") {
+    val plan = planString(run("q163_cluster_safe_split"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "cluster labels ride a broadcast, not a shuffle of the corpus")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q165 quality dedup: winner/loser joins broadcast; no cartesian") {
+    val plan = planString(run("q165_quality_dedup"))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q166 retrieval eval: q157's machinery unchanged (WindowGroupLimit), card joins broadcast") {
+    val plan = planString(run("q166_retrieval_eval"))
+    assert(plan.contains("WindowGroupLimit"))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
