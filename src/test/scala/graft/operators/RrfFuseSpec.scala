@@ -57,4 +57,22 @@ class RrfFuseSpec extends AnyFunSuite {
     assert(incl.toSeq === Seq(10L)) // self-retrieval wins when allowed
     assert(excl.toSeq === Seq(2L))  // excluded pre-rank, next doc fills k
   }
+
+  test("fusion is invariant under leg order and duplicate-free per query") {
+    val l1 = leg((1L, 10L, 1L), (1L, 11L, 2L), (2L, 10L, 1L))
+    val l2 = leg((1L, 11L, 1L), (1L, 12L, 2L))
+    val l3 = leg((2L, 12L, 1L), (1L, 10L, 3L))
+    def fused(legs: Seq[org.apache.spark.sql.DataFrame]) =
+      TermStats.rrfFuse(legs, k = 5)
+        .select($"q", $"doc", $"rrf_pm", $"n_legs", $"rank")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._5))
+        .toSeq
+    val base = fused(Seq(l1, l2, l3))
+    assert(fused(Seq(l3, l1, l2)) === base)
+    assert(fused(Seq(l2, l3, l1)) === base)
+    // per query, each doc appears exactly once in the fused list
+    base.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).distinct.size == rows.size)
+    }
+  }
 }
