@@ -77,7 +77,8 @@ object ScaleProbe {
       "dsir", "spancorrupt", "substr", "lshskew", "ccdiam", "imagededup",
       "videodedup", "bucketreg", "audioprep", "gramreg", "kfnovel", "prdist",
       "codecprep", "bwdist",
-      "ccinc", "funnel", "prep", "monitor", "bm25reg", "splitreg")
+      "ccinc", "funnel", "prep", "monitor", "bm25reg", "splitreg",
+      "retrieval")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -1565,6 +1566,81 @@ object ScaleProbe {
         Packing.paddedBatches(lens, "doc_id", "len", 16, 8, "pb", 32L)
           .agg(sum(col("n_pad"))).head().getLong(0)
       }
+      spark.catalog.clearCache()
+    }
+    // Retrieval-quality family (q167/q168/q169): what grows with the
+    // corpus and what stays query-footprint. RM3 at probe scale pays two
+    // corpus-stat rollups per call (the bm25reg finding — a standing
+    // deployment materializes postings+stats and pays only the term
+    // joins); the MMR split shows the greedy re-rank is
+    // corpus-independent once the candidate leg is paid.
+    if (want("retrieval")) for (factor <- Seq(1, 4, 16, 64)) {
+      val docs = materialize(docsAt(spark, d, factor),
+        s"/tmp/scale/docs$factor")
+      val nd = 5000L * factor
+      val qFixed = docs.filter(col("doc_id") < 200)
+        .select(col("doc_id").as("q_id"),
+          slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
+      time(s"rm3 two-pass fixed-200-queries ${factor}x ($nd docs)") {
+        val postings = TermStats.bm25Postings(docs, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (dfq, dl, corp) = TermStats.bm25Stats(postings)
+          val base = TermStats.bm25TopKFromIndex(postings, dfq, dl, corp,
+            qFixed, "q_id", "qt", k = 5)
+          val orig = qFixed.select(col("q_id").as("q"),
+            explode(col("qt")).as("term")).distinct()
+          val exp = TermStats.rm3ExpansionTerms(base, postings, orig, m = 3)
+          val eqt = orig.unionByName(exp.select(col("q"), col("term")))
+            .groupBy(col("q")).agg(collect_list(col("term")).as("qt"))
+            .select(col("q").as("q_id"), col("qt"))
+          TermStats.bm25TopKFromIndex(postings, dfq, dl, corp, eqt,
+            "q_id", "qt", k = 5).count()
+        } finally { postings.unpersist(); () }
+      }
+      time(s"ndcg grading growing-queries ${factor}x (${5 * factor} q)") {
+        val qGrow = docs.filter(col("doc_id") % 1000L === 0)
+          .select(col("doc_id").as("q_id"),
+            slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
+        val lists = TermStats.bm25TopK(docs, qGrow, "doc_id", "text",
+            "q_id", "qt", 5)
+          .withColumn("rel", when(col("doc") === col("q"), lit(5))
+            .otherwise(col("n_terms").cast("int")))
+        TermStats.gradedNdcg(lists, "q", "rank", "rel", k = 5).count()
+      }
+      val emb = materialize(embAt(spark, d, factor), s"/tmp/scale/emb$factor")
+      val nv = 2000L * factor
+      def mmrPairsAnd(cands: DataFrame): Long = {
+        val vecs = emb.select(col("vec_id").as("cid"),
+            col("embedding").as("v"),
+            graft.operators.Similarity.norm(col("embedding")).as("n"))
+          .join(broadcast(cands.select(col("cid")).distinct()), Seq("cid"))
+        val ca = cands.select(col("qid"), col("cid").as("a")).join(
+          vecs.select(col("cid").as("a"), col("v").as("av"),
+            col("n").as("an")), Seq("a"))
+        val cb = cands.select(col("qid"), col("cid").as("b")).join(
+          vecs.select(col("cid").as("b"), col("v").as("bv"),
+            col("n").as("bn")), Seq("b"))
+        val sims = ca.join(cb, Seq("qid")).filter(col("a") =!= col("b"))
+          .select(col("qid"), col("a"), col("b"),
+            graft.operators.Similarity.cosFromNorms(col("av"), col("bv"),
+              col("an"), col("bn")).as("sim_pm"))
+        graft.operators.Similarity.mmrDiversify(
+          cands.select(col("qid"), col("cid"), col("cos_pm").as("rel_pm")),
+          sims, k = 3).count()
+      }
+      time(s"mmr e2e brute-candidates ${factor}x ($nv vecs)") {
+        mmrPairsAnd(graft.operators.Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10))
+      }
+      val candsP = graft.operators.Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+        .persist()
+      candsP.count()
+      time(s"mmr rerank-only ${factor}x (candidates prepaid)") {
+        mmrPairsAnd(candsP)
+      }
+      candsP.unpersist()
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -704,4 +704,75 @@ object Similarity {
     Dedup.keepFirstK(scored, Seq(col("qid")),
       Seq(col("cos_pm").desc, col("cid").asc), k, "rank")
   }
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein,
+    * SIGIR 1998) with λ = 1/2 over a BOUNDED candidate list per query —
+    * the re-rank stage between retrieval and a context window: a RAG
+    * serve path that feeds the top-k cosine list verbatim wastes its
+    * window on near-duplicate chunks; MMR trades relevance against
+    * redundancy greedily.
+    *
+    * Inputs: `cands(qid, cid, rel_pm)` — the per-query candidate list
+    * with integer relevance (long ids, the retrieval-family id type) —
+    * and `sims(qid, a, b, sim_pm)` — pairwise integer cosines among THAT
+    * query's candidates, BOTH directions present (the builder emits all
+    * ordered pairs; a missing pair is a bug and fails loudly). Greedy
+    * step 1 takes max rel (maxsim_pm = 0, the no-selection convention);
+    * step j takes argmax of `rel_pm − max sim to selected` — the λ = 1/2
+    * MMR numerator DOUBLED: the ÷2 is dropped so scores stay integers
+    * with no floor-direction ambiguity across engines, and argmax is
+    * unchanged by positive scaling. Ties: score desc, cid asc.
+    *
+    * Scale shape: greedy selection is inherently sequential IN K but
+    * independent PER QUERY — `groupByKey(qid).cogroup` puts one query's
+    * ≤ n candidates + n² sims on one task (n is the retrieval k, a
+    * serving constant: ~10–100), so the stage parallelizes across the
+    * query stream and per-task state is O(n²) integers. The expensive
+    * inputs (retrieval, pairwise cosines) are the caller's proven
+    * bucketed/broadcast machinery; this operator shuffles |Q|·n² rows
+    * once, corpus-independent.
+    *
+    * Returns `(q_id, sel_rank 1-based, doc_id, rel_pm, maxsim_pm,
+    * mmr2_pm)`, ≤ k rows per query (fewer when candidates run out).
+    */
+  def mmrDiversify(cands: DataFrame, sims: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val cg = cands
+      .select(col("qid").cast("long"), col("cid").cast("long"),
+        col("rel_pm").cast("long"))
+      .as[(Long, Long, Long)].groupByKey(_._1)
+    val sg = sims
+      .select(col("qid").cast("long"), col("a").cast("long"),
+        col("b").cast("long"), col("sim_pm").cast("long"))
+      .as[(Long, Long, Long, Long)].groupByKey(_._1)
+    cg.cogroup(sg) { (q, cit, sit) =>
+      // cid asc so the argmax scan's >-comparison lands on the smallest
+      // cid among score ties — the pinned tie-break, order-independent.
+      val cs = cit.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+      val sim = sit.map(t => ((t._2, t._3), t._4)).toMap
+      val rel = cs.toMap
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val remaining = scala.collection.mutable.LinkedHashSet(cs.map(_._1): _*)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long, Long)]
+      var step = 1
+      while (step <= k && remaining.nonEmpty) {
+        var best = -1L; var bestScore = Long.MinValue; var bestMs = 0L
+        for (c <- remaining) {
+          // loud lookup: the pair MUST exist (builder emits all pairs)
+          val ms = if (selected.isEmpty) 0L
+                   else selected.map(s => sim((s, c))).max
+          val sc = rel(c) - ms
+          if (sc > bestScore) { best = c; bestScore = sc; bestMs = ms }
+        }
+        out += ((q, step.toLong, best, rel(best), bestMs, bestScore))
+        remaining -= best
+        selected += best
+        step += 1
+      }
+      out.iterator
+    }.toDF("q_id", "sel_rank", "doc_id", "rel_pm", "maxsim_pm", "mmr2_pm")
+  }
 }

@@ -547,4 +547,91 @@ object TermStats {
       .withColumn("boiler_pm",
         round(lit(1000000.0) * col("n_boiler") / col("n_shingles")).cast("long"))
   }
+
+  /** Pinned integer nDCG discount weight for rank `r` (1-based):
+    * `floor(1e6 / log2(1 + r))`. Computed ONCE here in Scala doubles and
+    * interpolated as integer literals into the DuckDB oracle's VALUES
+    * list ([[graft.queries.Oracles]]), so both engines share the exact
+    * same constants by construction — the icosa-table convention; no
+    * cross-engine `log` rounding can reach the hash compare.
+    */
+  def ndcgWeightPm(r: Int): Long = {
+    require(r >= 1, s"rank must be >= 1, got $r")
+    math.floor(1000000.0 / (math.log(r + 1.0) / math.log(2.0))).toLong
+  }
+
+  /** Graded nDCG@k over a ranked retrieval list (Järvelin & Kekäläinen,
+    * TOIS 2002 — the graded companion to q166's binary hit@k/MRR),
+    * exact-integer end to end. Input: `(qCol, rankCol, relCol)` rows with
+    * rank 1-based and an integer relevance grade per retrieved doc; rows
+    * past rank `k` are ignored. Gain is the standard `2^rel − 1`
+    * (`rel` must stay ≤ 62 — the Long shift bound; retrieval grades are
+    * single digits in practice), discount is [[ndcgWeightPm]], and the
+    * ideal ordering re-ranks the SAME retrieved gains (gain desc, rank
+    * asc — ties permute equal gains, which cannot change Σ gain·w).
+    * This is the list-permutation nDCG: it grades ORDERING quality of
+    * what was retrieved, label-free; the missing-relevant-doc axis is
+    * the known-item card's hit@k, not this metric's job.
+    *
+    * Output per query: `(q, n_ret, dcg_pm, idcg_pm, ndcg_pm)` with
+    * `ndcg_pm = (1e6·dcg) div idcg` (0 when idcg is 0 — an all-zero-grade
+    * list must read as a well-typed worst reading, the q166 convention).
+    *
+    * Scale shape: input is already a top-k list (|Q|·k rows), so the
+    * ideal-rank window and the per-query aggregate shuffle |Q|·k rows
+    * keyed by query — independent of corpus size; both weight joins ride
+    * a k-row broadcast.
+    */
+  def gradedNdcg(ranked: DataFrame, qCol: String, rankCol: String,
+                 relCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 62, s"k must be in [1,62], got $k")
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    val weights = (1 to k).map(r => (r.toLong, ndcgWeightPm(r)))
+      .toDF("rk", "w_pm")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(col("gain").desc, col("rk").asc)
+    val g = ranked.select(col(qCol).as("q"),
+        col(rankCol).cast("long").as("rk"), col(relCol).cast("int").as("rel"))
+      .filter(col("rk") <= k)
+      .withColumn("gain", expr("shiftleft(CAST(1 AS BIGINT), rel) - 1"))
+      .withColumn("irk", row_number().over(w).cast("long"))
+    g.join(broadcast(weights.select(col("rk"), col("w_pm").as("w_act"))),
+        Seq("rk"))
+      .join(broadcast(weights.select(col("rk").as("irk"),
+        col("w_pm").as("w_ideal"))), Seq("irk"))
+      .groupBy(col("q"))
+      .agg(count(lit(1)).as("n_ret"),
+        sum(col("gain") * col("w_act")).as("dcg_pm"),
+        sum(col("gain") * col("w_ideal")).as("idcg_pm"))
+      .withColumn("ndcg_pm", when(col("idcg_pm") === 0, lit(0L))
+        .otherwise(expr("(1000000 * dcg_pm) div idcg_pm")))
+  }
+
+  /** RM3-style pseudo-relevance-feedback expansion terms (Abdul-Jaleel
+    * et al., TREC 2004 — the relevance-model form every lexical engine
+    * ships as "query expansion"): from a base top-k run `(q, doc, …)`
+    * and the postings registry, the `m` highest-mass feedback terms per
+    * query — tf summed over that query's feedback docs, original query
+    * terms excluded (expansion must ADD vocabulary, not re-weight it),
+    * fb_tf desc / term asc deterministic. Published RM3 weights the
+    * relevance model by FP doc scores; this form uses the pure tf mass
+    * (integer-exact, hash-stable) — the interpolation λ lives in how the
+    * caller re-runs the expanded query, not in the term choice.
+    *
+    * Scale shape: the feedback side is |Q|·k doc ids joined to postings
+    * BY DOC KEY — with postings doc-bucketed (the gramreg layout) that is
+    * a pruned registry read, never a corpus scan; the anti-join against
+    * original terms and the top-m window both move |Q|-proportional rows.
+    */
+  def rm3ExpansionTerms(base: DataFrame, postings: DataFrame,
+                        origTerms: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val fb = base.select(col("q"), col("doc")).join(postings, "doc")
+      .groupBy(col("q"), col("term")).agg(sum(col("tf")).as("fb_tf"))
+      .join(origTerms.select(col("q"), col("term")), Seq("q", "term"),
+        "left_anti")
+    Dedup.keepFirstK(fb, Seq(col("q")),
+      Seq(col("fb_tf").desc, col("term").asc), m, "erank")
+  }
 }

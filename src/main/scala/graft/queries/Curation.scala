@@ -663,6 +663,72 @@ object Curation {
         expr("rr_sum div n_queries").as("mrr_pm"))
   }
 
+  /** q167: graded nDCG@5 retrieval eval ([[TermStats.gradedNdcg]]) — the
+    * graded companion to q166's binary hit@k/MRR card, per query. Grades
+    * derive label-free from the q157 lists themselves: the known source
+    * doc grades 5 (`doc_id = q_id`, the q166 gold convention), every
+    * other retrieved doc grades by `n_terms` (1–4 distinct query terms
+    * matched — partial lexical relevance). Gain 2^rel − 1, discounts
+    * pinned as `floor(1e6/log2(1+r))` integer constants shared verbatim
+    * with the oracle, ideal ordering a re-rank of the same 5 gains —
+    * exact integer end to end, so a tokenizer or stats regression that
+    * leaves hit@k intact but degrades the ORDERING (the failure q166
+    * cannot see) moves this hash.
+    */
+  def q167NdcgEval(spark: SparkSession, d: String): DataFrame = {
+    val graded = q157Bm25TopK(spark, d)
+      .withColumn("rel", when(col("doc_id") === col("q_id"), lit(5))
+        .otherwise(col("n_terms").cast("int")))
+    TermStats.gradedNdcg(graded, "q_id", "rank", "rel", k = 5)
+      .select(col("q").as("q_id"), col("n_ret"), col("dcg_pm"),
+        col("idcg_pm"), col("ndcg_pm"))
+  }
+
+  /** q168: RM3 pseudo-relevance-feedback expansion
+    * ([[TermStats.rm3ExpansionTerms]]) — the two-pass query-expansion
+    * serve path every lexical engine ships: pass 1 is q157's exact-integer
+    * BM25 top-5 (self-retrieval allowed — the source doc is a feedback
+    * doc, the RM3 standard), the 3 highest-tf-mass terms of each query's
+    * feedback docs (original terms excluded) extend the query, and pass 2
+    * re-runs BM25 with the expanded term set against the SAME index.
+    * Output shape = q157's (q_id, rank, doc_id, n_terms, score_pm) with
+    * n_terms now counting matched expanded terms.
+    *
+    * Scale shape: the corpus is tokenized ONCE — one persisted postings
+    * frame feeds the stats rollup, both scoring passes, and the feedback
+    * extraction (a |Q|·5 doc-keyed registry read); in production all four
+    * consumers are [[TermStats.bm25Stats]]-maintained catalog tables and
+    * the whole query costs two query-footprint serves (the q162 shape),
+    * never a re-tokenize.
+    */
+  def q168Rm3Expansion(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    val postings = TermStats.bm25Postings(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (dfq, dl, corp) = TermStats.bm25Stats(postings)
+      val qt = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("q_id"),
+          slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
+      val base = TermStats.bm25TopKFromIndex(postings, dfq, dl, corp, qt,
+        "q_id", "qt", k = 5)
+      val orig = qt.select(col("q_id").as("q"), explode(col("qt")).as("term"))
+        .distinct()
+      val exp = TermStats.rm3ExpansionTerms(base, postings, orig, m = 3)
+      // orig and exp are disjoint by the anti-join, each internally
+      // distinct — the union needs no dedup; collect_list order is
+      // irrelevant (the serve path explodes + distincts the terms).
+      val eqt = orig.unionByName(exp.select(col("q"), col("term")))
+        .groupBy(col("q")).agg(collect_list(col("term")).as("qt"))
+        .select(col("q").as("q_id"), col("qt"))
+      TermStats.bm25TopKFromIndex(postings, dfq, dl, corp, eqt,
+          "q_id", "qt", k = 5)
+        .select(col("q").as("q_id"), col("rank"), col("doc").as("doc_id"),
+          col("n_terms"), col("score_pm"))
+        .localCheckpoint(true)
+    } finally { postings.unpersist(); () }
+  }
+
   /** q162: BM25 served from a MATERIALIZED postings registry
     * ([[TermStats.bm25Postings]] / [[TermStats.bm25TopKFromPostings]] —
     * the index/serve split): the even-id half of the corpus plays the
@@ -904,6 +970,8 @@ object Curation {
     "q161_hybrid_rrf" -> q161HybridRrf _,
     "q162_bm25_registry" -> q162Bm25Registry _,
     "q166_retrieval_eval" -> q166RetrievalEval _,
+    "q167_ndcg_eval" -> q167NdcgEval _,
+    "q168_rm3_expansion" -> q168Rm3Expansion _,
     "q128_unigram_segment" -> q128UnigramSegment _,
     "q125_chunk_windows" -> q125ChunkWindows _,
     "q126_epoch_allocation" -> q126EpochAllocation _,

@@ -232,8 +232,28 @@ object Graphs {
     GraphMetrics.betweennessSampled(edges(spark, d))
       .withColumn("city", col("city").cast("int"))
 
+  /** q170: k-core decomposition ([[graft.operators.KCore.kCore]], k = 3)
+    * over the distance-thresholded undirected graph — the degree-peeling
+    * quality gate next to the CC/PR/BC family: pendant chains and
+    * geometric outliers peel away, the dense witness neighborhoods
+    * survive with their within-core degree. Threshold 5000 km (wider
+    * than q118's 2000: the 2-core is the non-trivial story there, the
+    * 3-core here — at sf0.01 a 784-node graph cascades down to a 53-node
+    * core over 3 peel rounds, real cascade, not a one-pass filter).
+    * Oracle: a generated 24-round chained-CTE peel over the q32-verified
+    * edge SQL, every round MATERIALIZED (rounds past the fixpoint are
+    * no-ops; the operator's loud convergence `require` is the
+    * cross-engine contract).
+    */
+  def q170Kcore(spark: SparkSession, d: String): DataFrame =
+    graft.operators.KCore.kCore(
+      edges(spark, d).filter(col("w") <= 5000L)
+        .select(col("src"), col("dst")).distinct(),
+      "src", "dst", k = 3)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_graph_edges" -> q32GraphEdges _,
+    "q170_kcore" -> q170Kcore _,
     "q33_city_pagerank" -> q33CityPagerank _,
     "q147_pagerank_distributed" -> q147PagerankDistributed _,
     "q153_betweenness_distributed" -> q153BetweennessDistributed _,

@@ -225,6 +225,47 @@ object LlmPipelines {
     } finally { exactP.unpersist(); () }
   }
 
+  /** q169: MMR-diversified retrieval ([[Similarity.mmrDiversify]]) — the
+    * re-rank between the dense leg and a context window: each q30 query's
+    * exact top-10 is greedily re-ranked to 3 by λ=1/2
+    * relevance-minus-redundancy (score doubled to stay integer; the
+    * operator scaladoc derives why argmax is unchanged). Candidate
+    * pairwise cosines run through the pinned [[Similarity.cosFromNorms]]
+    * formula, so the only FP is the proven q30 arithmetic and the greedy
+    * itself is pure integer — the oracle unrolls the 3 steps as chained
+    * argmax CTEs and the hash pins selection AND tie-breaks.
+    *
+    * Scale shape: candidate vectors come back from the corpus via a
+    * broadcast semi-join of the |Q|·10 id list (never a corpus self-join);
+    * the pair build is a self-join of that |Q|·10 slice; the greedy
+    * cogroup holds one query's 10 candidates + 90 sims per group.
+    */
+  def q169MmrDiverse(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.balanced(spark, d, "embeddings")
+    val cands = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+      .persist()
+    try {
+      val vecs = emb.select(col("vec_id").as("cid"),
+          col("embedding").as("v"), Similarity.norm(col("embedding")).as("n"))
+        .join(broadcast(cands.select(col("cid")).distinct()), Seq("cid"))
+      val ca = cands.select(col("qid"), col("cid").as("a")).join(
+        vecs.select(col("cid").as("a"), col("v").as("av"), col("n").as("an")),
+        Seq("a"))
+      val cb = cands.select(col("qid"), col("cid").as("b")).join(
+        vecs.select(col("cid").as("b"), col("v").as("bv"), col("n").as("bn")),
+        Seq("b"))
+      val sims = ca.join(cb, Seq("qid")).filter(col("a") =!= col("b"))
+        .select(col("qid"), col("a"), col("b"),
+          Similarity.cosFromNorms(col("av"), col("bv"), col("an"), col("bn"))
+            .as("sim_pm"))
+      Similarity.mmrDiversify(
+          cands.select(col("qid"), col("cid"), col("cos_pm").as("rel_pm")),
+          sims, k = 3)
+        .localCheckpoint(true)
+    } finally { cands.unpersist(); () }
+  }
+
   /** q38: IVF ANN — vectors assigned to the nearest of 8 seed centroids
     * (vec_id < 8), queries (vec_id in [20,30)) search their own cell only
     * (nprobe=1). The data-adaptive bucketed scale path next to q31's
@@ -1395,6 +1436,7 @@ object LlmPipelines {
     "q30_cosine_topk" -> q30CosineTopK _,
     "q31_ann_lsh_topk" -> q31AnnLshTopK _,
     "q155_ann_recall_audit" -> q155AnnRecallAudit _,
+    "q169_mmr_diverse" -> q169MmrDiverse _,
     "q41_ann_adaptive_topk" -> q41AnnAdaptiveTopK _,
     "q50_kmeans_refine" -> q50KmeansRefine _,
     "q51_ann_multiprobe" -> q51AnnMultiprobe _,

@@ -1680,6 +1680,49 @@ object Oracles {
     // so the oracle is the same SQL, hash-compared independently.
     "q53_topk_agg" -> BruteForceTop5Sql,
 
+    // q169: MMR λ=1/2 diversified top-3 over the q30 top-10 — the greedy
+    // unrolled as chained argmax CTEs: s1 = rel argmax, s2 = argmax of
+    // rel − sim(s1,·), s3 = argmax of rel − max(sim(s1,·), sim(s2,·));
+    // ties cid asc everywhere. mmr2_pm = rel − maxsim (the ÷2 dropped —
+    // pure integer beyond the pinned cosine, Similarity.mmrDiversify
+    // derives why the argmax is unchanged).
+    "q169_mmr_diverse" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+         |s AS (SELECT qid, cid, ${cosPm("qv", "cv")} AS cos_pm
+         |      FROM c, q WHERE cid <> qid),
+         |r AS (SELECT qid, cid, cos_pm, row_number() OVER (PARTITION BY qid
+         |        ORDER BY cos_pm DESC, cid ASC) AS rk FROM s),
+         |cand AS (SELECT qid, cid, cos_pm AS rel_pm FROM r WHERE rk <= 10),
+         |cvx AS (SELECT cand.qid, cand.cid, e.embedding AS v
+         |  FROM cand JOIN embeddings e ON cand.cid = e.vec_id),
+         |pr AS (SELECT a.qid, a.cid AS a, b.cid AS b,
+         |    ${cosPm("a.v", "b.v")} AS sim_pm
+         |  FROM cvx a JOIN cvx b ON a.qid = b.qid AND a.cid <> b.cid),
+         |s1 AS (SELECT qid, cid AS s1, rel_pm AS rel1 FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY qid
+         |     ORDER BY rel_pm DESC, cid ASC) AS rn FROM cand) WHERE rn = 1),
+         |t2 AS (SELECT c2.qid, c2.cid, c2.rel_pm, p.sim_pm AS ms
+         |  FROM cand c2 JOIN s1 ON c2.qid = s1.qid AND c2.cid <> s1.s1
+         |  JOIN pr p ON p.qid = c2.qid AND p.a = s1.s1 AND p.b = c2.cid),
+         |s2 AS (SELECT qid, cid AS s2, rel_pm AS rel2, ms AS ms2 FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY qid
+         |     ORDER BY (rel_pm - ms) DESC, cid ASC) AS rn FROM t2) WHERE rn = 1),
+         |t3 AS (SELECT c3.qid, c3.cid, c3.rel_pm,
+         |    greatest(p1.sim_pm, p2.sim_pm) AS ms
+         |  FROM cand c3 JOIN s1 ON c3.qid = s1.qid JOIN s2 ON c3.qid = s2.qid
+         |  JOIN pr p1 ON p1.qid = c3.qid AND p1.a = s1.s1 AND p1.b = c3.cid
+         |  JOIN pr p2 ON p2.qid = c3.qid AND p2.a = s2.s2 AND p2.b = c3.cid
+         |  WHERE c3.cid <> s1.s1 AND c3.cid <> s2.s2),
+         |s3 AS (SELECT qid, cid AS s3, rel_pm AS rel3, ms AS ms3 FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY qid
+         |     ORDER BY (rel_pm - ms) DESC, cid ASC) AS rn FROM t3) WHERE rn = 1)
+         |SELECT qid AS q_id, CAST(1 AS BIGINT) AS sel_rank, s1 AS doc_id,
+         |  rel1 AS rel_pm, CAST(0 AS BIGINT) AS maxsim_pm, rel1 AS mmr2_pm
+         |FROM s1
+         |UNION ALL SELECT qid, 2, s2, rel2, ms2, rel2 - ms2 FROM s2
+         |UNION ALL SELECT qid, 3, s3, rel3, ms3, rel3 - ms3 FROM s3""".stripMargin,
+
     "q79_pq_encode" ->
       s"""$pqCodesSql
          |SELECT vec_id,
@@ -2382,6 +2425,33 @@ object Oracles {
     // hash-equality against the from-scratch oracle IS the chaining-
     // equivalence proof on the driver's own data.
     "q120_components_incremental" -> GlobalCcSql,
+
+    // q170: k-core (k=3) over q118's thresholded undirected graph — the
+    // peel unrolled as 24 generated chained-CTE rounds (degree → keep →
+    // restrict); rounds past the fixpoint are no-ops, and the engine's
+    // loud convergence require (KCore.kCore) guarantees the fixpoint
+    // lands inside the bound on any data this SQL ever sees.
+    "q170_kcore" -> {
+      // every e$i is referenced twice downstream (its degree table and
+      // its restriction join) — WITHOUT materialization DuckDB inlines
+      // the chain at branching factor 2, i.e. 2^24 scans of the base
+      // tables ("too many open files" long before memory).
+      val rounds = 24
+      val sb = new StringBuilder
+      for (i <- 1 to rounds) sb ++=
+        s"""k$i AS (SELECT a FROM (SELECT a, count(*) AS deg
+           |    FROM e${i - 1} GROUP BY a) WHERE deg >= 3),
+           |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+           |  JOIN k$i ka ON e.a = ka.a JOIN k$i kb ON e.b = kb.a),
+           |""".stripMargin
+      s"""WITH edges0 AS ($EdgesSql),
+         |f AS (SELECT DISTINCT src, dst FROM edges0 WHERE w <= 5000),
+         |e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+         |  SELECT src AS a, dst AS b FROM f WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM f WHERE src <> dst)),
+         |${sb.toString}dummy AS (SELECT 1)
+         |SELECT a AS node, count(*) AS core_deg FROM e$rounds GROUP BY a""".stripMargin
+    },
   )
 
   private lazy val GlobalCcSql: String =
@@ -3231,6 +3301,82 @@ object Oracles {
          |SELECT nq.n_queries, agg.n_hit1, agg.n_hit3,
          |  CAST(agg.rr_sum // nq.n_queries AS BIGINT) AS mrr_pm
          |FROM agg CROSS JOIN nq""".stripMargin,
+    // q167: graded nDCG@5 over the q157 lists — rel = 5 for the known
+    // item else n_terms, gain = 2^rel − 1, discounts the SAME
+    // Scala-computed floor(1e6/log2(1+r)) constants the engine joins
+    // (TermStats.ndcgWeightPm interpolated below; no SQL log anywhere,
+    // so no cross-engine FP can reach the hash). Ideal rank re-ranks the
+    // same gains (gain desc, rank asc — equal-gain permutations cannot
+    // change Σ gain·w).
+    "q167_ndcg_eval" -> {
+      val w = (1 to 5).map(r =>
+        s"($r, ${graft.operators.TermStats.ndcgWeightPm(r)})").mkString(", ")
+      s"""WITH base AS ($Bm25Top5Sql),
+         |w(rk, w_pm) AS (VALUES $w),
+         |g AS (SELECT q_id, "rank" AS rk,
+         |    (1::BIGINT << (CASE WHEN doc_id = q_id THEN 5 ELSE n_terms END))
+         |      - 1 AS gain
+         |  FROM base),
+         |iw AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY gain DESC, rk ASC) AS irk FROM g),
+         |a AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_ret,
+         |    CAST(sum(gain * wa.w_pm) AS BIGINT) AS dcg_pm,
+         |    CAST(sum(gain * wi.w_pm) AS BIGINT) AS idcg_pm
+         |  FROM iw JOIN w wa ON iw.rk = wa.rk JOIN w wi ON iw.irk = wi.rk
+         |  GROUP BY q_id)
+         |SELECT q_id, n_ret, dcg_pm, idcg_pm,
+         |  CAST(CASE WHEN idcg_pm = 0 THEN 0
+         |       ELSE (1000000 * dcg_pm) // idcg_pm END AS BIGINT) AS ndcg_pm
+         |FROM a""".stripMargin
+    },
+    // q168: RM3 pseudo-relevance feedback — pass 1 is q157's chain
+    // (self-retrieval allowed), feedback term mass = tf summed over each
+    // query's top-5 docs with the original terms anti-joined away, top-3
+    // by fb_tf desc / term asc, pass 2 re-scores the expanded term set
+    // against the same index CTEs.
+    "q168_rm3_expansion" ->
+      s"""WITH tf AS (SELECT doc_id AS doc, term, count(*) AS tf FROM
+         |    (SELECT doc_id, unnest($Toks) AS term FROM documents)
+         |  WHERE length(term) >= 1 GROUP BY 1, 2),
+         |dl AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS a_tok FROM dl),
+         |qt AS (SELECT DISTINCT q_id, term FROM
+         |    (SELECT doc_id AS q_id, unnest(($Toks)[1:4]) AS term
+         |     FROM documents WHERE doc_id % 25 = 0)
+         |  WHERE length(term) >= 1),
+         |bsc AS (SELECT q_id, doc,
+         |    (CAST((1000000 * n_docs) // df AS HUGEINT) * tf * 44 * a_tok) //
+         |    (20 * CAST(a_tok AS HUGEINT) * tf + 6 * a_tok + 18 * n_docs * dl) AS s_pm
+         |  FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+         |       JOIN dl USING (doc) CROSS JOIN corpus),
+         |bagg AS (SELECT q_id, doc, CAST(sum(s_pm) AS BIGINT) AS score_pm
+         |  FROM bsc GROUP BY 1, 2),
+         |br AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score_pm DESC, doc ASC) AS rk FROM bagg),
+         |b5 AS (SELECT q_id, doc FROM br WHERE rk <= 5),
+         |fbt AS (SELECT b5.q_id, t.term, CAST(sum(t.tf) AS BIGINT) AS fb_tf
+         |  FROM b5 JOIN tf t ON b5.doc = t.doc GROUP BY 1, 2),
+         |fbx AS (SELECT f.q_id, f.term, f.fb_tf FROM fbt f
+         |  LEFT JOIN qt ON f.q_id = qt.q_id AND f.term = qt.term
+         |  WHERE qt.term IS NULL),
+         |er AS (SELECT q_id, term FROM (SELECT q_id, term,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY fb_tf DESC, term ASC) AS rn FROM fbx) WHERE rn <= 3),
+         |eqt AS (SELECT q_id, term FROM qt
+         |  UNION ALL SELECT q_id, term FROM er),
+         |esc AS (SELECT q_id, doc,
+         |    (CAST((1000000 * n_docs) // df AS HUGEINT) * tf * 44 * a_tok) //
+         |    (20 * CAST(a_tok AS HUGEINT) * tf + 6 * a_tok + 18 * n_docs * dl) AS s_pm
+         |  FROM eqt JOIN tf USING (term) JOIN dfq USING (term)
+         |       JOIN dl USING (doc) CROSS JOIN corpus),
+         |eagg AS (SELECT q_id, doc, CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(sum(s_pm) AS BIGINT) AS score_pm FROM esc GROUP BY 1, 2),
+         |erk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score_pm DESC, doc ASC) AS rk FROM eagg)
+         |SELECT q_id, CAST(rk AS BIGINT) AS "rank", doc AS doc_id, n_terms,
+         |  score_pm
+         |FROM erk WHERE rk <= 5""".stripMargin,
     // q161: hybrid RRF — q157's BM25 stack (corpus restricted to docs
     // with an embedding twin, self-retrieval excluded pre-rank) + q30's
     // exact-cosine leg, fused by 1e6 // (60 + rank) and re-ranked. All

@@ -288,4 +288,58 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q167 nDCG eval: q157's machinery unchanged; weight joins broadcast; no cartesian") {
+    val plan = planString(run("q167_ndcg_eval"))
+    assert(plan.contains("WindowGroupLimit"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the k-row discount tables must ride broadcasts")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q168 RM3: both serve passes read ONE cached postings build (no re-tokenize)") {
+    // the registered query localCheckpoints (cache lifecycle), which hides
+    // its plan — pin the same two-pass composition pre-checkpoint.
+    import org.apache.spark.sql.functions.{col, explode, slice, collect_list}
+    val docs = graft.sources.Tables(spark, d, "documents")
+    val postings = graft.operators.TermStats
+      .bm25Postings(docs, "doc_id", "text").persist()
+    try {
+      val (dfq, dl, corp) = graft.operators.TermStats.bm25Stats(postings)
+      val qt = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("q_id"),
+          slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
+      val base = graft.operators.TermStats.bm25TopKFromIndex(
+        postings, dfq, dl, corp, qt, "q_id", "qt", k = 5)
+      val orig = qt.select(col("q_id").as("q"), explode(col("qt")).as("term"))
+        .distinct()
+      val exp = graft.operators.TermStats
+        .rm3ExpansionTerms(base, postings, orig, m = 3)
+      val eqt = orig.unionByName(exp.select(col("q"), col("term")))
+        .groupBy(col("q")).agg(collect_list(col("term")).as("qt"))
+        .select(col("q").as("q_id"), col("qt"))
+      val plan = planString(graft.operators.TermStats.bm25TopKFromIndex(
+        postings, dfq, dl, corp, eqt, "q_id", "qt", k = 5))
+      assert(plan.contains("InMemoryTableScan"),
+        "pass 2 must serve from the cached postings")
+      assert(plan.contains("WindowGroupLimit"))
+      assert(!plan.contains("CartesianProduct"))
+    } finally { postings.unpersist(); () }
+  }
+
+  test("q169 MMR: candidate vectors come back via a broadcast of the id list, never a corpus self-join") {
+    // same reason as q168: the registered query localCheckpoints; pin the
+    // pair-build composition pre-checkpoint.
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val emb = graft.sources.Tables(spark, d, "embeddings")
+    val cands = graft.operators.Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+    val vecs = emb.select(col("vec_id").as("cid"), col("embedding").as("v"),
+        graft.operators.Similarity.norm(col("embedding")).as("n"))
+      .join(broadcast(cands.select(col("cid")).distinct()), Seq("cid"))
+    val plan = planString(vecs)
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |Q|·k id list must broadcast against the corpus scan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
