@@ -78,7 +78,7 @@ object ScaleProbe {
       "videodedup", "bucketreg", "audioprep", "gramreg", "kfnovel", "prdist",
       "codecprep", "bwdist",
       "ccinc", "funnel", "prep", "monitor", "bm25reg", "splitreg",
-      "retrieval")
+      "retrieval", "kcore")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -1568,13 +1568,20 @@ object ScaleProbe {
       }
       spark.catalog.clearCache()
     }
+    // Factor list override for order/position A/Bs (e.g.
+    // SPARK_GRAFT_PROBE_FACTORS=64,16 distinguishes a data-shape effect
+    // from accumulated-session state); applies to the sections below
+    // that read it, never to the established probe curves above.
+    val probeFactors = sys.env.get("SPARK_GRAFT_PROBE_FACTORS")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 4, 16, 64))
     // Retrieval-quality family (q167/q168/q169): what grows with the
     // corpus and what stays query-footprint. RM3 at probe scale pays two
     // corpus-stat rollups per call (the bm25reg finding — a standing
     // deployment materializes postings+stats and pays only the term
     // joins); the MMR split shows the greedy re-rank is
     // corpus-independent once the candidate leg is paid.
-    if (want("retrieval")) for (factor <- Seq(1, 4, 16, 64)) {
+    if (want("retrieval")) for (factor <- probeFactors) {
       val docs = materialize(docsAt(spark, d, factor),
         s"/tmp/scale/docs$factor")
       val nd = 5000L * factor
@@ -1590,7 +1597,8 @@ object ScaleProbe {
             qFixed, "q_id", "qt", k = 5)
           val orig = qFixed.select(col("q_id").as("q"),
             explode(col("qt")).as("term")).distinct()
-          val exp = TermStats.rm3ExpansionTerms(base, postings, orig, m = 3)
+          val exp = TermStats.rm3ExpansionTerms(base, postings, dfq, corp,
+            orig, m = 3)
           val eqt = orig.unionByName(exp.select(col("q"), col("term")))
             .groupBy(col("q")).agg(collect_list(col("term")).as("qt"))
             .select(col("q").as("q_id"), col("qt"))
@@ -1641,6 +1649,25 @@ object ScaleProbe {
         mmrPairsAnd(candsP)
       }
       candsP.unpersist()
+      spark.catalog.clearCache()
+    }
+    // k-core peel on the merged replica graph: disjoint replicas keep
+    // the ROUND COUNT fixed (peel of a disjoint union = union of the
+    // peels) while the per-round degree aggregate + two restrictions
+    // scale with |E| — the probe isolates per-round shuffle cost from
+    // convergence depth, the axis that actually grows at 100 TB.
+    if (want("kcore")) for (factor <- probeFactors) {
+      val base = graft.queries.Graphs.edges(spark, d)
+        .filter(col("w") <= 5000L).select(col("src"), col("dst")).distinct()
+      val mega = materialize(
+        (0 until factor).map { i =>
+          base.select(concat(col("src"), lit("#" + i)).as("src"),
+            concat(col("dst"), lit("#" + i)).as("dst"))
+        }.reduce(_ unionByName _), s"/tmp/scale/kcore$factor")
+      val m = mega.count()
+      time(s"kcore k=3 ${factor}x ($m edges)") {
+        graft.operators.KCore.kCore(mega, "src", "dst", k = 3).count()
+      }
       spark.catalog.clearCache()
     }
     spark.stop()

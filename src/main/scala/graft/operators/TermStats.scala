@@ -612,26 +612,39 @@ object TermStats {
     * et al., TREC 2004 — the relevance-model form every lexical engine
     * ships as "query expansion"): from a base top-k run `(q, doc, …)`
     * and the postings registry, the `m` highest-mass feedback terms per
-    * query — tf summed over that query's feedback docs, original query
-    * terms excluded (expansion must ADD vocabulary, not re-weight it),
-    * fb_tf desc / term asc deterministic. Published RM3 weights the
-    * relevance model by FP doc scores; this form uses the pure tf mass
-    * (integer-exact, hash-stable) — the interpolation λ lives in how the
-    * caller re-runs the expanded query, not in the term choice.
+    * query — `fb_w = (Σ tf over that query's feedback docs) · idf_pm`
+    * with the portable `idf_pm = (1e6·N) div df` ([[tfidf]]'s), original
+    * query terms excluded (expansion must ADD vocabulary, not re-weight
+    * it), fb_w desc / term asc deterministic. Published RM3 weights the
+    * relevance model by FP doc scores; this integer-exact form keeps the
+    * tf mass and the idf tilt — and the tilt is LOAD-BEARING twice over:
+    * semantically (raw tf mass elects stopword-class terms, the classic
+    * naive-PRF failure) and for scale (a stopword expansion term's
+    * posting list is the whole corpus, so pass 2's candidate join
+    * explodes to |Q|·N — measured 20 s vs ~4 s at the q168 bench shape
+    * before/after the tilt; the retrieval probe pinned it).
     *
     * Scale shape: the feedback side is |Q|·k doc ids joined to postings
     * BY DOC KEY — with postings doc-bucketed (the gramreg layout) that is
-    * a pruned registry read, never a corpus scan; the anti-join against
-    * original terms and the top-m window both move |Q|-proportional rows.
+    * a pruned registry read, never a corpus scan; the df join touches
+    * only feedback-vocabulary terms, the 1-row corpus frame rides a
+    * broadcast, and the anti-join + top-m window move |Q|-proportional
+    * rows.
     */
   def rm3ExpansionTerms(base: DataFrame, postings: DataFrame,
+                        dfreq: DataFrame, corpus: DataFrame,
                         origTerms: DataFrame, m: Int): DataFrame = {
     require(m >= 1, s"m must be >= 1, got $m")
     val fb = base.select(col("q"), col("doc")).join(postings, "doc")
       .groupBy(col("q"), col("term")).agg(sum(col("tf")).as("fb_tf"))
       .join(origTerms.select(col("q"), col("term")), Seq("q", "term"),
         "left_anti")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(corpus.select(col("n_docs"))))
+      .withColumn("fb_w",
+        col("fb_tf") * expr("(1000000 * n_docs) div df"))
+      .select(col("q"), col("term"), col("fb_tf"), col("fb_w"))
     Dedup.keepFirstK(fb, Seq(col("q")),
-      Seq(col("fb_tf").desc, col("term").asc), m, "erank")
+      Seq(col("fb_w").desc, col("term").asc), m, "erank")
   }
 }

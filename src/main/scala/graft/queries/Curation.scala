@@ -688,11 +688,21 @@ object Curation {
     * ([[TermStats.rm3ExpansionTerms]]) — the two-pass query-expansion
     * serve path every lexical engine ships: pass 1 is q157's exact-integer
     * BM25 top-5 (self-retrieval allowed — the source doc is a feedback
-    * doc, the RM3 standard), the 3 highest-tf-mass terms of each query's
-    * feedback docs (original terms excluded) extend the query, and pass 2
-    * re-runs BM25 with the expanded term set against the SAME index.
-    * Output shape = q157's (q_id, rank, doc_id, n_terms, score_pm) with
-    * n_terms now counting matched expanded terms.
+    * doc, the RM3 standard), the 3 highest idf-tilted-tf-mass terms of
+    * each query's feedback docs (original terms excluded; the tilt keeps
+    * stopword-class terms out — semantics AND the pass-2 candidate bound,
+    * see the operator scaladoc) extend the query, and pass 2 re-runs BM25
+    * with the expanded term set against the SAME index. Output shape =
+    * q157's (q_id, rank, doc_id, n_terms, score_pm) with n_terms now
+    * counting matched expanded terms.
+    *
+    * Query set %50 (every second q157 query): serve cost here is
+    * candidate volume, and on this corpus's DENSE synthetic vocabulary
+    * (median term df ≈ 77% of docs — no Zipf tail) each pass scores
+    * ~15k candidates per query, two passes ≈ 3.5× q157's volume
+    * (measured: 2.9M vs 5.1M candidate rows at sf0.1). The halved set
+    * keeps the registered query inside the per-query bench envelope
+    * while exercising identical machinery on 100 queries.
     *
     * Scale shape: the corpus is tokenized ONCE — one persisted postings
     * frame feeds the stats rollup, both scoring passes, and the feedback
@@ -705,16 +715,26 @@ object Curation {
     val docs = Tables.balanced(spark, d, "documents")
     val postings = TermStats.bm25Postings(docs, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df/dl are |vocab|- and |docs|-row rollups consumed by FIVE subtrees
+    // of the one final plan (two serve passes, the corpus row, the
+    // feedback tilt) — cached they run once. Measured honestly: a minor
+    // win (9.4 → 9.0 s at sf0.1; candidate scoring dominates — see the
+    // %50 note above), kept because it is also the q162 registry shape.
+    val (dfq0, dl0, _) = TermStats.bm25Stats(postings)
+    val dfq = dfq0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = dl0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val (dfq, dl, corp) = TermStats.bm25Stats(postings)
-      val qt = docs.filter(col("doc_id") % 25 === 0)
+      val corp = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("a_tok"))
+      val qt = docs.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("q_id"),
           slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
       val base = TermStats.bm25TopKFromIndex(postings, dfq, dl, corp, qt,
         "q_id", "qt", k = 5)
       val orig = qt.select(col("q_id").as("q"), explode(col("qt")).as("term"))
         .distinct()
-      val exp = TermStats.rm3ExpansionTerms(base, postings, orig, m = 3)
+      val exp = TermStats.rm3ExpansionTerms(base, postings, dfq, corp,
+        orig, m = 3)
       // orig and exp are disjoint by the anti-join, each internally
       // distinct — the union needs no dedup; collect_list order is
       // irrelevant (the serve path explodes + distincts the terms).
@@ -726,7 +746,7 @@ object Curation {
         .select(col("q").as("q_id"), col("rank"), col("doc").as("doc_id"),
           col("n_terms"), col("score_pm"))
         .localCheckpoint(true)
-    } finally { postings.unpersist(); () }
+    } finally { postings.unpersist(); dfq.unpersist(); dl.unpersist(); () }
   }
 
   /** q162: BM25 served from a MATERIALIZED postings registry

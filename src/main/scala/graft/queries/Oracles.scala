@@ -3330,10 +3330,11 @@ object Oracles {
          |FROM a""".stripMargin
     },
     // q168: RM3 pseudo-relevance feedback — pass 1 is q157's chain
-    // (self-retrieval allowed), feedback term mass = tf summed over each
-    // query's top-5 docs with the original terms anti-joined away, top-3
-    // by fb_tf desc / term asc, pass 2 re-scores the expanded term set
-    // against the same index CTEs.
+    // (self-retrieval allowed), feedback term mass = (tf summed over each
+    // query's top-5 docs) · idf_pm with the original terms anti-joined
+    // away (the idf tilt keeps stopword-class terms out — the operator
+    // scaladoc prices why), top-3 by fb_w desc / term asc, pass 2
+    // re-scores the expanded term set against the same index CTEs.
     "q168_rm3_expansion" ->
       s"""WITH tf AS (SELECT doc_id AS doc, term, count(*) AS tf FROM
          |    (SELECT doc_id, unnest($Toks) AS term FROM documents)
@@ -3343,7 +3344,7 @@ object Oracles {
          |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS a_tok FROM dl),
          |qt AS (SELECT DISTINCT q_id, term FROM
          |    (SELECT doc_id AS q_id, unnest(($Toks)[1:4]) AS term
-         |     FROM documents WHERE doc_id % 25 = 0)
+         |     FROM documents WHERE doc_id % 50 = 0)
          |  WHERE length(term) >= 1),
          |bsc AS (SELECT q_id, doc,
          |    (CAST((1000000 * n_docs) // df AS HUGEINT) * tf * 44 * a_tok) //
@@ -3357,12 +3358,15 @@ object Oracles {
          |b5 AS (SELECT q_id, doc FROM br WHERE rk <= 5),
          |fbt AS (SELECT b5.q_id, t.term, CAST(sum(t.tf) AS BIGINT) AS fb_tf
          |  FROM b5 JOIN tf t ON b5.doc = t.doc GROUP BY 1, 2),
-         |fbx AS (SELECT f.q_id, f.term, f.fb_tf FROM fbt f
+         |fbx AS (SELECT f.q_id, f.term,
+         |    f.fb_tf * ((1000000 * corpus.n_docs) // dfq.df) AS fb_w
+         |  FROM fbt f
+         |  JOIN dfq ON f.term = dfq.term CROSS JOIN corpus
          |  LEFT JOIN qt ON f.q_id = qt.q_id AND f.term = qt.term
          |  WHERE qt.term IS NULL),
          |er AS (SELECT q_id, term FROM (SELECT q_id, term,
          |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY fb_tf DESC, term ASC) AS rn FROM fbx) WHERE rn <= 3),
+         |      ORDER BY fb_w DESC, term ASC) AS rn FROM fbx) WHERE rn <= 3),
          |eqt AS (SELECT q_id, term FROM qt
          |  UNION ALL SELECT q_id, term FROM er),
          |esc AS (SELECT q_id, doc,

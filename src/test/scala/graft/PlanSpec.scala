@@ -314,7 +314,7 @@ class PlanSpec extends AnyFunSuite {
       val orig = qt.select(col("q_id").as("q"), explode(col("qt")).as("term"))
         .distinct()
       val exp = graft.operators.TermStats
-        .rm3ExpansionTerms(base, postings, orig, m = 3)
+        .rm3ExpansionTerms(base, postings, dfq, corp, orig, m = 3)
       val eqt = orig.unionByName(exp.select(col("q"), col("term")))
         .groupBy(col("q")).agg(collect_list(col("term")).as("qt"))
         .select(col("q").as("q_id"), col("qt"))
