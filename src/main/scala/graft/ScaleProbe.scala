@@ -78,7 +78,7 @@ object ScaleProbe {
       "videodedup", "bucketreg", "audioprep", "gramreg", "kfnovel", "prdist",
       "codecprep", "bwdist",
       "ccinc", "funnel", "prep", "monitor", "bm25reg", "splitreg",
-      "retrieval", "kcore")
+      "retrieval", "kcore", "cooccur")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -1667,6 +1667,54 @@ object ScaleProbe {
       val m = mega.count()
       time(s"kcore k=3 ${factor}x ($m edges)") {
         graft.operators.KCore.kCore(mega, "src", "dst", k = 3).count()
+      }
+      spark.catalog.clearCache()
+    }
+    // Projection/triangle family (q171–q174): disjoint replica prefixes
+    // keep per-left expansion and per-node degrees CONSTANT, so the
+    // curves read the |E|-proportional join/aggregate cost in isolation.
+    if (want("cooccur")) for (factor <- probeFactors) {
+      import graft.operators.Cooccurrence
+      val base = graft.queries.Graphs.edges(spark, d)
+        .filter(col("w") <= 5000L).select(col("src"), col("dst")).distinct()
+        .select(
+          when(col("src").startsWith("c"), col("src")).otherwise(col("dst"))
+            .as("cust"),
+          when(col("src").startsWith("c"), col("dst")).otherwise(col("src"))
+            .as("supp"))
+      val mega = materialize(
+        (0 until factor).map { i =>
+          base.select(concat(col("cust"), lit("#" + i)).as("cust"),
+            concat(col("supp"), lit("#" + i)).as("supp"))
+        }.reduce(_ unionByName _), s"/tmp/scale/cooccur$factor")
+      val m = mega.count()
+      val pj = Cooccurrence.project(mega, "cust", "supp", maxLeftDeg = 32)
+        .persist()
+      time(s"projection ${factor}x ($m bipartite edges)") { pj.count() }
+      time(s"triangles ${factor}x") {
+        Cooccurrence.triangleStats(pj.select(col("a"), col("b")), "a", "b")
+          .count()
+      }
+      time(s"projection 3-batch fold ${factor}x") {
+        val bb = mega.withColumn("__batch", pmod(crc32(col("cust")), lit(3)))
+        var reg = Cooccurrence.project(bb.filter(col("__batch") === 0),
+          "cust", "supp", maxLeftDeg = 32)
+        for (i <- 1 until 3) {
+          reg = Cooccurrence.projectFold(reg, bb.filter(col("__batch") === i),
+            "cust", "supp", maxLeftDeg = 32).localCheckpoint(true)
+        }
+        reg.count()
+      }
+      pj.unpersist()
+      // term associations over disjoint-vocabulary doc replicas: unigram
+      // margins per replica constant, pair volume linear in tokens — the
+      // curve isolates the pair-count shuffle + margin joins.
+      val docs = materialize(docsAt(spark, d, factor),
+        s"/tmp/scale/assocdocs$factor")
+      time(s"term associations ${factor}x") {
+        Cooccurrence.associationScores(
+          Cooccurrence.termPairCounts(docs, "doc_id", "text", 5),
+          Cooccurrence.termOccurrences(docs, "doc_id", "text"), 3).count()
       }
       spark.catalog.clearCache()
     }

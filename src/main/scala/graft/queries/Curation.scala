@@ -979,8 +979,61 @@ object Curation {
         col("pieces"))
   }
 
+  /** q175: windowed PMI-lift term associations
+    * ([[graft.operators.Cooccurrence.termPairCounts]] window 5 +
+    * [[graft.operators.Cooccurrence.associationScores]]) — the
+    * collocation / embedding-prep count table with its observed-over-
+    * expected score, exact-integer (`lift_micro`, monotone with PMI).
+    * Pair generation is row-local array work (≤ 5 pairs per token
+    * position, whole-stage codegen); the shuffles are the pair-key and
+    * unigram counts plus two margin joins. minPairCount 3, the standard
+    * low-count PMI-noise gate.
+    */
+  def q175TermAssociations(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.Cooccurrence
+    val docs = Tables.balanced(spark, d, "documents")
+    Cooccurrence.associationScores(
+      Cooccurrence.termPairCounts(docs, "doc_id", "text", window = 5),
+      Cooccurrence.termOccurrences(docs, "doc_id", "text"),
+      minPairCount = 3)
+  }
+
+  /** q177: INCREMENTAL term associations — q175's count tables folded in
+    * three doc-keyed batches through [[graft.operators.Cooccurrence
+    * .countsFold]], then scored once. Windows never cross documents, so
+    * BOTH margins are additive over ANY doc partition (no entity-
+    * completeness caveat — the contrast with q174's left-entity
+    * contract is deliberate and spec-pinned). Oracle = q175's
+    * full-corpus SQL: fold ≡ rebuild, the q120/q162 convention.
+    */
+  def q177TermAssociationsInc(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.Cooccurrence
+    val docs = Tables.balanced(spark, d, "documents")
+      .withColumn("__batch", pmod(crc32(col("doc_id").cast("string")), lit(3)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val b0 = docs.filter(col("__batch") === 0)
+      var pc = Cooccurrence.termPairCounts(b0, "doc_id", "text", window = 5)
+      var tc = Cooccurrence.termOccurrences(b0, "doc_id", "text")
+      for (i <- 1 until 3) {
+        val b = docs.filter(col("__batch") === i)
+        // eager checkpoint per fold — the q120/q174 convention (a lazy
+        // fold chain recomputes every prior batch's counts per read)
+        pc = Cooccurrence.countsFold(pc,
+          Cooccurrence.termPairCounts(b, "doc_id", "text", window = 5),
+          Seq("a", "b"), "c_ab").localCheckpoint(true)
+        tc = Cooccurrence.countsFold(tc,
+          Cooccurrence.termOccurrences(b, "doc_id", "text"),
+          Seq("w"), "c_w").localCheckpoint(true)
+      }
+      Cooccurrence.associationScores(pc, tc, minPairCount = 3)
+    } finally { docs.unpersist(); () }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_unigram_em" -> q136UnigramEm _,
+    "q175_term_associations" -> q175TermAssociations _,
+    "q177_term_associations_inc" -> q177TermAssociationsInc _,
     "q133_tokenizer_compare" -> q133TokenizerCompare _,
     "q132_dataset_card" -> q132DatasetCard _,
     "q131_cdc_dedup_inc" -> q131CdcDedupInc _,

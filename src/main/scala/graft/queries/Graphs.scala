@@ -251,9 +251,119 @@ object Graphs {
         .select(col("src"), col("dst")).distinct(),
       "src", "dst", k = 3)
 
+  /** q171: bipartite one-mode projection
+    * ([[graft.operators.Cooccurrence.project]]) — the witness graph is
+    * customer↔supplier bipartite, so "which suppliers serve a shared
+    * customer base" IS its supplier-side projection: (a, b, n_shared)
+    * supplier pairs weighted by common thresholded-edge customers. Hub
+    * cap 32 (inert at test scale — max customer degree 18 at sf0.1 —
+    * but the contract that bounds per-customer pair expansion at
+    * production scale; CooccurrenceSpec pins the exclusion semantics).
+    */
+  def q171BipartiteProject(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Cooccurrence.project(bipartite(spark, d),
+      "cust", "supp", maxLeftDeg = 32)
+
+  /** q172: per-node triangle counts + local clustering coefficient
+    * ([[graft.operators.Cooccurrence.triangleStats]], compact-forward
+    * orientation) over q171's projection — the first place triangle
+    * structure can exist in this data (odd cycles can't live in the
+    * bipartite original): 28 triangles at sf0.01, 40.7k at sf0.1. Oracle
+    * chains the projection SQL into the orientation/wedge/close joins.
+    */
+  def q172TriangleStats(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Cooccurrence.triangleStats(
+      q171BipartiteProject(spark, d).select(col("a"), col("b")), "a", "b")
+
+  /** q176: Jaccard-normalized projection
+    * ([[graft.operators.Cooccurrence.jaccardProject]]) — q171's pairs
+    * with the shared-count normalized to an exact-integer similarity,
+    * `jacc_pm = (1e6 · n_shared) div (da + db − n_shared)` over the
+    * kept-edge neighbor sets. The similarity-graph form of the
+    * projection (co-engagement edges weighted for downstream clustering
+    * / dedup), one degree aggregate + two margin joins over q171.
+    */
+  def q176JaccardProject(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Cooccurrence.jaccardProject(bipartite(spark, d),
+      "cust", "supp", maxLeftDeg = 32)
+
+  /** The thresholded bipartite (customer, supplier) edge set shared by
+    * q171/q173/q174.
+    */
+  private def bipartite(spark: SparkSession, d: String): DataFrame = {
+    val f = edges(spark, d).filter(col("w") <= 5000L)
+      .select(col("src"), col("dst")).distinct()
+    f.select(
+      when(col("src").startsWith("c"), col("src")).otherwise(col("dst"))
+        .as("cust"),
+      when(col("src").startsWith("c"), col("dst")).otherwise(col("src"))
+        .as("supp"))
+  }
+
+  /** q173: DOULION-style sampled triangle estimate (Tsourakakis, Kang,
+    * Miller & Faloutsos, KDD 2009) — the approximate/scale path next to
+    * q172's exact listing, the q154 sampled-betweenness convention: keep
+    * each projection edge iff its portable hash bucket (mod 4) is 0
+    * (p = 1/4, deterministic — the same md5 bucket q46 splits on, so the
+    * sample is pinned and the oracle reproduces it exactly), count
+    * triangles EXACTLY on the sample, scale by 1/p³ = 64. Hash-checked,
+    * not a tolerance test. One card row:
+    * (n_edges_sampled, tri_sampled, est_total).
+    */
+  def q173TrianglesSampled(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Cooccurrence, Sampling}
+    val pj = Cooccurrence.project(bipartite(spark, d), "cust", "supp",
+        maxLeftDeg = 32)
+      .filter(Sampling.hashBucket(concat_ws("|", col("a"), col("b")),
+        "tri", 4) === 0)
+      .select(col("a"), col("b"))
+    // the card derives entirely from the triangle output — Σdeg = 2|E|,
+    // Σtri = 3·triangles — so it is ONE aggregation tree; the first form
+    // counted |E| on a separate broadcast leg, which serialized a whole
+    // extra projection job ahead of the main one (8.7 → ~4 s warm at
+    // sf0.1; the Scratch stepwise run attributed it).
+    Cooccurrence.triangleStats(pj, "a", "b")
+      .agg(coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges_sampled"),
+        coalesce(expr("sum(tri) div 3"), lit(0L)).as("tri_sampled"))
+      .withColumn("est_total", col("tri_sampled") * 64)
+  }
+
+  /** q174: INCREMENTAL projection — q171's graph folded in three
+    * customer-keyed batches through [[graft.operators.Cooccurrence
+    * .projectFold]] (batches keyed by `crc32(cust) % 3`, so they are
+    * left-entity-complete by construction — the fold's documented
+    * contract). The oracle is EXACTLY q171's full-projection SQL:
+    * hash-equality of the folded registry against the from-scratch
+    * rebuild is the chaining-equivalence proof, the q120/q162
+    * convention.
+    */
+  def q174ProjectionIncremental(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.Cooccurrence
+    val bp = bipartite(spark, d)
+      .withColumn("__batch", pmod(crc32(col("cust")), lit(3)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var reg = Cooccurrence.project(bp.filter(col("__batch") === 0),
+        "cust", "supp", maxLeftDeg = 32)
+      for (i <- 1 until 3) {
+        // eager checkpoint between folds — the q120 convention (a lazy
+        // fold chain recomputes every prior batch's projection per read)
+        reg = Cooccurrence.projectFold(reg,
+            bp.filter(col("__batch") === i), "cust", "supp", maxLeftDeg = 32)
+          .localCheckpoint(true)
+      }
+      reg
+    } finally { bp.unpersist(); () }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_graph_edges" -> q32GraphEdges _,
     "q170_kcore" -> q170Kcore _,
+    "q171_bipartite_project" -> q171BipartiteProject _,
+    "q176_jaccard_project" -> q176JaccardProject _,
+    "q172_triangle_stats" -> q172TriangleStats _,
+    "q173_triangles_sampled" -> q173TrianglesSampled _,
+    "q174_projection_incremental" -> q174ProjectionIncremental _,
     "q33_city_pagerank" -> q33CityPagerank _,
     "q147_pagerank_distributed" -> q147PagerankDistributed _,
     "q153_betweenness_distributed" -> q153BetweennessDistributed _,

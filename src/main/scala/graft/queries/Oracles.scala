@@ -2452,7 +2452,96 @@ object Oracles {
          |${sb.toString}dummy AS (SELECT 1)
          |SELECT a AS node, count(*) AS core_deg FROM e$rounds GROUP BY a""".stripMargin
     },
+
+    // q171: supplier-side projection of the bipartite thresholded graph —
+    // shared-customer pairs with the hub cap mirrored (ld <= 32).
+    "q171_bipartite_project" -> ProjectionSql(
+      "SELECT x.r AS a, y.r AS b, CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM ek x JOIN ek y ON x.l = y.l AND x.r < y.r GROUP BY 1, 2"),
+
+    // q176: q171's projection Jaccard-normalized against kept-edge
+    // degrees — both margins counted over the SAME hub-capped edge set
+    // as the pair counts, mirroring jaccardProject's consistency rule.
+    "q176_jaccard_project" -> ProjectionSql(
+      s"""pj AS (SELECT x.r AS a, y.r AS b, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM ek x JOIN ek y ON x.l = y.l AND x.r < y.r GROUP BY 1, 2),
+         |dg AS (SELECT r, CAST(count(*) AS BIGINT) AS d FROM ek GROUP BY r)
+         |SELECT pj.a, pj.b, pj.n_shared,
+         |  (1000000 * pj.n_shared) // (da.d + db.d - pj.n_shared) AS jacc_pm
+         |FROM pj JOIN dg da ON pj.a = da.r JOIN dg db ON pj.b = db.r""".stripMargin),
+
+    // q174: the engine folds three customer-keyed batches through the
+    // projection registry; the oracle is the FULL projection — fold ≡
+    // rebuild is the check (the q120/q162 convention).
+    "q174_projection_incremental" -> ProjectionSql(
+      "SELECT x.r AS a, y.r AS b, CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM ek x JOIN ek y ON x.l = y.l AND x.r < y.r GROUP BY 1, 2"),
+
+    // q173: DOULION p=1/4 — the projection edge sample mirrors
+    // Sampling.hashBucket's md5 bucket (the q46 twin), triangles counted
+    // exactly on the sample (count of t rows ≡ the engine's Σtri div 3),
+    // estimate = 64× — all pinned, no tolerance.
+    "q173_triangles_sampled" -> ProjectionSql(
+      s"""pj0 AS (SELECT x.r AS a, y.r AS b
+         |  FROM ek x JOIN ek y ON x.l = y.l AND x.r < y.r GROUP BY 1, 2),
+         |pj AS (SELECT a, b FROM pj0 WHERE
+         |  ('0x' || substr(md5('tri:' || a || '|' || b), 1, 8))::BIGINT % 4 = 0),
+         |sym AS (SELECT a AS u, b AS v FROM pj UNION ALL SELECT b, a FROM pj),
+         |dg AS (SELECT u AS n, count(*) AS deg FROM sym GROUP BY u),
+         |o AS (SELECT s.u AS a, s.v AS b, d2.deg AS db FROM sym s
+         |  JOIN dg d1 ON s.u = d1.n JOIN dg d2 ON s.v = d2.n
+         |  WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND s.u < s.v)),
+         |w AS (SELECT x.a, x.b, y.b AS c FROM o x JOIN o y ON x.a = y.a
+         |  WHERE x.db < y.db OR (x.db = y.db AND x.b < y.b)),
+         |t AS (SELECT w.a FROM w JOIN o ON w.b = o.a AND w.c = o.b),
+         |ne AS (SELECT CAST(coalesce(sum(deg), 0) // 2 AS BIGINT)
+         |  AS n_edges_sampled FROM dg),
+         |tc AS (SELECT CAST(count(*) AS BIGINT) AS tri_sampled FROM t)
+         |SELECT ne.n_edges_sampled, tc.tri_sampled,
+         |  tc.tri_sampled * 64 AS est_total
+         |FROM ne CROSS JOIN tc""".stripMargin),
+
+    // q172: compact-forward triangle counting over the q171 projection —
+    // degree-ordered orientation, wedge self-join at the lowest vertex,
+    // one closing equi-join; per-node rollup + exact-integer lcc.
+    "q172_triangle_stats" -> ProjectionSql(
+      s"""pj AS (SELECT x.r AS a, y.r AS b
+         |  FROM ek x JOIN ek y ON x.l = y.l AND x.r < y.r GROUP BY 1, 2),
+         |sym AS (SELECT a AS u, b AS v FROM pj UNION ALL SELECT b, a FROM pj),
+         |dg AS (SELECT u AS n, count(*) AS deg FROM sym GROUP BY u),
+         |o AS (SELECT s.u AS a, s.v AS b, d2.deg AS db FROM sym s
+         |  JOIN dg d1 ON s.u = d1.n JOIN dg d2 ON s.v = d2.n
+         |  WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND s.u < s.v)),
+         |w AS (SELECT x.a, x.b, y.b AS c FROM o x JOIN o y ON x.a = y.a
+         |  WHERE x.db < y.db OR (x.db = y.db AND x.b < y.b)),
+         |t AS (SELECT w.a, w.b, w.c FROM w
+         |  JOIN o ON w.b = o.a AND w.c = o.b),
+         |pn AS (SELECT n, CAST(count(*) AS BIGINT) AS tri FROM (
+         |    SELECT a AS n FROM t UNION ALL SELECT b FROM t
+         |    UNION ALL SELECT c FROM t) GROUP BY n)
+         |SELECT dg.n AS node, CAST(dg.deg AS BIGINT) AS deg,
+         |  coalesce(pn.tri, 0) AS tri,
+         |  CAST(CASE WHEN dg.deg < 2 THEN 0
+         |       ELSE (2 * coalesce(pn.tri, 0) * 1000000)
+         |            // (dg.deg * (dg.deg - 1)) END AS BIGINT) AS lcc_pm
+         |FROM dg LEFT JOIN pn ON dg.n = pn.n""".stripMargin),
   )
+
+  // Shared CTE prefix for q171/q172: the thresholded bipartite edge set
+  // split into (customer, supplier) columns, hub-capped. `tail` is either
+  // the projection SELECT itself or further CTEs + a final SELECT.
+  private def ProjectionSql(tail: String): String = {
+    val needsComma = tail.trim.startsWith("pj")
+    s"""WITH edges0 AS ($EdgesSql),
+       |f AS (SELECT DISTINCT src, dst FROM edges0 WHERE w <= 5000),
+       |bp AS (SELECT DISTINCT
+       |    CASE WHEN src LIKE 'c%' THEN src ELSE dst END AS l,
+       |    CASE WHEN src LIKE 'c%' THEN dst ELSE src END AS r FROM f),
+       |keep AS (SELECT l FROM
+       |  (SELECT l, count(*) AS ld FROM bp GROUP BY l) WHERE ld <= 32),
+       |ek AS (SELECT bp.l, bp.r FROM bp JOIN keep USING (l))${if (needsComma) "," else ""}
+       |$tail""".stripMargin
+  }
 
   private lazy val GlobalCcSql: String =
     s"""WITH RECURSIVE edges0 AS ($EdgesSql),
@@ -3280,7 +3369,32 @@ object Oracles {
          |SELECT q_id, CAST(rk AS BIGINT) AS "rank", doc AS doc_id, n_terms, score_pm
          |FROM r WHERE rk <= 5""".stripMargin
 
+  // q175/q177: windowed (±5 forward) co-occurrence counts + PMI-lift —
+  // row-local pair generation mirrored as list lambdas, self-pairs
+  // dropped, minPairCount 3 gate BEFORE the margin joins, lift_micro =
+  // (1e6·c_ab·n_tok) // (c_a·c_b), the idf_micro integer rule. q177's
+  // engine side folds three doc-keyed batches; same full-corpus SQL
+  // (fold ≡ rebuild).
+  private lazy val TermAssocSql: String =
+    s"""WITH t AS (SELECT $Toks AS toks FROM documents),
+       |pr AS (SELECT unnest(flatten(list_transform(range(1, len(toks)+1), i ->
+       |    list_transform(range(i+1, least(i+5, len(toks))+1), j ->
+       |      struct_pack(a := least(toks[i], toks[j]),
+       |                  b := greatest(toks[i], toks[j])))))) AS p FROM t),
+       |cab AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c_ab
+       |  FROM pr WHERE p.a <> p.b GROUP BY 1, 2 HAVING count(*) >= 3),
+       |cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w
+       |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tok
+       |  FROM (SELECT unnest(toks) AS w FROM t))
+       |SELECT cab.a, cab.b, cab.c_ab,
+       |  (1000000 * cab.c_ab * tot.n_tok) // (ca.c_w * cb.c_w) AS lift_micro
+       |FROM cab JOIN cw ca ON cab.a = ca.w JOIN cw cb ON cab.b = cb.w
+       |CROSS JOIN tot""".stripMargin
+
   val curation: Map[String, String] = Map(
+    "q175_term_associations" -> TermAssocSql,
+    "q177_term_associations_inc" -> TermAssocSql,
     "q157_bm25_topk" -> Bm25Top5Sql,
     "q162_bm25_registry" -> Bm25Top5Sql,
     // q166: known-item eval card over the q157 machinery — the source

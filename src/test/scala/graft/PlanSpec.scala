@@ -327,6 +327,30 @@ class PlanSpec extends AnyFunSuite {
     } finally { postings.unpersist(); () }
   }
 
+  test("q171/q172 graph-shape pair: equi-joins only, no cartesian anywhere in the chain") {
+    val p1 = planString(run("q171_bipartite_project"))
+    assert(!p1.contains("CartesianProduct"),
+      "the shared-neighbor pair join degenerated to a cross product")
+    val p2 = planString(run("q172_triangle_stats"))
+    assert(!p2.contains("CartesianProduct"),
+      "a wedge/close join degenerated to a cross product")
+  }
+
+  test("q175 term associations: pair generation is row-local (no positional self-join), n_tok broadcast") {
+    val p = planString(run("q175_term_associations"))
+    assert(!p.contains("CartesianProduct"),
+      "the margin/total join degenerated to a cross product")
+    // the 1-row n_tok total rides a broadcast nested-loop, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "n_tok total is not broadcast")
+    // windows are array transforms inside the scan stage: exactly the
+    // pair-count + unigram-count + two margin-join exchanges, no join
+    // keyed on (doc, position)
+    assert(!p.toLowerCase.contains("sortmergejoin") ||
+      !p.contains("position"),
+      "a positional self-join crept into pair generation")
+  }
+
   test("q169 MMR: candidate vectors come back via a broadcast of the id list, never a corpus self-join") {
     // same reason as q168: the registered query localCheckpoints; pin the
     // pair-build composition pre-checkpoint.
