@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Deterministic uniform random walks over an undirected graph — the
+  * DeepWalk / node2vec corpus generator (Perozzi et al., KDD 2014): the
+  * walk corpus IS the "text" that node-embedding training consumes, and
+  * its skip-gram co-occurrence statistics (via
+  * [[Cooccurrence.termPairCounts]]) are the exact count tables SGNS
+  * factorizes. "Random" here is a portable hash — step t of walk w picks
+  * neighbor index `hash32(seed, w:t) mod deg` — so the corpus is a pure
+  * function of (graph, seed): reproducible across runs AND engines,
+  * which makes a lossy-looking sampling operator hash-checkable (the
+  * q46/q154/q173 determinism convention).
+  *
+  * Scale shape: each step is two equi-joins — walk state against the
+  * (node, deg) table to compute the neighbor index, then against the
+  * indexed adjacency on `(node, idx)` to move. One walk picks ONE
+  * neighbor per step, so per-step cost is |walks| join rows regardless
+  * of degree skew (a hub's full adjacency is never expanded into the
+  * walk frame — the (n, idx) key lands on exactly one row). State is
+  * eagerly localCheckpoint'ed per step: lineage stays one step deep and
+  * the final union reads materialized step frames. Walk count = |V| ·
+  * walksPerNode scales with the cluster; on a real deployment the
+  * adjacency is a bucketed catalog table on `n` and every step's second
+  * join co-locates.
+  */
+object Walks {
+
+  /** Walk corpus in long form: `(walk, step, node)`, step 0..length,
+    * walk id = `<start>#<replica>`. Walks start from every node with at
+    * least one edge (the symmetrized, deduped, self-loop-free graph —
+    * the [[Cooccurrence.triangleStats]] normalization), so no walk ever
+    * hits a dead end. Neighbor order for indexing is the node-id sort —
+    * deterministic, and identical in any engine with binary string
+    * collation.
+    */
+  def randomWalks(edges: DataFrame, src: String, dst: String,
+                  walksPerNode: Int, length: Int, seed: Int): DataFrame = {
+    require(walksPerNode >= 1, s"walksPerNode must be >= 1, got $walksPerNode")
+    require(length >= 1, s"length must be >= 1, got $length")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val half = edges.select(col(src).as("u"), col(dst).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val sym = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    // adjacency with the deterministic per-node neighbor index; deg rides
+    // along so the degree table is a cheap projection, not a second scan
+    val byNode = Window.partitionBy(col("u"))
+    val adj = sym.select(col("u").as("n"),
+        (row_number().over(byNode.orderBy(col("v"))) - 1).as("idx"),
+        col("v").as("nbr"),
+        count(lit(1)).over(byNode).as("deg"))
+      .persist(MEMORY_AND_DISK)
+    val deg = adj.select(col("n"), col("deg")).distinct()
+    var state = adj.select(col("n")).distinct()
+      .select(explode(sequence(lit(0), lit(walksPerNode - 1))).as("k"), col("n"))
+      .select(concat(col("n"), lit("#"), col("k")).as("walk"),
+        col("n").as("node"))
+      .localCheckpoint(true)
+    val steps = Seq.newBuilder[DataFrame]
+    steps += state.select(col("walk"), lit(0L).as("step"), col("node"))
+    for (t <- 1 to length) {
+      val idxed = state
+        .join(deg, state("node") === deg("n"))
+        .select(col("walk"),
+          pmod(Text.hash32(concat(col("walk"), lit(s":$t")), seed), col("deg"))
+            .as("idx"), col("node"))
+      state = idxed
+        .join(adj, idxed("node") === adj("n") && idxed("idx") === adj("idx"))
+        .select(col("walk"), col("nbr").as("node"))
+        .localCheckpoint(true)
+      steps += state.select(col("walk"), lit(t.toLong).as("step"), col("node"))
+    }
+    adj.unpersist()
+    steps.result().reduce(_ unionByName _)
+  }
+
+  /** Reassemble the long-form corpus into one whitespace-joined node
+    * "sentence" per walk — the exact input shape
+    * [[Cooccurrence.termPairCounts]] consumes, so walk skip-gram counts
+    * reuse the (row-local, join-free) windowed pair machinery. Sort key
+    * is the step (unique per walk), so the aggregation is
+    * order-insensitive and deterministic.
+    */
+  def walkDocs(walks: DataFrame): DataFrame =
+    walks.groupBy(col("walk")).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("step"), col("node")))),
+        x => x.getField("node")), " ").as("text"))
+}

@@ -287,6 +287,39 @@ object Graphs {
     graft.operators.Cooccurrence.jaccardProject(bipartite(spark, d),
       "cust", "supp", maxLeftDeg = 32)
 
+  /** q178: deterministic random-walk corpus
+    * ([[graft.operators.Walks.randomWalks]], DeepWalk prep) over q118's
+    * w ≤ 2000 undirected graph — 2 walks per node, length 8, seed 7.
+    * "Random" is the portable hash32, so the corpus is a pure function
+    * of (graph, seed) and the oracle replays every step as a generated
+    * chained CTE (the q170 convention). Long form (walk, step, node).
+    */
+  def q178RandomWalks(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Walks.randomWalks(
+      edges(spark, d).filter(col("w") <= 2000L)
+        .select(col("src"), col("dst")).distinct(),
+      "src", "dst", walksPerNode = 2, length = 8, seed = 7)
+
+  /** q179: skip-gram association table over q178's walk corpus — the
+    * count statistics SGNS/DeepWalk factorize: walks reassembled into
+    * node "sentences" ([[graft.operators.Walks.walkDocs]]) and fed
+    * through the q175 machinery (window 2, minPairCount 2, PMI-lift).
+    * Step-unique sort keys make the reassembly deterministic; the pair
+    * generation stays row-local (no positional self-join).
+    */
+  def q179WalkSkipgram(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Cooccurrence, Walks}
+    val docs = Walks.walkDocs(q178RandomWalks(spark, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Cooccurrence.associationScores(
+        Cooccurrence.termPairCounts(docs, "walk", "text", window = 2),
+        Cooccurrence.termOccurrences(docs, "walk", "text"),
+        minPairCount = 2)
+        .localCheckpoint(true)
+    } finally { docs.unpersist(); () }
+  }
+
   /** The thresholded bipartite (customer, supplier) edge set shared by
     * q171/q173/q174.
     */
@@ -361,6 +394,8 @@ object Graphs {
     "q170_kcore" -> q170Kcore _,
     "q171_bipartite_project" -> q171BipartiteProject _,
     "q176_jaccard_project" -> q176JaccardProject _,
+    "q178_random_walks" -> q178RandomWalks _,
+    "q179_walk_skipgram" -> q179WalkSkipgram _,
     "q172_triangle_stats" -> q172TriangleStats _,
     "q173_triangles_sampled" -> q173TrianglesSampled _,
     "q174_projection_incremental" -> q174ProjectionIncremental _,

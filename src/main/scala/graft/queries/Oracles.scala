@@ -2459,6 +2459,35 @@ object Oracles {
       "SELECT x.r AS a, y.r AS b, CAST(count(*) AS BIGINT) AS n_shared " +
         "FROM ek x JOIN ek y ON x.l = y.l AND x.r < y.r GROUP BY 1, 2"),
 
+    // q178: the walk corpus replayed exactly — every step a generated
+    // CTE picking adj[hash32('7:'||walk||':'||t) mod deg] (the q170
+    // generated-chain convention; hash-determinism makes the "random"
+    // walks hash-checkable).
+    "q178_random_walks" ->
+      s"""WITH ${walkCtes(steps = 8, wpn = 2, seed = 7)}
+         |SELECT walk, step, node FROM wl""".stripMargin,
+
+    // q179: skip-gram pairs over the q178 corpus — step distance ≤ 2
+    // within a walk ≡ the engine's window-2 pair generation over the
+    // reassembled sentences (steps ARE token positions); same PMI-lift
+    // arithmetic as q175, minPairCount 2.
+    "q179_walk_skipgram" ->
+      s"""WITH ${walkCtes(steps = 8, wpn = 2, seed = 7)},
+         |pr AS (SELECT least(x.node, y.node) AS a,
+         |    greatest(x.node, y.node) AS b
+         |  FROM wl x JOIN wl y ON x.walk = y.walk
+         |    AND y.step > x.step AND y.step <= x.step + 2
+         |  WHERE x.node <> y.node),
+         |cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM pr
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |cw AS (SELECT node AS w, CAST(count(*) AS BIGINT) AS c_w FROM wl
+         |  GROUP BY node),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM wl)
+         |SELECT cab.a, cab.b, cab.c_ab,
+         |  (1000000 * cab.c_ab * tot.n_tok) // (ca.c_w * cb.c_w) AS lift_micro
+         |FROM cab JOIN cw ca ON cab.a = ca.w JOIN cw cb ON cab.b = cb.w
+         |CROSS JOIN tot""".stripMargin,
+
     // q176: q171's projection Jaccard-normalized against kept-edge
     // degrees — both margins counted over the SAME hub-capped edge set
     // as the pair counts, mirroring jaccardProject's consistency rule.
@@ -2526,6 +2555,37 @@ object Oracles {
          |            // (dg.deg * (dg.deg - 1)) END AS BIGINT) AS lcc_pm
          |FROM dg LEFT JOIN pn ON dg.n = pn.n""".stripMargin),
   )
+
+  // q178/q179 shared CTEs: symmetrized w<=2000 graph, neighbor-indexed
+  // adjacency, and one generated CTE per walk step; `wl` is the long-form
+  // corpus (walk, step, node). MATERIALIZED for the q170 reason — every
+  // step CTE is read by its successor AND the final union.
+  private def walkCtes(steps: Int, wpn: Int, seed: Int): String = {
+    val sb = new StringBuilder
+    for (t <- 1 to steps) sb ++=
+      s"""s$t AS MATERIALIZED (SELECT p.walk, a.nbr AS node FROM s${t - 1} p
+         |  JOIN dg ON p.node = dg.n
+         |  JOIN adj a ON a.n = p.node AND a.idx =
+         |    ('0x' || substr(md5('$seed:' || p.walk || ':$t'), 1, 8))::BIGINT
+         |      % dg.deg),
+         |""".stripMargin
+    s"""edges0 AS ($EdgesSql),
+       |f AS (SELECT DISTINCT src, dst FROM edges0
+       |  WHERE w <= 2000 AND src <> dst),
+       |sym AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM f
+       |  UNION ALL SELECT dst, src FROM f)),
+       |adj AS MATERIALIZED (SELECT a AS n,
+       |    row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS idx, b AS nbr
+       |  FROM sym),
+       |dg AS MATERIALIZED (SELECT a AS n, CAST(count(*) AS BIGINT) AS deg
+       |  FROM sym GROUP BY a),
+       |s0 AS MATERIALIZED (SELECT n || '#' || k AS walk, n AS node
+       |  FROM (SELECT DISTINCT n FROM adj) CROSS JOIN range($wpn) t(k)),
+       |${sb}wl AS MATERIALIZED (
+       |${(0 to steps).map(t =>
+          s"  SELECT walk, CAST($t AS BIGINT) AS step, node FROM s$t")
+          .mkString(" UNION ALL\n")})""".stripMargin
+  }
 
   // Shared CTE prefix for q171/q172: the thresholded bipartite edge set
   // split into (customer, supplier) columns, hub-capped. `tail` is either

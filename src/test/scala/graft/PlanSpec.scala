@@ -351,6 +351,17 @@ class PlanSpec extends AnyFunSuite {
       "a positional self-join crept into pair generation")
   }
 
+  test("q178 walks: each step is two equi-joins (deg, then (node, idx)) — no cartesian, no neighbor expansion") {
+    // the registered query localCheckpoints per step, so audit the step
+    // composition pre-checkpoint: one hop over a tiny symmetric graph.
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val p = planString(graft.operators.Walks.randomWalks(
+      edges, "src", "dst", walksPerNode = 1, length = 1, seed = 7))
+    assert(!p.contains("CartesianProduct"),
+      "a walk step degenerated to a cross product")
+  }
+
   test("q169 MMR: candidate vectors come back via a broadcast of the id list, never a corpus self-join") {
     // same reason as q168: the registered query localCheckpoints; pin the
     // pair-build composition pre-checkpoint.

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class WalksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def walks(edges: Seq[(String, String)], wpn: Int = 1,
+                    length: Int = 3, seed: Int = 7) =
+    Walks.randomWalks(edges.toDF("s", "d"), "s", "d", wpn, length, seed)
+      .as[(String, Long, String)].collect().sortBy(r => (r._1, r._2))
+
+  test("deg-1 chain: walks bounce deterministically, every index forced") {
+    // single edge a-b: each step has exactly one neighbor, so the corpus
+    // is fully forced: a#0 = a,b,a,b and b#0 = b,a,b,a.
+    val out = walks(Seq("a" -> "b"))
+    assert(out.toSeq === Seq(
+      ("a#0", 0L, "a"), ("a#0", 1L, "b"), ("a#0", 2L, "a"), ("a#0", 3L, "b"),
+      ("b#0", 0L, "b"), ("b#0", 1L, "a"), ("b#0", 2L, "b"), ("b#0", 3L, "a")))
+  }
+
+  test("every step follows an edge; walk count and length are exact") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d")
+    val out = walks(edges, wpn = 2, length = 5)
+    val sym = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }.toSet
+    assert(out.length === 4 * 2 * 6) // 4 nodes x 2 walks x (length+1)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val path = rows.sortBy(_._2).map(_._3)
+      path.sliding(2).foreach { w =>
+        assert(sym.contains(w(0) -> w(1)), s"step ${w(0)}->${w(1)} is not an edge")
+      }
+    }
+  }
+
+  test("the corpus is a pure function of (graph, seed); seeds diverge") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a")
+    assert(walks(edges, seed = 7).toSeq === walks(edges, seed = 7).toSeq)
+    // on the 4-cycle every node has degree 2, so an 8-walk x 3-step
+    // corpus has 24 binary choices; seeds 7 and 8 diverging somewhere is
+    // a fixed deterministic fact, pinned here.
+    assert(walks(edges, seed = 7).toSeq !== walks(edges, seed = 8).toSeq)
+  }
+
+  test("self-loops and duplicate edges are dropped; isolated starts excluded") {
+    // a-a self loop contributes nothing; only a-b remains, so the walk
+    // set is exactly the deg-1 chain corpus.
+    val out = walks(Seq("a" -> "a", "a" -> "b", "b" -> "a"))
+    assert(out.map(_._1).distinct.toSeq.sorted === Seq("a#0", "b#0"))
+    assert(out.length === 8)
+  }
+
+  test("walkDocs reassembles sentences in step order") {
+    val docs = Walks.walkDocs(
+        Seq(("w1", 1L, "b"), ("w1", 0L, "a"), ("w1", 2L, "c"),
+          ("w2", 0L, "x")).toDF("walk", "step", "node"))
+      .as[(String, String)].collect().sortBy(_._1)
+    assert(docs.toSeq === Seq(("w1", "a b c"), ("w2", "x")))
+  }
+}
