@@ -100,6 +100,42 @@ object Cooccurrence {
     countsFold(registry, project(batch, left, right, maxLeftDeg),
       Seq("a", "b"), "n_shared")
 
+  /** Common-neighbor link prediction with exact-integer resource-
+    * allocation weighting (Zhou, Lü & Zhang, Eur. Phys. J. B 2009 — RA
+    * outperforms Adamic–Adar with the same candidate set, and unlike
+    * AA's `1/ln(deg)` its `1/deg` weight survives the integer-portable
+    * treatment: `ra_pm = Σ_mid (1e6 div deg(mid))`). Candidates are the
+    * distance-2 pairs: the one-mode projection of the symmetrized
+    * adjacency onto itself, with the mid-node cap playing the same dual
+    * role as [[project]]'s hub cap — it bounds per-mid pair expansion at
+    * cap² AND drops the mids whose per-neighbor contribution
+    * (1e6 div deg → 0) is noise by the score's own definition. Already-
+    * adjacent pairs leave via one anti-join against the canonical edge
+    * set. Output `(a, b, cn, ra_pm)` with `a < b`: common-neighbor
+    * count and the RA score.
+    */
+  def linkPrediction(edges: DataFrame, src: String, dst: String,
+                     maxMidDeg: Long): DataFrame = {
+    require(maxMidDeg >= 2, s"maxMidDeg must be >= 2, got $maxMidDeg")
+    val half = edges.select(col(src).as("u"), col(dst).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val sym = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+    val dg = sym.groupBy(col("u").as("mid")).agg(count(lit(1)).as("deg"))
+    val ek = sym.select(col("u").as("mid"), col("v").as("n"))
+      .join(dg.filter(col("deg") <= maxMidDeg), Seq("mid"))
+    ek.select(col("mid"), col("n").as("a"), col("deg"))
+      .join(ek.select(col("mid"), col("n").as("b")), Seq("mid"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div deg")).as("ra_pm"))
+      .join(half.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+  }
+
   /** Windowed term co-occurrence counts — the embedding-prep /
     * collocation-mining primitive (the count table behind GloVe, SGNS
     * negative-sampling tables, and PMI collocation lists): for every

@@ -320,6 +320,20 @@ object Graphs {
     } finally { docs.unpersist(); () }
   }
 
+  /** q180: common-neighbor / resource-allocation link prediction
+    * ([[graft.operators.Cooccurrence.linkPrediction]]) over the w ≤ 2000
+    * graph — distance-2 candidate pairs scored
+    * `ra_pm = Σ_mid (1e6 div deg(mid))`, existing edges anti-joined
+    * away; mid cap 64 (inert at test scale, the per-mid expansion bound
+    * at production scale). The graph-curation scorer: which missing
+    * links the structure itself predicts.
+    */
+  def q180LinkPrediction(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Cooccurrence.linkPrediction(
+      edges(spark, d).filter(col("w") <= 2000L)
+        .select(col("src"), col("dst")).distinct(),
+      "src", "dst", maxMidDeg = 64)
+
   /** The thresholded bipartite (customer, supplier) edge set shared by
     * q171/q173/q174.
     */
@@ -396,6 +410,7 @@ object Graphs {
     "q176_jaccard_project" -> q176JaccardProject _,
     "q178_random_walks" -> q178RandomWalks _,
     "q179_walk_skipgram" -> q179WalkSkipgram _,
+    "q180_link_prediction" -> q180LinkPrediction _,
     "q172_triangle_stats" -> q172TriangleStats _,
     "q173_triangles_sampled" -> q173TrianglesSampled _,
     "q174_projection_incremental" -> q174ProjectionIncremental _,

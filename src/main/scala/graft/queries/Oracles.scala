@@ -2488,6 +2488,24 @@ object Oracles {
          |FROM cab JOIN cw ca ON cab.a = ca.w JOIN cw cb ON cab.b = cb.w
          |CROSS JOIN tot""".stripMargin,
 
+    // q180: distance-2 candidates via the adjacency self-projection,
+    // RA-weighted (1e6 // deg per mid, summed), existing edges
+    // anti-joined; mid cap mirrored (deg <= 64).
+    "q180_link_prediction" ->
+      s"""WITH edges0 AS ($EdgesSql),
+         |f AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM edges0 WHERE w <= 2000 AND src <> dst),
+         |sym AS (SELECT u, v FROM f UNION ALL SELECT v, u FROM f),
+         |dg AS (SELECT u AS mid, CAST(count(*) AS BIGINT) AS deg FROM sym
+         |  GROUP BY u),
+         |ek AS (SELECT s.u AS mid, s.v AS n, dg.deg FROM sym s
+         |  JOIN dg ON s.u = dg.mid WHERE dg.deg <= 64),
+         |pr AS (SELECT x.n AS a, y.n AS b, CAST(count(*) AS BIGINT) AS cn,
+         |    CAST(sum(1000000 // x.deg) AS BIGINT) AS ra_pm
+         |  FROM ek x JOIN ek y ON x.mid = y.mid AND x.n < y.n GROUP BY 1, 2)
+         |SELECT pr.a, pr.b, pr.cn, pr.ra_pm FROM pr
+         |LEFT JOIN f ON pr.a = f.u AND pr.b = f.v WHERE f.u IS NULL""".stripMargin,
+
     // q176: q171's projection Jaccard-normalized against kept-edge
     // degrees — both margins counted over the SAME hub-capped edge set
     // as the pair counts, mirroring jaccardProject's consistency rule.

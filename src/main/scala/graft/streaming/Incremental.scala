@@ -653,6 +653,60 @@ object Incremental {
         sum(col("stop_pm_sum")).as("stop_pm_sum"))
       .select(col("source") +: graft.queries.Curation.cardRatios: _*)
 
+  /** Streaming term-association registries — the q175/q177 count tables
+    * maintained LIVE over an arriving corpus, the exactly-once-ADDITIVE
+    * partials idiom ([[streamingDatasetCard]]'s third state pattern):
+    * each micro-batch lands its own windowed pair counts and unigram
+    * counts as per-(key, batchId) PARTIAL rows under first-wins upsert —
+    * batchId is deterministic on checkpoint replay, so a recomputed
+    * partial is dropped and nothing double-counts. Windows never cross
+    * documents, so ANY doc-batching yields partials that sum to the
+    * global tables exactly (the q177 additivity, no arrival contract).
+    * Per-batch cost: the batch's own row-local pair generation plus two
+    * keyed upserts sized to the batch's distinct pairs/terms —
+    * earlier batches are never re-read. At production sizes the
+    * partials stores are pair-/term-bucketed catalog tables and
+    * [[compactRegistry]]-style folding behind the committed offset
+    * bounds their row count.
+    */
+  def streamingTermAssociations(stream: DataFrame, checkpointDir: String,
+                                pairPartialsPath: String,
+                                termPartialsPath: String, window: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Cooccurrence
+        val pairs = Cooccurrence.termPairCounts(batch, "doc_id", "text", window)
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("__pk",
+            concat(col("a"), lit("|"), col("b"), lit(":"), col("batch_id")))
+        Merge.upsertParquet(spark, pairPartialsPath, pairs,
+          "__pk", Merge.Ignore, "c_ab")
+        val terms = Cooccurrence.termOccurrences(batch, "doc_id", "text")
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("__pk", concat(col("w"), lit(":"), col("batch_id")))
+        Merge.upsertParquet(spark, termPartialsPath, terms,
+          "__pk", Merge.Ignore, "c_w")
+        ()
+      }
+      .start()
+
+  /** Serve the q175 association view from [[streamingTermAssociations]]
+    * partials: sum partials per key (exact, counts are associative),
+    * then the same PMI-lift scoring as the batch path.
+    */
+  def associationsFromPartials(spark: SparkSession, pairPartialsPath: String,
+                               termPartialsPath: String,
+                               minPairCount: Long): DataFrame =
+    graft.operators.Cooccurrence.associationScores(
+      spark.read.parquet(pairPartialsPath)
+        .groupBy(col("a"), col("b")).agg(sum(col("c_ab")).as("c_ab")),
+      spark.read.parquet(termPartialsPath)
+        .groupBy(col("w")).agg(sum(col("c_w")).as("c_w")),
+      minPairCount)
+
   /** Streaming drift-monitor partials ([[graft.operators.Drift]] family
     * — the q158 registry form run continuously): each micro-batch folds
     * its binned-feature counts into an upserted partials table keyed

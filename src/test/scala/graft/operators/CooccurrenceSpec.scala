@@ -144,6 +144,29 @@ class CooccurrenceSpec extends AnyFunSuite {
     assert(folded.toSeq === full)
   }
 
+  private def lp(edges: Seq[(String, String)], cap: Long = 64) =
+    Cooccurrence.linkPrediction(edges.toDF("s", "d"), "s", "d", cap)
+      .as[(String, String, Long, Long)].collect().sortBy(p => (p._1, p._2))
+
+  test("linkPrediction: distance-2 pairs scored by summed 1e6/deg(mid)") {
+    // path a-b-c: only candidate (a,c) via b (deg 2) → cn 1, ra 500000.
+    assert(lp(Seq("a" -> "b", "b" -> "c")).toSeq ===
+      Seq(("a", "c", 1L, 500000L)))
+    // square a-b-c-d: (a,c) via b and d → cn 2, ra 1e6; same for (b,d).
+    assert(lp(Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a")).toSeq ===
+      Seq(("a", "c", 2L, 1000000L), ("b", "d", 2L, 1000000L)))
+  }
+
+  test("linkPrediction: existing edges are excluded; the mid cap drops hub paths") {
+    // triangle a-b-c plus pendant c-d: (a,d)/(b,d) via c survive; the
+    // adjacent pairs never appear even though they share mids.
+    val tri = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d")
+    assert(lp(tri).toSeq ===
+      Seq(("a", "d", 1L, 333333L), ("b", "d", 1L, 333333L)))
+    // cap 2 excludes mid c (deg 3): no candidates remain.
+    assert(lp(tri, cap = 2).isEmpty)
+  }
+
   test("triangle + pendant: exact counts and integer lcc") {
     val out = tri(Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d"))
     // a,b: deg 2, 1 triangle, lcc = 2·1·1e6 div 2 = 1e6

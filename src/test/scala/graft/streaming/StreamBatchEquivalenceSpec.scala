@@ -1262,4 +1262,42 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       assert(out(id) == batchForm(id), s"doc $id diverged from the batch form")
     }
   }
+
+  test("streamingTermAssociations: summed partials ≡ the q175 batch tables; a replayed partial cannot double-count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-assoc")
+      .toFile.getAbsolutePath
+    val docs = Seq((1L, "a b c a"), (2L, "b c d"), (3L, "a d a b"),
+      (4L, "c d b"))
+    val b1 = docs.take(2)
+    val b2 = docs.drop(2)
+    val input = MemoryStream[(Long, String)]
+    val query = Incremental.streamingTermAssociations(
+      input.toDF().toDF("doc_id", "text"),
+      s"$dir/ckpt", s"$dir/pairs", s"$dir/terms", window = 2)
+    try {
+      Seq(b1, b2).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    def served = Incremental.associationsFromPartials(
+        spark, s"$dir/pairs", s"$dir/terms", minPairCount = 1)
+      .as[(String, String, Long, Long)].collect().toSet
+    val streamed = served
+    val all = docs.toDF("doc_id", "text")
+    val batch = graft.operators.Cooccurrence.associationScores(
+        graft.operators.Cooccurrence.termPairCounts(all, "doc_id", "text", 2),
+        graft.operators.Cooccurrence.termOccurrences(all, "doc_id", "text"), 1)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // engine replay at the merge level: a recomputed batch-0 partial
+    // re-lands under its existing (key:batchId) pk with DIFFERENT counts
+    // — first-wins Ignore must drop it, serve unchanged.
+    graft.operators.Merge.upsertParquet(spark, s"$dir/pairs",
+      Seq(("a", "b", 999L, 0L)).toDF("a", "b", "c_ab", "batch_id")
+        .withColumn("__pk", concat($"a", lit("|"), $"b", lit(":"), $"batch_id")),
+      "__pk", graft.operators.Merge.Ignore, "c_ab")
+    assert(served == batch, "a replayed partial changed the served counts")
+  }
 }
