@@ -78,7 +78,7 @@ object ScaleProbe {
       "videodedup", "bucketreg", "audioprep", "gramreg", "kfnovel", "prdist",
       "codecprep", "bwdist",
       "ccinc", "funnel", "prep", "monitor", "bm25reg", "splitreg",
-      "retrieval", "kcore", "cooccur")
+      "retrieval", "kcore", "cooccur", "walks")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -1715,6 +1715,35 @@ object ScaleProbe {
         Cooccurrence.associationScores(
           Cooccurrence.termPairCounts(docs, "doc_id", "text", 5),
           Cooccurrence.termOccurrences(docs, "doc_id", "text"), 3).count()
+      }
+      spark.catalog.clearCache()
+    }
+    // Walk family (q178–q180): disjoint graph replicas — walk count and
+    // edge count grow linearly, per-node degrees constant, so the curves
+    // read the per-step join cost and the distance-2 candidate volume.
+    if (want("walks")) for (factor <- probeFactors) {
+      import graft.operators.{Cooccurrence, Walks}
+      val base = graft.queries.Graphs.edges(spark, d)
+        .filter(col("w") <= 2000L).select(col("src"), col("dst")).distinct()
+      val mega = materialize(
+        (0 until factor).map { i =>
+          base.select(concat(col("src"), lit("#" + i)).as("src"),
+            concat(col("dst"), lit("#" + i)).as("dst"))
+        }.reduce(_ unionByName _), s"/tmp/scale/walks$factor")
+      val m = mega.count()
+      time(s"random walks ${factor}x ($m edges)") {
+        Walks.randomWalks(mega, "src", "dst", walksPerNode = 2,
+          length = 8, seed = 7).count()
+      }
+      time(s"walk skipgram e2e ${factor}x") {
+        val docs = Walks.walkDocs(Walks.randomWalks(mega, "src", "dst",
+          walksPerNode = 2, length = 8, seed = 7))
+        Cooccurrence.associationScores(
+          Cooccurrence.termPairCounts(docs, "walk", "text", 2),
+          Cooccurrence.termOccurrences(docs, "walk", "text"), 2).count()
+      }
+      time(s"link prediction ${factor}x") {
+        Cooccurrence.linkPrediction(mega, "src", "dst", 64).count()
       }
       spark.catalog.clearCache()
     }

@@ -323,4 +323,51 @@ object Sampling {
         col("target_tokens"), col("epochs_micro"), col("served_tokens"),
         col("starved_tokens"))
   }
+
+  /** word2vec negative-sampling table (Mikolov et al., NeurIPS 2013):
+    * draw probability ∝ count^{3/4} — the smoothing every SGNS trainer
+    * hard-codes (damps stopword-class terms, lifts the tail). The
+    * fractional power is computed as `sqrt(c) · sqrt(sqrt(c))`: sqrt is
+    * IEEE correctly-rounded in every engine and multiplication rounds
+    * identically, so the composition is bit-portable where `pow(c, 0.75)`
+    * (libm, engine-dependent) is not — the [[mixingWeights]] float rule
+    * extended to the one exponent word2vec needs. Weights normalize to
+    * ppm via the sorted-fold total; `totalDraws` is apportioned by
+    * cumulative-share differencing (Σ n_draws = totalDraws EXACTLY by
+    * telescoping, the [[epochAllocation]] rule; HUGEINT-class DECIMAL
+    * products, no overflow for any Long draw count). With-replacement
+    * semantics — no population clamp: a rare term may get 0 draws, a hot
+    * one many; the trainer replays the table, it never selects rows.
+    *
+    * Output one row per term: `(key, cnt, weight_pm, n_draws)`.
+    *
+    * Scale shape: one ≤ |vocab| count table in; the normalizer is one
+    * sorted fold, the apportionment two windows over the same
+    * single-partition vocab pass (BPE-era vocabularies are ≤ a few
+    * hundred thousand rows — deliberate; a web-scale type vocabulary
+    * would swap in range-partitioned prefix sums, same arithmetic).
+    */
+  def negativeSamplingTable(counts: DataFrame, key: String, cnt: String,
+                            totalDraws: Long): DataFrame = {
+    require(totalDraws > 0, s"totalDraws must be positive, got $totalDraws")
+    import org.apache.spark.sql.expressions.Window
+    def p34(c: Column) = sqrt(c) * sqrt(sqrt(c))
+    val total = broadcast(counts.select(
+      aggregate(array_sort(collect_list(p34(col(cnt)))), lit(0.0),
+        (acc, x) => acc + x).as("__tot")))
+    val tiny = Window.partitionBy() // ≤ |vocab| rows — deliberate
+    val ordK = Window.orderBy(col(key).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(total)
+      .withColumn("weight_pm",
+        round(lit(1000000.0) * p34(col(cnt)) / col("__tot")).cast("long"))
+      .drop("__tot")
+      .withColumn("__w", sum(col("weight_pm")).over(tiny))
+      .withColumn("__cum", sum(col("weight_pm")).over(ordK))
+      .withColumn("n_draws",
+        expr(s"CAST((CAST($totalDraws AS DECIMAL(38,0)) * __cum) div __w" +
+          s" - (CAST($totalDraws AS DECIMAL(38,0)) * (__cum - weight_pm))" +
+          s" div __w AS BIGINT)"))
+      .select(col(key), col(cnt), col("weight_pm"), col("n_draws"))
+  }
 }

@@ -1030,10 +1030,24 @@ object Curation {
     } finally { docs.unpersist(); () }
   }
 
+  /** q181: word2vec negative-sampling table
+    * ([[graft.operators.Sampling.negativeSamplingTable]]) over the
+    * corpus unigram counts — draw weights ∝ count^{3/4} (the portable
+    * sqrt·sqrt∘sqrt form), 1M draws apportioned exactly by
+    * cumulative-share differencing. Completes the embedding-prep chain:
+    * q178 walks → q179 skip-gram positives → q181 negatives.
+    */
+  def q181NegativeSampling(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.negativeSamplingTable(
+      graft.operators.Cooccurrence.termOccurrences(
+        Tables.balanced(spark, d, "documents"), "doc_id", "text"),
+      "w", "c_w", totalDraws = 1000000L)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_unigram_em" -> q136UnigramEm _,
     "q175_term_associations" -> q175TermAssociations _,
     "q177_term_associations_inc" -> q177TermAssociationsInc _,
+    "q181_negative_sampling" -> q181NegativeSampling _,
     "q133_tokenizer_compare" -> q133TokenizerCompare _,
     "q132_dataset_card" -> q132DatasetCard _,
     "q131_cdc_dedup_inc" -> q131CdcDedupInc _,

@@ -3471,6 +3471,29 @@ object Oracles {
        |CROSS JOIN tot""".stripMargin
 
   val curation: Map[String, String] = Map(
+    // q181: count^{3/4} as sqrt·sqrt∘sqrt (correctly-rounded composition
+    // — bit-portable where pow(c,0.75) is libm-dependent), ppm weights
+    // via the sorted fold, 1M draws by cumulative-share differencing
+    // (the q126 HUGEINT telescoping).
+    "q181_negative_sampling" ->
+      s"""WITH t AS (SELECT $Toks AS toks FROM documents),
+         |cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w
+         |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         |tt AS (SELECT list_reduce([0.0] ||
+         |    list_sort(list(sqrt(c_w) * sqrt(sqrt(c_w)))),
+         |    (a, b) -> a + b) AS tot FROM cw),
+         |wt AS (SELECT w, c_w, CAST(round(1000000.0 * sqrt(c_w) *
+         |    sqrt(sqrt(c_w)) / tot) AS BIGINT) AS weight_pm
+         |  FROM cw CROSS JOIN tt),
+         |ap AS (SELECT *, sum(weight_pm) OVER () AS tw,
+         |    sum(weight_pm) OVER (ORDER BY w ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM wt)
+         |SELECT w, c_w, weight_pm,
+         |  CAST((1000000::HUGEINT * cum) // tw
+         |    - (1000000::HUGEINT * (cum - weight_pm)) // tw AS BIGINT)
+         |    AS n_draws
+         |FROM ap""".stripMargin,
     "q175_term_associations" -> TermAssocSql,
     "q177_term_associations_inc" -> TermAssocSql,
     "q157_bm25_topk" -> Bm25Top5Sql,

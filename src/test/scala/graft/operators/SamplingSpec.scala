@@ -270,4 +270,39 @@ class SamplingSpec extends AnyFunSuite {
     // singletons (ckey == doc_id) are untouched vs the naive rule
     assert(out.filter(r => r._1 == r._2).forall(r => r._3 == r._4))
   }
+
+  private def negTable(counts: Seq[(String, Long)], draws: Long) =
+    Sampling.negativeSamplingTable(counts.toDF("w", "c_w"), "w", "c_w", draws)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+
+  test("negativeSamplingTable: draws sum exactly; 3/4 smoothing lifts the tail") {
+    val out = negTable(Seq("the" -> 10000L, "cat" -> 16L, "rare" -> 1L), 1000000L)
+    assert(out.map(_._4).sum == 1000000L, "Σ n_draws = totalDraws")
+    // raw shares: the = 10000/10017 ≈ 99.8%; smoothed share of `the` is
+    // 1000^... c^{3/4}: the=1000, cat=8, rare=1 → the gets ~99.1% — and
+    // `cat`'s smoothed share (8/1009) is ~5x its raw share (16/10017).
+    val m = out.map(r => r._1 -> r._4).toMap
+    assert(m("cat") * 10017L > 16L * 1000000L * 3 / 2,
+      "the 3/4 power must lift cat well above its raw share")
+    assert(m("the") < 998000L, "the head term is damped below its raw share")
+  }
+
+  test("negativeSamplingTable: exact c^(3/4) weights at perfect fourth powers") {
+    // 16^(3/4) = 8, 81^(3/4) = 27, 1^(3/4) = 1 → ppm weights of 8:27:1
+    val out = negTable(Seq("a" -> 16L, "b" -> 81L, "c" -> 1L), 36L)
+    val wm = out.map(r => r._1 -> r._3).toMap
+    assert(wm === Map("a" -> 222222L, "b" -> 750000L, "c" -> 27778L))
+    // apportionment stays exact in TOTAL even where ppm rounding nudges
+    // individual shares (a: 36·222222ppm = 7.99999 → 7, the telescoping
+    // hands the remainder down the key order)
+    assert(out.map(_._4).sum == 36L)
+    assert(out.map(r => r._1 -> r._4).toMap === Map("a" -> 7L, "b" -> 27L, "c" -> 2L))
+  }
+
+  test("negativeSamplingTable: with-replacement semantics, zero-draw tail allowed") {
+    val out = negTable(Seq("hot" -> 100000L, "cold" -> 1L), 10L)
+    assert(out.map(_._4).sum == 10L)
+    assert(out.find(_._1 == "cold").get._4 == 0L,
+      "a negligible-weight term may draw zero - no population floor")
+  }
 }
