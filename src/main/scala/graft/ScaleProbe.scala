@@ -1735,13 +1735,19 @@ object ScaleProbe {
         Walks.randomWalks(mega, "src", "dst", walksPerNode = 2,
           length = 8, seed = 7).count()
       }
-      time(s"walk skipgram e2e ${factor}x") {
-        val docs = Walks.walkDocs(Walks.randomWalks(mega, "src", "dst",
+      // mirror q179's registered shape: the sentence frame is persisted
+      // (both count passes read it); unpersisted, each pass recomputes
+      // the 12.6M-row reassembly and the curve reads double work
+      val docs = Walks.walkDocs(Walks.randomWalks(mega, "src", "dst",
           walksPerNode = 2, length = 8, seed = 7))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"walk docs ${factor}x") { docs.count() }
+      time(s"walk skipgram (docs prepaid) ${factor}x") {
         Cooccurrence.associationScores(
           Cooccurrence.termPairCounts(docs, "walk", "text", 2),
           Cooccurrence.termOccurrences(docs, "walk", "text"), 2).count()
       }
+      docs.unpersist()
       time(s"link prediction ${factor}x") {
         Cooccurrence.linkPrediction(mega, "src", "dst", 64).count()
       }

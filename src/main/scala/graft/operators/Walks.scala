@@ -80,6 +80,55 @@ object Walks {
     steps.result().reduce(_ unionByName _)
   }
 
+  /** Weisfeiler–Lehman label refinement (Weisfeiler & Lehman 1968; the
+    * WL-subtree kernel form of Shervashidze et al., JMLR 2011) — per-node
+    * STRUCTURAL fingerprints: after k rounds, two nodes share a label iff
+    * their depth-k neighborhood trees are isomorphic (one-sided: equal
+    * labels ⇒ isomorphic views up to hash collision). The structural
+    * analog of content fingerprints — graph dedup, role discovery, and
+    * graph-kernel features all consume exactly this table.
+    *
+    * Round t: `l_t(v) = md5(l_{t-1}(v) | sorted multiset of neighbor
+    * l_{t-1})`, seeded with the degree. The multiset is an ordered
+    * string_agg — deterministic, engine-portable (binary collation) —
+    * so the whole refinement is hash-checkable and the oracle replays
+    * it as generated chained CTEs (the q170/q178 convention).
+    *
+    * Scale shape: each round is ONE keyed shuffle — neighbor labels
+    * re-keyed by edge target, aggregated with a sorted list per node —
+    * plus a join back to the standing label frame; per-node cost is its
+    * degree (the sorted concat is the multiset encoding, there is no
+    * way below it for exact WL), hub rows bounded by the same degree
+    * the graph actually has. Labels localCheckpoint per round (lineage
+    * depth 1, the iterative convention). Output `(node, wl)` after
+    * `iterations` rounds, plus `deg` for the round-0 seed audit.
+    */
+  def wlLabels(edges: DataFrame, src: String, dst: String,
+               iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val half = edges.select(col(src).as("u"), col(dst).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val sym = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist(MEMORY_AND_DISK)
+    var lab = sym.groupBy(col("u").as("n"))
+      .agg(count(lit(1)).as("deg"))
+      .withColumn("wl", md5(concat(lit("d"), col("deg"))))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val nbr = sym.select(col("u"), col("v").as("__v"))
+        .join(lab.select(col("n").as("__v"), col("wl").as("wv")), Seq("__v"))
+        .groupBy(col("u").as("n"))
+        .agg(array_join(array_sort(collect_list(col("wv"))), ",").as("ms"))
+      lab = lab.join(nbr, Seq("n"))
+        .select(col("n"), col("deg"),
+          md5(concat(col("wl"), lit("|"), col("ms"))).as("wl"))
+        .localCheckpoint(true)
+    }
+    sym.unpersist()
+    lab.select(col("n").as("node"), col("deg"), col("wl"))
+  }
+
   /** Reassemble the long-form corpus into one whitespace-joined node
     * "sentence" per walk — the exact input shape
     * [[Cooccurrence.termPairCounts]] consumes, so walk skip-gram counts

@@ -334,6 +334,51 @@ object Graphs {
         .select(col("src"), col("dst")).distinct(),
       "src", "dst", maxMidDeg = 64)
 
+  /** q182: Weisfeiler–Lehman structural labels
+    * ([[graft.operators.Walks.wlLabels]], 3 rounds) over the w ≤ 2000
+    * graph — depth-3 neighborhood-tree fingerprints, the structural
+    * analog of content hashes (graph dedup / role discovery / WL-kernel
+    * features). Degree-seeded, sorted-multiset hashing per round; the
+    * oracle replays all three rounds as generated chained CTEs.
+    */
+  def q182WlLabels(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Walks.wlLabels(
+      edges(spark, d).filter(col("w") <= 2000L)
+        .select(col("src"), col("dst")).distinct(),
+      "src", "dst", iterations = 3)
+
+  /** q183: GRAPH-level structural dedup — which cities have isomorphic
+    * (up to WL-distinguishability) subgraphs. The w ≤ 2000 graph is a
+    * disjoint union of per-city subgraphs (edges never cross nations),
+    * so q182's global WL labels ARE per-city labels; a city's canonical
+    * fingerprint is the hash of its ordered WL-label multiset, and
+    * cities sharing a fingerprint have WL-indistinguishable structure —
+    * the graph analog of content-hash dedup (D1) at the subgraph level.
+    * Output (city, n_nodes, fp, group_size).
+    */
+  def q183StructuralDedup(spark: SparkSession, d: String): DataFrame = {
+    val e = edges(spark, d).filter(col("w") <= 2000L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val wl = graft.operators.Walks.wlLabels(
+        e.select(col("src"), col("dst")).distinct(), "src", "dst",
+        iterations = 3)
+      // node → city: every node lives in exactly one nation's subgraph
+      val nodeCity = e.select(col("city"), col("src").as("node"))
+        .unionByName(e.select(col("city"), col("dst").as("node")))
+        .distinct()
+      val fp = wl.join(nodeCity, Seq("node"))
+        .groupBy(col("city"))
+        .agg(count(lit(1)).as("n_nodes"),
+          md5(array_join(array_sort(collect_list(col("wl"))), ",")).as("fp"))
+      fp.join(fp.groupBy(col("fp")).agg(count(lit(1)).as("group_size")),
+          Seq("fp"))
+        .select(col("city").cast("int").as("city"), col("n_nodes"),
+          col("fp"), col("group_size"))
+        .localCheckpoint(true)
+    } finally { e.unpersist(); () }
+  }
+
   /** The thresholded bipartite (customer, supplier) edge set shared by
     * q171/q173/q174.
     */
@@ -411,6 +456,8 @@ object Graphs {
     "q178_random_walks" -> q178RandomWalks _,
     "q179_walk_skipgram" -> q179WalkSkipgram _,
     "q180_link_prediction" -> q180LinkPrediction _,
+    "q182_wl_labels" -> q182WlLabels _,
+    "q183_structural_dedup" -> q183StructuralDedup _,
     "q172_triangle_stats" -> q172TriangleStats _,
     "q173_triangles_sampled" -> q173TrianglesSampled _,
     "q174_projection_incremental" -> q174ProjectionIncremental _,

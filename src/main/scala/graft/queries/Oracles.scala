@@ -2506,6 +2506,28 @@ object Oracles {
          |SELECT pr.a, pr.b, pr.cn, pr.ra_pm FROM pr
          |LEFT JOIN f ON pr.a = f.u AND pr.b = f.v WHERE f.u IS NULL""".stripMargin,
 
+    // q182: WL refinement replayed — degree-seeded labels, each round
+    // re-hashes (own label | ordered neighbor-label multiset); ordered
+    // string_agg ≡ the engine's array_join(array_sort(collect_list)).
+    "q182_wl_labels" -> wlSql(rounds = 3),
+
+    // q183: per-city WL fingerprints (the graph is a disjoint union of
+    // per-city subgraphs, so global labels ARE per-city labels) —
+    // canonical fp = md5 of the ordered label multiset, dedup-grouped.
+    "q183_structural_dedup" ->
+      s"""${wlCtes(rounds = 3)},
+         |nc AS (SELECT DISTINCT city, node FROM (
+         |  SELECT city, src AS node FROM edges0 WHERE w <= 2000
+         |  UNION ALL SELECT city, dst FROM edges0 WHERE w <= 2000)),
+         |fpt AS (SELECT nc.city, CAST(count(*) AS BIGINT) AS n_nodes,
+         |    md5(string_agg(l.wl, ',' ORDER BY l.wl)) AS fp
+         |  FROM l3 l JOIN nc ON l.n = nc.node GROUP BY nc.city),
+         |gs AS (SELECT fp, CAST(count(*) AS BIGINT) AS group_size
+         |  FROM fpt GROUP BY fp)
+         |SELECT CAST(fpt.city AS INT) AS city, fpt.n_nodes, fpt.fp,
+         |  gs.group_size
+         |FROM fpt JOIN gs USING (fp)""".stripMargin,
+
     // q176: q171's projection Jaccard-normalized against kept-edge
     // degrees — both margins counted over the SAME hub-capped edge set
     // as the pair counts, mirroring jaccardProject's consistency rule.
@@ -2604,6 +2626,33 @@ object Oracles {
           s"  SELECT walk, CAST($t AS BIGINT) AS step, node FROM s$t")
           .mkString(" UNION ALL\n")})""".stripMargin
   }
+
+  // q182: generated WL-refinement chain — l0 = md5('d' || deg), round t
+  // joins round t-1's labels onto the edge targets, aggregates the
+  // ordered multiset, and re-hashes. MATERIALIZED per round (each is
+  // read by the multiset build AND the label join — the q170 rule).
+  private def wlCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    for (t <- 1 to rounds) sb ++=
+      s"""l$t AS MATERIALIZED (SELECT l.n, l.deg, md5(l.wl || '|' || m.ms) AS wl
+         |  FROM l${t - 1} l JOIN (
+         |    SELECT s.a AS n, string_agg(p.wl, ',' ORDER BY p.wl) AS ms
+         |    FROM sym s JOIN l${t - 1} p ON s.b = p.n GROUP BY s.a) m
+         |  ON l.n = m.n),
+         |""".stripMargin
+    s"""WITH edges0 AS ($EdgesSql),
+       |f AS (SELECT DISTINCT src, dst FROM edges0
+       |  WHERE w <= 2000 AND src <> dst),
+       |sym AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM f
+       |  UNION ALL SELECT dst, src FROM f)),
+       |l0 AS MATERIALIZED (SELECT a AS n, CAST(count(*) AS BIGINT) AS deg,
+       |  md5('d' || count(*)) AS wl FROM sym GROUP BY a),
+       |${sb}dummy AS (SELECT 1)""".stripMargin
+  }
+
+  private def wlSql(rounds: Int): String =
+    s"""${wlCtes(rounds)}
+       |SELECT n AS node, deg, wl FROM l$rounds""".stripMargin
 
   // Shared CTE prefix for q171/q172: the thresholded bipartite edge set
   // split into (customer, supplier) columns, hub-capped. `tail` is either

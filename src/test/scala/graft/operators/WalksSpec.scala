@@ -52,6 +52,36 @@ class WalksSpec extends AnyFunSuite {
     assert(out.length === 8)
   }
 
+  private def wl(edges: Seq[(String, String)], k: Int) =
+    Walks.wlLabels(edges.toDF("s", "d"), "s", "d", k)
+      .as[(String, Long, String)].collect().sortBy(_._1)
+
+  test("WL labels: structurally equivalent nodes share labels, others split") {
+    // path a-b-c-d-e: after 2 rounds {a,e} (ends), {b,d} (next-to-ends),
+    // and {c} are the orbit classes — exactly 3 distinct labels, with the
+    // symmetric pairs matching.
+    val path = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+    val out = wl(path, 2)
+    val m = out.map(r => r._1 -> r._3).toMap
+    assert(m("a") === m("e") && m("b") === m("d"))
+    assert(Set(m("a"), m("b"), m("c")).size === 3)
+  }
+
+  test("WL labels: round 1 separates same-degree nodes with different neighborhoods") {
+    // star center + triangle: all of b,c,d have deg 2 in this graph, but
+    // b,c (triangle members adjacent to each other) differ from d after
+    // one round only via their neighbors' degrees.
+    val g = Seq("a" -> "b", "a" -> "c", "b" -> "c", "a" -> "d", "d" -> "e")
+    val out = wl(g, 1).map(r => r._1 -> r._3).toMap
+    assert(out("b") === out("c"))
+    assert(out("b") !== out("d"), "deg-2 nodes with different contexts must split")
+  }
+
+  test("WL labels: refinement is deterministic and direction-insensitive") {
+    val g = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d")
+    assert(wl(g, 3).toSeq === wl(g.map(_.swap), 3).toSeq)
+  }
+
   test("walkDocs reassembles sentences in step order") {
     val docs = Walks.walkDocs(
         Seq(("w1", 1L, "b"), ("w1", 0L, "a"), ("w1", 2L, "c"),
