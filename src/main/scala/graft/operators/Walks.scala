@@ -129,6 +129,40 @@ object Walks {
     lab.select(col("n").as("node"), col("deg"), col("wl"))
   }
 
+  /** WL-subtree kernel between node groups (Shervashidze et al., JMLR
+    * 2011): `K(a, b) = Σ_label c_a(label) · c_b(label)` over the groups'
+    * WL-label count vectors — the graded form of [[wlLabels]]-fingerprint
+    * equality (equal fingerprints ⇒ maximal kernel; partial structural
+    * overlap shows up as partial mass). Exact integer arithmetic.
+    *
+    * The label-pair join is the [[Cooccurrence.project]] shape with
+    * labels as the shared key: per-label expansion is (groups sharing
+    * that label)², so `maxLabelDf` caps it — and like the projection hub
+    * cap it is semantics too: a label present in more than `maxLabelDf`
+    * groups is structurally UBIQUITOUS (a stopword of the structure
+    * vocabulary) and carries no discriminative mass. Output
+    * `(ga, gb, k)` for group pairs `ga < gb` with k > 0; self-kernels
+    * ride along as `(g, g, k_self)` rows so a caller can normalize
+    * without a second pass.
+    */
+  def wlKernel(labels: DataFrame, node: String, label: String,
+               groups: DataFrame, gNode: String, g: String,
+               maxLabelDf: Long): DataFrame = {
+    require(maxLabelDf >= 2, s"maxLabelDf must be >= 2, got $maxLabelDf")
+    val c = labels.select(col(node).as("__n"), col(label).as("wl"))
+      .join(groups.select(col(gNode).as("__n"), col(g).as("g")), Seq("__n"))
+      .groupBy(col("g"), col("wl")).agg(count(lit(1)).as("c"))
+    val keep = c.groupBy(col("wl")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxLabelDf).select(col("wl"))
+    val ck = c.join(keep, Seq("wl"))
+    ck.select(col("wl"), col("g").as("ga"), col("c").as("ca"))
+      .join(ck.select(col("wl"), col("g").as("gb"), col("c").as("cb")),
+        Seq("wl"))
+      .filter(col("ga") <= col("gb"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(sum(col("ca") * col("cb")).as("k"))
+  }
+
   /** Reassemble the long-form corpus into one whitespace-joined node
     * "sentence" per walk — the exact input shape
     * [[Cooccurrence.termPairCounts]] consumes, so walk skip-gram counts

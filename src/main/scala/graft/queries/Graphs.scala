@@ -379,6 +379,31 @@ object Graphs {
     } finally { e.unpersist(); () }
   }
 
+  /** q184: WL-subtree kernel between city subgraphs
+    * ([[graft.operators.Walks.wlKernel]] over q182's round-3 labels) —
+    * graded structural similarity where q183 is exact-dup only:
+    * `K(a,b) = Σ_label c_a·c_b`, exact integers, self-kernels included
+    * for caller-side normalization. Label-df cap 20 (of 25 cities):
+    * ubiquitous labels are structure-stopwords AND the join bound.
+    */
+  def q184WlKernel(spark: SparkSession, d: String): DataFrame = {
+    val e = edges(spark, d).filter(col("w") <= 2000L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val wl = graft.operators.Walks.wlLabels(
+        e.select(col("src"), col("dst")).distinct(), "src", "dst",
+        iterations = 3)
+      val nodeCity = e.select(col("city").cast("int").as("city"),
+          col("src").as("node"))
+        .unionByName(e.select(col("city").cast("int").as("city"),
+          col("dst").as("node")))
+        .distinct()
+      graft.operators.Walks.wlKernel(wl, "node", "wl",
+          nodeCity, "node", "city", maxLabelDf = 20)
+        .localCheckpoint(true)
+    } finally { e.unpersist(); () }
+  }
+
   /** The thresholded bipartite (customer, supplier) edge set shared by
     * q171/q173/q174.
     */
@@ -458,6 +483,7 @@ object Graphs {
     "q180_link_prediction" -> q180LinkPrediction _,
     "q182_wl_labels" -> q182WlLabels _,
     "q183_structural_dedup" -> q183StructuralDedup _,
+    "q184_wl_kernel" -> q184WlKernel _,
     "q172_triangle_stats" -> q172TriangleStats _,
     "q173_triangles_sampled" -> q173TrianglesSampled _,
     "q174_projection_incremental" -> q174ProjectionIncremental _,

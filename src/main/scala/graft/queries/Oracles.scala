@@ -2528,6 +2528,22 @@ object Oracles {
          |  gs.group_size
          |FROM fpt JOIN gs USING (fp)""".stripMargin,
 
+    // q184: WL-subtree kernel between city subgraphs — label-count
+    // vectors dotted via the label equi-join, df cap 20 mirrored,
+    // self-kernels included (x.g <= y.g).
+    "q184_wl_kernel" ->
+      s"""${wlCtes(rounds = 3)},
+         |nc AS (SELECT DISTINCT CAST(city AS INT) AS g, node FROM (
+         |  SELECT city, src AS node FROM edges0 WHERE w <= 2000
+         |  UNION ALL SELECT city, dst FROM edges0 WHERE w <= 2000)),
+         |c AS (SELECT nc.g, l.wl, CAST(count(*) AS BIGINT) AS c
+         |  FROM l3 l JOIN nc ON l.n = nc.node GROUP BY 1, 2),
+         |keep AS (SELECT wl FROM
+         |  (SELECT wl, count(*) AS df FROM c GROUP BY wl) WHERE df <= 20),
+         |ck AS (SELECT c.* FROM c JOIN keep USING (wl))
+         |SELECT x.g AS ga, y.g AS gb, CAST(sum(x.c * y.c) AS BIGINT) AS k
+         |FROM ck x JOIN ck y ON x.wl = y.wl AND x.g <= y.g GROUP BY 1, 2""".stripMargin,
+
     // q176: q171's projection Jaccard-normalized against kept-edge
     // degrees — both margins counted over the SAME hub-capped edge set
     // as the pair counts, mirroring jaccardProject's consistency rule.

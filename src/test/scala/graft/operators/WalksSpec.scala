@@ -82,6 +82,27 @@ class WalksSpec extends AnyFunSuite {
     assert(wl(g, 3).toSeq === wl(g.map(_.swap), 3).toSeq)
   }
 
+  test("wlKernel: dot product of label-count vectors; df cap drops ubiquitous labels") {
+    val labels = Seq(("n1", "x"), ("n2", "x"), ("n3", "y"),
+      ("n4", "x"), ("n5", "y"), ("n6", "z")).toDF("node", "wl")
+    val groups = Seq(("n1", 1), ("n2", 1), ("n3", 1),
+      ("n4", 2), ("n5", 2), ("n6", 2)).toDF("node", "g")
+    // g1: {x:2, y:1}; g2: {x:1, y:1, z:1} → K(1,2) = 2·1 + 1·1 = 3,
+    // K(1,1) = 4+1 = 5, K(2,2) = 1+1+1 = 3.
+    val out = Walks.wlKernel(labels, "node", "wl", groups, "node", "g", 20)
+      .as[(Int, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq((1, 1, 5L), (1, 2, 3L), (2, 2, 3L)))
+    // add a third group carrying x: x's df rises to 3, so cap 2 drops it
+    // as a structure-stopword — kernels keep only y/z mass.
+    val groups3 = groups.unionByName(Seq(("n7", 3)).toDF("node", "g"))
+    val labels3 = labels.unionByName(Seq(("n7", "x")).toDF("node", "wl"))
+    val capped = Walks.wlKernel(labels3, "node", "wl", groups3, "node", "g", 2)
+      .as[(Int, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    // g1 {y:1}, g2 {y:1, z:1}, g3 {} → (1,1,1), (1,2,1), (2,2,2); g3
+    // has no kept labels, so it contributes no rows at all.
+    assert(capped.toSeq === Seq((1, 1, 1L), (1, 2, 1L), (2, 2, 2L)))
+  }
+
   test("walkDocs reassembles sentences in step order") {
     val docs = Walks.walkDocs(
         Seq(("w1", 1L, "b"), ("w1", 0L, "a"), ("w1", 2L, "c"),
