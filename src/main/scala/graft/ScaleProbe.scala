@@ -78,7 +78,7 @@ object ScaleProbe {
       "videodedup", "bucketreg", "audioprep", "gramreg", "kfnovel", "prdist",
       "codecprep", "bwdist",
       "ccinc", "funnel", "prep", "monitor", "bm25reg", "splitreg",
-      "retrieval", "kcore", "cooccur", "walks")
+      "retrieval", "kcore", "cooccur", "walks", "wl")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -1751,6 +1751,51 @@ object ScaleProbe {
       time(s"link prediction ${factor}x") {
         Cooccurrence.linkPrediction(mega, "src", "dst", 64).count()
       }
+      spark.catalog.clearCache()
+    }
+    // WL family (q182–q184): disjoint replica suffixes keep per-node
+    // degrees constant, so the refinement curve reads the per-round
+    // keyed-shuffle cost in isolation (per-node cost = its degree, the
+    // exact-WL floor). Labels are STRUCTURAL, so replicas share them —
+    // left alone, per-label group membership (the kernel join's
+    // quadratic term) would grow with factor and the curve would read
+    // output growth, not engine cost. The kernel leg therefore
+    // re-scopes labels per replica (suffix from the node's own #i),
+    // emulating the 100× shape: label cardinality grows with the
+    // corpus, per-label membership stays at the ≤25-city group count.
+    if (want("wl")) for (factor <- probeFactors) {
+      import graft.operators.Walks
+      val baseE = graft.queries.Graphs.edges(spark, d)
+        .filter(col("w") <= 2000L)
+      val mega = materialize(
+        (0 until factor).map { i =>
+          baseE.select(concat(col("src"), lit("#" + i)).as("src"),
+            concat(col("dst"), lit("#" + i)).as("dst"),
+            concat(col("city"), lit("#" + i)).as("city"))
+        }.reduce(_ unionByName _), s"/tmp/scale/wl$factor")
+      val edges = materialize(mega.select(col("src"), col("dst")).distinct(),
+        s"/tmp/scale/wle$factor")
+      val m = edges.count()
+      val wl = Walks.wlLabels(edges, "src", "dst", iterations = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"wl labels 3 rounds ${factor}x ($m edges)") { wl.count() }
+      val nodeCity = mega.select(col("city"), col("src").as("node"))
+        .unionByName(mega.select(col("city"), col("dst").as("node")))
+        .distinct()
+      time(s"wl fingerprints ${factor}x") {
+        wl.join(nodeCity, Seq("node"))
+          .groupBy(col("city"))
+          .agg(md5(array_join(array_sort(collect_list(col("wl"))), ","))
+            .as("fp"))
+          .count()
+      }
+      val wlScoped = wl.withColumn("wl",
+        concat(col("wl"), lit("|"), substring_index(col("node"), "#", -1)))
+      time(s"wl kernel (df cap 20, replica-scoped labels) ${factor}x") {
+        Walks.wlKernel(wlScoped, "node", "wl", nodeCity, "node", "city",
+          maxLabelDf = 20).count()
+      }
+      wl.unpersist()
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Drift, Layout, Packing, RangeJoin, Rolling, Sampling, Sessionize, Sft, Skew, SnapshotDiff}
+import graft.operators.{AsOf, Drift, Layout, Packing, RangeJoin, Ranks, Rolling, Sampling, Sessionize, Sft, Skew, SnapshotDiff}
 import graft.functions.Text
 import graft.sources.Tables
 
@@ -505,7 +505,55 @@ object Extensions {
       .withColumn("mask_ends", to_json(col("mask_ends")))
   }
 
+  /** The curriculum mix for q185/q186: a deliberately skewed source mix
+    * (src0 8×, src1 4×, src2 2×, the other seventeen 1×; LCM 8 keeps the
+    * ladder strides at 1/2/4/8 — small integer keys).
+    */
+  private val CurriculumWeights: Map[String, Int] =
+    (0 until 20).map(i => s"src$i" -> (i match {
+      case 0 => 8; case 1 => 4; case 2 => 2; case _ => 1
+    })).toMap
+
+  /** q185: deterministic weighted curriculum order
+    * ([[Ranks.interleave]]) — the source-mixed global training order
+    * every pretraining loader needs, with exact positions and NO
+    * single-partition window anywhere: per-source shuffle ranks come
+    * from the bucketed-rank decomposition, the global position from the
+    * closed-form ladder count (broadcast source stats, row-local
+    * arithmetic). The oracle is the naive two-window form — equal
+    * output, catastrophically different plan at scale.
+    */
+  def q185CurriculumOrder(spark: SparkSession, d: String): DataFrame =
+    Ranks.interleave(
+      Tables(spark, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "doc_id", "cur1", CurriculumWeights, nBuckets = 64)
+      .select(col("pos"), col("doc_id"), col("source"), col("n_chars"))
+
+  /** q186: prefix-mix audit over q185's order — per source, how many
+    * docs land in the first 1/8, 1/4, 1/2, and all of the corpus (the
+    * monitoring card that catches a broken interleave: a source's share
+    * should track its weight until it exhausts). The checkpoint frame is
+    * a 4-row broadcast; the theta-join is a broadcast nested loop over
+    * it, a bounded 4× of one narrow column — never row×row.
+    */
+  def q186MixPrefixAudit(spark: SparkSession, d: String): DataFrame = {
+    val ord = q185CurriculumOrder(spark, d).select(col("pos"), col("source"))
+    val cps = ord.agg(count(lit(1)).as("total"))
+      .select(explode(array(lit(1L), lit(2L), lit(4L), lit(8L))).as("m"),
+        col("total"))
+      .withColumn("cp", expr("(total * m) div 8"))
+      .select(col("m"), col("cp"))
+    ord.join(broadcast(cps), col("pos") <= col("cp"))
+      .groupBy(col("m"), col("cp"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("m").as("checkpoint_eighths"),
+        col("cp").as("checkpoint_rows"), col("source"), col("n_docs"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_curriculum_order" -> q185CurriculumOrder _,
+    "q186_mix_prefix_audit" -> q186MixPrefixAudit _,
     "q127_sft_render" -> q127SftRender _,
     "q119_funnel3" -> q119Funnel3 _,
     "q122_funnel4" -> q122Funnel4 _,

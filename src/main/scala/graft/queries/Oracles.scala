@@ -2728,6 +2728,49 @@ object Oracles {
     * cannot change the carried last-non-null right value.
     */
   val extensions: Map[String, String] = Map(
+    // q185: curriculum interleave — the NAIVE two-window form (per-source
+    // shuffle rank, then one global row_number over the ladder key): the
+    // exact order the bucketed-rank + closed-form-position plan must
+    // reproduce. Strides = lcm(8,4,2,1)/weight → src0 1, src1 2, src2 4,
+    // rest 8; ties on equal ladder keys break by source ASC.
+    "q185_curriculum_order" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5('cur1:' || doc_id), 1, 8))::BIGINT ASC,
+        |               doc_id ASC) AS rn
+        |  FROM documents),
+        |k AS (SELECT doc_id, source, n_chars,
+        |    (rn - 1) * (CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2
+        |                            WHEN 'src2' THEN 4 ELSE 8 END) AS key
+        |  FROM r)
+        |SELECT CAST(row_number() OVER (ORDER BY key ASC, source ASC) AS BIGINT) AS pos,
+        |  doc_id, source, n_chars
+        |FROM k""".stripMargin,
+
+    // q186: prefix-mix audit — per source, doc counts within the first
+    // m/8 of q185's order, checkpoints at m ∈ {1,2,4,8} (cp = total·m//8).
+    "q186_mix_prefix_audit" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5('cur1:' || doc_id), 1, 8))::BIGINT ASC,
+        |               doc_id ASC) AS rn
+        |  FROM documents),
+        |k AS (SELECT source,
+        |    (rn - 1) * (CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2
+        |                            WHEN 'src2' THEN 4 ELSE 8 END) AS key
+        |  FROM r),
+        |ord AS (SELECT source,
+        |    CAST(row_number() OVER (ORDER BY key ASC, source ASC) AS BIGINT) AS pos
+        |  FROM k),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM ord),
+        |cps AS (SELECT CAST(v.m AS BIGINT) AS m,
+        |    CAST((t.total * v.m) // 8 AS BIGINT) AS cp
+        |  FROM t, (VALUES (1), (2), (4), (8)) AS v(m))
+        |SELECT cps.m AS checkpoint_eighths, cps.cp AS checkpoint_rows,
+        |  ord.source, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM ord JOIN cps ON ord.pos <= cps.cp
+        |GROUP BY 1, 2, 3""".stripMargin,
+
     // q156: TVD drift monitor — exact-integer cross-multiplied form
     // (Σ|ca·nb − cb·na|·1e6 // (2·na·nb)); the md5 half-split is q46's
     // bucket formula with the 'drift' salt, token count is q24's twin

@@ -45,6 +45,20 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(run("q44_asof_join")) == 1)
   }
 
+  test("q185 curriculum order: no global window ever touches data rows") {
+    // the operator's whole point: per-source ranks are (source, bucket)
+    // windows, the global position is closed-form — the ONLY permissible
+    // empty-partition windows run over the tiny bucket/stat aggregates
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = run("q185_curriculum_order").queryExecution.optimizedPlan
+    val wins = plan.collect { case w: LWindow => w }
+    assert(wins.exists(_.partitionSpec.nonEmpty))
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"global window over non-aggregated input:\n$w")
+    }
+  }
+
   test("q48 sequence packing: exactly 1 shuffle (the shard window)") {
     assert(countShuffles(run("q48_sequence_packing")) == 1)
   }

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.Text
+
+class RanksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(n: Int, groups: Int) =
+    (0 until n).map(i => (i.toLong, s"g${i % groups}")).toDF("id", "g")
+
+  test("shuffleRank equals the naive single-partition window, per group") {
+    val df = docs(200, 3)
+    val got = Ranks.shuffleRank(df, Seq("g"), "id", "s1", nBuckets = 8)
+      .select($"id", $"rn").as[(Long, Long)].collect().toMap
+    val naive = df.withColumn("rn", row_number().over(
+        Window.partitionBy($"g").orderBy(
+          Text.baseHash32(concat(lit("s1:"), $"id")).asc, $"id".asc)))
+      .select($"id", $"rn".cast("long")).as[(Long, Long)].collect().toMap
+    assert(got === naive)
+  }
+
+  test("shuffleRank with no groups = exact global shuffle order") {
+    val df = docs(150, 1).drop("g")
+    val got = Ranks.shuffleRank(df, Seq.empty, "id", "s2", nBuckets = 4)
+      .select($"id", $"rn").as[(Long, Long)].collect()
+    assert(got.map(_._2).sorted.toSeq === (1L to 150L))
+    val naive = df.withColumn("rn", row_number().over(
+        Window.orderBy(
+          Text.baseHash32(concat(lit("s2:"), $"id")).asc, $"id".asc)))
+      .select($"id", $"rn".cast("long")).as[(Long, Long)].collect().toMap
+    assert(got.toMap === naive)
+  }
+
+  test("shuffleRank: property — any group skew, any bucket count") {
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      groups <- Gen.choose(1, 5)
+      logB <- Gen.choose(1, 6)
+      salt <- Gen.identifier.map(_.take(6))
+      // skewed membership: group j gets ~2^j of the mass
+      ms <- Gen.listOfN(n, Gen.frequency(
+        (1, Gen.const(0)), (2, Gen.const(1)), (4, Gen.const(2)),
+        (8, Gen.const(3)), (16, Gen.const(4))))
+    } yield (ms.take(n).zipWithIndex.map { case (m, i) =>
+      (i.toLong, s"g${m % groups}") }, 1 << logB, salt)
+    val prop = Prop.forAll(gen) { case (rows, buckets, salt) =>
+      val df = rows.toDF("id", "g")
+      val got = Ranks.shuffleRank(df, Seq("g"), "id", salt, buckets)
+        .select($"id", $"rn").as[(Long, Long)].collect().toMap
+      val naive = df.withColumn("rn", row_number().over(
+          Window.partitionBy($"g").orderBy(
+            Text.baseHash32(concat(lit(s"$salt:"), $"id")).asc, $"id".asc)))
+        .select($"id", $"rn".cast("long")).as[(Long, Long)].collect().toMap
+      got == naive
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val weights = Map("a" -> 4, "b" -> 2, "c" -> 1, "d" -> 1)
+
+  test("interleave equals the naive global window over (ladder key, source)") {
+    val df = (0 until 160).map(i => (i.toLong, Seq("a", "b", "c", "d")(i % 4)))
+      .toDF("id", "g")
+    val got = Ranks.interleave(df, "g", "id", "mix", weights, nBuckets = 8)
+      .select($"id", $"pos").as[(Long, Long)].collect().toMap
+    val l = 4L // lcm(4,2,1,1)
+    val naive = df.withColumn("rn", row_number().over(
+        Window.partitionBy($"g").orderBy(
+          Text.baseHash32(concat(lit("mix:"), $"id")).asc, $"id".asc)))
+      .withColumn("stride", when($"g" === "a", l / 4).when($"g" === "b", l / 2)
+        .otherwise(l))
+      .withColumn("key", ($"rn" - 1) * $"stride")
+      .withColumn("pos", row_number().over(Window.orderBy($"key".asc, $"g".asc)))
+      .select($"id", $"pos".cast("long")).as[(Long, Long)].collect().toMap
+    assert(got === naive)
+  }
+
+  test("interleave: positions are a permutation and prefixes hold the mix") {
+    val df = (0 until 320).map(i => (i.toLong, Seq("a", "b", "c", "d")(i % 4)))
+      .toDF("id", "g")
+    val out = Ranks.interleave(df, "g", "id", "mix2", weights, nBuckets = 8)
+      .select($"pos", $"g").as[(Long, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === (1L to 320L))
+    // weight mass available until a source exhausts: the first 160
+    // positions draw a:b:c:d = 4:2:1:1 (80 a's exhaust source a exactly
+    // at half the corpus: 80 = 4/8 · 160)
+    val prefix = out.take(160).map(_._2)
+    val byG = prefix.groupBy(identity).view.mapValues(_.length).toMap
+    // ladder keys interleave to within one row per source of the ideal
+    assert(math.abs(byG("a") - 80) <= 1, byG.toString)
+    assert(math.abs(byG("b") - 40) <= 1, byG.toString)
+    assert(math.abs(byG("c") - 20) <= 1, byG.toString)
+    assert(math.abs(byG("d") - 20) <= 1, byG.toString)
+  }
+
+  test("interleave fails loudly on a source with no weight") {
+    val df = Seq((1L, "a"), (2L, "zz")).toDF("id", "g")
+    val e = intercept[Exception] {
+      Ranks.interleave(df, "g", "id", "mix3", weights).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("no global window ever runs on data rows — only on the bucket aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(wins.nonEmpty)
+      wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+        // the only permissible single-partition window is the cross-bucket
+        // offset prefix-sum, whose input is the (group, bucket) count
+        // aggregate — nBuckets rows, not the corpus
+        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+          s"global window over non-aggregated input:\n$w")
+      }
+      // the data-side rank window is always bucket-partitioned
+      assert(wins.exists(_.partitionSpec.nonEmpty))
+    }
+    check(Ranks.shuffleRank(docs(100, 1).drop("g"), Seq.empty, "id", "s3", 8))
+    check(Ranks.interleave(
+      (0 until 40).map(i => (i.toLong, Seq("a", "b", "c", "d")(i % 4)))
+        .toDF("id", "g"), "g", "id", "mix4", weights, nBuckets = 8))
+  }
+}
