@@ -78,7 +78,7 @@ object ScaleProbe {
       "videodedup", "bucketreg", "audioprep", "gramreg", "kfnovel", "prdist",
       "codecprep", "bwdist",
       "ccinc", "funnel", "prep", "monitor", "bm25reg", "splitreg",
-      "retrieval", "kcore", "cooccur", "walks", "wl")
+      "retrieval", "kcore", "cooccur", "walks", "wl", "ranks")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -1796,6 +1796,42 @@ object ScaleProbe {
           maxLabelDf = 20).count()
       }
       wl.unpersist()
+      spark.catalog.clearCache()
+    }
+    // Rank decomposition (q185/q186): the A/B this operator exists for.
+    // 5 event types over factor×100k events — the naive per-group window
+    // plans FIVE partitions regardless of data size (27 of 32 cores
+    // idle, one full per-group sort each); the bucketed form keeps
+    // 5×nBuckets. The gap should WIDEN with factor; the closed-form
+    // interleave position adds only broadcast arithmetic on top.
+    if (want("ranks")) for (factor <- probeFactors) {
+      import org.apache.spark.sql.expressions.Window
+      val ev = materialize(
+        eventsAt(spark, d, factor).select(col("event_id"), col("event_type")),
+        s"/tmp/scale/ranks$factor")
+      val n = ev.count()
+      time(s"naive per-group window rank ${factor}x ($n rows)") {
+        ev.withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(
+              graft.functions.Text.baseHash32(
+                concat(lit("rk:"), col("event_id"))).asc,
+              col("event_id").asc)))
+          .agg(sum(col("rn"))).collect().head.getLong(0)
+        n
+      }
+      time(s"bucketed rank ${factor}x") {
+        graft.operators.Ranks.shuffleRank(ev, Seq("event_type"), "event_id",
+            "rk", nBuckets = 64)
+          .agg(sum(col("rn"))).collect().head.getLong(0)
+        n
+      }
+      time(s"interleave (closed-form positions) ${factor}x") {
+        graft.operators.Ranks.interleave(ev, "event_type", "event_id", "rk",
+            Map("click" -> 4, "view" -> 2, "purchase" -> 1, "signup" -> 1,
+              "error" -> 1), nBuckets = 64)
+          .agg(sum(col("pos"))).collect().head.getLong(0)
+        n
+      }
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -103,16 +103,7 @@ object Ranks {
   def interleave(df: DataFrame, group: String, id: String, salt: String,
                  weights: Map[String, Int], nBuckets: Int = 64,
                  pos: String = "pos"): DataFrame = {
-    require(weights.nonEmpty, "weights must be non-empty")
-    require(weights.values.forall(_ > 0),
-      s"weights must be positive, got $weights")
-    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-    val L = weights.values.foldLeft(1L)((acc, w) => acc / gcd(acc, w) * w)
-    val strideOf: Column = weights.toSeq.sortBy(_._1)
-      .foldRight(raise_error(concat(lit("no weight for source: "),
-        col(group))).cast("long")) { case ((g, w), otherwise) =>
-        when(col(group) === g, lit(L / w)).otherwise(otherwise)
-      }
+    val strideOf = strideExpr(weights, group)
     val rn = Cols.freeName(df, "__rn")
     val s = Cols.freeName(df, "__stride")
     val k = Cols.freeName(df, "__lkey")
@@ -123,18 +114,128 @@ object Ranks {
     // broadcast array — the closed-form sum never shuffles the data
     val stats = Cols.freeName(df, "__stats")
     val statsRow = ranked.groupBy(col(group).as("g"))
-      .agg(count(lit(1)).as("n"), first(col(s)).as("s"))
-      .agg(collect_list(struct(col("g"), col("n"), col("s"))).as(stats))
-    // SQL-lambda form because the Column DSL has no integer division —
-    // `/` promotes longs to double, and the whole point is exact ranks
+      .agg(lit(0L).as("c"), count(lit(1)).as("e"), first(col(s)).as("s"))
+      .agg(collect_list(struct(col("g"), col("c"), col("e"), col("s")))
+        .as(stats))
+    ladderPositions(ranked, group, k, statsRow, stats, pos)
+      .drop(rn, s, k)
+  }
+
+  /** Extend a standing curriculum with an arriving batch WITHOUT moving
+    * anything already served — the registry form of [[interleave]]. The
+    * first `servedRows` positions of the standing order are frozen
+    * verbatim (`frozen = true`); the unserved standing tail and the
+    * arrivals re-interleave behind them, arrivals continuing each
+    * source's ladder after its standing rows (`key =
+    * (N_standing + rn_batch − 1) · stride`, same salt ⇒ same per-source
+    * shuffle as a from-scratch run over the union).
+    *
+    * The closed form survives the split because the served prefix of the
+    * global order restricted to one source is a PREFIX of that source's
+    * ladder (the order is monotone in the key): the remainder of source g
+    * is the contiguous ladder [c_g, e_g), so rows sorting before key K are
+    * `clamp(K div s (+1 on ties) − c, 0, e − c)` — still per-source
+    * broadcast stats, still zero global windows. With an empty batch and
+    * servedRows = 0 this reproduces [[interleave]] exactly (spec-pinned).
+    *
+    * Lifecycle: the positioned standing frame is persisted internally
+    * (three consumers: served split, remainder split, served-count
+    * stats); the caller owns cleanup (the TermStats convention —
+    * `Caches.clearAll` in Verify/Bench).
+    */
+  def extendOrder(standing: DataFrame, arriving: DataFrame, group: String,
+                  id: String, salt: String, weights: Map[String, Int],
+                  servedRows: Long, nBuckets: Int = 64, pos: String = "pos",
+                  frozen: String = "frozen"): DataFrame = {
+    require(servedRows >= 0, s"servedRows must be >= 0, got $servedRows")
+    val strideOf = strideExpr(weights, group)
+    val rn = Cols.freeName(standing, "__rn")
+    val s = Cols.freeName(standing, "__stride")
+    val k = Cols.freeName(standing, "__lkey")
+    val outCols = standing.columns.toIndexedSeq.map(col) :+ col(pos)
+    // standing order = interleave, with the rank/key plumbing kept
+    val st = shuffleRank(standing, Seq(group), id, salt, nBuckets, rn)
+      .withColumn(s, strideOf)
+      .withColumn(k, (col(rn) - 1) * col(s))
+    val stats0 = Cols.freeName(standing, "__stats0")
+    val nByG = st.groupBy(col(group).as("g"))
+      .agg(count(lit(1)).as("e"), first(col(s)).as("s"))
+    val statsRow0 = nByG.select(col("g"), lit(0L).as("c"), col("e"), col("s"))
+      .agg(collect_list(struct(col("g"), col("c"), col("e"), col("s")))
+        .as(stats0))
+    val stPos = ladderPositions(st, group, k, statsRow0, stats0, pos)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val served = stPos.filter(col(pos) <= servedRows)
+    // arrivals continue each source's ladder after its standing rows
+    val m = Cols.freeName(arriving, "__nstanding")
+    val ar = shuffleRank(arriving, Seq(group), id, salt, nBuckets, rn)
+      .withColumn(s, strideOf)
+      .join(broadcast(nByG.select(col("g").as(group), col("e").as(m))),
+        Seq(group), "left")
+      .withColumn(k, (coalesce(col(m), lit(0L)) + col(rn) - 1) * col(s))
+      .drop(m)
+    // remainder stats: c = served rows per source (a prefix of its
+    // ladder), e = standing + arriving rows; sources new in the batch
+    // enter with c = 0, e = batch count
+    val stats1 = Cols.freeName(standing, "__stats1")
+    val servedByG = served.groupBy(col(group).as("g"))
+      .agg(count(lit(1)).as("c"))
+    val arByG = ar.groupBy(col(group).as("g"))
+      .agg(count(lit(1)).as("ma"), first(col(s)).as("sa"))
+    val statsRow1 = nByG
+      .join(servedByG, Seq("g"), "full_outer")
+      .join(arByG, Seq("g"), "full_outer")
+      .select(col("g"), coalesce(col("c"), lit(0L)).as("c"),
+        (coalesce(col("e"), lit(0L)) + coalesce(col("ma"), lit(0L))).as("e"),
+        coalesce(col("s"), col("sa")).as("s"))
+      .agg(collect_list(struct(col("g"), col("c"), col("e"), col("s")))
+        .as(stats1))
+    val remainder = stPos.filter(col(pos) > servedRows).drop(pos)
+      .unionByName(ar)
+    val remPos =
+      ladderPositions(remainder, group, k, statsRow1, stats1, pos)
+    served.select(outCols: _*).withColumn(frozen, lit(true))
+      .unionByName(remPos.select(outCols: _*).withColumn(frozen, lit(false)))
+  }
+
+  /** lcm(weights)/weight as a CASE over the group column; a source with
+    * no weight fails loudly (`raise_error`), not silently — it would
+    * otherwise vanish from the mix bookkeeping while occupying positions.
+    */
+  private def strideExpr(weights: Map[String, Int], group: String): Column = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ > 0),
+      s"weights must be positive, got $weights")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val L = weights.values.foldLeft(1L)((acc, w) => acc / gcd(acc, w) * w)
+    weights.toSeq.sortBy(_._1)
+      .foldRight(raise_error(concat(lit("no weight for source: "),
+        col(group))).cast("long")) { case ((g, w), otherwise) =>
+        when(col(group) === g, lit(L / w)).otherwise(otherwise)
+      }
+  }
+
+  /** The closed-form global position over per-source ladder remainders:
+    * `statsRow` is ONE row holding array<struct<g, c, e, s>> (source,
+    * ladder start, ladder end, stride); each data row's position is
+    * `base + 1 + Σ_g` rows of g's ladder [c_g, e_g) sorting strictly
+    * before it under (key asc, source asc). SQL-lambda form because the
+    * Column DSL has no integer division — `/` promotes longs to double,
+    * and the whole point is exact ranks.
+    */
+  private def ladderPositions(ranked: DataFrame, group: String, k: String,
+                              statsRow: DataFrame, statsCol: String,
+                              pos: String): DataFrame =
+    // the `x.c +` term makes the base the ACTUAL consumed-prefix size
+    // Σ_g c_g (zero for a from-scratch order) — a watermark larger than
+    // the standing corpus must not leave position gaps
     ranked.crossJoin(broadcast(statsRow))
       .withColumn(pos, expr(
-        s"""`$rn` + aggregate(`$stats`, 0L, (acc, x) -> acc +
+        s"""1L + aggregate(`$statsCol`, 0L, (acc, x) -> acc + x.c +
            |  CASE WHEN x.g < `$group`
-           |         THEN least(x.n, (`$k` div x.s) + 1L)
+           |         THEN least(x.e - x.c, greatest(0L, (`$k` div x.s) + 1L - x.c))
            |       WHEN x.g > `$group`
-           |         THEN least(x.n, (`$k` + x.s - 1L) div x.s)
-           |       ELSE 0L END)""".stripMargin))
-      .drop(rn, s, k, stats)
-  }
+           |         THEN least(x.e - x.c, greatest(0L, ((`$k` + x.s - 1L) div x.s) - x.c))
+           |       ELSE (`$k` div x.s) - x.c END)""".stripMargin))
+      .drop(statsCol)
 }

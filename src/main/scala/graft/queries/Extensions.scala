@@ -551,9 +551,31 @@ object Extensions {
         col("cp").as("checkpoint_rows"), col("source"), col("n_docs"))
   }
 
+  /** q187: curriculum extension ([[Ranks.extendOrder]]) — the registry
+    * form of q185: the even-id half is the standing ordered corpus with
+    * its first half already served (watermark = ⌊N/2⌋, a one-scalar
+    * count action); the odd-id half arrives. Served positions are frozen
+    * verbatim; the unserved tail and the arrivals re-interleave behind
+    * them, arrivals continuing each source's key ladder — so a training
+    * run never revisits consumed data and never reshuffles what the
+    * loader already scheduled. Same closed-form position machinery
+    * (ladder remainders [c_g, e_g)), still no global window.
+    */
+  def q187CurriculumExtend(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables(spark, d, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val standing = docs.filter(col("doc_id") % 2 === 0)
+    val arriving = docs.filter(col("doc_id") % 2 === 1)
+    Ranks.extendOrder(standing, arriving, "source", "doc_id", "cur1",
+        CurriculumWeights, servedRows = standing.count() / 2, nBuckets = 64)
+      .select(col("pos"), col("doc_id"), col("source"), col("n_chars"),
+        col("frozen"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q185_curriculum_order" -> q185CurriculumOrder _,
     "q186_mix_prefix_audit" -> q186MixPrefixAudit _,
+    "q187_curriculum_extend" -> q187CurriculumExtend _,
     "q127_sft_render" -> q127SftRender _,
     "q119_funnel3" -> q119Funnel3 _,
     "q122_funnel4" -> q122Funnel4 _,

@@ -2771,6 +2771,47 @@ object Oracles {
         |FROM ord JOIN cps ON ord.pos <= cps.cp
         |GROUP BY 1, 2, 3""".stripMargin,
 
+    // q187: curriculum extension — standing (even ids) ordered as q185,
+    // first ⌊N/2⌋ positions frozen; remainder = unserved tail ∪ arrivals
+    // (odd ids) re-ranked behind the ACTUAL frozen count, arrivals
+    // continuing each source's ladder at (n_standing + rn − 1)·stride.
+    "q187_curriculum_extend" ->
+      """WITH st0 AS (SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 0),
+        |ar0 AS (SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 1),
+        |r AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5('cur1:' || doc_id), 1, 8))::BIGINT ASC,
+        |               doc_id ASC) AS rn
+        |  FROM st0),
+        |k AS (SELECT doc_id, source, n_chars,
+        |    (rn - 1) * (CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2
+        |                            WHEN 'src2' THEN 4 ELSE 8 END) AS key
+        |  FROM r),
+        |p AS (SELECT doc_id, source, n_chars, key,
+        |    CAST(row_number() OVER (ORDER BY key ASC, source ASC) AS BIGINT) AS pos
+        |  FROM k),
+        |w AS (SELECT count(*) // 2 AS w FROM st0),
+        |frozen AS (SELECT doc_id, source, n_chars, pos FROM p, w WHERE pos <= w.w),
+        |nst AS (SELECT source, count(*) AS n FROM st0 GROUP BY 1),
+        |ra AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5('cur1:' || doc_id), 1, 8))::BIGINT ASC,
+        |               doc_id ASC) AS rn
+        |  FROM ar0),
+        |ka AS (SELECT ra.doc_id, ra.source, ra.n_chars,
+        |    (coalesce(nst.n, 0) + ra.rn - 1) *
+        |      (CASE ra.source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2
+        |                      WHEN 'src2' THEN 4 ELSE 8 END) AS key
+        |  FROM ra LEFT JOIN nst USING (source)),
+        |rem AS (SELECT doc_id, source, n_chars, key FROM p, w WHERE pos > w.w
+        |        UNION ALL SELECT doc_id, source, n_chars, key FROM ka),
+        |fc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM frozen)
+        |SELECT pos, doc_id, source, n_chars, TRUE AS frozen FROM frozen
+        |UNION ALL
+        |SELECT CAST(fc.c + row_number() OVER (ORDER BY key ASC, source ASC) AS BIGINT) AS pos,
+        |  doc_id, source, n_chars, FALSE AS frozen
+        |FROM rem, fc""".stripMargin,
+
     // q156: TVD drift monitor — exact-integer cross-multiplied form
     // (Σ|ca·nb − cb·na|·1e6 // (2·na·nb)); the md5 half-split is q46's
     // bucket formula with the 'drift' salt, token count is q24's twin

@@ -101,6 +101,91 @@ class RanksSpec extends AnyFunSuite {
     assert(math.abs(byG("d") - 20) <= 1, byG.toString)
   }
 
+  private def naiveExtend(standing: org.apache.spark.sql.DataFrame,
+                          arriving: org.apache.spark.sql.DataFrame,
+                          salt: String, served: Long): Map[Long, (Long, Boolean)] = {
+    val l = 4L
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"g").orderBy(
+          Text.baseHash32(concat(lit(s"$salt:"), $"id")).asc, $"id".asc)))
+      .withColumn("stride", when($"g" === "a", l / 4).when($"g" === "b", l / 2)
+        .otherwise(l))
+    val st = keyed(standing)
+      .withColumn("key", ($"rn" - 1) * $"stride")
+      .withColumn("pos",
+        row_number().over(Window.orderBy($"key".asc, $"g".asc)).cast("long"))
+    val nByG = standing.groupBy($"g").agg(count(lit(1)).as("n"))
+    val ar = keyed(arriving).join(nByG, Seq("g"), "left")
+      .withColumn("key",
+        (coalesce($"n", lit(0L)) + $"rn" - 1) * $"stride")
+    val frozenRows = st.filter($"pos" <= served)
+      .select($"id", $"pos").as[(Long, Long)].collect()
+      .map { case (i, p) => i -> (p, true) }
+    // base = rows actually frozen, not the watermark: a watermark past the
+    // standing corpus must not leave position gaps
+    val rem = st.filter($"pos" > served).select($"id", $"g", $"key")
+      .unionByName(ar.select($"id", $"g", $"key"))
+      .withColumn("pos", lit(frozenRows.length.toLong) +
+        row_number().over(Window.orderBy($"key".asc, $"g".asc)).cast("long"))
+      .select($"id", $"pos").as[(Long, Long)].collect()
+      .map { case (i, p) => i -> (p, false) }
+    (frozenRows ++ rem).toMap
+  }
+
+  test("extendOrder equals the naive recompute; empty batch + served=0 = interleave") {
+    val standing = (0 until 120).map(i => (i.toLong, Seq("a", "b", "c", "d")(i % 4)))
+      .toDF("id", "g")
+    val arriving = (1000 until 1060)
+      .map(i => (i.toLong, Seq("a", "b", "c", "d", "e")(i % 5))).toDF("id", "g")
+    val w5 = weights + ("e" -> 1)
+    val got = Ranks.extendOrder(standing, arriving, "g", "id", "mix5", w5,
+        servedRows = 40, nBuckets = 8)
+      .select($"id", $"pos", $"frozen").as[(Long, Long, Boolean)].collect()
+      .map { case (i, p, f) => i -> (p, f) }.toMap
+    assert(got === naiveExtend(standing, arriving, "mix5", 40))
+    // positions are a permutation of 1..(N+M)
+    assert(got.values.map(_._1).toSeq.sorted === (1L to 180L))
+    // empty batch, nothing served: exactly interleave
+    val empty = spark.emptyDataset[(Long, String)].toDF("id", "g")
+    val plain = Ranks.interleave(standing, "g", "id", "mix5", w5, nBuckets = 8)
+      .select($"id", $"pos").as[(Long, Long)].collect().toMap
+    val ext0 = Ranks.extendOrder(standing, empty, "g", "id", "mix5", w5,
+        servedRows = 0, nBuckets = 8)
+      .select($"id", $"pos").as[(Long, Long)].collect().toMap
+    assert(ext0 === plain)
+  }
+
+  test("extendOrder: served prefix frozen verbatim; property over watermarks") {
+    val gen = for {
+      n <- Gen.choose(1, 80)
+      m <- Gen.choose(0, 40)
+      served <- Gen.choose(0, 100)
+      salt <- Gen.identifier.map(_.take(6))
+    } yield (n, m, served.toLong, salt)
+    val prop = Prop.forAll(gen) { case (n, m, served, salt) =>
+      val standing = (0 until n)
+        .map(i => (i.toLong, Seq("a", "b", "c", "d")(i % 4))).toDF("id", "g")
+      val arriving = (1000 until 1000 + m)
+        .map(i => (i.toLong, Seq("a", "b", "c", "d")(i % 4))).toDF("id", "g")
+      val got = Ranks.extendOrder(standing, arriving, "g", "id", salt,
+          weights, served, nBuckets = 4)
+        .select($"id", $"pos", $"frozen").as[(Long, Long, Boolean)]
+        .collect().map { case (i, p, f) => i -> (p, f) }.toMap
+      val plain = Ranks.interleave(standing, "g", "id", salt, weights,
+          nBuckets = 4)
+        .select($"id", $"pos").as[(Long, Long)].collect().toMap
+      // frozen rows: exactly the standing order's first `served` positions
+      val frozenOk = got.forall { case (id, (p, f)) =>
+        if (f) plain(id) == p && p <= served else p > math.min(served, n.toLong)
+      } && got.count(_._2._2) == math.min(served, n.toLong)
+      frozenOk && got == naiveExtend(standing, arriving, salt, served) &&
+        got.values.map(_._1).toSeq.sorted == (1L to (n + m).toLong)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("interleave fails loudly on a source with no weight") {
     val df = Seq((1L, "a"), (2L, "zz")).toDF("id", "g")
     val e = intercept[Exception] {
