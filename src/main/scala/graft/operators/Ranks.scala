@@ -198,6 +198,94 @@ object Ranks {
       .unionByName(remPos.select(outCols: _*).withColumn(frozen, lit(false)))
   }
 
+  /** [[interleave]] with the per-source ladder index kept as column `j` —
+    * the materialized-registry shape [[extendRegistry]] consumes, so
+    * curriculum extension COMPOSES across epochs without ever recomputing
+    * standing ranks.
+    */
+  def orderRegistry(df: DataFrame, group: String, id: String, salt: String,
+                    weights: Map[String, Int], nBuckets: Int = 64,
+                    j: String = "j", pos: String = "pos"): DataFrame = {
+    val strideOf = strideExpr(weights, group)
+    val rn = Cols.freeName(df, "__rn")
+    val s = Cols.freeName(df, "__stride")
+    val k = Cols.freeName(df, "__lkey")
+    val ranked = shuffleRank(df, Seq(group), id, salt, nBuckets, rn)
+      .withColumn(s, strideOf)
+      .withColumn(k, (col(rn) - 1) * col(s))
+    val stats = Cols.freeName(df, "__stats")
+    val statsRow = ranked.groupBy(col(group).as("g"))
+      .agg(lit(0L).as("c"), count(lit(1)).as("e"), first(col(s)).as("s"))
+      .agg(collect_list(struct(col("g"), col("c"), col("e"), col("s")))
+        .as(stats))
+    ladderPositions(ranked, group, k, statsRow, stats, pos)
+      .withColumn(j, col(rn) - 1)
+      .drop(rn, s, k)
+  }
+
+  /** One epoch step over a MATERIALIZED registry (the output shape of
+    * [[orderRegistry]] / a previous extendRegistry, minus `frozen`): the
+    * first `servedRows` positions freeze verbatim, arrivals continue each
+    * source's ladder after its current end, and the unserved tail +
+    * arrivals re-rank behind the actual frozen count. Unlike
+    * [[extendOrder]] this never recomputes standing ranks — the registry
+    * IS the state, so steps chain: reg1 = extendRegistry(reg0, b1, w1);
+    * reg2 = extendRegistry(reg1, b2, w2); …
+    *
+    * Why composition is sound (the invariant each step preserves): the
+    * global order restricted to one source is ascending in its ladder
+    * index `j` — frozen rows are that source's smallest j's, the
+    * remainder is ordered by key = j·stride — and per-source j's stay
+    * contiguous [0, e_g) because arrivals append. So ANY later watermark
+    * again cuts every source's ladder at a prefix, which is exactly what
+    * the closed-form position arithmetic requires. RanksSpec pins
+    * one-step equivalence with [[extendOrder]] and multi-step prefix
+    * immutability.
+    */
+  def extendRegistry(registry: DataFrame, arriving: DataFrame, group: String,
+                     id: String, salt: String, weights: Map[String, Int],
+                     servedRows: Long, nBuckets: Int = 64, j: String = "j",
+                     pos: String = "pos", frozen: String = "frozen"): DataFrame = {
+    require(servedRows >= 0, s"servedRows must be >= 0, got $servedRows")
+    val strideOf = strideExpr(weights, group)
+    val reg = (if (registry.columns.contains(frozen)) registry.drop(frozen)
+               else registry)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val payload = reg.columns.filterNot(c => c == pos).toIndexedSeq
+    val outCols = payload.map(col) :+ col(pos)
+    val s = Cols.freeName(reg, "__stride")
+    val k = Cols.freeName(reg, "__lkey")
+    val rn = Cols.freeName(arriving, "__rn")
+    // per-source state: e0 = ladder end (= row count, by the contiguity
+    // invariant), c = rows already served at this watermark
+    val regStats = reg.groupBy(col(group).as("g"))
+      .agg(count(lit(1)).as("e0"),
+        sum(when(col(pos) <= servedRows, 1L).otherwise(0L)).as("c"))
+    val m = Cols.freeName(arriving, "__e0")
+    val ar = shuffleRank(arriving, Seq(group), id, salt, nBuckets, rn)
+      .join(broadcast(regStats.select(col("g").as(group), col("e0").as(m))),
+        Seq(group), "left")
+      .withColumn(j, coalesce(col(m), lit(0L)) + col(rn) - 1)
+      .drop(m, rn)
+    val arStats = ar.groupBy(col(group).as("g")).agg(count(lit(1)).as("ma"))
+    val stats1 = Cols.freeName(reg, "__stats1")
+    val statsRow1 = regStats
+      .join(arStats, Seq("g"), "full_outer")
+      .select(col("g"), coalesce(col("c"), lit(0L)).as("c"),
+        (coalesce(col("e0"), lit(0L)) + coalesce(col("ma"), lit(0L))).as("e"))
+      .withColumn("s", strideExpr(weights, "g"))
+      .agg(collect_list(struct(col("g"), col("c"), col("e"), col("s")))
+        .as(stats1))
+    val remainder = reg.filter(col(pos) > servedRows).drop(pos)
+      .unionByName(ar)
+      .withColumn(s, strideOf)
+      .withColumn(k, col(j) * col(s))
+    val remPos = ladderPositions(remainder, group, k, statsRow1, stats1, pos)
+    reg.filter(col(pos) <= servedRows).select(outCols: _*)
+      .withColumn(frozen, lit(true))
+      .unionByName(remPos.select(outCols: _*).withColumn(frozen, lit(false)))
+  }
+
   /** lcm(weights)/weight as a CASE over the group column; a source with
     * no weight fails loudly (`raise_error`), not silently — it would
     * otherwise vanish from the mix bookkeeping while occupying positions.

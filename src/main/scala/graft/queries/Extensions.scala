@@ -572,10 +572,38 @@ object Extensions {
         col("frozen"))
   }
 
+  /** q188: two-epoch curriculum registry fold ([[Ranks.orderRegistry]] →
+    * [[Ranks.extendRegistry]] ×2) — the composable form: each step
+    * consumes the MATERIALIZED registry (payload + ladder index + pos),
+    * freezes the watermark prefix, appends arrivals to each source's
+    * ladder, and re-ranks only the tail. Thirds of the corpus arrive in
+    * sequence (ids ≡ 0, 1, 2 mod 3); watermarks ⌊N₀/2⌋ then
+    * ⌊(N₀+N₁)/2⌋. Every earlier watermark prefix survives every later
+    * step (spec-pinned invariant: per-source order stays
+    * ladder-ascending, so watermarks always cut ladder prefixes).
+    */
+  def q188CurriculumRegistry(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables(spark, d, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val p0 = docs.filter(col("doc_id") % 3 === 0)
+    val p1 = docs.filter(col("doc_id") % 3 === 1)
+    val p2 = docs.filter(col("doc_id") % 3 === 2)
+    val (n0, n1) = (p0.count(), p1.count())
+    val reg0 = Ranks.orderRegistry(p0, "source", "doc_id", "cur1",
+      CurriculumWeights, nBuckets = 64)
+    val reg1 = Ranks.extendRegistry(reg0, p1, "source", "doc_id", "cur1",
+      CurriculumWeights, servedRows = n0 / 2, nBuckets = 64)
+    val reg2 = Ranks.extendRegistry(reg1, p2, "source", "doc_id", "cur1",
+      CurriculumWeights, servedRows = (n0 + n1) / 2, nBuckets = 64)
+    reg2.select(col("pos"), col("doc_id"), col("source"), col("n_chars"),
+      col("frozen"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q185_curriculum_order" -> q185CurriculumOrder _,
     "q186_mix_prefix_audit" -> q186MixPrefixAudit _,
     "q187_curriculum_extend" -> q187CurriculumExtend _,
+    "q188_curriculum_registry" -> q188CurriculumRegistry _,
     "q127_sft_render" -> q127SftRender _,
     "q119_funnel3" -> q119Funnel3 _,
     "q122_funnel4" -> q122Funnel4 _,

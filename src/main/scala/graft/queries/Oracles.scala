@@ -2727,7 +2727,63 @@ object Oracles {
     * LAST on ASC) but only reorders left rows among themselves, which
     * cannot change the carried last-non-null right value.
     */
+  // q185–q188 shared fragments: the curriculum ladder stride (lcm 8 over
+  // the src0 8× / src1 4× / src2 2× / rest 1× mix) and the salted
+  // per-source shuffle rank.
+  private val CurStride =
+    "(CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2 WHEN 'src2' THEN 4 ELSE 8 END)"
+  private def curRank(src: String) =
+    s"""SELECT doc_id, source, n_chars,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ('0x' || substr(md5('cur1:' || doc_id), 1, 8))::BIGINT ASC,
+       |               doc_id ASC) AS rn
+       |  FROM $src""".stripMargin
+
   val extensions: Map[String, String] = Map(
+    // q188: two-epoch registry fold — reg0 = interleave of the first
+    // third (ladder index j kept), then two extendRegistry replays:
+    // freeze the watermark prefix, arrivals continue each source's
+    // ladder at (count + rn − 1), tail re-ranks behind the ACTUAL
+    // frozen count.
+    "q188_curriculum_registry" ->
+      s"""WITH p0 AS (SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 3 = 0),
+         |p1 AS (SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 3 = 1),
+         |p2 AS (SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 3 = 2),
+         |r0 AS (${curRank("p0")}),
+         |reg0 AS (SELECT doc_id, source, n_chars, rn - 1 AS j,
+         |    CAST(row_number() OVER (ORDER BY (rn - 1) * $CurStride ASC, source ASC) AS BIGINT) AS pos
+         |  FROM r0),
+         |w1 AS (SELECT count(*) // 2 AS w FROM p0),
+         |f1 AS (SELECT reg0.* FROM reg0, w1 WHERE pos <= w1.w),
+         |n0 AS (SELECT source, count(*) AS n FROM p0 GROUP BY 1),
+         |ra1 AS (${curRank("p1")}),
+         |a1 AS (SELECT ra1.doc_id, ra1.source, ra1.n_chars,
+         |    coalesce(n0.n, 0) + rn - 1 AS j
+         |  FROM ra1 LEFT JOIN n0 USING (source)),
+         |rem1 AS (SELECT doc_id, source, n_chars, j FROM reg0, w1 WHERE pos > w1.w
+         |         UNION ALL SELECT doc_id, source, n_chars, j FROM a1),
+         |fc1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM f1),
+         |reg1 AS (SELECT doc_id, source, n_chars, j, pos FROM f1
+         |         UNION ALL
+         |         SELECT doc_id, source, n_chars, j,
+         |           CAST(fc1.c + row_number() OVER (ORDER BY j * $CurStride ASC, source ASC) AS BIGINT) AS pos
+         |         FROM rem1, fc1),
+         |w2 AS (SELECT ((SELECT count(*) FROM p0) + (SELECT count(*) FROM p1)) // 2 AS w),
+         |f2 AS (SELECT reg1.* FROM reg1, w2 WHERE pos <= w2.w),
+         |n1g AS (SELECT source, count(*) AS n FROM reg1 GROUP BY 1),
+         |ra2 AS (${curRank("p2")}),
+         |a2 AS (SELECT ra2.doc_id, ra2.source, ra2.n_chars,
+         |    coalesce(n1g.n, 0) + rn - 1 AS j
+         |  FROM ra2 LEFT JOIN n1g USING (source)),
+         |rem2 AS (SELECT doc_id, source, n_chars, j FROM reg1, w2 WHERE pos > w2.w
+         |         UNION ALL SELECT doc_id, source, n_chars, j FROM a2),
+         |fc2 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM f2)
+         |SELECT pos, doc_id, source, n_chars, TRUE AS frozen FROM f2
+         |UNION ALL
+         |SELECT CAST(fc2.c + row_number() OVER (ORDER BY j * $CurStride ASC, source ASC) AS BIGINT) AS pos,
+         |  doc_id, source, n_chars, FALSE AS frozen
+         |FROM rem2, fc2""".stripMargin,
+
     // q185: curriculum interleave — the NAIVE two-window form (per-source
     // shuffle rank, then one global row_number over the ladder key): the
     // exact order the bucketed-rank + closed-form-position plan must

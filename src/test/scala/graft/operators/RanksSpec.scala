@@ -186,6 +186,66 @@ class RanksSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("extendRegistry one step = extendOrder; orderRegistry = interleave + j") {
+    val standing = (0 until 120).map(i => (i.toLong, Seq("a", "b", "c", "d")(i % 4)))
+      .toDF("id", "g")
+    val arriving = (1000 until 1060)
+      .map(i => (i.toLong, Seq("a", "b", "c", "d")(i % 4))).toDF("id", "g")
+    val reg0 = Ranks.orderRegistry(standing, "g", "id", "mix6", weights,
+      nBuckets = 8)
+    // registry = interleave output + the per-source ladder index
+    val plain = Ranks.interleave(standing, "g", "id", "mix6", weights,
+        nBuckets = 8)
+      .select($"id", $"pos").as[(Long, Long)].collect().toMap
+    assert(reg0.select($"id", $"pos").as[(Long, Long)].collect().toMap
+      === plain)
+    val viaReg = Ranks.extendRegistry(reg0, arriving, "g", "id", "mix6",
+        weights, servedRows = 37, nBuckets = 8)
+      .select($"id", $"pos", $"frozen").as[(Long, Long, Boolean)]
+      .collect().map { case (i, p, f) => i -> (p, f) }.toMap
+    val direct = Ranks.extendOrder(standing, arriving, "g", "id", "mix6",
+        weights, servedRows = 37, nBuckets = 8)
+      .select($"id", $"pos", $"frozen").as[(Long, Long, Boolean)]
+      .collect().map { case (i, p, f) => i -> (p, f) }.toMap
+    assert(viaReg === direct)
+  }
+
+  test("extendRegistry composes: every earlier watermark prefix survives") {
+    val p0 = (0 until 90).map(i => (i.toLong, Seq("a", "b", "c", "d")(i % 4)))
+      .toDF("id", "g")
+    val b1 = (1000 until 1045)
+      .map(i => (i.toLong, Seq("a", "b", "c", "d")(i % 4))).toDF("id", "g")
+    val b2 = (2000 until 2060)
+      .map(i => (i.toLong, Seq("a", "b", "c", "d")(i % 4))).toDF("id", "g")
+    val reg0 = Ranks.orderRegistry(p0, "g", "id", "mix7", weights, nBuckets = 8)
+    val reg1 = Ranks.extendRegistry(reg0, b1, "g", "id", "mix7", weights,
+      servedRows = 45, nBuckets = 8)
+    val reg2 = Ranks.extendRegistry(reg1, b2, "g", "id", "mix7", weights,
+      servedRows = 100, nBuckets = 8)
+    def posMap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"pos").as[(Long, Long)].collect().toMap
+    val (m0, m1, m2) = (posMap(reg0), posMap(reg1), posMap(reg2))
+    // permutations at every step
+    assert(m1.values.toSeq.sorted === (1L to 135L))
+    assert(m2.values.toSeq.sorted === (1L to 195L))
+    // step-1 watermark: reg0's first 45 positions survive into reg1 AND reg2
+    m0.filter(_._2 <= 45).foreach { case (id, p) =>
+      assert(m1(id) == p, s"id $id moved in reg1"); assert(m2(id) == p) }
+    // step-2 watermark: reg1's first 100 positions survive into reg2
+    m1.filter(_._2 <= 100).foreach { case (id, p) => assert(m2(id) == p) }
+    // frozen flags match the step-2 watermark exactly
+    val f2 = reg2.select($"id", $"frozen").as[(Long, Boolean)].collect().toMap
+    assert(f2.count(_._2) == 100)
+    f2.foreach { case (id, f) => assert(f == m1.get(id).exists(_ <= 100)) }
+    // per-source order is j-ascending at every step (the composition
+    // invariant extendRegistry relies on)
+    reg2.select($"g", $"pos", $"j").as[(String, Long, Long)].collect()
+      .groupBy(_._1).values.foreach { rows =>
+        val byPos = rows.sortBy(_._2).map(_._3)
+        assert(byPos.toSeq === byPos.sorted.toSeq)
+      }
+  }
+
   test("interleave fails loudly on a source with no weight") {
     val df = Seq((1L, "a"), (2L, "zz")).toDF("id", "g")
     val e = intercept[Exception] {
