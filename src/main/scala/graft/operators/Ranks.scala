@@ -248,9 +248,13 @@ object Ranks {
                      pos: String = "pos", frozen: String = "frozen"): DataFrame = {
     require(servedRows >= 0, s"servedRows must be >= 0, got $servedRows")
     val strideOf = strideExpr(weights, group)
+    // eager localCheckpoint, not persist: three subtrees consume the
+    // registry (stats, frozen split, remainder) and the streaming twin
+    // re-enters this per micro-batch — checkpoint blocks are GC-cleaned,
+    // persists would need a caller unpersist hook
     val reg = (if (registry.columns.contains(frozen)) registry.drop(frozen)
                else registry)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val payload = reg.columns.filterNot(c => c == pos).toIndexedSeq
     val outCols = payload.map(col) :+ col(pos)
     val s = Cols.freeName(reg, "__stride")

@@ -1386,7 +1386,46 @@ object LlmPipelines {
         sum(when(col("upgraded"), 1L).otherwise(0L)).as("n_upgraded"))
   }
 
+  /** q189: preference-pair construction — the RLHF/DPO data-prep step
+    * over the same near-dup clusters q165 curates: within each cluster of
+    * ≥2 members, `chosen` = best quality (ties → lowest doc_id),
+    * `rejected` = worst quality (ties → HIGHEST doc_id, so chosen ≠
+    * rejected even on all-equal clusters), margin = the quality gap a
+    * trainer would weight by. One shuffle: both extreme picks are windows
+    * over the same cluster partitioning. Zero-margin pairs are kept and
+    * FLAGGED rather than dropped — the curation decision (train on them
+    * or not) belongs to the consumer, the prep step must not hide them.
+    */
+  def q189PreferencePairs(spark: SparkSession, d: String): DataFrame = {
+    val quality = q24TextStats(spark, d)
+      .select(col("doc_id"), col("quality_milli"))
+    val members = q43DupClusters(spark, d)
+      .select(col("doc_id"), col("cluster"))
+      .join(quality, Seq("doc_id"))
+    val w = Window.partitionBy(col("cluster"))
+    val best = Window.partitionBy(col("cluster"))
+      .orderBy(col("quality_milli").desc, col("doc_id").asc)
+    val worst = Window.partitionBy(col("cluster"))
+      .orderBy(col("quality_milli").asc, col("doc_id").desc)
+    members
+      .withColumn("n_members", count(lit(1)).over(w))
+      .withColumn("rk_best", row_number().over(best))
+      .withColumn("rk_worst", row_number().over(worst))
+      .filter(col("n_members") >= 2)
+      .groupBy(col("cluster"), col("n_members"))
+      .agg(
+        max(when(col("rk_best") === 1, col("doc_id"))).as("chosen"),
+        max(when(col("rk_worst") === 1, col("doc_id"))).as("rejected"),
+        (max(when(col("rk_best") === 1, col("quality_milli"))) -
+          max(when(col("rk_worst") === 1, col("quality_milli"))))
+          .as("margin_milli"))
+      .withColumn("zero_margin", col("margin_milli") === 0L)
+      .select(col("cluster"), col("chosen"), col("rejected"),
+        col("margin_milli"), col("n_members"), col("zero_margin"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_preference_pairs" -> q189PreferencePairs _,
     "q163_cluster_safe_split" -> q163ClusterSafeSplit _,
     "q164_split_assign_inc" -> q164SplitAssignIncremental _,
     "q165_quality_dedup" -> q165QualityDedup _,

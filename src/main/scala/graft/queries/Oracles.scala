@@ -739,6 +739,52 @@ object Oracles {
          |  CAST(sum(CASE WHEN wcluster IS NOT NULL AND doc_id <> wcluster
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_upgraded
          |FROM keep GROUP BY 1""".stripMargin,
+    // q189: preference pairs — q165's cluster+quality CTEs, extreme
+    // members picked per cluster (best: quality DESC, id ASC; worst:
+    // quality ASC, id DESC so chosen ≠ rejected on all-equal clusters),
+    // margin kept exact-integer, zero-margin flagged not dropped.
+    "q189_preference_pairs" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |f AS (SELECT doc_a, doc_b FROM e WHERE n_sig_equal >= 8),
+         |u AS (SELECT doc_a AS a, doc_b AS b FROM f
+         |      UNION SELECT doc_b, doc_a FROM f),
+         |n AS (SELECT DISTINCT a AS node FROM u),
+         |reach(s2, r) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT reach.s2, u.b FROM reach JOIN u ON reach.r = u.a),
+         |lab AS (SELECT s2 AS doc_id, min(r) AS cluster FROM reach GROUP BY s2),
+         |tq AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |qual AS (SELECT doc_id,
+         |    CAST(round(1000.0 * (0.5 *
+         |        (CAST(len(list_filter(toks,
+         |           x -> x IN ('the','a','of','to','in','is','and'))) AS BIGINT)
+         |         / CAST(len(toks) AS BIGINT))
+         |      + 0.5 * least(1.0, CAST(len(toks) AS BIGINT) / 100.0)))
+         |      AS BIGINT) AS quality_milli
+         |  FROM tq),
+         |mem AS (SELECT lab.doc_id, lab.cluster, qual.quality_milli
+         |        FROM lab JOIN qual USING (doc_id)),
+         |r2 AS (SELECT *,
+         |    CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY quality_milli DESC, doc_id ASC) AS rk_best,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY quality_milli ASC, doc_id DESC) AS rk_worst
+         |  FROM mem)
+         |SELECT cluster,
+         |  max(CASE WHEN rk_best = 1 THEN doc_id END) AS chosen,
+         |  max(CASE WHEN rk_worst = 1 THEN doc_id END) AS rejected,
+         |  CAST(max(CASE WHEN rk_best = 1 THEN quality_milli END)
+         |     - max(CASE WHEN rk_worst = 1 THEN quality_milli END) AS BIGINT)
+         |    AS margin_milli,
+         |  n_members,
+         |  (max(CASE WHEN rk_best = 1 THEN quality_milli END)
+         |     - max(CASE WHEN rk_worst = 1 THEN quality_milli END)) = 0
+         |    AS zero_margin
+         |FROM r2 WHERE n_members >= 2
+         |GROUP BY cluster, n_members""".stripMargin,
+
     // q164: incremental split assignment — standing-side (even ids) CC
     // labels + parity-recovered batch→standing matches; a matched batch
     // doc inherits min cluster key, unmatched hash-assigns by own id.

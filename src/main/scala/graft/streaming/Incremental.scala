@@ -1432,4 +1432,45 @@ object Incremental {
       EpochReport(ran = true, from, cur, ranges.size)
     }
   }
+
+  /** Streaming curriculum (the q188 registry fold driven by a stream):
+    * each micro-batch extends the materialized training order —
+    * watermark from the CURRENT registry size via `servedOf` (the
+    * serving process's progress policy), arrivals appended to each
+    * source's key ladder, only the unserved tail re-ranked
+    * ([[graft.operators.Ranks.extendRegistry]]). The registry mutates
+    * wholesale (tail POSITIONS move — an upsert can't express that), so
+    * the write is [[Merge.replaceParquet]]'s snapshot swap, never an
+    * append. Replay-safe (T6): already-registered ids anti-join away, and
+    * an empty fresh set re-derives the identical order — a replayed
+    * micro-batch swaps in the same bytes.
+    */
+  def streamingCurriculum(stream: DataFrame, checkpointDir: String,
+                          registryPath: String, group: String, id: String,
+                          salt: String, weights: Map[String, Int],
+                          servedOf: Long => Long, nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val hPath = new Path(registryPath)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val next =
+          if (!fs.exists(hPath))
+            graft.operators.Ranks.orderRegistry(batch, group, id, salt,
+                weights, nBuckets)
+              .withColumn("frozen", lit(false))
+          else {
+            val reg = spark.read.parquet(registryPath)
+            val fresh = batch.join(reg.select(col(id)), Seq(id), "left_anti")
+            graft.operators.Ranks.extendRegistry(reg, fresh, group, id, salt,
+              weights, servedOf(reg.count()), nBuckets)
+          }
+        // replaceParquet materializes into a temp dir before any rename,
+        // so next's lineage reading registryPath is safe by contract
+        Merge.replaceParquet(spark, registryPath, next)
+        ()
+      }
+      .start()
 }

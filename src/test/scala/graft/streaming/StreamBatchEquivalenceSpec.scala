@@ -1300,4 +1300,52 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       "__pk", graft.operators.Merge.Ignore, "c_ab")
     assert(served == batch, "a replayed partial changed the served counts")
   }
+
+  test("streamingCurriculum ≡ the q188 batch registry fold; a replay swaps in identical bytes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-cur")
+      .toFile.getAbsolutePath
+    val weights = Map("a" -> 4, "b" -> 2, "c" -> 1, "d" -> 1)
+    val b1 = (0 until 60).map(i => (i.toLong, Seq("a", "b", "c", "d")(i % 4)))
+    val b2 = (1000 until 1040)
+      .map(i => (i.toLong, Seq("a", "b", "c", "d")(i % 4)))
+    val input = MemoryStream[(Long, String)]
+    val query = Incremental.streamingCurriculum(
+      input.toDF().toDF("id", "g"), s"$dir/ckpt", s"$dir/reg",
+      "g", "id", "cur", weights, servedOf = _ / 2, nBuckets = 8)
+    try {
+      Seq(b1, b2).foreach { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    def readReg = spark.read.parquet(s"$dir/reg")
+      .select($"id", $"pos", $"frozen").as[(Long, Long, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val streamed = readReg
+    // batch twin: orderRegistry on batch 1, one extendRegistry step at
+    // the same watermark policy (|reg| / 2 = 30)
+    val reg0 = graft.operators.Ranks.orderRegistry(
+      b1.toDF("id", "g"), "g", "id", "cur", weights, nBuckets = 8)
+    val batchForm = graft.operators.Ranks.extendRegistry(
+        reg0, b2.toDF("id", "g"), "g", "id", "cur", weights,
+        servedRows = 30, nBuckets = 8)
+      .select($"id", $"pos", $"frozen").as[(Long, Long, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(streamed === batchForm)
+    assert(streamed.values.map(_._1).toSeq.sorted === (1L to 100L))
+    // replay: re-deliver batch 2 through a fresh stream against the same
+    // registry — every id anti-joins away and every POSITION re-lands
+    // identically (frozen flags are bookkeeping of the LATEST watermark,
+    // which legitimately advanced with the registry size: 50 vs 30)
+    val input2 = MemoryStream[(Long, String)]
+    val query2 = Incremental.streamingCurriculum(
+      input2.toDF().toDF("id", "g"), s"$dir/ckpt2", s"$dir/reg",
+      "g", "id", "cur", weights, servedOf = _ / 2, nBuckets = 8)
+    try { input2.addData(b2: _*); query2.processAllAvailable() }
+    finally query2.stop()
+    assert(readReg.view.mapValues(_._1).toMap
+      === streamed.view.mapValues(_._1).toMap,
+      "a replayed batch moved positions")
+  }
 }
