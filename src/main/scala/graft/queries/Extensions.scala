@@ -599,7 +599,29 @@ object Extensions {
       col("frozen"))
   }
 
+  /** q190: shard manifest over q185's order — the export step: the
+    * curriculum cut into fixed-size sequential shards (shard =
+    * (pos−1) div 100), manifest row per shard with position range,
+    * doc/char totals, per-shard source spread, and an order-sensitive
+    * id checksum (md5 of the comma-joined ids IN POSITION ORDER — a
+    * loader can verify a shard file against the manifest without
+    * re-sorting). One shuffle: the manifest agg groups by shard; the
+    * checksum's sort is per-shard (bounded by shard size, a knob —
+    * never a global window).
+    */
+  def q190CurriculumShards(spark: SparkSession, d: String): DataFrame =
+    q185CurriculumOrder(spark, d)
+      .withColumn("shard", expr("(pos - 1) div 100"))
+      .groupBy(col("shard"))
+      .agg(min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"),
+        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        md5(array_join(transform(array_sort(collect_list(
+            struct(col("pos"), col("doc_id")))),
+          x => x.getField("doc_id").cast("string")), ",")).as("ids_md5"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_curriculum_shards" -> q190CurriculumShards _,
     "q185_curriculum_order" -> q185CurriculumOrder _,
     "q186_mix_prefix_audit" -> q186MixPrefixAudit _,
     "q187_curriculum_extend" -> q187CurriculumExtend _,

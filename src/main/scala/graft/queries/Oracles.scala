@@ -2849,6 +2849,30 @@ object Oracles {
         |  doc_id, source, n_chars
         |FROM k""".stripMargin,
 
+    // q190: shard manifest — q185's order in fixed 100-row shards;
+    // ids_md5 is ORDER-SENSITIVE (ids joined in position order), so a
+    // manifest mismatch catches both membership and ordering drift.
+    "q190_curriculum_shards" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5('cur1:' || doc_id), 1, 8))::BIGINT ASC,
+        |               doc_id ASC) AS rn
+        |  FROM documents),
+        |k AS (SELECT doc_id, source, n_chars,
+        |    (rn - 1) * (CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2
+        |                            WHEN 'src2' THEN 4 ELSE 8 END) AS key
+        |  FROM r),
+        |ord AS (SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (ORDER BY key ASC, source ASC) AS BIGINT) AS pos
+        |  FROM k)
+        |SELECT (pos - 1) // 100 AS shard,
+        |  min(pos) AS first_pos, max(pos) AS last_pos,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY pos)) AS ids_md5
+        |FROM ord GROUP BY 1""".stripMargin,
+
     // q186: prefix-mix audit — per source, doc counts within the first
     // m/8 of q185's order, checkpoints at m ∈ {1,2,4,8} (cp = total·m//8).
     "q186_mix_prefix_audit" ->
