@@ -133,6 +133,45 @@ object Curation {
         "doc_id", "text"),
       maxHamming = 3)
 
+  /** q191: dedup-method agreement card — the audit you run when choosing
+    * dedup tiers: the three pair generators (exact normalized-md5 groups,
+    * simhash hamming ≤ 3, minhash-LSH n_sig_equal ≥ 8 — each exactly its
+    * registered query's definition) emit their candidate pairs, and ONE
+    * row reports per-method counts, every pairwise intersection, the
+    * 3-way intersection, and the union. Disagreements are the signal: a
+    * method catching pairs the others miss is either recall the cheaper
+    * tier lacks or noise the stricter tier filters. All three generators
+    * are bounded equi-joins (fp groups / hamming bands / LSH bands) —
+    * assembling the card adds one (doc_a, doc_b) groupBy over their
+    * union, nothing quadratic.
+    */
+  def q191DedupAgreement(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    val fp = docs.select(col("doc_id"),
+      md5(graft.functions.Text.normalized(col("text"))).as("fp"))
+    val exact = fp.as("x").join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val sim = q67SimhashPairs(spark, d).select(col("doc_a"), col("doc_b"))
+    val mh = graft.queries.LlmPipelines.q28MinhashLshPairs(spark, d)
+      .select(col("doc_a"), col("doc_b"))
+    val tagged = exact.withColumn("m", lit("e"))
+      .unionByName(sim.withColumn("m", lit("s")))
+      .unionByName(mh.withColumn("m", lit("h")))
+    tagged.groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(when(col("m") === "e", 1L).otherwise(0L)).as("e"),
+        max(when(col("m") === "s", 1L).otherwise(0L)).as("s"),
+        max(when(col("m") === "h", 1L).otherwise(0L)).as("h"))
+      .agg(sum(col("e")).as("n_exact"),
+        sum(col("s")).as("n_simhash"),
+        sum(col("h")).as("n_minhash"),
+        sum(col("e") * col("s")).as("n_exact_simhash"),
+        sum(col("e") * col("h")).as("n_exact_minhash"),
+        sum(col("s") * col("h")).as("n_simhash_minhash"),
+        sum(col("e") * col("s") * col("h")).as("n_all3"),
+        count(lit(1)).as("n_union"))
+  }
+
   /** q70: per-document novelty — the fraction of a doc's shingles first
     * seen (min doc id) in that doc ([[TermStats.noveltyFraction]]: shingle
     * min-agg + join-back, the incremental-curation contribution signal).
@@ -886,7 +925,7 @@ object Curation {
     docs
       .select(col("doc_id"), col("source"), col("lang"),
         Text.tokens(col("text")).as("toks"),
-        md5(Text.normalized(col("text"))).as("fp"))
+        md5(graft.functions.Text.normalized(col("text"))).as("fp"))
       .select(col("doc_id"), col("source"), col("lang"), col("fp"),
         size(col("toks")).cast("long").as("n_tok"),
         Text.stopwordCount(col("toks")).as("n_stop"),
@@ -1044,6 +1083,7 @@ object Curation {
       "w", "c_w", totalDraws = 1000000L)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_dedup_agreement" -> q191DedupAgreement _,
     "q136_unigram_em" -> q136UnigramEm _,
     "q175_term_associations" -> q175TermAssociations _,
     "q177_term_associations_inc" -> q177TermAssociationsInc _,

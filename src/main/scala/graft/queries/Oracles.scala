@@ -3746,6 +3746,47 @@ object Oracles {
        |CROSS JOIN tot""".stripMargin
 
   val curation: Map[String, String] = Map(
+    // q191: dedup-method agreement — the three pair generators replayed
+    // with their registered queries' exact definitions (q26 normalized
+    // fp, q67 simhash ≤ 3, q28 LSH ≥ 8), flags folded per pair, ONE
+    // card row. CTE names chosen clear of MinhashPairsCtes' t/s/bh/g/b/k/p/e.
+    "q191_dedup_agreement" ->
+      s"""WITH $MinhashPairsCtes,
+         |mh AS (SELECT doc_a, doc_b FROM e WHERE n_sig_equal >= 8),
+         |fpt AS (SELECT doc_id,
+         |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |ex AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM fpt x JOIN fpt y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+         |tok2 AS (SELECT doc_id, unnest($Toks) AS tk FROM documents),
+         |h2 AS (SELECT doc_id, ${hash32("'0'", "tk")} AS hv FROM tok2),
+         |v2 AS (SELECT doc_id, j, sum(((hv >> j) & 1) * 2 - 1) AS vote
+         |  FROM h2 CROSS JOIN (SELECT unnest(range(0,32)) AS j) GROUP BY doc_id, j),
+         |f2 AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+         |      AS simhash
+         |  FROM v2 GROUP BY doc_id),
+         |sh2 AS (SELECT a.doc_id AS doc_a, b3.doc_id AS doc_b
+         |  FROM f2 a JOIN f2 b3 ON a.doc_id < b3.doc_id
+         |  WHERE bit_count(xor(a.simhash, b3.simhash)) <= 3),
+         |tagged AS (SELECT doc_a, doc_b, 'e' AS m FROM ex
+         |  UNION ALL SELECT doc_a, doc_b, 's' FROM sh2
+         |  UNION ALL SELECT doc_a, doc_b, 'h' FROM mh),
+         |flags AS (SELECT doc_a, doc_b,
+         |    max(CASE WHEN m = 'e' THEN 1 ELSE 0 END) AS fe,
+         |    max(CASE WHEN m = 's' THEN 1 ELSE 0 END) AS fs,
+         |    max(CASE WHEN m = 'h' THEN 1 ELSE 0 END) AS fh
+         |  FROM tagged GROUP BY 1, 2)
+         |SELECT CAST(sum(fe) AS BIGINT) AS n_exact,
+         |  CAST(sum(fs) AS BIGINT) AS n_simhash,
+         |  CAST(sum(fh) AS BIGINT) AS n_minhash,
+         |  CAST(sum(fe * fs) AS BIGINT) AS n_exact_simhash,
+         |  CAST(sum(fe * fh) AS BIGINT) AS n_exact_minhash,
+         |  CAST(sum(fs * fh) AS BIGINT) AS n_simhash_minhash,
+         |  CAST(sum(fe * fs * fh) AS BIGINT) AS n_all3,
+         |  CAST(count(*) AS BIGINT) AS n_union
+         |FROM flags""".stripMargin,
+
     // q181: count^{3/4} as sqrt·sqrt∘sqrt (correctly-rounded composition
     // — bit-portable where pow(c,0.75) is libm-dependent), ppm weights
     // via the sorted fold, 1M draws by cumulative-share differencing
