@@ -149,9 +149,13 @@ object Walks {
                groups: DataFrame, gNode: String, g: String,
                maxLabelDf: Long): DataFrame = {
     require(maxLabelDf >= 2, s"maxLabelDf must be >= 2, got $maxLabelDf")
+    // three consumers (the df filter + both sides of the pair join) and
+    // the input is the full labels⋈groups aggregation — checkpoint the
+    // tiny (group, label, count) frame so that join runs once, not 3×
     val c = labels.select(col(node).as("__n"), col(label).as("wl"))
       .join(groups.select(col(gNode).as("__n"), col(g).as("g")), Seq("__n"))
       .groupBy(col("g"), col("wl")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val keep = c.groupBy(col("wl")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxLabelDf).select(col("wl"))
     val ck = c.join(keep, Seq("wl"))
