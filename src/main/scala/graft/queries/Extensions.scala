@@ -620,7 +620,22 @@ object Extensions {
             struct(col("pos"), col("doc_id")))),
           x => x.getField("doc_id").cast("string")), ",")).as("ids_md5"))
 
+  /** q192: global deterministic shuffle ([[Ranks.shuffleRank]] with no
+    * groups) — the plain "shuffle the corpus, reproducibly" op, distinct
+    * from q185's weighted mixing. This is the path where the naive twin
+    * is a SINGLE task (`row_number()` with no PARTITION BY sorting the
+    * whole corpus); the bucketed decomposition keeps the only
+    * single-partition window on the 64-row bucket aggregate.
+    */
+  def q192GlobalShuffle(spark: SparkSession, d: String): DataFrame =
+    Ranks.shuffleRank(
+      Tables(spark, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      Seq.empty, "doc_id", "shuf1", nBuckets = 64, out = "pos")
+      .select(col("pos"), col("doc_id"), col("source"), col("n_chars"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_global_shuffle" -> q192GlobalShuffle _,
     "q190_curriculum_shards" -> q190CurriculumShards _,
     "q185_curriculum_order" -> q185CurriculumOrder _,
     "q186_mix_prefix_audit" -> q186MixPrefixAudit _,

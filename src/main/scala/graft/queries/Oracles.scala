@@ -2849,6 +2849,15 @@ object Oracles {
         |  doc_id, source, n_chars
         |FROM k""".stripMargin,
 
+    // q192: global deterministic shuffle — the naive twin IS the
+    // single-task global window the operator exists to avoid.
+    "q192_global_shuffle" ->
+      """SELECT CAST(row_number() OVER (
+        |    ORDER BY ('0x' || substr(md5('shuf1:' || doc_id), 1, 8))::BIGINT ASC,
+        |             doc_id ASC) AS BIGINT) AS pos,
+        |  doc_id, source, n_chars
+        |FROM documents""".stripMargin,
+
     // q190: shard manifest — q185's order in fixed 100-row shards;
     // ids_md5 is ORDER-SENSITIVE (ids joined in position order), so a
     // manifest mismatch catches both membership and ordering drift.
