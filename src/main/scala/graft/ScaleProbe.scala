@@ -78,7 +78,7 @@ object ScaleProbe {
       "videodedup", "bucketreg", "audioprep", "gramreg", "kfnovel", "prdist",
       "codecprep", "bwdist",
       "ccinc", "funnel", "prep", "monitor", "bm25reg", "splitreg",
-      "retrieval", "kcore", "cooccur", "walks", "wl", "ranks")
+      "retrieval", "kcore", "cooccur", "walks", "wl", "ranks", "curreg")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -1796,6 +1796,34 @@ object ScaleProbe {
           maxLabelDf = 20).count()
       }
       wl.unpersist()
+      spark.catalog.clearCache()
+    }
+    // Curriculum registry fold (q188): per-STEP cost as the standing
+    // registry grows, arriving batch held FIXED (100k events) and the
+    // watermark at 90% — the steady state of a long-running run. The
+    // claim under test: the frozen prefix is split off by a filter (one
+    // scan, never re-sorted), stats are one tiny agg, and the re-rank
+    // pays only for the unserved tail + batch — so step cost should
+    // track registry size LINEARLY (the scan) with a small constant,
+    // not resort-of-everything.
+    if (want("curreg")) for (factor <- probeFactors) {
+      import graft.operators.Ranks
+      val w = Map("click" -> 4, "view" -> 2, "purchase" -> 1, "signup" -> 1,
+        "error" -> 1)
+      val standing = eventsAt(spark, d, factor)
+        .select(col("event_id"), col("event_type"))
+      val reg = materialize(
+        Ranks.orderRegistry(standing, "event_type", "event_id", "cr", w,
+          nBuckets = 64),
+        s"/tmp/scale/curreg$factor")
+      val n = reg.count()
+      val batch = eventsAt(spark, d, 1)
+        .select((col("event_id") + lit(900000000L)).as("event_id"),
+          col("event_type"))
+      time(s"extendRegistry step ${factor}x ($n standing, 100k batch, w=0.9)") {
+        Ranks.extendRegistry(reg, batch, "event_type", "event_id", "cr", w,
+          servedRows = n * 9 / 10, nBuckets = 64).count()
+      }
       spark.catalog.clearCache()
     }
     // Rank decomposition (q185/q186): the A/B this operator exists for.
