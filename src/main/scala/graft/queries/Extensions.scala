@@ -634,7 +634,45 @@ object Extensions {
       Seq.empty, "doc_id", "shuf1", nBuckets = 64, out = "pos")
       .select(col("pos"), col("doc_id"), col("source"), col("n_chars"))
 
+  /** q193: mixing-quality card — the ordering ablation: sequential
+    * (doc_id), uniform shuffle (q192), and weighted curriculum (q185)
+    * compared on the adjacency signal that matters to training (long
+    * same-source runs = correlated gradients): per ordering, adjacent
+    * same-source pair count, the share in parts-per-million, and the
+    * most-repeated adjacent source. Adjacency is a `pos ⟷ pos+1`
+    * EQUI-JOIN on the unique position — the naive form is a global
+    * `lag()` window, one task over the corpus (the oracle uses it; the
+    * engine must not).
+    */
+  def q193MixingQuality(spark: SparkSession, d: String): DataFrame = {
+    def adjacency(ordered: DataFrame, name: String): DataFrame = {
+      val a = ordered.select(col("pos"), col("source"))
+      val adj = a.join(
+        a.select((col("pos") - 1).as("pos"), col("source").as("next_source")),
+        Seq("pos"))
+      adj.groupBy(lit(name).as("ordering"))
+        .agg(count(lit(1)).as("n_adjacent"),
+          sum(when(col("source") === col("next_source"), 1L).otherwise(0L))
+            .as("n_same"),
+          max(when(col("source") === col("next_source"), col("source")))
+            .as("max_same_source"))
+        .withColumn("same_ppm",
+          expr("(n_same * 1000000) div n_adjacent"))
+    }
+    val docs = Tables(spark, d, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    // sequential = arrival order: doc_ids are contiguous from 0 by the
+    // generator contract, so the position is doc_id + 1 directly
+    val sequential = docs
+      .withColumn("pos", col("doc_id") + 1)
+      .select(col("pos"), col("source"))
+    adjacency(sequential, "sequential")
+      .unionByName(adjacency(q192GlobalShuffle(spark, d), "shuffled"))
+      .unionByName(adjacency(q185CurriculumOrder(spark, d), "curriculum"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_mixing_quality" -> q193MixingQuality _,
     "q192_global_shuffle" -> q192GlobalShuffle _,
     "q190_curriculum_shards" -> q190CurriculumShards _,
     "q185_curriculum_order" -> q185CurriculumOrder _,

@@ -2849,6 +2849,41 @@ object Oracles {
         |  doc_id, source, n_chars
         |FROM k""".stripMargin,
 
+    // q193: mixing-quality card — adjacency via the naive global lag()
+    // (the single-task form the engine-side equi-join avoids).
+    "q193_mixing_quality" ->
+      """WITH seq AS (SELECT doc_id + 1 AS pos, source FROM documents),
+        |shuf AS (SELECT CAST(row_number() OVER (
+        |      ORDER BY ('0x' || substr(md5('shuf1:' || doc_id), 1, 8))::BIGINT ASC,
+        |               doc_id ASC) AS BIGINT) AS pos, source
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5('cur1:' || doc_id), 1, 8))::BIGINT ASC,
+        |               doc_id ASC) AS rn
+        |  FROM documents),
+        |k AS (SELECT doc_id, source,
+        |    (rn - 1) * (CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2
+        |                            WHEN 'src2' THEN 4 ELSE 8 END) AS key
+        |  FROM r),
+        |cur AS (SELECT CAST(row_number() OVER (ORDER BY key ASC, source ASC) AS BIGINT) AS pos,
+        |    source
+        |  FROM k),
+        |lagd AS (
+        |  SELECT 'sequential' AS ordering, source,
+        |    lead(source) OVER (ORDER BY pos) AS next_source FROM seq
+        |  UNION ALL
+        |  SELECT 'shuffled', source, lead(source) OVER (ORDER BY pos) FROM shuf
+        |  UNION ALL
+        |  SELECT 'curriculum', source, lead(source) OVER (ORDER BY pos) FROM cur)
+        |SELECT ordering, CAST(count(*) AS BIGINT) AS n_adjacent,
+        |  CAST(sum(CASE WHEN source = next_source THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+        |  max(CASE WHEN source = next_source THEN source END) AS max_same_source,
+        |  CAST((sum(CASE WHEN source = next_source THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS same_ppm
+        |FROM lagd WHERE next_source IS NOT NULL
+        |GROUP BY ordering""".stripMargin,
+
     // q192: global deterministic shuffle — the naive twin IS the
     // single-task global window the operator exists to avoid.
     "q192_global_shuffle" ->
