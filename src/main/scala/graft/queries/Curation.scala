@@ -860,6 +860,69 @@ object Curation {
         col("rrf_pm"), col("n_legs"))
   }
 
+  /** q194: learning-to-rank feature table — the reranker-training prep
+    * step: for each (query, BM25-top-5 candidate) pair, the feature
+    * vector a cross-encoder distills or an LTR model trains on —
+    * lexical score (exact-integer Okapi, q157's arithmetic), dense
+    * cosine (the codegen'd `vec_dot` kernel), 3-gram Jaccard (q27's
+    * shingle machinery restricted to candidate pairs — the candidate
+    * join bounds it, never doc×doc), and the length-ratio prior. All
+    * features exact-integer ppm. The candidate frame is checkpointed
+    * once (four feature joins read it); every feature join is keyed by
+    * (q_id, doc_id) or a doc id — |Q|·k rows, corpus-independent.
+    */
+  def q194LtrFeatures(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.Text
+    val docs = Tables.balanced(spark, d, "documents")
+    val emb = Tables.balanced(spark, d, "embeddings")
+    val corpusDocs = docs.join(
+      emb.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+    val qs = corpusDocs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("q_id"),
+        slice(Text.tokens(col("text")), 1, 4).as("qt"))
+    val cand = TermStats.bm25TopK(corpusDocs, qs, "doc_id", "text",
+        "q_id", "qt", k = 5, excludeSelf = true)
+      .select(col("q").as("q_id"), col("doc").as("doc_id"), col("rank"),
+        col("score_pm").cast("long").as("bm25_pm"))
+      .localCheckpoint(true)
+    val vecs = emb.join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val cos = cand
+      .join(vecs.select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+        Seq("q_id"))
+      .join(vecs.select(col("vec_id").as("doc_id"), col("embedding").as("cv")),
+        Seq("doc_id"))
+      .select(col("q_id"), col("doc_id"),
+        Similarity.cosineScaledPm(col("qv"), col("cv")).cast("long")
+          .as("cos_pm"))
+    val sh = corpusDocs.select(col("doc_id"),
+      explode(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand.select(col("q_id"), col("doc_id"))
+      .join(sh.select(col("doc_id").as("q_id"), col("sh")), Seq("q_id"))
+      .join(sh, Seq("doc_id", "sh"))
+      .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("inter"))
+    val toks = corpusDocs.select(col("doc_id"),
+      size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+    cand
+      .join(cos, Seq("q_id", "doc_id"))
+      .join(inter, Seq("q_id", "doc_id"), "left_outer")
+      .join(sz.select(col("doc_id").as("q_id"), col("n_sh").as("q_sh")),
+        Seq("q_id"))
+      .join(sz.select(col("doc_id"), col("n_sh").as("c_sh")), Seq("doc_id"))
+      .join(toks.select(col("doc_id").as("q_id"), col("n_tok").as("q_tok")),
+        Seq("q_id"))
+      .join(toks.select(col("doc_id"), col("n_tok").as("c_tok")),
+        Seq("doc_id"))
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("jac_pm",
+        expr("(1000000 * inter) div (q_sh + c_sh - inter)"))
+      .withColumn("len_ratio_pm",
+        expr("(1000000 * least(q_tok, c_tok)) div greatest(q_tok, c_tok)"))
+      .select(col("q_id"), col("doc_id"), col("rank"), col("bm25_pm"),
+        col("cos_pm"), col("jac_pm"), col("len_ratio_pm"))
+  }
+
   /** q130: content-defined chunking ([[Chunk.contentDefined]], the
     * Rabin-boundary rule at token granularity, divisor 8) — boundaries
     * from content-only 2-gram hashes, so edits re-chunk only to the next
@@ -1084,6 +1147,7 @@ object Curation {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q191_dedup_agreement" -> q191DedupAgreement _,
+    "q194_ltr_features" -> q194LtrFeatures _,
     "q136_unigram_em" -> q136UnigramEm _,
     "q175_term_associations" -> q175TermAssociations _,
     "q177_term_associations_inc" -> q177TermAssociationsInc _,

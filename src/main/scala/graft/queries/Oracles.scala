@@ -3790,6 +3790,61 @@ object Oracles {
        |CROSS JOIN tot""".stripMargin
 
   val curation: Map[String, String] = Map(
+    // q194: LTR feature table — q161's exact-integer BM25 chain for the
+    // candidates, cosPm per pair, q27's shingle Jaccard restricted to
+    // candidate pairs, integer length-ratio prior.
+    "q194_ltr_features" ->
+      s"""WITH cd AS (SELECT d.* FROM documents d
+         |    JOIN embeddings e ON d.doc_id = e.vec_id),
+         |ce AS (SELECT e.* FROM embeddings e
+         |    JOIN documents d ON e.vec_id = d.doc_id),
+         |tf AS (SELECT doc_id AS doc, term, count(*) AS tf FROM
+         |    (SELECT doc_id, unnest($Toks) AS term FROM cd)
+         |  WHERE length(term) >= 1 GROUP BY 1, 2),
+         |dl AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS a_tok FROM dl),
+         |qt AS (SELECT DISTINCT q_id, term FROM
+         |    (SELECT doc_id AS q_id, unnest(($Toks)[1:4]) AS term
+         |     FROM cd WHERE doc_id % 25 = 0)
+         |  WHERE length(term) >= 1),
+         |sc AS (SELECT q_id, doc,
+         |    (CAST((1000000 * n_docs) // df AS HUGEINT) * tf * 44 * a_tok) //
+         |    (20 * CAST(a_tok AS HUGEINT) * tf + 6 * a_tok + 18 * n_docs * dl) AS s_pm
+         |  FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+         |       JOIN dl USING (doc) CROSS JOIN corpus),
+         |agg AS (SELECT q_id, doc, CAST(sum(s_pm) AS BIGINT) AS score_pm
+         |  FROM sc WHERE q_id <> doc GROUP BY 1, 2),
+         |cand AS (SELECT q_id, doc AS doc_id, CAST(rk AS BIGINT) AS "rank",
+         |    score_pm AS bm25_pm FROM
+         |    (SELECT q_id, doc, score_pm, row_number() OVER (PARTITION BY q_id
+         |       ORDER BY score_pm DESC, doc ASC) AS rk FROM agg)
+         |  WHERE rk <= 5),
+         |cosf AS (SELECT cand.q_id, cand.doc_id,
+         |    ${cosPm("qe.embedding", "de2.embedding")} AS cos_pm
+         |  FROM cand JOIN ce qe ON qe.vec_id = cand.q_id
+         |       JOIN ce de2 ON de2.vec_id = cand.doc_id),
+         |t2 AS (SELECT doc_id, $Toks AS toks FROM cd),
+         |shg AS (SELECT doc_id, unnest(${shingleList("toks")}) AS sh FROM t2),
+         |szf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shg GROUP BY 1),
+         |intf AS (SELECT cand.q_id, cand.doc_id, CAST(count(*) AS BIGINT) AS inter
+         |  FROM cand JOIN shg a ON a.doc_id = cand.q_id
+         |       JOIN shg b ON b.doc_id = cand.doc_id AND b.sh = a.sh
+         |  GROUP BY 1, 2),
+         |tkf AS (SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tok FROM cd)
+         |SELECT cand.q_id, cand.doc_id, cand."rank", cand.bm25_pm, cosf.cos_pm,
+         |  (1000000 * coalesce(intf.inter, 0))
+         |    // (qs.n_sh + cs.n_sh - coalesce(intf.inter, 0)) AS jac_pm,
+         |  (1000000 * least(qt2.n_tok, ct2.n_tok))
+         |    // greatest(qt2.n_tok, ct2.n_tok) AS len_ratio_pm
+         |FROM cand
+         |JOIN cosf USING (q_id, doc_id)
+         |LEFT JOIN intf USING (q_id, doc_id)
+         |JOIN szf qs ON qs.doc_id = cand.q_id
+         |JOIN szf cs ON cs.doc_id = cand.doc_id
+         |JOIN tkf qt2 ON qt2.doc_id = cand.q_id
+         |JOIN tkf ct2 ON ct2.doc_id = cand.doc_id""".stripMargin,
+
     // q191: dedup-method agreement — the three pair generators replayed
     // with their registered queries' exact definitions (q26 normalized
     // fp, q67 simhash ≤ 3, q28 LSH ≥ 8), flags folded per pair, ONE
