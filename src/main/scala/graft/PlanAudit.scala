@@ -15,7 +15,11 @@ object PlanAudit {
       "q125_chunk_windows", "q127_sft_render", "q128_unigram_segment",
       "q129_retrieval_index", "q130_cdc_chunks", "q132_dataset_card",
       "q135_audio_neardup", "q137_video_frames", "q138_video_neardup", "q139_video_scenes",
-      "q157_bm25_topk", "q161_hybrid_rrf", "q162_bm25_registry")
+      "q157_bm25_topk", "q161_hybrid_rrf", "q162_bm25_registry",
+      "q184_wl_kernel", "q185_curriculum_order", "q187_curriculum_extend",
+      "q188_curriculum_registry", "q190_curriculum_shards",
+      "q191_dedup_agreement", "q192_global_shuffle", "q193_mixing_quality",
+      "q194_ltr_features")
     for (name <- interesting) {
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
