@@ -897,13 +897,23 @@ object Curation {
           .as("cos_pm"))
     val sh = corpusDocs.select(col("doc_id"),
       explode(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+    val toks = corpusDocs.select(col("doc_id"),
+      size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+    ltrAssemble(cand, cos, sh, toks)
+  }
+
+  /** q194/q195 shared feature assembly over a checkpointed candidate
+    * frame and the per-doc side tables (shingle rows, token counts) —
+    * which side the tables come from (batch tokenize vs ingest-time
+    * registry) is exactly the seam the two queries pin.
+    */
+  private def ltrAssemble(cand: DataFrame, cos: DataFrame, sh: DataFrame,
+                          toks: DataFrame): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cand.select(col("q_id"), col("doc_id"))
       .join(sh.select(col("doc_id").as("q_id"), col("sh")), Seq("q_id"))
       .join(sh, Seq("doc_id", "sh"))
       .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("inter"))
-    val toks = corpusDocs.select(col("doc_id"),
-      size(Text.tokens(col("text"))).cast("long").as("n_tok"))
     cand
       .join(cos, Seq("q_id", "doc_id"))
       .join(inter, Seq("q_id", "doc_id"), "left_outer")
@@ -921,6 +931,55 @@ object Curation {
         expr("(1000000 * least(q_tok, c_tok)) div greatest(q_tok, c_tok)"))
       .select(col("q_id"), col("doc_id"), col("rank"), col("bm25_pm"),
         col("cos_pm"), col("jac_pm"), col("len_ratio_pm"))
+  }
+
+  /** q195: the LTR feature table SERVED FROM REGISTRIES — q194's output
+    * (oracle is literally q194's SQL, the q174 convention) with every
+    * corpus-sized input maintained at ingest instead of recomputed at
+    * query time: BM25 postings + stats fold additively across disjoint
+    * doc-id batches (the q162 seam), and the per-doc feature tables
+    * (shingle rows, token counts, embeddings) are the same plain unions
+    * — so a query batch pays the posting joins plus |Q|·k feature
+    * lookups, and NOTHING tokenizes or scans the corpus at serve time.
+    */
+  def q195LtrRegistry(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.Text
+    val docs = Tables.balanced(spark, d, "documents")
+    val emb = Tables.balanced(spark, d, "embeddings")
+    val corpusDocs = docs.join(
+      emb.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+    // ingest side: two disjoint batches fold into the standing tables
+    val batches = Seq(corpusDocs.filter(col("doc_id") % 2 === 0),
+      corpusDocs.filter(col("doc_id") % 2 === 1))
+    val postings = batches.map(TermStats.bm25Postings(_, "doc_id", "text"))
+      .reduce(_ unionByName _)
+    val (dfreq, dl, corpus) = TermStats.bm25Stats(postings)
+    val shReg = batches.map(_.select(col("doc_id"),
+        explode(Text.shingles(Text.tokens(col("text")), 3)).as("sh")))
+      .reduce(_ unionByName _)
+    val tokReg = batches.map(_.select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok")))
+      .reduce(_ unionByName _)
+    // serve side
+    val qs = corpusDocs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("q_id"),
+        slice(Text.tokens(col("text")), 1, 4).as("qt"))
+    val cand = TermStats.bm25TopKFromIndex(postings, dfreq, dl, corpus, qs,
+        "q_id", "qt", k = 5, excludeSelf = true)
+      .select(col("q").as("q_id"), col("doc").as("doc_id"), col("rank"),
+        col("score_pm").cast("long").as("bm25_pm"))
+      .localCheckpoint(true)
+    val vecs = emb.join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val cos = cand
+      .join(vecs.select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+        Seq("q_id"))
+      .join(vecs.select(col("vec_id").as("doc_id"), col("embedding").as("cv")),
+        Seq("doc_id"))
+      .select(col("q_id"), col("doc_id"),
+        Similarity.cosineScaledPm(col("qv"), col("cv")).cast("long")
+          .as("cos_pm"))
+    ltrAssemble(cand, cos, shReg, tokReg)
   }
 
   /** q130: content-defined chunking ([[Chunk.contentDefined]], the
@@ -1148,6 +1207,7 @@ object Curation {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q191_dedup_agreement" -> q191DedupAgreement _,
     "q194_ltr_features" -> q194LtrFeatures _,
+    "q195_ltr_registry" -> q195LtrRegistry _,
     "q136_unigram_em" -> q136UnigramEm _,
     "q175_term_associations" -> q175TermAssociations _,
     "q177_term_associations_inc" -> q177TermAssociationsInc _,

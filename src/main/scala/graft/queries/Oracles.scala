@@ -3789,7 +3789,7 @@ object Oracles {
        |FROM cab JOIN cw ca ON cab.a = ca.w JOIN cw cb ON cab.b = cb.w
        |CROSS JOIN tot""".stripMargin
 
-  val curation: Map[String, String] = Map(
+  private val curationBase: Map[String, String] = Map(
     // q194: LTR feature table — q161's exact-integer BM25 chain for the
     // candidates, cosPm per pair, q27's shingle Jaccard restricted to
     // candidate pairs, integer length-ratio prior.
@@ -4885,6 +4885,13 @@ object Oracles {
          |FROM f a JOIN f b2 ON a.doc_id < b2.doc_id
          |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3""".stripMargin,
   )
+
+  /** [[curationBase]] plus the registry-served LTR twin: q195's oracle
+    * is EXACTLY q194's SQL (the q174 convention) — the serve path must
+    * reproduce the batch form bit-for-bit on a static corpus.
+    */
+  val curation: Map[String, String] =
+    curationBase + ("q195_ltr_registry" -> curationBase("q194_ltr_features"))
 
   /** Twins of [[Sinks]] — the materialize-then-read sink/driver family.
     * Each oracle recomputes the intended END STATE directly from the source
