@@ -1402,6 +1402,17 @@ object LlmPipelines {
     val members = q43DupClusters(spark, d)
       .select(col("doc_id"), col("cluster"))
       .join(quality, Seq("doc_id"))
+    preferencePairs(members)
+  }
+
+  /** q189's extreme-member core over a `(doc_id, cluster, quality_milli)`
+    * frame — exposed at this grain so the tie-break guarantee (chosen ≠
+    * rejected even on an ALL-EQUAL-quality cluster: best ties break to
+    * the LOWEST id, worst ties to the HIGHEST) is spec-pinned on a
+    * constructed corpus, not just oracle-checked on whatever ties the
+    * driver data happens to contain.
+    */
+  private[graft] def preferencePairs(members: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("cluster"))
     val best = Window.partitionBy(col("cluster"))
       .orderBy(col("quality_milli").desc, col("doc_id").asc)
