@@ -671,7 +671,51 @@ object Extensions {
       .unionByName(adjacency(q185CurriculumOrder(spark, d), "curriculum"))
   }
 
+  /** q196: late-arrival audit — the batch twin of what a streaming
+    * watermark decides: per user (arrival proxy = event_id, the
+    * generator's insertion order), an event's lateness is how far its
+    * event time sits behind the user's running event-time maximum at
+    * arrival. The card bills lateness into exact buckets (on-time /
+    * ≤1h / ≤1d / >1d) with counts and value mass — the evidence for
+    * choosing `withWatermark` delays: everything in a bucket below the
+    * chosen delay survives, everything above is silently dropped by the
+    * streaming form. One shuffle: the running max is a user-partitioned
+    * window (millions of users at production scale — never global).
+    *
+    * The driver generator emits event ids in per-user time order, which
+    * would leave every event on_time and the buckets untested at
+    * runtime — so the query INJECTS deterministic out-of-orderness (the
+    * q95 injected-NaN convention): 10% of events (by portable hash
+    * parity) have their event time pulled back by hash-chosen 0–2 days.
+    * The oracle applies the identical perturbation.
+    */
+  def q196LateArrivals(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Text.baseHash32(concat(lit("late:"), col("event_id")))
+    val ev = Tables.eventsWithUs(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        cents(col("value")).as("value_c"))
+      .withColumn("ts_us", col("ts_us") -
+        when(h % 10 === 0, (h % 172800L) * 1000000L).otherwise(0L))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lateness = ev
+      .withColumn("hwm", max(col("ts_us")).over(w))
+      .withColumn("late_us",
+        greatest(lit(0L), col("hwm") - col("ts_us")))
+      .withColumn("bucket",
+        when(col("hwm").isNull || col("late_us") === 0L, "on_time")
+          .when(col("late_us") <= 3600L * 1000000, "late_1h")
+          .when(col("late_us") <= 86400L * 1000000, "late_1d")
+          .otherwise("late_over_1d"))
+    lateness.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_c")).as("value_c"),
+        max(col("late_us")).as("max_late_us"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_late_arrivals" -> q196LateArrivals _,
     "q193_mixing_quality" -> q193MixingQuality _,
     "q192_global_shuffle" -> q192GlobalShuffle _,
     "q190_curriculum_shards" -> q190CurriculumShards _,

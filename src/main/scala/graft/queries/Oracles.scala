@@ -2849,6 +2849,32 @@ object Oracles {
         |  doc_id, source, n_chars
         |FROM k""".stripMargin,
 
+    // q196: late-arrival audit — per-user running event-time max over
+    // arrival order (event_id), lateness bucketed exactly.
+    "q196_late_arrivals" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    epoch_us(ts) - (CASE WHEN h % 10 = 0
+        |      THEN (h % 172800) * 1000000 ELSE 0 END) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS value_c
+        |  FROM (SELECT *,
+        |      ('0x' || substr(md5('late:' || event_id), 1, 8))::BIGINT AS h
+        |    FROM events)),
+        |l AS (SELECT *,
+        |    max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM ev),
+        |b AS (SELECT value_c,
+        |    CASE WHEN hwm IS NULL OR greatest(0, hwm - ts_us) = 0 THEN 'on_time'
+        |         WHEN hwm - ts_us <= 3600000000 THEN 'late_1h'
+        |         WHEN hwm - ts_us <= 86400000000 THEN 'late_1d'
+        |         ELSE 'late_over_1d' END AS bucket,
+        |    greatest(0, coalesce(hwm - ts_us, 0)) AS late_us
+        |  FROM l)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(value_c) AS BIGINT) AS value_c,
+        |  CAST(max(late_us) AS BIGINT) AS max_late_us
+        |FROM b GROUP BY bucket""".stripMargin,
+
     // q193: mixing-quality card — adjacency via the naive global lag()
     // (the single-task form the engine-side equi-join avoids).
     "q193_mixing_quality" ->
