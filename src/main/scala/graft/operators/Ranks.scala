@@ -57,10 +57,49 @@ object Ranks {
     val withK = df
       .withColumn(k, Text.baseHash32(concat(lit(s"$salt:"), col(id))))
       .withColumn(b, expr(s"`$k` div ${HashRange / nBuckets}L"))
+    rankWithBuckets(withK, groups, k, b, id, out).drop(k)
+  }
+
+  /** Exact rank over an ARBITRARY long key (ascending, ties by `id`) —
+    * the same decomposition as [[shuffleRank]], with order-aligned
+    * buckets taken from the key's VALUE RANGE (one tiny min/max agg
+    * broadcast back: `((k − min) · nBuckets) div (max − min + 1)` is
+    * monotone in k and lands in [0, nBuckets)) instead of hash prefixes.
+    * Ranks any ordering — a quality score, a timestamp — without a
+    * global window. Bucket balance follows the key's distribution (a
+    * pathological key clumped in one range degrades toward the naive
+    * window, never below it); keys must keep
+    * `|key| · nBuckets` inside Long. With `groups`, the range is still
+    * computed globally — correct in any case (alignment is per-value),
+    * balanced when group ranges are comparable.
+    */
+  def orderedRank(df: DataFrame, groups: Seq[String], key: String,
+                  id: String, nBuckets: Int = 64,
+                  out: String = "rn"): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val kmin = Cols.freeName(df, "__kmin")
+    val kmax = Cols.freeName(df, "__kmax")
+    val b = Cols.freeName(df, "__bucket")
+    val mm = df.agg(min(col(key)).as(kmin), max(col(key)).as(kmax))
+    val withB = df.crossJoin(broadcast(mm))
+      .withColumn(b, expr(
+        s"((`$key` - `$kmin`) * ${nBuckets}L) div (`$kmax` - `$kmin` + 1L)"))
+      .drop(kmin, kmax)
+    rankWithBuckets(withB, groups, key, b, id, out)
+  }
+
+  /** The shared decomposition core: in-bucket window ranks + broadcast
+    * cross-bucket offsets. `b` must be order-aligned with `k` within
+    * every group (caller guarantees); `k` is dropped only by callers
+    * that own it.
+    */
+  private def rankWithBuckets(withK: DataFrame, groups: Seq[String],
+                              k: String, b: String, id: String,
+                              out: String): DataFrame = {
     // cross-bucket offsets: |groups|*nBuckets rows — tiny by construction,
     // the window over it runs on the aggregate, never on the data
-    val cnt = Cols.freeName(df, "__cnt")
-    val off = Cols.freeName(df, "__off")
+    val cnt = Cols.freeName(withK, "__cnt")
+    val off = Cols.freeName(withK, "__off")
     val offsets = withK.groupBy((groups :+ b).map(col): _*)
       .agg(count(lit(1)).as(cnt))
       .withColumn(off,
@@ -73,7 +112,7 @@ object Ranks {
     withK
       .join(broadcast(offsets), (groups :+ b), "inner")
       .withColumn(out, col(off) + row_number().over(inBucket))
-      .drop(k, b, off)
+      .drop(b, off)
   }
 
   /** Deterministic weighted interleave — the curriculum order of a

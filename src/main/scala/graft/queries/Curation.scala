@@ -982,6 +982,38 @@ object Curation {
     ltrAssemble(cand, cos, shReg, tokReg)
   }
 
+  /** q197: quality-calibration card — "are duplicates low-quality?",
+    * the empirical question behind quality-aware dedup (q165): docs
+    * ranked by quality into exact DECILES via
+    * [[graft.operators.Ranks.orderedRank]] (the value-range-bucketed
+    * exact rank — no global window, the q63-class quantile cut made
+    * scale-safe), joined against near-dup membership (q43's clusters),
+    * rolled up per decile: doc counts, near-dup rate in ppm, exact
+    * quality mass. A falling dup-rate curve across deciles is the
+    * evidence that dedup and quality gating are NOT redundant filters.
+    */
+  def q197QualityCalibration(spark: SparkSession, d: String): DataFrame = {
+    val quality = graft.queries.LlmPipelines.q24TextStats(spark, d)
+      .select(col("doc_id"), col("quality_milli"))
+    val ranked = graft.operators.Ranks.orderedRank(quality, Seq.empty,
+        "quality_milli", "doc_id", nBuckets = 16, out = "qrank")
+      .localCheckpoint(true) // total-count broadcast + the rollup read it
+    val total = ranked.agg(count(lit(1)).as("n_total"))
+    val dup = graft.queries.LlmPipelines.q43DupClusters(spark, d)
+      .select(col("doc_id")).distinct().withColumn("is_dup", lit(1L))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("decile", expr("((qrank - 1) * 10) div n_total"))
+      .join(dup, Seq("doc_id"), "left_outer")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(0L)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).as("n_near_dup"),
+        expr("(1000000 * sum(is_dup)) div count(1)").as("near_dup_ppm"),
+        sum(col("quality_milli")).as("quality_mass_milli"),
+        min(col("quality_milli")).as("q_min"),
+        max(col("quality_milli")).as("q_max"))
+  }
+
   /** q130: content-defined chunking ([[Chunk.contentDefined]], the
     * Rabin-boundary rule at token granularity, divisor 8) — boundaries
     * from content-only 2-gram hashes, so edits re-chunk only to the next
@@ -1208,6 +1240,7 @@ object Curation {
     "q191_dedup_agreement" -> q191DedupAgreement _,
     "q194_ltr_features" -> q194LtrFeatures _,
     "q195_ltr_registry" -> q195LtrRegistry _,
+    "q197_quality_calibration" -> q197QualityCalibration _,
     "q136_unigram_em" -> q136UnigramEm _,
     "q175_term_associations" -> q175TermAssociations _,
     "q177_term_associations_inc" -> q177TermAssociationsInc _,

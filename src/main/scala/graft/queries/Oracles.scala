@@ -3816,6 +3816,39 @@ object Oracles {
        |CROSS JOIN tot""".stripMargin
 
   private val curationBase: Map[String, String] = Map(
+    // q197: quality deciles (exact rank arithmetic, the naive global
+    // window form) × near-dup membership (q43's cluster nodes), with
+    // q165's quality formula.
+    "q197_quality_calibration" ->
+      s"""WITH $MinhashPairsCtes,
+         |f AS (SELECT doc_a, doc_b FROM e WHERE n_sig_equal >= 8),
+         |dn AS (SELECT DISTINCT doc_id FROM
+         |  (SELECT doc_a AS doc_id FROM f UNION SELECT doc_b FROM f)),
+         |tq AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |qual AS (SELECT doc_id,
+         |    CAST(round(1000.0 * (0.5 *
+         |        (CAST(len(list_filter(toks,
+         |           x -> x IN ('the','a','of','to','in','is','and'))) AS BIGINT)
+         |         / CAST(len(toks) AS BIGINT))
+         |      + 0.5 * least(1.0, CAST(len(toks) AS BIGINT) / 100.0)))
+         |      AS BIGINT) AS quality_milli
+         |  FROM tq),
+         |r AS (SELECT doc_id, quality_milli,
+         |    CAST(row_number() OVER (ORDER BY quality_milli ASC, doc_id ASC)
+         |      AS BIGINT) AS qrank,
+         |    CAST(count(*) OVER () AS BIGINT) AS n_total
+         |  FROM qual),
+         |g2 AS (SELECT r.*,
+         |    CASE WHEN dn.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+         |    CAST(((qrank - 1) * 10) // n_total AS BIGINT) AS decile
+         |  FROM r LEFT JOIN dn USING (doc_id))
+         |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(is_dup) AS BIGINT) AS n_near_dup,
+         |  CAST((1000000 * sum(is_dup)) // count(*) AS BIGINT) AS near_dup_ppm,
+         |  CAST(sum(quality_milli) AS BIGINT) AS quality_mass_milli,
+         |  min(quality_milli) AS q_min, max(quality_milli) AS q_max
+         |FROM g2 GROUP BY decile""".stripMargin,
+
     // q194: LTR feature table — q161's exact-integer BM25 chain for the
     // candidates, cosPm per pair, q27's shingle Jaccard restricted to
     // candidate pairs, integer length-ratio prior.

@@ -64,6 +64,28 @@ class RanksSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("orderedRank: property — arbitrary long keys (ties, negatives, clumps) match the naive window") {
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      buckets <- Gen.choose(2, 40)
+      groups <- Gen.choose(1, 3)
+      keys <- Gen.listOfN(n, Gen.oneOf(Gen.choose(-50L, 50L),
+        Gen.const(7L), Gen.choose(1000000L, 1000010L)))
+    } yield (keys.zipWithIndex.map { case (key, i) =>
+      (i.toLong, s"g${i % groups}", key) }, buckets)
+    val prop = Prop.forAll(gen) { case (rows, buckets) =>
+      val df = rows.toDF("id", "g", "k")
+      val got = Ranks.orderedRank(df, Seq("g"), "k", "id", buckets)
+        .select($"id", $"rn").as[(Long, Long)].collect().toMap
+      val naive = df.withColumn("rn", row_number().over(
+          Window.partitionBy($"g").orderBy($"k".asc, $"id".asc)))
+        .select($"id", $"rn".cast("long")).as[(Long, Long)].collect().toMap
+      got == naive
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   private val weights = Map("a" -> 4, "b" -> 2, "c" -> 1, "d" -> 1)
 
   test("interleave equals the naive global window over (ladder key, source)") {
