@@ -106,4 +106,71 @@ object Packing {
         sum(col(len)).as("n_tokens"))
       .withColumn("n_pad", col("n_rows") * col("batch_max") - col("n_tokens"))
   }
+
+  /** NO-STRADDLE packing — greedy next-fit in the same deterministic
+    * shard/order layout as [[packByBudget]], but documents never split
+    * across packs (the long-context contract: attention must see whole
+    * documents), at the price of per-pack waste the caller reports
+    * instead of hiding. A document larger than the budget gets a pack of
+    * its own, flagged `oversize` — the prep step must not silently drop
+    * or truncate it.
+    *
+    * Pack boundaries depend on every prior row of the shard (a running
+    * sum WITH RESETS), which no window or prefix-sum expresses — this is
+    * the sanctioned `mapPartitions` case: rows arrive hash-clustered by
+    * shard and secondary-sorted (shard, order-hash, id), the fold
+    * STREAMS them with O(1) state (current shard, pack seq, fill), and
+    * `shards` is the parallelism knob exactly as in [[packByBudget]].
+    * Adds (shard, pack, offset_in_pack, oversize) to the input columns.
+    */
+  def packNoStraddle(df: DataFrame, id: String, cost: String, budget: Long,
+                     shards: Int, salt: String): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val reserved = Seq("shard", "pack", "offset_in_pack", "oversize", "__ord")
+    val clash = reserved.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.mkString(", ")} — withColumn would silently overwrite them; alias first")
+    val prepared = df
+      .withColumn("shard", Sampling.hashBucket(col(id), salt, shards))
+      .withColumn("__ord",
+        Text.baseHash32(concat(lit(s"$salt-ord:"), col(id))))
+      .repartition(col("shard")) // same-shard rows co-located
+      .sortWithinPartitions(col("shard"), col("__ord"), col(id))
+    val schema = org.apache.spark.sql.types.StructType(
+      prepared.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("pack",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("offset_in_pack",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("oversize",
+          org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val shardIdx = prepared.schema.fieldIndex("shard")
+    val costIdx = prepared.schema.fieldIndex(cost)
+    val out = prepared.mapPartitions { rows =>
+      var curShard = Long.MinValue
+      var pack = 0L
+      var fill = 0L
+      rows.map { r =>
+        val s = r.get(shardIdx) match {
+          case i: Int => i.toLong; case l: Long => l
+          case other => throw new IllegalArgumentException(
+            s"shard must be integral, got $other")
+        }
+        val n = r.get(costIdx) match {
+          case i: Int => i.toLong; case l: Long => l
+          case other => throw new IllegalArgumentException(
+            s"cost must be integral, got $other")
+        }
+        require(n >= 0, s"negative cost $n")
+        if (s != curShard) { curShard = s; pack = 0L; fill = 0L }
+        else if (fill > 0 && fill + n > budget) { pack += 1L; fill = 0L }
+        val offset = fill
+        fill += n
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq ++ Seq(pack, offset, n > budget))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    out.drop("__ord")
+  }
 }

@@ -714,7 +714,29 @@ object Extensions {
         max(col("late_us")).as("max_late_us"))
   }
 
+  /** q198: no-straddle packing card ([[Packing.packNoStraddle]]) — the
+    * long-context layout where documents never split across packs:
+    * greedy next-fit per deterministic shard stream, per-pack waste
+    * billed (never hidden), oversize docs (> budget, here 64 tokens so
+    * the flag is non-vacuous on the driver corpus) isolated in their
+    * own flagged packs. The per-shard fold is the sanctioned
+    * mapPartitions case (running sum WITH RESETS — no window expresses
+    * it); the oracle replays it as a per-shard recursive CTE.
+    */
+  def q198PackNoStraddle(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables(spark, d, "documents")
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+    graft.operators.Packing.packNoStraddle(docs, "doc_id", "n_tok",
+        budget = 64L, shards = 8, salt = "pk2")
+      .groupBy(col("shard"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("used_tok"),
+        greatest(lit(0L), lit(64L) - sum(col("n_tok"))).as("waste_tok"),
+        sum(when(col("oversize"), 1L).otherwise(0L)).as("n_oversize"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_pack_nostraddle" -> q198PackNoStraddle _,
     "q196_late_arrivals" -> q196LateArrivals _,
     "q193_mixing_quality" -> q193MixingQuality _,
     "q192_global_shuffle" -> q192GlobalShuffle _,

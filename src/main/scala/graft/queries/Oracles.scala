@@ -2849,6 +2849,34 @@ object Oracles {
         |  doc_id, source, n_chars
         |FROM k""".stripMargin,
 
+    // q198: no-straddle packing — the greedy next-fit replayed as a
+    // per-shard recursive walk over the same deterministic (hash, id)
+    // order; a fresh shard seeds (pack 0, fill n) with no boundary
+    // check, exactly the operator's reset rule.
+    "q198_pack_nostraddle" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id,
+         |    CAST(len($Toks) AS BIGINT) AS n_tok,
+         |    ('0x' || substr(md5('pk2:' || doc_id), 1, 8))::BIGINT % 8 AS shard,
+         |    ('0x' || substr(md5('pk2-ord:' || doc_id), 1, 8))::BIGINT AS o
+         |  FROM documents),
+         |r AS (SELECT shard, doc_id, n_tok,
+         |    row_number() OVER (PARTITION BY shard ORDER BY o ASC, doc_id ASC) AS rn
+         |  FROM t),
+         |walk(shard, rn, n_tok, pack, fill) AS (
+         |  SELECT shard, rn, n_tok, 0::BIGINT, n_tok FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.shard, r.rn, r.n_tok,
+         |    CASE WHEN w.fill > 0 AND w.fill + r.n_tok > 64
+         |         THEN w.pack + 1 ELSE w.pack END,
+         |    CASE WHEN w.fill > 0 AND w.fill + r.n_tok > 64
+         |         THEN r.n_tok ELSE w.fill + r.n_tok END
+         |  FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1)
+         |SELECT shard, pack, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS used_tok,
+         |  CAST(greatest(0, 64 - sum(n_tok)) AS BIGINT) AS waste_tok,
+         |  CAST(sum(CASE WHEN n_tok > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize
+         |FROM walk GROUP BY 1, 2""".stripMargin,
+
     // q196: late-arrival audit — per-user running event-time max over
     // arrival order (event_id), lateness bucketed exactly.
     "q196_late_arrivals" ->

@@ -87,4 +87,39 @@ class PackingSpec extends AnyFunSuite {
     val waste8 = padded(corpus, 8L).map(_._7).sum
     assert(waste8 <= waste0)
   }
+
+  private def packNS(rows: Seq[(Long, Long)], budget: Long = Budget) =
+    Packing.packNoStraddle(rows.toDF("id", "cost"), "id", "cost",
+        budget, shards = 4, salt = "t")
+      .select("id", "cost", "shard", "pack", "offset_in_pack", "oversize")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+
+  test("packNoStraddle ≡ the naive per-shard greedy fold; no pack exceeds budget unless oversize-alone") {
+    val out = packNS(corpus :+ (1000L, 150L)) // one oversize doc
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      // replay the greedy next-fit over the same deterministic order
+      val ordered = rows.sortBy(r => (r._4, r._5, r._1))
+      var pack = 0L; var fill = 0L
+      ordered.foreach { case (_, cost, _, p, off, oversize) =>
+        if (fill > 0 && fill + cost > Budget) { pack += 1; fill = 0 }
+        assert((p, off) === ((pack, fill)))
+        assert(oversize === (cost > Budget))
+        fill += cost
+      }
+      // the no-straddle contract: a pack over budget holds ONE oversize doc
+      rows.groupBy(_._4).foreach { case (_, members) =>
+        val used = members.map(_._2).sum
+        assert(used <= Budget ||
+          (members.size == 1 && members.head._6), members.toString)
+      }
+    }
+    // every doc appears exactly once
+    assert(out.map(_._1).sorted === (corpus.map(_._1) :+ 1000L).sorted)
+  }
+
+  test("packNoStraddle is deterministic across runs and repartitions") {
+    val a = packNS(corpus).toSet
+    val b = packNS(corpus.reverse).toSet // input order must not matter
+    assert(a === b)
+  }
 }
