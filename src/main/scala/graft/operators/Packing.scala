@@ -124,17 +124,24 @@ object Packing {
     * Adds (shard, pack, offset_in_pack, oversize) to the input columns.
     */
   def packNoStraddle(df: DataFrame, id: String, cost: String, budget: Long,
-                     shards: Int, salt: String): DataFrame = {
+                     shards: Int, salt: String,
+                     order: Seq[Column] = Seq.empty): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(shards > 0, s"shards must be positive, got $shards")
     val reserved = Seq("shard", "pack", "offset_in_pack", "oversize", "__ord")
     val clash = reserved.filter(df.columns.contains)
     require(clash.isEmpty,
       s"input already has column(s) ${clash.mkString(", ")} — withColumn would silently overwrite them; alias first")
+    // default stream order = the deterministic shuffle; callers may trade
+    // order for waste by passing VALUE columns (compared ascending,
+    // lexicographically; negate for descending — e.g. `-cost` gives
+    // next-fit-decreasing, q199's A/B)
+    val streamOrder =
+      if (order.nonEmpty) order
+      else Seq(Text.baseHash32(concat(lit(s"$salt-ord:"), col(id))))
     val prepared = df
       .withColumn("shard", Sampling.hashBucket(col(id), salt, shards))
-      .withColumn("__ord",
-        Text.baseHash32(concat(lit(s"$salt-ord:"), col(id))))
+      .withColumn("__ord", struct(streamOrder: _*))
       .repartition(col("shard")) // same-shard rows co-located
       .sortWithinPartitions(col("shard"), col("__ord"), col(id))
     val schema = org.apache.spark.sql.types.StructType(

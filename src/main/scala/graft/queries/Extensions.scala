@@ -735,7 +735,35 @@ object Extensions {
         sum(when(col("oversize"), 1L).otherwise(0L)).as("n_oversize"))
   }
 
+  /** q199: packing-order ablation — the tradeoff q198 leaves implicit,
+    * measured: order-preserving next-fit (the deterministic shuffle —
+    * training order intact) vs next-fit-DECREASING (cost descending —
+    * classical bin-packing, better fill, training order destroyed).
+    * One row per strategy: packs, used, waste, oversize. The decreasing
+    * leg reuses [[Packing.packNoStraddle]] with the cost-descending
+    * order override; same budget/shards/salt so only the order moves.
+    */
+  def q199PackOrderAblation(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables(spark, d, "documents")
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+    def card(name: String, order: Seq[org.apache.spark.sql.Column]) =
+      graft.operators.Packing.packNoStraddle(docs, "doc_id", "n_tok",
+          budget = 64L, shards = 8, salt = "pk2", order = order)
+        .groupBy(col("shard"), col("pack"))
+        .agg(sum(col("n_tok")).as("used"),
+          sum(when(col("oversize"), 1L).otherwise(0L)).as("n_over"))
+        .agg(lit(name).as("strategy"),
+          count(lit(1)).as("n_packs"),
+          sum(col("used")).as("used_tok"),
+          sum(greatest(lit(0L), lit(64L) - col("used"))).as("waste_tok"),
+          sum(col("n_over")).as("n_oversize"))
+    card("arrival_hash", Seq.empty)
+      .unionByName(card("size_desc", Seq(-col("n_tok"))))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_pack_order_ablation" -> q199PackOrderAblation _,
     "q198_pack_nostraddle" -> q198PackNoStraddle _,
     "q196_late_arrivals" -> q196LateArrivals _,
     "q193_mixing_quality" -> q193MixingQuality _,

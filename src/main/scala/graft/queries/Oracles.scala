@@ -2877,6 +2877,57 @@ object Oracles {
          |  CAST(sum(CASE WHEN n_tok > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize
          |FROM walk GROUP BY 1, 2""".stripMargin,
 
+    // q199: packing-order ablation — the q198 walk replayed twice, once
+    // per stream order (arrival hash vs cost-descending).
+    "q199_pack_order_ablation" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id,
+         |    CAST(len($Toks) AS BIGINT) AS n_tok,
+         |    ('0x' || substr(md5('pk2:' || doc_id), 1, 8))::BIGINT % 8 AS shard,
+         |    ('0x' || substr(md5('pk2-ord:' || doc_id), 1, 8))::BIGINT AS o
+         |  FROM documents),
+         |r1 AS (SELECT shard, doc_id, n_tok,
+         |    row_number() OVER (PARTITION BY shard ORDER BY o ASC, doc_id ASC) AS rn
+         |  FROM t),
+         |w1(shard, rn, n_tok, pack, fill) AS (
+         |  SELECT shard, rn, n_tok, 0::BIGINT, n_tok FROM r1 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r1.shard, r1.rn, r1.n_tok,
+         |    CASE WHEN w1.fill > 0 AND w1.fill + r1.n_tok > 64
+         |         THEN w1.pack + 1 ELSE w1.pack END,
+         |    CASE WHEN w1.fill > 0 AND w1.fill + r1.n_tok > 64
+         |         THEN r1.n_tok ELSE w1.fill + r1.n_tok END
+         |  FROM w1 JOIN r1 ON r1.shard = w1.shard AND r1.rn = w1.rn + 1),
+         |r2 AS (SELECT shard, doc_id, n_tok,
+         |    row_number() OVER (PARTITION BY shard
+         |      ORDER BY n_tok DESC, doc_id ASC) AS rn
+         |  FROM t),
+         |w2(shard, rn, n_tok, pack, fill) AS (
+         |  SELECT shard, rn, n_tok, 0::BIGINT, n_tok FROM r2 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r2.shard, r2.rn, r2.n_tok,
+         |    CASE WHEN w2.fill > 0 AND w2.fill + r2.n_tok > 64
+         |         THEN w2.pack + 1 ELSE w2.pack END,
+         |    CASE WHEN w2.fill > 0 AND w2.fill + r2.n_tok > 64
+         |         THEN r2.n_tok ELSE w2.fill + r2.n_tok END
+         |  FROM w2 JOIN r2 ON r2.shard = w2.shard AND r2.rn = w2.rn + 1),
+         |p1 AS (SELECT shard, pack, sum(n_tok) AS used,
+         |    sum(CASE WHEN n_tok > 64 THEN 1 ELSE 0 END) AS n_over
+         |  FROM w1 GROUP BY 1, 2),
+         |p2 AS (SELECT shard, pack, sum(n_tok) AS used,
+         |    sum(CASE WHEN n_tok > 64 THEN 1 ELSE 0 END) AS n_over
+         |  FROM w2 GROUP BY 1, 2)
+         |SELECT 'arrival_hash' AS strategy, CAST(count(*) AS BIGINT) AS n_packs,
+         |  CAST(sum(used) AS BIGINT) AS used_tok,
+         |  CAST(sum(greatest(0, 64 - used)) AS BIGINT) AS waste_tok,
+         |  CAST(sum(n_over) AS BIGINT) AS n_oversize
+         |FROM p1
+         |UNION ALL
+         |SELECT 'size_desc', CAST(count(*) AS BIGINT),
+         |  CAST(sum(used) AS BIGINT),
+         |  CAST(sum(greatest(0, 64 - used)) AS BIGINT),
+         |  CAST(sum(n_over) AS BIGINT)
+         |FROM p2""".stripMargin,
+
     // q196: late-arrival audit — per-user running event-time max over
     // arrival order (event_id), lateness bucketed exactly.
     "q196_late_arrivals" ->
