@@ -762,7 +762,45 @@ object Extensions {
       .unionByName(card("size_desc", Seq(-col("n_tok"))))
   }
 
+  /** q200: the ordered-pipeline capstone card — the new family chained
+    * end-to-end the way a pretraining data build runs it: exact dedup
+    * (normalized-fp first-wins, min doc_id), quality gate
+    * (quality_milli ≥ 500, the exact-integer threshold), weighted
+    * curriculum interleave over the survivors, then no-straddle packing
+    * per worker shard CONSUMING THE CURRICULUM ORDER (each hash shard
+    * is one data-parallel worker's stream; within it, packs fill in
+    * position order — the override q199 added). One manifest row per
+    * shard: docs, packs, used, waste.
+    */
+  def q200OrderedPipeline(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables(spark, d, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+    // D1 first-wins on the normalized content fingerprint
+    val deduped = graft.operators.Dedup.keepFirst(
+      docs.withColumn("fp", md5(Text.normalized(col("text")))),
+      Seq(col("fp")), Seq(col("doc_id").asc)).drop("fp")
+    // exact-integer quality gate (the q165 formula, threshold 500)
+    val gated = deduped
+      .join(graft.queries.LlmPipelines.q24TextStats(spark, d)
+        .select(col("doc_id"), col("quality_milli")), Seq("doc_id"))
+      .filter(col("quality_milli") >= 500L)
+    val ordered = Ranks.interleave(
+      gated.select(col("doc_id"), col("source"), col("n_tok")),
+      "source", "doc_id", "cur1", CurriculumWeights, nBuckets = 64)
+    graft.operators.Packing.packNoStraddle(ordered, "doc_id", "n_tok",
+        budget = 256L, shards = 8, salt = "pk2",
+        order = Seq(col("pos")))
+      .groupBy(col("shard"), col("pack"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("used"))
+      .groupBy(col("shard"))
+      .agg(sum(col("nd")).as("n_docs"), count(lit(1)).as("n_packs"),
+        sum(col("used")).as("used_tok"),
+        sum(greatest(lit(0L), lit(256L) - col("used"))).as("waste_tok"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_ordered_pipeline" -> q200OrderedPipeline _,
     "q199_pack_order_ablation" -> q199PackOrderAblation _,
     "q198_pack_nostraddle" -> q198PackNoStraddle _,
     "q196_late_arrivals" -> q196LateArrivals _,

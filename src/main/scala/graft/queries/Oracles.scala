@@ -2877,6 +2877,61 @@ object Oracles {
          |  CAST(sum(CASE WHEN n_tok > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize
          |FROM walk GROUP BY 1, 2""".stripMargin,
 
+    // q200: the ordered-pipeline capstone — fp first-wins, quality ≥ 500,
+    // the interleave windows, then the q198 walk per shard in POSITION
+    // order; one manifest row per shard.
+    "q200_ordered_pipeline" ->
+      s"""WITH RECURSIVE tq AS (SELECT doc_id, source, text, $Toks AS toks
+         |  FROM documents),
+         |fpx AS (SELECT doc_id, source, toks,
+         |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+         |  FROM tq),
+         |dd AS (SELECT doc_id, source, toks FROM
+         |   (SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id ASC) AS drn
+         |    FROM fpx)
+         |  WHERE drn = 1),
+         |qx AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tok,
+         |    CAST(round(1000.0 * (0.5 *
+         |        (CAST(len(list_filter(toks,
+         |           x -> x IN ('the','a','of','to','in','is','and'))) AS BIGINT)
+         |         / CAST(len(toks) AS BIGINT))
+         |      + 0.5 * least(1.0, CAST(len(toks) AS BIGINT) / 100.0)))
+         |      AS BIGINT) AS qual
+         |  FROM dd),
+         |g AS (SELECT doc_id, source, n_tok FROM qx WHERE qual >= 500),
+         |r AS (SELECT doc_id, source, n_tok,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ('0x' || substr(md5('cur1:' || doc_id), 1, 8))::BIGINT ASC,
+         |               doc_id ASC) AS rn
+         |  FROM g),
+         |k AS (SELECT doc_id, source, n_tok,
+         |    (rn - 1) * (CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2
+         |                            WHEN 'src2' THEN 4 ELSE 8 END) AS key
+         |  FROM r),
+         |o AS (SELECT doc_id, n_tok,
+         |    CAST(row_number() OVER (ORDER BY key ASC, source ASC) AS BIGINT) AS pos,
+         |    ('0x' || substr(md5('pk2:' || doc_id), 1, 8))::BIGINT % 8 AS shard
+         |  FROM k),
+         |r3 AS (SELECT shard, doc_id, n_tok,
+         |    row_number() OVER (PARTITION BY shard ORDER BY pos ASC, doc_id ASC) AS rn
+         |  FROM o),
+         |w3(shard, rn, n_tok, pack, fill) AS (
+         |  SELECT shard, rn, n_tok, 0::BIGINT, n_tok FROM r3 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r3.shard, r3.rn, r3.n_tok,
+         |    CASE WHEN w3.fill > 0 AND w3.fill + r3.n_tok > 256
+         |         THEN w3.pack + 1 ELSE w3.pack END,
+         |    CASE WHEN w3.fill > 0 AND w3.fill + r3.n_tok > 256
+         |         THEN r3.n_tok ELSE w3.fill + r3.n_tok END
+         |  FROM w3 JOIN r3 ON r3.shard = w3.shard AND r3.rn = w3.rn + 1),
+         |p3 AS (SELECT shard, pack, count(*) AS nd, sum(n_tok) AS used
+         |  FROM w3 GROUP BY 1, 2)
+         |SELECT shard, CAST(sum(nd) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_packs,
+         |  CAST(sum(used) AS BIGINT) AS used_tok,
+         |  CAST(sum(greatest(0, 256 - used)) AS BIGINT) AS waste_tok
+         |FROM p3 GROUP BY shard""".stripMargin,
+
     // q199: packing-order ablation — the q198 walk replayed twice, once
     // per stream order (arrival hash vs cost-descending).
     "q199_pack_order_ablation" ->
