@@ -19,7 +19,9 @@ object PlanAudit {
       "q184_wl_kernel", "q185_curriculum_order", "q187_curriculum_extend",
       "q188_curriculum_registry", "q190_curriculum_shards",
       "q191_dedup_agreement", "q192_global_shuffle", "q193_mixing_quality",
-      "q194_ltr_features")
+      "q194_ltr_features", "q195_ltr_registry", "q196_late_arrivals",
+      "q197_quality_calibration", "q198_pack_nostraddle",
+      "q200_ordered_pipeline")
     for (name <- interesting) {
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

@@ -78,7 +78,8 @@ object ScaleProbe {
       "videodedup", "bucketreg", "audioprep", "gramreg", "kfnovel", "prdist",
       "codecprep", "bwdist",
       "ccinc", "funnel", "prep", "monitor", "bm25reg", "splitreg",
-      "retrieval", "kcore", "cooccur", "walks", "wl", "ranks", "curreg")
+      "retrieval", "kcore", "cooccur", "walks", "wl", "ranks", "curreg",
+      "nostraddle")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -1823,6 +1824,23 @@ object ScaleProbe {
       time(s"extendRegistry step ${factor}x ($n standing, 100k batch, w=0.9)") {
         Ranks.extendRegistry(reg, batch, "event_type", "event_id", "cr", w,
           servedRows = n * 9 / 10, nBuckets = 64).count()
+      }
+      spark.catalog.clearCache()
+    }
+    // No-straddle packing (q198): the mapPartitions fold's linearity.
+    // The fold is O(rows) with O(1) state per shard; the exchange +
+    // secondary sort before it is the only super-constant stage, so the
+    // curve should track the sort (n log n, shallow) — if it ever goes
+    // superlinear beyond that, state is leaking across rows.
+    if (want("nostraddle")) for (factor <- probeFactors) {
+      val ev = materialize(
+        eventsAt(spark, d, factor).select(col("event_id"),
+          (pmod(col("event_id"), lit(97L)) + 1L).as("cost")),
+        s"/tmp/scale/nostraddle$factor")
+      val n = ev.count()
+      time(s"packNoStraddle ${factor}x ($n rows, budget 512, 64 shards)") {
+        graft.operators.Packing.packNoStraddle(ev, "event_id", "cost",
+          budget = 512L, shards = 64, salt = "ns").count()
       }
       spark.catalog.clearCache()
     }
