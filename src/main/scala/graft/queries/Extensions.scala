@@ -662,7 +662,16 @@ object Extensions {
     val docs = Tables(spark, d, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"))
     // sequential = arrival order: doc_ids are contiguous from 0 by the
-    // generator contract, so the position is doc_id + 1 directly
+    // generator contract, so the position is doc_id + 1 directly. The
+    // contract is CHECKED loudly: with id gaps the pos⟷pos+1 equi-join
+    // silently drops pairs while the oracle's lead() does not — the
+    // divergence class that must fail as an error, not a hash mismatch.
+    val bounds = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("m"))
+      .collect().head
+    require(bounds.getLong(1) == bounds.getLong(0) - 1,
+      s"doc_ids not contiguous from 0 (n=${bounds.getLong(0)}, " +
+        s"max=${bounds.getLong(1)}); the sequential leg needs the " +
+        "generator's contiguity contract")
     val sequential = docs
       .withColumn("pos", col("doc_id") + 1)
       .select(col("pos"), col("source"))

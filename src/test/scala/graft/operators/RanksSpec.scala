@@ -268,6 +268,39 @@ class RanksSpec extends AnyFunSuite {
       }
   }
 
+  test("interleave: property — random weights, skewed membership, any salt") {
+    val gen = for {
+      n <- Gen.choose(1, 100)
+      wa <- Gen.choose(1, 9); wb <- Gen.choose(1, 9)
+      wc <- Gen.choose(1, 9); wd <- Gen.choose(1, 9)
+      salt <- Gen.identifier.map(_.take(6))
+      ms <- Gen.listOfN(n, Gen.frequency(
+        (1, Gen.const("a")), (2, Gen.const("b")),
+        (4, Gen.const("c")), (8, Gen.const("d"))))
+    } yield (ms.zipWithIndex.map { case (g, i) => (i.toLong, g) },
+      Map("a" -> wa, "b" -> wb, "c" -> wc, "d" -> wd), salt)
+    val prop = Prop.forAll(gen) { case (rows, w, salt) =>
+      val df = rows.toDF("id", "g")
+      val got = Ranks.interleave(df, "g", "id", salt, w, nBuckets = 4)
+        .select($"id", $"pos").as[(Long, Long)].collect().toMap
+      def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+      val l = w.values.foldLeft(1L)((acc, x) => acc / gcd(acc, x) * x)
+      val strideOf = w.toSeq.sortBy(_._1)
+        .foldRight(lit(-1L)) { case ((g, x), o) =>
+          when($"g" === g, lit(l / x)).otherwise(o) }
+      val naive = df.withColumn("rn", row_number().over(
+          Window.partitionBy($"g").orderBy(
+            Text.baseHash32(concat(lit(s"$salt:"), $"id")).asc, $"id".asc)))
+        .withColumn("key", ($"rn" - 1) * strideOf)
+        .withColumn("pos",
+          row_number().over(Window.orderBy($"key".asc, $"g".asc)))
+        .select($"id", $"pos".cast("long")).as[(Long, Long)].collect().toMap
+      got == naive
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("interleave fails loudly on a source with no weight") {
     val df = Seq((1L, "a"), (2L, "zz")).toDF("id", "g")
     val e = intercept[Exception] {
