@@ -808,7 +808,44 @@ object Extensions {
         sum(greatest(lit(0L), lit(256L) - col("used"))).as("waste_tok"))
   }
 
+  /** q201: shard-manifest diff across a curriculum extension — the
+    * incremental-EXPORT payoff of the frozen prefix: q190's manifest
+    * taken before and after q187's extension, joined by shard, each
+    * shard classified `unchanged` (checksum equal — the shard file
+    * needs no rewrite), `rewritten`, or `new`. Because served positions
+    * freeze verbatim, every 100-row shard wholly inside the watermark
+    * is provably unchanged — an extension's export cost is the
+    * unfrozen tail, not the corpus. Order-sensitive checksums make the
+    * classification exact.
+    */
+  def q201ManifestDiff(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables(spark, d, "documents")
+      .select(col("doc_id"), col("source"))
+    val standing = docs.filter(col("doc_id") % 2 === 0)
+    val arriving = docs.filter(col("doc_id") % 2 === 1)
+    def manifest(ordered: DataFrame) = ordered
+      .withColumn("shard", expr("(pos - 1) div 100"))
+      .groupBy(col("shard"))
+      .agg(md5(array_join(transform(array_sort(collect_list(
+          struct(col("pos"), col("doc_id")))),
+        x => x.getField("doc_id").cast("string")), ",")).as("ids_md5"))
+    val before = manifest(Ranks.interleave(standing, "source", "doc_id",
+      "cur1", CurriculumWeights, nBuckets = 64))
+    val after = manifest(Ranks.extendOrder(standing, arriving, "source",
+        "doc_id", "cur1", CurriculumWeights,
+        servedRows = standing.count() / 2, nBuckets = 64)
+      .select(col("pos"), col("doc_id")))
+    before.select(col("shard"), col("ids_md5").as("md5_before"))
+      .join(after.select(col("shard"), col("ids_md5").as("md5_after")),
+        Seq("shard"), "full_outer")
+      .select(col("shard"),
+        when(col("md5_before").isNull, "new")
+          .when(col("md5_before") === col("md5_after"), "unchanged")
+          .otherwise("rewritten").as("status"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_manifest_diff" -> q201ManifestDiff _,
     "q200_ordered_pipeline" -> q200OrderedPipeline _,
     "q199_pack_order_ablation" -> q199PackOrderAblation _,
     "q198_pack_nostraddle" -> q198PackNoStraddle _,

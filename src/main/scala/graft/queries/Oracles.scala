@@ -3142,6 +3142,57 @@ object Oracles {
         |  doc_id, source, n_chars, FALSE AS frozen
         |FROM rem, fc""".stripMargin,
 
+    // q201: manifest diff across the q187 extension — the before order's
+    // manifest vs the after order's, shards classified by order-
+    // sensitive checksum equality.
+    "q201_manifest_diff" ->
+      """WITH st0 AS (SELECT doc_id, source FROM documents WHERE doc_id % 2 = 0),
+        |ar0 AS (SELECT doc_id, source FROM documents WHERE doc_id % 2 = 1),
+        |r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5('cur1:' || doc_id), 1, 8))::BIGINT ASC,
+        |               doc_id ASC) AS rn
+        |  FROM st0),
+        |k AS (SELECT doc_id, source,
+        |    (rn - 1) * (CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2
+        |                            WHEN 'src2' THEN 4 ELSE 8 END) AS key
+        |  FROM r),
+        |p AS (SELECT doc_id, source, key,
+        |    CAST(row_number() OVER (ORDER BY key ASC, source ASC) AS BIGINT) AS pos
+        |  FROM k),
+        |w AS (SELECT count(*) // 2 AS w FROM st0),
+        |frozen AS (SELECT doc_id, pos FROM p, w WHERE pos <= w.w),
+        |nst AS (SELECT source, count(*) AS n FROM st0 GROUP BY 1),
+        |ra AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5('cur1:' || doc_id), 1, 8))::BIGINT ASC,
+        |               doc_id ASC) AS rn
+        |  FROM ar0),
+        |ka AS (SELECT ra.doc_id, ra.source,
+        |    (coalesce(nst.n, 0) + ra.rn - 1) *
+        |      (CASE ra.source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2
+        |                      WHEN 'src2' THEN 4 ELSE 8 END) AS key
+        |  FROM ra LEFT JOIN nst USING (source)),
+        |rem AS (SELECT doc_id, source, key FROM p, w WHERE pos > w.w
+        |        UNION ALL SELECT doc_id, source, key FROM ka),
+        |fc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM frozen),
+        |aft AS (SELECT doc_id, pos FROM frozen
+        |        UNION ALL
+        |        SELECT doc_id,
+        |          CAST(fc.c + row_number() OVER (ORDER BY key ASC, source ASC) AS BIGINT)
+        |        FROM rem, fc),
+        |mb AS (SELECT (pos - 1) // 100 AS shard,
+        |    md5(string_agg(doc_id::VARCHAR, ',' ORDER BY pos)) AS m
+        |  FROM p GROUP BY 1),
+        |ma AS (SELECT (pos - 1) // 100 AS shard,
+        |    md5(string_agg(doc_id::VARCHAR, ',' ORDER BY pos)) AS m
+        |  FROM aft GROUP BY 1)
+        |SELECT coalesce(mb.shard, ma.shard) AS shard,
+        |  CASE WHEN mb.m IS NULL THEN 'new'
+        |       WHEN mb.m = ma.m THEN 'unchanged'
+        |       ELSE 'rewritten' END AS status
+        |FROM mb FULL OUTER JOIN ma ON mb.shard = ma.shard""".stripMargin,
+
     // q156: TVD drift monitor — exact-integer cross-multiplied form
     // (Σ|ca·nb − cb·na|·1e6 // (2·na·nb)); the md5 half-split is q46's
     // bucket formula with the 'drift' salt, token count is q24's twin
