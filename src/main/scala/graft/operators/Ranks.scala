@@ -301,9 +301,23 @@ object Ranks {
     val rn = Cols.freeName(arriving, "__rn")
     // per-source state: e0 = ladder end (= row count, by the contiguity
     // invariant), c = rows already served at this watermark
+    // the contiguity invariant ([0, e_g) ladder indices per source) is
+    // what the closed form stands on — a corrupted registry (gaps,
+    // duplicate j) would mis-position SILENTLY, so validate it inside
+    // the stats aggregate this step already pays for: max(j)+1 must
+    // equal the source's row count
     val regStats = reg.groupBy(col(group).as("g"))
-      .agg(count(lit(1)).as("e0"),
+      .agg(count(lit(1)).as("e0raw"),
+        max(col(j)).as("mj"),
         sum(when(col(pos) <= servedRows, 1L).otherwise(0L)).as("c"))
+      .withColumn("e0",
+        when(col("mj") + 1 === col("e0raw"), col("e0raw"))
+          .otherwise(raise_error(concat(
+            lit("extendRegistry: non-contiguous ladder for source "),
+            col("g").cast("string"), lit(" (max j "),
+            col("mj").cast("string"), lit(", rows "),
+            col("e0raw").cast("string"), lit(")"))).cast("long")))
+      .select(col("g"), col("e0"), col("c"))
     val m = Cols.freeName(arriving, "__e0")
     val ar = shuffleRank(arriving, Seq(group), id, salt, nBuckets, rn)
       .join(broadcast(regStats.select(col("g").as(group), col("e0").as(m))),

@@ -301,6 +301,23 @@ class RanksSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("extendRegistry fails loudly on a corrupted (non-contiguous) registry") {
+    val standing = (0 until 40).map(i => (i.toLong, Seq("a", "b", "c", "d")(i % 4)))
+      .toDF("id", "g")
+    val reg = Ranks.orderRegistry(standing, "g", "id", "mix8", weights,
+      nBuckets = 8)
+    // corrupt: drop one interior ladder index of source "a"
+    val corrupted = reg.filter(!($"g" === "a" && $"j" === 1L))
+    val e = intercept[Exception] {
+      Ranks.extendRegistry(corrupted,
+        Seq((9000L, "a")).toDF("id", "g"), "g", "id", "mix8", weights,
+        servedRows = 5, nBuckets = 8).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    assert(msgs(e).contains("non-contiguous ladder"), msgs(e))
+  }
+
   test("interleave fails loudly on a source with no weight") {
     val df = Seq((1L, "a"), (2L, "zz")).toDF("id", "g")
     val e = intercept[Exception] {
