@@ -16,6 +16,45 @@ import graft.functions.{Cols, Text}
   */
 object Sampling {
 
+  /** Hard ceiling on the group-table size the portable sorted-fold
+    * normalizer ([[mixingWeights]] / [[epochAllocation]] /
+    * [[negativeSamplingTable]]) will materialize into a single array row.
+    * The fold exists for FP determinism (identical add order on every
+    * engine), which inherently concentrates all group weights on one row;
+    * 2^22 doubles ≈ 32 MB keeps that row comfortably inside an executor
+    * while covering every intended cardinality (languages, domains,
+    * BPE-era vocabularies). A word2vec-scale type vocabulary (10^7–10^8)
+    * must NOT flow through this fold — it would put an 80–800 MB array on
+    * one row — so the bound fails the job loudly (in-plan `raise_error`,
+    * the [[Ranks.extendRegistry]] convention) instead of letting the
+    * contract stay implied. The web-scale path is range-partitioned
+    * integer prefix sums, not a bigger array.
+    */
+  val MaxFoldGroups: Long = 1L << 22
+
+  /** The deterministic cross-group normalizer: fold `value` over ALL rows
+    * of `groupTable` in sorted order (bit-identical total on any engine,
+    * any partitioning) into a broadcast 1-row frame, failing loudly when
+    * the table exceeds `maxGroups` (see [[MaxFoldGroups]]). The count
+    * rides the same aggregate the fold already pays for.
+    */
+  private[graft] def foldTotalBounded(groupTable: DataFrame, value: Column,
+                                      what: String,
+                                      maxGroups: Long = MaxFoldGroups): DataFrame =
+    broadcast(groupTable
+      .select(
+        aggregate(array_sort(collect_list(value)), lit(0.0),
+          (acc, x) => acc + x).as("__tot"),
+        count(lit(1)).as("__ng"))
+      .select(
+        when(col("__ng") <= maxGroups, col("__tot"))
+          .otherwise(raise_error(concat(
+            lit(s"$what: group table has "), col("__ng").cast("string"),
+            lit(s" rows, over the $maxGroups single-array fold bound — " +
+              "this normalizer is for bounded group tables (languages/" +
+              "domains/tokenizer vocabularies); distribute the weight " +
+              "computation instead"))).cast("double")).as("__tot")))
+
   /** Uniform bucket in [0, buckets) from the salted md5 of `id`. The salt
     * isolates experiments: different salts give independent assignments
     * over the same corpus.
@@ -102,9 +141,8 @@ object Sampling {
     // crossJoin left side — without it the full-corpus aggregate runs twice.
     val counts = df.groupBy(groups: _*).agg(count(lit(1)).as("n_rows"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = broadcast(counts.select(
-      aggregate(array_sort(collect_list(sqrt(col("n_rows")))), lit(0.0),
-        (acc, x) => acc + x).as("__tot")))
+    val total = foldTotalBounded(counts, sqrt(col("n_rows")),
+      "Sampling.mixingWeights")
     counts.crossJoin(total)
       .withColumn("weight_pm",
         round(lit(1000000.0) * sqrt(col("n_rows")) / col("__tot")).cast("long"))
@@ -292,9 +330,8 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val supply = df.groupBy(col(group)).agg(sum(cost).as("u_tokens"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = broadcast(supply.select(
-      aggregate(array_sort(collect_list(sqrt(col("u_tokens")))), lit(0.0),
-        (acc, x) => acc + x).as("__tot")))
+    val total = foldTotalBounded(supply, sqrt(col("u_tokens")),
+      "Sampling.epochAllocation")
     val tiny = Window.partitionBy() // ≤ |domains| rows — deliberate
     val ordG = Window.orderBy(col(group).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -344,17 +381,17 @@ object Sampling {
     * Scale shape: one ≤ |vocab| count table in; the normalizer is one
     * sorted fold, the apportionment two windows over the same
     * single-partition vocab pass (BPE-era vocabularies are ≤ a few
-    * hundred thousand rows — deliberate; a web-scale type vocabulary
-    * would swap in range-partitioned prefix sums, same arithmetic).
+    * hundred thousand rows — deliberate AND ENFORCED: the fold fails
+    * loudly past [[MaxFoldGroups]]; a web-scale type vocabulary would
+    * swap in range-partitioned prefix sums, same arithmetic).
     */
   def negativeSamplingTable(counts: DataFrame, key: String, cnt: String,
                             totalDraws: Long): DataFrame = {
     require(totalDraws > 0, s"totalDraws must be positive, got $totalDraws")
     import org.apache.spark.sql.expressions.Window
     def p34(c: Column) = sqrt(c) * sqrt(sqrt(c))
-    val total = broadcast(counts.select(
-      aggregate(array_sort(collect_list(p34(col(cnt)))), lit(0.0),
-        (acc, x) => acc + x).as("__tot")))
+    val total = foldTotalBounded(counts, p34(col(cnt)),
+      "Sampling.negativeSamplingTable")
     val tiny = Window.partitionBy() // ≤ |vocab| rows — deliberate
     val ordK = Window.orderBy(col(key).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -177,23 +177,27 @@ object TermStats {
     * ("how much of this corpus does an N-entry vocab cover?").
     * Returns (doc, n_tokens, n_oov, oov_pm).
     *
-    * The vocabulary ranking is a global top-N — inherently a single
-    * reduce; the ranked table is `vocabSize` rows, broadcast back onto
-    * the (doc, term) aggregate. Everything before it is map-side partial
-    * aggregation on (doc, term) / term.
+    * The vocabulary ranking is a global top-N, but NOT a global sort:
+    * `orderBy(...).limit(vocabSize)` plans as TakeOrderedAndProject —
+    * every partition keeps its local top-`vocabSize` heap and only those
+    * `parts × vocabSize` survivors meet at the reduce. On a 100 TB web
+    * corpus the distinct-term table is billions of rows of tokenization
+    * garbage; a partition-less window over it would move ALL of it to one
+    * task (the PlanSpec-banned WindowExec shape), while the heap form
+    * moves `O(parts × vocabSize)`. The ranked table is `vocabSize` rows,
+    * broadcast back onto the (doc, term) aggregate. Everything before it
+    * is map-side partial aggregation on (doc, term) / term.
     */
   def oovRate(docs: DataFrame, id: String, text: String, vocabSize: Int): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
-    import org.apache.spark.sql.expressions.Window
     val tf = docs.select(col(id).as("doc"),
         explode(Text.tokens(col(text))).as("term"))
       .groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
-      .withColumn("__rk",
-        row_number().over(Window.orderBy(col("ctf").desc, col("term").asc)))
-      .filter(col("__rk") <= vocabSize)
+      .orderBy(col("ctf").desc, col("term").asc)
+      .limit(vocabSize)
       .select(col("term"), lit(1L).as("in_vocab"))
     tf.join(broadcast(vocab), Seq("term"), "left_outer")
       .groupBy(col("doc"))

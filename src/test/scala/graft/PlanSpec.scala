@@ -59,6 +59,48 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("registry-wide: partition-less windows only where explicitly justified") {
+    // r15 verdict: q73 selected its top-N vocabulary with a global
+    // row_number window — a single-partition sort of the whole
+    // distinct-term table. The q185-style "has an Aggregate beneath"
+    // rule would NOT have caught it (the term table IS an aggregate, just
+    // an unbounded one), so the registry-wide pin is an explicit
+    // allowlist: any query whose optimized plan contains a partition-less
+    // logical Window must be named here with a boundedness justification.
+    // A new global window anywhere else fails this test and forces the
+    // review q73 never got.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val allowed: Map[String, String] = Map(
+      // Sampling's apportionment windows run over the per-group count
+      // table (languages/domains/vocab — bounded, and since r16 ENFORCED
+      // by Sampling.MaxFoldGroups raise_error in the same plan)
+      "q90_stratified_sample" -> "largest-remainder alloc over |strata| rows",
+      "q123_temperature_resample" -> "apportionment over |languages| rows",
+      "q124_pipeline_v4" -> "composes q123's resample",
+      "q126_epoch_allocation" -> "cumulative share over |domains| rows",
+      "q181_negative_sampling" -> "cumulative share over |vocab| rows (bounded)",
+      // Ranks.shuffleRank's bucketed decomposition: the ONLY global
+      // window is over the nBuckets-row bucket aggregate (64 rows)
+      "q192_global_shuffle" -> "bucket-offset window over nBuckets rows",
+      "q193_mixing_quality" -> "composes q192/q185 (same bucket windows)")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, d).queryExecution.optimizedPlan
+        val globals = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+        if (globals.isEmpty) None
+        else if (!allowed.contains(name)) Some(s"$name (un-allowlisted)")
+        // allowlisted ≠ unguarded: the window input must still be an
+        // aggregate subtree (a raw-table global window is never OK)
+        else if (globals.exists(_.child.collectFirst {
+                   case a: Aggregate => a }.isEmpty))
+          Some(s"$name (global window over non-aggregated input)")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"partition-less Window outside the justified allowlist (fix or " +
+        s"justify): " + offenders.mkString(", "))
+  }
+
   test("q48 sequence packing: exactly 1 shuffle (the shard window)") {
     assert(countShuffles(run("q48_sequence_packing")) == 1)
   }

@@ -305,4 +305,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.find(_._1 == "cold").get._4 == 0L,
       "a negligible-weight term may draw zero - no population floor")
   }
+
+  test("sorted-fold normalizer fails loudly past the group bound (r15 verdict)") {
+    // The fold's whole-table array is the FP-determinism device; its
+    // tiny-group contract must be enforced, not implied — a word2vec-scale
+    // vocabulary flowing through would put an 80-800 MB array on one row.
+    // Exercised via the shared helper at a test-sized bound; the in-plan
+    // raise_error is the same expression every caller compiles in.
+    val counts = Seq("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L, "e" -> 5L)
+      .toDF("w", "c_w")
+    val e = intercept[Exception] {
+      Sampling.foldTotalBounded(counts, col("c_w").cast("double"),
+        "SamplingSpec", maxGroups = 4L).collect()
+    }
+    assert(e.getMessage.contains("single-array fold bound"),
+      s"expected the fold-bound raise_error, got: ${e.getMessage}")
+    // under the bound: same arithmetic, no error
+    val ok = Sampling.foldTotalBounded(counts, col("c_w").cast("double"),
+      "SamplingSpec", maxGroups = 5L).collect()
+    assert(ok.head.getDouble(0) == 15.0)
+  }
 }
