@@ -33,7 +33,20 @@ object Merge {
     * relies on load order for this; we make it explicit).
     */
   def upsert(existing: DataFrame, incoming: DataFrame, key: String,
+             mode: OnDuplicate, tiebreak: String): DataFrame =
+    upsert(existing, incoming, Seq(key), mode, tiebreak)
+
+  /** Multi-column-key form of [[upsert]] — the merge key is the TUPLE
+    * `keys`, never a string concatenation of it. Concat-built keys are a
+    * silent-undercount trap: components drawn from free text can contain
+    * the delimiter, so distinct tuples like ("x","y|z") and ("x|y","z")
+    * collide and first-wins drops one row (the r15 advice finding against
+    * the streaming association partials). The window partitions by the
+    * columns themselves, which is also one fewer projection in the plan.
+    */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
              mode: OnDuplicate, tiebreak: String): DataFrame = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
     val cols = existing.columns.toSeq
     require(incoming.columns.toSeq == cols, s"schema mismatch: $cols vs ${incoming.columns.toSeq}")
     val (pExisting, pIncoming) = mode match {
@@ -44,7 +57,7 @@ object Merge {
     val pri = Iterator.from(0).map(i => s"__pri$i").find(!cols.contains(_)).get
     val unioned = existing.withColumn(pri, lit(pExisting))
       .unionByName(incoming.withColumn(pri, lit(pIncoming)))
-    Dedup.keepFirst(unioned, Seq(col(key)),
+    Dedup.keepFirst(unioned, keys.map(col),
         Seq(col(pri).asc, col(tiebreak).desc))
       .drop(pri)
   }
@@ -111,13 +124,22 @@ object Merge {
     */
   def upsertParquet(spark: org.apache.spark.sql.SparkSession, path: String,
                     incoming: DataFrame, key: String, mode: OnDuplicate,
+                    tiebreak: String): Unit =
+    upsertParquet(spark, path, incoming, Seq(key), mode, tiebreak)
+
+  /** Multi-column-key form of [[upsertParquet]] (see the tuple-key
+    * [[upsert]] rationale — never concat a composite key).
+    */
+  def upsertParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+                    incoming: DataFrame, keys: Seq[String], mode: OnDuplicate,
                     tiebreak: String): Unit = {
+    require(keys.nonEmpty, "upsertParquet needs at least one key column")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
       if (fs.exists(hPath))
-        upsert(spark.read.parquet(path), incoming, key, mode, tiebreak)
-      else Dedup.keepFirst(incoming, Seq(col(key)), Seq(col(tiebreak).desc))
+        upsert(spark.read.parquet(path), incoming, keys, mode, tiebreak)
+      else Dedup.keepFirst(incoming, keys.map(col), Seq(col(tiebreak).desc))
     commitSwap(fs, hPath, merged)
   }
 

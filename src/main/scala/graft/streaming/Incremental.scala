@@ -629,9 +629,10 @@ object Incremental {
         val partial = flagged.groupBy(col("source"))
           .agg(graft.queries.Curation.cardCounters.head, graft.queries.Curation.cardCounters.tail: _*)
           .withColumn("batch_id", lit(batchId))
-          .withColumn("__pk", concat(col("source"), lit(":"), col("batch_id")))
+        // tuple key, never concat: a source name containing the delimiter
+        // would alias two distinct partials and silently drop one
         Merge.upsertParquet(spark, partialsPath, partial,
-          "__pk", Merge.Ignore, "n_docs")
+          Seq("source", "batch_id"), Merge.Ignore, "n_docs")
         flagged.filter(col("__rn") === 1 && col("__seen").isNull)
           .select(col("fp"))
           .write.mode("append").parquet(registryPath)
@@ -678,17 +679,20 @@ object Incremental {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import graft.operators.Cooccurrence
+        // tuple keys, never concat: tokens come from whitespace-only
+        // splitting, so they can legitimately contain any delimiter —
+        // concat'd keys would alias distinct pairs like ("x","y|z") and
+        // ("x|y","z") and first-wins would silently undercount (r15
+        // advice). The multi-column upsert partitions by the columns
+        // themselves.
         val pairs = Cooccurrence.termPairCounts(batch, "doc_id", "text", window)
           .withColumn("batch_id", lit(batchId))
-          .withColumn("__pk",
-            concat(col("a"), lit("|"), col("b"), lit(":"), col("batch_id")))
         Merge.upsertParquet(spark, pairPartialsPath, pairs,
-          "__pk", Merge.Ignore, "c_ab")
+          Seq("a", "b", "batch_id"), Merge.Ignore, "c_ab")
         val terms = Cooccurrence.termOccurrences(batch, "doc_id", "text")
           .withColumn("batch_id", lit(batchId))
-          .withColumn("__pk", concat(col("w"), lit(":"), col("batch_id")))
         Merge.upsertParquet(spark, termPartialsPath, terms,
-          "__pk", Merge.Ignore, "c_w")
+          Seq("w", "batch_id"), Merge.Ignore, "c_w")
         ()
       }
       .start()
@@ -726,13 +730,14 @@ object Incremental {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // tuple key, never concat_ws: group values from data can contain
+        // the delimiter (the same silent-undercount class as the
+        // association partials)
         val partial = graft.operators.Drift
           .binnedCounts(batch, groupCols, binCol)
           .withColumn("batch_id", lit(batchId))
-          .withColumn("__pk", concat_ws(":",
-            (groupCols :+ binCol :+ "batch_id").map(col): _*))
-        Merge.upsertParquet(spark, partialsPath, partial, "__pk",
-          Merge.Ignore, "c")
+        Merge.upsertParquet(spark, partialsPath, partial,
+          groupCols :+ binCol :+ "batch_id", Merge.Ignore, "c")
         ()
       }
       .start()

@@ -1076,9 +1076,9 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     val poison = spark.sql(
       """SELECT 'sA' AS source, 999L AS n_docs, 999L AS n_tokens,
         |  999L AS n_dup_docs, 999L AS n_lang_match, 999L AS stop_pm_sum,
-        |  0L AS batch_id, 'sA:0' AS __pk""".stripMargin)
+        |  0L AS batch_id""".stripMargin)
     graft.operators.Merge.upsertParquet(spark, s"$dir/partials", poison,
-      "__pk", graft.operators.Merge.Ignore, "n_docs")
+      Seq("source", "batch_id"), graft.operators.Merge.Ignore, "n_docs")
     val after = Incremental.datasetCardFromPartials(spark, s"$dir/partials")
       .select(cols.head, cols.tail: _*).collect().toSet
     assert(after == batch, "a same-batchId partial must be dropped, not summed")
@@ -1202,7 +1202,8 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(served == batch && batch.nonEmpty)
     // partials carry one row per (feature, bin, batch) — replay-safe keys
     val parts = spark.read.parquet(s"$dir/partials")
-    assert(parts.select("__pk").distinct().count() == parts.count())
+    assert(parts.select("feature", "bin", "batch_id").distinct().count()
+      == parts.count())
   }
 
   test("streamingSplitAssign ≡ q164 on registry-only matches; a later arrival inherits from an EARLIER batch (growth)") {
@@ -1292,13 +1293,25 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       .as[(String, String, Long, Long)].collect().toSet
     assert(streamed == batch && streamed.nonEmpty)
     // engine replay at the merge level: a recomputed batch-0 partial
-    // re-lands under its existing (key:batchId) pk with DIFFERENT counts
-    // — first-wins Ignore must drop it, serve unchanged.
+    // re-lands under its existing (a, b, batchId) tuple key with DIFFERENT
+    // counts — first-wins Ignore must drop it, serve unchanged.
     graft.operators.Merge.upsertParquet(spark, s"$dir/pairs",
-      Seq(("a", "b", 999L, 0L)).toDF("a", "b", "c_ab", "batch_id")
-        .withColumn("__pk", concat($"a", lit("|"), $"b", lit(":"), $"batch_id")),
-      "__pk", graft.operators.Merge.Ignore, "c_ab")
+      Seq(("a", "b", 999L, 0L)).toDF("a", "b", "c_ab", "batch_id"),
+      Seq("a", "b", "batch_id"), graft.operators.Merge.Ignore, "c_ab")
     assert(served == batch, "a replayed partial changed the served counts")
+    // the delimiter-collision class the tuple key exists for (r15 advice):
+    // tokens are whitespace-split, so ("x","y|z") and ("x|y","z") are both
+    // legitimate DISTINCT pairs — a concat'd pk aliased them and silently
+    // dropped one. Land both under one batch; both must survive.
+    graft.operators.Merge.upsertParquet(spark, s"$dir/pairs",
+      Seq(("x", "y|z", 5L, 7L), ("x|y", "z", 3L, 7L))
+        .toDF("a", "b", "c_ab", "batch_id"),
+      Seq("a", "b", "batch_id"), graft.operators.Merge.Ignore, "c_ab")
+    val ambiguous = spark.read.parquet(s"$dir/pairs")
+      .filter($"batch_id" === 7L).as[(String, String, Long, Long)]
+      .collect().toSet
+    assert(ambiguous == Set(("x", "y|z", 5L, 7L), ("x|y", "z", 3L, 7L)),
+      "delimiter-ambiguous pairs must land as distinct tuple keys")
   }
 
   test("streamingCurriculum ≡ the q188 batch registry fold; a replay swaps in identical bytes") {
