@@ -113,6 +113,44 @@ object Bench {
       try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
     } catch { case _: Throwable => osBean.getSystemLoadAverage }
 
+  /** Host-boot fingerprint (first 8 hex of the kernel boot_id): two bench
+    * lines compare like-for-like ONLY within one boot — r15's mid-round
+    * host reboot inflated the shared-subset total +16% on byte-identical
+    * code and data, and attributing that cross-host cost a session of
+    * forensics (SCALE.md's host-boundary entry). Carrying the boot id in
+    * every bench line makes the discontinuity machine-detectable: ids
+    * differ → read deltas against `calib_ms`, not as code.
+    */
+  private def bootId(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/sys/kernel/random/boot_id")
+      try src.mkString.trim.take(8) finally src.close()
+    } catch { case _: Throwable => "unknown" }
+
+  /** Fixed CPU calibration probe: a deterministic single-thread xorshift
+    * spin of pinned iteration count — pure ALU, no allocation, identical
+    * work every invocation — so its wall time measures the host's
+    * effective single-thread speed under CURRENT conditions (SMT/IPC
+    * contention, turbo, thermal). The wall≫cpu contention test is blind
+    * to SMT-sibling pressure (the thread IS running, just slower); this
+    * probe is not. Cross-round reading rule: a query-total shift that
+    * tracks the calib shift is the HOST moving, not the code.
+    */
+  private def calibOnceMs(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 100000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (x == 42L) -1.0 else ms // fold x in so the loop can't be DCE'd
+  }
+
+  private def calibMs(): Double =
+    (1 to 3).map(_ => calibOnceMs()).min // min-of-3: the uncontended reading
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -122,6 +160,10 @@ object Bench {
     // Optional subset (dev A/Bs: `runMain graft.Bench q105_… q109_…`);
     // the driver invokes with no args → full registry, contract unchanged.
     // Unknown names fail loudly (the Verify convention).
+    // calibrate before Spark spins up (and once again at the end): the
+    // before/after pair also bounds whether host conditions MOVED during
+    // the bench itself
+    val calibBefore = calibMs()
     val only = args.toSet
     val unknownQ = only -- SparkEntry.queries.keySet
     require(unknownQ.isEmpty, s"unknown queries: ${unknownQ.mkString(", ")}")
@@ -186,9 +228,13 @@ object Bench {
         s""""best_wall":${r3(best.wall)},"best_cpu":${r3(best.cpu)},""" +
         s""""best_wall_cpu_ratio":${r3(if (best.cpu > 0) best.wall / best.cpu else -1.0)}}"""
     }.mkString("{", ",", "}")
+    val calibAfter = calibMs()
+    val boot = bootId()
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
-      try w.println(s"""{"sf":${jstr(sfDir)},"passes":$passes,"queries":$detail}""")
+      try w.println(s"""{"sf":${jstr(sfDir)},"passes":$passes,""" +
+        s""""boot_id":${jstr(boot)},"calib_ms_before":${r3(calibBefore)},""" +
+        s""""calib_ms_after":${r3(calibAfter)},"queries":$detail}""")
       finally w.close()
     } catch { case _: Throwable => () } // attribution is best-effort, never fails the bench
     // Full-precision, full-name detail line first (for humans and the git
@@ -212,7 +258,10 @@ object Bench {
       b.cpu > 0 && b.wall / b.cpu > 1.5 && b.wall > 0.5 }
       .map(r => jstr(keyOf(r._1))).mkString("[", ",", "]")
     val loadMax = results.flatMap(_._3.map(_.load)).foldLeft(0.0)(math.max)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${ok.size},"subset_total_prev_round":${r3(subset.map(_._2.wall).sum)},"subset_n":${subset.size},"contended":$contended,"load1_max":${r3(loadMax)},"errors":$errs,"sf":${jstr(sfDir)}}""")
+    // boot + calib_ms make cross-host discontinuities machine-detectable
+    // (r15: a mid-round reboot read as a +16% "regression"): different
+    // boot => compare via calib ratio, not raw seconds.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${ok.size},"subset_total_prev_round":${r3(subset.map(_._2.wall).sum)},"subset_n":${subset.size},"contended":$contended,"load1_max":${r3(loadMax)},"boot":${jstr(boot)},"calib_ms":${r3(math.min(calibBefore, calibAfter))},"errors":$errs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

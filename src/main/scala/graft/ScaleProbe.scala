@@ -1714,8 +1714,8 @@ object ScaleProbe {
         s"/tmp/scale/assocdocs$factor")
       time(s"term associations ${factor}x") {
         Cooccurrence.associationScores(
-          Cooccurrence.termPairCounts(docs, "doc_id", "text", 5),
-          Cooccurrence.termOccurrences(docs, "doc_id", "text"), 3).count()
+          Cooccurrence.termPairCounts(docs, "text", 5),
+          Cooccurrence.termOccurrences(docs, "text"), 3).count()
       }
       spark.catalog.clearCache()
     }
@@ -1745,8 +1745,8 @@ object ScaleProbe {
       time(s"walk docs ${factor}x") { docs.count() }
       time(s"walk skipgram (docs prepaid) ${factor}x") {
         Cooccurrence.associationScores(
-          Cooccurrence.termPairCounts(docs, "walk", "text", 2),
-          Cooccurrence.termOccurrences(docs, "walk", "text"), 2).count()
+          Cooccurrence.termPairCounts(docs, "text", 2),
+          Cooccurrence.termOccurrences(docs, "text"), 2).count()
       }
       docs.unpersist()
       time(s"link prediction ${factor}x") {

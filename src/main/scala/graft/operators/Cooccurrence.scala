@@ -144,10 +144,13 @@ object Cooccurrence {
     * is the scale contract: pair volume is ≤ n_tokens · window, row-local
     * (array transforms inside whole-stage codegen — NO positional
     * self-join), so the only shuffle is the final pair-key count with
-    * map-side partials. Returns `(a, b, c_ab)` over ALL windows in the
-    * corpus (occurrence counts, not document counts).
+    * map-side partials. Windows never cross documents STRUCTURALLY: pairs
+    * are generated inside each row's own token array, so no document-id
+    * column is needed (or taken — an earlier signature accepted one and
+    * ignored it). Returns `(a, b, c_ab)` over ALL windows in the corpus
+    * (occurrence counts, not document counts).
     */
-  def termPairCounts(docs: DataFrame, id: String, text: String,
+  def termPairCounts(docs: DataFrame, text: String,
                      window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     val toks = docs.select(graft.functions.Text.tokens(col(text)).as("t"))
@@ -171,7 +174,7 @@ object Cooccurrence {
     * [[associationScores]]. One keyed count over the exploded token
     * stream.
     */
-  def termOccurrences(docs: DataFrame, id: String, text: String): DataFrame =
+  def termOccurrences(docs: DataFrame, text: String): DataFrame =
     docs.select(explode(graft.functions.Text.tokens(col(text))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
 

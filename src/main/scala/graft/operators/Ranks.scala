@@ -68,8 +68,15 @@ object Ranks {
     * Ranks any ordering — a quality score, a timestamp — without a
     * global window. Bucket balance follows the key's distribution (a
     * pathological key clumped in one range degrades toward the naive
-    * window, never below it); keys must keep
-    * `|key| · nBuckets` inside Long. With `groups`, the range is still
+    * window, never below it). Two contracts are ENFORCED in-plan
+    * (raise_error riding the min/max aggregate this already pays for —
+    * the [[extendRegistry]] convention), because both would otherwise
+    * corrupt ranks SILENTLY:
+    * `(kmax − kmin) · nBuckets` must stay inside Long (a raw 64-bit hash
+    * key overflows the bucket expression and breaks order alignment —
+    * rank by the hash's high bits or a narrower key instead), and the
+    * key must be non-NULL (a NULL key would vanish through the inner
+    * offset join rather than rank). With `groups`, the range is still
     * computed globally — correct in any case (alignment is per-value),
     * balanced when group ranges are comparable.
     */
@@ -80,7 +87,27 @@ object Ranks {
     val kmin = Cols.freeName(df, "__kmin")
     val kmax = Cols.freeName(df, "__kmax")
     val b = Cols.freeName(df, "__bucket")
-    val mm = df.agg(min(col(key)).as(kmin), max(col(key)).as(kmax))
+    val maxRange = Long.MaxValue / nBuckets
+    val nulls = Cols.freeName(df, "__knulls")
+    val mm = df
+      .agg(min(col(key)).as(kmin), max(col(key)).cast("long").as(kmax),
+        sum(when(col(key).isNull, 1L).otherwise(0L)).as(nulls))
+      .select(col(kmin),
+        // both guards chain on kmax, the column the bucket expression
+        // actually consumes — a standalone validation column would be
+        // PRUNED away with its raise_error by the optimizer
+        when(coalesce(col(nulls), lit(0L)) > 0L,
+          raise_error(concat(lit("orderedRank: "), col(nulls).cast("string"),
+            lit(" NULL keys — a NULL key cannot be ranked and would " +
+              "silently vanish through the offset join; filter or " +
+              "coalesce them first"))).cast("long"))
+        .when(col(kmax).cast("decimal(38,0)") - col(kmin) > maxRange,
+          raise_error(concat(lit(s"orderedRank: key range ["),
+            col(kmin).cast("string"), lit(", "), col(kmax).cast("string"),
+            lit(s"] overflows the bucket expression at nBuckets=$nBuckets " +
+              "(range must stay within Long.MaxValue/nBuckets); rank by " +
+              "a narrower key"))).cast("long"))
+        .otherwise(col(kmax)).as(kmax))
     val withB = df.crossJoin(broadcast(mm))
       .withColumn(b, expr(
         s"((`$key` - `$kmin`) * ${nBuckets}L) div (`$kmax` - `$kmin` + 1L)"))

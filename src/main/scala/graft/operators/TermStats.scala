@@ -572,7 +572,12 @@ object TermStats {
     * (`rel` must stay ≤ 62 — the Long shift bound; retrieval grades are
     * single digits in practice), discount is [[ndcgWeightPm]], and the
     * ideal ordering re-ranks the SAME retrieved gains (gain desc, rank
-    * asc — ties permute equal gains, which cannot change Σ gain·w).
+    * asc — ties permute equal gains, which cannot change Σ gain·w). The
+    * shift bound applies to the GRADE, not the list depth: any k ≥ 1 is
+    * valid (nDCG@100 is a standard cutoff), while a grade outside
+    * [0, 62] fails loudly in-plan — out-of-range `rel` through
+    * `shiftleft` yields garbage gains silently, the corruption class
+    * this library always raises on.
     * This is the list-permutation nDCG: it grades ORDERING quality of
     * what was retrieved, label-free; the missing-relevant-doc axis is
     * the known-item card's hit@k, not this metric's job.
@@ -588,7 +593,7 @@ object TermStats {
     */
   def gradedNdcg(ranked: DataFrame, qCol: String, rankCol: String,
                  relCol: String, k: Int): DataFrame = {
-    require(k >= 1 && k <= 62, s"k must be in [1,62], got $k")
+    require(k >= 1, s"k must be >= 1, got $k")
     val spark = ranked.sparkSession
     import spark.implicits._
     val weights = (1 to k).map(r => (r.toLong, ndcgWeightPm(r)))
@@ -598,7 +603,13 @@ object TermStats {
     val g = ranked.select(col(qCol).as("q"),
         col(rankCol).cast("long").as("rk"), col(relCol).cast("int").as("rel"))
       .filter(col("rk") <= k)
-      .withColumn("gain", expr("shiftleft(CAST(1 AS BIGINT), rel) - 1"))
+      .withColumn("gain",
+        when(col("rel").isNull || col("rel") < 0 || col("rel") > 62,
+          raise_error(concat(lit("gradedNdcg: relevance grade "),
+            col("rel").cast("string"),
+            lit(" outside [0, 62] — shiftleft would yield garbage gains " +
+              "silently"))).cast("long"))
+        .otherwise(expr("shiftleft(CAST(1 AS BIGINT), rel) - 1")))
       .withColumn("irk", row_number().over(w).cast("long"))
     g.join(broadcast(weights.select(col("rk"), col("w_pm").as("w_act"))),
         Seq("rk"))

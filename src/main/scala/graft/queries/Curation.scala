@@ -1186,8 +1186,8 @@ object Curation {
     import graft.operators.Cooccurrence
     val docs = Tables.balanced(spark, d, "documents")
     Cooccurrence.associationScores(
-      Cooccurrence.termPairCounts(docs, "doc_id", "text", window = 5),
-      Cooccurrence.termOccurrences(docs, "doc_id", "text"),
+      Cooccurrence.termPairCounts(docs, "text", window = 5),
+      Cooccurrence.termOccurrences(docs, "text"),
       minPairCount = 3)
   }
 
@@ -1206,17 +1206,17 @@ object Curation {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val b0 = docs.filter(col("__batch") === 0)
-      var pc = Cooccurrence.termPairCounts(b0, "doc_id", "text", window = 5)
-      var tc = Cooccurrence.termOccurrences(b0, "doc_id", "text")
+      var pc = Cooccurrence.termPairCounts(b0, "text", window = 5)
+      var tc = Cooccurrence.termOccurrences(b0, "text")
       for (i <- 1 until 3) {
         val b = docs.filter(col("__batch") === i)
         // eager checkpoint per fold — the q120/q174 convention (a lazy
         // fold chain recomputes every prior batch's counts per read)
         pc = Cooccurrence.countsFold(pc,
-          Cooccurrence.termPairCounts(b, "doc_id", "text", window = 5),
+          Cooccurrence.termPairCounts(b, "text", window = 5),
           Seq("a", "b"), "c_ab").localCheckpoint(true)
         tc = Cooccurrence.countsFold(tc,
-          Cooccurrence.termOccurrences(b, "doc_id", "text"),
+          Cooccurrence.termOccurrences(b, "text"),
           Seq("w"), "c_w").localCheckpoint(true)
       }
       Cooccurrence.associationScores(pc, tc, minPairCount = 3)
@@ -1233,7 +1233,7 @@ object Curation {
   def q181NegativeSampling(spark: SparkSession, d: String): DataFrame =
     graft.operators.Sampling.negativeSamplingTable(
       graft.operators.Cooccurrence.termOccurrences(
-        Tables.balanced(spark, d, "documents"), "doc_id", "text"),
+        Tables.balanced(spark, d, "documents"), "text"),
       "w", "c_w", totalDraws = 1000000L)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -650,12 +650,24 @@ object Extensions {
       val adj = a.join(
         a.select((col("pos") - 1).as("pos"), col("source").as("next_source")),
         Seq("pos"))
-      adj.groupBy(lit(name).as("ordering"))
-        .agg(count(lit(1)).as("n_adjacent"),
+      // the TRUE mode of same-source adjacencies (count per source, ties
+      // to the lexicographically smallest — r15 advice: the old
+      // max(when(...)) reported the lexicographically LARGEST repeating
+      // source, not the most-repeated one). Two-level aggregate: per
+      // source first (bounded by |sources|), then the argmax as
+      // min(struct(-count, source)) — no window, no collect.
+      val bySource = adj.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_adj_s"),
           sum(when(col("source") === col("next_source"), 1L).otherwise(0L))
-            .as("n_same"),
-          max(when(col("source") === col("next_source"), col("source")))
-            .as("max_same_source"))
+            .as("n_same_s"))
+      bySource.groupBy(lit(name).as("ordering"))
+        .agg(sum(col("n_adj_s")).as("n_adjacent"),
+          sum(col("n_same_s")).as("n_same"),
+          min(when(col("n_same_s") > 0,
+            struct((-col("n_same_s")).as("nc"), col("source").as("s"))))
+            .as("__m"))
+        .withColumn("mode_same_source", col("__m.s"))
+        .drop("__m")
         .withColumn("same_ppm",
           expr("(n_same * 1000000) div n_adjacent"))
     }

@@ -313,8 +313,8 @@ object Graphs {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       Cooccurrence.associationScores(
-        Cooccurrence.termPairCounts(docs, "walk", "text", window = 2),
-        Cooccurrence.termOccurrences(docs, "walk", "text"),
+        Cooccurrence.termPairCounts(docs, "text", window = 2),
+        Cooccurrence.termOccurrences(docs, "text"),
         minPairCount = 2)
         .localCheckpoint(true)
     } finally { docs.unpersist(); () }

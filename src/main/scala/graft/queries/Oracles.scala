@@ -3035,14 +3035,19 @@ object Oracles {
         |  UNION ALL
         |  SELECT 'shuffled', source, lead(source) OVER (ORDER BY pos) FROM shuf
         |  UNION ALL
-        |  SELECT 'curriculum', source, lead(source) OVER (ORDER BY pos) FROM cur)
-        |SELECT ordering, CAST(count(*) AS BIGINT) AS n_adjacent,
-        |  CAST(sum(CASE WHEN source = next_source THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
-        |  max(CASE WHEN source = next_source THEN source END) AS max_same_source,
-        |  CAST((sum(CASE WHEN source = next_source THEN 1 ELSE 0 END) * 1000000)
-        |    // count(*) AS BIGINT) AS same_ppm
-        |FROM lagd WHERE next_source IS NOT NULL
-        |GROUP BY ordering""".stripMargin,
+        |  SELECT 'curriculum', source, lead(source) OVER (ORDER BY pos) FROM cur),
+        |agg AS (SELECT ordering, CAST(count(*) AS BIGINT) AS n_adjacent,
+        |    CAST(sum(CASE WHEN source = next_source THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+        |  FROM lagd WHERE next_source IS NOT NULL GROUP BY ordering),
+        |sc AS (SELECT ordering, source, count(*) AS c FROM lagd
+        |  WHERE source = next_source GROUP BY ordering, source),
+        |md AS (SELECT ordering, source AS mode_same_source FROM (
+        |    SELECT ordering, source, row_number() OVER (PARTITION BY ordering
+        |      ORDER BY c DESC, source ASC) AS rk FROM sc)
+        |  WHERE rk = 1)
+        |SELECT a.ordering, a.n_adjacent, a.n_same, md.mode_same_source,
+        |  CAST((a.n_same * 1000000) // a.n_adjacent AS BIGINT) AS same_ppm
+        |FROM agg a LEFT JOIN md ON a.ordering = md.ordering""".stripMargin,
 
     // q192: global deterministic shuffle — the naive twin IS the
     // single-task global window the operator exists to avoid.

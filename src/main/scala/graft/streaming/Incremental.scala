@@ -685,11 +685,11 @@ object Incremental {
         // ("x|y","z") and first-wins would silently undercount (r15
         // advice). The multi-column upsert partitions by the columns
         // themselves.
-        val pairs = Cooccurrence.termPairCounts(batch, "doc_id", "text", window)
+        val pairs = Cooccurrence.termPairCounts(batch, "text", window)
           .withColumn("batch_id", lit(batchId))
         Merge.upsertParquet(spark, pairPartialsPath, pairs,
           Seq("a", "b", "batch_id"), Merge.Ignore, "c_ab")
-        val terms = Cooccurrence.termOccurrences(batch, "doc_id", "text")
+        val terms = Cooccurrence.termOccurrences(batch, "text")
           .withColumn("batch_id", lit(batchId))
         Merge.upsertParquet(spark, termPartialsPath, terms,
           Seq("w", "batch_id"), Merge.Ignore, "c_w")

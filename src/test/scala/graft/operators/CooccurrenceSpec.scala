@@ -102,8 +102,8 @@ class CooccurrenceSpec extends AnyFunSuite {
   private def assoc(docs: Seq[(Long, String)], window: Int, minC: Long = 1) = {
     val df = docs.toDF("doc_id", "text")
     Cooccurrence.associationScores(
-        Cooccurrence.termPairCounts(df, "doc_id", "text", window),
-        Cooccurrence.termOccurrences(df, "doc_id", "text"), minC)
+        Cooccurrence.termPairCounts(df, "text", window),
+        Cooccurrence.termOccurrences(df, "text"), minC)
       .as[(String, String, Long, Long)].collect().sortBy(p => (p._1, p._2))
   }
 
@@ -132,8 +132,8 @@ class CooccurrenceSpec extends AnyFunSuite {
     // fold per-doc batches in arbitrary grouping
     def counts(b: Seq[(Long, String)]) = {
       val df = b.toDF("doc_id", "text")
-      (Cooccurrence.termPairCounts(df, "doc_id", "text", 3),
-        Cooccurrence.termOccurrences(df, "doc_id", "text"))
+      (Cooccurrence.termPairCounts(df, "text", 3),
+        Cooccurrence.termOccurrences(df, "text"))
     }
     val (p0, t0) = counts(Seq(docs(1)))
     val (p1, t1) = counts(Seq(docs(0), docs(2)))

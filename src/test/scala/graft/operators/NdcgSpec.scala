@@ -60,4 +60,21 @@ class NdcgSpec extends AnyFunSuite {
         "q", "rank", "rel", k = 0)
     }
   }
+
+  test("nDCG@100 is valid — the shift bound caps the grade, not the depth (r15 advice)") {
+    val rows = (1L to 100L).map(r => (1L, r, if (r >= 98) 1 else 0))
+    val out = run(rows, k = 100)
+    assert(out.head._2 == 100L, "all 100 retrieved rows must count")
+    assert(out.head._5 < 1000000L, "relevant docs at the bottom => below ideal")
+  }
+
+  test("an out-of-range grade fails loudly instead of silent garbage gains") {
+    for (bad <- Seq(-1, 63)) {
+      val e = intercept[Exception] {
+        run(Seq((1L, 1L, bad)), k = 5)
+      }
+      assert(e.getMessage.contains("outside [0, 62]"),
+        s"rel=$bad: expected the in-plan raise_error, got ${e.getMessage}")
+    }
+  }
 }

@@ -326,6 +326,29 @@ class RanksSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("orderedRank: a key range that overflows the bucket expression fails loudly (r15 advice)") {
+    // a raw 64-bit hash key makes (k - kmin) * nBuckets overflow Long,
+    // silently breaking order alignment — the guard rides the min/max
+    // aggregate the operator already pays for
+    val df = Seq((1L, Long.MinValue + 1), (2L, Long.MaxValue - 1), (3L, 0L))
+      .toDF("id", "k")
+    val e = intercept[Exception] {
+      Ranks.orderedRank(df, Seq.empty, "k", "id", nBuckets = 64).collect()
+    }
+    assert(e.getMessage.contains("overflows the bucket expression"),
+      s"expected the range guard, got: ${e.getMessage}")
+  }
+
+  test("orderedRank: NULL keys fail loudly instead of vanishing through the offset join") {
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(9L)))
+      .toDF("id", "k")
+    val e = intercept[Exception] {
+      Ranks.orderedRank(df, Seq.empty, "k", "id", nBuckets = 4).collect()
+    }
+    assert(e.getMessage.contains("NULL keys"),
+      s"expected the NULL-key guard, got: ${e.getMessage}")
+  }
+
   test("no global window ever runs on data rows — only on the bucket aggregate") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     def check(df: org.apache.spark.sql.DataFrame): Unit = {

@@ -1288,8 +1288,8 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     val streamed = served
     val all = docs.toDF("doc_id", "text")
     val batch = graft.operators.Cooccurrence.associationScores(
-        graft.operators.Cooccurrence.termPairCounts(all, "doc_id", "text", 2),
-        graft.operators.Cooccurrence.termOccurrences(all, "doc_id", "text"), 1)
+        graft.operators.Cooccurrence.termPairCounts(all, "text", 2),
+        graft.operators.Cooccurrence.termOccurrences(all, "text"), 1)
       .as[(String, String, Long, Long)].collect().toSet
     assert(streamed == batch && streamed.nonEmpty)
     // engine replay at the merge level: a recomputed batch-0 partial
