@@ -79,7 +79,7 @@ object ScaleProbe {
       "codecprep", "bwdist",
       "ccinc", "funnel", "prep", "monitor", "bm25reg", "splitreg",
       "retrieval", "kcore", "cooccur", "walks", "wl", "ranks", "curreg",
-      "nostraddle")
+      "nostraddle", "curseg")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -1825,6 +1825,70 @@ object ScaleProbe {
         Ranks.extendRegistry(reg, batch, "event_type", "event_id", "cr", w,
           servedRows = n * 9 / 10, nBuckets = 64).count()
       }
+      spark.catalog.clearCache()
+    }
+    // Segmented vs monolithic curriculum WRITE cost (the r16 layout):
+    // one streaming step at watermark 0.9 over a factor×100k standing
+    // registry. The monolithic form snapshot-swaps the whole registry
+    // (write O(registry)); the segmented form appends the newly served
+    // prefix once and swaps only the 10% tail (write O(tail + batch)).
+    // Both curves carry the same extendRegistry compute; the gap is pure
+    // write amplification and should WIDEN linearly with factor.
+    if (want("curseg")) for (factor <- probeFactors) {
+      import graft.operators.Ranks
+      import graft.streaming.Incremental
+      val w = Map("click" -> 4, "view" -> 2, "purchase" -> 1, "signup" -> 1,
+        "error" -> 1)
+      val standing = eventsAt(spark, d, factor)
+        .select(col("event_id"), col("event_type"))
+      val reg0 = Ranks.orderRegistry(standing, "event_type", "event_id",
+        "cs", w, nBuckets = 64)
+      val base = s"/tmp/scale/curseg$factor"
+      reg0.write.mode("overwrite").parquet(s"$base/mono")
+      val n = spark.read.parquet(s"$base/mono").count()
+      val served = n * 9 / 10
+      val r = spark.read.parquet(s"$base/mono")
+      r.filter(col("pos") <= served).write.mode("overwrite")
+        .parquet(s"$base/seg/frozen")
+      r.filter(col("pos") > served).write.mode("overwrite")
+        .parquet(s"$base/seg/tail")
+      val batch = eventsAt(spark, d, 1)
+        .select((col("event_id") + lit(900000000L)).as("event_id"),
+          col("event_type"))
+      // written-bytes accounting: local NVMe + page cache make a full
+      // rewrite nearly free in WALL terms, so the wall curves alone
+      // under-report the difference a remote object store would bill
+      def duMb(p: String): Long = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) fs.getContentSummary(hp).getLength / (1 << 20)
+        else 0L
+      }
+      val segFrozenBefore = duMb(s"$base/seg/frozen")
+      time(s"curriculum step MONOLITHIC ${factor}x ($n standing, w=0.9)") {
+        val next = Ranks.extendRegistry(spark.read.parquet(s"$base/mono"),
+          batch, "event_type", "event_id", "cs", w, served, nBuckets = 64)
+        graft.operators.Merge.replaceParquet(spark, s"$base/mono", next)
+        spark.read.parquet(s"$base/mono").count()
+      }
+      println(s"[scale]   mono wrote ${duMb(s"$base/mono")} MB (full rewrite)")
+      time(s"curriculum step SEGMENTED  ${factor}x ($n standing, w=0.9)") {
+        val reg = Incremental.curriculumRegistry(spark, s"$base/seg")
+        val next = Ranks.extendRegistry(reg, batch, "event_type",
+            "event_id", "cs", w, served, nBuckets = 64)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val gradFloor = spark.read.parquet(s"$base/seg/frozen")
+            .agg(max(col("pos"))).head.getLong(0)
+          next.filter(col("frozen") && col("pos") > gradFloor).drop("frozen")
+            .write.mode("append").parquet(s"$base/seg/frozen")
+          graft.operators.Merge.replaceParquet(spark, s"$base/seg/tail",
+            next.filter(!col("frozen")).drop("frozen"))
+        } finally { next.unpersist(); () }
+        Incremental.curriculumRegistry(spark, s"$base/seg").count()
+      }
+      println(s"[scale]   seg wrote ${duMb(s"$base/seg/frozen") -
+        segFrozenBefore} MB frozen delta + ${duMb(s"$base/seg/tail")} MB tail")
       spark.catalog.clearCache()
     }
     // No-straddle packing (q198): the mapPartitions fold's linearity.

@@ -1478,4 +1478,101 @@ object Incremental {
         ()
       }
       .start()
+
+  private def readableParquet(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Reader for [[streamingCurriculumSegmented]]'s layout: the logical
+    * registry is `frozen/` (append-only graduated segments) ∪ `tail/`
+    * (the live unserved remainder), with the tail read SHADOWED behind
+    * the frozen high-water position. The shadow is the crash-safety
+    * device: a failure between the frozen append and the tail swap
+    * leaves the freshly graduated prefix duplicated in the stale tail,
+    * but graduated positions are FINAL by the extendRegistry contract,
+    * so the duplicates carry identical `pos` values and the
+    * `pos > hwm` filter drops exactly them — the layout self-heals on
+    * the next read instead of tripping the ladder-contiguity validation.
+    */
+  def curriculumRegistry(spark: SparkSession, registryPath: String,
+                         pos: String = "pos"): DataFrame = {
+    val frozenPath = s"$registryPath/frozen"
+    val tailPath = s"$registryPath/tail"
+    val frozen = if (readableParquet(spark, frozenPath))
+      Some(spark.read.parquet(frozenPath)) else None
+    val tail = if (readableParquet(spark, tailPath))
+      Some(spark.read.parquet(tailPath)) else None
+    (frozen, tail) match {
+      case (Some(f), Some(t)) =>
+        // one column-pruned scan of the frozen segments for the hwm
+        val hwm = f.agg(max(col(pos))).head.getLong(0)
+        f.unionByName(t.filter(col(pos) > hwm))
+      case (Some(f), None) => f
+      case (None, Some(t)) => t
+      case (None, None) => throw new IllegalStateException(
+        s"no curriculum registry at $registryPath (neither frozen/ nor tail/)")
+    }
+  }
+
+  /** [[streamingCurriculum]] with the write amplification fixed — the
+    * curriculum analog of the other registry families' on-cadence
+    * compaction. The monolithic form snapshot-swaps the WHOLE registry
+    * every micro-batch (O(registry) writes for an O(tail) change); here
+    * rows graduate into `frozen/` exactly once when the watermark passes
+    * them (their positions are final — extendRegistry passes the served
+    * prefix through verbatim) and only `tail/` is swap-replaced, so
+    * per-batch write cost is O(newly-served + unserved tail + batch),
+    * independent of how much history has accumulated. Read cost per
+    * batch stays O(registry) in the stats aggregate — column-pruned over
+    * append-only segments — matching the curreg probe's flat per-step
+    * curve. Write ORDER is graduation append first, tail swap second: a
+    * crash in between duplicates the graduated prefix in the stale tail,
+    * which [[curriculumRegistry]] shadows out (see there); the reverse
+    * order would LOSE rows. Replay-safe like the monolithic form:
+    * already-registered ids anti-join away and re-derive identical
+    * positions.
+    */
+  def streamingCurriculumSegmented(stream: DataFrame, checkpointDir: String,
+                                   registryPath: String, group: String,
+                                   id: String, salt: String,
+                                   weights: Map[String, Int],
+                                   servedOf: Long => Long, nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val frozenPath = s"$registryPath/frozen"
+        val tailPath = s"$registryPath/tail"
+        if (!readableParquet(spark, frozenPath) &&
+            !readableParquet(spark, tailPath)) {
+          Merge.replaceParquet(spark, tailPath,
+            graft.operators.Ranks.orderRegistry(batch, group, id, salt,
+              weights, nBuckets))
+        } else {
+          val reg = curriculumRegistry(spark, registryPath)
+          val fresh = batch.join(reg.select(col(id)), Seq(id), "left_anti")
+          // two consumers (graduation append, tail swap) — persist so the
+          // re-rank runs once; lineage is already cut from tail/ by
+          // extendRegistry's eager checkpoint
+          val next = graft.operators.Ranks.extendRegistry(reg, fresh, group,
+              id, salt, weights, servedOf(reg.count()), nBuckets)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val gradFloor = if (readableParquet(spark, frozenPath))
+              spark.read.parquet(frozenPath).agg(max(col("pos")))
+                .head.getLong(0)
+            else 0L
+            next.filter(col("frozen") && col("pos") > gradFloor)
+              .drop("frozen")
+              .write.mode("append").parquet(frozenPath)
+            Merge.replaceParquet(spark, tailPath,
+              next.filter(!col("frozen")).drop("frozen"))
+          } finally { next.unpersist(); () }
+        }
+        ()
+      }
+      .start()
 }

@@ -1361,4 +1361,61 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       === streamed.view.mapValues(_._1).toMap,
       "a replayed batch moved positions")
   }
+
+  test("streamingCurriculumSegmented ≡ monolithic; frozen segments append once and never rewrite") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-curseg")
+      .toFile.getAbsolutePath
+    val weights = Map("a" -> 4, "b" -> 2, "c" -> 1, "d" -> 1)
+    def rows(r: Range) = r.map(i => (i.toLong, Seq("a", "b", "c", "d")(i % 4)))
+    val batches = Seq(rows(0 until 60), rows(1000 until 1040),
+      rows(2000 until 2040))
+    def drive(path: String,
+              mk: (org.apache.spark.sql.DataFrame, String) =>
+                org.apache.spark.sql.streaming.StreamingQuery)
+        : Seq[Map[String, (Long, Long)]] = {
+      val input = MemoryStream[(Long, String)]
+      val query = mk(input.toDF().toDF("id", "g"), path)
+      val frozenDir = new java.io.File(s"$path/reg/frozen")
+      def frozenFiles = Option(frozenDir.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+      try batches.map { chunk =>
+        input.addData(chunk: _*); query.processAllAvailable(); frozenFiles
+      } finally query.stop()
+    }
+    val snaps = drive(s"$dir/seg", (df, p) =>
+      Incremental.streamingCurriculumSegmented(df, s"$p/ckpt", s"$p/reg",
+        "g", "id", "cur", weights, servedOf = _ / 2, nBuckets = 8))
+    drive(s"$dir/mono", (df, p) =>
+      Incremental.streamingCurriculum(df, s"$p/ckpt", s"$p/reg",
+        "g", "id", "cur", weights, servedOf = _ / 2, nBuckets = 8))
+    def positions(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"pos").as[(Long, Long)].collect().toMap
+    val seg = positions(
+      Incremental.curriculumRegistry(spark, s"$dir/seg/reg"))
+    val mono = positions(spark.read.parquet(s"$dir/mono/reg"))
+    assert(seg === mono, "segmented and monolithic registries diverged")
+    assert(seg.size == 140 && seg.values.toSeq.sorted == (1L to 140L))
+    // append-once: every frozen segment present after batch 2 is
+    // byte-identical (name, length, mtime) after batch 3 — graduation
+    // only ADDS files, history is never rewritten (the whole point)
+    val (afterB2, afterB3) = (snaps(1), snaps(2))
+    assert(afterB2.nonEmpty, "batch 2 must graduate the served prefix")
+    afterB2.foreach { case (name, sig) =>
+      assert(afterB3.get(name).contains(sig),
+        s"frozen segment $name was rewritten by a later batch")
+    }
+    assert(afterB3.size > afterB2.size, "batch 3 must graduate new rows")
+    // the shadow reader heals a crash between graduation and tail swap:
+    // duplicate the newest frozen rows back into the tail and re-read
+    val f = spark.read.parquet(s"$dir/seg/reg/frozen")
+    val hwm = f.agg(max($"pos")).head.getLong(0)
+    val dup = f.filter($"pos" === hwm)
+    dup.write.mode("append").parquet(s"$dir/seg/reg/tail")
+    assert(positions(
+        Incremental.curriculumRegistry(spark, s"$dir/seg/reg")) === seg,
+      "the frozen-hwm shadow must drop a stale duplicated tail prefix")
+  }
 }
