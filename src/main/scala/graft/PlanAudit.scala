@@ -21,7 +21,7 @@ object PlanAudit {
       "q191_dedup_agreement", "q192_global_shuffle", "q193_mixing_quality",
       "q194_ltr_features", "q195_ltr_registry", "q196_late_arrivals",
       "q197_quality_calibration", "q198_pack_nostraddle",
-      "q200_ordered_pipeline")
+      "q200_ordered_pipeline", "q202_retrieval_serve")
     for (name <- interesting) {
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

@@ -79,7 +79,7 @@ object ScaleProbe {
       "codecprep", "bwdist",
       "ccinc", "funnel", "prep", "monitor", "bm25reg", "splitreg",
       "retrieval", "kcore", "cooccur", "walks", "wl", "ranks", "curreg",
-      "nostraddle", "curseg")
+      "nostraddle", "curseg", "zipf")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -1825,6 +1825,72 @@ object ScaleProbe {
         Ranks.extendRegistry(reg, batch, "event_type", "event_id", "cr", w,
           servedRows = n * 9 / 10, nBuckets = 64).count()
       }
+      spark.catalog.clearCache()
+    }
+    // Zipf-tail text probe (r16 verdict item): the driver's synthetic
+    // documents have a DENSE vocabulary (median term df ≈ 77% of docs —
+    // no tail), which stresses BM25/RM3 candidate volume but NOT the
+    // regimes a real web corpus stresses: huge sparse vocab tables, LSH
+    // band selectivity, head-term posting skew. This probe builds a
+    // deterministic Zipfian corpus (rank ≈ exp(u·lnV) inverse-CDF of
+    // Zipf(s≈1) — head term in nearly every doc, median type df ≈ 1)
+    // and runs the bm25 / rm3 / minhash machinery over it, recording
+    // vocab shape + candidate volumes alongside wall.
+    if (want("zipf")) for (factor <- probeFactors) {
+      import graft.operators.{TermStats, TextDedup}
+      val nDocs = 10000L * factor
+      val vocab = 50000
+      val len = 60
+      // token j of doc i: u = hash(i,j)/2^32 in [0,1); rank =
+      // floor(exp(u·ln(V))) in [1, V] — deterministic, row-local, no
+      // lookup table. P(rank ≤ k) = ln(k)/ln(V): the Zipf(1) CDF.
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(len)), { j =>
+            val u = pmod(hash(col("id"), lit("z"), j), lit(1000000))
+              .cast("double") / 1000000.0
+            concat(lit("t"), least(lit(vocab.toLong),
+              exp(u * math.log(vocab.toDouble)).cast("long") + 1L))
+          })).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      val postings = TermStats.bm25Postings(docs, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (dfq, dl, _) = TermStats.bm25Stats(postings)
+      val shape = dfq.agg(count(lit(1)).as("v"),
+        expr("percentile_approx(df, 0.5)").as("med"),
+        max(col("df")).as("mx")).head
+      println(s"[scale] zipf ${factor}x corpus: $nDocs docs, " +
+        s"vocab=${shape.get(0)}, median_df=${shape.get(1)}, " +
+        s"max_df=${shape.get(2)}")
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
+      val corp = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("a_tok"))
+      time(s"zipf bm25 top-5 ${factor}x (${nDocs / 100} queries)") {
+        TermStats.bm25TopKFromIndex(postings, dfq, dl, corp, qs,
+          "q_id", "qt", k = 5).count()
+      }
+      time(s"zipf rm3 two-pass ${factor}x (${nDocs / 100} queries)") {
+        val base = TermStats.bm25TopKFromIndex(postings, dfq, dl, corp, qs,
+          "q_id", "qt", k = 5)
+        val orig = qs.select(col("q_id").as("q"),
+          explode(col("qt")).as("term")).distinct()
+        val exp = TermStats.rm3ExpansionTerms(base, postings, dfq, corp,
+          orig, m = 3)
+        val eqt = orig.unionByName(exp.select(col("q"), col("term")))
+          .groupBy(col("q")).agg(collect_list(col("term")).as("qt"))
+          .select(col("q").as("q_id"), col("qt"))
+        TermStats.bm25TopKFromIndex(postings, dfq, dl, corp, eqt,
+          "q_id", "qt", k = 5).count()
+      }
+      time(s"zipf minhash-lsh pairs ${factor}x") {
+        val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text",
+          k = 3, numHashes = 16)
+        TextDedup.lshCandidatePairs(sigs, numHashes = 16, bands = 4)
+          .count()
+      }
+      docs.unpersist(); postings.unpersist()
       spark.catalog.clearCache()
     }
     // Segmented vs monolithic curriculum WRITE cost (the r16 layout):

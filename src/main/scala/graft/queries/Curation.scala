@@ -902,13 +902,18 @@ object Curation {
     ltrAssemble(cand, cos, sh, toks)
   }
 
-  /** q194/q195 shared feature assembly over a checkpointed candidate
+  /** q194/q195/q202 shared feature assembly over a checkpointed candidate
     * frame and the per-doc side tables (shingle rows, token counts) —
     * which side the tables come from (batch tokenize vs ingest-time
-    * registry) is exactly the seam the two queries pin.
+    * registry) is exactly the seam the queries pin. Any columns the
+    * candidate frame carries beyond (q_id, doc_id, rank) — bm25_pm for
+    * q194/q195, rrf_pm/n_legs for the q202 fused list — pass through
+    * into the feature row.
     */
   private def ltrAssemble(cand: DataFrame, cos: DataFrame, sh: DataFrame,
                           toks: DataFrame): DataFrame = {
+    val extras = cand.columns.toSeq
+      .filterNot(Set("q_id", "doc_id", "rank"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cand.select(col("q_id"), col("doc_id"))
       .join(sh.select(col("doc_id").as("q_id"), col("sh")), Seq("q_id"))
@@ -929,8 +934,9 @@ object Curation {
         expr("(1000000 * inter) div (q_sh + c_sh - inter)"))
       .withColumn("len_ratio_pm",
         expr("(1000000 * least(q_tok, c_tok)) div greatest(q_tok, c_tok)"))
-      .select(col("q_id"), col("doc_id"), col("rank"), col("bm25_pm"),
-        col("cos_pm"), col("jac_pm"), col("len_ratio_pm"))
+      .select(Seq(col("q_id"), col("doc_id"), col("rank")) ++
+        extras.map(col) ++
+        Seq(col("cos_pm"), col("jac_pm"), col("len_ratio_pm")): _*)
   }
 
   /** q195: the LTR feature table SERVED FROM REGISTRIES — q194's output
@@ -980,6 +986,94 @@ object Curation {
         Similarity.cosineScaledPm(col("qv"), col("cv")).cast("long")
           .as("cos_pm"))
     ltrAssemble(cand, cos, shReg, tokReg)
+  }
+
+  /** q202: the retrieval SERVE capstone — the family's registries
+    * composed end to end the way q200 chained the ordering family: the
+    * q162 postings registry (standing + batch fold, additive by disjoint
+    * doc ids) feeds RM3 expansion (q168's two-pass machinery, feedback
+    * pass self-inclusive per the RM3 standard), the expanded lexical leg
+    * fuses with the dense leg by RRF (q161's 1e6 div (60+rank),
+    * self-retrieval excluded from both serve legs), and the fused top-3
+    * candidates get their reranker features served from the SAME ingest
+    * registries (q195's seam: shingles, token counts, embeddings — no
+    * corpus tokenize at serve time). One hash pins that the four
+    * registries COMPOSE: postings additivity, the idf tilt, the fusion
+    * arithmetic, and the feature lookups all have to agree with the
+    * from-scratch oracle at once.
+    *
+    * Corpus slice: docs with an embedding twin (doc_id = vec_id, the
+    * q161 convention — the intersection is load-bearing); queries every
+    * 50th doc (the q168 envelope note). Output one row per fused
+    * candidate: (q_id, rank, doc_id, rrf_pm, n_legs, cos_pm, jac_pm,
+    * len_ratio_pm).
+    *
+    * Scale shape: every corpus-sized input arrives through a registry
+    * (postings/stats fold additively at ingest; shingle/token tables are
+    * plain unions; the dense leg is the proven q30 scan, IVF-bucketable
+    * per q38); serve-time work is the two query-footprint BM25 passes +
+    * |Q|·k feature lookups. The fusion and assembly shuffle |Q|·k rows.
+    */
+  def q202RetrievalServe(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.Text
+    val docs = Tables.balanced(spark, d, "documents")
+    val emb = Tables.balanced(spark, d, "embeddings")
+    val corpusDocs = docs.join(
+      emb.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+    val corpusEmb = emb.join(
+      docs.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    // ingest side: disjoint batches fold into the standing registries
+    val batches = Seq(corpusDocs.filter(col("doc_id") % 2 === 0),
+      corpusDocs.filter(col("doc_id") % 2 === 1))
+    val postings = batches.map(TermStats.bm25Postings(_, "doc_id", "text"))
+      .reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (dfq0, dl0, _) = TermStats.bm25Stats(postings)
+    val dfq = dfq0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = dl0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val corp = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("a_tok"))
+      val shReg = batches.map(_.select(col("doc_id"),
+          explode(Text.shingles(Text.tokens(col("text")), 3)).as("sh")))
+        .reduce(_ unionByName _)
+      val tokReg = batches.map(_.select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tok")))
+        .reduce(_ unionByName _)
+      // serve side: RM3-expanded lexical leg from the registry index
+      val qs = corpusDocs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("q_id"),
+          slice(Text.tokens(col("text")), 1, 4).as("qt"))
+      val base = TermStats.bm25TopKFromIndex(postings, dfq, dl, corp, qs,
+        "q_id", "qt", k = 5)
+      val orig = qs.select(col("q_id").as("q"), explode(col("qt")).as("term"))
+        .distinct()
+      val exp = TermStats.rm3ExpansionTerms(base, postings, dfq, corp,
+        orig, m = 3)
+      val eqt = orig.unionByName(exp.select(col("q"), col("term")))
+        .groupBy(col("q")).agg(collect_list(col("term")).as("qt"))
+        .select(col("q").as("q_id"), col("qt"))
+      val lex = TermStats.bm25TopKFromIndex(postings, dfq, dl, corp, eqt,
+          "q_id", "qt", k = 5, excludeSelf = true)
+        .select(col("q"), col("doc"), col("rank"))
+      val den = Similarity.bruteForceTopK(corpusEmb,
+          corpusEmb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 5)
+        .select(col("qid").as("q"), col("cid").as("doc"), col("rank"))
+      val fused = TermStats.rrfFuse(Seq(lex, den), k = 3)
+        .select(col("q").as("q_id"), col("doc").as("doc_id"), col("rank"),
+          col("rrf_pm"), col("n_legs"))
+        .localCheckpoint(true) // four feature joins read it
+      val vecs = corpusEmb.select(col("vec_id"), col("embedding"))
+      val cos = fused
+        .join(vecs.select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+          Seq("q_id"))
+        .join(vecs.select(col("vec_id").as("doc_id"), col("embedding").as("cv")),
+          Seq("doc_id"))
+        .select(col("q_id"), col("doc_id"),
+          Similarity.cosineScaledPm(col("qv"), col("cv")).cast("long")
+            .as("cos_pm"))
+      ltrAssemble(fused, cos, shReg, tokReg).localCheckpoint(true)
+    } finally { postings.unpersist(); dfq.unpersist(); dl.unpersist(); () }
   }
 
   /** q197: quality-calibration card — "are duplicates low-quality?",
@@ -1240,6 +1334,7 @@ object Curation {
     "q191_dedup_agreement" -> q191DedupAgreement _,
     "q194_ltr_features" -> q194LtrFeatures _,
     "q195_ltr_registry" -> q195LtrRegistry _,
+    "q202_retrieval_serve" -> q202RetrievalServe _,
     "q197_quality_calibration" -> q197QualityCalibration _,
     "q136_unigram_em" -> q136UnigramEm _,
     "q175_term_associations" -> q175TermAssociations _,

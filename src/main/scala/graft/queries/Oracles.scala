@@ -4094,6 +4094,100 @@ object Oracles {
          |JOIN tkf qt2 ON qt2.doc_id = cand.q_id
          |JOIN tkf ct2 ON ct2.doc_id = cand.doc_id""".stripMargin,
 
+    // q202: retrieval serve capstone — the q168 RM3 chain on the
+    // doc∩emb slice (%50 queries, feedback pass self-inclusive), the
+    // expanded lexical leg self-excluded, RRF-fused with the q161 dense
+    // leg, and the q194 feature CTEs joined over the fused top-3. One
+    // from-scratch SQL against the engine's registry-composed form.
+    "q202_retrieval_serve" ->
+      s"""WITH cd AS (SELECT d.* FROM documents d
+         |    JOIN embeddings e ON d.doc_id = e.vec_id),
+         |ce AS (SELECT e.* FROM embeddings e
+         |    JOIN documents d ON e.vec_id = d.doc_id),
+         |tf AS (SELECT doc_id AS doc, term, count(*) AS tf FROM
+         |    (SELECT doc_id, unnest($Toks) AS term FROM cd)
+         |  WHERE length(term) >= 1 GROUP BY 1, 2),
+         |dl AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS a_tok FROM dl),
+         |qt AS (SELECT DISTINCT q_id, term FROM
+         |    (SELECT doc_id AS q_id, unnest(($Toks)[1:4]) AS term
+         |     FROM cd WHERE doc_id % 50 = 0)
+         |  WHERE length(term) >= 1),
+         |bsc AS (SELECT q_id, doc,
+         |    (CAST((1000000 * n_docs) // df AS HUGEINT) * tf * 44 * a_tok) //
+         |    (20 * CAST(a_tok AS HUGEINT) * tf + 6 * a_tok + 18 * n_docs * dl) AS s_pm
+         |  FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+         |       JOIN dl USING (doc) CROSS JOIN corpus),
+         |bagg AS (SELECT q_id, doc, CAST(sum(s_pm) AS BIGINT) AS score_pm
+         |  FROM bsc GROUP BY 1, 2),
+         |br AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score_pm DESC, doc ASC) AS rk FROM bagg),
+         |b5 AS (SELECT q_id, doc FROM br WHERE rk <= 5),
+         |fbt AS (SELECT b5.q_id, t.term, CAST(sum(t.tf) AS BIGINT) AS fb_tf
+         |  FROM b5 JOIN tf t ON b5.doc = t.doc GROUP BY 1, 2),
+         |fbx AS (SELECT f.q_id, f.term,
+         |    f.fb_tf * ((1000000 * corpus.n_docs) // dfq.df) AS fb_w
+         |  FROM fbt f
+         |  JOIN dfq ON f.term = dfq.term CROSS JOIN corpus
+         |  LEFT JOIN qt ON f.q_id = qt.q_id AND f.term = qt.term
+         |  WHERE qt.term IS NULL),
+         |er AS (SELECT q_id, term FROM (SELECT q_id, term,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY fb_w DESC, term ASC) AS rn FROM fbx) WHERE rn <= 3),
+         |eqt AS (SELECT q_id, term FROM qt
+         |  UNION ALL SELECT q_id, term FROM er),
+         |esc AS (SELECT q_id, doc,
+         |    (CAST((1000000 * n_docs) // df AS HUGEINT) * tf * 44 * a_tok) //
+         |    (20 * CAST(a_tok AS HUGEINT) * tf + 6 * a_tok + 18 * n_docs * dl) AS s_pm
+         |  FROM eqt JOIN tf USING (term) JOIN dfq USING (term)
+         |       JOIN dl USING (doc) CROSS JOIN corpus),
+         |eagg AS (SELECT q_id, doc, CAST(sum(s_pm) AS BIGINT) AS score_pm
+         |  FROM esc WHERE q_id <> doc GROUP BY 1, 2),
+         |lex AS (SELECT q_id AS q, doc, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score_pm DESC, doc ASC) AS rk FROM eagg),
+         |dq AS (SELECT vec_id AS qid, embedding AS qv FROM ce WHERE vec_id % 50 = 0),
+         |ds AS (SELECT qid, cid, ${cosPm("qv", "cv")} AS cos_pm
+         |  FROM (SELECT vec_id AS cid, embedding AS cv FROM ce) c, dq
+         |  WHERE cid <> qid),
+         |den AS (SELECT qid AS q, cid AS doc, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos_pm DESC, cid ASC) AS rk FROM ds),
+         |contrib AS (
+         |  SELECT q, doc, 1000000 // (60 + rk) AS rrf_pm FROM lex WHERE rk <= 5
+         |  UNION ALL
+         |  SELECT q, doc, 1000000 // (60 + rk) FROM den WHERE rk <= 5),
+         |fused0 AS (SELECT q, doc, CAST(sum(rrf_pm) AS BIGINT) AS rrf_pm,
+         |    CAST(count(*) AS BIGINT) AS n_legs FROM contrib GROUP BY 1, 2),
+         |fr AS (SELECT *, row_number() OVER (PARTITION BY q
+         |    ORDER BY rrf_pm DESC, doc ASC) AS rnk FROM fused0),
+         |cand AS (SELECT q AS q_id, doc AS doc_id, CAST(rnk AS BIGINT) AS "rank",
+         |    rrf_pm, n_legs FROM fr WHERE rnk <= 3),
+         |cosf AS (SELECT cand.q_id, cand.doc_id,
+         |    ${cosPm("qe.embedding", "de2.embedding")} AS cos_pm
+         |  FROM cand JOIN ce qe ON qe.vec_id = cand.q_id
+         |       JOIN ce de2 ON de2.vec_id = cand.doc_id),
+         |t2 AS (SELECT doc_id, $Toks AS toks FROM cd),
+         |shg AS (SELECT doc_id, unnest(${shingleList("toks")}) AS sh FROM t2),
+         |szf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shg GROUP BY 1),
+         |intf AS (SELECT cand.q_id, cand.doc_id, CAST(count(*) AS BIGINT) AS inter
+         |  FROM cand JOIN shg a ON a.doc_id = cand.q_id
+         |       JOIN shg b ON b.doc_id = cand.doc_id AND b.sh = a.sh
+         |  GROUP BY 1, 2),
+         |tkf AS (SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tok FROM cd)
+         |SELECT cand.q_id, cand.doc_id, cand."rank", cand.rrf_pm, cand.n_legs,
+         |  cosf.cos_pm,
+         |  (1000000 * coalesce(intf.inter, 0))
+         |    // (qs.n_sh + cs.n_sh - coalesce(intf.inter, 0)) AS jac_pm,
+         |  (1000000 * least(qt2.n_tok, ct2.n_tok))
+         |    // greatest(qt2.n_tok, ct2.n_tok) AS len_ratio_pm
+         |FROM cand
+         |JOIN cosf USING (q_id, doc_id)
+         |LEFT JOIN intf USING (q_id, doc_id)
+         |JOIN szf qs ON qs.doc_id = cand.q_id
+         |JOIN szf cs ON cs.doc_id = cand.doc_id
+         |JOIN tkf qt2 ON qt2.doc_id = cand.q_id
+         |JOIN tkf ct2 ON ct2.doc_id = cand.doc_id""".stripMargin,
+
     // q191: dedup-method agreement — the three pair generators replayed
     // with their registered queries' exact definitions (q26 normalized
     // fp, q67 simhash ≤ 3, q28 LSH ≥ 8), flags folded per pair, ONE
