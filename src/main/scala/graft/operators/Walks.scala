@@ -57,27 +57,48 @@ object Walks {
         count(lit(1)).over(byNode).as("deg"))
       .persist(MEMORY_AND_DISK)
     val deg = adj.select(col("n"), col("deg")).distinct()
-    var state = adj.select(col("n")).distinct()
-      .select(explode(sequence(lit(0), lit(walksPerNode - 1))).as("k"), col("n"))
-      .select(concat(col("n"), lit("#"), col("k")).as("walk"),
-        col("n").as("node"))
-      .localCheckpoint(true)
-    val steps = Seq.newBuilder[DataFrame]
-    steps += state.select(col("walk"), lit(0L).as("step"), col("node"))
-    for (t <- 1 to length) {
-      val idxed = state
-        .join(deg, state("node") === deg("n"))
-        .select(col("walk"),
-          pmod(Text.hash32(concat(col("walk"), lit(s":$t")), seed), col("deg"))
-            .as("idx"), col("node"))
-      state = idxed
-        .join(adj, idxed("node") === adj("n") && idxed("idx") === adj("idx"))
-        .select(col("walk"), col("nbr").as("node"))
+    // AQE off + parts=8 for the step loop (the BPE-trainer treatment,
+    // A/B'd at sf0.1 — walkaqe, SCALE.md): every step materializes
+    // eagerly via localCheckpoint, the per-step joins are walk-frame-
+    // sized (tens of thousands of rows), so adaptive re-planning per
+    // step is pure driver overhead and 32 shuffle partitions are ~30
+    // empty tasks each. Measured: q178 5.9 → 3.1 s (−48%), q179
+    // 8.0 → 6.8 s (−15%); AQE-off ALONE regressed q179 2× (32-partition
+    // checkpoints poison the downstream pair counting — rejected, the
+    // bpeaqe lesson repeating). Values oracle-pinned; the conf cannot
+    // escape — every job this scope runs is driven to completion
+    // inside it.
+    val spark = edges.sparkSession
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      var state = adj.select(col("n")).distinct()
+        .select(explode(sequence(lit(0), lit(walksPerNode - 1))).as("k"), col("n"))
+        .select(concat(col("n"), lit("#"), col("k")).as("walk"),
+          col("n").as("node"))
         .localCheckpoint(true)
-      steps += state.select(col("walk"), lit(t.toLong).as("step"), col("node"))
+      val steps = Seq.newBuilder[DataFrame]
+      steps += state.select(col("walk"), lit(0L).as("step"), col("node"))
+      for (t <- 1 to length) {
+        val idxed = state
+          .join(deg, state("node") === deg("n"))
+          .select(col("walk"),
+            pmod(Text.hash32(concat(col("walk"), lit(s":$t")), seed), col("deg"))
+              .as("idx"), col("node"))
+        state = idxed
+          .join(adj, idxed("node") === adj("n") && idxed("idx") === adj("idx"))
+          .select(col("walk"), col("nbr").as("node"))
+          .localCheckpoint(true)
+        steps += state.select(col("walk"), lit(t.toLong).as("step"), col("node"))
+      }
+      adj.unpersist()
+      steps.result().reduce(_ unionByName _)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
-    adj.unpersist()
-    steps.result().reduce(_ unionByName _)
   }
 
   /** Weisfeiler–Lehman label refinement (Weisfeiler & Lehman 1968; the
