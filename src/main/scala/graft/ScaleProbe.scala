@@ -1890,7 +1890,40 @@ object ScaleProbe {
         TextDedup.lshCandidatePairs(sigs, numHashes = 16, bands = 4)
           .count()
       }
-      docs.unpersist(); postings.unpersist()
+      // the r16 pruned serves — the probe's own finding answered: same
+      // queries, candidate generation cut at the index side, exact
+      // rescore of survivors
+      time(s"zipf bm25 PRUNED df-cap 1% ${factor}x") {
+        TermStats.bm25TopKPruned(postings, dfq, dl, corp, qs,
+          "q_id", "qt", k = 5, capSharePm = 10000L).count()
+      }
+      val trunc = TermStats.bm25ImpactIndex(postings, dl, m = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      trunc.count() // index build outside the serve timing (build-once)
+      time(s"zipf bm25 IMPACT m=64 serve ${factor}x") {
+        TermStats.bm25TopKImpact(trunc, postings, dfq, dl, corp, qs,
+          "q_id", "qt", k = 5).count()
+      }
+      // recall@5 vs exact on a 1/10 query subsample (exact full scoring
+      // is the expensive thing this section exists to avoid — sample it)
+      val qsSmall = qs.filter(col("q_id") % 1000 === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact5 = TermStats.bm25TopKFromIndex(postings, dfq, dl, corp,
+          qsSmall, "q_id", "qt", k = 5)
+        .select(col("q"), col("doc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nExact = exact5.count()
+      def recall(served: org.apache.spark.sql.DataFrame): Long =
+        served.select(col("q"), col("doc")).join(exact5, Seq("q", "doc"))
+          .count() * 100 / math.max(1L, nExact)
+      val rP = recall(TermStats.bm25TopKPruned(postings, dfq, dl, corp,
+        qsSmall, "q_id", "qt", k = 5, capSharePm = 10000L))
+      val rI = recall(TermStats.bm25TopKImpact(trunc, postings, dfq, dl,
+        corp, qsSmall, "q_id", "qt", k = 5))
+      println(s"[scale] zipf recall@5 vs exact (subsample): " +
+        s"pruned=$rP% impact=$rI%")
+      docs.unpersist(); postings.unpersist(); trunc.unpersist()
+      qsSmall.unpersist(); exact5.unpersist()
       spark.catalog.clearCache()
     }
     // Segmented vs monolithic curriculum WRITE cost (the r16 layout):

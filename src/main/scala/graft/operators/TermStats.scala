@@ -508,6 +508,118 @@ object TermStats {
       Seq(col("score_pm").desc, col("doc").asc), k, "rank")
   }
 
+  /** The shared exact-rescore tail of the pruned serve paths: given a
+    * candidate set `(q, doc)`, score each candidate EXACTLY against all
+    * of its query terms — candidates join postings BY DOC (the doc-
+    * bucketed registry read, volume Σ_cand dl(doc)), the query-term
+    * inner join keeps only the query's terms, and the arithmetic is
+    * [[bm25TopKFromIndex]]'s verbatim. Pruning in this engine only ever
+    * shrinks WHO gets scored, never what a score is worth.
+    */
+  private def rescoreCandidates(cands: DataFrame, qt: DataFrame,
+                                postings: DataFrame, dfreq: DataFrame,
+                                dl: DataFrame, corpus: DataFrame,
+                                k: Int): DataFrame = {
+    val scored = cands.join(postings, "doc").join(qt, Seq("q", "term"))
+      .join(dfreq, "term").join(dl, "doc")
+      .crossJoin(broadcast(corpus))
+      .withColumn("s_pm", expr(
+        """(CAST((1000000 * n_docs) div df AS DECIMAL(38,0)) * tf * 44 * a_tok)
+          |  div (20 * CAST(a_tok AS DECIMAL(38,0)) * tf + 6 * a_tok
+          |       + 18 * n_docs * dl)""".stripMargin))
+      .groupBy(col("q"), col("doc"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("s_pm")).as("score_pm"))
+    Dedup.keepFirstK(scored, Seq(col("q")),
+      Seq(col("score_pm").desc, col("doc").asc), k, "rank")
+  }
+
+  /** df-capped BM25 serve — the candidate-generation cut the r16 Zipf
+    * probe priced (SCALE.md zipf): full-scoring candidate volume is
+    * Σ df(query term), and because realistic query terms are token-
+    * frequency-biased that is ∝ corpus size per query. Here candidates
+    * come only from the query's RARE terms (df·1e6 ≤ capSharePm·n_docs,
+    * evaluated in-plan against the broadcast corpus row — no driver
+    * action), then every candidate is rescored EXACTLY against all its
+    * query terms ([[rescoreCandidates]]). A query whose every term is
+    * above the cap falls back to all of its terms — it must degrade to
+    * full scoring, not to an empty list. The classic safe-list family
+    * (Turtle & Flood 1995 MaxScore / Broder et al. 2003 WAND prune with
+    * per-term score bounds; this is the simpler df-threshold member) —
+    * approximate in WHO it considers (a doc matching only stopword-class
+    * terms can be missed), exact in every score it emits; pair with the
+    * hit_exact audit (q203) to measure the miss rate before trusting a
+    * cap.
+    *
+    * Scale shape: candidate generation touches only rare-term posting
+    * lists (each ≤ cap·n docs, and under a Zipf vocabulary almost all
+    * terms are far below it); the rescore is Σ_cand dl — both
+    * query-footprint, neither ∝ corpus × queries.
+    */
+  def bm25TopKPruned(postings: DataFrame, dfreq: DataFrame, dl: DataFrame,
+                     corpus: DataFrame, queries: DataFrame, qId: String,
+                     qTerms: String, k: Int, capSharePm: Long,
+                     minTermLen: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(capSharePm >= 1 && capSharePm <= 1000000,
+      s"capSharePm must be in [1, 1e6], got $capSharePm")
+    val qt = queries
+      .select(col(qId).as("q"), explode(col(qTerms)).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+      .distinct()
+    val qtd = qt.join(dfreq, "term").crossJoin(broadcast(corpus))
+      .withColumn("__rare",
+        when(col("df") * 1000000L <= lit(capSharePm) * col("n_docs"), 1L)
+          .otherwise(0L))
+      .select(col("q"), col("term"), col("__rare"))
+    val qflag = qtd.groupBy(col("q")).agg(max(col("__rare")).as("__has_rare"))
+    val gen = qtd.join(qflag, "q")
+      .filter(col("__rare") === 1L || col("__has_rare") === 0L)
+      .select(col("q"), col("term"))
+    val cands = gen.join(postings, "term").select(col("q"), col("doc"))
+      .distinct()
+    rescoreCandidates(cands, qt, postings, dfreq, dl, corpus, k)
+  }
+
+  /** Impact-ordered truncated index build: per term keep only the
+    * `m` highest-impact postings, impact proxied by the Okapi score's
+    * own monotonicities (tf desc, dl asc, doc asc — the score rises in
+    * tf and falls in dl, so the proxy order agrees with the true
+    * per-term score order; Anh & Moffat 2006's impact-sorted index in
+    * its deterministic integer form). An index-refresh step, run once
+    * per build: the per-term top-m window partitions by term — the head
+    * term's partition is df-sized at build time, which is the standard
+    * index-build cost and never a serve cost.
+    */
+  def bm25ImpactIndex(postings: DataFrame, dl: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    Dedup.keepFirstK(postings.join(dl, "doc"), Seq(col("term")),
+        Seq(col("tf").desc, col("dl").asc, col("doc").asc), m, "__ir")
+      .select(col("doc"), col("term"), col("tf"))
+  }
+
+  /** BM25 served from an impact-truncated index ([[bm25ImpactIndex]]):
+    * candidates are the union of the query terms' top-`m` impact lists
+    * — candidate volume ≤ |q terms|·m per query REGARDLESS of df, the
+    * head-term bound the df-cap cannot give — then rescored exactly
+    * against the FULL postings ([[rescoreCandidates]]). Approximate in
+    * candidate recall (a doc ranking on many weak matches can be
+    * missed), exact in every emitted score; q204's hit_exact audit
+    * measures the miss rate. The index carries m·|vocab| rows.
+    */
+  def bm25TopKImpact(truncated: DataFrame, postings: DataFrame,
+                     dfreq: DataFrame, dl: DataFrame, corpus: DataFrame,
+                     queries: DataFrame, qId: String, qTerms: String,
+                     k: Int, minTermLen: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qt = queries
+      .select(col(qId).as("q"), explode(col(qTerms)).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+      .distinct()
+    val cands = qt.join(truncated, "term").select(col("q"), col("doc"))
+      .distinct()
+    rescoreCandidates(cands, qt, postings, dfreq, dl, corpus, k)
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
     * merge any number of ranked retrieval legs — lexical BM25, dense ANN,
     * anything emitting `(q, doc, rank)` — into one list per query. A doc

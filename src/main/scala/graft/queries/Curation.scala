@@ -1076,6 +1076,77 @@ object Curation {
     } finally { postings.unpersist(); dfq.unpersist(); dl.unpersist(); () }
   }
 
+  /** q203: df-capped pruned BM25 serve + exact-recall audit
+    * ([[TermStats.bm25TopKPruned]]) — the index-side answer to the r16
+    * Zipf-probe finding (full-scoring candidate volume ∝ corpus ×
+    * queries under token-biased query terms): candidates from rare
+    * terms only (cap = 50% of docs, in-plan; all-head queries fall back
+    * to full scoring), every candidate rescored exactly. Each pruned
+    * top-5 row carries `hit_exact` — whether the doc also appears in
+    * the unpruned top-5 — so the hash pins the pruning semantics AND
+    * the miss-rate audit a production cap tuning reads. On this
+    * corpus's dense vocabulary most terms sit above the cap, so the
+    * fallback path is exercised heavily — exactly the degradation
+    * contract worth pinning.
+    */
+  def q203Bm25Pruned(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    val postings = TermStats.bm25Postings(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (dfq, dl, _) = TermStats.bm25Stats(postings)
+    try {
+      val corp = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("a_tok"))
+      val qs = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("q_id"),
+          slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
+      val pruned = TermStats.bm25TopKPruned(postings, dfq, dl, corp, qs,
+        "q_id", "qt", k = 5, capSharePm = 500000L)
+      val exact = TermStats.bm25TopKFromIndex(postings, dfq, dl, corp, qs,
+          "q_id", "qt", k = 5)
+        .select(col("q"), col("doc"), lit(1L).as("hit_exact"))
+      pruned.join(exact, Seq("q", "doc"), "left_outer")
+        .withColumn("hit_exact", coalesce(col("hit_exact"), lit(0L)))
+        .select(col("q").as("q_id"), col("rank"), col("doc").as("doc_id"),
+          col("n_terms"), col("score_pm"), col("hit_exact"))
+        .localCheckpoint(true)
+    } finally { postings.unpersist(); () }
+  }
+
+  /** q204: impact-ordered truncated-index BM25 serve + exact-recall
+    * audit ([[TermStats.bm25ImpactIndex]] m = 64 →
+    * [[TermStats.bm25TopKImpact]]) — the head-term bound the df cap
+    * cannot give: candidate volume ≤ |q terms|·m per query regardless
+    * of df (Anh & Moffat-style impact ordering, deterministic integer
+    * proxy tf desc / dl asc / doc asc), survivors rescored exactly
+    * against the full postings. Same `hit_exact` audit as q203 — the
+    * hash pins truncation, tie-breaks, rescore, and miss accounting in
+    * one row shape.
+    */
+  def q204Bm25Impact(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    val postings = TermStats.bm25Postings(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (dfq, dl0, _) = TermStats.bm25Stats(postings)
+    val dl = dl0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val corp = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("a_tok"))
+      val qs = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("q_id"),
+          slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
+      val trunc = TermStats.bm25ImpactIndex(postings, dl, m = 64)
+      val served = TermStats.bm25TopKImpact(trunc, postings, dfq, dl, corp,
+        qs, "q_id", "qt", k = 5)
+      val exact = TermStats.bm25TopKFromIndex(postings, dfq, dl, corp, qs,
+          "q_id", "qt", k = 5)
+        .select(col("q"), col("doc"), lit(1L).as("hit_exact"))
+      served.join(exact, Seq("q", "doc"), "left_outer")
+        .withColumn("hit_exact", coalesce(col("hit_exact"), lit(0L)))
+        .select(col("q").as("q_id"), col("rank"), col("doc").as("doc_id"),
+          col("n_terms"), col("score_pm"), col("hit_exact"))
+        .localCheckpoint(true)
+    } finally { postings.unpersist(); dl.unpersist(); () }
+  }
+
   /** q197: quality-calibration card — "are duplicates low-quality?",
     * the empirical question behind quality-aware dedup (q165): docs
     * ranked by quality into exact DECILES via
@@ -1335,6 +1406,8 @@ object Curation {
     "q194_ltr_features" -> q194LtrFeatures _,
     "q195_ltr_registry" -> q195LtrRegistry _,
     "q202_retrieval_serve" -> q202RetrievalServe _,
+    "q203_bm25_pruned" -> q203Bm25Pruned _,
+    "q204_bm25_impact" -> q204Bm25Impact _,
     "q197_quality_calibration" -> q197QualityCalibration _,
     "q136_unigram_em" -> q136UnigramEm _,
     "q175_term_associations" -> q175TermAssociations _,
