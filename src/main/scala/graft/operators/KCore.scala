@@ -45,8 +45,12 @@ object KCore {
     val half = edges.select(col(src).as("a"), col(dst).as("b"))
       .filter(col("a") =!= col("b"))
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // parts joined the AQE-off treatment in r16 (the walkaqe pair —
+      // off-alone leaves 32-partition checkpoints of node-sized frames)
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
       var cur = half
         .unionByName(half.select(col("b").as("a"), col("a").as("b")))
         .distinct()
@@ -75,7 +79,8 @@ object KCore {
           s"(the oracle unrolls exactly that many; raise maxRounds)")
       cur.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe); ()
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts); ()
     }
   }
 }

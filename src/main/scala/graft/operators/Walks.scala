@@ -132,22 +132,35 @@ object Walks {
       .filter(col("u") =!= col("v")).distinct()
     val sym = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
       .distinct().persist(MEMORY_AND_DISK)
-    var lab = sym.groupBy(col("u").as("n"))
-      .agg(count(lit(1)).as("deg"))
-      .withColumn("wl", md5(concat(lit("d"), col("deg"))))
-      .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
-      val nbr = sym.select(col("u"), col("v").as("__v"))
-        .join(lab.select(col("n").as("__v"), col("wl").as("wv")), Seq("__v"))
-        .groupBy(col("u").as("n"))
-        .agg(array_join(array_sort(collect_list(col("wv"))), ",").as("ms"))
-      lab = lab.join(nbr, Seq("n"))
-        .select(col("n"), col("deg"),
-          md5(concat(col("wl"), lit("|"), col("ms"))).as("wl"))
+    // the randomWalks in-loop conf pair, A/B'd (walkaqe/wl, SCALE.md):
+    // per-round frames are node-sized, checkpoints freeze the
+    // partitioning, adaptive re-planning per round is driver overhead
+    val spark = edges.sparkSession
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      var lab = sym.groupBy(col("u").as("n"))
+        .agg(count(lit(1)).as("deg"))
+        .withColumn("wl", md5(concat(lit("d"), col("deg"))))
         .localCheckpoint(true)
+      for (_ <- 1 to iterations) {
+        val nbr = sym.select(col("u"), col("v").as("__v"))
+          .join(lab.select(col("n").as("__v"), col("wl").as("wv")), Seq("__v"))
+          .groupBy(col("u").as("n"))
+          .agg(array_join(array_sort(collect_list(col("wv"))), ",").as("ms"))
+        lab = lab.join(nbr, Seq("n"))
+          .select(col("n"), col("deg"),
+            md5(concat(col("wl"), lit("|"), col("ms"))).as("wl"))
+          .localCheckpoint(true)
+      }
+      sym.unpersist()
+      lab.select(col("n").as("node"), col("deg"), col("wl"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
-    sym.unpersist()
-    lab.select(col("n").as("node"), col("deg"), col("wl"))
   }
 
   /** WL-subtree kernel between node groups (Shervashidze et al., JMLR
