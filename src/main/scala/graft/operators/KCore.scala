@@ -48,13 +48,18 @@ object KCore {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      // parts joined the AQE-off treatment in r16 (the walkaqe pair —
-      // off-alone leaves 32-partition checkpoints of node-sized frames)
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
       var cur = half
         .unionByName(half.select(col("b").as("a"), col("a").as("b")))
         .distinct()
         .localCheckpoint(true)
+      // parts joined the AQE-off treatment in r16 (the walkaqe pair —
+      // off-alone froze 32-partition checkpoints of few-thousand-row
+      // edge frames: −68% at sf0.1), sized to the symmetrized edge
+      // frame per the q147 rule (Cols.loopParts). The init distinct
+      // above still runs at the session size — only the peel rounds
+      // shrink with the (monotonically shrinking) core.
+      spark.conf.set("spark.sql.shuffle.partitions",
+        graft.functions.Cols.loopParts(edges, cur.count()).toString)
       var n = cur.select(col("a")).distinct().count()
       var rounds = 0
       var converged = false

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Text
+import graft.functions.{Cols, Text}
 
 /** Deterministic uniform random walks over an undirected graph — the
   * DeepWalk / node2vec corpus generator (Perozzi et al., KDD 2014): the
@@ -57,23 +57,27 @@ object Walks {
         count(lit(1)).over(byNode).as("deg"))
       .persist(MEMORY_AND_DISK)
     val deg = adj.select(col("n"), col("deg")).distinct()
-    // AQE off + parts=8 for the step loop (the BPE-trainer treatment,
-    // A/B'd at sf0.1 — walkaqe, SCALE.md): every step materializes
-    // eagerly via localCheckpoint, the per-step joins are walk-frame-
-    // sized (tens of thousands of rows), so adaptive re-planning per
-    // step is pure driver overhead and 32 shuffle partitions are ~30
-    // empty tasks each. Measured: q178 5.9 → 3.1 s (−48%), q179
-    // 8.0 → 6.8 s (−15%); AQE-off ALONE regressed q179 2× (32-partition
-    // checkpoints poison the downstream pair counting — rejected, the
-    // bpeaqe lesson repeating). Values oracle-pinned; the conf cannot
-    // escape — every job this scope runs is driven to completion
-    // inside it.
+    // AQE off + data-sized parts for the step loop (the BPE-trainer
+    // treatment, A/B'd at sf0.1 — walkaqe, SCALE.md): every step
+    // materializes eagerly via localCheckpoint, the per-step joins are
+    // walk-frame-sized, so adaptive re-planning per step is pure driver
+    // overhead and session-default shuffle partitions are mostly empty
+    // tasks. Measured: q178 5.9 → 3.1 s (−48%), q179 8.0 → 6.8 s
+    // (−15%); AQE-off ALONE regressed q179 2× (32-partition checkpoints
+    // poison the downstream pair counting — rejected, the bpeaqe lesson
+    // repeating). Parts are sized to the adjacency ([[Cols.loopParts]],
+    // the q147 rule — a hard-coded small constant would be right here
+    // and wrong on a 1000-executor graph). Values oracle-pinned; the
+    // conf cannot escape — every job this scope runs is driven to
+    // completion inside it.
+    val nAdj = adj.count() // materializes the persisted adjacency
     val spark = edges.sparkSession
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        Cols.loopParts(edges, nAdj).toString)
       var state = adj.select(col("n")).distinct()
         .select(explode(sequence(lit(0), lit(walksPerNode - 1))).as("k"), col("n"))
         .select(concat(col("n"), lit("#"), col("k")).as("walk"),
@@ -133,14 +137,17 @@ object Walks {
     val sym = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
       .distinct().persist(MEMORY_AND_DISK)
     // the randomWalks in-loop conf pair, A/B'd (walkaqe/wl, SCALE.md):
-    // per-round frames are node-sized, checkpoints freeze the
-    // partitioning, adaptive re-planning per round is driver overhead
+    // per-round frames are node/edge-sized, checkpoints freeze the
+    // partitioning, adaptive re-planning per round is driver overhead;
+    // parts sized to the symmetrized edge frame (the q147 rule)
+    val nSym = sym.count() // materializes the persisted edge frame
     val spark = edges.sparkSession
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        Cols.loopParts(edges, nSym).toString)
       var lab = sym.groupBy(col("u").as("n"))
         .agg(count(lit(1)).as("deg"))
         .withColumn("wl", md5(concat(lit("d"), col("deg"))))
