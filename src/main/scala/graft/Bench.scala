@@ -33,13 +33,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** The ROUND-14 query registry, frozen: `subset_total_prev_round` sums
+  /** The ROUND-15 query registry, frozen: `subset_total_prev_round` sums
     * timings over exactly this set, so cross-round totals compare like
     * with like — round 10's +14% "regression" took a session of forensics
     * to attribute to new queries + driver testdata regeneration (verdict
     * r10 item 5); this field makes the split arithmetic. Append-only per
     * round: refresh to the PREVIOUS round's registry when adding queries
-    * (r15 refresh: the 153-query r14 set, was the 144-query r13 set).
+    * (r16 refresh: the 201-query r15 set, was the 153-query r14 set).
     */
   val prevRoundQueries: Set[String] = Set(
       "q01_agg_sum_groupby", "q02_filter_time_range", "q03_filter_in_projection",
@@ -59,43 +59,56 @@ object Bench {
       "q130_cdc_chunks", "q131_cdc_dedup_inc", "q132_dataset_card",
       "q133_tokenizer_compare", "q134_audio_stats", "q135_audio_neardup",
       "q136_unigram_em", "q137_video_frames", "q138_video_neardup",
-      "q139_video_scenes", "q13_vertex_ref_roundtrip",
-      "q140_video_neardup_shifted", "q141_video_keyframes",
-      "q142_video_pipeline_v6", "q143_audio_segments", "q144_multimodal_card",
-      "q14_collect_sorted_list",
-      "q15_json_fallback_coalesce", "q16_window_rewards_5d", "q17_daily_balances",
-      "q18_upsert_update", "q19_upsert_ignore", "q20_retention_filter",
-      "q21_payment_json_pipeline", "q22_witness_explode_pipeline", "q23_payment_v2_explode_all",
-      "q24_text_stats", "q25_lang_id", "q26_fingerprint_dedup",
-      "q27_ngram_jaccard_pairs", "q28_minhash_lsh_pairs", "q29_simhash",
-      "q30_cosine_topk", "q31_ann_lsh_topk", "q32_graph_edges",
-      "q33_city_pagerank", "q34_city_betweenness", "q35_binary_features",
-      "q36_frame_sample", "q37_cell_decode", "q38_ann_ivf_topk",
-      "q39_embedding_neardup", "q40_bpe_token_count", "q41_ann_adaptive_topk",
-      "q42_ppm_resize", "q43_dup_clusters", "q44_asof_join",
-      "q45_range_join", "q46_hash_split", "q47_city_hits",
-      "q48_sequence_packing", "q49_quality_gate", "q50_kmeans_refine",
-      "q51_ann_multiprobe", "q52_asof_nearest", "q53_topk_agg",
-      "q54_balanced_mix", "q55_ann_multitable", "q56_interval_overlap",
-      "q57_dedup_corpus", "q58_incremental_neardup", "q59_sessionize",
-      "q60_tfidf_top_term", "q61_contamination", "q62_repetition_signals",
-      "q63_length_quantiles", "q64_mix_weights", "q65_boilerplate",
-      "q66_salted_join", "q67_simhash_pairs", "q68_funnel",
-      "q69_rolling_window", "q70_novelty", "q71_hard_negatives",
-      "q72_novelty_against", "q73_oov_rate", "q74_curation_pipeline",
-      "q75_icosa_decode", "q76_append_series", "q77_merge_metrics",
-      "q78_incremental_driver", "q79_pq_encode", "q80_pq_adc_topk",
-      "q81_ivf_pq_topk", "q82_cms_heavy_hitters", "q83_kmv_distinct",
-      "q84_hist_quantiles", "q85_bloom_contamination", "q86_zorder_layout",
-      "q87_pii_redaction", "q88_time_split", "q89_decayed_features",
-      "q90_stratified_sample", "q91_partitioned_driver", "q92_ivf_pq_indexed",
-      "q93_pq_trained", "q94_balances_rebuild", "q95_nan_scrub",
-      "q96_ppm_decode", "q97_ann_production", "q98_semantic_dedup",
-      "q99_split_leakage",
-      "q145_png_stats", "q146_png_neardup", "q147_pagerank_distributed",
-      "q148_jpeg_stats", "q149_jpeg_neardup", "q150_mp4_tracks",
-      "q151_mp3_frames", "q152_av_ingest_card",
-      "q153_betweenness_distributed")
+      "q139_video_scenes", "q13_vertex_ref_roundtrip", "q140_video_neardup_shifted",
+      "q141_video_keyframes", "q142_video_pipeline_v6", "q143_audio_segments",
+      "q144_multimodal_card", "q145_png_stats", "q146_png_neardup",
+      "q147_pagerank_distributed", "q148_jpeg_stats", "q149_jpeg_neardup",
+      "q14_collect_sorted_list", "q150_mp4_tracks", "q151_mp3_frames",
+      "q152_av_ingest_card", "q153_betweenness_distributed", "q154_betweenness_sampled",
+      "q155_ann_recall_audit", "q156_drift_tvd", "q157_bm25_topk",
+      "q158_drift_registry", "q159_snapshot_diff", "q15_json_fallback_coalesce",
+      "q160_padded_batches", "q161_hybrid_rrf", "q162_bm25_registry",
+      "q163_cluster_safe_split", "q164_split_assign_inc", "q165_quality_dedup",
+      "q166_retrieval_eval", "q167_ndcg_eval", "q168_rm3_expansion",
+      "q169_mmr_diverse", "q16_window_rewards_5d", "q170_kcore",
+      "q171_bipartite_project", "q172_triangle_stats", "q173_triangles_sampled",
+      "q174_projection_incremental", "q175_term_associations", "q176_jaccard_project",
+      "q177_term_associations_inc", "q178_random_walks", "q179_walk_skipgram",
+      "q17_daily_balances", "q180_link_prediction", "q181_negative_sampling",
+      "q182_wl_labels", "q183_structural_dedup", "q184_wl_kernel",
+      "q185_curriculum_order", "q186_mix_prefix_audit", "q187_curriculum_extend",
+      "q188_curriculum_registry", "q189_preference_pairs", "q18_upsert_update",
+      "q190_curriculum_shards", "q191_dedup_agreement", "q192_global_shuffle",
+      "q193_mixing_quality", "q194_ltr_features", "q195_ltr_registry",
+      "q196_late_arrivals", "q197_quality_calibration", "q198_pack_nostraddle",
+      "q199_pack_order_ablation", "q19_upsert_ignore", "q200_ordered_pipeline",
+      "q201_manifest_diff", "q20_retention_filter", "q21_payment_json_pipeline",
+      "q22_witness_explode_pipeline", "q23_payment_v2_explode_all", "q24_text_stats",
+      "q25_lang_id", "q26_fingerprint_dedup", "q27_ngram_jaccard_pairs",
+      "q28_minhash_lsh_pairs", "q29_simhash", "q30_cosine_topk",
+      "q31_ann_lsh_topk", "q32_graph_edges", "q33_city_pagerank",
+      "q34_city_betweenness", "q35_binary_features", "q36_frame_sample",
+      "q37_cell_decode", "q38_ann_ivf_topk", "q39_embedding_neardup",
+      "q40_bpe_token_count", "q41_ann_adaptive_topk", "q42_ppm_resize",
+      "q43_dup_clusters", "q44_asof_join", "q45_range_join",
+      "q46_hash_split", "q47_city_hits", "q48_sequence_packing",
+      "q49_quality_gate", "q50_kmeans_refine", "q51_ann_multiprobe",
+      "q52_asof_nearest", "q53_topk_agg", "q54_balanced_mix",
+      "q55_ann_multitable", "q56_interval_overlap", "q57_dedup_corpus",
+      "q58_incremental_neardup", "q59_sessionize", "q60_tfidf_top_term",
+      "q61_contamination", "q62_repetition_signals", "q63_length_quantiles",
+      "q64_mix_weights", "q65_boilerplate", "q66_salted_join",
+      "q67_simhash_pairs", "q68_funnel", "q69_rolling_window",
+      "q70_novelty", "q71_hard_negatives", "q72_novelty_against",
+      "q73_oov_rate", "q74_curation_pipeline", "q75_icosa_decode",
+      "q76_append_series", "q77_merge_metrics", "q78_incremental_driver",
+      "q79_pq_encode", "q80_pq_adc_topk", "q81_ivf_pq_topk",
+      "q82_cms_heavy_hitters", "q83_kmv_distinct", "q84_hist_quantiles",
+      "q85_bloom_contamination", "q86_zorder_layout", "q87_pii_redaction",
+      "q88_time_split", "q89_decayed_features", "q90_stratified_sample",
+      "q91_partitioned_driver", "q92_ivf_pq_indexed", "q93_pq_trained",
+      "q94_balances_rebuild", "q95_nan_scrub", "q96_ppm_decode",
+      "q97_ann_production", "q98_semantic_dedup", "q99_split_leakage")
 
   /** One timed execution: wall seconds, process-CPU seconds consumed by
     * this JVM during the run, 1-min loadavg sampled at run START, error.

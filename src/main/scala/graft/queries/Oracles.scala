@@ -4107,7 +4107,7 @@ object Oracles {
          |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS a_tok FROM dl),
          |qt AS (SELECT DISTINCT q_id, term FROM
          |    (SELECT doc_id AS q_id, unnest(($Toks)[1:4]) AS term
-         |     FROM documents WHERE doc_id % 50 = 0)
+         |     FROM documents WHERE doc_id % 100 = 0)
          |  WHERE length(term) >= 1),
          |qx AS (SELECT qt.q_id, qt.term,
          |    CASE WHEN dfq.df * 1000000 <= 500000 * corpus.n_docs
