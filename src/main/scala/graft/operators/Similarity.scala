@@ -424,6 +424,21 @@ object Similarity {
         corpus.limit(maxFoldMembers.toInt + 1).count() <= maxFoldMembers)
     var prevCounts: DataFrame = null
     var merged: DataFrame = null
+    // the r16 in-loop conf pair (walkaqe, SCALE.md): each iteration ends
+    // in a k-row checkpoint, so per-iteration adaptive re-planning is
+    // driver overhead; parts sized to the exploded component frame
+    // (corpus rows × dims — the loop's dominant shuffle), the q147 rule.
+    // A/B at sf0.1: q50 1.72 → 1.31, q93 2.91 → 1.33, q97 4.01 → 2.79.
+    val spark = corpus.sparkSession
+    val dims = corpus.select(size(col(vec))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(1)
+    val compRows = corpus.count() * math.max(1, dims)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        graft.functions.Cols.loopParts(corpus, compRows).toString)
     for (_ <- 1 to iters) {
       val assigned = ivfAssign(corpus, cents, id, vec)
       val withMembers =
@@ -475,6 +490,10 @@ object Similarity {
         prevCounts = merged.select(col(id).as("cell"), col("n_members").as("__members"))
     }
     merged
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** IVF ANN top-k: search only the query's cell (nprobe=1; probing the
