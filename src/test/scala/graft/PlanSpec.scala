@@ -19,10 +19,17 @@ class PlanSpec extends AnyFunSuite {
   private def countShuffles(df: DataFrame): Int = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
     def walk(p: SparkPlan): Int = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case s: ShuffleExchangeLike => 1 + s.children.map(walk).sum
+      // AQE stage reuse is a RUNTIME race: when two branches carry
+      // canonically-equal shuffles, whichever stage materializes first
+      // gets reused by the other — plan-identical runs count 5 or 4
+      // depending on scheduling (q113 flipped only after a long warm
+      // session, r16). The pin is about STRUCTURAL shuffle boundaries,
+      // so a reused shuffle counts like the shuffle it replaces.
+      case r: ReusedExchangeExec if r.child.isInstanceOf[ShuffleExchangeLike] => 1
       case q: QueryStageExec => walk(q.plan)
       case other => other.children.map(walk).sum
     }
