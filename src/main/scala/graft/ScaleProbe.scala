@@ -79,7 +79,7 @@ object ScaleProbe {
       "codecprep", "bwdist",
       "ccinc", "funnel", "prep", "monitor", "bm25reg", "splitreg",
       "retrieval", "kcore", "cooccur", "walks", "wl", "ranks", "curreg",
-      "nostraddle", "curseg", "zipf")
+      "nostraddle", "curseg", "zipf", "zipfm")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -1924,6 +1924,59 @@ object ScaleProbe {
         s"pruned=$rP% impact=$rI%")
       docs.unpersist(); postings.unpersist(); trunc.unpersist()
       qsSmall.unpersist(); exact5.unpersist()
+      spark.catalog.clearCache()
+    }
+    // Impact-index m-scaling (r16): the zipf section showed recall@5
+    // falling 84% → 69% as a FIXED m=64 met a 4× larger corpus; this
+    // section measures the knob directly — recall and serve wall vs m
+    // on one corpus (factor×10k docs), pinning the claim that m buys
+    // recall back at serve cost that stays far below full scoring.
+    if (want("zipfm")) for (factor <- probeFactors) {
+      import graft.operators.TermStats
+      val nDocs = 10000L * factor
+      val vocab = 50000
+      val len = 60
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(len)), { j =>
+            val u = pmod(hash(col("id"), lit("z"), j), lit(1000000))
+              .cast("double") / 1000000.0
+            concat(lit("t"), least(lit(vocab.toLong),
+              exp(u * math.log(vocab.toDouble)).cast("long") + 1L))
+          })).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      val postings = TermStats.bm25Postings(docs, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (dfq, dl0, _) = TermStats.bm25Stats(postings)
+      val dl = dl0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corp = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("a_tok"))
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qsSmall = qs.filter(col("q_id") % 1000 === 0)
+      val exact5 = TermStats.bm25TopKFromIndex(postings, dfq, dl, corp,
+          qsSmall, "q_id", "qt", k = 5)
+        .select(col("q"), col("doc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nExact = exact5.count()
+      for (m <- Seq(64, 256, 1024)) {
+        val trunc = TermStats.bm25ImpactIndex(postings, dl, m)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        trunc.count()
+        time(s"zipfm impact m=$m serve ${factor}x (${nDocs / 100} queries)") {
+          TermStats.bm25TopKImpact(trunc, postings, dfq, dl, corp, qs,
+            "q_id", "qt", k = 5).count()
+        }
+        val r = TermStats.bm25TopKImpact(trunc, postings, dfq, dl, corp,
+            qsSmall, "q_id", "qt", k = 5)
+          .select(col("q"), col("doc")).join(exact5, Seq("q", "doc"))
+          .count() * 100 / math.max(1L, nExact)
+        println(s"[scale] zipfm m=$m recall@5 = $r%")
+        trunc.unpersist()
+      }
+      docs.unpersist(); postings.unpersist(); dl.unpersist()
+      qs.unpersist(); exact5.unpersist()
       spark.catalog.clearCache()
     }
     // Segmented vs monolithic curriculum WRITE cost (the r16 layout):
