@@ -164,6 +164,31 @@ object Bench {
   private def calibMs(): Double =
     (1 to 3).map(_ => calibOnceMs()).min // min-of-3: the uncontended reading
 
+  /** Multi-thread calibration: `threads` concurrent copies of the same
+    * spin, released together; reading = wall from release to the LAST
+    * finisher. The single-thread probe can't see a parallelism collapse
+    * (one thread is always schedulable); this one measures how much
+    * 32-way CPU the host actually grants RIGHT NOW — the missing operand
+    * of r16's per-query attribution, where calib_ms moved 3× and nobody
+    * could say whether parallel stages were starved too.
+    */
+  private def calibMtOnceMs(threads: Int): Double = {
+    val start = new java.util.concurrent.CyclicBarrier(threads + 1)
+    val done = new java.util.concurrent.CountDownLatch(threads)
+    (1 to threads).foreach { _ =>
+      val t = new Thread(() => {
+        start.await(); calibOnceMs(); done.countDown() })
+      t.setDaemon(true); t.start()
+    }
+    start.await()
+    val t0 = System.nanoTime()
+    done.await()
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  private def calibMtMs(threads: Int): Double =
+    (1 to 2).map(_ => calibMtOnceMs(threads)).min
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -184,11 +209,34 @@ object Bench {
       .filter(n => only.isEmpty || only(n))
     // JIT/codegen warmup at the smallest scale factor so timings reflect
     // steady state, not first-query classloading.
+    // Conf-drift guard (r16 verdict #2): the r16 conf-leak race serialized
+    // 11 untouched queries for a whole round and BOTH contention detectors
+    // were blind to it (the leak makes wall≈cpu — fewer tasks, all
+    // running). Snapshot the session's loop-conf keys at build time; after
+    // every query (warmup included), any drift is RECORDED per query and
+    // RESTORED so one leaky query can no longer poison every timing after
+    // it. Expected value of `conf_drift`: {}.
+    val guardKeys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.enabled")
+    val confDefaults = guardKeys.map(k => k -> spark.conf.get(k)).toMap
+    val confDrift = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def driftCheck(tag: String): Unit = {
+      val moved = guardKeys.flatMap { k =>
+        val v = spark.conf.get(k)
+        if (v != confDefaults(k)) {
+          spark.conf.set(k, confDefaults(k))
+          Some(s"$k=$v")
+        } else None
+      }
+      if (moved.nonEmpty && !confDrift.contains(tag))
+        confDrift(tag) = moved.mkString(",")
+    }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       names.foreach { name =>
         try { SparkEntry.queries(name)(spark, warmDir).count() }
         catch { case _: Throwable => () }
+        driftCheck(s"warmup:$name")
         Caches.clearAll(spark)
       }
     }
@@ -203,19 +251,37 @@ object Bench {
     val passes = 3
     val runs = scala.collection.mutable.Map.empty[String, Vector[Run]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to passes; name <- names) {
-      val fn = SparkEntry.queries(name)
-      val ld = load1()
-      val cpu0 = osBean.getProcessCpuTime
-      val t0 = System.nanoTime()
-      val outcome =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
-      val wall = (System.nanoTime() - t0) / 1e9
-      val cpu = (osBean.getProcessCpuTime - cpu0) / 1e9
-      Caches.clearAll(spark) // persists + localCheckpoints; don't let them creep
-      runs(name) = runs(name) :+ Run(wall, cpu, ld, outcome)
+    // Per-PASS calibration brackets (single- AND multi-thread): one
+    // reading before each pass plus one after the last, so a host
+    // condition that moves MID-run is attributable to the pass it hit —
+    // r16's calib pair (run start/end only) could say the host moved 3×
+    // but not WHEN, and the mt probe adds the parallelism axis the st
+    // probe is blind to.
+    val mtThreads = math.max(1, spark.sparkContext.defaultParallelism)
+    val calibPassSt = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calibPassMt = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def calibBracket(): Unit = {
+      calibPassSt += calibOnceMs()
+      calibPassMt += calibMtOnceMs(mtThreads)
     }
+    for (_ <- 1 to passes) {
+      calibBracket()
+      for (name <- names) {
+        val fn = SparkEntry.queries(name)
+        val ld = load1()
+        val cpu0 = osBean.getProcessCpuTime
+        val t0 = System.nanoTime()
+        val outcome =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = (osBean.getProcessCpuTime - cpu0) / 1e9
+        driftCheck(name) // record + heal any conf leak before the next query
+        Caches.clearAll(spark) // persists + localCheckpoints; don't let them creep
+        runs(name) = runs(name) :+ Run(wall, cpu, ld, outcome)
+      }
+    }
+    calibBracket()
     val results = names.map { name =>
       val best = runs(name).minBy(r => (r.err.isDefined, r.wall))
       (name, best, runs(name))
@@ -243,11 +309,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val calibAfter = calibMs()
     val boot = bootId()
+    def jmap(m: scala.collection.Map[String, String]): String =
+      m.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    def jarr(xs: Seq[Double]): String = xs.map(r3).mkString("[", ",", "]")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(s"""{"sf":${jstr(sfDir)},"passes":$passes,""" +
         s""""boot_id":${jstr(boot)},"calib_ms_before":${r3(calibBefore)},""" +
-        s""""calib_ms_after":${r3(calibAfter)},"queries":$detail}""")
+        s""""calib_ms_after":${r3(calibAfter)},""" +
+        s""""calib_pass_st_ms":${jarr(calibPassSt.toSeq)},""" +
+        s""""calib_pass_mt_ms":${jarr(calibPassMt.toSeq)},""" +
+        s""""mt_threads":$mtThreads,""" +
+        s""""conf_drift":${jmap(confDrift)},"queries":$detail}""")
       finally w.close()
     } catch { case _: Throwable => () } // attribution is best-effort, never fails the bench
     // Full-precision, full-name detail line first (for humans and the git
@@ -274,7 +347,15 @@ object Bench {
     // boot + calib_ms make cross-host discontinuities machine-detectable
     // (r15: a mid-round reboot read as a +16% "regression"): different
     // boot => compare via calib ratio, not raw seconds.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${ok.size},"subset_total_prev_round":${r3(subset.map(_._2.wall).sum)},"subset_n":${subset.size},"contended":$contended,"load1_max":${r3(loadMax)},"boot":${jstr(boot)},"calib_ms":${r3(math.min(calibBefore, calibAfter))},"errors":$errs,"sf":${jstr(sfDir)}}""")
+    // conf_drift: expected {} — any entry names the first query after
+    // which a loop-conf key was found moved (and healed). Capped at 3
+    // entries on THIS line (the driver tail window is ~2000 chars); the
+    // full map is in BENCH_DETAIL.json.
+    val driftCompact = jmap(
+      if (confDrift.size <= 3) confDrift
+      else confDrift.take(3) += ("_more" -> (confDrift.size - 3).toString))
+    val calibMt = calibPassMt.min
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${ok.size},"subset_total_prev_round":${r3(subset.map(_._2.wall).sum)},"subset_n":${subset.size},"contended":$contended,"load1_max":${r3(loadMax)},"boot":${jstr(boot)},"calib_ms":${r3(math.min(calibBefore, calibAfter))},"calib_mt_ms":${r3(calibMt)},"conf_drift":$driftCompact,"errors":$errs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -148,11 +148,7 @@ object Bpe {
     // once the partition count states the truth AQE had to discover
     // per-round. Family A/B at sf0.1 (SCALE.md r15 bpeaqe): 14.0 →
     // 11.7 s over q105/q106/q109/q133, reproduced.
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set("spark.sql.shuffle.partitions", "1")
+    graft.functions.Cols.withLoopConf(spark, 1) {
       for (k <- 1 to nMerges if !exhausted) {
         val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(byW))
         val best = withNext.filter(col("nxt").isNotNull)
@@ -171,9 +167,6 @@ object Bpe {
           gens += syms
         }
       }
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
     gens.foreach(freeCheckpoint)
     import spark.implicits._

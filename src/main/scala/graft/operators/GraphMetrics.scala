@@ -323,18 +323,13 @@ object GraphMetrics {
         // every loop shuffle (contrib agg, dangling agg) sized like the
         // static sides: conf is read at planning time, i.e. at each
         // iteration's checkpoint action, so the scope must span the
-        // loop (restored in finally). Iterative jobs are run serially
-        // by every caller here (Bench, Verify, the probe).
+        // loop. AQE off: every shuffle is already hand-sized to `parts`,
+        // per-round adaptive re-planning is pure overhead — measured
+        // 11.6-12.3 s → 8.6-9.1 s steady at sf0.1 (prab A/B, 3
+        // interleaved passes; 240 jobs → 73), values oracle-pinned.
+        // Cols.withLoopConf so a concurrent caller can't race the restore.
         val spark = edges.sparkSession
-        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-        val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-        try {
-        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-        // AQE off for the loop: every shuffle is already hand-sized to
-        // `parts`, so per-round adaptive re-planning is pure overhead —
-        // measured 11.6-12.3 s → 8.6-9.1 s steady at sf0.1 (prab A/B,
-        // 3 interleaved passes; 240 jobs → 73), values oracle-pinned
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        graft.functions.Cols.withLoopConf(spark, parts) {
         var x = base.select(col("city"), col("node"), col("outw"), col("n"),
             (lit(1.0) / col("n")).as("x"))
           .localCheckpoint(true)
@@ -383,9 +378,6 @@ object GraphMetrics {
               .otherwise(round(col("x") / col("mean") * 1e6).cast("long"))
               .as("pr_norm_pm"))
           .localCheckpoint(true) // sever from the persisted inputs before unpersist
-        } finally {
-          spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-          spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
         }
       }
     } finally { e.unpersist(); eAll.unpersist(); () }
@@ -520,9 +512,10 @@ object GraphMetrics {
     // the final localCheckpoint, so the conf never escapes): shuffle
     // sizes are known (slices = bounded fan-out, scoring frames =
     // node-grain) and per-stage adaptive re-planning only adds driver
-    // time — bwaqe A/B: steady 1.69-2.26 s → 1.61 s, cold 12.0 → 3.5 s
-    val prevAqe = session.conf.get("spark.sql.adaptive.enabled")
-    session.conf.set("spark.sql.adaptive.enabled", "false")
+    // time — bwaqe A/B: steady 1.69-2.26 s → 1.61 s, cold 12.0 → 3.5 s.
+    // Scoped via Cols.withLoopAqeOff (partitions untouched here) so the
+    // restore can't race a concurrent scope on the shared session.
+    graft.functions.Cols.withLoopAqeOff(session) {
     def sampledSources(g: CityCsr): Array[Int] =
       if (sampleNibbleMax >= 16) Array.range(0, g.n)
       else (0 until g.n).filter(i => md5Nibble(g.nodes(i)) < sampleNibbleMax)
@@ -617,8 +610,8 @@ object GraphMetrics {
       .localCheckpoint(true) // sever from the persisted CSR frame before unpersist
     } finally {
       csrs.unpersist()
-      session.conf.set("spark.sql.adaptive.enabled", prevAqe)
       ()
+    }
     }
   }
 
@@ -684,13 +677,10 @@ object GraphMetrics {
       val nPerCity = nodes.groupBy(col("city")).agg(count(lit(1)).as("n"))
       val base = nodes.join(broadcast(nPerCity), Seq("city"))
         .repartition(parts, col("city"), col("node"))
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-      try {
-        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-        // AQE off for the loop — shuffles are hand-sized to `parts`;
-        // per-round adaptive re-planning is overhead (the prab finding)
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // AQE off + parts for the loop — shuffles are hand-sized to `parts`;
+      // per-round adaptive re-planning is overhead (the prab finding).
+      // Cols.withLoopConf: restore is first-in-save/last-out, race-free.
+      graft.functions.Cols.withLoopConf(spark, parts) {
         var h = base.select(col("city"), col("node"),
             (lit(1.0) / col("n")).as("h"))
           .localCheckpoint(true)
@@ -737,9 +727,6 @@ object GraphMetrics {
             round(coalesce(col("a"), lit(0.0)) / col("as") * 1e6)
               .cast("long").as("auth_pm"))
           .localCheckpoint(true) // sever from persisted inputs
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       }
     } finally { eBySrc.unpersist(); eByDst.unpersist(); eAll.unpersist(); () }
   }

@@ -44,22 +44,19 @@ object KCore {
     val spark = edges.sparkSession
     val half = edges.select(col(src).as("a"), col(dst).as("b"))
       .filter(col("a") =!= col("b"))
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      var cur = half
-        .unionByName(half.select(col("b").as("a"), col("a").as("b")))
-        .distinct()
-        .localCheckpoint(true)
-      // parts joined the AQE-off treatment in r16 (the walkaqe pair —
-      // off-alone froze 32-partition checkpoints of few-thousand-row
-      // edge frames: −68% at sf0.1), sized to the symmetrized edge
-      // frame per the q147 rule (Cols.loopParts). The init distinct
-      // above still runs at the session size — only the peel rounds
-      // shrink with the (monotonically shrinking) core.
-      spark.conf.set("spark.sql.shuffle.partitions",
-        graft.functions.Cols.loopParts(edges, cur.count()).toString)
+    // init distinct + sizing count run at the session conf (only the peel
+    // rounds shrink with the monotonically shrinking core); parts joined
+    // the AQE-off treatment in r16 (the walkaqe pair — off-alone froze
+    // 32-partition checkpoints of few-thousand-row edge frames: −68% at
+    // sf0.1), sized to the symmetrized edge frame per the q147 rule
+    // (Cols.loopParts). The scope itself is Cols.withLoopConf — re-entrant
+    // first-in-save/last-out-restore, safe under concurrent callers.
+    var cur = half
+      .unionByName(half.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    graft.functions.Cols.withLoopConf(spark,
+      graft.functions.Cols.loopParts(edges, cur.count())) {
       var n = cur.select(col("a")).distinct().count()
       var rounds = 0
       var converged = false
@@ -83,9 +80,6 @@ object KCore {
         s"k-core did not converge within $maxRounds rounds " +
           s"(the oracle unrolls exactly that many; raise maxRounds)")
       cur.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts); ()
     }
   }
 }

@@ -433,12 +433,13 @@ object Similarity {
     val dims = corpus.select(size(col(vec))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(1)
     val compRows = corpus.count() * math.max(1, dims)
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set("spark.sql.shuffle.partitions",
-        graft.functions.Cols.loopParts(corpus, compRows).toString)
+    // withLoopConf, not per-site save/restore: trainPqCodebooks calls this
+    // from 16 concurrent futures, and per-site restore races (thread B
+    // snapshots thread A's in-loop partitions=1 as its "previous" and
+    // restores it last — the r16 session-wide serialization leak). The
+    // shared scope saves first-in, restores last-out, atomically.
+    graft.functions.Cols.withLoopConf(spark,
+      graft.functions.Cols.loopParts(corpus, compRows)) {
     for (_ <- 1 to iters) {
       val assigned = ivfAssign(corpus, cents, id, vec)
       val withMembers =
@@ -490,9 +491,6 @@ object Similarity {
         prevCounts = merged.select(col(id).as("cell"), col("n_members").as("__members"))
     }
     merged
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   }
 

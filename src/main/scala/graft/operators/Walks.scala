@@ -72,12 +72,7 @@ object Walks {
     // completion inside it.
     val nAdj = adj.count() // materializes the persisted adjacency
     val spark = edges.sparkSession
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set("spark.sql.shuffle.partitions",
-        Cols.loopParts(edges, nAdj).toString)
+    Cols.withLoopConf(spark, Cols.loopParts(edges, nAdj)) {
       var state = adj.select(col("n")).distinct()
         .select(explode(sequence(lit(0), lit(walksPerNode - 1))).as("k"), col("n"))
         .select(concat(col("n"), lit("#"), col("k")).as("walk"),
@@ -99,9 +94,6 @@ object Walks {
       }
       adj.unpersist()
       steps.result().reduce(_ unionByName _)
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   }
 
@@ -142,12 +134,7 @@ object Walks {
     // parts sized to the symmetrized edge frame (the q147 rule)
     val nSym = sym.count() // materializes the persisted edge frame
     val spark = edges.sparkSession
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set("spark.sql.shuffle.partitions",
-        Cols.loopParts(edges, nSym).toString)
+    Cols.withLoopConf(spark, Cols.loopParts(edges, nSym)) {
       var lab = sym.groupBy(col("u").as("n"))
         .agg(count(lit(1)).as("deg"))
         .withColumn("wl", md5(concat(lit("d"), col("deg"))))
@@ -164,9 +151,6 @@ object Walks {
       }
       sym.unpersist()
       lab.select(col("n").as("node"), col("deg"), col("wl"))
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   }
 
