@@ -706,6 +706,12 @@ object TermStats {
   def gradedNdcg(ranked: DataFrame, qCol: String, rankCol: String,
                  relCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // the rank-weight table is a DRIVER-SIDE broadcast constant (k rows):
+    // a sanity bound on list depth keeps an absurd k a clean require, not
+    // a driver OOM (grades are separately bounded in-plan at 62)
+    require(k <= 1000000,
+      s"k must be <= 1000000 (the weight table is a broadcast k-row " +
+        s"constant), got $k")
     val spark = ranked.sparkSession
     import spark.implicits._
     val weights = (1 to k).map(r => (r.toLong, ndcgWeightPm(r)))

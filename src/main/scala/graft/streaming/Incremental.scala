@@ -1506,9 +1506,15 @@ object Incremental {
       Some(spark.read.parquet(tailPath)) else None
     (frozen, tail) match {
       case (Some(f), Some(t)) =>
-        // one column-pruned scan of the frozen segments for the hwm
-        val hwm = f.agg(max(col(pos))).head.getLong(0)
-        f.unionByName(t.filter(col(pos) > hwm))
+        // one column-pruned scan of the frozen segments for the hwm. A
+        // zero-row frozen/ is reachable (an append of an empty frame
+        // leaves a schema-only part file; guarded at the writer now, but
+        // directories written before that guard — or by a crash mid-
+        // append — must still read): NULL max ⇒ degrade to tail-only
+        // instead of NPE-wedging every subsequent batch AND its replay.
+        val hwmRow = f.agg(max(col(pos))).head
+        if (hwmRow.isNullAt(0)) t
+        else f.unionByName(t.filter(col(pos) > hwmRow.getLong(0)))
       case (Some(f), None) => f
       case (None, Some(t)) => t
       case (None, None) => throw new IllegalStateException(
@@ -1561,13 +1567,22 @@ object Incremental {
               id, salt, weights, servedOf(reg.count()), nBuckets)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            val gradFloor = if (readableParquet(spark, frozenPath))
-              spark.read.parquet(frozenPath).agg(max(col("pos")))
-                .head.getLong(0)
-            else 0L
-            next.filter(col("frozen") && col("pos") > gradFloor)
+            // NULL max = schema-only frozen/ (see curriculumRegistry):
+            // treat as "nothing graduated yet", not an NPE
+            val gradFloor = if (readableParquet(spark, frozenPath)) {
+              val r = spark.read.parquet(frozenPath).agg(max(col("pos"))).head
+              if (r.isNullAt(0)) 0L else r.getLong(0)
+            } else 0L
+            val grads = next.filter(col("frozen") && col("pos") > gradFloor)
               .drop("frozen")
-              .write.mode("append").parquet(frozenPath)
+            // skip the append when NOTHING graduated this batch (e.g. the
+            // watermark hasn't passed pos 1 on a tiny first batch): an
+            // empty append still writes a schema-only .parquet part, which
+            // flips readableParquet(frozen) to true with 0 rows — the
+            // exact shape the NULL-max guards above exist for. Don't
+            // create it in the first place.
+            if (!grads.isEmpty)
+              grads.write.mode("append").parquet(frozenPath)
             Merge.replaceParquet(spark, tailPath,
               next.filter(!col("frozen")).drop("frozen"))
           } finally { next.unpersist(); () }

@@ -28,8 +28,12 @@ class PlanSpec extends AnyFunSuite {
       // gets reused by the other — plan-identical runs count 5 or 4
       // depending on scheduling (q113 flipped only after a long warm
       // session, r16). The pin is about STRUCTURAL shuffle boundaries,
-      // so a reused shuffle counts like the shuffle it replaces.
-      case r: ReusedExchangeExec if r.child.isInstanceOf[ShuffleExchangeLike] => 1
+      // so a reused shuffle counts like the shuffle it replaces —
+      // INCLUDING any shuffles nested inside the replaced subtree (a
+      // bare 1 would still race whenever the shared stage itself
+      // contains an exchange, r16 advice).
+      case r: ReusedExchangeExec if r.child.isInstanceOf[ShuffleExchangeLike] =>
+        walk(r.child)
       case q: QueryStageExec => walk(q.plan)
       case other => other.children.map(walk).sum
     }

@@ -1418,4 +1418,51 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
         Incremental.curriculumRegistry(spark, s"$dir/seg/reg")) === seg,
       "the frozen-hwm shadow must drop a stale duplicated tail prefix")
   }
+
+  test("segmented curriculum survives no-graduation batches and a legacy " +
+    "schema-only frozen/ (the r16 empty-append NPE wedge)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-curseg-wedge")
+      .toFile.getAbsolutePath
+    val weights = Map("a" -> 1, "b" -> 1)
+    def drive(ckpt: String, chunks: Seq[Seq[(Long, String)]]): Unit = {
+      val input = MemoryStream[(Long, String)]
+      val query = Incremental.streamingCurriculumSegmented(
+        input.toDF().toDF("id", "g"), ckpt, s"$dir/reg",
+        "g", "id", "cur", weights, servedOf = _ / 2, nBuckets = 4)
+      try chunks.foreach { c =>
+        input.addData(c: _*); query.processAllAvailable()
+      } finally query.stop()
+    }
+    // batch 1 seeds the tail; batch 2 has servedOf(1)=0 ⇒ NOTHING
+    // graduates — the pre-fix code appended an empty frame here, leaving
+    // a schema-only frozen/ whose NULL max(pos) NPE-wedged batch 3 and
+    // every replay after it
+    drive(s"$dir/ckpt1", Seq(Seq((1L, "a")), Seq((2L, "b"))))
+    def frozenParquets = Option(
+      new java.io.File(s"$dir/reg/frozen").listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet"))
+    assert(frozenParquets.isEmpty,
+      "a no-graduation batch must not create a frozen segment file")
+    // batches 3-4 must run (pre-fix: NPE at the gradFloor read)
+    drive(s"$dir/ckpt2", Seq(Seq((3L, "a")), Seq((4L, "b"))))
+    def positions = Incremental.curriculumRegistry(spark, s"$dir/reg")
+      .select($"id", $"pos").as[(Long, Long)].collect().toMap
+    val healthy = positions
+    assert(healthy.values.toSeq.sorted == (1L to 4L))
+    // legacy wedge: a registry written BEFORE the append guard (or a
+    // crash mid-append) can still carry a schema-only frozen/ — the
+    // reader must degrade to the tail-only case, not throw
+    val tailDf = spark.read.parquet(s"$dir/reg/tail")
+    tailDf.filter(lit(false)).write.mode("append")
+      .parquet(s"$dir/reg/frozen")
+    assert(frozenParquets.nonEmpty, "fixture: schema-only part expected")
+    assert(positions === healthy,
+      "a schema-only frozen/ must read as tail-only, not NPE")
+    // and the stream keeps running against that legacy layout
+    drive(s"$dir/ckpt3", Seq(Seq((5L, "a"))))
+    assert(positions.values.toSeq.sorted == (1L to 5L),
+      "the stream must extend a registry with a schema-only frozen/")
+  }
 }
