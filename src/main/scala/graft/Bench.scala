@@ -33,15 +33,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** The ROUND-15 query registry, frozen: `subset_total_prev_round` sums
+  /** The ROUND-16 query registry, frozen: `subset_total_prev_round` sums
     * timings over exactly this set, so cross-round totals compare like
     * with like — round 10's +14% "regression" took a session of forensics
     * to attribute to new queries + driver testdata regeneration (verdict
     * r10 item 5); this field makes the split arithmetic. Append-only per
     * round: refresh to the PREVIOUS round's registry when adding queries
-    * (r16 refresh: the 201-query r15 set, was the 153-query r14 set).
+    * (r17 refresh: the 204-query r16 set, was the 201-query r15 set).
     */
   val prevRoundQueries: Set[String] = Set(
+      "q202_retrieval_serve", "q203_bm25_pruned", "q204_bm25_impact",
       "q01_agg_sum_groupby", "q02_filter_time_range", "q03_filter_in_projection",
       "q04_join_left_enrich", "q05_join_inner_agg", "q06_argmax_per_day",
       "q07_distinct_content_key", "q08_agg_min_max", "q09_json_extract",

@@ -79,7 +79,7 @@ object ScaleProbe {
       "codecprep", "bwdist",
       "ccinc", "funnel", "prep", "monitor", "bm25reg", "splitreg",
       "retrieval", "kcore", "cooccur", "walks", "wl", "ranks", "curreg",
-      "nostraddle", "curseg", "zipf", "zipfm")
+      "nostraddle", "curseg", "zipf", "zipfm", "zipfreg")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -1960,11 +1960,15 @@ object ScaleProbe {
         .select(col("q"), col("doc"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nExact = exact5.count()
-      for (m <- Seq(64, 256, 1024)) {
+      // the calibrated depth joins the sweep (r17): reading the SAME
+      // recall at impactM(n) across factors is the flat-recall claim
+      val mCal = TermStats.impactM(nDocs)
+      for (m <- (Seq(64, 256, 1024) :+ mCal).distinct.sorted) {
+        val tag = if (m == mCal) s"m=$m (impactM(n))" else s"m=$m"
         val trunc = TermStats.bm25ImpactIndex(postings, dl, m)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         trunc.count()
-        time(s"zipfm impact m=$m serve ${factor}x (${nDocs / 100} queries)") {
+        time(s"zipfm impact $tag serve ${factor}x (${nDocs / 100} queries)") {
           TermStats.bm25TopKImpact(trunc, postings, dfq, dl, corp, qs,
             "q_id", "qt", k = 5).count()
         }
@@ -1972,12 +1976,70 @@ object ScaleProbe {
             qsSmall, "q_id", "qt", k = 5)
           .select(col("q"), col("doc")).join(exact5, Seq("q", "doc"))
           .count() * 100 / math.max(1L, nExact)
-        println(s"[scale] zipfm m=$m recall@5 = $r%")
+        println(s"[scale] zipfm $tag recall@5 = $r%")
         trunc.unpersist()
       }
       docs.unpersist(); postings.unpersist(); dl.unpersist()
       qs.unpersist(); exact5.unpersist()
       spark.catalog.clearCache()
+    }
+    // BM25 registry economics on the ZIPF vocabulary (r17, verdict item
+    // 6): the r15 bm25reg probe priced registry-vs-rebuild on the dense
+    // synthetic vocab (median df ≈ 77% of docs); a realistic Zipf tail
+    // changes both sides — tokenization is the same, but the stats
+    // rollups and the registry read now carry a huge sparse vocab table.
+    // Fixed query set (the serve-side constant), corpus grown by factor;
+    // the crossover = where (rebuild − registry) > 0 and by how much.
+    if (want("zipfreg")) for (factor <- probeFactors) {
+      import graft.operators.TermStats
+      val nDocs = 10000L * factor
+      val vocab = 50000
+      val len = 60
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(len)), { j =>
+            val u = pmod(hash(col("id"), lit("z"), j), lit(1000000))
+              .cast("double") / 1000000.0
+            concat(lit("t"), least(lit(vocab.toLong),
+              exp(u * math.log(vocab.toDouble)).cast("long") + 1L))
+          })).as("text"))
+      val docsM = materialize(docs, s"/tmp/scale/zrdocs$factor")
+      val qFixed = docsM.filter(col("doc_id") < 200)
+        .select(col("doc_id").as("q_id"),
+          slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
+      time(s"zipfreg postings build+materialize ${factor}x ($nDocs docs)") {
+        TermStats.bm25Postings(docsM, "doc_id", "text")
+          .write.mode("overwrite").parquet(s"/tmp/scale/zrpost$factor")
+        spark.read.parquet(s"/tmp/scale/zrpost$factor").count()
+      }
+      time(s"zipfreg stats build+materialize ${factor}x") {
+        val (dfq, dls, corp) = TermStats.bm25Stats(
+          spark.read.parquet(s"/tmp/scale/zrpost$factor"))
+        dfq.write.mode("overwrite").parquet(s"/tmp/scale/zrdf$factor")
+        dls.write.mode("overwrite").parquet(s"/tmp/scale/zrdl$factor")
+        corp.write.mode("overwrite").parquet(s"/tmp/scale/zrcorp$factor")
+        spark.read.parquet(s"/tmp/scale/zrdf$factor").count()
+      }
+      graft.Caches.clearAll(spark)
+      time(s"zipfreg full-rebuild serve ${factor}x (200 q)") {
+        TermStats.bm25TopK(docsM, qFixed, "doc_id", "text", "q_id", "qt", 5)
+          .count()
+      }
+      graft.Caches.clearAll(spark)
+      time(s"zipfreg serve-from-postings ${factor}x (200 q)") {
+        TermStats.bm25TopKFromPostings(
+          spark.read.parquet(s"/tmp/scale/zrpost$factor"), qFixed,
+          "q_id", "qt", 5).count()
+      }
+      graft.Caches.clearAll(spark)
+      time(s"zipfreg serve-from-index ${factor}x (200 q)") {
+        TermStats.bm25TopKFromIndex(
+          spark.read.parquet(s"/tmp/scale/zrpost$factor"),
+          spark.read.parquet(s"/tmp/scale/zrdf$factor"),
+          spark.read.parquet(s"/tmp/scale/zrdl$factor"),
+          spark.read.parquet(s"/tmp/scale/zrcorp$factor"),
+          qFixed, "q_id", "qt", 5).count()
+      }
+      graft.Caches.clearAll(spark)
     }
     // Segmented vs monolithic curriculum WRITE cost (the r16 layout):
     // one streaming step at watermark 0.9 over a factor×100k standing

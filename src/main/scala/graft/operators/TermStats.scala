@@ -597,6 +597,34 @@ object TermStats {
       .select(col("doc"), col("term"), col("tf"))
   }
 
+  /** The calibrated impact-list depth m(n): a FIXED m is a shrinking
+    * fraction of each term's (corpus-proportional) posting list, so its
+    * recall decays as the corpus grows — the r16 zipfm ladder measured
+    * recall@5 falling 84% → 69% as a fixed m=64 met a 4× larger corpus
+    * (SCALE.md). The same ladder contains the cure: recall is FLAT when
+    * m tracks n (m=64 at 40k docs → 84%; m=256 at 160k → 87% — one
+    * calibrated ratio, n/m ≈ 625, holds recall@5 at ~85%). So the serve
+    * contract becomes "recall ≈ recall(docsPerSlot), independent of
+    * corpus size", with `docsPerSlot` THE knob a deployment tunes by
+    * reading its own hit_exact audit (q204) — smaller slot = deeper
+    * lists = higher flat recall. `mMin` floors small corpora (below
+    * mMin·docsPerSlot docs the full calibration is cheaper than its own
+    * bookkeeping). Integer ceiling, no FP — the oracle twin computes
+    * the identical value as `GREATEST(mMin, (n + slot - 1) // slot)`.
+    *
+    * The truncated index then carries m(n)·|vocab| ∝ n·V/slot rows —
+    * still the bound the df-cap can't give (each term's list ≤ m(n)
+    * regardless of df; the head term's raw list is ∝ n with a constant
+    * ~1000× larger on the Zipf ladder).
+    */
+  def impactM(nDocs: Long, docsPerSlot: Long = 625L, mMin: Int = 64): Int = {
+    require(nDocs >= 0, s"nDocs must be >= 0, got $nDocs")
+    require(docsPerSlot >= 1, s"docsPerSlot must be >= 1, got $docsPerSlot")
+    require(mMin >= 1, s"mMin must be >= 1, got $mMin")
+    math.min(Int.MaxValue.toLong,
+      math.max(mMin.toLong, (nDocs + docsPerSlot - 1) / docsPerSlot)).toInt
+  }
+
   /** BM25 served from an impact-truncated index ([[bm25ImpactIndex]]):
     * candidates are the union of the query terms' top-`m` impact lists
     * — candidate volume ≤ |q terms|·m per query REGARDLESS of df, the

@@ -1117,14 +1117,19 @@ object Curation {
   }
 
   /** q204: impact-ordered truncated-index BM25 serve + exact-recall
-    * audit ([[TermStats.bm25ImpactIndex]] m = 64 →
+    * audit ([[TermStats.bm25ImpactIndex]] at the CALIBRATED depth
+    * [[TermStats.impactM]] m(n) →
     * [[TermStats.bm25TopKImpact]]) — the head-term bound the df cap
     * cannot give: candidate volume ≤ |q terms|·m per query regardless
     * of df (Anh & Moffat-style impact ordering, deterministic integer
     * proxy tf desc / dl asc / doc asc), survivors rescored exactly
-    * against the full postings. Same `hit_exact` audit as q203 — the
-    * hash pins truncation, tie-breaks, rescore, and miss accounting in
-    * one row shape.
+    * against the full postings. m scales with the corpus (r17: a fixed
+    * m's recall decays with n — the zipfm ladder; m(n) holds it flat),
+    * so the serve CONTRACT states its recall independent of corpus
+    * size; the oracle computes the identical integer m from its own
+    * corpus CTE. Same `hit_exact` audit as q203 — the hash pins
+    * truncation, tie-breaks, rescore, miss accounting AND the m(n)
+    * arithmetic in one row shape.
     */
   def q204Bm25Impact(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.balanced(spark, d, "documents")
@@ -1137,7 +1142,10 @@ object Curation {
       val qs = docs.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("q_id"),
           slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
-      val trunc = TermStats.bm25ImpactIndex(postings, dl, m = 64)
+      // n from the corpus stats row (docs with ≥1 token — the oracle's
+      // n_docs), not docs.count(): the two differ on empty-text docs
+      val trunc = TermStats.bm25ImpactIndex(postings, dl,
+        m = TermStats.impactM(corp.head.getLong(0)))
       val served = TermStats.bm25TopKImpact(trunc, postings, dfq, dl, corp,
         qs, "q_id", "qt", k = 5)
       val exact = TermStats.bm25TopKFromIndex(postings, dfq, dl, corp, qs,
@@ -1149,6 +1157,47 @@ object Curation {
           col("n_terms"), col("score_pm"), col("hit_exact"))
         .localCheckpoint(true)
     } finally { postings.unpersist(); dl.unpersist(); () }
+  }
+
+  /** q205: the impact-index MONOTONE MERGE pinned in the oracle gate —
+    * the batch form of [[graft.streaming.Incremental.streamingImpactIndex]]'s
+    * maintenance step. The even-id half plays the standing registry
+    * (its per-term top-m impact lists, carrying dl — the registry
+    * layout), the odd-id half the arriving batch; the maintainer's
+    * claim is that re-truncating (standing index ∪ batch postings) is
+    * EXACTLY the full-corpus truncation, because on an append-only
+    * corpus a posting outside top-m(P) is dominated by ≥ m postings
+    * that all remain in P ∪ B. The oracle computes the full-corpus
+    * top-m directly (one window, never seeing the split), so the hash
+    * equality IS the theorem, checked end to end in a second engine.
+    * Output is the merged index rolled up per term (n_kept, tf_sum,
+    * doc_sum, dl_sum — exact integer content signatures, vocab-sized
+    * not index-sized). Depth fixed at m=64: the merge property needs
+    * EQUAL depths on both steps (a depth increase is exactly what
+    * triggers the streaming maintainer's rebuild path); the m(n)
+    * calibration arithmetic is q204's pin.
+    */
+  def q205ImpactMerge(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.balanced(spark, d, "documents")
+    val m = 64
+    val order = Seq(col("tf").desc, col("dl").asc, col("doc").asc)
+    def half(pred: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
+      val p = TermStats.bm25Postings(docs.filter(pred), "doc_id", "text")
+      (p, p.groupBy(col("doc")).agg(sum(col("tf")).as("dl")))
+    }
+    val (ps, dls) = half(col("doc_id") % 2 === 0)
+    val (pb, dlb) = half(col("doc_id") % 2 === 1)
+    val standingIdx = graft.operators.Dedup.keepFirstK(ps.join(dls, "doc"),
+        Seq(col("term")), order, m, "__ir")
+      .select(col("doc"), col("term"), col("tf"), col("dl"))
+    val merged = graft.operators.Dedup.keepFirstK(
+      standingIdx.unionByName(
+        pb.join(dlb, "doc").select(col("doc"), col("term"), col("tf"),
+          col("dl"))),
+      Seq(col("term")), order, m, "__ir")
+    merged.groupBy(col("term"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("tf")).as("tf_sum"),
+        sum(col("doc")).as("doc_sum"), sum(col("dl")).as("dl_sum"))
   }
 
   /** q197: quality-calibration card — "are duplicates low-quality?",
@@ -1412,6 +1461,7 @@ object Curation {
     "q202_retrieval_serve" -> q202RetrievalServe _,
     "q203_bm25_pruned" -> q203Bm25Pruned _,
     "q204_bm25_impact" -> q204Bm25Impact _,
+    "q205_impact_merge" -> q205ImpactMerge _,
     "q197_quality_calibration" -> q197QualityCalibration _,
     "q136_unigram_em" -> q136UnigramEm _,
     "q175_term_associations" -> q175TermAssociations _,

@@ -4146,8 +4146,30 @@ object Oracles {
          |    AS hit_exact
          |FROM p5 LEFT JOIN e5 ON p5.q_id = e5.q_id AND p5.doc = e5.doc""".stripMargin,
 
-    // q204: impact-truncated index (per term top-64 by tf desc, dl asc,
-    // doc asc) + exact rescore + the same hit_exact audit.
+    // q205: the impact-index monotone merge — the ENGINE truncates the
+    // standing (even-id) half, unions the odd-id batch postings, and
+    // re-truncates; this SQL computes the full-corpus top-64 in ONE
+    // window, never seeing the split. Hash equality = the append-only
+    // top-m merge theorem, verified in a second engine.
+    "q205_impact_merge" ->
+      s"""WITH tf AS (SELECT doc_id AS doc, term, count(*) AS tf FROM
+         |    (SELECT doc_id, unnest($Toks) AS term FROM documents)
+         |  WHERE length(term) >= 1 GROUP BY 1, 2),
+         |dl AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |idx AS (SELECT doc, term, tf, dl FROM (SELECT tf.doc, tf.term,
+         |    tf.tf, dl.dl, row_number() OVER (PARTITION BY tf.term
+         |      ORDER BY tf.tf DESC, dl.dl ASC, tf.doc ASC) AS ir
+         |  FROM tf JOIN dl USING (doc)) WHERE ir <= 64)
+         |SELECT term, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(tf) AS BIGINT) AS tf_sum,
+         |  CAST(sum(doc) AS BIGINT) AS doc_sum,
+         |  CAST(sum(dl) AS BIGINT) AS dl_sum
+         |FROM idx GROUP BY 1""".stripMargin,
+
+    // q204: impact-truncated index (per term top-m(n) by tf desc, dl
+    // asc, doc asc; m(n) = GREATEST(64, ceil(n_docs/625)) — the
+    // calibrated TermStats.impactM, integer arithmetic on both sides)
+    // + exact rescore + the same hit_exact audit.
     "q204_bm25_impact" ->
       s"""WITH tf AS (SELECT doc_id AS doc, term, count(*) AS tf FROM
          |    (SELECT doc_id, unnest($Toks) AS term FROM documents)
@@ -4162,7 +4184,9 @@ object Oracles {
          |trunc AS (SELECT doc, term FROM (SELECT tf.doc, tf.term,
          |    row_number() OVER (PARTITION BY tf.term
          |      ORDER BY tf.tf DESC, dl.dl ASC, tf.doc ASC) AS ir
-         |  FROM tf JOIN dl USING (doc)) WHERE ir <= 64),
+         |  FROM tf JOIN dl USING (doc))
+         |  WHERE ir <= (SELECT GREATEST(64, (n_docs + 624) // 625)
+         |               FROM corpus)),
          |cand AS (SELECT DISTINCT qt.q_id, trunc.doc FROM qt
          |  JOIN trunc USING (term)),
          |resc AS (SELECT c.q_id, p.doc, p.term, p.tf FROM cand c

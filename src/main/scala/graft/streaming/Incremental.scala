@@ -1590,4 +1590,158 @@ object Incremental {
         ()
       }
       .start()
+
+  /** The impact-index registry's layout: `postings/` + `dl/` (append-only
+    * — BM25's stats are additive over disjoint doc ids), `impact/` (the
+    * truncated index, carrying `dl` so per-term re-ranking never rejoins),
+    * `meta/` (one row: the depth the standing index was built at, and the
+    * doc count it was calibrated against).
+    *
+    * Crash contract (the write order is postings → dl → impact swap →
+    * meta swap): a batch is DURABLE once its dl append committed — dl is
+    * the seen-doc set the replay anti-join reads, so a crash any earlier
+    * replays the whole batch. A replayed batch can re-append postings
+    * rows its crashed predecessor already committed (dl hadn't, so the
+    * docs still read as fresh); those are EXACT duplicate rows — postings
+    * rows are per-(doc, term) aggregates of a deterministic tokenizer —
+    * and every reader in this family collapses them with `distinct()`
+    * ([[impactIndexStats]]; production compacts on the fold cadence
+    * instead, the Merge delta-log convention). The impact/meta swaps are
+    * atomic ([[Merge.replaceParquet]]) and recomputed idempotently from
+    * the registries, never from in-flight frames.
+    */
+  def impactIndexRegistry(spark: SparkSession, registryPath: String)
+      : DataFrame = spark.read.parquet(s"$registryPath/impact")
+
+  /** The registry-derived serve inputs for
+    * [[graft.operators.TermStats.bm25TopKImpact]]: `(postings, dfreq,
+    * dl, corpus)` — postings/dl healed of replay duplicates (see
+    * [[impactIndexRegistry]]'s crash contract), stats rolled up from the
+    * healed frames exactly as `bm25Stats` does.
+    */
+  def impactIndexStats(spark: SparkSession, registryPath: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val postings = spark.read.parquet(s"$registryPath/postings").distinct()
+    val dl = spark.read.parquet(s"$registryPath/dl").distinct()
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("a_tok"))
+    (postings, dfreq, dl, corpus)
+  }
+
+  /** Streaming maintenance of the impact-truncated BM25 serve index
+    * ([[graft.operators.TermStats.bm25ImpactIndex]]) — the incremental
+    * path the q203/q204 pruned serves imply: a production deployment
+    * ingests documents continuously and must not re-tokenize the corpus
+    * per refresh. Per micro-batch:
+    *
+    *  1. `postings/` and `dl/` extend by the batch's rows (append-only;
+    *     replayed doc ids anti-join away against the dl registry — the
+    *     first-wins convention; empty appends are SKIPPED, the
+    *     schema-only-part lesson from the segmented curriculum).
+    *  2. `impact/` re-truncates per term over (standing index ∪ the
+    *     batch docs' registry postings).distinct — EXACT by the monotone
+    *     top-m property on an append-only corpus: a posting outside
+    *     top-m(P) is dominated by ≥ m postings that all remain in P ∪ B,
+    *     so top-m(P ∪ B) ⊆ top-m(P) ∪ B. The union reads the batch rows
+    *     FROM the postings registry (not the in-flight frame), so a
+    *     crash between the append and the swap replays idempotently —
+    *     the distinct de-dups re-merged rows instead of double-counting
+    *     them toward m.
+    *  3. The depth follows the calibrated
+    *     [[graft.operators.TermStats.impactM]] m(n), QUANTIZED to the
+    *     next power of two: a depth increase invalidates the monotone
+    *     merge (rows below the old cut were never kept), so it triggers
+    *     a REBUILD from the postings registry — pow2 quantization makes
+    *     that a corpus-doubling event, amortized O(1) rebuilds per
+    *     doubling, while the standing depth stays ≥ the calibration (so
+    *     the serve contract's recall floor holds between rebuilds).
+    *
+    * Write cost per batch: O(batch) appends + an O(m·|vocab|) index swap
+    * (the index IS the registry's tail — m·V rows by construction, the
+    * bounded artifact the truncation exists to produce; the raw postings
+    * are never rewritten). Serve via [[impactIndexRegistry]] +
+    * `bm25TopKImpact`, bit-identical to a from-scratch build (pinned in
+    * StreamBatchEquivalenceSpec).
+    */
+  def streamingImpactIndex(stream: DataFrame, checkpointDir: String,
+                           registryPath: String, id: String, text: String,
+                           minTermLen: Int = 1, docsPerSlot: Long = 625L,
+                           mMin: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.{Dedup, TermStats}
+        val postPath = s"$registryPath/postings"
+        val dlPath = s"$registryPath/dl"
+        val impactPath = s"$registryPath/impact"
+        val metaPath = s"$registryPath/meta"
+        val docsIn = batch.select(col(id).as("doc"), col(text).as("__text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // replay safety: the dl registry is the seen-doc-id set
+          val fresh =
+            if (readableParquet(spark, dlPath))
+              docsIn.join(spark.read.parquet(dlPath).select(col("doc")),
+                Seq("doc"), "left_anti")
+            else docsIn
+          val newPost = TermStats.bm25Postings(
+              fresh.select(col("doc").as(id), col("__text").as(text)),
+              id, text, minTermLen)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (!newPost.isEmpty) { // empty append = schema-only part file
+              // postings FIRST, dl second: dl is the durability mark (see
+              // impactIndexRegistry's crash contract)
+              newPost.write.mode("append").parquet(postPath)
+              newPost.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+                .write.mode("append").parquet(dlPath)
+            }
+            if (readableParquet(spark, dlPath)) {
+              val dlReg = spark.read.parquet(dlPath).distinct()
+              val nTotal = dlReg.count()
+              val mCal = TermStats.impactM(nTotal, docsPerSlot, mMin)
+              // next power of two ≥ mCal (mCal ≤ 2^30 in any real corpus;
+              // past that the shift would wrap, so saturate)
+              val mQ = if (mCal >= (1 << 30)) mCal
+                else if (mCal <= 1) 1
+                else Integer.highestOneBit(mCal - 1) << 1
+              val builtM: Int =
+                if (readableParquet(spark, metaPath))
+                  spark.read.parquet(metaPath).head.getInt(0)
+                else -1
+              val order = Seq(col("tf").desc, col("dl").asc, col("doc").asc)
+              val next =
+                if (mQ > builtM || !readableParquet(spark, impactPath)) {
+                  // depth grew (or first build): the merge property can't
+                  // reach below the old cut — rebuild from the registry
+                  Dedup.keepFirstK(
+                    spark.read.parquet(postPath).distinct().join(dlReg, "doc"),
+                    Seq(col("term")), order, mQ, "__ir")
+                } else {
+                  // batch rows from the REGISTRY (idempotent on replay),
+                  // distinct so a re-merge (or a replay-duplicated append)
+                  // can't double-count toward m
+                  val batchRows = spark.read.parquet(postPath)
+                    .join(docsIn.select(col("doc")).distinct(), Seq("doc"))
+                    .join(dlReg, "doc")
+                  Dedup.keepFirstK(
+                    spark.read.parquet(impactPath)
+                      .unionByName(batchRows).distinct(),
+                    Seq(col("term")), order, builtM, "__ir")
+                }
+              val effM = math.max(mQ, builtM)
+              Merge.replaceParquet(spark, impactPath,
+                next.select(col("doc"), col("term"), col("tf"), col("dl")))
+              import spark.implicits._
+              Merge.replaceParquet(spark, metaPath,
+                Seq((effM, nTotal)).toDF("m_built", "n_docs"))
+            }
+          } finally { newPost.unpersist(); () }
+        } finally { docsIn.unpersist(); () }
+        ()
+      }
+      .start()
 }

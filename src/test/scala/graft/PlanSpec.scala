@@ -364,6 +364,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q205 impact merge: per-term top-m stays WindowGroupLimit (rank " +
+    "pushed into the shuffle), no cartesian, no global window") {
+    val plan = planString(run("q205_impact_merge"))
+    assert(plan.contains("WindowGroupLimit"),
+      "keepFirstK's per-term top-m must keep the group-limit pushdown")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q168 RM3: both serve passes read ONE cached postings build (no re-tokenize)") {
     // the registered query localCheckpoints (cache lifecycle), which hides
     // its plan — pin the same two-pass composition pre-checkpoint.

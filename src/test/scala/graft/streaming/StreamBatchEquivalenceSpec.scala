@@ -1465,4 +1465,101 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(positions.values.toSeq.sorted == (1L to 5L),
       "the stream must extend a registry with a schema-only frozen/")
   }
+
+  test("streamingImpactIndex ≡ bm25ImpactIndex on the full corpus; serve " +
+    "registry ≡ from-scratch; replay and duplicate appends heal") {
+    import spark.implicits._
+    import graft.operators.TermStats
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-impact-reg")
+      .toFile.getAbsolutePath
+    val reg = s"$dir/reg"
+    // small deterministic corpus: cyclic token patterns with repeats and
+    // varying doc lengths, so tf AND dl both drive real per-term
+    // competition for the top-m slots
+    def text(i: Long): String =
+      (0 until (4 + (i % 3)).toInt).map(j => s"t${(i + j * j) % 7}")
+        .mkString(" ")
+    val chunks = Seq((0L until 30L), (30L until 60L), (60L until 90L))
+      .map(_.map(i => (i, text(i))))
+    def drive(ckpt: String, cs: Seq[Seq[(Long, String)]],
+              slot: Long, mMin: Int): Unit = {
+      val input = MemoryStream[(Long, String)]
+      val query = Incremental.streamingImpactIndex(
+        input.toDF().toDF("doc_id", "text"), ckpt, reg, "doc_id", "text",
+        docsPerSlot = slot, mMin = mMin)
+      try cs.foreach { c =>
+        input.addData(c: _*); query.processAllAvailable()
+      } finally query.stop()
+    }
+    // slot huge => m pinned at mMin=4 throughout: batches 2-3 exercise
+    // the MONOTONE MERGE branch (no rebuild)
+    drive(s"$dir/ckpt1", chunks, slot = 1000000L, mMin = 4)
+    def impactRows = Incremental.impactIndexRegistry(spark, reg)
+      .select($"doc", $"term", $"tf").as[(Long, String, Long)]
+      .collect().toSet
+    val allDocs = chunks.flatten.toDF("doc_id", "text")
+    val fullPost = TermStats.bm25Postings(allDocs, "doc_id", "text")
+    val (dfq, dl, corp) = TermStats.bm25Stats(fullPost)
+    val batchIdx = TermStats.bm25ImpactIndex(fullPost, dl, m = 4)
+      .as[(Long, String, Long)].collect().toSet
+    assert(impactRows === batchIdx,
+      "merged impact index diverged from the from-scratch build")
+    // serve equivalence: registry inputs vs from-scratch inputs
+    val qs = allDocs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("q_id"),
+        slice(graft.functions.Text.tokens($"text"), 1, 3).as("qt"))
+    def servedSet(trunc: org.apache.spark.sql.DataFrame,
+                  post: org.apache.spark.sql.DataFrame,
+                  df_ : org.apache.spark.sql.DataFrame,
+                  dl_ : org.apache.spark.sql.DataFrame,
+                  c: org.apache.spark.sql.DataFrame) =
+      TermStats.bm25TopKImpact(trunc, post, df_, dl_, c, qs,
+          "q_id", "qt", k = 3)
+        .select($"q", $"rank", $"doc", $"score_pm")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val fromScratch = servedSet(
+      TermStats.bm25ImpactIndex(fullPost, dl, m = 4), fullPost, dfq, dl, corp)
+    val (rp, rdf, rdl, rcorp) = Incremental.impactIndexStats(spark, reg)
+    assert(servedSet(Incremental.impactIndexRegistry(spark, reg),
+      rp, rdf, rdl, rcorp) === fromScratch,
+      "registry serve diverged from the from-scratch serve")
+    // replay: re-deliver batch 3 via a fresh stream — ids anti-join away,
+    // index bytes-equal
+    drive(s"$dir/ckpt2", Seq(chunks.last), slot = 1000000L, mMin = 4)
+    assert(impactRows === batchIdx, "a replayed batch moved the index")
+    assert(Incremental.impactIndexStats(spark, reg)._1.count() ===
+      fullPost.count(), "a replayed batch duplicated postings")
+    // crash-window heal: duplicate one doc's postings rows (the partial-
+    // append replay shape) — distinct-reading consumers must not move
+    spark.read.parquet(s"$reg/postings").filter($"doc" === 0L)
+      .write.mode("append").parquet(s"$reg/postings")
+    val (hp, hdf, hdl, hcorp) = Incremental.impactIndexStats(spark, reg)
+    assert(servedSet(Incremental.impactIndexRegistry(spark, reg),
+      hp, hdf, hdl, hcorp) === fromScratch,
+      "duplicate appended postings must heal through the distinct reads")
+    // m(n) growth forces the REBUILD branch: slot=8 => mCal crosses the
+    // pow2 boundary as the corpus grows (30→60→90 docs: m 4→8→16)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-impact-grow")
+      .toFile.getAbsolutePath
+    val reg2 = s"$dir2/reg"
+    val input = MemoryStream[(Long, String)]
+    val query = Incremental.streamingImpactIndex(
+      input.toDF().toDF("doc_id", "text"), s"$dir2/ckpt", reg2,
+      "doc_id", "text", docsPerSlot = 8L, mMin = 4)
+    try chunks.foreach { c =>
+      input.addData(c: _*); query.processAllAvailable()
+    } finally query.stop()
+    val meta = spark.read.parquet(s"$reg2/meta")
+      .as[(Int, Long)].collect().head
+    assert(meta === ((16, 90L)),
+      s"expected depth 16 at 90 docs (slot 8, pow2), got $meta")
+    val grown = Incremental.impactIndexRegistry(spark, reg2)
+      .select($"doc", $"term", $"tf").as[(Long, String, Long)]
+      .collect().toSet
+    val grownBatch = TermStats.bm25ImpactIndex(fullPost, dl, m = 16)
+      .as[(Long, String, Long)].collect().toSet
+    assert(grown === grownBatch,
+      "the rebuild-on-depth-growth index diverged from the batch build")
+  }
 }
