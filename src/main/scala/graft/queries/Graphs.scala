@@ -97,6 +97,16 @@ object Graphs {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var reg = Components.emptyRegistry(spark, ed, "src")
+      // the in-loop conf pair (the q147/walkaqe rule, r17): every fold is
+      // a handful of batch-bounded tiny shuffles ending in an eager
+      // checkpoint — per-fold adaptive re-planning is driver overhead and
+      // session-sized partitions are mostly empty tasks. Parts sized to
+      // the edge frame (Cols.loopParts). The r16 conf LEAK accidentally
+      // measured exactly this condition (session serialized to 1
+      // partition): q120 read 1.6 s vs 3.6 s clean — evidence the pair is
+      // a real win here, now applied deliberately and scoped safely.
+      graft.functions.Cols.withLoopConf(spark,
+        graft.functions.Cols.loopParts(ed, ed.count())) {
       (0 until 3).foreach { i =>
         // EAGER checkpoint between folds — measured, not assumed (r13):
         // the lazy form is 0.6-0.8 s SLOWER here (4.2-4.5 s vs 3.6 s
@@ -106,18 +116,16 @@ object Graphs {
         // computed by both before its cache populates. Eager pays one
         // scheduling round to make every later read a cache hit.
         // batchDistinct stays FALSE although ed is globally distinct:
-        // the per-fold dedup shuffle doubles as AQE compaction (the
-        // filtered batch inherits ed's 32 cached partitions; post-
-        // shuffle it coalesces to match its few-KB volume), and the
-        // interleaved A/B measured the "optimized" skip 0.6 s SLOWER
-        // (3.9-4.3 s vs 3.3-3.5 s) — every downstream tiny stage paid
-        // 32 tasks instead of 1. At cluster scale AQE sizes the same
-        // shuffle by data, so this is not a local-only hack.
+        // the per-fold dedup shuffle doubles as partition compaction
+        // (the filtered batch inherits ed's 32 cached partitions;
+        // post-shuffle it lands on the loop-sized partition count) —
+        // the r13 interleaved A/B measured the skip 0.6 s SLOWER.
         reg = Components.updateRegistry(reg,
             ed.filter(col("__batch") === i), "src", "dst")
           .localCheckpoint(true)
       }
       Components.components(reg)
+      }
     } finally { ed.unpersist(); () }
   }
 
@@ -460,6 +468,12 @@ object Graphs {
       .withColumn("__batch", pmod(crc32(col("cust")), lit(3)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // the in-loop conf pair (the q120 rationale, r17): per-fold frames
+      // are batch-bounded pair aggregates ending in eager checkpoints;
+      // parts sized to the bipartite frame. The r16 leak accidentally
+      // measured this condition at 1.5 s vs 5.0 s clean.
+      graft.functions.Cols.withLoopConf(spark,
+        graft.functions.Cols.loopParts(bp, bp.count())) {
       var reg = Cooccurrence.project(bp.filter(col("__batch") === 0),
         "cust", "supp", maxLeftDeg = 32)
       for (i <- 1 until 3) {
@@ -470,6 +484,7 @@ object Graphs {
           .localCheckpoint(true)
       }
       reg
+      }
     } finally { bp.unpersist(); () }
   }
 
