@@ -24,6 +24,15 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // parallelismFirst stays at its DEFAULT (true) — measured, not
+      // assumed (r17 aqesize A/B, SCALE.md): flipping it false with an
+      // 8 MB advisory was a wash-to-loss (+2.6% over a 20-query subset;
+      // q157/q168/q155/q57 +18–22%, one −20% win). The r16 leak's
+      // small-query speedups came from PLANNED 1-partition shuffles (and
+      // AQE off), not from runtime coalescing — runtime merge keeps the
+      // planning/scheduling overhead and the smaller advisory starves
+      // mid-size shuffles. Loop-shaped queries get planned sizing via
+      // Cols.withLoopConf instead.
       // The generated-class cache defaults to 100 entries; a resident
       // engine serving this registry's 130+ query shapes (several with
       // large codegen'd expression trees — minhash signatures, banding,
