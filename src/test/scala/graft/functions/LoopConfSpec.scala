@@ -102,16 +102,20 @@ class LoopConfSpec extends AnyFunSuite {
   test("stress: 16 concurrent scopes with jittered bodies restore exactly") {
     val before = snapshot()
     for (_ <- 1 to 5) {
+      // failures inside foreign threads must FAIL the test, not vanish
+      // into a stack trace on stderr
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
       val threads = (0 until 16).map { i =>
         new Thread(() =>
-          Cols.withLoopConf(spark, (i % 7) + 1) {
+          try Cols.withLoopConf(spark, (i % 7) + 1) {
             assert(spark.conf.get(AqeKey) == "false")
             Thread.sleep((i * 3) % 11L)
-          })
+          } catch { case t: Throwable => failures.add(t); () })
       }
       threads.foreach(_.start())
       threads.foreach(_.join(30000))
       assert(threads.forall(!_.isAlive))
+      if (!failures.isEmpty) throw failures.peek()
       assert(snapshot() == before,
         "conf drifted after a concurrent round — the r16 leak shape")
     }
