@@ -79,7 +79,7 @@ object ScaleProbe {
       "codecprep", "bwdist",
       "ccinc", "funnel", "prep", "monitor", "bm25reg", "splitreg",
       "retrieval", "kcore", "cooccur", "walks", "wl", "ranks", "curreg",
-      "nostraddle", "curseg", "zipf", "zipfm", "zipfreg")
+      "nostraddle", "curseg", "zipf", "zipfm", "zipfreg", "impinc")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -2040,6 +2040,69 @@ object ScaleProbe {
           qFixed, "q_id", "qt", 5).count()
       }
       graft.Caches.clearAll(spark)
+    }
+    // Impact-index INCREMENTAL maintenance cost (r17): the claim in
+    // Incremental.streamingImpactIndex is per-batch write cost
+    // O(batch appends + m·|vocab| index swap) with NO corpus-
+    // proportional term outside the depth-crossing rebuilds. Fold a
+    // fixed-size batch into standings of growing size (same Zipf
+    // generator) and time the fold: the curve must stay FLAT as the
+    // standing corpus grows (the index is m·V rows at every size), with
+    // only the quantized-depth rebuild steps paying a postings-registry
+    // scan. Uses the real streaming entry point via foreachBatch
+    // equivalents: Merge/registry machinery identical.
+    if (want("impinc")) for (factor <- probeFactors) {
+      import graft.operators.TermStats
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val nStand = 10000L * factor
+      val nBatch = 2000L
+      val vocab = 50000
+      val len = 60
+      def zdocs(from: Long, until: Long) =
+        spark.range(from, until).select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(len)), { j =>
+            val u = pmod(hash(col("id"), lit("z"), j), lit(1000000))
+              .cast("double") / 1000000.0
+            concat(lit("t"), least(lit(vocab.toLong),
+              exp(u * math.log(vocab.toDouble)).cast("long") + 1L))
+          })).as("text"))
+      val reg = s"/tmp/scale/impinc$factor/reg"
+      // fresh registry per run — a stale one anti-joins the seed away
+      val regRoot = new org.apache.hadoop.fs.Path(s"/tmp/scale/impinc$factor")
+      regRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(regRoot, true)
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[(Long, String)]
+      val query = graft.streaming.Incremental.streamingImpactIndex(
+        input.toDF().toDF("doc_id", "text"),
+        s"/tmp/scale/impinc$factor/ckpt", reg, "doc_id", "text")
+      try {
+        // seed the standing corpus as one batch (this fold pays the
+        // first build — excluded from the steady-state reading)
+        val seed = zdocs(0L, nStand)
+          .as[(Long, String)].collect()
+        time(s"impinc seed ${factor}x ($nStand docs incl. first build)") {
+          input.addData(seed.toIndexedSeq: _*)
+          query.processAllAvailable(); 1L
+        }
+        // steady state: three fixed-size folds against the standing
+        // registry — THE reading (flat across factors = the claim)
+        for (b <- 0 until 3) {
+          val from = nStand + b * nBatch
+          val batch = zdocs(from, from + nBatch).as[(Long, String)].collect()
+          time(s"impinc fold#${b + 1} ${factor}x ($nBatch docs into $nStand+)") {
+            input.addData(batch.toIndexedSeq: _*)
+            query.processAllAvailable(); 1L
+          }
+        }
+        val meta = spark.read.parquet(s"$reg/meta")
+          .collect().head
+        println(s"[scale] impinc ${factor}x meta: m_built=${meta.get(0)} " +
+          s"n_docs=${meta.get(1)}; impact rows=" +
+          spark.read.parquet(s"$reg/impact").count())
+      } finally query.stop()
+      spark.catalog.clearCache()
     }
     // Segmented vs monolithic curriculum WRITE cost (the r16 layout):
     // one streaming step at watermark 0.9 over a factor×100k standing

@@ -621,8 +621,11 @@ object TermStats {
     require(nDocs >= 0, s"nDocs must be >= 0, got $nDocs")
     require(docsPerSlot >= 1, s"docsPerSlot must be >= 1, got $docsPerSlot")
     require(mMin >= 1, s"mMin must be >= 1, got $mMin")
-    math.min(Int.MaxValue.toLong,
-      math.max(mMin.toLong, (nDocs + docsPerSlot - 1) / docsPerSlot)).toInt
+    // mod-based ceiling: the (n + slot - 1) form overflows Long for
+    // counts near Long.MaxValue and the clamp would then read mMin —
+    // the loopParts lesson, one type wider
+    val ceil = nDocs / docsPerSlot + (if (nDocs % docsPerSlot == 0) 0L else 1L)
+    math.min(Int.MaxValue.toLong, math.max(mMin.toLong, ceil)).toInt
   }
 
   /** BM25 served from an impact-truncated index ([[bm25ImpactIndex]]):

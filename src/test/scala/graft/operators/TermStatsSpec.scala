@@ -143,4 +143,21 @@ class TermStatsSpec extends AnyFunSuite {
       (4L, 1L, 0L, 0L, 1L, 26666L),
       (5L, 1L, 0L, 0L, 0L, 0L)))
   }
+
+  test("impactM: floor, exact integer ceiling, calibration points, overflow") {
+    assert(TermStats.impactM(0L) == 64)            // empty corpus floors
+    assert(TermStats.impactM(40000L) == 64)        // 4x ladder point
+    assert(TermStats.impactM(40001L) == 65)        // ceil, not floor-div
+    assert(TermStats.impactM(160000L) == 256)      // 16x ladder point
+    assert(TermStats.impactM(1000000L) == 1600)
+    // Long-safe: a web-scale count must saturate, never wrap — including
+    // the additive-ceil overflow shape ((n + slot - 1) wraps negative)
+    assert(TermStats.impactM(Long.MaxValue, docsPerSlot = 1L) == Int.MaxValue)
+    assert(TermStats.impactM(Long.MaxValue, docsPerSlot = 2L) == Int.MaxValue)
+    assert(TermStats.impactM(Long.MaxValue - 1L, docsPerSlot = 3L) == Int.MaxValue)
+    assert(TermStats.impactM(10L, docsPerSlot = 1L, mMin = 2) == 10)
+    intercept[IllegalArgumentException](TermStats.impactM(-1L))
+    intercept[IllegalArgumentException](TermStats.impactM(10L, docsPerSlot = 0L))
+    intercept[IllegalArgumentException](TermStats.impactM(10L, mMin = 0))
+  }
 }
