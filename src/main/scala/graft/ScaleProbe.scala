@@ -79,7 +79,8 @@ object ScaleProbe {
       "codecprep", "bwdist",
       "ccinc", "funnel", "prep", "monitor", "bm25reg", "splitreg",
       "retrieval", "kcore", "cooccur", "walks", "wl", "ranks", "curreg",
-      "nostraddle", "curseg", "zipf", "zipfm", "zipfreg", "impinc")
+      "nostraddle", "curseg", "zipf", "zipfm", "zipfreg", "impinc",
+      "prckpt")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -2103,6 +2104,32 @@ object ScaleProbe {
           spark.read.parquet(s"$reg/impact").count())
       } finally query.stop()
       spark.catalog.clearCache()
+    }
+    // q147 checkpoint-cadence sweep (r17): pagerankDistributed exposes
+    // checkpointEvery (lineage depth k — un-checkpointed rounds' triple
+    // read is deduped by ReuseExchange within the one checkpoint action)
+    // but the registered query has always run the default 1. q147 burns
+    // 73 CPU-s for 30 rounds over ~100k-row frames — if a chunk of that
+    // is per-round checkpoint serialization, a deeper cadence buys it
+    // back with zero numeric change (localCheckpoint affects lineage
+    // only; the oracle hash is the guard).
+    if (want("prckpt")) {
+      val ed = graft.queries.Graphs.edges(spark, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ed.count()
+      // k capped at 3: each un-checkpointed round's frame is read three
+      // times (dang, contrib, next-join) and under AQE-off the reuse that
+      // bridges them only fires within ONE action — lineage recompute
+      // grows ~3^k, and the first k=5/10 sweep ran >20 min before being
+      // killed (that blowup IS the finding; see SCALE.md prckpt).
+      for (k <- Seq(1, 2, 3); pass <- 1 to 2) {
+        time(s"prckpt pagerankDistributed checkpointEvery=$k pass$pass") {
+          graft.operators.GraphMetrics.pagerankDistributed(
+            ed, checkpointEvery = k).count()
+        }
+        graft.Caches.clearAll(spark)
+      }
+      ed.unpersist(); ()
     }
     // Segmented vs monolithic curriculum WRITE cost (the r16 layout):
     // one streaming step at watermark 0.9 over a factor×100k standing
