@@ -590,11 +590,51 @@ object TermStats {
     * term's partition is df-sized at build time, which is the standard
     * index-build cost and never a serve cost.
     */
-  def bm25ImpactIndex(postings: DataFrame, dl: DataFrame, m: Int): DataFrame = {
+  /** The impact proxy order, shared by every truncation/merge site so the
+    * tie-breaks cannot drift apart: tf desc (score rises in tf), dl asc
+    * (score falls in dl), doc asc (determinism).
+    */
+  private[graft] def impactOrder: Seq[Column] =
+    Seq(col("tf").desc, col("dl").asc, col("doc").asc)
+
+  def bm25ImpactIndex(postings: DataFrame, dl: DataFrame, m: Int): DataFrame =
+    bm25ImpactIndexWithDl(postings, dl, m)
+      .select(col("doc"), col("term"), col("tf"))
+
+  /** [[bm25ImpactIndex]] keeping the `dl` column — the REGISTRY form
+    * ([[graft.streaming.Incremental.streamingImpactIndex]]'s layout):
+    * per-term re-truncation on merge needs dl for the tie-break, and
+    * carrying it beats re-joining the dl registry every maintenance
+    * batch.
+    */
+  def bm25ImpactIndexWithDl(postings: DataFrame, dl: DataFrame,
+                            m: Int): DataFrame = {
     require(m >= 1, s"m must be >= 1, got $m")
     Dedup.keepFirstK(postings.join(dl, "doc"), Seq(col("term")),
-        Seq(col("tf").desc, col("dl").asc, col("doc").asc), m, "__ir")
-      .select(col("doc"), col("term"), col("tf"))
+        impactOrder, m, "__ir")
+      .select(col("doc"), col("term"), col("tf"), col("dl"))
+  }
+
+  /** The impact-index MONOTONE MERGE — the incremental maintenance step:
+    * re-truncate (standing index ∪ batch rows) per term. EXACT on an
+    * append-only corpus: a posting outside top-m(P) is dominated by ≥ m
+    * postings that all remain in P ∪ B, so top-m(P ∪ B) ⊆ top-m(P) ∪ B.
+    * Requires the SAME m the standing index was built at (a depth
+    * increase cannot reach below the old cut — rebuild instead, the
+    * streaming maintainer's pow2 policy). `distinct` de-dups rows a
+    * crash-replayed append may have duplicated (the registry's crash
+    * contract) so they cannot double-count toward m. Both sides carry
+    * `(doc, term, tf, dl)`. Theorem pinned three ways: q205's oracle
+    * computes the full-corpus truncation in one window (DuckDB hash
+    * equality), StreamBatchEquivalenceSpec drives the real stream, and
+    * a ScalaCheck property exercises random corpora and depths.
+    */
+  def impactIndexMerge(standing: DataFrame, batchRows: DataFrame,
+                       m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    Dedup.keepFirstK(standing.unionByName(batchRows).distinct(),
+        Seq(col("term")), impactOrder, m, "__ir")
+      .select(col("doc"), col("term"), col("tf"), col("dl"))
   }
 
   /** The calibrated impact-list depth m(n): a FIXED m is a shrinking

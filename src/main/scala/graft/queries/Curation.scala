@@ -1180,21 +1180,16 @@ object Curation {
   def q205ImpactMerge(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.balanced(spark, d, "documents")
     val m = 64
-    val order = Seq(col("tf").desc, col("dl").asc, col("doc").asc)
     def half(pred: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
       val p = TermStats.bm25Postings(docs.filter(pred), "doc_id", "text")
       (p, p.groupBy(col("doc")).agg(sum(col("tf")).as("dl")))
     }
     val (ps, dls) = half(col("doc_id") % 2 === 0)
     val (pb, dlb) = half(col("doc_id") % 2 === 1)
-    val standingIdx = graft.operators.Dedup.keepFirstK(ps.join(dls, "doc"),
-        Seq(col("term")), order, m, "__ir")
-      .select(col("doc"), col("term"), col("tf"), col("dl"))
-    val merged = graft.operators.Dedup.keepFirstK(
-      standingIdx.unionByName(
-        pb.join(dlb, "doc").select(col("doc"), col("term"), col("tf"),
-          col("dl"))),
-      Seq(col("term")), order, m, "__ir")
+    val standingIdx = TermStats.bm25ImpactIndexWithDl(ps, dls, m)
+    val merged = TermStats.impactIndexMerge(standingIdx,
+      pb.join(dlb, "doc").select(col("doc"), col("term"), col("tf"),
+        col("dl")), m)
     merged.groupBy(col("term"))
       .agg(count(lit(1)).as("n_kept"), sum(col("tf")).as("tf_sum"),
         sum(col("doc")).as("doc_sum"), sum(col("dl")).as("dl_sum"))

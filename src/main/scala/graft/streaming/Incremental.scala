@@ -1673,7 +1673,7 @@ object Incremental {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        import graft.operators.{Dedup, TermStats}
+        import graft.operators.TermStats
         val postPath = s"$registryPath/postings"
         val dlPath = s"$registryPath/dl"
         val impactPath = s"$registryPath/impact"
@@ -1712,29 +1712,25 @@ object Incremental {
                 if (readableParquet(spark, metaPath))
                   spark.read.parquet(metaPath).head.getInt(0)
                 else -1
-              val order = Seq(col("tf").desc, col("dl").asc, col("doc").asc)
               val next =
                 if (mQ > builtM || !readableParquet(spark, impactPath)) {
                   // depth grew (or first build): the merge property can't
                   // reach below the old cut — rebuild from the registry
-                  Dedup.keepFirstK(
-                    spark.read.parquet(postPath).distinct().join(dlReg, "doc"),
-                    Seq(col("term")), order, mQ, "__ir")
+                  TermStats.bm25ImpactIndexWithDl(
+                    spark.read.parquet(postPath).distinct(), dlReg, mQ)
                 } else {
-                  // batch rows from the REGISTRY (idempotent on replay),
-                  // distinct so a re-merge (or a replay-duplicated append)
-                  // can't double-count toward m
+                  // batch rows from the REGISTRY (idempotent on replay);
+                  // impactIndexMerge's distinct keeps a re-merge (or a
+                  // replay-duplicated append) from double-counting toward m
                   val batchRows = spark.read.parquet(postPath)
                     .join(docsIn.select(col("doc")).distinct(), Seq("doc"))
                     .join(dlReg, "doc")
-                  Dedup.keepFirstK(
-                    spark.read.parquet(impactPath)
-                      .unionByName(batchRows).distinct(),
-                    Seq(col("term")), order, builtM, "__ir")
+                    .select(col("doc"), col("term"), col("tf"), col("dl"))
+                  TermStats.impactIndexMerge(
+                    spark.read.parquet(impactPath), batchRows, builtM)
                 }
               val effM = math.max(mQ, builtM)
-              Merge.replaceParquet(spark, impactPath,
-                next.select(col("doc"), col("term"), col("tf"), col("dl")))
+              Merge.replaceParquet(spark, impactPath, next)
               import spark.implicits._
               Merge.replaceParquet(spark, metaPath,
                 Seq((effM, nTotal)).toDF("m_built", "n_docs"))

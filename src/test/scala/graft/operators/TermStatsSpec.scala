@@ -160,4 +160,39 @@ class TermStatsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TermStats.impactM(10L, docsPerSlot = 0L))
     intercept[IllegalArgumentException](TermStats.impactM(10L, mMin = 0))
   }
+
+  test("property: impact-index monotone merge ≡ full truncation for ANY " +
+    "append-only split and depth (the q205/streamingImpactIndex theorem)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val docGen = for {
+      id <- Gen.chooseNum(0L, 120L)
+      nTok <- Gen.chooseNum(1, 8)
+      toks <- Gen.listOfN(nTok, Gen.chooseNum(0, 6))
+    } yield (id, toks.map(t => s"t$t").mkString(" "))
+    val prop = Prop.forAll(
+      Gen.listOfN(25, docGen), Gen.chooseNum(1, 5)) { (docs0, m) =>
+      // one text per doc id (append-only semantics: a doc never re-lands)
+      val docs = docs0.distinctBy(_._1)
+      val (standing0, batch0) = docs.partition(_._1 % 2 == 0)
+      def postDl(rows: Seq[(Long, String)]) = {
+        val p = TermStats.bm25Postings(rows.toDF("doc_id", "text"),
+          "doc_id", "text")
+        (p, p.groupBy(col("doc")).agg(sum(col("tf")).as("dl")))
+      }
+      val (ps, dls) = postDl(standing0)
+      val (pb, dlb) = postDl(batch0)
+      val merged = TermStats.impactIndexMerge(
+          TermStats.bm25ImpactIndexWithDl(ps, dls, m),
+          pb.join(dlb, "doc")
+            .select(col("doc"), col("term"), col("tf"), col("dl")), m)
+        .as[(Long, String, Long, Long)].collect().toSet
+      val (pf, dlf) = postDl(docs)
+      val full = TermStats.bm25ImpactIndexWithDl(pf, dlf, m)
+        .as[(Long, String, Long, Long)].collect().toSet
+      merged == full
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
