@@ -256,9 +256,19 @@ object TextDedup {
   }
 
   private def iterativeCC(p: DataFrame, maxIter: Int): DataFrame = {
+    val spark = p.sparkSession
     val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count() // materializes the persist; sizes the loop
+    // the in-loop conf pair (the q147/walkaqe rule, applied r17 and A/B'd
+    // on the ccdiam ladder — see SCALE.md cciter): every round is
+    // edge/label-grain shuffles ending in a checkpointed count, so
+    // per-round adaptive re-planning is driver overhead and session-sized
+    // partitions are mostly empty tasks on the label frames; parts sized
+    // to the symmetrized edge frame.
+    graft.functions.Cols.withLoopConf(spark,
+      graft.functions.Cols.loopParts(edges, nEdges)) {
     var labels = edges.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
@@ -308,6 +318,7 @@ object TextDedup {
     labels.select(col("node"), col("label").as("cluster"),
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("label"))).as("cluster_size"))
+    }
   }
 
   /** Train/eval contamination check (decontamination): for every PROBE
