@@ -1629,6 +1629,24 @@ object Incremental {
     (postings, dfreq, dl, corpus)
   }
 
+  /** The impact registry's COMPACTION — the LSM fold the crash contract
+    * defers to (see [[impactIndexRegistry]]): rewrite `postings/` and
+    * `dl/` deduplicated, so the per-serve healing `distinct()` becomes a
+    * shuffle over already-unique rows and crash-replay duplicates stop
+    * accumulating. Run on the fold cadence (per epoch / N batches), not
+    * per batch — one O(registry) rewrite amortized over many O(batch)
+    * appends, exactly the Merge delta-log economics. Atomic swaps; the
+    * impact/ and meta/ artifacts are untouched (they are recomputed
+    * snapshots, never accumulating logs).
+    */
+  def compactImpactRegistry(spark: SparkSession, registryPath: String): Unit = {
+    for (sub <- Seq("postings", "dl")) {
+      val path = s"$registryPath/$sub"
+      if (readableParquet(spark, path))
+        Merge.replaceParquet(spark, path, spark.read.parquet(path).distinct())
+    }
+  }
+
   /** Streaming maintenance of the impact-truncated BM25 serve index
     * ([[graft.operators.TermStats.bm25ImpactIndex]]) — the incremental
     * path the q203/q204 pruned serves imply: a production deployment

@@ -1538,6 +1538,16 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(servedSet(Incremental.impactIndexRegistry(spark, reg),
       hp, hdf, hdl, hcorp) === fromScratch,
       "duplicate appended postings must heal through the distinct reads")
+    // compaction (the fold-cadence op) makes the raw files unique again:
+    // a raw read — no healing distinct — must match the full build
+    assert(spark.read.parquet(s"$reg/postings").count() > fullPost.count(),
+      "fixture: the duplicate append must be visible pre-compaction")
+    Incremental.compactImpactRegistry(spark, reg)
+    assert(spark.read.parquet(s"$reg/postings").count() === fullPost.count(),
+      "compaction must fold replay duplicates out of the raw files")
+    val (cp, cdf, cdl, ccorp) = Incremental.impactIndexStats(spark, reg)
+    assert(servedSet(Incremental.impactIndexRegistry(spark, reg),
+      cp, cdf, cdl, ccorp) === fromScratch, "serve unchanged by compaction")
     // m(n) growth forces the REBUILD branch: slot=8 => mCal crosses the
     // pow2 boundary as the corpus grows (30→60→90 docs: m 4→8→16)
     val dir2 = java.nio.file.Files.createTempDirectory("graft-impact-grow")
