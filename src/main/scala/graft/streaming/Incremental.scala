@@ -1605,10 +1605,11 @@ object Incremental {
     * docs still read as fresh); those are EXACT duplicate rows — postings
     * rows are per-(doc, term) aggregates of a deterministic tokenizer —
     * and every reader in this family collapses them with `distinct()`
-    * ([[impactIndexStats]]; production compacts on the fold cadence
-    * instead, the Merge delta-log convention). The impact/meta swaps are
-    * atomic ([[Merge.replaceParquet]]) and recomputed idempotently from
-    * the registries, never from in-flight frames.
+    * ([[impactIndexStats]]; [[compactImpactRegistry]] folds them out of
+    * the raw files on the fold cadence, the Merge delta-log convention).
+    * The impact/meta swaps are atomic ([[Merge.replaceParquet]]) and
+    * recomputed idempotently from the registries, never from in-flight
+    * frames.
     */
   def impactIndexRegistry(spark: SparkSession, registryPath: String)
       : DataFrame = spark.read.parquet(s"$registryPath/impact")
