@@ -1572,4 +1572,40 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(grown === grownBatch,
       "the rebuild-on-depth-growth index diverged from the batch build")
   }
+
+  test("streamingImpactIndex soak: 40 tiny batches leak no persisted " +
+    "blocks and land the same index as one batch") {
+    import spark.implicits._
+    import graft.operators.TermStats
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-impact-soak")
+      .toFile.getAbsolutePath
+    def text(i: Long): String =
+      (0 until (3 + (i % 4)).toInt).map(j => s"t${(i + 2 * j) % 9}")
+        .mkString(" ")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val input = MemoryStream[(Long, String)]
+    val query = Incremental.streamingImpactIndex(
+      input.toDF().toDF("doc_id", "text"), s"$dir/ckpt", s"$dir/reg",
+      "doc_id", "text", docsPerSlot = 1000000L, mMin = 4)
+    try (0L until 40L).foreach { i =>
+      input.addData((i, text(i))); query.processAllAvailable()
+    } finally query.stop()
+    // a long-running ingest stream must not accumulate blocks: every
+    // batch's persists are released in the foreachBatch's finally
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty, s"soak leaked persisted RDDs: $leaked")
+    val allDocs = (0L until 40L).map(i => (i, text(i))).toDF("doc_id", "text")
+    val post = TermStats.bm25Postings(allDocs, "doc_id", "text")
+    val (_, dl40, _) = TermStats.bm25Stats(post)
+    assert(Incremental.impactIndexRegistry(spark, s"$dir/reg")
+        .select($"doc", $"term", $"tf").as[(Long, String, Long)]
+        .collect().toSet ===
+      TermStats.bm25ImpactIndex(post, dl40, m = 4)
+        .as[(Long, String, Long)].collect().toSet,
+      "40 one-doc folds diverged from the one-shot build")
+      // (mMin=4 is already a power of two, so the maintained depth equals
+      // the requested one — a non-pow2 mMin quantizes UP, which the first
+      // version of this test learned the hard way)
+  }
 }
