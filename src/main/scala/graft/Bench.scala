@@ -187,9 +187,6 @@ object Bench {
     (System.nanoTime() - t0) / 1e6
   }
 
-  private def calibMtMs(threads: Int): Double =
-    (1 to 2).map(_ => calibMtOnceMs(threads)).min
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

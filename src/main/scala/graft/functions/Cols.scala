@@ -110,9 +110,16 @@ object Cols {
         spark.conf.set("spark.sql.shuffle.partitions", sc.savedParts)
       } else if (wasInnermost) {
         // hand the conf to the scope that is now innermost (exact for
-        // sequential nesting; best-effort under concurrency, see scaladoc)
+        // sequential nesting; best-effort under concurrency, see scaladoc).
+        // A None entry (AQE-off-only) never requested partitions, so the
+        // value to re-apply is the NEAREST ENCLOSING Some — reading only
+        // the new innermost entry broke Conf→AqeOff→Conf nesting by
+        // restoring the pre-scope session value while the outer Conf
+        // scope was still live (r17 advice).
+        val enclosing = sc.entries.reverseIterator.map(_._2)
+          .collectFirst { case Some(p) => p }
         spark.conf.set("spark.sql.shuffle.partitions",
-          sc.entries.last._2.map(_.toString).getOrElse(sc.savedParts))
+          enclosing.map(_.toString).getOrElse(sc.savedParts))
       }
     }
   }

@@ -70,6 +70,25 @@ class LoopConfSpec extends AnyFunSuite {
     assert(snapshot() == before)
   }
 
+  test("Conf→AqeOff→Conf nesting: the innermost Conf exit restores the " +
+    "NEAREST ENCLOSING Some, not the pre-scope session value (r17 advice)") {
+    val before = snapshot()
+    Cols.withLoopConf(spark, 7) {
+      Cols.withLoopAqeOff(spark) {
+        Cols.withLoopConf(spark, 3) {
+          assert(spark.conf.get(PartsKey) == "3")
+        }
+        // pre-fix: the hand-off read only the new innermost entry (the
+        // AqeOff's None) and fell back to the SESSION value, silently
+        // un-scoping the still-live outer Conf(7)
+        assert(spark.conf.get(PartsKey) == "7",
+          "exit through an AqeOff layer must restore the enclosing Conf")
+      }
+      assert(spark.conf.get(PartsKey) == "7")
+    }
+    assert(snapshot() == before)
+  }
+
   test("the exact r16 interleaving: A enters, B enters, A exits, B exits " +
     "=> original conf restored (per-site save/restore left B's snapshot " +
     "of A's in-loop value)") {
