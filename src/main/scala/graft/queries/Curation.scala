@@ -1195,6 +1195,66 @@ object Curation {
         sum(col("doc")).as("doc_sum"), sum(col("dl")).as("dl_sum"))
   }
 
+  /** q206: the registry-SERVED impact path pinned in the oracle gate —
+    * the production deployment q204 only rehearses in lineage. The
+    * corpus lands in an on-disk impact registry through TWO
+    * [[graft.streaming.Incremental.impactBatchIngest]] folds (even ids
+    * as the standing corpus, odd ids as the arriving batch — the second
+    * fold takes the MONOTONE MERGE arm) with a
+    * [[graft.streaming.Incremental.compactImpactRegistry]] fold between
+    * them; the serve then reads ONLY registry artifacts:
+    * [[graft.streaming.Incremental.impactIndexRegistry]] for the
+    * truncated index and
+    * [[graft.streaming.Incremental.impactIndexStats]] for postings +
+    * the MATERIALIZED df/corpus stats (the additive `stats/`/`corpus/`
+    * delta logs — never a per-serve rollup of the full postings
+    * registry, the zipfreg decay shape; plan-pinned in PlanSpec). The
+    * oracle computes the identical serve from full-corpus CTEs, so one
+    * hash pins ingest additivity, the merge theorem on disk, the
+    * materialized-stats arithmetic, the calibrated depth, the rescore,
+    * and the hit_exact audit at once. `quantizeDepth = false`: a batch
+    * build lands on the exact calibrated m(n) the oracle computes
+    * (pow2 amortization is the streaming maintainer's policy, pinned in
+    * StreamBatchEquivalenceSpec).
+    *
+    * Registry path: deterministic per (session, data dir) — the q117
+    * artifact convention — CLEARED at entry: the registry is
+    * append-only, so a stale copy from a resident engine's previous
+    * pass would anti-join the whole corpus away.
+    */
+  def q206ImpactRegistryServe(spark: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Incremental
+    val docs = Tables.balanced(spark, d, "documents")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_impact_reg_" + spark.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(d.hashCode)).toString
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath)) fs.delete(hPath, true)
+    Incremental.impactBatchIngest(spark, dir,
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      quantizeDepth = false)
+    Incremental.compactImpactRegistry(spark, dir)
+    Incremental.impactBatchIngest(spark, dir,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      quantizeDepth = false)
+    val trunc = Incremental.impactIndexRegistry(spark, dir)
+    val (postings, dfq, dl, corp) = Incremental.impactIndexStats(spark, dir)
+    val qs = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("q_id"),
+        slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
+    val served = TermStats.bm25TopKImpact(trunc, postings, dfq, dl, corp,
+      qs, "q_id", "qt", k = 5)
+    val exact = TermStats.bm25TopKFromIndex(postings, dfq, dl, corp, qs,
+        "q_id", "qt", k = 5)
+      .select(col("q"), col("doc"), lit(1L).as("hit_exact"))
+    served.join(exact, Seq("q", "doc"), "left_outer")
+      .withColumn("hit_exact", coalesce(col("hit_exact"), lit(0L)))
+      .select(col("q").as("q_id"), col("rank"), col("doc").as("doc_id"),
+        col("n_terms"), col("score_pm"), col("hit_exact"))
+      .localCheckpoint(true)
+  }
+
   /** q197: quality-calibration card — "are duplicates low-quality?",
     * the empirical question behind quality-aware dedup (q165): docs
     * ranked by quality into exact DECILES via
@@ -1457,6 +1517,7 @@ object Curation {
     "q203_bm25_pruned" -> q203Bm25Pruned _,
     "q204_bm25_impact" -> q204Bm25Impact _,
     "q205_impact_merge" -> q205ImpactMerge _,
+    "q206_impact_registry_serve" -> q206ImpactRegistryServe _,
     "q197_quality_calibration" -> q197QualityCalibration _,
     "q136_unigram_em" -> q136UnigramEm _,
     "q175_term_associations" -> q175TermAssociations _,

@@ -1592,18 +1592,27 @@ object Incremental {
       .start()
 
   /** The impact-index registry's layout: `postings/` + `dl/` (append-only
-    * — BM25's stats are additive over disjoint doc ids), `impact/` (the
-    * truncated index, carrying `dl` so per-term re-ranking never rejoins),
-    * `meta/` (one row: the depth the standing index was built at, and the
-    * doc count it was calibrated against).
+    * — BM25's stats are additive over disjoint doc ids), `stats/` +
+    * `corpus/` (append-only ADDITIVE delta logs: per-batch df increments
+    * per term, and one (n_docs, a_tok) row per batch — the materialized
+    * rollups the zipfreg probe proved are the only flat serve curve;
+    * re-deriving them from the full postings/dl registries per serve
+    * call converges to rebuild cost, SCALE.md zipfreg), `impact/` (the
+    * truncated index, carrying `dl` so per-term re-ranking never
+    * rejoins), `meta/` (one row: the depth the standing index was built
+    * at, and the doc count it was calibrated against).
     *
-    * Crash contract (the write order is postings → dl → impact swap →
-    * meta swap): a batch is DURABLE once its dl append committed — dl is
-    * the seen-doc set the replay anti-join reads, so a crash any earlier
-    * replays the whole batch. A replayed batch can re-append postings
-    * rows its crashed predecessor already committed (dl hadn't, so the
-    * docs still read as fresh); those are EXACT duplicate rows — postings
-    * rows are per-(doc, term) aggregates of a deterministic tokenizer —
+    * Crash contract (the write order is postings → stats → corpus → dl →
+    * impact swap → meta swap): a batch is DURABLE once its dl append
+    * committed — dl is the seen-doc set the replay anti-join reads, so a
+    * crash any earlier replays the whole batch. A replayed batch can
+    * re-append rows its crashed predecessor already committed (dl
+    * hadn't, so the docs still read as fresh); those are EXACT duplicate
+    * rows — postings rows are per-(doc, term) aggregates of a
+    * deterministic tokenizer, and every stats/corpus delta carries
+    * `dkey` = min fresh doc id, which discriminates batches (durable
+    * fresh sets are disjoint, and a min is a member, so two batches
+    * can never share one) while a replay re-derives the identical key —
     * and every reader in this family collapses them with `distinct()`
     * ([[impactIndexStats]]; [[compactImpactRegistry]] folds them out of
     * the raw files on the fold cadence, the Merge delta-log convention).
@@ -1617,28 +1626,58 @@ object Incremental {
   /** The registry-derived serve inputs for
     * [[graft.operators.TermStats.bm25TopKImpact]]: `(postings, dfreq,
     * dl, corpus)` — postings/dl healed of replay duplicates (see
-    * [[impactIndexRegistry]]'s crash contract), stats rolled up from the
-    * healed frames exactly as `bm25Stats` does.
+    * [[impactIndexRegistry]]'s crash contract); dfreq/corpus read from
+    * the MATERIALIZED `stats/`/`corpus/` delta logs (distinct-healed,
+    * summed — O(batches·batch_vocab) rows, corpus-size-independent),
+    * never re-derived from the full postings registry: the per-serve
+    * `postings.groupBy(term)` rollup this replaces is the
+    * "postings-only halfway house" the zipfreg probe measured decaying
+    * to rebuild cost (19.2 s vs 3.1 s flat at 16×, SCALE.md). The
+    * postings/dl frames themselves stay LAZY here — the impact serve
+    * touches them only through keyed candidate joins.
+    *
+    * Registries written before the stats artifacts existed (or built by
+    * hand from postings+dl) fall back to the one-scan rollup — the
+    * compat arm, not the production path; the first
+    * [[impactBatchIngest]] against such a registry starts the logs.
     */
   def impactIndexStats(spark: SparkSession, registryPath: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val postings = spark.read.parquet(s"$registryPath/postings").distinct()
     val dl = spark.read.parquet(s"$registryPath/dl").distinct()
-    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val corpus = dl.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("a_tok"))
+    val dfreq =
+      if (readableParquet(spark, s"$registryPath/stats"))
+        spark.read.parquet(s"$registryPath/stats").distinct()
+          .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      else postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus =
+      if (readableParquet(spark, s"$registryPath/corpus"))
+        spark.read.parquet(s"$registryPath/corpus").distinct()
+          .agg(sum(col("n_docs")).as("n_docs"), sum(col("a_tok")).as("a_tok"))
+      else dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("a_tok"))
     (postings, dfreq, dl, corpus)
   }
 
   /** The impact registry's COMPACTION — the LSM fold the crash contract
     * defers to (see [[impactIndexRegistry]]): rewrite `postings/` and
-    * `dl/` deduplicated, so the per-serve healing `distinct()` becomes a
-    * shuffle over already-unique rows and crash-replay duplicates stop
-    * accumulating. Run on the fold cadence (per epoch / N batches), not
-    * per batch — one O(registry) rewrite amortized over many O(batch)
-    * appends, exactly the Merge delta-log economics. Atomic swaps; the
-    * impact/ and meta/ artifacts are untouched (they are recomputed
-    * snapshots, never accumulating logs).
+    * `dl/` deduplicated, and FOLD the `stats/`/`corpus/` delta logs —
+    * durable deltas (their `dkey` is in the dl doc set) and previously
+    * folded rows (`dkey` null) collapse into one row per term / one
+    * global row, while deltas of a crashed not-yet-durable batch are
+    * kept verbatim so their replay still distinct-heals. After the fold
+    * the per-serve healing `distinct()` runs over already-unique rows
+    * and crash-replay duplicates stop accumulating. Run on the fold
+    * cadence (per epoch / every N batches —
+    * [[streamingImpactIndex]]'s `compactEvery` wires exactly that), not
+    * per batch: one O(registry) rewrite amortized over many O(batch)
+    * appends, the Merge delta-log economics. Atomic swaps; the impact/
+    * and meta/ artifacts are untouched (they are recomputed snapshots,
+    * never accumulating logs).
+    *
+    * Run it from the ingest cadence or at rest — never concurrently with
+    * a crashed batch's replay (the stream's own cadence satisfies this:
+    * a restart replays the wedged batch before any later batch can
+    * trigger a fold).
     */
   def compactImpactRegistry(spark: SparkSession, registryPath: String): Unit = {
     for (sub <- Seq("postings", "dl")) {
@@ -1646,116 +1685,212 @@ object Incremental {
       if (readableParquet(spark, path))
         Merge.replaceParquet(spark, path, spark.read.parquet(path).distinct())
     }
+    val dlPath = s"$registryPath/dl"
+    if (readableParquet(spark, dlPath)) {
+      val durableKeys = spark.read.parquet(dlPath)
+        .select(col("doc").as("dkey")).distinct()
+      def fold(path: String, combine: DataFrame => DataFrame): Unit =
+        if (readableParquet(spark, path)) {
+          val deltas = spark.read.parquet(path).distinct()
+          val dkeyType = deltas.schema("dkey").dataType
+          val durable = deltas.filter(col("dkey").isNull).unionByName(
+            deltas.filter(col("dkey").isNotNull)
+              .join(durableKeys, Seq("dkey"), "left_semi"))
+          val pending = deltas.filter(col("dkey").isNotNull)
+            .join(durableKeys, Seq("dkey"), "left_anti")
+          val folded = combine(durable)
+            .withColumn("dkey", lit(null).cast(dkeyType))
+            .select(deltas.columns.map(col).toSeq: _*)
+          Merge.replaceParquet(spark, path, folded.unionByName(pending))
+        }
+      fold(s"$registryPath/stats",
+        _.groupBy(col("term")).agg(sum(col("df")).as("df")))
+      fold(s"$registryPath/corpus",
+        // a global agg of ZERO durable rows yields one all-null row —
+        // drop it (nothing durable to fold), where the stats groupBy
+        // correctly yields no rows
+        _.agg(sum(col("n_docs")).as("n_docs"), sum(col("a_tok")).as("a_tok"))
+          .filter(col("n_docs").isNotNull))
+    }
   }
 
-  /** Streaming maintenance of the impact-truncated BM25 serve index
-    * ([[graft.operators.TermStats.bm25ImpactIndex]]) — the incremental
-    * path the q203/q204 pruned serves imply: a production deployment
-    * ingests documents continuously and must not re-tokenize the corpus
-    * per refresh. Per micro-batch:
+  /** One ingest fold of the impact registry — the batch form of
+    * [[streamingImpactIndex]]'s per-micro-batch step, public so a batch
+    * backfill (or a test/oracle twin) drives the IDENTICAL write path
+    * the stream does. See [[impactIndexRegistry]] for the layout and
+    * crash contract; per call:
     *
-    *  1. `postings/` and `dl/` extend by the batch's rows (append-only;
-    *     replayed doc ids anti-join away against the dl registry — the
-    *     first-wins convention; empty appends are SKIPPED, the
-    *     schema-only-part lesson from the segmented curriculum).
+    *  1. `postings/`, `stats/`, `corpus/` and `dl/` extend by the
+    *     batch's rows, in that order — dl last, the durability mark
+    *     (append-only; replayed doc ids anti-join away against the dl
+    *     registry — the first-wins convention; empty appends are
+    *     SKIPPED, the schema-only-part lesson from the segmented
+    *     curriculum). The stats/corpus deltas are O(batch) aggregates
+    *     of the batch's own postings, keyed by `dkey` = min fresh doc
+    *     id so a crash replay appends byte-identical rows that
+    *     distinct-heal — the corpus rollups are ADDITIVE, maintained
+    *     incrementally, never recounted (the zipfreg finding).
     *  2. `impact/` re-truncates per term over (standing index ∪ the
-    *     batch docs' registry postings).distinct — EXACT by the monotone
-    *     top-m property on an append-only corpus: a posting outside
-    *     top-m(P) is dominated by ≥ m postings that all remain in P ∪ B,
-    *     so top-m(P ∪ B) ⊆ top-m(P) ∪ B. The union reads the batch rows
-    *     FROM the postings registry (not the in-flight frame), so a
-    *     crash between the append and the swap replays idempotently —
-    *     the distinct de-dups re-merged rows instead of double-counting
-    *     them toward m.
+    *     batch docs' registry postings).distinct — EXACT by the
+    *     monotone top-m property on an append-only corpus: a posting
+    *     outside top-m(P) is dominated by ≥ m postings that all remain
+    *     in P ∪ B, so top-m(P ∪ B) ⊆ top-m(P) ∪ B. The union reads the
+    *     batch rows FROM the postings registry (not the in-flight
+    *     frame), so a crash between the append and the swap replays
+    *     idempotently — the distinct de-dups re-merged rows instead of
+    *     double-counting them toward m.
     *  3. The depth follows the calibrated
-    *     [[graft.operators.TermStats.impactM]] m(n), QUANTIZED to the
+    *     [[graft.operators.TermStats.impactM]] m(n) with n read from
+    *     the corpus delta log (O(batches) rows — NOT a per-batch
+    *     distinct+count of the whole dl registry, which is an O(n_docs)
+    *     shuffle hiding in what must be O(batch) maintenance). With
+    *     `quantizeDepth` (the streaming default) m is QUANTIZED to the
     *     next power of two: a depth increase invalidates the monotone
     *     merge (rows below the old cut were never kept), so it triggers
     *     a REBUILD from the postings registry — pow2 quantization makes
     *     that a corpus-doubling event, amortized O(1) rebuilds per
     *     doubling, while the standing depth stays ≥ the calibration (so
-    *     the serve contract's recall floor holds between rebuilds).
+    *     the serve contract's recall floor holds between rebuilds). A
+    *     one-shot batch build passes `quantizeDepth = false` to land on
+    *     the exact calibrated depth.
     *
     * Write cost per batch: O(batch) appends + an O(m·|vocab|) index swap
     * (the index IS the registry's tail — m·V rows by construction, the
     * bounded artifact the truncation exists to produce; the raw postings
     * are never rewritten). Serve via [[impactIndexRegistry]] +
     * `bm25TopKImpact`, bit-identical to a from-scratch build (pinned in
-    * StreamBatchEquivalenceSpec).
+    * StreamBatchEquivalenceSpec; the registry-SERVED path is pinned in
+    * the oracle gate as q206).
+    */
+  def impactBatchIngest(spark: SparkSession, registryPath: String,
+                        batch: DataFrame, id: String, text: String,
+                        minTermLen: Int = 1, docsPerSlot: Long = 625L,
+                        mMin: Int = 64, quantizeDepth: Boolean = true)
+      : Unit = {
+    import graft.operators.TermStats
+    val postPath = s"$registryPath/postings"
+    val dlPath = s"$registryPath/dl"
+    val statsPath = s"$registryPath/stats"
+    val corpusPath = s"$registryPath/corpus"
+    val impactPath = s"$registryPath/impact"
+    val metaPath = s"$registryPath/meta"
+    val docsIn = batch.select(col(id).as("doc"), col(text).as("__text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // replay safety: the dl registry is the seen-doc-id set
+      val fresh =
+        if (readableParquet(spark, dlPath))
+          docsIn.join(spark.read.parquet(dlPath).select(col("doc")),
+            Seq("doc"), "left_anti")
+        else docsIn
+      val newPost = TermStats.bm25Postings(
+          fresh.select(col("doc").as(id), col("__text").as(text)),
+          id, text, minTermLen)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (!newPost.isEmpty) { // empty append = schema-only part file
+          // postings FIRST, dl LAST: dl is the durability mark (see
+          // impactIndexRegistry's crash contract); the additive deltas
+          // land in between, all derived from the SAME deterministic
+          // newPost so a replay re-appends byte-identical rows
+          newPost.write.mode("append").parquet(postPath)
+          val newDl = newPost.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+          val batchCorpus = newDl.agg(count(lit(1)).as("n_docs"),
+            sum(col("dl")).as("a_tok"), min(col("doc")).as("dkey"))
+          newPost.groupBy(col("term")).agg(count(lit(1)).as("df"))
+            .crossJoin(broadcast(batchCorpus.select(col("dkey"))))
+            .write.mode("append").parquet(statsPath)
+          batchCorpus.write.mode("append").parquet(corpusPath)
+          newDl.write.mode("append").parquet(dlPath)
+        }
+        if (readableParquet(spark, dlPath)) {
+          // n from the corpus delta log (O(batches) rows); the dl-recount
+          // fallback serves registries that predate the stats artifacts
+          val nTotal =
+            if (readableParquet(spark, corpusPath)) {
+              val r = spark.read.parquet(corpusPath).distinct()
+                .agg(sum(col("n_docs"))).head
+              if (r.isNullAt(0)) 0L else r.getLong(0)
+            } else
+              spark.read.parquet(dlPath).distinct().count()
+          val mCal = TermStats.impactM(nTotal, docsPerSlot, mMin)
+          // next power of two ≥ mCal (mCal ≤ 2^30 in any real corpus;
+          // past that the shift would wrap, so saturate)
+          val mQ = if (!quantizeDepth) mCal
+            else if (mCal >= (1 << 30)) mCal
+            else if (mCal <= 1) 1
+            else Integer.highestOneBit(mCal - 1) << 1
+          val builtM: Int =
+            if (readableParquet(spark, metaPath))
+              spark.read.parquet(metaPath).head.getInt(0)
+            else -1
+          val dlRaw = spark.read.parquet(dlPath)
+          val next =
+            if (mQ > builtM || !readableParquet(spark, impactPath)) {
+              // depth grew (or first build): the merge property can't
+              // reach below the old cut — rebuild from the registry.
+              // The rebuild joins postings×dl positionally into the
+              // top-m windows, so BOTH sides need the healing distinct
+              // (a duplicated dl row would double its doc's postings
+              // inside the window and steal top-m slots) — the one
+              // remaining O(registry) read, amortized pow2-rarely
+              TermStats.bm25ImpactIndexWithDl(
+                spark.read.parquet(postPath).distinct(), dlRaw.distinct(),
+                mQ)
+            } else {
+              // batch rows from the REGISTRY (idempotent on replay);
+              // impactIndexMerge's distinct keeps a re-merge (or a
+              // replay-duplicated append) from double-counting toward m
+              // — which also heals any duplicate dlRaw rows this join
+              // fans out, so the dl read here skips the distinct
+              // shuffle: the merge arm touches dl only via a
+              // batch-keyed join, never a full-registry aggregate
+              val batchRows = spark.read.parquet(postPath)
+                .join(docsIn.select(col("doc")).distinct(), Seq("doc"))
+                .join(dlRaw, "doc")
+                .select(col("doc"), col("term"), col("tf"), col("dl"))
+              TermStats.impactIndexMerge(
+                spark.read.parquet(impactPath), batchRows, builtM)
+            }
+          val effM = math.max(mQ, builtM)
+          Merge.replaceParquet(spark, impactPath, next)
+          import spark.implicits._
+          Merge.replaceParquet(spark, metaPath,
+            Seq((effM, nTotal)).toDF("m_built", "n_docs"))
+        }
+      } finally { newPost.unpersist(); () }
+    } finally { docsIn.unpersist(); () }
+  }
+
+  /** Streaming maintenance of the impact-truncated BM25 serve index
+    * ([[graft.operators.TermStats.bm25ImpactIndex]]) — the incremental
+    * path the q203/q204 pruned serves imply: a production deployment
+    * ingests documents continuously and must not re-tokenize the corpus
+    * per refresh. Each micro-batch is one [[impactBatchIngest]] fold
+    * (see there for the step list, costs, and the crash contract).
+    *
+    * `compactEvery` gives the fold-cadence compaction an OWNER (the
+    * Merge delta-log convention): every N batches the stream itself
+    * runs [[compactImpactRegistry]], so crash-replay duplicates and
+    * delta-log length stay bounded by the cadence instead of growing
+    * with replay history until an operator remembers to fold. 0 = off
+    * (the caller owns compaction — e.g. one fold per epoch from the
+    * backfill driver). Safe at any cadence: compaction runs strictly
+    * between batch folds on the stream's own thread, and a restart
+    * replays a wedged batch before any later batch can trigger a fold.
     */
   def streamingImpactIndex(stream: DataFrame, checkpointDir: String,
                            registryPath: String, id: String, text: String,
                            minTermLen: Int = 1, docsPerSlot: Long = 625L,
-                           mMin: Int = 64)
+                           mMin: Int = 64, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        import graft.operators.TermStats
-        val postPath = s"$registryPath/postings"
-        val dlPath = s"$registryPath/dl"
-        val impactPath = s"$registryPath/impact"
-        val metaPath = s"$registryPath/meta"
-        val docsIn = batch.select(col(id).as("doc"), col(text).as("__text"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          // replay safety: the dl registry is the seen-doc-id set
-          val fresh =
-            if (readableParquet(spark, dlPath))
-              docsIn.join(spark.read.parquet(dlPath).select(col("doc")),
-                Seq("doc"), "left_anti")
-            else docsIn
-          val newPost = TermStats.bm25Postings(
-              fresh.select(col("doc").as(id), col("__text").as(text)),
-              id, text, minTermLen)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            if (!newPost.isEmpty) { // empty append = schema-only part file
-              // postings FIRST, dl second: dl is the durability mark (see
-              // impactIndexRegistry's crash contract)
-              newPost.write.mode("append").parquet(postPath)
-              newPost.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
-                .write.mode("append").parquet(dlPath)
-            }
-            if (readableParquet(spark, dlPath)) {
-              val dlReg = spark.read.parquet(dlPath).distinct()
-              val nTotal = dlReg.count()
-              val mCal = TermStats.impactM(nTotal, docsPerSlot, mMin)
-              // next power of two ≥ mCal (mCal ≤ 2^30 in any real corpus;
-              // past that the shift would wrap, so saturate)
-              val mQ = if (mCal >= (1 << 30)) mCal
-                else if (mCal <= 1) 1
-                else Integer.highestOneBit(mCal - 1) << 1
-              val builtM: Int =
-                if (readableParquet(spark, metaPath))
-                  spark.read.parquet(metaPath).head.getInt(0)
-                else -1
-              val next =
-                if (mQ > builtM || !readableParquet(spark, impactPath)) {
-                  // depth grew (or first build): the merge property can't
-                  // reach below the old cut — rebuild from the registry
-                  TermStats.bm25ImpactIndexWithDl(
-                    spark.read.parquet(postPath).distinct(), dlReg, mQ)
-                } else {
-                  // batch rows from the REGISTRY (idempotent on replay);
-                  // impactIndexMerge's distinct keeps a re-merge (or a
-                  // replay-duplicated append) from double-counting toward m
-                  val batchRows = spark.read.parquet(postPath)
-                    .join(docsIn.select(col("doc")).distinct(), Seq("doc"))
-                    .join(dlReg, "doc")
-                    .select(col("doc"), col("term"), col("tf"), col("dl"))
-                  TermStats.impactIndexMerge(
-                    spark.read.parquet(impactPath), batchRows, builtM)
-                }
-              val effM = math.max(mQ, builtM)
-              Merge.replaceParquet(spark, impactPath, next)
-              import spark.implicits._
-              Merge.replaceParquet(spark, metaPath,
-                Seq((effM, nTotal)).toDF("m_built", "n_docs"))
-            }
-          } finally { newPost.unpersist(); () }
-        } finally { docsIn.unpersist(); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        impactBatchIngest(batch.sparkSession, registryPath, batch, id, text,
+          minTermLen, docsPerSlot, mMin)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          compactImpactRegistry(batch.sparkSession, registryPath)
         ()
       }
       .start()

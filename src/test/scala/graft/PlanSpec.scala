@@ -452,4 +452,30 @@ class PlanSpec extends AnyFunSuite {
       "the |Q|·k id list must broadcast against the corpus scan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("impact-registry serve stats read the MATERIALIZED delta logs, " +
+    "never a rollup of the full postings registry (the zipfreg decay)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables(spark, d, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-impact")
+      .toFile.getAbsolutePath
+    graft.streaming.Incremental.impactBatchIngest(spark, s"$dir/reg",
+      docs, "doc_id", "text", quantizeDepth = false)
+    val (_, dfq, _, corp) =
+      graft.streaming.Incremental.impactIndexStats(spark, s"$dir/reg")
+    for ((frame, label) <- Seq((dfq, "dfreq"), (corp, "corpus"))) {
+      val scans = frame.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString).mkString(",")
+            case _ => ""
+          }
+      }
+      assert(scans.nonEmpty, s"$label plan has no file scan to audit")
+      assert(scans.forall(p => !p.contains("/postings") && !p.contains("/dl")),
+        s"$label must not scan the corpus-proportional registries: $scans")
+    }
+  }
 }

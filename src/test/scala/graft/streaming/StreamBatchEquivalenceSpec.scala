@@ -1524,6 +1524,17 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(servedSet(Incremental.impactIndexRegistry(spark, reg),
       rp, rdf, rdl, rcorp) === fromScratch,
       "registry serve diverged from the from-scratch serve")
+    // the MATERIALIZED stats artifacts (not re-derived rollups) must
+    // equal the from-scratch stats: df per term summed over the additive
+    // delta log, (n_docs, a_tok) summed over the per-batch corpus rows
+    assert(rdf.as[(String, Long)].collect().toMap ===
+      dfq.as[(String, Long)].collect().toMap,
+      "stats/ delta-log dfreq diverged from the from-scratch df")
+    assert(rcorp.as[(Long, Long)].collect().head ===
+      corp.as[(Long, Long)].collect().head,
+      "corpus/ delta-log rollup diverged from the from-scratch corpus")
+    assert(spark.read.parquet(s"$reg/corpus").count() === 3L,
+      "expected one corpus delta row per ingested batch")
     // replay: re-deliver batch 3 via a fresh stream — ids anti-join away,
     // index bytes-equal
     drive(s"$dir/ckpt2", Seq(chunks.last), slot = 1000000L, mMin = 4)
@@ -1542,9 +1553,27 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     // a raw read — no healing distinct — must match the full build
     assert(spark.read.parquet(s"$reg/postings").count() > fullPost.count(),
       "fixture: the duplicate append must be visible pre-compaction")
+    // an orphaned delta (a crash after the stats append, before the dl
+    // durability mark) must survive compaction VERBATIM so its replay
+    // still distinct-heals — only durable deltas fold
+    Seq(("zzz_pending", 1L, 999999L)).toDF("term", "df", "dkey")
+      .write.mode("append").parquet(s"$reg/stats")
     Incremental.compactImpactRegistry(spark, reg)
     assert(spark.read.parquet(s"$reg/postings").count() === fullPost.count(),
       "compaction must fold replay duplicates out of the raw files")
+    // the delta logs fold to their bounded forms: one null-dkey row per
+    // term / one global corpus row, plus the untouched pending delta
+    val stRaw = spark.read.parquet(s"$reg/stats")
+    assert(stRaw.filter($"dkey".isNull).count() === dfq.count(),
+      "folded stats must carry exactly one row per term")
+    assert(stRaw.filter($"dkey".isNotNull).as[(String, Long, Long)]
+        .collect().toSeq === Seq(("zzz_pending", 1L, 999999L)),
+      "a non-durable delta must survive the fold verbatim")
+    assert(spark.read.parquet(s"$reg/corpus").count() === 1L,
+      "folded corpus must be a single global row")
+    // drop the synthetic pending row again (its fake batch never lands)
+    graft.operators.Merge.replaceParquet(spark, s"$reg/stats",
+      stRaw.filter($"dkey".isNull))
     val (cp, cdf, cdl, ccorp) = Incremental.impactIndexStats(spark, reg)
     assert(servedSet(Incremental.impactIndexRegistry(spark, reg),
       cp, cdf, cdl, ccorp) === fromScratch, "serve unchanged by compaction")
@@ -1585,9 +1614,12 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
         .mkString(" ")
     val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val input = MemoryStream[(Long, String)]
+    // compactEvery=8: the stream OWNS the fold cadence — 40 batches run
+    // 5 interleaved compactions, and the delta logs must stay bounded
+    // by the cadence instead of growing with batch count
     val query = Incremental.streamingImpactIndex(
       input.toDF().toDF("doc_id", "text"), s"$dir/ckpt", s"$dir/reg",
-      "doc_id", "text", docsPerSlot = 1000000L, mMin = 4)
+      "doc_id", "text", docsPerSlot = 1000000L, mMin = 4, compactEvery = 8)
     try (0L until 40L).foreach { i =>
       input.addData((i, text(i))); query.processAllAvailable()
     } finally query.stop()
@@ -1595,6 +1627,17 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     // batch's persists are released in the foreachBatch's finally
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
     assert(leaked.isEmpty, s"soak leaked persisted RDDs: $leaked")
+    // batch 40 triggered the 5th fold, so the logs sit at their bounded
+    // post-fold sizes: one stats row per term, ONE corpus row, and raw
+    // postings/dl with zero accumulated duplicates
+    val vocabSize = spark.read.parquet(s"$dir/reg/stats")
+      .select($"term").distinct().count()
+    assert(spark.read.parquet(s"$dir/reg/stats").count() === vocabSize,
+      "on-cadence folds must keep stats/ at one row per term")
+    assert(spark.read.parquet(s"$dir/reg/corpus").count() === 1L,
+      "on-cadence folds must keep corpus/ at a single row")
+    assert(spark.read.parquet(s"$dir/reg/dl").count() === 40L,
+      "on-cadence folds must keep dl/ at one row per document")
     val allDocs = (0L until 40L).map(i => (i, text(i))).toDF("doc_id", "text")
     val post = TermStats.bm25Postings(allDocs, "doc_id", "text")
     val (_, dl40, _) = TermStats.bm25Stats(post)
