@@ -1714,6 +1714,67 @@ object Incremental {
     }
   }
 
+  /** Retention for the impact registry — the T4-style sliding-window
+    * story the serve contract needs when the corpus is NOT append-only
+    * (the reference retires witness edges older than 5 days,
+    * `src/arango_queries.py:90-99`). The monotone-merge theorem is
+    * append-only by assumption — a delete can resurrect postings below
+    * the truncation cut that were never kept — so retention is a
+    * REBUILD event, never an incremental one: postings/dl are rewritten
+    * semi-joined to the kept doc set (healed in the same pass — an
+    * O(registry) rewrite is a compaction too), the additive stats/corpus
+    * logs are re-materialized in their folded forms from the retained
+    * postings (subtracting deltas would be exact but leaves the logs
+    * unbounded and replay-entangled; the rebuild IS the fold), and
+    * impact/meta rebuild at the depth recalibrated to the retained
+    * count. Subsequent [[impactBatchIngest]] folds resume the monotone
+    * merge from the new base — append-only again, theorem restored.
+    *
+    * `keepDocs`: one `doc` column, the retained doc-id set (the registry
+    * stores no timestamps; the window predicate lives with the caller's
+    * doc metadata — filter there, pass ids here). An at-rest maintenance
+    * op like [[compactImpactRegistry]]: every swap is atomic and the
+    * whole op is idempotent (re-filtering retained logs is a no-op), so
+    * a crash mid-sequence is healed by re-running.
+    */
+  def retainImpactRegistry(spark: SparkSession, registryPath: String,
+                           keepDocs: DataFrame, docsPerSlot: Long = 625L,
+                           mMin: Int = 64, quantizeDepth: Boolean = true)
+      : Unit = {
+    import graft.operators.TermStats
+    val postPath = s"$registryPath/postings"
+    val dlPath = s"$registryPath/dl"
+    val keep = keepDocs.select(col("doc")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Merge.replaceParquet(spark, postPath, spark.read.parquet(postPath)
+        .distinct().join(keep, Seq("doc"), "left_semi"))
+      Merge.replaceParquet(spark, dlPath, spark.read.parquet(dlPath)
+        .distinct().join(keep, Seq("doc"), "left_semi"))
+      val post = spark.read.parquet(postPath)
+      val dl = spark.read.parquet(dlPath)
+      val dkeyType = dl.schema("doc").dataType
+      Merge.replaceParquet(spark, s"$registryPath/stats",
+        post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .withColumn("dkey", lit(null).cast(dkeyType)))
+      Merge.replaceParquet(spark, s"$registryPath/corpus",
+        dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("a_tok"))
+          .withColumn("dkey", lit(null).cast(dkeyType))
+          .filter(col("n_docs") > 0))
+      val nTotal = dl.count()
+      val mCal = TermStats.impactM(nTotal, docsPerSlot, mMin)
+      val mQ = if (!quantizeDepth) mCal
+        else if (mCal >= (1 << 30)) mCal
+        else if (mCal <= 1) 1
+        else Integer.highestOneBit(mCal - 1) << 1
+      Merge.replaceParquet(spark, s"$registryPath/impact",
+        TermStats.bm25ImpactIndexWithDl(post, dl, mQ))
+      import spark.implicits._
+      Merge.replaceParquet(spark, s"$registryPath/meta",
+        Seq((mQ, nTotal)).toDF("m_built", "n_docs"))
+    } finally { keep.unpersist(); () }
+  }
+
   /** One ingest fold of the impact registry — the batch form of
     * [[streamingImpactIndex]]'s per-micro-batch step, public so a batch
     * backfill (or a test/oracle twin) drives the IDENTICAL write path

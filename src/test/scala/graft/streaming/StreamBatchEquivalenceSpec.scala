@@ -1602,6 +1602,61 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       "the rebuild-on-depth-growth index diverged from the batch build")
   }
 
+  test("retainImpactRegistry: retention rebuild ≡ from-scratch on the " +
+    "retained corpus; idempotent; the monotone merge resumes after") {
+    import spark.implicits._
+    import graft.operators.TermStats
+    val dir = java.nio.file.Files.createTempDirectory("graft-impact-retain")
+      .toFile.getAbsolutePath
+    val reg = s"$dir/reg"
+    def text(i: Long): String =
+      (0 until (4 + (i % 3)).toInt).map(j => s"t${(i + j * j) % 7}")
+        .mkString(" ")
+    def docsOf(ids: Seq[Long]) = ids.map(i => (i, text(i))).toDF("doc_id", "text")
+    // ingest 0..59 in two folds, then retire the first 20 (the sliding
+    // window dropping the oldest segment)
+    Incremental.impactBatchIngest(spark, reg, docsOf(0L until 30L),
+      "doc_id", "text", mMin = 4)
+    Incremental.impactBatchIngest(spark, reg, docsOf(30L until 60L),
+      "doc_id", "text", mMin = 4)
+    val kept = (20L until 60L)
+    Incremental.retainImpactRegistry(spark, reg,
+      kept.toDF("doc"), mMin = 4)
+    def scratch(ids: Seq[Long]) = {
+      val p = TermStats.bm25Postings(docsOf(ids), "doc_id", "text")
+      val (df_, dl_, corp_) = TermStats.bm25Stats(p)
+      (p, df_, dl_, corp_)
+    }
+    def idxSet = Incremental.impactIndexRegistry(spark, reg)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val (kp, kdf, kdl, _) = scratch(kept)
+    assert(idxSet === TermStats.bm25ImpactIndexWithDl(kp, kdl, m = 4)
+      .as[(Long, String, Long, Long)].collect().toSet,
+      "retention rebuild diverged from the from-scratch build on the " +
+        "retained corpus")
+    // the re-materialized stats equal the retained corpus's
+    val (_, rdf, _, rcorp) = Incremental.impactIndexStats(spark, reg)
+    assert(rdf.as[(String, Long)].collect().toMap ===
+      kdf.as[(String, Long)].collect().toMap,
+      "retention must re-materialize df for exactly the retained docs")
+    assert(rcorp.as[(Long, Long)].collect().head._1 === 40L)
+    assert(spark.read.parquet(s"$reg/meta").as[(Int, Long)].collect()
+      .head === ((4, 40L)), "meta must recalibrate to the retained count")
+    // idempotent: a crash mid-retention is healed by re-running
+    Incremental.retainImpactRegistry(spark, reg, kept.toDF("doc"), mMin = 4)
+    assert(idxSet === TermStats.bm25ImpactIndexWithDl(kp, kdl, m = 4)
+      .as[(Long, String, Long, Long)].collect().toSet,
+      "re-running retention moved the registry")
+    // append-only resumes from the new base: the next fold's monotone
+    // merge must equal the from-scratch build on (retained ∪ new)
+    Incremental.impactBatchIngest(spark, reg, docsOf(60L until 80L),
+      "doc_id", "text", mMin = 4)
+    val (gp, _, gdl, _) = scratch(kept ++ (60L until 80L))
+    assert(idxSet === TermStats.bm25ImpactIndexWithDl(gp, gdl, m = 4)
+      .as[(Long, String, Long, Long)].collect().toSet,
+      "the merge after a retention rebuild diverged from scratch")
+  }
+
   test("streamingImpactIndex soak: 40 tiny batches leak no persisted " +
     "blocks and land the same index as one batch") {
     import spark.implicits._
