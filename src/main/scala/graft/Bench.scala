@@ -280,9 +280,20 @@ object Bench {
       }
     }
     calibBracket()
+    // Per-pass VALIDITY from the mt brackets (r17 verdict #3: the driver
+    // run's pass 3 was contended — mt calib 364 vs 186 ms, q33 22.7 s —
+    // yet `contended: []` because best-of-3 masked it). A pass is valid
+    // when BOTH its brackets sit within 1.5× of the run's best mt
+    // reading; an invalid pass's timings are host artifacts, and a query
+    // whose best wall comes from the run's ONLY valid pass has a single
+    // clean sample — readable, but flagged.
+    val mtFloor = calibPassMt.min
+    val passValid = (0 until passes).map(i =>
+      math.max(calibPassMt(i), calibPassMt(i + 1)) <= 1.5 * mtFloor)
     val results = names.map { name =>
-      val best = runs(name).minBy(r => (r.err.isDefined, r.wall))
-      (name, best, runs(name))
+      val (best, bestIdx) = runs(name).zipWithIndex
+        .minBy { case (r, _) => (r.err.isDefined, r.wall) }
+      (name, best, runs(name), bestIdx)
     }
     def jstr(s: String) = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -290,7 +301,7 @@ object Bench {
     } + "\""
     def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     val ok = results.filter(_._2.err.isEmpty)
-    val errs = results.collect { case (k, Run(_, _, _, Some(e)), _) =>
+    val errs = results.collect { case (k, Run(_, _, _, Some(e)), _, _) =>
       s"${jstr(k)}:${jstr(e.take(200))}" }.mkString("{", ",", "}")
     val total = ok.map(_._2.wall).sum
     // Full per-run attribution matrix → a FILE (the driver's stdout tail
@@ -298,11 +309,13 @@ object Bench {
     // wall/cpu/load plus which run won.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
-    val detail = results.map { case (k, best, rs) =>
+    val detail = results.map { case (k, best, rs, bestIdx) =>
       def arr(f: Run => Double) = rs.map(r => r3(f(r))).mkString("[", ",", "]")
       s"${jstr(k)}:{" +
         s""""wall":${arr(_.wall)},"cpu":${arr(_.cpu)},"load":${arr(_.load)},""" +
         s""""best_wall":${r3(best.wall)},"best_cpu":${r3(best.cpu)},""" +
+        s""""best_pass":$bestIdx,""" +
+        s""""best_pass_valid":${passValid.lift(bestIdx).getOrElse(true)},""" +
         s""""best_wall_cpu_ratio":${r3(if (best.cpu > 0) best.wall / best.cpu else -1.0)}}"""
     }.mkString("{", ",", "}")
     val calibAfter = calibMs()
@@ -317,6 +330,7 @@ object Bench {
         s""""calib_ms_after":${r3(calibAfter)},""" +
         s""""calib_pass_st_ms":${jarr(calibPassSt.toSeq)},""" +
         s""""calib_pass_mt_ms":${jarr(calibPassMt.toSeq)},""" +
+        s""""pass_valid":${passValid.mkString("[", ",", "]")},""" +
         s""""mt_threads":$mtThreads,""" +
         s""""conf_drift":${jmap(confDrift)},"queries":$detail}""")
       finally w.close()
@@ -329,7 +343,7 @@ object Bench {
     // per-query maps overflowed the tail window (r14: the driver read
     // `parsed: null` because the tail started mid-token). Keep this line
     // short and LAST so truncation can only ever clip the redundant copy.
-    val fullQs = ok.map { case (k, b, _) => s"${jstr(k)}:${b.wall}" }.mkString("{", ",", "}")
+    val fullQs = ok.map { case (k, b, _, _) => s"${jstr(k)}:${b.wall}" }.mkString("{", ",", "}")
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$fullQs,"errors":$errs,"sf":${jstr(sfDir)}}""")
     def short(name: String) = name.takeWhile(_ != '_')
     val shorts = ok.map(r => short(r._1))
@@ -338,9 +352,20 @@ object Bench {
     val subset = ok.filter(r => prevRoundQueries(r._1))
     // contended = even the BEST run shows wall ≫ cpu (descheduled while
     // runnable): its timing is a host artifact, not this code's cost.
-    val contended = ok.filter { case (_, b, _) =>
+    val contended = ok.filter { case (_, b, _, _) =>
       b.cpu > 0 && b.wall / b.cpu > 1.5 && b.wall > 0.5 }
       .map(r => jstr(keyOf(r._1))).mkString("[", ",", "]")
+    // queries whose best wall came from the run's ONLY valid pass: one
+    // clean sample, no confirmation — read with the detail matrix open
+    val singleSample =
+      if (passValid.count(identity) == 1) {
+        val vIdx = passValid.indexWhere(identity)
+        ok.filter(_._4 == vIdx).map(r => jstr(keyOf(r._1)))
+      } else Seq.empty
+    val singleCompact =
+      (if (singleSample.size <= 5) singleSample
+       else singleSample.take(5) :+ jstr(s"+${singleSample.size - 5}"))
+        .mkString("[", ",", "]")
     val loadMax = results.flatMap(_._3.map(_.load)).foldLeft(0.0)(math.max)
     // boot + calib_ms make cross-host discontinuities machine-detectable
     // (r15: a mid-round reboot read as a +16% "regression"): different
@@ -353,7 +378,7 @@ object Bench {
       if (confDrift.size <= 3) confDrift
       else confDrift.take(3) += ("_more" -> (confDrift.size - 3).toString))
     val calibMt = calibPassMt.min
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${ok.size},"subset_total_prev_round":${r3(subset.map(_._2.wall).sum)},"subset_n":${subset.size},"contended":$contended,"load1_max":${r3(loadMax)},"boot":${jstr(boot)},"calib_ms":${r3(math.min(calibBefore, calibAfter))},"calib_mt_ms":${r3(calibMt)},"conf_drift":$driftCompact,"errors":$errs,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${ok.size},"subset_total_prev_round":${r3(subset.map(_._2.wall).sum)},"subset_n":${subset.size},"contended":$contended,"passes_valid":${passValid.count(identity)},"single_sample":$singleCompact,"load1_max":${r3(loadMax)},"boot":${jstr(boot)},"calib_ms":${r3(math.min(calibBefore, calibAfter))},"calib_mt_ms":${r3(calibMt)},"conf_drift":$driftCompact,"errors":$errs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
