@@ -1600,7 +1600,11 @@ object Incremental {
     * call converges to rebuild cost, SCALE.md zipfreg), `impact/` (the
     * truncated index, carrying `dl` so per-term re-ranking never
     * rejoins), `meta/` (one row: the depth the standing index was built
-    * at, and the doc count it was calibrated against).
+    * at, and the doc count it was calibrated against), and `inflight/`
+    * (the current batch's (doc, term, tf, dl) snapshot, swap-replaced
+    * per batch — the lineage-severed frame the steady-state merge arm
+    * reads so it never scans the postings registry; see
+    * [[impactBatchIngest]]).
     *
     * Crash contract (the write order is postings → stats → corpus → dl →
     * impact swap → meta swap): a batch is DURABLE once its dl append
@@ -1792,14 +1796,18 @@ object Incremental {
     *     distinct-heal — the corpus rollups are ADDITIVE, maintained
     *     incrementally, never recounted (the zipfreg finding).
     *  2. `impact/` re-truncates per term over (standing index ∪ the
-    *     batch docs' registry postings).distinct — EXACT by the
-    *     monotone top-m property on an append-only corpus: a posting
-    *     outside top-m(P) is dominated by ≥ m postings that all remain
-    *     in P ∪ B, so top-m(P ∪ B) ⊆ top-m(P) ∪ B. The union reads the
-    *     batch rows FROM the postings registry (not the in-flight
-    *     frame), so a crash between the append and the swap replays
-    *     idempotently — the distinct de-dups re-merged rows instead of
-    *     double-counting them toward m.
+    *     batch docs' postings).distinct — EXACT by the monotone top-m
+    *     property on an append-only corpus: a posting outside top-m(P)
+    *     is dominated by ≥ m postings that all remain in P ∪ B, so
+    *     top-m(P ∪ B) ⊆ top-m(P) ∪ B. An entirely-fresh batch (the
+    *     steady state) merges the IN-FLIGHT postings frame —
+    *     byte-identical to the rows just appended, zero registry scan;
+    *     only when some batch docs anti-joined away (a crash-window
+    *     replay, or a source re-delivering ingested docs) does the
+    *     recovery arm re-read those docs' rows from the registry with a
+    *     batch-keyed join, so the replay still lands the crashed
+    *     batch's rows in the swap — the merge's distinct de-dups
+    *     re-merged rows instead of double-counting them toward m.
     *  3. The depth follows the calibrated
     *     [[graft.operators.TermStats.impactM]] m(n) with n read from
     *     the corpus delta log (O(batches) rows — NOT a per-batch
@@ -1848,14 +1856,30 @@ object Incremental {
           fresh.select(col("doc").as(id), col("__text").as(text)),
           id, text, minTermLen)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val newDl = newPost.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        if (!newPost.isEmpty) { // empty append = schema-only part file
+        val nFresh = newDl.count()
+        if (nFresh > 0) { // empty append = schema-only part file
+          // in-flight snapshot FIRST: newPost's lineage reads the dl
+          // registry (the freshness anti-join), and Spark invalidates —
+          // then lazily RECOMPUTES — any cache whose lineage touches a
+          // path being appended (refreshByPath fires inside the insert
+          // command), so after the dl append below the persisted newPost
+          // would silently re-evaluate EMPTY (every batch doc now reads
+          // as seen). The O(batch) snapshot parquet severs that lineage;
+          // the merge arm reads it back after the appends. Swap-replaced
+          // per batch — a crashed attempt's copy is either rewritten
+          // byte-identically by the replay or bypassed by its recovery
+          // arm.
+          Merge.replaceParquet(spark, s"$registryPath/inflight",
+            newPost.join(newDl, "doc")
+              .select(col("doc"), col("term"), col("tf"), col("dl")))
           // postings FIRST, dl LAST: dl is the durability mark (see
           // impactIndexRegistry's crash contract); the additive deltas
           // land in between, all derived from the SAME deterministic
           // newPost so a replay re-appends byte-identical rows
           newPost.write.mode("append").parquet(postPath)
-          val newDl = newPost.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
           val batchCorpus = newDl.agg(count(lit(1)).as("n_docs"),
             sum(col("dl")).as("a_tok"), min(col("doc")).as("dkey"))
           newPost.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1899,17 +1923,34 @@ object Incremental {
                 spark.read.parquet(postPath).distinct(), dlRaw.distinct(),
                 mQ)
             } else {
-              // batch rows from the REGISTRY (idempotent on replay);
-              // impactIndexMerge's distinct keeps a re-merge (or a
-              // replay-duplicated append) from double-counting toward m
-              // — which also heals any duplicate dlRaw rows this join
-              // fans out, so the dl read here skips the distinct
-              // shuffle: the merge arm touches dl only via a
-              // batch-keyed join, never a full-registry aggregate
-              val batchRows = spark.read.parquet(postPath)
-                .join(docsIn.select(col("doc")).distinct(), Seq("doc"))
-                .join(dlRaw, "doc")
-                .select(col("doc"), col("term"), col("tf"), col("dl"))
+              val nIn = docsIn.select(col("doc")).distinct().count()
+              val batchRows =
+                if (nFresh == nIn && nFresh > 0)
+                  // entirely-fresh batch — the STEADY STATE: the rows
+                  // the merge needs are exactly the in-flight snapshot
+                  // written above (byte-identical to the rows just
+                  // appended), so the postings registry is not scanned
+                  // at all. Pre-r18 this arm always paid a full-registry
+                  // scan per micro-batch — the same
+                  // O(registry)-in-O(batch)-clothing class as the dl
+                  // recount the stats logs removed.
+                  spark.read.parquet(s"$registryPath/inflight")
+                else
+                  // recovery arm: some batch docs' rows live only in the
+                  // registry — a crash between the appends and this swap
+                  // (fresh anti-joined away on replay) or a source that
+                  // re-delivers ingested docs. Batch-keyed registry join;
+                  // impactIndexMerge's distinct keeps re-merged or
+                  // replay-duplicated rows from double-counting toward m,
+                  // which also heals the duplicate dlRaw rows this join
+                  // can fan out (no full-registry distinct here). Docs
+                  // already in the standing index contribute rows the
+                  // merge's distinct collapses — harmless, and the
+                  // monotone property says they cannot re-enter anyway.
+                  spark.read.parquet(postPath)
+                    .join(docsIn.select(col("doc")).distinct(), Seq("doc"))
+                    .join(dlRaw, "doc")
+                    .select(col("doc"), col("term"), col("tf"), col("dl"))
               TermStats.impactIndexMerge(
                 spark.read.parquet(impactPath), batchRows, builtM)
             }
@@ -1919,7 +1960,7 @@ object Incremental {
           Merge.replaceParquet(spark, metaPath,
             Seq((effM, nTotal)).toDF("m_built", "n_docs"))
         }
-      } finally { newPost.unpersist(); () }
+      } finally { newPost.unpersist(); newDl.unpersist(); () }
     } finally { docsIn.unpersist(); () }
   }
 

@@ -1536,9 +1536,26 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$reg/corpus").count() === 3L,
       "expected one corpus delta row per ingested batch")
     // replay: re-deliver batch 3 via a fresh stream — ids anti-join away,
-    // index bytes-equal
+    // index bytes-equal (nFresh=0 ≠ nIn exercises the RECOVERY arm)
     drive(s"$dir/ckpt2", Seq(chunks.last), slot = 1000000L, mMin = 4)
     assert(impactRows === batchIdx, "a replayed batch moved the index")
+    // mixed batch: a source re-delivering 5 ingested docs alongside 5 new
+    // ones (nFresh < nIn — the recovery arm with a non-empty fresh set);
+    // the index must land exactly the from-scratch build on the union
+    val mixed = ((85L until 95L)).map(i => (i, text(i)))
+    drive(s"$dir/ckpt3", Seq(mixed), slot = 1000000L, mMin = 4)
+    val unionDocs = (chunks.flatten ++ mixed).distinct.toDF("doc_id", "text")
+    val unionPost = TermStats.bm25Postings(unionDocs, "doc_id", "text")
+    val (_, unionDl, _) = TermStats.bm25Stats(unionPost)
+    assert(impactRows === TermStats.bm25ImpactIndex(unionPost, unionDl, m = 4)
+      .as[(Long, String, Long)].collect().toSet,
+      "a mixed replayed+new batch diverged from the from-scratch union")
+    // roll the registry back to the 90-doc corpus for the assertions
+    // below (rebuild the artifacts on the original doc set)
+    Incremental.retainImpactRegistry(spark, reg,
+      (0L until 90L).toDF("doc"), mMin = 4)
+    assert(impactRows === batchIdx,
+      "retention back to the original 90 docs must restore the index")
     assert(Incremental.impactIndexStats(spark, reg)._1.count() ===
       fullPost.count(), "a replayed batch duplicated postings")
     // crash-window heal: duplicate one doc's postings rows (the partial-
