@@ -1674,6 +1674,58 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       "the merge after a retention rebuild diverged from scratch")
   }
 
+  test("property: impactBatchIngest over ANY batch partition (+ a replayed " +
+    "batch) lands from-scratch stats, corpus, and index — the additive-" +
+    "delta-log theorem's third pin") {
+    import spark.implicits._
+    import graft.operators.TermStats
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val caseGen = for {
+      n <- Gen.chooseNum(8, 40)
+      nBatches <- Gen.chooseNum(1, 4)
+      cut <- Gen.listOfN(n, Gen.chooseNum(0, nBatches - 1))
+      replayIdx <- Gen.chooseNum(0, nBatches - 1)
+    } yield (n, nBatches, cut, replayIdx)
+    val prop = Prop.forAll(caseGen) { case (n, nBatches, cut, replayIdx) =>
+      def text(i: Long): String =
+        (0 until (2 + (i % 4)).toInt).map(j => s"t${(i + 3 * j) % 5}")
+          .mkString(" ")
+      val docs = (0L until n.toLong).map(i => (i, text(i)))
+      val batches = docs.zip(cut).groupBy(_._2).toSeq.sortBy(_._1)
+        .map(_._2.map(_._1))
+      val dir = java.nio.file.Files.createTempDirectory("graft-impact-prop")
+        .toFile.getAbsolutePath
+      val reg = s"$dir/reg"
+      batches.zipWithIndex.foreach { case (b, i) =>
+        // quantizeDepth=false (the q206 batch-build arm): the compare
+        // below is at the exact calibrated depth, not its pow2 ceiling
+        Incremental.impactBatchIngest(spark, reg,
+          b.toDF("doc_id", "text"), "doc_id", "text", mMin = 3,
+          quantizeDepth = false)
+        if (i == replayIdx % batches.size) // replay an ingested batch
+          Incremental.impactBatchIngest(spark, reg,
+            b.toDF("doc_id", "text"), "doc_id", "text", mMin = 3,
+            quantizeDepth = false)
+      }
+      val p = TermStats.bm25Postings(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      val (dfS, dlS, corpS) = TermStats.bm25Stats(p)
+      val (_, rdf, _, rcorp) = Incremental.impactIndexStats(spark, reg)
+      val statsOk = rdf.as[(String, Long)].collect().toMap ==
+        dfS.as[(String, Long)].collect().toMap
+      val corpOk = rcorp.as[(Long, Long)].collect().head ==
+        corpS.as[(Long, Long)].collect().head
+      val idxOk = Incremental.impactIndexRegistry(spark, reg)
+        .as[(Long, String, Long, Long)].collect().toSet ==
+        TermStats.bm25ImpactIndexWithDl(p, dlS, m = 3)
+          .as[(Long, String, Long, Long)].collect().toSet
+      statsOk && corpOk && idxOk
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("streamingImpactIndex soak: 40 tiny batches leak no persisted " +
     "blocks and land the same index as one batch") {
     import spark.implicits._
