@@ -1644,6 +1644,16 @@ object Incremental {
     * hand from postings+dl) fall back to the one-scan rollup — the
     * compat arm, not the production path; the first
     * [[impactBatchIngest]] against such a registry starts the logs.
+    *
+    * Crash-window staleness contract: a serve issued BETWEEN a batch's
+    * crash and its replay may see that batch's postings/stats/corpus
+    * deltas without its dl rows (dl is the last append) — candidates
+    * rescore only against docs present in dl (the score join is inner),
+    * so no phantom doc can be returned, while df/corpus read at most
+    * one partial batch ahead; the replay converges them. This window
+    * existed identically in the pre-r18 rollup form (postings appended
+    * before dl there too) — stated here because the materialized logs
+    * make it look new.
     */
   def impactIndexStats(spark: SparkSession, registryPath: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
