@@ -161,10 +161,21 @@ object Merge {
     * previous state is never destroyed before the new state is fully
     * written (rename is atomic on HDFS/posix; on S3A the window is the
     * rename, still strictly safer than overwrite-in-place).
+    *
+    * The two renames are NOT one atomic step: a crash between
+    * `rename(target, old)` and `rename(tmp, target)` leaves the target
+    * absent with both siblings on disk. For recomputed snapshots that
+    * self-heals (the next swap rewrites them), but for ACCUMULATING
+    * delta logs a vanished target is silently recreated batch-only by
+    * the next append and every reader undercounts from then on (ADVICE
+    * r18). So the torn state is REPAIRED, not tolerated: [[healSwap]]
+    * runs at swap entry here, and registry maintainers/readers call it
+    * on their artifacts at entry.
     */
   private def commitSwap(fs: org.apache.hadoop.fs.FileSystem,
                          target: org.apache.hadoop.fs.Path,
                          merged: DataFrame): Unit = {
+    healSwapPath(fs, target)
     val tmp = new org.apache.hadoop.fs.Path(s"$target.tmp-" + java.util.UUID.randomUUID())
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val old = new org.apache.hadoop.fs.Path(s"$target.old-" + java.util.UUID.randomUUID())
@@ -172,6 +183,56 @@ object Merge {
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(s"commitSwap: rename failed for $target")
     fs.delete(old, true)
+  }
+
+  /** Repair a torn [[commitSwap]]: if `path` is absent but a swap
+    * sibling survives, restore the best one — a COMPLETE `.tmp-*`
+    * (carrying the `_SUCCESS` marker the committed write leaves; its
+    * presence means the crash hit between the two renames, so finishing
+    * the swap lands the INTENDED new state) wins over the renamed-aside
+    * `.old-*` (the pre-swap state — correct fallback when the tmp never
+    * finished). Leftover siblings are then deleted. No-op (false) when
+    * the target exists or nothing recoverable survives. Single-writer
+    * discipline assumed, like every swap in this family.
+    */
+  def healSwap(spark: org.apache.spark.sql.SparkSession,
+               path: String): Boolean = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    healSwapPath(
+      target.getFileSystem(spark.sparkContext.hadoopConfiguration), target)
+  }
+
+  private def healSwapPath(fs: org.apache.hadoop.fs.FileSystem,
+                           target: org.apache.hadoop.fs.Path): Boolean = {
+    if (fs.exists(target)) return false
+    val parent = target.getParent
+    if (parent == null || !fs.exists(parent)) return false
+    val name = target.getName
+    val strays = fs.listStatus(parent).filter { s =>
+      val n = s.getPath.getName
+      n.startsWith(name + ".tmp-") || n.startsWith(name + ".old-")
+    }
+    if (strays.isEmpty) return false
+    val completeTmps = strays.filter { s =>
+      s.getPath.getName.startsWith(name + ".tmp-") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS"))
+    }
+    val olds = strays.filter(_.getPath.getName.startsWith(name + ".old-"))
+    val pick =
+      if (completeTmps.nonEmpty)
+        Some(completeTmps.maxBy(_.getModificationTime).getPath)
+      else if (olds.nonEmpty) Some(olds.maxBy(_.getModificationTime).getPath)
+      else None
+    pick match {
+      case Some(p) =>
+        if (!fs.rename(p, target))
+          throw new java.io.IOException(s"healSwap: rename failed for $target")
+        graft.Log.warn(s"healSwap: restored torn swap target $target from " +
+          s"${p.getName} (crash between commitSwap renames)")
+        strays.map(_.getPath).filter(_ != p).foreach(fs.delete(_, true))
+        true
+      case None => false
+    }
   }
 
   // -------------------------------------------------------------------

@@ -515,13 +515,31 @@ object TermStats {
     * inner join keeps only the query's terms, and the arithmetic is
     * [[bm25TopKFromIndex]]'s verbatim. Pruning in this engine only ever
     * shrinks WHO gets scored, never what a score is worth.
+    *
+    * Replay healing happens HERE, below the keyed extraction: the
+    * postings/dl registry frames may carry byte-identical crash-replay
+    * duplicates between compactions
+    * ([[graft.streaming.Incremental.impactIndexRegistry]]'s crash
+    * contract — a duplicated posting would double-count tf in the score
+    * sum, a duplicated dl row would fan the join out), so the joined
+    * query-footprint rows pass one `distinct()` before scoring.
+    * Byte-identical duplicates collapse at O(candidate footprint) cost;
+    * on already-clean inputs (q, doc, term) is a key and the distinct is
+    * an identity pass. The pre-r19 form healed UPSTREAM
+    * (`postings.distinct()` in impactIndexStats) — an all-columns
+    * HashAggregate + Exchange over the ENTIRE registry per serve call,
+    * the last O(registry)-in-O(query)-clothing term (VERDICT r18 #1);
+    * PlanSpec pins that no aggregate over a bare postings/dl scan can
+    * return to the serve plan.
     */
   private def rescoreCandidates(cands: DataFrame, qt: DataFrame,
                                 postings: DataFrame, dfreq: DataFrame,
                                 dl: DataFrame, corpus: DataFrame,
                                 k: Int): DataFrame = {
     val scored = cands.join(postings, "doc").join(qt, Seq("q", "term"))
-      .join(dfreq, "term").join(dl, "doc")
+      .join(dl, "doc")
+      .distinct() // heal replay duplicates on the query footprint only
+      .join(dfreq, "term")
       .crossJoin(broadcast(corpus))
       .withColumn("s_pm", expr(
         """(CAST((1000000 * n_docs) div df AS DECIMAL(38,0)) * tf * 44 * a_tok)

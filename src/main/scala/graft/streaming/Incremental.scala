@@ -1617,9 +1617,13 @@ object Incremental {
     * `dkey` = min fresh doc id, which discriminates batches (durable
     * fresh sets are disjoint, and a min is a member, so two batches
     * can never share one) while a replay re-derives the identical key —
-    * and every reader in this family collapses them with `distinct()`
-    * ([[impactIndexStats]]; [[compactImpactRegistry]] folds them out of
-    * the raw files on the fold cadence, the Merge delta-log convention).
+    * and every reader in this family collapses them where its OWN
+    * volume lives: the serve on the query footprint (the post-join
+    * distinct in `TermStats.rescoreCandidates` — never a full-registry
+    * pass), the stats/corpus sums on the O(batches) delta logs
+    * ([[impactIndexStats]]), and [[compactImpactRegistry]] folds them
+    * out of the raw files on the fold cadence, the Merge delta-log
+    * convention.
     * The impact/meta swaps are atomic ([[Merge.replaceParquet]]) and
     * recomputed idempotently from the registries, never from in-flight
     * frames.
@@ -1629,21 +1633,35 @@ object Incremental {
 
   /** The registry-derived serve inputs for
     * [[graft.operators.TermStats.bm25TopKImpact]]: `(postings, dfreq,
-    * dl, corpus)` — postings/dl healed of replay duplicates (see
-    * [[impactIndexRegistry]]'s crash contract); dfreq/corpus read from
-    * the MATERIALIZED `stats/`/`corpus/` delta logs (distinct-healed,
-    * summed — O(batches·batch_vocab) rows, corpus-size-independent),
-    * never re-derived from the full postings registry: the per-serve
-    * `postings.groupBy(term)` rollup this replaces is the
-    * "postings-only halfway house" the zipfreg probe measured decaying
-    * to rebuild cost (19.2 s vs 3.1 s flat at 16×, SCALE.md). The
-    * postings/dl frames themselves stay LAZY here — the impact serve
-    * touches them only through keyed candidate joins.
+    * dl, corpus)` — postings/dl handed back as RAW LAZY frames (they
+    * may carry byte-identical crash-replay duplicates until the next
+    * compaction; the impact serve touches them only through keyed
+    * candidate joins and heals them on the query footprint —
+    * `TermStats.rescoreCandidates`'s post-join distinct. The pre-r19
+    * form healed here with a full-registry `distinct()` per serve call:
+    * an all-columns HashAggregate + Exchange over the ENTIRE postings
+    * registry UPSTREAM of the doc-keyed join that would have shrunk it
+    * to Σ_cand dl(doc) rows — VERDICT r18 #1, the same
+    * O(registry)-in-O(query)-clothing class the stats logs removed from
+    * ingest. A consumer that needs healed RAW frames for something
+    * other than the keyed serve — e.g. a full-corpus audit via
+    * `bm25TopKFromIndex` against a possibly-uncompacted registry —
+    * runs [[compactImpactRegistry]] first or distincts its own read);
+    * dfreq/corpus read from the MATERIALIZED `stats/`/`corpus/` delta
+    * logs (distinct-healed, summed — O(batches·batch_vocab) rows,
+    * corpus-size-independent), never re-derived from the full postings
+    * registry: the per-serve `postings.groupBy(term)` rollup this
+    * replaces is the "postings-only halfway house" the zipfreg probe
+    * measured decaying to rebuild cost (19.2 s vs 3.1 s flat at 16×,
+    * SCALE.md).
     *
     * Registries written before the stats artifacts existed (or built by
     * hand from postings+dl) fall back to the one-scan rollup — the
-    * compat arm, not the production path; the first
-    * [[impactBatchIngest]] against such a registry starts the logs.
+    * compat arm, not the production path, and it WARNS (a lost or
+    * mis-deployed stats log would otherwise silently pay the decayed
+    * zipfreg curve forever); the first [[impactBatchIngest]] against
+    * such a registry backfills the logs from the durable registry state
+    * and resumes the additive path.
     *
     * Crash-window staleness contract: a serve issued BETWEEN a batch's
     * crash and its replay may see that batch's postings/stats/corpus
@@ -1653,23 +1671,54 @@ object Incremental {
     * one partial batch ahead; the replay converges them. This window
     * existed identically in the pre-r18 rollup form (postings appended
     * before dl there too) — stated here because the materialized logs
-    * make it look new.
+    * make it look new. A serve issued between a retention crash and its
+    * re-run can additionally read retired docs' stale deltas — that
+    * state is MARKED on disk and warned about here; see
+    * [[retainImpactRegistry]]'s intent marker.
     */
   def impactIndexStats(spark: SparkSession, registryPath: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val postings = spark.read.parquet(s"$registryPath/postings").distinct()
-    val dl = spark.read.parquet(s"$registryPath/dl").distinct()
+    for (sub <- Seq("postings", "dl", "stats", "corpus"))
+      Merge.healSwap(spark, s"$registryPath/$sub")
+    if (retentionPending(spark, registryPath))
+      graft.Log.warn(s"impactIndexStats: $registryPath has an incomplete " +
+        "retention (intent marker present) — df/corpus may still count " +
+        "retired docs until retainImpactRegistry is re-run")
+    val postings = spark.read.parquet(s"$registryPath/postings")
+    val dl = spark.read.parquet(s"$registryPath/dl")
     val dfreq =
       if (readableParquet(spark, s"$registryPath/stats"))
         spark.read.parquet(s"$registryPath/stats").distinct()
           .groupBy(col("term")).agg(sum(col("df")).as("df"))
-      else postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      else {
+        graft.Log.warn(s"impactIndexStats: $registryPath/stats missing — " +
+          "pre-stats compat arm re-rolls df from the FULL postings " +
+          "registry per serve call (the zipfreg decay); run " +
+          "impactBatchIngest once to backfill the delta logs")
+        postings.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+      }
     val corpus =
       if (readableParquet(spark, s"$registryPath/corpus"))
         spark.read.parquet(s"$registryPath/corpus").distinct()
           .agg(sum(col("n_docs")).as("n_docs"), sum(col("a_tok")).as("a_tok"))
-      else dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("a_tok"))
+      else {
+        graft.Log.warn(s"impactIndexStats: $registryPath/corpus missing — " +
+          "pre-stats compat arm recounts (n_docs, a_tok) from the FULL dl " +
+          "registry per serve call; run impactBatchIngest once to " +
+          "backfill the delta logs")
+        dl.distinct().agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("a_tok"))
+      }
     (postings, dfreq, dl, corpus)
+  }
+
+  /** True while a [[retainImpactRegistry]] intent marker is on disk — a
+    * retention started and has not yet completed (crash window). See
+    * the marker contract there.
+    */
+  def retentionPending(spark: SparkSession, registryPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$registryPath/retain_intent")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** The impact registry's COMPACTION — the LSM fold the crash contract
@@ -1694,6 +1743,8 @@ object Incremental {
     * trigger a fold).
     */
   def compactImpactRegistry(spark: SparkSession, registryPath: String): Unit = {
+    for (sub <- Seq("postings", "dl", "stats", "corpus"))
+      Merge.healSwap(spark, s"$registryPath/$sub")
     for (sub <- Seq("postings", "dl")) {
       val path = s"$registryPath/$sub"
       if (readableParquet(spark, path))
@@ -1749,7 +1800,13 @@ object Incremental {
     * doc metadata — filter there, pass ids here). An at-rest maintenance
     * op like [[compactImpactRegistry]]: every swap is atomic and the
     * whole op is idempotent (re-filtering retained logs is a no-op), so
-    * a crash mid-sequence is healed by re-running.
+    * a crash mid-sequence is healed by re-running — and the re-run is
+    * ENFORCED, not hoped for (ADVICE r18): an intent marker
+    * (`retain_intent`) is written before the first rewrite and removed
+    * after the last swap; while it is present [[impactBatchIngest]]
+    * refuses to ingest (a half-retained registry's stale deltas would
+    * read as forever-pending rows once new batches resume) and
+    * [[impactIndexStats]] warns. Only a completed retention clears it.
     */
   def retainImpactRegistry(spark: SparkSession, registryPath: String,
                            keepDocs: DataFrame, docsPerSlot: Long = 625L,
@@ -1758,6 +1815,12 @@ object Incremental {
     import graft.operators.TermStats
     val postPath = s"$registryPath/postings"
     val dlPath = s"$registryPath/dl"
+    for (sub <- Seq("postings", "dl", "stats", "corpus", "impact", "meta"))
+      Merge.healSwap(spark, s"$registryPath/$sub")
+    val marker = new org.apache.hadoop.fs.Path(s"$registryPath/retain_intent")
+    val markerFs =
+      marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    markerFs.create(marker, true).close()
     val keep = keepDocs.select(col("doc")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1786,6 +1849,11 @@ object Incremental {
       import spark.implicits._
       Merge.replaceParquet(spark, s"$registryPath/meta",
         Seq((mQ, nTotal)).toDF("m_built", "n_docs"))
+      // last: only a COMPLETED retention clears the intent marker — a
+      // crash anywhere above leaves it, and ingest refuses until the
+      // re-run lands here
+      markerFs.delete(marker, false)
+      ()
     } finally { keep.unpersist(); () }
   }
 
@@ -1853,6 +1921,49 @@ object Incremental {
     val corpusPath = s"$registryPath/corpus"
     val impactPath = s"$registryPath/impact"
     val metaPath = s"$registryPath/meta"
+    // torn-swap repair first (a crash between commitSwap's two renames
+    // leaves an artifact absent with a recoverable sibling — for the
+    // ACCUMULATING stats/corpus logs that absence would otherwise be
+    // silently recreated batch-only below and every later serve would
+    // undercount, ADVICE r18), then the retention gate: a half-finished
+    // retention must be completed by its owner before ingest resumes,
+    // or retired docs' stale deltas survive as forever-pending rows.
+    for (sub <- Seq("postings", "dl", "stats", "corpus", "impact", "meta",
+        "inflight"))
+      Merge.healSwap(spark, s"$registryPath/$sub")
+    if (retentionPending(spark, registryPath))
+      throw new IllegalStateException(s"impactBatchIngest: $registryPath " +
+        "has an incomplete retention (intent marker present) — re-run " +
+        "retainImpactRegistry to completion before ingesting")
+    // Legacy upgrade (ADVICE r18, medium): a registry written before the
+    // stats artifacts existed has postings/dl but no stats//corpus/.
+    // Starting the delta logs with ONLY this batch's deltas would
+    // undercount the entire pre-existing corpus (wrong idf, wrong n for
+    // the depth calibration) the moment the logs become readable — so
+    // BACKFILL the folded rollups from the DURABLE registry state first
+    // (postings semi-joined to the dl doc set: rows of a crashed
+    // not-yet-durable batch stay out of the fold and re-append their
+    // deltas on replay, compactImpactRegistry's durable/pending rule).
+    // One O(registry) migration event, idempotent — a crash between the
+    // two swaps re-triggers the same rebuild.
+    if (readableParquet(spark, dlPath) &&
+        (!readableParquet(spark, statsPath) ||
+          !readableParquet(spark, corpusPath))) {
+      graft.Log.warn(s"impactBatchIngest: backfilling stats/corpus delta " +
+        s"logs from the pre-stats registry at $registryPath (one-time " +
+        "O(registry) upgrade)")
+      val dlReg = spark.read.parquet(dlPath).distinct()
+      val durablePost = spark.read.parquet(postPath).distinct()
+        .join(dlReg.select(col("doc")), Seq("doc"), "left_semi")
+      val dkeyType = dlReg.schema("doc").dataType
+      Merge.replaceParquet(spark, statsPath,
+        durablePost.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .withColumn("dkey", lit(null).cast(dkeyType)))
+      Merge.replaceParquet(spark, corpusPath,
+        dlReg.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("a_tok"))
+          .withColumn("dkey", lit(null).cast(dkeyType))
+          .filter(col("n_docs") > 0))
+    }
     val docsIn = batch.select(col(id).as("doc"), col(text).as("__text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -478,4 +478,58 @@ class PlanSpec extends AnyFunSuite {
         s"$label must not scan the corpus-proportional registries: $scans")
     }
   }
+
+  test("impact-registry FULL SERVE plan: no aggregate over a bare " +
+    "postings/dl registry scan (replay healing happens BELOW the " +
+    "candidate join, on the query footprint)") {
+    // r18 verdict #1: impactIndexStats used to return
+    // postings.distinct()/dl.distinct() — an all-columns HashAggregate +
+    // Exchange over the ENTIRE registry, executed per serve call,
+    // upstream of the doc-keyed rescore join. The pin: in the whole
+    // served plan, every Aggregate (distinct included — the optimizer
+    // rewrites Deduplicate to Aggregate) whose subtree reads /postings
+    // or /dl must ALSO read some other source below it — i.e. it sits
+    // above the candidate/query join, so its input is query-footprint
+    // rows, never the bare registry. Delta-log (stats//corpus/) and
+    // impact/ aggregates stay exempt: those inputs are bounded by
+    // construction (O(batches·vocab) and m·V).
+    import org.apache.spark.sql.functions.{col, slice}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+    val docs = graft.sources.Tables(spark, d, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-impactserve")
+      .toFile.getAbsolutePath
+    graft.streaming.Incremental.impactBatchIngest(spark, s"$dir/reg",
+      docs, "doc_id", "text", quantizeDepth = false)
+    val trunc =
+      graft.streaming.Incremental.impactIndexRegistry(spark, s"$dir/reg")
+    val (postings, dfq, dl, corp) =
+      graft.streaming.Incremental.impactIndexStats(spark, s"$dir/reg")
+    val qs = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("q_id"),
+        slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
+    val served = graft.operators.TermStats.bm25TopKImpact(trunc, postings,
+      dfq, dl, corp, qs, "q_id", "qt", k = 5)
+    def scansOf(p: LogicalPlan): Seq[String] = p.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString).mkString(",")
+          case _ => ""
+        }
+    }
+    val plan = served.queryExecution.optimizedPlan
+    val offenders = plan.collect { case a: Aggregate => a }.flatMap { a =>
+      val scans = scansOf(a)
+      val reg = scans.filter(s => s.contains("/postings") || s.contains("/dl"))
+      if (reg.nonEmpty && reg.size == scans.size)
+        Some(s"Aggregate over bare registry scan(s): ${reg.mkString("; ")}")
+      else None
+    }
+    assert(scansOf(plan).exists(_.contains("/postings")),
+      "fixture: the serve plan must actually read the postings registry")
+    assert(offenders.isEmpty,
+      "the O(registry)-per-serve healing distinct is back:\n" +
+        offenders.mkString("\n"))
+  }
 }
