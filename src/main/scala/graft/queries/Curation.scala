@@ -1255,6 +1255,65 @@ object Curation {
       .localCheckpoint(true)
   }
 
+  /** q207: impact-registry RETENTION pinned in the oracle gate — the
+    * T4 sliding-window semantics (the reference retires witness edges
+    * older than 5 days, `src/arango_queries.py:90-99`) extended to the
+    * impact registry and checked end-to-end through real registry I/O,
+    * the treatment the append path got with q206. The corpus lands in
+    * the registry through two [[graft.streaming.Incremental
+    * .impactBatchIngest]] folds (even then odd ids), then
+    * [[graft.streaming.Incremental.retainImpactRegistry]] retires every
+    * third doc (`doc_id % 3 = 0` — the "oldest segment" stand-in; the
+    * registry stores no timestamps, the window predicate lives with the
+    * caller's doc metadata) — a REBUILD event: postings/dl rewritten
+    * semi-joined to the kept set, stats/corpus re-materialized folded,
+    * impact/meta rebuilt at the depth RECALIBRATED to the retained
+    * count. The serve then reads ONLY registry artifacts, exactly
+    * q206's shape. The oracle computes the identical serve from
+    * full-corpus CTEs filtered to the retained predicate — so one hash
+    * pins the retention rewrite, the re-materialized stats arithmetic,
+    * the recalibrated depth m(n_retained), the truncation on the
+    * retained corpus, the rescore, and the hit_exact audit. Queries
+    * come from the UNRETAINED doc table (`%80` slice): a query whose
+    * source doc was retired must still serve — against retained docs
+    * only (the score join is dl-inner; the oracle's CTEs encode the
+    * same).
+    */
+  def q207ImpactRetainServe(spark: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Incremental
+    val docs = Tables.balanced(spark, d, "documents")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_impact_ret_" + spark.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(d.hashCode)).toString
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath)) fs.delete(hPath, true)
+    Incremental.impactBatchIngest(spark, dir,
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      quantizeDepth = false)
+    Incremental.impactBatchIngest(spark, dir,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      quantizeDepth = false)
+    Incremental.retainImpactRegistry(spark, dir,
+      docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id").as("doc")),
+      quantizeDepth = false)
+    val trunc = Incremental.impactIndexRegistry(spark, dir)
+    val (postings, dfq, dl, corp) = Incremental.impactIndexStats(spark, dir)
+    val qs = docs.filter(col("doc_id") % 80 === 0)
+      .select(col("doc_id").as("q_id"),
+        slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
+    val served = TermStats.bm25TopKImpact(trunc, postings, dfq, dl, corp,
+      qs, "q_id", "qt", k = 5)
+    val exact = TermStats.bm25TopKFromIndex(postings, dfq, dl, corp, qs,
+        "q_id", "qt", k = 5)
+      .select(col("q"), col("doc"), lit(1L).as("hit_exact"))
+    served.join(exact, Seq("q", "doc"), "left_outer")
+      .withColumn("hit_exact", coalesce(col("hit_exact"), lit(0L)))
+      .select(col("q").as("q_id"), col("rank"), col("doc").as("doc_id"),
+        col("n_terms"), col("score_pm"), col("hit_exact"))
+      .localCheckpoint(true)
+  }
+
   /** q197: quality-calibration card — "are duplicates low-quality?",
     * the empirical question behind quality-aware dedup (q165): docs
     * ranked by quality into exact DECILES via
@@ -1518,6 +1577,7 @@ object Curation {
     "q204_bm25_impact" -> q204Bm25Impact _,
     "q205_impact_merge" -> q205ImpactMerge _,
     "q206_impact_registry_serve" -> q206ImpactRegistryServe _,
+    "q207_impact_retain_serve" -> q207ImpactRetainServe _,
     "q197_quality_calibration" -> q197QualityCalibration _,
     "q136_unigram_em" -> q136UnigramEm _,
     "q175_term_associations" -> q175TermAssociations _,
