@@ -30,18 +30,32 @@ import org.apache.spark.sql.SparkSession
   *     is written to BENCH_DETAIL.json (env SPARK_GRAFT_BENCH_DETAIL)
   *     because the driver records only the final ~2000 chars of stdout
   *     and 144 queries × 3 runs × 3 metrics cannot fit that window.
+  *  4. Two signals for the case the above are BLIND to — every pass of a
+  *     query inflated together, wall AND cpu (memory-bandwidth/SMT
+  *     contention; r18: the graph family ran 2× slow in all three driver
+  *     passes while `contended` and the calib brackets read clean):
+  *     `dispersed` flags queries whose MEDIAN pass wall exceeds 1.5× the
+  *     best (at most one clean sample), and `cpu_vs_prev`/`cpu_regressed`
+  *     compare best-pass process-CPU seconds against the PRIOR round's
+  *     committed BENCH_DETAIL at the same sf (env SPARK_GRAFT_BENCH_PREV;
+  *     CPU-seconds survive host swaps — a descheduled thread burns none —
+  *     so a >1.5× cpu ratio on untouched code is exactly the
+  *     all-passes-inflated case, or a real regression; both deserve the
+  *     audit the flag forces).
   */
 object Bench {
 
-  /** The ROUND-16 query registry, frozen: `subset_total_prev_round` sums
-    * timings over exactly this set, so cross-round totals compare like
-    * with like — round 10's +14% "regression" took a session of forensics
-    * to attribute to new queries + driver testdata regeneration (verdict
-    * r10 item 5); this field makes the split arithmetic. Append-only per
-    * round: refresh to the PREVIOUS round's registry when adding queries
-    * (r17 refresh: the 204-query r16 set, was the 201-query r15 set).
+  /** The PREVIOUS round's query registry, frozen: `subset_total_prev_round`
+    * sums timings over exactly this set, so cross-round totals compare
+    * like with like — round 10's +14% "regression" took a session of
+    * forensics to attribute to new queries + driver testdata regeneration
+    * (verdict r10 item 5); this field makes the split arithmetic.
+    * Append-only per round: refresh to the PREVIOUS round's registry when
+    * adding queries (r19 refresh: the 206-query r18 set, was the
+    * 204-query r17 set).
     */
   val prevRoundQueries: Set[String] = Set(
+      "q205_impact_merge", "q206_impact_registry_serve",
       "q202_retrieval_serve", "q203_bm25_pruned", "q204_bm25_impact",
       "q01_agg_sum_groupby", "q02_filter_time_range", "q03_filter_in_projection",
       "q04_join_left_enrich", "q05_join_inner_agg", "q06_argmax_per_day",
@@ -295,6 +309,61 @@ object Bench {
         .minBy { case (r, _) => (r.err.isDefined, r.wall) }
       (name, best, runs(name), bestIdx)
     }
+    // Two signals the r18 driver run showed the existing detectors are
+    // blind to (verdict r18 #3: the graph family ran 2× slow in ALL
+    // three passes with wall AND cpu inflated — bandwidth contention;
+    // `contended` keys on wall≫cpu and the calib brackets sample the
+    // instants BETWEEN queries, so both read clean):
+    //  1. per-query cross-pass dispersion — a query whose MEDIAN pass
+    //     wall exceeds 1.5× its best ran clean at most once; its best
+    //     is readable but unconfirmed.
+    //  2. cpu_vs_prev — best-pass process-CPU seconds against the PRIOR
+    //     round's committed BENCH_DETAIL at the same sf. CPU-seconds
+    //     are comparable across hosts (a descheduled thread burns none),
+    //     so a cpu ratio > 1.5 on untouched code is the all-passes-
+    //     inflated case no in-run signal can see — or a real plan
+    //     regression; either way it names exactly the queries to audit.
+    def medianWall(rs: Vector[Run]): Double = {
+      val ws = rs.filter(_.err.isEmpty).map(_.wall).sorted
+      if (ws.isEmpty) -1.0 else ws(ws.size / 2)
+    }
+    val dispersedQ = results.filter { case (_, best, rs, _) =>
+      best.err.isEmpty && best.wall > 0.5 &&
+        medianWall(rs) > 1.5 * best.wall
+    }.map(_._1).toSet
+    // prior-round per-query best_cpu, read from the committed detail file
+    // BEFORE this run overwrites it (env override for A/Bs)
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", detailPath)
+    val (prevSf, prevCpu): (String, Map[String, Double]) =
+      try {
+        val f = new java.io.File(prevPath)
+        if (!f.isFile) ("", Map.empty)
+        else {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(f)
+          val sf = Option(root.get("sf")).map(_.asText).getOrElse("")
+          val m = scala.collection.mutable.Map.empty[String, Double]
+          Option(root.get("queries")).foreach { qn =>
+            val it = qn.properties().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              Option(e.getValue.get("best_cpu"))
+                .foreach(v => m(e.getKey) = v.asDouble)
+            }
+          }
+          (sf, m.toMap)
+        }
+      } catch { case _: Throwable => ("", Map.empty) }
+    val prevComparable = prevSf == sfDir
+    def cpuVsPrev(name: String, best: Run): Option[Double] =
+      if (!prevComparable || best.err.isDefined) None
+      else prevCpu.get(name).filter(_ > 0).map(best.cpu / _)
+    val cpuRegressedQ = results.filter { case (name, best, _, _) =>
+      best.err.isEmpty && best.wall > 0.5 &&
+        cpuVsPrev(name, best).exists(_ > 1.5)
+    }.map(_._1).toSet
     def jstr(s: String) = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -306,17 +375,20 @@ object Bench {
     val total = ok.map(_._2.wall).sum
     // Full per-run attribution matrix → a FILE (the driver's stdout tail
     // is ~2000 chars; this doesn't fit). One object per query: all runs'
-    // wall/cpu/load plus which run won.
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "BENCH_DETAIL.json")
+    // wall/cpu/load plus which run won, the dispersion flag, and the
+    // cross-round cpu ratio (absent when no same-sf prior detail exists).
     val detail = results.map { case (k, best, rs, bestIdx) =>
       def arr(f: Run => Double) = rs.map(r => r3(f(r))).mkString("[", ",", "]")
+      val cvp = cpuVsPrev(k, best)
+        .map(r => s""","cpu_vs_prev":${r3(r)}""").getOrElse("")
       s"${jstr(k)}:{" +
         s""""wall":${arr(_.wall)},"cpu":${arr(_.cpu)},"load":${arr(_.load)},""" +
         s""""best_wall":${r3(best.wall)},"best_cpu":${r3(best.cpu)},""" +
         s""""best_pass":$bestIdx,""" +
         s""""best_pass_valid":${passValid.lift(bestIdx).getOrElse(true)},""" +
-        s""""best_wall_cpu_ratio":${r3(if (best.cpu > 0) best.wall / best.cpu else -1.0)}}"""
+        s""""median_wall":${r3(medianWall(rs))},""" +
+        s""""dispersed":${dispersedQ.contains(k)},""" +
+        s""""best_wall_cpu_ratio":${r3(if (best.cpu > 0) best.wall / best.cpu else -1.0)}$cvp}"""
     }.mkString("{", ",", "}")
     val calibAfter = calibMs()
     val boot = bootId()
@@ -326,6 +398,7 @@ object Bench {
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(s"""{"sf":${jstr(sfDir)},"passes":$passes,""" +
+        s""""prev_sf":${jstr(prevSf)},""" +
         s""""boot_id":${jstr(boot)},"calib_ms_before":${r3(calibBefore)},""" +
         s""""calib_ms_after":${r3(calibAfter)},""" +
         s""""calib_pass_st_ms":${jarr(calibPassSt.toSeq)},""" +
@@ -366,6 +439,13 @@ object Bench {
       (if (singleSample.size <= 5) singleSample
        else singleSample.take(5) :+ jstr(s"+${singleSample.size - 5}"))
         .mkString("[", ",", "]")
+    def capped(qs: Seq[String]): String = {
+      val js = qs.sorted.map(n => jstr(keyOf(n)))
+      (if (js.size <= 5) js else js.take(5) :+ jstr(s"+${js.size - 5}"))
+        .mkString("[", ",", "]")
+    }
+    val dispersedCompact = capped(dispersedQ.toSeq)
+    val cpuRegressedCompact = capped(cpuRegressedQ.toSeq)
     val loadMax = results.flatMap(_._3.map(_.load)).foldLeft(0.0)(math.max)
     // boot + calib_ms make cross-host discontinuities machine-detectable
     // (r15: a mid-round reboot read as a +16% "regression"): different
@@ -378,7 +458,7 @@ object Bench {
       if (confDrift.size <= 3) confDrift
       else confDrift.take(3) += ("_more" -> (confDrift.size - 3).toString))
     val calibMt = calibPassMt.min
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${ok.size},"subset_total_prev_round":${r3(subset.map(_._2.wall).sum)},"subset_n":${subset.size},"contended":$contended,"passes_valid":${passValid.count(identity)},"single_sample":$singleCompact,"load1_max":${r3(loadMax)},"boot":${jstr(boot)},"calib_ms":${r3(math.min(calibBefore, calibAfter))},"calib_mt_ms":${r3(calibMt)},"conf_drift":$driftCompact,"errors":$errs,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${ok.size},"subset_total_prev_round":${r3(subset.map(_._2.wall).sum)},"subset_n":${subset.size},"contended":$contended,"passes_valid":${passValid.count(identity)},"single_sample":$singleCompact,"dispersed":$dispersedCompact,"cpu_regressed":$cpuRegressedCompact,"load1_max":${r3(loadMax)},"boot":${jstr(boot)},"calib_ms":${r3(math.min(calibBefore, calibAfter))},"calib_mt_ms":${r3(calibMt)},"conf_drift":$driftCompact,"errors":$errs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
