@@ -79,8 +79,8 @@ object ScaleProbe {
       "codecprep", "bwdist",
       "ccinc", "funnel", "prep", "monitor", "bm25reg", "splitreg",
       "retrieval", "kcore", "cooccur", "walks", "wl", "ranks", "curreg",
-      "nostraddle", "curseg", "zipf", "zipfm", "zipfreg", "impinc",
-      "prckpt", "prunedcost")
+      "nostraddle", "curseg", "zipf", "zipfm", "zipfreg", "zipfserve",
+      "zipfbucket", "impinc", "prckpt", "prunedcost")
     val unknown = args.toSet -- sections
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s) ${unknown.mkString(", ")}; " +
@@ -2065,6 +2065,104 @@ object ScaleProbe {
         TermStats.bm25TopKImpact(trunc, rp, rdf, rdl, rcorp, qFixed,
           "q_id", "qt", 5).count()
       }
+      graft.Caches.clearAll(spark)
+    }
+    // Registry-serve growth ATTRIBUTION (r19, verdict #6): the zipfreg
+    // registry row is the best cell at every rung but grows
+    // 2.8 → 4.6 → 15.5 s across 4×→16×→64×. Two candidate explanations:
+    // (a) the calibrated depth m(n) ∝ n grows candidate volume linearly
+    // (the recall contract's DESIGNED price — deeper lists buy flat
+    // recall), or (b) an O(registry) term crept back (e.g. the rescore
+    // join degrading from broadcast to a sort-merge shuffle of the
+    // postings registry once the candidate set outgrows the broadcast
+    // threshold). This section separates them on the SAME registries the
+    // zipfreg section materialized: a fixed-m=64 control serve (flat ⇒
+    // the growth is the calibration) and a join-type audit of the
+    // executed calibrated-depth plan (any SMJ against the postings scan
+    // = explanation (b)). Requires a prior `zipfreg` run's artifacts.
+    if (want("zipfserve")) for (factor <- probeFactors) {
+      import graft.operators.{Dedup, TermStats}
+      val ireg = s"/tmp/scale/zrireg$factor"
+      require(new java.io.File(s"/tmp/scale/zrdocs$factor").isDirectory,
+        s"zipfserve needs a prior zipfreg run (missing zrdocs$factor)")
+      val docsM = spark.read.parquet(s"/tmp/scale/zrdocs$factor")
+      val qFixed = docsM.filter(col("doc_id") < 200)
+        .select(col("doc_id").as("q_id"),
+          slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
+      val trunc = graft.streaming.Incremental.impactIndexRegistry(spark, ireg)
+      val (rp, rdf, rdl, rcorp) =
+        graft.streaming.Incremental.impactIndexStats(spark, ireg)
+      // control: the same registry served at FIXED depth 64 — the
+      // truncation-of-the-truncation is pre-materialized so the serve
+      // timing is pure candidate-generation + rescore
+      val t64 = materialize(
+        Dedup.keepFirstK(trunc, Seq(col("term")), TermStats.impactOrder,
+            64, "__ir")
+          .select(col("doc"), col("term"), col("tf"), col("dl")),
+        s"/tmp/scale/ztr64_$factor")
+      graft.Caches.clearAll(spark)
+      time(s"zipfserve fixed-m=64 registry serve ${factor}x (200 q)") {
+        TermStats.bm25TopKImpact(t64, rp, rdf, rdl, rcorp, qFixed,
+          "q_id", "qt", 5).count()
+      }
+      graft.Caches.clearAll(spark)
+      val servedCal = TermStats.bm25TopKImpact(trunc, rp, rdf, rdl, rcorp,
+        qFixed, "q_id", "qt", 5)
+      time(s"zipfserve calibrated-m registry serve ${factor}x (200 q)") {
+        servedCal.count()
+      }
+      val plan = servedCal.queryExecution.executedPlan.toString
+      def n(pat: String) = pat.r.findAllIn(plan).size
+      println(s"[scale] zipfserve ${factor}x calibrated plan: " +
+        s"SMJ=${n("SortMergeJoin")} BHJ=${n("BroadcastHashJoin")} " +
+        s"SHJ=${n("ShuffledHashJoin")}")
+      graft.Caches.clearAll(spark)
+    }
+    // The 100 TB layout for the impact serve (r19): the zipfserve audit
+    // found the calibrated-depth serve plans SMJ once the candidate set
+    // outgrows the broadcast threshold — and an SMJ shuffles BOTH sides,
+    // including the corpus-proportional postings/dl frames. On plain
+    // parquet that is an O(registry) shuffle per serve batch; the
+    // engine's stated registry convention (gramreg layout) is BUCKETED
+    // catalog tables, where the doc-keyed side arrives pre-partitioned
+    // and only the candidate side (∝ query footprint) shuffles. This
+    // cell measures exactly that swap on the largest probe registry:
+    // postings/dl doc-bucketed, the truncated index term-bucketed,
+    // same serve, shuffle counts + wall compared. Requires a prior
+    // `zipfreg` run's artifacts.
+    if (want("zipfbucket")) for (factor <- probeFactors) {
+      import graft.operators.TermStats
+      import graft.sources.Bucketing
+      val ireg = s"/tmp/scale/zrireg$factor"
+      require(new java.io.File(s"/tmp/scale/zrdocs$factor").isDirectory,
+        s"zipfbucket needs a prior zipfreg run (missing zrdocs$factor)")
+      val docsM = spark.read.parquet(s"/tmp/scale/zrdocs$factor")
+      val qFixed = docsM.filter(col("doc_id") < 200)
+        .select(col("doc_id").as("q_id"),
+          slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
+      val (rp, rdf, rdl, rcorp) =
+        graft.streaming.Incremental.impactIndexStats(spark, ireg)
+      val trunc = graft.streaming.Incremental.impactIndexRegistry(spark, ireg)
+      time(s"zipfbucket bucketed-table writes ${factor}x (one-time layout cost)") {
+        Bucketing.writeBucketed(rp, s"zb_post_$factor", 32, "doc")
+        Bucketing.writeBucketed(rdl, s"zb_dl_$factor", 32, "doc")
+        Bucketing.writeBucketed(trunc, s"zb_imp_$factor", 32, "term")
+        spark.table(s"zb_post_$factor").count()
+      }
+      graft.Caches.clearAll(spark)
+      val flatServe = TermStats.bm25TopKImpact(trunc, rp, rdf, rdl, rcorp,
+        qFixed, "q_id", "qt", 5)
+      time(s"zipfbucket FLAT serve ${factor}x (200 q)") { flatServe.count() }
+      val flatShuffles = Bucketing.countShuffles(flatServe)
+      graft.Caches.clearAll(spark)
+      val bServe = TermStats.bm25TopKImpact(
+        spark.table(s"zb_imp_$factor"), spark.table(s"zb_post_$factor"),
+        rdf, spark.table(s"zb_dl_$factor"), rcorp, qFixed, "q_id", "qt", 5)
+      time(s"zipfbucket BUCKETED serve ${factor}x (200 q)") { bServe.count() }
+      val bShuffles = Bucketing.countShuffles(bServe)
+      println(s"[scale] zipfbucket ${factor}x shuffles: flat=$flatShuffles " +
+        s"bucketed=$bShuffles (difference = registry-side exchanges the " +
+        "layout removed)")
       graft.Caches.clearAll(spark)
     }
     // q203 audit-leg pricing (r17 verdict #7): the registered q203 pays

@@ -531,6 +531,18 @@ object TermStats {
     * the last O(registry)-in-O(query)-clothing term (VERDICT r18 #1);
     * PlanSpec pins that no aggregate over a bare postings/dl scan can
     * return to the serve plan.
+    *
+    * Deployment note (the r19 zipfserve/zipfbucket finding): when the
+    * candidate set outgrows the broadcast threshold (deep calibrated m
+    * × large query batches), the doc-keyed joins here plan as
+    * sort-merge and shuffle BOTH sides — on plain parquet that
+    * re-shuffles the corpus-proportional postings/dl frames per serve
+    * batch. A standing deployment stores postings/dl as doc-BUCKETED
+    * catalog tables ([[graft.sources.Bucketing.writeBucketed]], the
+    * gramreg registry convention): the registry side then arrives
+    * pre-partitioned and only the candidate side (∝ query footprint)
+    * shuffles — measured −2 exchanges / −37% wall at the probe's 64×
+    * rung (SCALE.md zipfbucket).
     */
   private def rescoreCandidates(cands: DataFrame, qt: DataFrame,
                                 postings: DataFrame, dfreq: DataFrame,
