@@ -1314,6 +1314,58 @@ object Curation {
       .localCheckpoint(true)
   }
 
+  /** q208: the BUCKETED serving layout pinned in the oracle gate — the
+    * 100 TB deployment shape the zipfbucket probe measured (SCALE.md):
+    * the corpus lands in the registry through one
+    * [[graft.streaming.Incremental.impactBatchIngest]] fold, the serve
+    * artifacts are PUBLISHED as bucketed catalog tables
+    * ([[graft.streaming.Incremental.publishImpactServeTables]] —
+    * postings/dl doc-bucketed, the truncated index term-bucketed; the
+    * write-time shuffle the serve then never pays), and the serve reads
+    * `spark.table(…)` for all three corpus-scale frames with only the
+    * tiny df/corpus stats coming from the registry's delta logs. The
+    * oracle computes the identical serve from full-corpus CTEs — one
+    * hash pins that the layout change moves ZERO rows: publication,
+    * bucketed scans, the co-located doc-keyed rescore, truncation,
+    * depth, scores, and the hit_exact audit. (BucketedServeSpec
+    * additionally pins the PLAN claim — no shuffle over a bare
+    * published-registry scan under a forced sort-merge regime — which a
+    * row hash cannot see.) Query slice `%48`: distinct from q206's so
+    * the two rows never mask each other.
+    */
+  def q208BucketedServe(spark: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Incremental
+    val docs = Tables.balanced(spark, d, "documents")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_impact_bkt_" + spark.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(d.hashCode)).toString
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath)) fs.delete(hPath, true)
+    Incremental.impactBatchIngest(spark, dir, docs, "doc_id", "text",
+      quantizeDepth = false)
+    val prefix = "graft_q208_" +
+      java.lang.Integer.toHexString(d.hashCode).takeWhile(_ != '-')
+    Incremental.publishImpactServeTables(spark, dir, prefix)
+    val (_, dfq, _, corp) = Incremental.impactIndexStats(spark, dir)
+    val trunc = spark.table(s"${prefix}_impact")
+    val postings = spark.table(s"${prefix}_postings")
+    val dl = spark.table(s"${prefix}_dl")
+    val qs = docs.filter(col("doc_id") % 48 === 0)
+      .select(col("doc_id").as("q_id"),
+        slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
+    val served = TermStats.bm25TopKImpact(trunc, postings, dfq, dl, corp,
+      qs, "q_id", "qt", k = 5)
+    val exact = TermStats.bm25TopKFromIndex(postings, dfq, dl, corp, qs,
+        "q_id", "qt", k = 5)
+      .select(col("q"), col("doc"), lit(1L).as("hit_exact"))
+    served.join(exact, Seq("q", "doc"), "left_outer")
+      .withColumn("hit_exact", coalesce(col("hit_exact"), lit(0L)))
+      .select(col("q").as("q_id"), col("rank"), col("doc").as("doc_id"),
+        col("n_terms"), col("score_pm"), col("hit_exact"))
+      .localCheckpoint(true)
+  }
+
   /** q197: quality-calibration card — "are duplicates low-quality?",
     * the empirical question behind quality-aware dedup (q165): docs
     * ranked by quality into exact DECILES via
@@ -1578,6 +1630,7 @@ object Curation {
     "q205_impact_merge" -> q205ImpactMerge _,
     "q206_impact_registry_serve" -> q206ImpactRegistryServe _,
     "q207_impact_retain_serve" -> q207ImpactRetainServe _,
+    "q208_bucketed_serve" -> q208BucketedServe _,
     "q197_quality_calibration" -> q197QualityCalibration _,
     "q136_unigram_em" -> q136UnigramEm _,
     "q175_term_associations" -> q175TermAssociations _,

@@ -4328,6 +4328,59 @@ object Oracles {
          |    AS hit_exact
          |FROM p5 LEFT JOIN e5 ON p5.q_id = e5.q_id AND p5.doc = e5.doc""".stripMargin,
 
+    // q208: the bucketed serving layout — the engine publishes the
+    // registry's serve artifacts as doc/term-bucketed catalog tables
+    // and serves from them; the layout must move ZERO rows, so this
+    // SQL is the same full-corpus serve as q206's (the %48 query
+    // slice). Plan-level claims (no shuffle over a bare registry scan)
+    // live in BucketedServeSpec — a row hash cannot see them.
+    "q208_bucketed_serve" ->
+      s"""WITH tf AS (SELECT doc_id AS doc, term, count(*) AS tf FROM
+         |    (SELECT doc_id, unnest($Toks) AS term FROM documents)
+         |  WHERE length(term) >= 1 GROUP BY 1, 2),
+         |dl AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS a_tok FROM dl),
+         |qt AS (SELECT DISTINCT q_id, term FROM
+         |    (SELECT doc_id AS q_id, unnest(($Toks)[1:4]) AS term
+         |     FROM documents WHERE doc_id % 48 = 0)
+         |  WHERE length(term) >= 1),
+         |trunc AS (SELECT doc, term FROM (SELECT tf.doc, tf.term,
+         |    row_number() OVER (PARTITION BY tf.term
+         |      ORDER BY tf.tf DESC, dl.dl ASC, tf.doc ASC) AS ir
+         |  FROM tf JOIN dl USING (doc))
+         |  WHERE ir <= (SELECT GREATEST(64, (n_docs + 624) // 625)
+         |               FROM corpus)),
+         |cand AS (SELECT DISTINCT qt.q_id, trunc.doc FROM qt
+         |  JOIN trunc USING (term)),
+         |resc AS (SELECT c.q_id, p.doc, p.term, p.tf FROM cand c
+         |  JOIN tf p ON p.doc = c.doc
+         |  JOIN qt ON qt.q_id = c.q_id AND qt.term = p.term),
+         |sc AS (SELECT q_id, doc,
+         |    (CAST((1000000 * n_docs) // df AS HUGEINT) * tf * 44 * a_tok) //
+         |    (20 * CAST(a_tok AS HUGEINT) * tf + 6 * a_tok + 18 * n_docs * dl) AS s_pm
+         |  FROM resc JOIN dfq USING (term) JOIN dl USING (doc)
+         |       CROSS JOIN corpus),
+         |agg AS (SELECT q_id, doc, CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(sum(s_pm) AS BIGINT) AS score_pm FROM sc GROUP BY 1, 2),
+         |p5 AS (SELECT q_id, doc, n_terms, score_pm, CAST(rk AS BIGINT) AS "rank"
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score_pm DESC, doc ASC) AS rk FROM agg) WHERE rk <= 5),
+         |esc AS (SELECT q_id, doc,
+         |    (CAST((1000000 * n_docs) // df AS HUGEINT) * tf * 44 * a_tok) //
+         |    (20 * CAST(a_tok AS HUGEINT) * tf + 6 * a_tok + 18 * n_docs * dl) AS s_pm
+         |  FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+         |       JOIN dl USING (doc) CROSS JOIN corpus),
+         |ea AS (SELECT q_id, doc, CAST(sum(s_pm) AS BIGINT) AS score_pm
+         |  FROM esc GROUP BY 1, 2),
+         |e5 AS (SELECT q_id, doc FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY score_pm DESC, doc ASC) AS rk
+         |  FROM ea) WHERE rk <= 5)
+         |SELECT p5.q_id, p5."rank", p5.doc AS doc_id, p5.n_terms, p5.score_pm,
+         |  CAST(CASE WHEN e5.doc IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS hit_exact
+         |FROM p5 LEFT JOIN e5 ON p5.q_id = e5.q_id AND p5.doc = e5.doc""".stripMargin,
+
     // q202: retrieval serve capstone — the q168 RM3 chain on the
     // doc∩emb slice (%50 queries, feedback pass self-inclusive), the
     // expanded lexical leg self-excluded, RRF-fused with the q161 dense
