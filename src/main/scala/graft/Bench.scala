@@ -325,7 +325,12 @@ object Bench {
     //     regression; either way it names exactly the queries to audit.
     def medianWall(rs: Vector[Run]): Double = {
       val ws = rs.filter(_.err.isEmpty).map(_.wall).sorted
-      if (ws.isEmpty) -1.0 else ws(ws.size / 2)
+      if (ws.isEmpty) -1.0
+      // true median: average the middles on an even count (one erred run
+      // leaves 2 clean samples — upper-middle alone would flag a query
+      // by the 3-sample rule on half the evidence)
+      else if (ws.size % 2 == 1) ws(ws.size / 2)
+      else (ws(ws.size / 2 - 1) + ws(ws.size / 2)) / 2.0
     }
     val dispersedQ = results.filter { case (_, best, rs, _) =>
       best.err.isEmpty && best.wall > 0.5 &&

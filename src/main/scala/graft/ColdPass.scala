@@ -47,6 +47,7 @@ object ColdPass {
     if (warm) {
       val warmDir = "/root/testdata/sf0.001"
       val t0 = System.nanoTime(); val j0 = jitBean.getTotalCompilationTime
+      val g0 = codegenCompiles() // baseline: session bootstrap compiles too
       for (name <- names) {
         try { SparkEntry.queries(name)(spark, warmDir).count(); () }
         catch { case _: Throwable => () }
@@ -54,7 +55,7 @@ object ColdPass {
       }
       println(f"[cold] warmup(sf0.001) ${(System.nanoTime() - t0) / 1e9}%.2f s" +
         f", jit ${jitBean.getTotalCompilationTime - j0} ms" +
-        f", codegen_compiles ${codegenCompiles()}")
+        f", codegen_compiles ${codegenCompiles() - g0}")
     }
     for (name <- names; p <- 0 until passes) {
       val j0 = jitBean.getTotalCompilationTime

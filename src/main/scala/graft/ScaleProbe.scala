@@ -2143,6 +2143,16 @@ object ScaleProbe {
       val (rp, rdf, rdl, rcorp) =
         graft.streaming.Incremental.impactIndexStats(spark, ireg)
       val trunc = graft.streaming.Incremental.impactIndexRegistry(spark, ireg)
+      // a fresh catalog over a surviving warehouse dir refuses CTAS on
+      // the orphaned location — same torn state publishImpactServeTables
+      // clears; do it here or the probe dies on its second-ever run
+      for (t <- Seq(s"zb_post_$factor", s"zb_dl_$factor", s"zb_imp_$factor")) {
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+        val lfs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (lfs.exists(loc)) lfs.delete(loc, true)
+      }
       time(s"zipfbucket bucketed-table writes ${factor}x (one-time layout cost)") {
         Bucketing.writeBucketed(rp, s"zb_post_$factor", 32, "doc")
         Bucketing.writeBucketed(rdl, s"zb_dl_$factor", 32, "doc")

@@ -191,9 +191,12 @@ object Merge {
     * presence means the crash hit between the two renames, so finishing
     * the swap lands the INTENDED new state) wins over the renamed-aside
     * `.old-*` (the pre-swap state — correct fallback when the tmp never
-    * finished). Leftover siblings are then deleted. No-op (false) when
-    * the target exists or nothing recoverable survives. Single-writer
-    * discipline assumed, like every swap in this family.
+    * finished). Leftover siblings are then deleted. When the target is
+    * intact, any surviving siblings are swept as crash garbage (returns
+    * false — nothing was restored). Single-writer discipline assumed,
+    * like every swap in this family: only MAINTAINERS call this (and
+    * [[commitSwap]] itself at entry); the read path must not, or a
+    * reader racing a writer's rename pair could steal its siblings.
     */
   def healSwap(spark: org.apache.spark.sql.SparkSession,
                path: String): Boolean = {
@@ -204,13 +207,22 @@ object Merge {
 
   private def healSwapPath(fs: org.apache.hadoop.fs.FileSystem,
                            target: org.apache.hadoop.fs.Path): Boolean = {
-    if (fs.exists(target)) return false
     val parent = target.getParent
     if (parent == null || !fs.exists(parent)) return false
     val name = target.getName
     val strays = fs.listStatus(parent).filter { s =>
       val n = s.getPath.getName
       n.startsWith(name + ".tmp-") || n.startsWith(name + ".old-")
+    }
+    if (fs.exists(target)) {
+      // target intact: the strays are garbage from prior crashes (an
+      // unfinished tmp, or an old whose delete never ran) — sweep them,
+      // or each crash leaks a registry-sized directory forever AND a
+      // stale complete tmp stays a candidate for a future heal to
+      // wrongly resurrect. Safe under the single-writer discipline this
+      // whole family assumes (no concurrent swap's live tmp can be here).
+      strays.map(_.getPath).foreach(fs.delete(_, true))
+      return false
     }
     if (strays.isEmpty) return false
     val completeTmps = strays.filter { s =>

@@ -1245,8 +1245,11 @@ object Curation {
         slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
     val served = TermStats.bm25TopKImpact(trunc, postings, dfq, dl, corp,
       qs, "q_id", "qt", k = 5)
-    val exact = TermStats.bm25TopKFromIndex(postings, dfq, dl, corp, qs,
-        "q_id", "qt", k = 5)
+    // audit leg: bm25TopKFromIndex reads raw frames verbatim (no
+    // footprint heal) - distinct the registry reads so a crash-replayed
+    // registry can't double-count tf in the exact reference
+    val exact = TermStats.bm25TopKFromIndex(postings.distinct(), dfq,
+        dl.distinct(), corp, qs, "q_id", "qt", k = 5)
       .select(col("q"), col("doc"), lit(1L).as("hit_exact"))
     served.join(exact, Seq("q", "doc"), "left_outer")
       .withColumn("hit_exact", coalesce(col("hit_exact"), lit(0L)))
@@ -1304,8 +1307,11 @@ object Curation {
         slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
     val served = TermStats.bm25TopKImpact(trunc, postings, dfq, dl, corp,
       qs, "q_id", "qt", k = 5)
-    val exact = TermStats.bm25TopKFromIndex(postings, dfq, dl, corp, qs,
-        "q_id", "qt", k = 5)
+    // audit leg: bm25TopKFromIndex reads raw frames verbatim (no
+    // footprint heal) - distinct the registry reads so a crash-replayed
+    // registry can't double-count tf in the exact reference
+    val exact = TermStats.bm25TopKFromIndex(postings.distinct(), dfq,
+        dl.distinct(), corp, qs, "q_id", "qt", k = 5)
       .select(col("q"), col("doc"), lit(1L).as("hit_exact"))
     served.join(exact, Seq("q", "doc"), "left_outer")
       .withColumn("hit_exact", coalesce(col("hit_exact"), lit(0L)))
@@ -1344,8 +1350,7 @@ object Curation {
     if (fs.exists(hPath)) fs.delete(hPath, true)
     Incremental.impactBatchIngest(spark, dir, docs, "doc_id", "text",
       quantizeDepth = false)
-    val prefix = "graft_q208_" +
-      java.lang.Integer.toHexString(d.hashCode).takeWhile(_ != '-')
+    val prefix = "graft_q208_" + java.lang.Integer.toHexString(d.hashCode)
     Incremental.publishImpactServeTables(spark, dir, prefix)
     val (_, dfq, _, corp) = Incremental.impactIndexStats(spark, dir)
     val trunc = spark.table(s"${prefix}_impact")
@@ -1356,8 +1361,12 @@ object Curation {
         slice(graft.functions.Text.tokens(col("text")), 1, 4).as("qt"))
     val served = TermStats.bm25TopKImpact(trunc, postings, dfq, dl, corp,
       qs, "q_id", "qt", k = 5)
-    val exact = TermStats.bm25TopKFromIndex(postings, dfq, dl, corp, qs,
-        "q_id", "qt", k = 5)
+    // the AUDIT leg full-scores through bm25TopKFromIndex, which reads
+    // the raw frames VERBATIM (no footprint heal — its contract): heal
+    // them here so a crash-replayed registry can't double-count tf in
+    // the exact reference. Corpus-proportional, like the audit itself.
+    val exact = TermStats.bm25TopKFromIndex(postings.distinct(), dfq,
+        dl.distinct(), corp, qs, "q_id", "qt", k = 5)
       .select(col("q"), col("doc"), lit(1L).as("hit_exact"))
     served.join(exact, Seq("q", "doc"), "left_outer")
       .withColumn("hit_exact", coalesce(col("hit_exact"), lit(0L)))

@@ -1678,8 +1678,13 @@ object Incremental {
     */
   def impactIndexStats(spark: SparkSession, registryPath: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    for (sub <- Seq("postings", "dl", "stats", "corpus"))
-      Merge.healSwap(spark, s"$registryPath/$sub")
+    // NO healSwap here: this is the READ path, and serves may run
+    // concurrently with a maintainer's commitSwap — a reader racing the
+    // writer's rename pair could steal or delete its siblings. Torn-swap
+    // repair belongs to the single-writer maintainers (ingest/compact/
+    // retention); a serve that lands inside the torn window reads the
+    // missing-artifact state it would have read pre-heal (stats/corpus
+    // fall back with a warning; postings/dl fail loudly).
     if (retentionPending(spark, registryPath))
       graft.Log.warn(s"impactIndexStats: $registryPath has an incomplete " +
         "retention (intent marker present) — df/corpus may still count " +
