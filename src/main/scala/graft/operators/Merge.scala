@@ -102,7 +102,17 @@ object Merge {
     Dedup.keepFirst(exploded, Seq(col(key), col("__elem").getField(elemKey)),
         Seq(col("__pri").asc, col("__pos").asc))
       .groupBy(col(key))
-      .agg(sort_array(collect_list(col("__elem"))).as(series))
+      // rebuild ordered BY THE ELEMENT KEY, not by the struct's field
+      // declaration order: sort_array on the bare struct compares
+      // field-by-field, which only matches the documented key order when
+      // elemKey happens to be the first field — so sort keyed pairs and
+      // strip the key (elemKey is unique per doc after the dedup above,
+      // making the order total)
+      .agg(transform(
+        sort_array(collect_list(
+          struct(col("__elem").getField(elemKey).as("k"),
+            col("__elem").as("e")))),
+        x => x.getField("e")).as(series))
   }
 
   /** Filtered delete (K2) — the witness retention window (reference
@@ -310,6 +320,39 @@ object Merge {
           s"the chunk size")
       val hPath = new org.apache.hadoop.fs.Path(path)
       val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // Heal torn per-bucket swaps from a crashed predecessor BEFORE
+      // reading the existing side: a missing `__hb=b` with a surviving
+      // `.old-$b-*` sibling is the window between the two renames below —
+      // without the restore, the replay's isin read finds no bucket-b
+      // rows and the re-merge silently drops every earlier chunk's rows
+      // in that bucket (the 'loses no earlier rows' claim would be a
+      // lie). Stale `.old` siblings of intact buckets and torn `.tmp-*`
+      // layouts are crash garbage, swept. Single-writer discipline, like
+      // every swap in this family.
+      val parentDir = hPath.getParent
+      if (parentDir != null && fs.exists(parentDir)) {
+        val name = hPath.getName
+        val oldPat = (java.util.regex.Pattern.quote(name) +
+          "\\.old-(\\d+)-.*").r
+        fs.listStatus(parentDir)
+          .filter { s =>
+            val n = s.getPath.getName
+            n.startsWith(name + ".old-") || n.startsWith(name + ".tmp-")
+          }
+          .foreach { s =>
+            s.getPath.getName match {
+              case oldPat(b) if fs.exists(hPath) &&
+                  !fs.exists(new org.apache.hadoop.fs.Path(hPath, s"__hb=$b")) =>
+                if (!fs.rename(s.getPath,
+                    new org.apache.hadoop.fs.Path(hPath, s"__hb=$b")))
+                  throw new java.io.IOException(
+                    s"upsertPartitionedByHeight: heal rename failed for bucket $b")
+                graft.Log.warn(s"upsertPartitionedByHeight: restored torn " +
+                  s"bucket __hb=$b at $path from ${s.getPath.getName}")
+              case _ => fs.delete(s.getPath, true); ()
+            }
+          }
+      }
       // an empty base dir (a crash between mkdirs and the first rename)
       // must not count as an existing sink — parquet schema inference
       // would fail on it forever
@@ -335,7 +378,9 @@ object Merge {
       // a path it is reading (self-overwrite), and a raw dynamic overwrite
       // would race the read anyway. Per bucket the swap follows
       // commitSwap's ordering (old renamed ASIDE first, deleted only once
-      // the new state is in): a crash window loses no earlier rows. A
+      // the new state is in): a crash window loses no earlier rows —
+      // BECAUSE the entry heal above restores a renamed-aside bucket
+      // before the next epoch's read, not by the rename pair alone. A
       // touched bucket whose merged output vanished entirely means the
       // height-locality contract was violated (keys roamed buckets under
       // Update) — fail loudly rather than silently emptying it.
@@ -380,7 +425,13 @@ object Merge {
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir)
       .filter(s => s.getPath.getName.matches("delta-\\d+"))
-      .map(_.getPath.toString).sorted.toSeq
+      // NUMERIC order on the parsed index, not lexicographic on the
+      // path: the %06d padding overflows at delta-1000000, and a
+      // lexicographic sort would then replay it BEFORE delta-999999 —
+      // under Update (latest wins) the older delta's rows would beat
+      // the newer one's
+      .sortBy(_.getPath.getName.stripPrefix("delta-").toLong)
+      .map(_.getPath.toString).toSeq
   }
 
   /** Append one chunk as the next delta — O(chunk) I/O, no read of the

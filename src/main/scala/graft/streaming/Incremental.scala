@@ -25,32 +25,46 @@ import graft.operators.Merge
   */
 object Incremental {
 
-  /** Durable scalar checkpoint via Hadoop FileSystem: write temp, atomic
-    * rename over the old mark. Storage-agnostic (posix/HDFS).
+  /** Durable scalar checkpoint via Hadoop FileSystem. Storage-agnostic
+    * (posix/HDFS). Hadoop `rename` does NOT overwrite an existing
+    * destination, so every write after the first swaps through a
+    * rename-aside: mark → `.old`, tmp → mark, delete `.old` — and
+    * [[read]] falls back to `.old`, so a crash between the renames
+    * degrades to the PREVIOUS durable mark (the epoch replays,
+    * idempotent by T6), never to "no mark" and a full from-zero re-sync.
+    * The pre-r19 delete-then-rename fallback had exactly that window.
     */
   final class Checkpoint(spark: SparkSession, dir: String) {
     private val fs: FileSystem =
       new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     private val file = new Path(dir, "high_water_mark")
+    private val aside = new Path(dir, "high_water_mark.old")
 
-    def read(): Option[Long] =
-      if (!fs.exists(file)) None
+    private def readOne(p: Path): Option[Long] =
+      if (!fs.exists(p)) None
       else {
-        val in = fs.open(file)
+        val in = fs.open(p)
         try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
         finally in.close()
       }
+
+    def read(): Option[Long] = readOne(file).orElse(readOne(aside))
 
     def write(mark: Long): Unit = {
       fs.mkdirs(new Path(dir))
       val tmp = new Path(dir, s"high_water_mark.tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
       try out.write(mark.toString.getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, file)) {
-        fs.delete(file, false)
-        if (!fs.rename(tmp, file))
-          throw new java.io.IOException(s"checkpoint rename failed: $file")
-      }
+      if (fs.exists(aside)) fs.delete(aside, false)
+      if (fs.exists(file)) fs.rename(file, aside)
+      if (!fs.rename(tmp, file))
+        throw new java.io.IOException(s"checkpoint rename failed: $file")
+      fs.delete(aside, false)
+      // sweep tmp orphans from crashed writes (uuid-named, never reused)
+      fs.listStatus(new Path(dir))
+        .filter(_.getPath.getName.startsWith("high_water_mark.tmp-"))
+        .foreach(s => fs.delete(s.getPath, false))
+      ()
     }
   }
 
@@ -500,17 +514,11 @@ object Incremental {
 
   /** The fingerprint registry, empty-safe before the first batch commits. */
   private def readDhashRegistry(spark: SparkSession,
-                                registryPath: String): DataFrame = {
-    val p = new Path(registryPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
-      spark.read.parquet(registryPath).select("dhash")
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("dhash",
-          org.apache.spark.sql.types.LongType))))
-  }
+                                registryPath: String): DataFrame =
+    // one emptiness check to maintain — readLongColOrEmpty is the shared
+    // shape (this used to be a verbatim copy, the drift the
+    // readStringColOrEmpty comment warns about)
+    readLongColOrEmpty(spark, registryPath, "dhash")
 
   /** One empty-safe single-string-column parquet reader behind every
     * streaming registry (blocks, grams, seen words) — one emptiness
@@ -563,12 +571,13 @@ object Incremental {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        // 1. land the batch's turns (first-wins on the composite key —
-        //    a replayed or duplicated turn cannot double-render)
-        val keyed = batch.withColumn("__tk",
-          concat(col("conv"), lit(":"), col("turn_id")))
-        Merge.upsertParquet(spark, registryPath, keyed,
-          "__tk", Merge.Ignore, "ts")
+        // 1. land the batch's turns (first-wins on the TUPLE key —
+        //    a replayed or duplicated turn cannot double-render). Never
+        //    a concat key: conv="c:1"/turn="2" and conv="c"/turn="1:2"
+        //    would alias and silently drop a turn — the trap this file's
+        //    own partial-key comments ban elsewhere.
+        Merge.upsertParquet(spark, registryPath, batch,
+          Seq("conv", "turn_id"), Merge.Ignore, "ts")
         // 2. re-render the touched conversations from the registry
         val touched = batch.select(col("conv")).distinct()
         val history = spark.read.parquet(registryPath)
@@ -843,29 +852,48 @@ object Incremental {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val stats = graft.operators.Dsir.bucketStats(raw, target, id, text, buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val query = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val scored = graft.operators.Dsir.scoreAgainst(
-          batch, stats, id, text, buckets)
-        Merge.upsertParquet(batch.sparkSession, outPath, scored,
-          id, Merge.Ignore, "n_feats")
-        ()
-      }
-      .start()
+    // Listener registered BEFORE start(): a query that dies immediately
+    // can post its QueryTerminatedEvent before a post-start addListener
+    // runs, leaking the persisted stats and the dead listener forever.
+    // The id is only known after start, so match through a volatile and
+    // close the remaining pre-assignment window with the isActive check
+    // below (double-unpersist/removeListener are harmless no-ops).
     val streams = stream.sparkSession.streams
-    streams.addListener(new StreamingQueryListener {
+    @volatile var qid: java.util.UUID = null
+    val listener = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == query.id) {
+        if (qid != null && e.id == qid) {
           stats.unpersist(blocking = false)
           streams.removeListener(this)
         }
-    })
+    }
+    streams.addListener(listener)
+    val query =
+      try stream.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val scored = graft.operators.Dsir.scoreAgainst(
+            batch, stats, id, text, buckets)
+          Merge.upsertParquet(batch.sparkSession, outPath, scored,
+            id, Merge.Ignore, "n_feats")
+          ()
+        }
+        .start()
+      catch { case t: Throwable =>
+        streams.removeListener(listener)
+        stats.unpersist(blocking = false)
+        throw t
+      }
+    qid = query.id
+    if (!query.isActive) { // terminated before qid was visible to the listener
+      stats.unpersist(blocking = false)
+      streams.removeListener(listener)
+    }
     query
   }
 
@@ -1099,8 +1127,13 @@ object Incremental {
         val seen = readSeenWords(spark, outPath)
         val fresh = batch.select(col(word).as("w")).distinct()
           .join(seen, Seq("w"), "left_anti")
-        graft.operators.Bpe.applyMerges(fresh, "w", merges)
-          .write.mode("append").parquet(outPath)
+        // skip the empty append (the saturated-vocabulary steady state —
+        // nearly every batch once the Zipf head is seen): it would still
+        // commit one schema-only part file per batch, the small-file
+        // decay the curriculum stream learned the hard way
+        if (!fresh.isEmpty)
+          graft.operators.Bpe.applyMerges(fresh, "w", merges)
+            .write.mode("append").parquet(outPath)
         ()
       }
       .start()
@@ -1238,12 +1271,21 @@ object Incremental {
             spark.read.parquet(sigsPath), spark.read.parquet(labelsPath),
             id, numHashes, bands, minSigEqual, splits, salt)
           .localCheckpoint(true) // two sink writes read it; don't re-run the LSH join
-        out.select(col(id), col("inherited"), col("skey"), col("split"))
-          .write.mode("append").parquet(outPath)
-        // the batch joins the registry: future arrivals inherit from it
+        // REGISTRIES FIRST, assignment sink LAST — the dl-last pattern:
+        // outPath is the replay guard (the anti-join above), so a crash
+        // after it but before the registry appends would permanently omit
+        // the batch from the inheritance registry and later near-dups of
+        // those docs would hash-assign independently — the exact leakage
+        // this operator exists to prevent. With the guard last, a crash
+        // replays the whole batch: the deterministic recompute re-appends
+        // byte-identical sigs/labels rows, and the inherit path collapses
+        // duplicates harmlessly (candidate pairs dedupe through the
+        // groupBy-min; label fanout can't move a min).
         bSigs.write.mode("append").parquet(sigsPath)
         out.select(col(id).as("edoc"), col("skey").as("cluster"))
           .write.mode("append").parquet(labelsPath)
+        out.select(col(id), col("inherited"), col("skey"), col("split"))
+          .write.mode("append").parquet(outPath)
         ()
       }
       .start()
@@ -1355,8 +1397,11 @@ object Incremental {
         val seen = readSeenWords(spark, outPath)
         val fresh = batch.select(col(word).as("w")).distinct()
           .join(seen, Seq("w"), "left_anti")
-        graft.operators.Unigram.segment(fresh, "w", vocab, maxLen)
-          .write.mode("append").parquet(outPath)
+        // saturated-vocabulary steady state: skip the schema-only append
+        // (same rationale as streamingBpeSegment)
+        if (!fresh.isEmpty)
+          graft.operators.Unigram.segment(fresh, "w", vocab, maxLen)
+            .write.mode("append").parquet(outPath)
         ()
       }
       .start()
@@ -1388,8 +1433,15 @@ object Incremental {
 
     val checkpoint = new Checkpoint(spark, stateDir)
 
-    def currentHeight(): Long =
-      source().agg(max(col(heightCol))).head().getLong(0)
+    /** Max height, or None on an EMPTY source (bootstrap-before-data, or
+      * a source truncated between epochs) — `max` over zero rows is a
+      * null cell, and the old `.getLong(0)` NPE'd the polling loop
+      * instead of letting the epoch report itself as a gated no-op.
+      */
+    def currentHeight(): Option[Long] = {
+      val r = source().agg(max(col(heightCol))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
 
     def sinkPath(name: String): String = s"$sinkDir/$name"
 
@@ -1397,7 +1449,12 @@ object Incremental {
       * snapshot refresh (T3), then advance the mark.
       */
     def runEpoch(): EpochReport = {
-      val cur = currentHeight() + 1 // exclusive upper bound
+      val cur = currentHeight() match {
+        case Some(h) => h + 1 // exclusive upper bound
+        case None => // empty source: nothing to sync, report a no-op
+          val from0 = checkpoint.read().getOrElse(0L)
+          return EpochReport(ran = false, from0, from0, 0)
+      }
       val from = checkpoint.read().getOrElse(0L)
       if (cur - from < minDiff) return EpochReport(ran = false, from, cur, 0)
       val ranges = chunkRanges(from, cur, chunkSize)
