@@ -32,6 +32,24 @@ class SinkSpec extends AnyFunSuite {
     assert(twice == out)
   }
 
+  test("appendSeries orders by the ELEMENT KEY even when it is not the " +
+    "struct's first field (r19 review: bare-struct sort_array sorted by " +
+    "field declaration order)") {
+    val existing = Seq(
+      ("a", Seq((9L, "2024-01-01"), (5L, "2024-01-02")))
+    ).toDF("_key", "series")
+      .select(col("_key"), col("series").cast("array<struct<balance:bigint,date:string>>"))
+    val incoming = Seq(
+      ("a", Seq((1L, "2024-01-03")))
+    ).toDF("_key", "series")
+      .select(col("_key"), col("series").cast("array<struct<balance:bigint,date:string>>"))
+    val out = Merge.appendSeries(existing, incoming, "_key", "series", "date")
+      .as[(String, Seq[(Long, String)])].collect().toMap
+    // date order — a struct-field sort would have put balance 1 first
+    assert(out("a") ==
+      Seq((9L, "2024-01-01"), (5L, "2024-01-02"), (1L, "2024-01-03")))
+  }
+
   test("appendSeries plan: one exchange, no interpreted array-HOF filter") {
     val existing = Seq(("a", Seq(("2024-01-01", 10L)))).toDF("_key", "series")
       .select(col("_key"), col("series").cast("array<struct<date:string,balance:bigint>>"))
